@@ -1,0 +1,88 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Canonical data model of the engine.
+  *
+  * The reference models data as an xarray `Dataset`: named N-d variables over
+  * shared labeled axes (`time`, `lat`, `lon`) plus free-form attrs
+  * (reference `tests/conftest.py:35-52`). The Spark-native shape is a
+  * long/tidy DataFrame: one row per (time, cell) with one column per
+  * variable, per-variable attrs carried as `StructField.metadata`
+  * (SURVEY.md §1.4). All operators in `graft.metrics` are written against a
+  * [[SeriesSpec]] so the same operator runs on any table with a timestamp
+  * column, grouping keys ("cells"), and a numeric value column.
+  */
+final case class SeriesSpec(
+    tsCol: String,
+    keyCols: Seq[String],
+    valueCol: String
+)
+
+/** Variable metadata ≅ xarray per-variable attrs
+  * (reference `tests/conftest.py:55-64`: units/long_name/standard_name;
+  * `metrics/temporal.py:42` stamps cell_methods).
+  */
+final case class VarAttrs(
+    units: Option[String] = None,
+    longName: Option[String] = None,
+    standardName: Option[String] = None,
+    cellMethods: Option[String] = None
+) {
+  def toMetadata: Metadata = {
+    val b = new MetadataBuilder()
+    units.foreach(b.putString("units", _))
+    longName.foreach(b.putString("long_name", _))
+    standardName.foreach(b.putString("standard_name", _))
+    cellMethods.foreach(b.putString("cell_methods", _))
+    b.build()
+  }
+}
+
+object GridSchema {
+  /** Canonical dense-grid schema (SURVEY.md §1.4): the idiomatic Spark
+    * translation of the reference's (time, lat, lon) data cube.
+    */
+  val canonical: StructType = StructType(Seq(
+    StructField("ts", TimestampType, nullable = false),
+    StructField("lat", DoubleType, nullable = false),
+    StructField("lon", DoubleType, nullable = false),
+    StructField("value", DoubleType, nullable = true)
+  ))
+
+  /** Attach attrs to a variable column without touching data — the Spark
+    * analog of `ds[var].attrs.update(...)`.
+    */
+  def withAttrs(df: DataFrame, col: String, attrs: VarAttrs): DataFrame =
+    df.withMetadata(col, attrs.toMetadata)
+}
+
+/** Loader for the driver-provided test tables (TESTDATA.md). Centralizes
+  * `spark.read.parquet` so every query benefits from the same scan options.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // The events table stores TIMESTAMP(NANOS) which Spark reads as long
+    // nanos under spark.sql.legacy.parquet.nanosAsLong; the generated values
+    // are µs-aligned, so converting to TimestampType (µs) is lossless.
+    df.schema.fields.foldLeft(df) {
+      case (d, f) if f.name == "ts" && f.dataType == LongType =>
+        d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.col("ts") / 1000L cast LongType))
+      case (d, _) => d
+    }
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}
