@@ -29,6 +29,9 @@ def cmp(a: pd.DataFrame, b: pd.DataFrame):
     if len(a) != len(b):
         return False, f"row count differs: {len(a)} vs {len(b)}"
     for c in a.columns:
+        if str(a[c].dtype) != str(b[c].dtype):
+            return False, f"dtype differs for {c}: {a[c].dtype} vs {b[c].dtype}"
+    for c in a.columns:
         av, bv = a[c], b[c]
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             ok = ((av.isna() & bv.isna()) | (av == bv)).all()
