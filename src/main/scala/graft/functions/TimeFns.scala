@@ -37,20 +37,25 @@ object TimeFns {
     */
   def seasonYear(ts: Column): Column = year(add_months(ts, 1))
 
+  /** Epoch seconds (with fraction) from a timestamp column. The extra
+    * timestamp cast handles TIMESTAMP_NTZ parquet columns (cannot cast NTZ
+    * to double directly); under the UTC session timezone it is value-
+    * preserving and identical to DuckDB `epoch(ts)` for oracle parity.
+    */
+  def epochSeconds(ts: Column): Column = ts.cast("timestamp").cast("double")
+
   /** Timestamp → fractional years since the Unix epoch using a 365.25-day
     * year, the reference's trend time axis (`metrics/trends.py:36-39`).
-    * Casting TimestampType to double yields epoch seconds with fraction —
-    * identical to DuckDB `epoch(ts)` for oracle parity.
     */
   def fractionalYears(ts: Column): Column =
-    ts.cast("double") / lit(365.25 * 86400.0)
+    epochSeconds(ts) / lit(365.25 * 86400.0)
 
   /** Epoch-aligned tumbling time bucket of `seconds` width. Equivalent to
     * `window(ts, s"...")(start)` but emitted as a plain timestamp so batch
     * and DuckDB agree bit-for-bit.
     */
   def timeBucket(ts: Column, seconds: Long): Column =
-    timestamp_seconds(floor(ts.cast("double") / seconds.toDouble) * seconds)
+    timestamp_seconds(floor(epochSeconds(ts) / seconds.toDouble) * seconds)
 
   /** Normalize longitude to the ±180 convention
     * (reference `ingest/netcdf_reader.py:134-137`).

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.model.{SeriesSpec, Tables}
+import graft.metrics.{Temporal, Trends}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A8-A10 bound to lineitem. The Mann-Kendall query runs on the monthly
+  * mean series per cell (~82 points), the reference's intended granularity
+  * for the O(n²) kernel; the OLS queries run on the raw 60k rows to
+  * exercise partial aggregation.
+  */
+object TrendQ extends QueryPack {
+
+  import TemporalQ.liSeries
+
+  private def monthlySeries(s: SparkSession, dir: String): DataFrame =
+    Temporal.monthlyMean(Tables.lineitem(s, dir), liSeries)
+      .select(col("month").as("ts"), col("l_returnflag"), col("mean_value"))
+
+  private val monthlySpec = SeriesSpec("ts", Seq("l_returnflag"), "mean_value")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_linear_trend" -> ((s, dir) =>
+      round6(Trends.linearTrend(Tables.lineitem(s, dir), liSeries), "trend")),
+    "q_trend_stderr" -> ((s, dir) =>
+      round6(
+        Trends.trendWithConfidence(Tables.lineitem(s, dir), liSeries)
+          .select(col("l_returnflag"), col("trend"), col("std_err"), col("n")),
+        "trend", "std_err")),
+    // CI bounds need a t-quantile DuckDB lacks → rows-only check; the
+    // stderr/slope inputs are oracle-checked above.
+    "q_trend_ci" -> ((s, dir) =>
+      round6(
+        Trends.trendWithConfidence(Tables.lineitem(s, dir), liSeries)
+          .select(col("l_returnflag"), col("trend"), col("trend_lower"), col("trend_upper")),
+        "trend", "trend_lower", "trend_upper")),
+    "q_mann_kendall" -> ((s, dir) =>
+      round6(
+        Trends.mannKendall(monthlySeries(s, dir), monthlySpec)
+          .select(col("l_returnflag"), col("s"), col("var_s"), col("z"),
+            col("sen_slope"), col("significant")),
+        "var_s", "z", "sen_slope"))
+  )
+
+  private val yearsX = "epoch(l_shipdate) / (365.25 * 86400)"
+
+  def oracles: Map[String, String] = Map(
+    "q_linear_trend" ->
+      s"""SELECT l_returnflag,
+         |       round(regr_slope(l_quantity, $yearsX), 6) AS trend
+         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_trend_stderr" ->
+      s"""SELECT l_returnflag,
+         |  round(regr_slope(l_quantity, $yearsX), 6) AS trend,
+         |  round(sqrt(greatest(regr_syy(l_quantity, $yearsX)
+         |        - regr_slope(l_quantity, $yearsX) * regr_slope(l_quantity, $yearsX)
+         |          * regr_sxx(l_quantity, $yearsX), 0)
+         |      / (regr_count(l_quantity, $yearsX) - 2)
+         |      / regr_sxx(l_quantity, $yearsX)), 6) AS std_err,
+         |  CAST(regr_count(l_quantity, $yearsX) AS BIGINT) AS n
+         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_mann_kendall" ->
+      """WITH ser AS (
+        |  SELECT l_returnflag AS k, date_trunc('month', l_shipdate) AS t,
+        |         avg(l_quantity) AS v
+        |  FROM lineitem GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY t) - 1 AS i
+        |  FROM ser),
+        |pairs AS (
+        |  SELECT a.k, sign(b.v - a.v) AS sg, (b.v - a.v) / (b.i - a.i) AS sl
+        |  FROM idx a JOIN idx b ON a.k = b.k AND b.i > a.i),
+        |agg AS (
+        |  SELECT k, CAST(sum(sg) AS BIGINT) AS s,
+        |         quantile_cont(sl, 0.5) AS sen_slope
+        |  FROM pairs GROUP BY 1),
+        |nn AS (SELECT k, count(*) AS n FROM idx GROUP BY 1),
+        |ties AS (
+        |  SELECT k, coalesce(sum(c * (c - 1.0) * (2 * c + 5) / 18.0), 0) AS corr
+        |  FROM (SELECT k, v, count(*) AS c FROM idx GROUP BY 1, 2) GROUP BY 1),
+        |vs AS (
+        |  SELECT nn.k, nn.n * (nn.n - 1) * (2 * nn.n + 5) / 18.0 - ties.corr AS var_s
+        |  FROM nn JOIN ties ON nn.k = ties.k),
+        |fin AS (
+        |  SELECT agg.k, agg.s, vs.var_s, agg.sen_slope,
+        |         CASE WHEN agg.s > 0 THEN (agg.s - 1) / sqrt(vs.var_s)
+        |              WHEN agg.s < 0 THEN (agg.s + 1) / sqrt(vs.var_s)
+        |              ELSE 0.0 END AS z
+        |  FROM agg JOIN vs ON agg.k = vs.k)
+        |SELECT k AS l_returnflag, s, round(var_s, 6) AS var_s,
+        |       round(z, 6) AS z, round(sen_slope, 6) AS sen_slope,
+        |       (abs(z) > 1.9599639845400545) AS significant
+        |FROM fin""".stripMargin
+  )
+}
