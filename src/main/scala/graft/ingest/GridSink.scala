@@ -1,0 +1,69 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Layout-aware parquet sink + store introspection
+  * (reference `ingest/arco_converter.py:110-246`, SURVEY.md S8-S12).
+  */
+object GridSink {
+
+  /** S8 — write with the planned layout: repartition (hash or range),
+    * sort within partitions, optional directory partitioning, zstd by
+    * default, `maxRecordsPerFile` bounding file size. `overwrite=false`
+    * fails if the store exists (the reference's `w-` mode,
+    * `arco_converter.py:130-136`).
+    */
+  def writeGrid(df: DataFrame, path: String, layout: LayoutPlanner.WriteLayout,
+                overwrite: Boolean = false): Unit = {
+    val repartitioned =
+      if (layout.repartitionCols.isEmpty) df
+      else if (layout.rangePartition)
+        df.repartitionByRange(layout.repartitionCols.map(col): _*)
+      else df.repartition(layout.repartitionCols.map(col): _*)
+    val sorted =
+      if (layout.sortWithinPartitions.isEmpty) repartitioned
+      else repartitioned.sortWithinPartitions(layout.sortWithinPartitions.map(col): _*)
+    var w = sorted.write
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .option("compression", layout.compression)
+      .option("maxRecordsPerFile", layout.maxRecordsPerFile)
+    if (layout.partitionBy.nonEmpty) w = w.partitionBy(layout.partitionBy: _*)
+    w.parquet(path)
+  }
+
+  /** S10 — rechunk ≅ repartition to a new layout without rewriting logic
+    * (`arco_converter.py:182-195`).
+    */
+  def rechunk(df: DataFrame, layout: LayoutPlanner.WriteLayout): DataFrame = {
+    val rep =
+      if (layout.repartitionCols.isEmpty) df
+      else if (layout.rangePartition) df.repartitionByRange(layout.repartitionCols.map(col): _*)
+      else df.repartition(layout.repartitionCols.map(col): _*)
+    if (layout.sortWithinPartitions.isEmpty) rep
+    else rep.sortWithinPartitions(layout.sortWithinPartitions.map(col): _*)
+  }
+
+  /** S11 — open a store (parquet footers are the consolidated metadata). */
+  def openStore(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  final case class StoreInfo(
+      path: String, nFiles: Long, totalBytes: Long, nRows: Long, schemaDdl: String)
+
+  /** S12 — store introspection: file count/bytes from the filesystem,
+    * row count and schema from footers (`arco_converter.py:214-246`).
+    */
+  def storeInfo(spark: SparkSession, path: String): StoreInfo = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new Path(path), true)
+    var files = 0L; var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) { files += 1; bytes += f.getLen }
+    }
+    val df = spark.read.parquet(path)
+    StoreInfo(path, files, bytes, df.count(), df.schema.toDDL)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.functions.TimeFns
+import graft.ingest.{BBox, GridSource}
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S2/S5/S6, P1-P3, W2, F8 bound to the driver tables. */
+object IngestQ extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S2/P1/P2 — projection + time-range + value predicate, all pushed to
+    // the parquet scan.
+    "q_scan_pushdown" -> ((s, dir) =>
+      GridSource.readGrid(s, s"$dir/lineitem.parquet",
+          variables = Seq("l_orderkey", "l_linenumber", "l_quantity"),
+          timeRange = Some(("1996-01-01", "1996-12-31")),
+          tsCol = "l_shipdate")
+        .where(col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_shipdate").cast("date").as("ship_date"))),
+    // S5/F8 — longitude normalization + antimeridian bbox as OR predicate.
+    // A synthetic lon is derived from l_extendedprice to exercise the wrap.
+    "q_antimeridian" -> ((s, dir) => {
+      val withLon = Tables.lineitem(s, dir)
+        .withColumn("lat", (col("l_partkey") % 180 - 89).cast("double"))
+        .withColumn("lon", TimeFns.normalizeLon(col("l_extendedprice")))
+      round6(
+        GridSource.applyBBox(withLon, BBox(west = 170, south = -60, east = -170, north = 60))
+          .select(col("l_orderkey"), col("l_linenumber"), col("lat"), col("lon")),
+        "lon")
+    }),
+    // S6 — one-pass dataset summary.
+    "q_dataset_info" -> ((s, dir) =>
+      round6(
+        GridSource.datasetInfo(Tables.lineitem(s, dir), "l_shipdate", "l_quantity")
+          .withColumn("ts_min", col("ts_min").cast("date"))
+          .withColumn("ts_max", col("ts_max").cast("date")),
+        "value_mean")),
+    // W2 — mean time step between distinct timestamps (here: 1 day).
+    "q_time_resolution" -> ((s, dir) =>
+      round6(
+        GridSource.resolution(Tables.lineitem(s, dir),
+          TimeFns.epochSeconds(col("l_shipdate"))),
+        "resolution"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_scan_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |       CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND l_quantity >= 45""".stripMargin,
+    "q_antimeridian" ->
+      """WITH g AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CAST(l_partkey % 180 - 89 AS DOUBLE) AS lat,
+        |         fmod(fmod(l_extendedprice + 180, 360) + 360, 360) - 180 AS lon
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, lat, round(lon, 6) AS lon
+        |FROM g
+        |WHERE lat BETWEEN -60 AND 60 AND (lon >= 170 OR lon <= -170)""".stripMargin,
+    "q_dataset_info" ->
+      """SELECT count(*) AS n_rows,
+        |       count(DISTINCT l_shipdate) AS n_timesteps,
+        |       CAST(min(l_shipdate) AS DATE) AS ts_min,
+        |       CAST(max(l_shipdate) AS DATE) AS ts_max,
+        |       min(l_quantity) AS value_min,
+        |       max(l_quantity) AS value_max,
+        |       round(avg(l_quantity), 6) AS value_mean
+        |FROM lineitem""".stripMargin,
+    "q_time_resolution" ->
+      """WITH c AS (SELECT DISTINCT epoch(l_shipdate) AS coord FROM lineitem),
+        |d AS (SELECT coord - lag(coord) OVER (ORDER BY coord) AS step FROM c)
+        |SELECT round(avg(step), 6) AS resolution FROM d""".stripMargin
+  )
+}
