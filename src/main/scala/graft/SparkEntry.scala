@@ -16,7 +16,7 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    TemporalQ, PercentileQ, AnomalyQ, TrendQ, IngestQ)
+    TemporalQ, PercentileQ, AnomalyQ, TrendQ, IngestQ, JoinQ, EventsQ)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship "monthly mean at a point"

@@ -69,8 +69,10 @@ object Tables {
     // are µs-aligned, so converting to TimestampType (µs) is lossless.
     df.schema.fields.foldLeft(df) {
       case (d, f) if f.name == "ts" && f.dataType == LongType =>
+        // integer DIV, not `/`: double division rounds half the sub-µs
+        // tails up one µs, diverging from DuckDB's truncating ns→µs cast
         d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.col("ts") / 1000L cast LongType))
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
       case (d, _) => d
     }
   }

@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.model.{SeriesSpec, Tables}
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-stream-shaped queries over the events table: tumbling windows,
+  * gap sessionization, JSON property extraction. The windowed aggregation
+  * is the exact expression that runs under Structured Streaming
+  * (StreamingSpec drives the same operator through readStream).
+  */
+object EventsQ extends QueryPack {
+
+  private val evSpec = SeriesSpec("ts", Seq("event_type"), "value")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_windows" -> ((s, dir) =>
+      round6(Streams.windowedStats(Tables.events(s, dir), evSpec, "5 minutes"),
+        "sum_value", "avg_value")),
+    "q_sessions" -> ((s, dir) =>
+      round6(
+        Streams.sessionize(Tables.events(s, dir), "user_id", "ts",
+          gapSeconds = 1800, orderCols = Seq("event_id")),
+        "duration_sec")),
+    "q_json_props" -> ((s, dir) =>
+      round6(
+        Tables.events(s, dir)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy((col("k") % 10).as("k_bucket"), col("event_type"))
+          .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value")),
+        "avg_value"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_event_windows" ->
+      """SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP)
+        |         AS bucket,
+        |       event_type, count(*) AS n,
+        |       round(sum(value), 6) AS sum_value,
+        |       round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch(ts) AS e,
+        |         epoch(ts) - lag(epoch(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, e,
+        |         CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS session_idx
+        |  FROM g)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       round(max(e) - min(e), 6) AS duration_sec
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+        |         AS k_bucket,
+        |       event_type, count(*) AS n,
+        |       round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import graft.functions.TimeFns
+import graft.model.SeriesSpec
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming-ready event operators (SURVEY.md §2.10 — additive scope: the
+  * reference has no true streaming, only Celery jobs over batch time axes).
+  *
+  * The aggregations are written against event-time columns so the SAME
+  * expressions run over a batch DataFrame and under Structured Streaming
+  * with a watermark: `withWatermark` is a no-op in batch, and
+  * `window(ts, ...)` buckets identically in both modes.
+  */
+object Streams {
+
+  /** Tumbling event-time window stats per key. Works on batch and
+    * streaming inputs; epoch-aligned `bucket` = window start.
+    */
+  def windowedStats(
+      df: DataFrame,
+      spec: SeriesSpec,
+      windowDuration: String = "5 minutes",
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    val in = if (df.isStreaming) df.withWatermark(spec.tsCol, watermark) else df
+    in.groupBy(window(col(spec.tsCol), windowDuration) +: spec.keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(spec.valueCol)).as("sum_value"),
+        avg(col(spec.valueCol)).as("avg_value"))
+      .select(col("window.start").as("bucket") +: (spec.keyCols.map(col) ++
+        Seq(col("n"), col("sum_value"), col("avg_value"))): _*)
+  }
+
+  /** Batch gap-based sessionization: a new session starts when the gap from
+    * the previous event of the same key exceeds `gapSeconds`. One row per
+    * session with size and duration. (Streaming equivalent below keeps the
+    * same session definition with explicit state.)
+    */
+  def sessionize(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapSeconds: Long,
+      orderCols: Seq[String] = Nil
+  ): DataFrame = {
+    val order = (tsCol +: orderCols).map(col)
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    val e = TimeFns.epochSeconds(col(tsCol))
+    df.withColumn("_gap", e - lag(e, 1).over(w))
+      .withColumn("_new", when(col("_gap").isNull || col("_gap") > gapSeconds, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(e) - min(e)).as("duration_sec"))
+  }
+
+  // ---- streaming sessionization with explicit state (D-analog of
+  //      mapGroupsWithState; reference has only Celery jobs here)
+
+  case class SessionEvent(userId: Long, epochSec: Double)
+  case class SessionState(start: Double, last: Double, n: Long)
+  case class ClosedSession(userId: Long, nEvents: Long, durationSec: Double)
+
+  /** Stateful streaming sessionization: buffers per-key state, closes a
+    * session when a later event arrives past the gap — and, when
+    * `useTimeout` is set, also when the processing-time timeout fires after
+    * `gapSeconds` of silence (production mode; tests drive closure with
+    * data only, which is deterministic). Same session definition as
+    * [[sessionize]].
+    */
+  def sessionizeStream(
+      ds: Dataset[SessionEvent],
+      gapSeconds: Long,
+      useTimeout: Boolean = true
+  ): Dataset[ClosedSession] = {
+    import ds.sparkSession.implicits._
+    val timeout =
+      if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    ds.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), timeout) {
+        (userId: Long, events: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(userId, s.n, s.last - s.start))
+          } else {
+            val sorted = events.toSeq.sortBy(_.epochSec)
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.epochSec - s.last <= gapSeconds =>
+                  cur = Some(s.copy(last = e.epochSec, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= ClosedSession(userId, s.n, s.last - s.start)
+                  cur = Some(SessionState(e.epochSec, e.epochSec, 1))
+                case None =>
+                  cur = Some(SessionState(e.epochSec, e.epochSec, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (useTimeout) state.setTimeoutDuration(gapSeconds * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Open a parquet directory as a stream with an explicit schema — the
+    * local test harness for the streaming paths.
+    */
+  def parquetStream(spark: SparkSession, path: String,
+                    schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+}

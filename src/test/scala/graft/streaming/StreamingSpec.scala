@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.model.{SeriesSpec, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends SparkSpec {
+
+  private val evSpec = SeriesSpec("ts", Seq("event_type"), "value")
+
+  test("windowedStats over a stream matches the batch result") {
+    val batchEvents = Tables.events(spark, sfDir)
+    val batch = Streams.windowedStats(batchEvents, evSpec, "5 minutes")
+
+    // stage the (µs-converted) events as a parquet dir the stream can read
+    val dir = tmpDir() + "/events"
+    batchEvents.write.parquet(dir)
+    val stream = Streams.parquetStream(spark, dir, batchEvents.schema)
+    val agg = Streams.windowedStats(stream, evSpec, "5 minutes")
+
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("win_out")
+    assert(streamed.count() == batch.count())
+    val bSum = batch.agg(sum("n")).head.getLong(0)
+    val sSum = streamed.agg(sum("n")).head.getLong(0)
+    assert(bSum == sSum) // same events land in same buckets
+  }
+
+  test("stateful sessionizeStream closes sessions on gap and timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.SessionEvent]
+    // data-driven closure only: processing-time timeouts make
+    // processAllAvailable nondeterministic under the memory sink
+    val sessions = Streams.sessionizeStream(input.toDS(), gapSeconds = 60,
+      useTimeout = false)
+
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory").queryName("sess_out")
+      .start()
+
+    // user 1: two events 10s apart, then a 300s gap → first session closes
+    input.addData(
+      Streams.SessionEvent(1L, 1000.0), Streams.SessionEvent(1L, 1010.0),
+      Streams.SessionEvent(2L, 1000.0))
+    q.processAllAvailable()
+    input.addData(Streams.SessionEvent(1L, 1400.0)) // gap > 60 closes session 1
+    q.processAllAvailable()
+
+    val closed = spark.table("sess_out").as[Streams.ClosedSession].collect()
+    q.stop()
+    assert(closed.length == 1)
+    assert(closed.head.userId == 1L)
+    assert(closed.head.nEvents == 2 && closed.head.durationSec == 10.0)
+  }
+
+  test("batch sessionize session definition: gap starts new session") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L), (1L, "2024-01-01 00:10:00", 2L),
+      (1L, "2024-01-01 01:00:00", 3L), // 50 min gap > 30 min → new session
+      (2L, "2024-01-01 00:00:00", 4L)
+    ).toDF("user_id", "ts_s", "event_id")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = Streams.sessionize(df, "user_id", "ts", gapSeconds = 1800,
+      orderCols = Seq("event_id")).orderBy("user_id", "session_idx")
+    val rows = out.collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(2)).toSeq == Seq(2L, 1L, 1L)) // n_events
+    assert(rows(0).getDouble(3) == 600.0) // first session spans 10 min
+  }
+}
