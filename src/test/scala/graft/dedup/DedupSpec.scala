@@ -1,0 +1,74 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.model.Tables
+import graft.sim.Similarity
+import graft.text.TextMetrics
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("exactGroups finds every planted duplicate and nothing else") {
+    val doubledOnce = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + 5000))
+    val groups = Dedup.exactGroups(doubledOnce, "doc_id", "text")
+    assert(groups.count() == docs.count()) // every text duplicated exactly once
+    assert(groups.agg(max("n_docs")).head.getLong(0) == 2)
+    // representative id is the original (smaller) one
+    assert(groups.agg(max("keep_id")).head.getLong(0) < 5000)
+    // no dupes in the raw corpus
+    assert(Dedup.exactGroups(docs, "doc_id", "text").count() == 0)
+  }
+
+  test("normalization makes case/punct/whitespace variants collide") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello,   World!"), (2L, "hello world"), (3L, "other")).toDF("id", "text")
+    val g = Dedup.exactGroups(df, "id", "text")
+    assert(g.count() == 1 && g.head.getLong(1) == 2)
+  }
+
+  test("minhash LSH pairs == exact Jaccard pairs at the 0.5 operating point") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashDedup(docs, "doc_id", "text", 3, 64, 32, 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-dups")
+    assert(lsh == exact, s"LSH missed ${exact.diff(lsh)} / extra ${lsh.diff(exact)}")
+  }
+
+  test("simhash: near-dup docs have small hamming distance, random docs large") {
+    val planted = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id1", "id2").collect()
+    assert(planted.nonEmpty)
+    val fp = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h = (a: Long, b: Long) => java.lang.Long.bitCount(a ^ b)
+    planted.foreach { r =>
+      assert(h(fp(r.getLong(0)), fp(r.getLong(1))) <= 12,
+        s"jac>=0.8 pair ${r} should be simhash-close")
+    }
+    // two docs picked to share no 3-grams should be far apart
+    val far = h(fp(0L), fp(250L))
+    assert(far > 12)
+  }
+
+  test("cosine expression matches a hand-computed value") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 0.0, 1.0), Seq(1.0, 1.0, 0.0))).toDF("a", "b")
+    val c = df.select(Dedup.cosine(col("a"), col("b"))).head.getDouble(0)
+    assert(math.abs(c - 0.5) < 1e-12) // 1/(√2·√2)
+  }
+
+  test("LSH ANN achieves high recall@3 against exact kNN") {
+    val sample = emb.where(col("vec_id") < 100)
+    val exact = Similarity.knnJoin(sample, "vec_id", "embedding", 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(sample, "vec_id", "embedding", 3, dim = 64,
+        bits = 16, bands = 8) // 8 bands of 2 bits: high recall
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall@3 too low: $recall")
+  }
+}
