@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.model.Tables
+import graft.queries.TemporalQ
+import org.apache.spark.sql.functions._
+import scala.concurrent.ExecutionContext.Implicits.global
+import scala.concurrent.Await
+import scala.concurrent.duration._
+
+class PipelineSpec extends SparkSpec {
+
+  private lazy val li = Tables.lineitem(spark, sfDir)
+
+  test("pipeline composes steps lazily and executes once") {
+    val p = Pipeline.create()
+      .add("filter")(_.where(col("l_quantity") > 10))
+      .add("agg")(_.groupBy("l_returnflag").agg(count(lit(1)).as("n")))
+    assert(p.steps.map(_.name) == Vector("filter", "agg"))
+    val out = p(li) // still lazy: no job has run
+    assert(out.columns.toSeq == Seq("l_returnflag", "n"))
+    assert(p.execute(li).length == 3)
+  }
+
+  test("lazy pipeline tracks history, persists, reports plan info") {
+    val lp = LazyPipeline(li)
+      .apply("filter")(_.where(col("l_quantity") > 10))
+      .apply("project")(_.select("l_returnflag", "l_quantity"))
+      .persist()
+    assert(lp.history == Seq("filter", "project"))
+    val info = lp.graphInfo
+    assert(info("history") == "filter -> project")
+    assert(info("logical_plan_nodes").toInt > 0)
+    assert(lp.compute().nonEmpty)
+    lp.dataFrame.unpersist()
+  }
+
+  test("executeParallel runs a function across datasets concurrently") {
+    val parts = Seq("A", "N", "R").map(f => li.where(col("l_returnflag") === f))
+    val counts = Pipeline.executeParallel[Long](parts, _.count(), maxConcurrency = 3)
+    assert(counts.sum == li.count())
+  }
+
+  test("op interpreter rejects unknown descriptors") {
+    val e = intercept[IllegalArgumentException] {
+      Jobs.interpret(li, TemporalQ.liSeries, Seq(Jobs.Resample("hourly")))
+    }
+    assert(e.getMessage.contains("hourly"))
+  }
+
+  test("metric dispatch mirrors the task-runner metric names") {
+    Seq("monthly", "seasonal", "annual", "climatology", "percentiles",
+      "trend", "anomaly").foreach { m =>
+      assert(Jobs.computeMetric(li, TemporalQ.liSeries, m).columns.nonEmpty, m)
+    }
+    intercept[IllegalArgumentException] {
+      Jobs.computeMetric(li, TemporalQ.liSeries, "nope")
+    }
+  }
+
+  test("job manager tracks lifecycle and counts") {
+    val jm = new Jobs.JobManager(spark)
+    val f = jm.submit("job-1", li.where(col("l_quantity") > 10))
+    val n = Await.result(f, 2.minutes)
+    assert(n > 0)
+    assert(jm.status("job-1").contains(Jobs.Done(n)))
+    assert(jm.status("missing").isEmpty)
+  }
+}
