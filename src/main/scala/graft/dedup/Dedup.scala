@@ -60,15 +60,20 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5
   ): DataFrame = {
-    val g = ngrams(df, idCol, textCol, n).cache()
+    // join on 64-bit gram hashes, not strings: ~3x smaller shuffle and
+    // cheaper equality. A cross-gram hash collision would perturb a count
+    // with probability ~2^-64 per gram pair — immaterial.
+    val g = ngrams(df, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("gram")).as("gh"))
     val sizes = g.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = g.select(col(idCol).as("id1"), col("gram"))
-    val b = g.select(col(idCol).as("id2"), col("gram"))
-    val inter = a.join(b, Seq("gram")).where(col("id1") < col("id2"))
+    val a = g.select(col(idCol).as("id1"), col("gh"))
+    val b = g.select(col(idCol).as("id2"), col("gh"))
+    val inter = a.join(b, Seq("gh")).where(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+    // per-doc size dim is |docs| rows → broadcast both sides of the decorate
     inter
-      .join(sizes.select(col(idCol).as("id1"), col("sz").as("sz1")), Seq("id1"))
-      .join(sizes.select(col(idCol).as("id2"), col("sz").as("sz2")), Seq("id2"))
+      .join(broadcast(sizes.select(col(idCol).as("id1"), col("sz").as("sz1"))), Seq("id1"))
+      .join(broadcast(sizes.select(col(idCol).as("id2"), col("sz").as("sz2"))), Seq("id2"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
       .where(col("jaccard") >= threshold)
@@ -138,9 +143,20 @@ object Dedup {
   ): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
     val cands = minhashCandidates(sigs, idCol, bands)
-    val exact = ngramJaccardPairs(df, idCol, textCol, n, threshold)
-    // verify candidates exactly: semi-join the exact pairs with candidates
-    exact.join(cands, Seq("id1", "id2"), "left_semi")
+    // exact Jaccard on CANDIDATES ONLY — the whole point of LSH: per-doc
+    // gram sets join to the (small) candidate pair list, never to each
+    // other, so cost scales with candidates, not with shared-gram pairs.
+    val gramSets = ngrams(df, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(collect_set(xxhash64(col("gram"))).as("gs"))
+    cands
+      .join(gramSets.select(col(idCol).as("id1"), col("gs").as("gs1")), Seq("id1"))
+      .join(gramSets.select(col(idCol).as("id2"), col("gs").as("gs2")), Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("gs1"), col("gs2"))))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (size(col("gs1")) + size(col("gs2")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
   }
 
   /** SimHash 64-bit fingerprints: per-token hash bits weighted-majority
