@@ -1,0 +1,71 @@
+package graft.bench
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic climate-grid generators (reference `src/arco_demo.py:36-116`
+  * S13, `src/benchmark_suite.py:269-327` S14, and the pytest fixture
+  * `tests/conftest.py:8-89` — see FIXTURES.md).
+  *
+  * Pure column expressions over `spark.range` cross joins: the generator
+  * itself is partition-parallel and scales to arbitrary grid sizes without
+  * driver memory (no local arrays — 100 TB of synthetic grid is just a
+  * bigger range).
+  */
+object DataGen {
+
+  /** The reference's workhorse fixture (`conftest.py:8-66`): daily data on
+    * a 10° grid; temperature = 288 − 40·|lat|/90 + 10·sin(2π(doy−80)/365)
+    * + N(0,2), precipitation ~ Exp(0.001), both seeded.
+    */
+  def sampleGrid(
+      spark: SparkSession,
+      days: Int = 731,
+      startDate: String = "2020-01-01",
+      latPoints: Int = 19,
+      lonPoints: Int = 36,
+      seed: Long = 42L
+  ): DataFrame = {
+    val time = spark.range(days)
+      .select(date_add(lit(startDate).cast("date"), col("id").cast("int")).as("d"))
+      .select(col("d").cast("timestamp").as("ts"))
+    val lat = spark.range(latPoints)
+      .select((col("id") * (180.0 / (latPoints - 1)) - 90.0).as("lat"))
+    val lon = spark.range(lonPoints)
+      .select((col("id") * (360.0 / lonPoints) - 180.0).as("lon"))
+    val grid = time.crossJoin(lat).crossJoin(lon)
+    val doy = dayofyear(col("ts"))
+    val seasonal = lit(10.0) * sin(lit(2 * math.Pi) * (doy - 80) / lit(365.0))
+    val gradient = lit(288.0) - lit(40.0) * abs(col("lat")) / lit(90.0)
+    grid
+      .withColumn("temperature", gradient + seasonal + randn(seed) * 2.0)
+      // inverse-CDF exponential from uniform noise, scale 0.001 (units: m)
+      .withColumn("precipitation", -lit(0.001) * log(lit(1.0) - rand(seed + 1)))
+  }
+
+  /** The 10-day 3×3 fixture (`conftest.py:77-89`). */
+  def smallGrid(spark: SparkSession, seed: Long = 42L): DataFrame = {
+    val time = spark.range(10)
+      .select(date_add(lit("2020-01-01").cast("date"), col("id").cast("int"))
+        .cast("timestamp").as("ts"))
+    val coord = (id: org.apache.spark.sql.Column) => id * 10.0 - 10.0
+    val lat = spark.range(3).select(coord(col("id")).as("lat"))
+    val lon = spark.range(3).select(coord(col("id")).as("lon"))
+    time.crossJoin(lat).crossJoin(lon)
+      .withColumn("temperature", lit(280.0) + randn(seed) * 5.0)
+  }
+
+  /** Benchmark-scale generator (`benchmark_suite.py:269-327`): named sizes
+    * small/medium/large with 3 float variables.
+    */
+  def benchGrid(spark: SparkSession, size: String, seed: Long = 42L): DataFrame = {
+    val (t, la, lo) = size match {
+      case "small" => (100, 90, 180)
+      case "medium" => (365, 180, 360)
+      case "large" => (730, 360, 720)
+      case other => throw new IllegalArgumentException(s"Unknown size: $other")
+    }
+    sampleGrid(spark, days = t, latPoints = la, lonPoints = lo, seed = seed)
+      .withColumn("wind_speed", abs(lit(5.0) + randn(seed + 2) * 3.0))
+  }
+}

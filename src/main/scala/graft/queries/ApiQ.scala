@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.ingest.BBox
+import graft.model.{SeriesSpec, Tables}
+import graft.serve.Api
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Serving-layer query surface (A11/A12, P4) + rollup aggregation, bound
+  * to the driver tables. The point/region queries run on a grid derived
+  * deterministically from lineitem keys (lat from partkey, lon from
+  * extendedprice — same derivation as q_antimeridian).
+  */
+object ApiQ extends QueryPack {
+
+  /** Discrete grid derived from lineitem keys: cells repeat across rows so
+    * point extraction hits a real time series.
+    */
+  private def grid(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("lat", (col("l_partkey") % 18 * 10 - 85).cast("double"))
+      .withColumn("lon", (col("l_suppkey") % 36 * 10 - 175).cast("double"))
+
+  private val gridSpec = SeriesSpec("l_shipdate", Seq("lat", "lon"), "l_quantity")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_global_stats" -> ((s, dir) =>
+      round6(Api.globalStats(Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice")),
+        "l_quantity_mean", "l_quantity_std", "l_quantity_p5", "l_quantity_p95",
+        "l_extendedprice_mean", "l_extendedprice_std",
+        "l_extendedprice_p5", "l_extendedprice_p95")),
+    "q_region_stats" -> ((s, dir) =>
+      round6(Api.regionStats(grid(s, dir), gridSpec,
+        BBox(west = -90, south = -45, east = 90, north = 45),
+        timeRange = Some(("1996-01-01", "1999-12-31"))),
+        "mean", "std", "p10", "p50", "p90")),
+    "q_point_series" -> ((s, dir) => {
+      val g = grid(s, dir)
+      // monthly mean series at the cell nearest (10.3, 42.7)
+      val series = Api.pointSeries(g, gridSpec, lat = 10.3, lon = 42.7)
+      round6(
+        series.groupBy(date_trunc("month", col(gridSpec.tsCol)).cast("date").as("month"),
+            col("lat"), col("lon"))
+          .agg(avg(col("l_quantity")).as("mean_value"), count(lit(1)).as("n")),
+        "mean_value")
+    }),
+    "q_rollup_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .rollup(col("o_orderpriority"), year(col("o_orderdate")).as("order_year"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    })
+  )
+
+  private val latExpr = "CAST(l_partkey % 18 * 10 - 85 AS DOUBLE)"
+  private val lonExpr = "CAST(l_suppkey % 36 * 10 - 175 AS DOUBLE)"
+
+  def oracles: Map[String, String] = Map(
+    "q_global_stats" ->
+      """SELECT round(avg(l_quantity), 6) AS l_quantity_mean,
+        |  round(stddev_pop(l_quantity), 6) AS l_quantity_std,
+        |  min(l_quantity) AS l_quantity_min, max(l_quantity) AS l_quantity_max,
+        |  round(quantile_cont(l_quantity, 0.05), 6) AS l_quantity_p5,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS l_quantity_p95,
+        |  round(avg(l_extendedprice), 6) AS l_extendedprice_mean,
+        |  round(stddev_pop(l_extendedprice), 6) AS l_extendedprice_std,
+        |  min(l_extendedprice) AS l_extendedprice_min,
+        |  max(l_extendedprice) AS l_extendedprice_max,
+        |  round(quantile_cont(l_extendedprice, 0.05), 6) AS l_extendedprice_p5,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS l_extendedprice_p95
+        |FROM lineitem""".stripMargin,
+    "q_region_stats" ->
+      s"""WITH g AS (
+         |  SELECT l_quantity, $latExpr AS lat, $lonExpr AS lon
+         |  FROM lineitem
+         |  WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1999-12-31')
+         |SELECT count(*) AS n, round(avg(l_quantity), 6) AS mean,
+         |  round(stddev_pop(l_quantity), 6) AS std,
+         |  min(l_quantity) AS min, max(l_quantity) AS max,
+         |  round(quantile_cont(l_quantity, 0.10), 6) AS p10,
+         |  round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+         |  round(quantile_cont(l_quantity, 0.90), 6) AS p90
+         |FROM g
+         |WHERE lat BETWEEN -45 AND 45 AND lon BETWEEN -90 AND 90""".stripMargin,
+    "q_point_series" ->
+      s"""WITH g AS (
+         |  SELECT l_shipdate, l_quantity, $latExpr AS lat, $lonExpr AS lon
+         |  FROM lineitem),
+         |nlat AS (SELECT lat FROM (SELECT DISTINCT lat FROM g)
+         |         ORDER BY abs(lat - 10.3), lat LIMIT 1),
+         |nlon AS (SELECT lon FROM (SELECT DISTINCT lon FROM g)
+         |         ORDER BY abs(lon - 42.7), lon LIMIT 1)
+         |SELECT CAST(date_trunc('month', g.l_shipdate) AS DATE) AS month,
+         |       g.lat, g.lon,
+         |       round(avg(g.l_quantity), 6) AS mean_value, count(*) AS n
+         |FROM g, nlat, nlon
+         |WHERE g.lat = nlat.lat AND g.lon = nlon.lon
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "q_rollup_revenue" ->
+      """SELECT o.o_orderpriority,
+        |       CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+        |       count(*) AS n,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY ROLLUP(1, 2)""".stripMargin
+  )
+}

@@ -1,0 +1,136 @@
+package graft.metrics
+
+import graft.SparkSpec
+import graft.bench.DataGen
+import graft.model.SeriesSpec
+import org.apache.spark.sql.functions._
+
+/** Reference-parity property tests on the true climate-shaped grid — the
+  * same statistical assertions as the reference pytest suite
+  * (SURVEY.md §5.2; reference tests under tests/test_metrics), ported to
+  * the Spark fixture from `DataGen.sampleGrid` (≅ `conftest.py:8-66`:
+  * 731 days × 19 lats × 36 lons, gradient + seasonal cycle + noise).
+  */
+class ClimateParitySpec extends SparkSpec {
+
+  private lazy val grid = DataGen.sampleGrid(spark).cache()
+  private val spec = SeriesSpec("ts", Seq("lat", "lon"), "temperature")
+
+  test("monthly mean: 24 months, spatial dims preserved, variance reduced") {
+    val m = Temporal.monthlyMean(grid, spec).cache()
+    assert(m.select("month").distinct().count() == 24)
+    assert(m.select("lat").distinct().count() == 19)
+    assert(m.select("lon").distinct().count() == 36)
+    val dailyStd = grid.agg(stddev_pop(col("temperature"))).head.getDouble(0)
+    val monthlyStd = m.agg(stddev_pop(col("mean_value"))).head.getDouble(0)
+    assert(monthlyStd < dailyStd)
+    m.unpersist()
+  }
+
+  test("seasonal mean: 9 season bins over 2 years (7 full + 2 partial DJF)") {
+    val s = Temporal.seasonalMean(grid, spec)
+    assert(s.select("season_year", "season").distinct().count() == 9)
+    assert(s.select("season").distinct().count() == 4)
+  }
+
+  test("annual mean: 2 years, global mean in the physical range 260-300 K") {
+    val a = Temporal.annualMean(grid, spec)
+    assert(a.select("year").distinct().count() == 2)
+    val mean = a.agg(avg("mean_value")).head.getDouble(0)
+    assert(mean > 260 && mean < 300)
+  }
+
+  test("climatology: 12 months / 4 seasons; reference period keeps 12") {
+    assert(Temporal.climatology(grid, spec, Temporal.ByMonth)
+      .select("month").distinct().count() == 12)
+    assert(Temporal.climatology(grid, spec, Temporal.BySeason)
+      .select("season").distinct().count() == 4)
+    assert(Temporal.climatology(grid, spec, Temporal.ByMonth,
+      Some(("2020-01-01", "2020-12-31"))).select("month").distinct().count() == 12)
+  }
+
+  test("rolling mean preserves length and smooths") {
+    val small = DataGen.smallGrid(spark)
+    val sSpec = SeriesSpec("ts", Seq("lat", "lon"), "temperature")
+    val r = Temporal.rollingMean(small, sSpec, window = 3).cache()
+    assert(r.count() == small.count())
+    val origStd = small.agg(stddev_pop(col("temperature"))).head.getDouble(0)
+    val smoothStd = r.agg(stddev_pop(col("rolling_mean"))).head.getDouble(0)
+    assert(smoothStd <= origStd)
+    r.unpersist()
+  }
+
+  test("percentile thresholds are ordered p10<p50<p90 per cell") {
+    val p = Percentiles.climatologicalPercentiles(grid, spec,
+      percentiles = Seq(10, 50, 90), group = None)
+    val wide = p.groupBy("lat", "lon")
+      .pivot("percentile", Seq(10, 50, 90)).agg(first("value"))
+    val bad = wide.where(!(col("10") < col("50") && col("50") < col("90")))
+    assert(bad.count() == 0)
+  }
+
+  test("exceedance frequency above p90 is ≈10% and within [0,1]") {
+    val f = Percentiles.exceedanceFrequency(grid, spec, percentile = 90)
+      .agg(min("exceedance_freq"), max("exceedance_freq"), avg("exceedance_freq")).head
+    assert(f.getDouble(0) >= 0.0 && f.getDouble(1) <= 1.0)
+    assert(math.abs(f.getDouble(2) - 0.10) < 0.02) // ≈10% by construction
+  }
+
+  test("return-period levels are monotone in T") {
+    val rp = Percentiles.returnPeriods(grid, spec, Seq(2, 10, 100))
+    val wide = rp.groupBy("lat", "lon")
+      .pivot("return_period", Seq(2, 10, 100)).agg(first("level"))
+    assert(wide.where(col("2") > col("10") || col("10") > col("100")).count() == 0)
+  }
+
+  test("anomalies: mean ≈ 0; z-score mean ≈ 0 with std in (0.5, 1.5)") {
+    val a = Anomalies.anomaly(grid, spec)
+    assert(math.abs(a.agg(avg("anomaly")).head.getDouble(0)) < 1.0) // within 1 K
+    val z = Anomalies.standardizedAnomaly(grid, spec).cache()
+    assert(math.abs(z.agg(avg("zscore")).head.getDouble(0)) < 0.1)
+    val zStd = z.agg(stddev_pop(col("zscore"))).head.getDouble(0)
+    assert(zStd > 0.5 && zStd < 1.5)
+    z.unpersist()
+  }
+
+  test("severity classes bounded in [-3,3] and two-sided on symmetric noise") {
+    val z = Anomalies.standardizedAnomaly(grid, spec)
+    val sev = Anomalies.classifySeverity(z).cache()
+    val mm = sev.agg(min("severity"), max("severity")).head
+    assert(mm.getByte(0) >= -3 && mm.getByte(1) <= 3)
+    assert(sev.where(col("severity") > 0).count() > 0)
+    assert(sev.where(col("severity") < 0).count() > 0)
+    // near-normal dominates for N(0,1)-ish scores
+    val frac0 = sev.where(col("severity") === 0).count().toDouble / sev.count()
+    assert(frac0 > 0.5)
+    sev.unpersist()
+  }
+
+  test("linear trend recovers an injected +1 K/yr exactly (shift over base)") {
+    // the seasonal sinusoid over ~2.003 periods carries its own OLS
+    // artifact (≈ −0.96 K/yr), so measure the injected trend as the
+    // difference from the base field's slope
+    val base = Trends.linearTrend(grid, spec).agg(avg("trend")).head.getDouble(0)
+    val trended = grid.withColumn("temperature",
+      col("temperature") + graft.functions.TimeFns.fractionalYears(col("ts")))
+    val slope = Trends.linearTrend(trended, spec).agg(avg("trend")).head.getDouble(0)
+    assert(math.abs((slope - base) - 1.0) < 1e-9,
+      s"injected 1 K/yr over base $base, recovered ${slope - base}")
+  }
+
+  test("Mann-Kendall flags an injected monotone trend as significant") {
+    val cell = grid.where(col("lat") === 0.0 && col("lon") === 0.0)
+    val monthly = Temporal.monthlyMean(cell, spec)
+      .select(col("month").as("ts"), col("lat"), col("lon"), col("mean_value"))
+    val mSpec = SeriesSpec("ts", Seq("lat", "lon"), "mean_value")
+    // seasonal cycle alone: strong up-down pattern, S near 0
+    val base = Trends.mannKendall(monthly, mSpec).head()
+    // steep injected trend dominates the cycle
+    val trended = monthly.withColumn("mean_value",
+      col("mean_value") + graft.functions.TimeFns.fractionalYears(col("ts")) * 40.0)
+    val mk = Trends.mannKendall(trended, mSpec).head()
+    assert(mk.getAs[Boolean]("significant"))
+    assert(mk.getAs[Double]("sen_slope") > 0)
+    assert(mk.getAs[Long]("s") > base.getAs[Long]("s"))
+  }
+}
