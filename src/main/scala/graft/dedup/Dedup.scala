@@ -198,15 +198,13 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Cosine similarity of two double-array columns as a pure expression
-    * (left-to-right summation — matches DuckDB list functions for the
-    * oracle).
+  /** Cosine similarity of two double-array columns — a native codegen'd
+    * expression ([[graft.plans.Expressions.CosineSimilarity]]): one fused
+    * loop, no intermediate zipped arrays; left-to-right summation matches
+    * DuckDB list functions for the oracle.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.Expressions.cosine_similarity(a, b)
 
   /** Embedding near-dup pairs above a cosine threshold. All-pairs baseline
     * (O(n²) — the oracle path); use [[graft.sim.Similarity.lshCosinePairs]]

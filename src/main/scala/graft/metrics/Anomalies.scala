@@ -95,7 +95,8 @@ object Anomalies {
     val pcts = typedLit(percentiles.map(_.toDouble))
     joinClim(df, spec, group, thr)
       .withColumn("percentile_rank",
-        StatsFns.percentile_rank(col(spec.valueCol).cast("double"), col("vals"), pcts))
+        graft.plans.Expressions.percentile_rank(
+          col(spec.valueCol).cast("double"), col("vals"), pcts))
       .drop("vals")
   }
 }

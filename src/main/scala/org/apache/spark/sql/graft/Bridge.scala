@@ -1,0 +1,29 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Accessibility bridge: the only file living under the Spark namespace.
+  *
+  * `AbstractDataType` (needed to implement `ExpectsInputTypes`) and the
+  * Column↔Expression converters are `private[sql]`; re-exporting them from
+  * inside the package is the established pattern for out-of-tree Catalyst
+  * expression libraries. Nothing else of Spark's internals is touched.
+  */
+object Bridge {
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function builder on a LIVE session (extensions only apply
+    * at session build time; `withExtensions` is silently ignored by
+    * `getOrCreate` when a session already exists).
+    */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+}

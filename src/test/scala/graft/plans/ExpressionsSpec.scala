@@ -1,0 +1,66 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.functions.StatsFns
+import org.apache.spark.sql.functions._
+
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine matches the composed-expression form exactly") {
+    val df = Seq(
+      (Seq(1.0, 0.0, 1.0), Seq(1.0, 1.0, 0.0)),
+      (Seq(0.3, -0.7, 2.1), Seq(-1.1, 0.4, 0.9)),
+      (Seq(1e-8, 1e8, 3.0), Seq(2.0, -1e-8, 5.5))
+    ).toDF("a", "b")
+    val composed = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) => {
+      def dot(p: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =
+        aggregate(zip_with(p, q, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
+      dot(x, y) / (sqrt(dot(x, x)) * sqrt(dot(y, y)))
+    }
+    val rows = df.select(
+      Expressions.cosine_similarity(col("a"), col("b")).as("native"),
+      composed(col("a"), col("b")).as("composed")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // bitwise equal
+  }
+
+  test("native percentile rank matches the Scala kernel on a value sweep") {
+    val thr = Seq(2.0, 4.0, 4.0, 8.0, 16.0)
+    val pct = Seq(10.0, 25.0, 50.0, 75.0, 90.0)
+    val values = Seq(-1.0, 2.0, 3.0, 4.0, 5.0, 8.0, 12.0, 16.0, 99.0)
+    val df = values.toDF("v")
+      .withColumn("thr", typedLit(thr)).withColumn("pct", typedLit(pct))
+    val native = df.select(
+      Expressions.percentile_rank(col("v"), col("thr"), col("pct"))).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val kernel = values.map(v => StatsFns.percentileRankKernel(v, thr, pct))
+    assert(native.toSeq == kernel)
+    // null value propagates
+    val n = Seq[Option[Double]](None).toDF("v")
+      .withColumn("thr", typedLit(thr)).withColumn("pct", typedLit(pct))
+      .select(Expressions.percentile_rank(col("v"), col("thr"), col("pct"))).head
+    assert(n.isNullAt(0))
+  }
+
+  test("expressions run inside whole-stage codegen (no fallback)") {
+    // a parquet scan input prevents constant folding from evaluating the
+    // expression at optimization time
+    val emb = graft.model.Tables.embeddings(spark, sfDir)
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+    val df = emb.select(
+      Expressions.cosine_similarity(col("v"), col("v")).as("c"))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "cosine must codegen, not fall back to interpreted eval")
+  }
+
+  test("SQL registration on a live session") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
+      "graft_percentile_rank(3.0d, array(2.0d, 4.0d), array(10.0d, 90.0d)) AS p")
+      .head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 50.0)
+  }
+}
