@@ -56,6 +56,29 @@ object GridSource {
     df
   }
 
+  /** Multi-format scan: parquet (columnar, default), csv (header or
+    * explicit schema), json lines — the reference's NetCDF/Zarr surface
+    * generalized to Spark's source formats. An explicit schema avoids the
+    * full-file inference pass for csv/json (critical at scale: inference
+    * reads everything once before the real scan).
+    */
+  def readTable(
+      spark: SparkSession,
+      path: String,
+      format: String = "parquet",
+      schema: Option[StructType] = None
+  ): DataFrame = {
+    var r = spark.read.format(format)
+    schema.foreach(s => r = r.schema(s))
+    format match {
+      case "csv" =>
+        if (schema.isEmpty) r = r.option("header", "true").option("inferSchema", "true")
+        else r = r.option("header", "true")
+      case _ => ()
+    }
+    r.load(path)
+  }
+
   /** S5/P3 — bbox predicate with antimeridian handling. */
   def applyBBox(df: DataFrame, b: BBox, latCol: String = "lat", lonCol: String = "lon"): DataFrame = {
     val latP = col(latCol).between(b.south, b.north)

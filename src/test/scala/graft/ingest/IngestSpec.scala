@@ -81,6 +81,25 @@ class IngestSpec extends SparkSpec {
     assert(info.nRows == 10 && info.nFiles > 0 && info.totalBytes > 0)
   }
 
+  test("csv and json roundtrip through readTable") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    val base = tmpDir()
+    li.write.option("header", "true").csv(s"$base/csv")
+    li.write.json(s"$base/json")
+    val fromCsv = GridSource.readTable(spark, s"$base/csv", "csv", Some(li.schema))
+    val fromJson = GridSource.readTable(spark, s"$base/json", "json", Some(li.schema))
+    assert(fromCsv.count() == li.count())
+    assert(fromJson.count() == li.count())
+    val key = li.agg(sum("l_orderkey")).head.getLong(0)
+    assert(fromCsv.agg(sum("l_orderkey")).head.getLong(0) == key)
+    assert(fromJson.agg(sum("l_orderkey")).head.getLong(0) == key)
+    // schema-less csv path infers types
+    val inferred = GridSource.readTable(spark, s"$base/csv", "csv")
+    assert(inferred.schema("l_quantity").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+  }
+
   test("spatial layout writes partitioned directories") {
     val li = Tables.lineitem(spark, sfDir).withColumn("ship_year", year(col("l_shipdate")))
     val layout = plan(li.schema, Spatial, Seq("l_returnflag"), "l_shipdate", Some("ship_year"))
