@@ -36,6 +36,26 @@ final case class Pipeline(steps: Vector[PipelineStep] = Vector.empty,
 object Pipeline {
   def create(name: String = "pipeline"): Pipeline = Pipeline(name = name)
 
+  /** D4 — apply a row-batch kernel to each partition independently with an
+    * explicit output type (the reference's `map_blocks` with its output
+    * template, `dask_pipeline.py:134-161`). The kernel must be pure
+    * per-partition — results may not depend on partitioning.
+    */
+  def mapBlocks[T: org.apache.spark.sql.Encoder](
+      df: DataFrame)(fn: Iterator[org.apache.spark.sql.Row] => Iterator[T]): org.apache.spark.sql.Dataset[T] =
+    df.mapPartitions(fn)
+
+  /** D5 — apply an arbitrary transform to each key group
+    * (`ds.groupby(...).map(func)`, `dask_pipeline.py:195-212`): the typed
+    * `KeyValueGroupedDataset.flatMapGroups` surface. Groups must fit in
+    * executor memory — use aggregates instead when the per-group logic is
+    * expressible declaratively.
+    */
+  def applyToGroups[K: org.apache.spark.sql.Encoder, T: org.apache.spark.sql.Encoder](
+      df: DataFrame, key: org.apache.spark.sql.Row => K)(
+      fn: (K, Iterator[org.apache.spark.sql.Row]) => IterableOnce[T]): org.apache.spark.sql.Dataset[T] =
+    df.groupByKey(key).flatMapGroups(fn)
+
   /** D3 — apply one function to N datasets concurrently
     * (`dask_pipeline.py:97-131`): each plan is internally parallel; the
     * futures overlap independent jobs, which Spark's scheduler interleaves

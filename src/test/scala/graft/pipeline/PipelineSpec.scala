@@ -58,6 +58,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("mapBlocks applies per-partition kernels, invariant to partitioning") {
+    import spark.implicits._
+    val out1 = Pipeline.mapBlocks(li)(_.map(_.getAs[Double]("l_quantity") * 2))
+      .agg(sum("value")).head.getDouble(0)
+    val out2 = Pipeline.mapBlocks(li.repartition(13))(
+      _.map(_.getAs[Double]("l_quantity") * 2)).agg(sum("value")).head.getDouble(0)
+    assert(math.abs(out1 - out2) / out1 < 1e-12)
+  }
+
+  test("applyToGroups runs arbitrary per-group transforms (D5)") {
+    import spark.implicits._
+    // per returnflag: emit (flag, range of quantities) — not expressible as
+    // a single built-in aggregate chain without the typed surface
+    val ranges = Pipeline.applyToGroups[String, (String, Double)](
+      li, _.getAs[String]("l_returnflag")) { (k, rows) =>
+      val qs = rows.map(_.getAs[Double]("l_quantity")).toSeq
+      Iterator.single((k, qs.max - qs.min))
+    }.collect().toMap
+    assert(ranges.keySet == Set("A", "N", "R"))
+    assert(ranges.values.forall(_ > 0))
+  }
+
+  test("reduceOverTime applies caller-supplied aggregates per cell (A13)") {
+    val out = graft.metrics.Temporal.reduceOverTime(li, TemporalQ.liSeries,
+      max(col("l_quantity")).as("max_q"), min(col("l_quantity")).as("min_q"))
+    assert(out.columns.toSeq == Seq("l_returnflag", "max_q", "min_q"))
+    assert(out.count() == 3)
+  }
+
   test("job manager tracks lifecycle and counts") {
     val jm = new Jobs.JobManager(spark)
     val f = jm.submit("job-1", li.where(col("l_quantity") > 10))
