@@ -73,7 +73,8 @@ def main():
             print(f"FAIL {name}: oracle SQL error: {e}"); n_fail += 1; continue
         ok, msg = cmp(got, exp)
         if ok:
-            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+            flag = " (WARNING: empty result - vacuous match)" if len(got) == 0 else ""
+            print(f"PASS {name} ({len(got)} rows){flag}"); n_pass += 1
         else:
             print(f"FAIL {name}: {msg}"); n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skip/rows-only")

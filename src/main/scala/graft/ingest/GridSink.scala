@@ -45,6 +45,23 @@ object GridSink {
     else rep.sortWithinPartitions(layout.sortWithinPartitions.map(col): _*)
   }
 
+  /** Bucketed write for co-located joins: both sides bucketed by the join
+    * key into the same bucket count join WITHOUT a shuffle (each bucket
+    * pairs 1:1). The cluster-scale answer to "this join shuffles 100 TB
+    * every day" — pre-shuffle once at write time. Requires saveAsTable
+    * (bucket metadata lives in the catalog, not parquet footers).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    buckets: Int, sortCols: Seq[String] = Nil,
+                    overwrite: Boolean = true): Unit = {
+    var w = df.write
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .option("compression", "zstd")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    w.format("parquet").saveAsTable(table)
+  }
+
   /** S11 — open a store (parquet footers are the consolidated metadata). */
   def openStore(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

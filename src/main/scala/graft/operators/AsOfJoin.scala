@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-match) join — the operator Spark SQL lacks that
+  * cleanly implements point-in-time enrichment (SURVEY.md §2.3 notes it as
+  * the clean form of P4; standard in time-series engines).
+  *
+  * For each left row, attach the latest right row whose timestamp is ≤ the
+  * left timestamp (optionally within `tolerance` seconds), matching on
+  * equi-keys.
+  *
+  * Implementation is the scalable union+window form, NOT a range join:
+  * tag both inputs, union them, then one window pass per key ordered by
+  * (ts, side) carrying the last seen right-side values forward
+  * (`last(..., ignoreNulls)`). Cost = one shuffle on the key + one sort —
+  * the same plan shape as any windowed aggregation, no per-row range scan
+  * and no cross product, so it scales exactly like a groupBy at 100 TB.
+  */
+object AsOfJoin {
+
+  /** @param left       fact rows to enrich
+    * @param right      reference rows providing the as-of values
+    * @param on         equi-join key columns (present in both)
+    * @param leftTs     left timestamp column name
+    * @param rightTs    right timestamp column name
+    * @param rightVals  right columns to carry (must not clash with left)
+    * @param tolerance  max staleness in seconds (None = unbounded)
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightVals: Seq[String],
+      tolerance: Option[Long] = None
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // side=0 sorts right rows BEFORE left rows at equal timestamps, so a
+    // right row at exactly the left ts matches (ASOF >= semantics)
+    val taggedRight = right.select(
+      (on.map(col) :+ col(rightTs).as("_ts") :+ lit(0).as("_side")) ++
+        rightVals.map(c => col(c).as(s"_r_$c")) ++
+        leftCols.filterNot(c => on.contains(c)).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val taggedLeft = left.select(
+      (on.map(col) :+ col(leftTs).as("_ts") :+ lit(1).as("_side")) ++
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")) ++
+        leftCols.filterNot(c => on.contains(c)).map(col): _*)
+
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = taggedRight.unionByName(taggedLeft)
+      .withColumn("_asof_ts", last(when(col("_side") === 0, col("_ts")), ignoreNulls = true).over(w))
+    val withVals = rightVals.foldLeft(carried) { (d, c) =>
+      d.withColumn(c, last(when(col("_side") === 0, col(s"_r_$c")), ignoreNulls = true).over(w))
+    }
+
+    val tolerant = tolerance.fold(withVals) { t =>
+      rightVals.foldLeft(withVals) { (d, c) =>
+        d.withColumn(c,
+          when(col("_ts").cast("double") - col("_asof_ts").cast("double") <= t, col(c)))
+      }.withColumn("_asof_ts",
+        when(col("_ts").cast("double") - col("_asof_ts").cast("double") <= t, col("_asof_ts")))
+    }
+
+    tolerant
+      .where(col("_side") === 1)
+      .withColumnRenamed("_ts", leftTs)
+      .withColumn("asof_ts", col("_asof_ts"))
+      .drop((rightVals.map(c => s"_r_$c") :+ "_side" :+ "_asof_ts"): _*)
+  }
+}

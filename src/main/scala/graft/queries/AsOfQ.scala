@@ -1,0 +1,45 @@
+package graft.queries
+
+import graft.model.Tables
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** As-of join bound to the events table: for every click, the user's most
+  * recent purchase at or before the click. Oracle = DuckDB's native
+  * ASOF LEFT JOIN.
+  */
+object AsOfQ extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      AsOfJoin.asofJoin(
+        left = clicks, right = purchases,
+        on = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        rightVals = Seq("purchase_id", "purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          col("purchase_id"), col("purchase_value"), col("asof_ts"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |purchases AS (
+        |  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, p.purchase_id, p.purchase_value,
+        |       CAST(p.ts AS TIMESTAMP) AS asof_ts
+        |FROM clicks c
+        |ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
+  )
+}

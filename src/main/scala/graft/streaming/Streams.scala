@@ -116,6 +116,19 @@ object Streams {
       }
   }
 
+  /** Streaming deduplication by key within the watermark horizon — the
+    * streaming face of [[graft.dedup.Dedup.exactGroups]]: state holds one
+    * entry per key and is evicted once the watermark passes, so memory is
+    * bounded by keys-per-horizon, not stream length. Works on batch
+    * DataFrames too (falls back to plain dropDuplicates).
+    */
+  def dedupStream(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else df.dropDuplicates(keyCols)
+
   /** Open a parquet directory as a stream with an explicit schema — the
     * local test harness for the streaming paths.
     */

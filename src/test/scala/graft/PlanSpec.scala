@@ -57,6 +57,42 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 1)
   }
 
+  test("bucketed tables join without a shuffle") {
+    import graft.ingest.GridSink
+    // clean both the metastore entries and any orphaned warehouse dirs
+    Seq("li_b", "o_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val d = new java.io.File(s"spark-warehouse/$t")
+      if (d.exists()) org.apache.commons.io.FileUtils.deleteDirectory(d)
+    }
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+    GridSink.writeBucketed(li, "li_b", Seq("l_orderkey"), buckets = 4,
+      sortCols = Seq("l_orderkey"))
+    GridSink.writeBucketed(o, "o_b", Seq("o_orderkey"), buckets = 4,
+      sortCols = Seq("o_orderkey"))
+    // force the sort-merge path: at real scale neither side broadcasts,
+    // which is exactly when bucketing pays
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"),
+          col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      // co-located buckets: no shuffle Exchange feeds the join
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$p")
+      assert(p.contains("SortMergeJoin"))
+      assert(p.contains("Bucketed: true"), s"scan must use buckets:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+
   test("exceedance threshold side broadcasts") {
     val p = plan(graft.metrics.Percentiles.exceedanceFrequency(
       Tables.lineitem(spark, sfDir), TemporalQ.liSeries))

@@ -63,6 +63,27 @@ class StreamingSpec extends SparkSpec {
     assert(closed.head.nEvents == 2 && closed.head.durationSec == 10.0)
   }
 
+  test("streaming dedup emits each key once within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = Streams.dedupStream(
+      input.toDS().toDF("k", "ts"), Seq("k"), "ts", "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    input.addData((1L, t0), (1L, t0), (2L, t0))
+    q.processAllAvailable()
+    input.addData((1L, t0), (3L, t0)) // 1 is a dup within the watermark
+    q.processAllAvailable()
+    val keys = spark.table("dedup_out").select("k").as[Long].collect().sorted
+    q.stop()
+    assert(keys.toSeq == Seq(1L, 2L, 3L))
+    // batch fallback
+    val b = Streams.dedupStream(Seq((1L, t0), (1L, t0)).toDF("k", "ts"), Seq("k"), "ts")
+    assert(b.count() == 1)
+  }
+
   test("batch sessionize session definition: gap starts new session") {
     import spark.implicits._
     val df = Seq(
