@@ -83,26 +83,37 @@ object Dedup {
   /** Deterministic 64-bit shingle hash: xxhash64 with Spark's fixed seed. */
   private def shingleHash(gram: Column): Column = xxhash64(gram)
 
+  /** Per-doc distinct gram-hash sets — the shared input of MinHash
+    * signatures and exact verification (one tokenize+explode pass).
+    */
+  def gramHashSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    ngrams(df, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(collect_set(xxhash64(col("gram"))).as("gs"))
+
   /** MinHash signatures: numHashes universal-hash permutations
     * h_i(x) = (a_i·x + b_i) mod p over the shingle hashes, minimum per
     * permutation. a/b are drawn from a fixed seed → fully deterministic.
-    * Output: (id, sig ArrayType(Long)).
+    *
+    * Implementation note: 64 `min` aggregates over exploded gram hashes —
+    * whole-stage-codegen'd hash aggregation. (A higher-order
+    * `array_min(transform(...))` over the collected sets avoids the
+    * explode but measured ~2x slower: HOF lambdas evaluate interpreted,
+    * per element.) Output: (id, sig ArrayType(Long)).
     */
   def minhashSignatures(
-      df: DataFrame,
+      gramSets: DataFrame,
       idCol: String,
-      textCol: String,
-      n: Int = 3,
-      numHashes: Int = 64,
-      seed: Long = 42L
+      numHashes: Int,
+      seed: Long
   ): DataFrame = {
     val rnd = new scala.util.Random(seed)
     // 2^31 - 1 keeps a·h + b < 2^62: no long overflow under ANSI mode
     val p = 2147483647L
     val coeffs = Seq.fill(numHashes)((1 + math.abs(rnd.nextLong()) % (p - 1),
                                       math.abs(rnd.nextLong()) % p))
-    val g = ngrams(df, idCol, textCol, n)
-      .withColumn("h", pmod(shingleHash(col("gram")), lit(p)))
+    val g = gramSets.select(col(idCol), explode(col("gs")).as("h0"))
+      .withColumn("h", pmod(col("h0"), lit(p)))
     val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"m$i")
     }
@@ -141,14 +152,14 @@ object Dedup {
       bands: Int = 32,
       threshold: Double = 0.5
   ): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    // ONE tokenize pass builds gram sets; signatures re-explode the
+    // (already distinct, already hashed) sets into codegen'd min-aggs
+    val gramSets = gramHashSets(df, idCol, textCol, n)
+    val sigs = minhashSignatures(gramSets, idCol, numHashes, seed = 42L)
     val cands = minhashCandidates(sigs, idCol, bands)
     // exact Jaccard on CANDIDATES ONLY — the whole point of LSH: per-doc
     // gram sets join to the (small) candidate pair list, never to each
     // other, so cost scales with candidates, not with shared-gram pairs.
-    val gramSets = ngrams(df, idCol, textCol, n)
-      .groupBy(col(idCol))
-      .agg(collect_set(xxhash64(col("gram"))).as("gs"))
     cands
       .join(gramSets.select(col(idCol).as("id1"), col("gs").as("gs1")), Seq("id1"))
       .join(gramSets.select(col(idCol).as("id2"), col("gs").as("gs2")), Seq("id2"))

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation by salting (SURVEY.md §7.4-8; the manual complement to
+  * AQE's skew-join handling for aggregations).
+  *
+  * A hot group key makes one reducer the straggler. Salting splits every
+  * group into `saltBuckets` deterministic sub-groups (salt = hash of a
+  * high-cardinality column mod k), aggregates partially per (key, salt),
+  * then combines partials per key. Only decomposable aggregates are
+  * offered (sum/count/min/max/avg) — the combine step is exact, so results
+  * are identical to the unsalted aggregation (the oracle checks this).
+  */
+object Salting {
+
+  /** Deterministic salt from a tie-breaker column (NOT rand(): results
+    * must be reproducible run-to-run).
+    */
+  def salt(tieBreaker: Column, saltBuckets: Int): Column =
+    pmod(xxhash64(tieBreaker), lit(saltBuckets))
+
+  /** Two-stage salted aggregation producing sum/count/min/max/avg of
+    * `valueCol` per `keys`, bit-identical to the direct groupBy.
+    */
+  def saltedStats(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      tieBreaker: String,
+      saltBuckets: Int = 16
+  ): DataFrame = {
+    val v = col(valueCol)
+    val partial = df
+      .withColumn("_salt", salt(col(tieBreaker), saltBuckets))
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(
+        sum(v).as("_sum"), count(v).as("_cnt"),
+        min(v).as("_min"), max(v).as("_max"))
+    partial.groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("_sum")).as("sum_value"),
+        sum(col("_cnt")).as("n"),
+        min(col("_min")).as("min_value"),
+        max(col("_max")).as("max_value"))
+      .withColumn("avg_value", col("sum_value") / col("n"))
+  }
+}

@@ -69,6 +69,14 @@ object JoinQ extends QueryPack {
           .select(col("s_nationkey"), col("rank"), col("s_suppkey"),
             round(col("revenue"), 2).as("revenue")))
     }),
+    // Salted two-stage aggregation: 3 group keys over N cores is the
+    // canonical skew case; results provably identical to the direct agg.
+    "q_salted_agg" -> ((s, dir) =>
+      round6(
+        graft.operators.Salting.saltedStats(Tables.lineitem(s, dir),
+          keys = Seq("l_returnflag"), valueCol = "l_quantity",
+          tieBreaker = "l_orderkey", saltBuckets = 16),
+        "sum_value", "avg_value")),
     // Running cumulative sum per customer over order dates.
     "q_running_total" -> ((s, dir) => {
       val o = Tables.orders(s, dir).where(col("o_custkey") % 50 === 0)
@@ -116,6 +124,14 @@ object JoinQ extends QueryPack {
         |  FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey)
         |SELECT s_nationkey, rank, s_suppkey, round(revenue, 2) AS revenue
         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |       round(sum(l_quantity), 6) AS sum_value,
+        |       count(l_quantity) AS n,
+        |       min(l_quantity) AS min_value,
+        |       max(l_quantity) AS max_value,
+        |       round(sum(l_quantity) / count(l_quantity), 6) AS avg_value
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_running_total" ->
       """SELECT o_orderkey, o_custkey,
         |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey

@@ -63,6 +63,25 @@ class StreamingSpec extends SparkSpec {
     assert(closed.head.nEvents == 2 && closed.head.durationSec == 10.0)
   }
 
+  test("stream-static enrichment join works on the windowed operator output") {
+    val batchEvents = Tables.events(spark, sfDir)
+    val dir = tmpDir() + "/ev"
+    batchEvents.write.parquet(dir)
+    val stream = Streams.parquetStream(spark, dir, batchEvents.schema)
+    // static dimension: per-type mean value from the batch table
+    val dim = batchEvents.groupBy("event_type")
+      .agg(avg("value").as("type_mean"))
+    val enriched = stream.join(dim, Seq("event_type")) // stream-static join
+      .withColumn("rel", col("value") / col("type_mean"))
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("enrich_out")
+    assert(out.count() == batchEvents.count())
+    assert(out.where(col("rel").isNull).count() == 0)
+  }
+
   test("streaming dedup emits each key once within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
