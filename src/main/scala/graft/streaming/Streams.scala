@@ -61,6 +61,27 @@ object Streams {
         (max(e) - min(e)).as("duration_sec"))
   }
 
+  /** Declarative sessionization via Spark's native `session_window` —
+    * same gap semantics as [[sessionize]] (equivalence pinned in
+    * StreamingSpec) and streaming-capable with a watermark. Note the
+    * boundary difference: session_window closes at gap STRICTLY greater
+    * or equal? Spark merges events with gaps < gapSeconds into one
+    * session window; [[sessionize]] starts a new session when
+    * gap > gapSeconds — identical grouping except exact-gap ties.
+    */
+  def sessionizeNative(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapSeconds: Long
+  ): DataFrame =
+    df.groupBy(session_window(col(tsCol), s"$gapSeconds seconds"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        (max(TimeFns.epochSeconds(col(tsCol))) -
+          min(TimeFns.epochSeconds(col(tsCol)))).as("duration_sec"))
+      .select(col(keyCol), col("session_window.start").as("session_start"),
+        col("n_events"), col("duration_sec"))
+
   // ---- streaming sessionization with explicit state (D-analog of
   //      mapGroupsWithState; reference has only Celery jobs here)
 

@@ -63,6 +63,18 @@ class StreamingSpec extends SparkSpec {
     assert(closed.head.nEvents == 2 && closed.head.durationSec == 10.0)
   }
 
+  test("native session_window agrees with the manual gap sessionization") {
+    val ev = Tables.events(spark, sfDir)
+    val manual = Streams.sessionize(ev, "user_id", "ts", gapSeconds = 1800,
+      orderCols = Seq("event_id"))
+    val native = Streams.sessionizeNative(ev, "user_id", "ts", gapSeconds = 1800)
+    assert(manual.count() == native.count(), "same number of sessions")
+    // same per-user session-size multiset
+    val m = manual.groupBy("user_id").agg(sort_array(collect_list("n_events")).as("s"))
+    val n = native.groupBy("user_id").agg(sort_array(collect_list("n_events")).as("s"))
+    assert(m.join(n, Seq("user_id")).where(m("s") =!= n("s")).count() == 0)
+  }
+
   test("stream-static enrichment join works on the windowed operator output") {
     val batchEvents = Tables.events(spark, sfDir)
     val dir = tmpDir() + "/ev"
