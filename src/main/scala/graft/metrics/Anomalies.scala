@@ -22,9 +22,11 @@ object Anomalies {
       spec: SeriesSpec,
       group: Temporal.ClimGroup,
       clim: DataFrame
-  ): DataFrame =
+  ): DataFrame = {
+    spec.validate(df)
     df.withColumn(group.name, group.expr(col(spec.tsCol)))
       .join(broadcast(clim), group.name +: spec.keyCols)
+  }
 
   /** J1 — absolute anomaly: value − climatological mean
     * (reference `metrics/anomalies.py:13-65`). Climatology is computed from

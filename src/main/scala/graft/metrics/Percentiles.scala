@@ -58,6 +58,9 @@ object Percentiles {
       group: Option[Temporal.ClimGroup] = Some(Temporal.ByMonth),
       referencePeriod: Option[(String, String)] = None
   ): DataFrame = {
+    spec.validate(df)
+    require(percentiles.forall(p => p >= 0 && p <= 100),
+      s"Percentile must be between 0 and 100, got: ${percentiles.mkString(", ")}")
     val probs = array(percentiles.map(p => lit(p / 100.0)): _*)
     restrict(df, spec, referencePeriod)
       .groupBy(groupCols(spec, group, col(spec.tsCol)): _*)
@@ -139,6 +142,8 @@ object Percentiles {
       spec: SeriesSpec,
       periods: Seq[Int] = DefaultReturnPeriods
   ): DataFrame = {
+    spec.validate(df)
+    require(periods.forall(_ > 1), s"Return periods must be > 1 year, got: ${periods.mkString(", ")}")
     val probs = array(periods.map(t => lit(1.0 - 1.0 / t)): _*)
     df.groupBy((year(col(spec.tsCol)).as("year") +: spec.keyCols.map(col)): _*)
       .agg(max(col(spec.valueCol)).as("annual_max"))

@@ -24,24 +24,30 @@ object Temporal {
     * One row per (calendar month, cell); `month` is the month-start
     * timestamp, `month_end` the pandas "ME" end label.
     */
-  def monthlyMean(df: DataFrame, spec: SeriesSpec): DataFrame =
+  def monthlyMean(df: DataFrame, spec: SeriesSpec): DataFrame = {
+    spec.validate(df)
     df.groupBy(keyed(spec, TimeFns.monthStart(col(spec.tsCol)))("month"): _*)
       .agg(avg(col(spec.valueCol)).as("mean_value"))
       .withColumn("month_end", last_day(col("month")))
+  }
 
   /** A2 — seasonal mean with DJF year-rollover
     * (reference `metrics/temporal.py:47-88`, `QE-NOV` anchoring).
     */
-  def seasonalMean(df: DataFrame, spec: SeriesSpec): DataFrame =
+  def seasonalMean(df: DataFrame, spec: SeriesSpec): DataFrame = {
+    spec.validate(df)
     df.groupBy(keyed(spec,
         TimeFns.seasonYear(col(spec.tsCol)),
         TimeFns.season(col(spec.tsCol)))("season_year", "season"): _*)
       .agg(avg(col(spec.valueCol)).as("mean_value"))
+  }
 
   /** A3 — annual mean (reference `metrics/temporal.py:91-117`). */
-  def annualMean(df: DataFrame, spec: SeriesSpec): DataFrame =
+  def annualMean(df: DataFrame, spec: SeriesSpec): DataFrame = {
+    spec.validate(df)
     df.groupBy(keyed(spec, year(col(spec.tsCol)))("year"): _*)
       .agg(avg(col(spec.valueCol)).as("mean_value"))
+  }
 
   sealed trait ClimGroup { def expr(ts: Column): Column; def name: String }
   case object ByMonth extends ClimGroup {
@@ -65,6 +71,7 @@ object Temporal {
       group: ClimGroup = ByMonth,
       referencePeriod: Option[(String, String)] = None
   ): DataFrame = {
+    spec.validate(df)
     val in = referencePeriod.fold(df) { case (s, e) =>
       df.where(col(spec.tsCol).between(lit(s).cast("timestamp"), lit(e).cast("timestamp")))
     }
@@ -92,6 +99,8 @@ object Temporal {
       center: Boolean = true,
       orderCols: Seq[String] = Nil
   ): DataFrame = {
+    spec.validate(df)
+    require(window > 0, s"window must be positive, got $window")
     val minP = minPeriods.getOrElse(math.max(window / 2, 1))
     val (lo, hi) =
       if (center) (-(window / 2).toLong, (window - 1 - window / 2).toLong)

@@ -28,6 +28,7 @@ object Trends {
       spec: SeriesSpec,
       referencePeriod: Option[(String, String)] = None
   ): DataFrame = {
+    spec.validate(df)
     val in = referencePeriod.fold(df) { case (s, e) =>
       df.where(col(spec.tsCol).between(lit(s).cast("timestamp"), lit(e).cast("timestamp")))
     }
@@ -47,6 +48,7 @@ object Trends {
       spec: SeriesSpec,
       confidence: Double = 0.95
   ): DataFrame = {
+    spec.validate(df)
     val x = TimeFns.fractionalYears(col(spec.tsCol))
     val y = col(spec.valueCol)
     df.groupBy(spec.keyCols.map(col): _*)
@@ -152,6 +154,7 @@ object Trends {
     * for longer series.
     */
   def mannKendall(df: DataFrame, spec: SeriesSpec, alpha: Double = 0.05): DataFrame = {
+    spec.validate(df)
     val mk = udaf(new MannKendallAgg(alpha))
     df.groupBy(spec.keyCols.map(col): _*)
       .agg(mk(TimeFns.epochSeconds(col(spec.tsCol)), col(spec.valueCol).cast("double")).as("mk"))

@@ -18,7 +18,22 @@ final case class SeriesSpec(
     tsCol: String,
     keyCols: Seq[String],
     valueCol: String
-)
+) {
+  /** Fail fast with the reference's error contract (`ValueError` naming
+    * the missing dimension and what exists, e.g.
+    * `metrics/temporal.py:63-64`): every metric operator validates before
+    * building a plan, so the user sees the schema problem, not an
+    * unresolved-column analysis error three operators deep.
+    */
+  def validate(df: DataFrame): Unit = {
+    val have = df.columns.toSet
+    val need = (tsCol +: valueCol +: keyCols)
+    val missing = need.filterNot(have)
+    require(missing.isEmpty,
+      s"Columns not found: ${missing.mkString(", ")}. " +
+        s"Available: ${df.columns.sorted.mkString(", ")}")
+  }
+}
 
 /** Variable metadata ≅ xarray per-variable attrs
   * (reference `tests/conftest.py:55-64`: units/long_name/standard_name;
