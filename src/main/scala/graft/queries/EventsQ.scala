@@ -23,6 +23,10 @@ object EventsQ extends QueryPack {
         Streams.sessionize(Tables.events(s, dir), "user_id", "ts",
           gapSeconds = 1800, orderCols = Seq("event_id")),
         "duration_sec")),
+    // Sliding windows: 10-min length, 5-min slide — every event in 2 buckets.
+    "q_sliding_windows" -> ((s, dir) =>
+      round6(Streams.slidingStats(Tables.events(s, dir), evSpec,
+        "10 minutes", "5 minutes"), "avg_value")),
     "q_json_props" -> ((s, dir) =>
       round6(
         Tables.events(s, dir)
@@ -56,6 +60,15 @@ object EventsQ extends QueryPack {
         |SELECT user_id, session_idx, count(*) AS n_events,
         |       round(max(e) - min(e), 6) AS duration_sec
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "q_sliding_windows" ->
+      """WITH b AS (
+        |  SELECT event_type, value,
+        |         CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300
+        |           - 300 * k) AS TIMESTAMP) AS bucket
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        |SELECT bucket, event_type, count(*) AS n,
+        |       round(avg(value), 6) AS avg_value
+        |FROM b GROUP BY 1, 2""".stripMargin,
     "q_json_props" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
         |         AS k_bucket,

@@ -36,6 +36,24 @@ object Streams {
         Seq(col("n"), col("sum_value"), col("avg_value"))): _*)
   }
 
+  /** Sliding event-time windows (length > slide ⇒ each event lands in
+    * length/slide buckets) — same expression under batch and streaming.
+    */
+  def slidingStats(
+      df: DataFrame,
+      spec: SeriesSpec,
+      windowDuration: String,
+      slideDuration: String,
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    val in = if (df.isStreaming) df.withWatermark(spec.tsCol, watermark) else df
+    in.groupBy(window(col(spec.tsCol), windowDuration, slideDuration) +:
+        spec.keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), avg(col(spec.valueCol)).as("avg_value"))
+      .select(col("window.start").as("bucket") +: (spec.keyCols.map(col) ++
+        Seq(col("n"), col("avg_value"))): _*)
+  }
+
   /** Batch gap-based sessionization: a new session starts when the gap from
     * the previous event of the same key exceeds `gapSeconds`. One row per
     * session with size and duration. (Streaming equivalent below keeps the
