@@ -33,6 +33,14 @@ object SimQ extends QueryPack {
         Similarity.lshTopK(
           Tables.embeddings(s, dir).where(col("vec_id") < 50),
           "vec_id", "embedding", k = 3, dim = 64),
+        "cosine")),
+    // IVF coarse-quantizer ANN (k-means cells + probing) — approximate by
+    // design → rows-only; recall vs exact kNN asserted in DedupSpec.
+    "q_ivf_ann" -> ((s, dir) =>
+      round6(
+        Similarity.ivfTopK(
+          Tables.embeddings(s, dir).where(col("vec_id") < 50),
+          "vec_id", "embedding", k = 3, nlist = 8, nprobe = 4),
         "cosine"))
   )
 

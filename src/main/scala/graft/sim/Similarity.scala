@@ -48,6 +48,54 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into `nlist` cells; a query only scans its `nprobe` nearest
+    * cells. The standard FAISS-style recall/cost dial, built on MLlib
+    * KMeans (seeded → deterministic). Returns top-k per query vector for
+    * queries drawn from the same table.
+    *
+    * Scale shape: centroids are tiny (nlist × dim, broadcast); the
+    * candidate join matches each vector only against its probed cells —
+    * cost n·(n/nlist)·nprobe instead of n².
+    */
+  def ivfTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      seed: Long = 42L
+  ): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(v)
+    val centroids = model.clusterCenters.map(_.toArray.toSeq).zipWithIndex
+    // cell assignment for corpus vectors (nearest centroid)
+    val assigned = model.transform(v).withColumnRenamed("prediction", "cell")
+      .select(col(idCol), col("v"), col("cell"))
+    // each query probes its nprobe nearest centroids
+    val centDf = centroids.map { case (c, i) => (i, c) }.toSeq
+    val probes = assigned.select(col(idCol).as("qid"), col("v").as("qv"))
+      .crossJoin(broadcast(
+        df.sparkSession.createDataFrame(centDf).toDF("cell", "cv")))
+      .withColumn("dist", Dedup.cosine(col("qv"), col("cv")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist").desc, col("cell"))))
+      .where(col("r") <= nprobe)
+      .select(col("qid"), col("qv"), col("cell"))
+    // candidates: query × vectors in probed cells only
+    val sims = probes.join(assigned, Seq("cell"))
+      .where(col("qid") =!= col(idCol))
+      .select(col("qid").as("id1"), col(idCol).as("id2"),
+        Dedup.cosine(col("qv"), col("v")).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("id1")).orderBy(col("cosine").desc, col("id2"))
+    sims.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Random-hyperplane signatures: bit i = sign(v · h_i) with hyperplanes
     * drawn from a fixed seed. Cosine-similar vectors agree on most bits.
     */

@@ -61,6 +61,17 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(c - 0.5) < 1e-12) // 1/(√2·√2)
   }
 
+  test("IVF ANN achieves high recall@3 against exact kNN") {
+    val sample = emb.where(col("vec_id") < 100)
+    val exact = Similarity.knnJoin(sample, "vec_id", "embedding", 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(sample, "vec_id", "embedding", 3,
+        nlist = 8, nprobe = 4)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall@3 too low: $recall")
+  }
+
   test("LSH ANN achieves high recall@3 against exact kNN") {
     val sample = emb.where(col("vec_id") < 100)
     val exact = Similarity.knnJoin(sample, "vec_id", "embedding", 3)

@@ -81,6 +81,23 @@ class IngestSpec extends SparkSpec {
     assert(info.nRows == 10 && info.nFiles > 0 && info.totalBytes > 0)
   }
 
+  test("codec choices roundtrip (S9: zstd, lz4, gzip)") {
+    val li = Tables.lineitem(spark, sfDir).limit(500)
+    Seq("zstd", "lz4", "gzip").foreach { codec =>
+      val out = tmpDir() + s"/$codec"
+      val layout = plan(li.schema, Balanced, Seq("l_returnflag"), "l_shipdate")
+        .copy(compression = codec)
+      GridSink.writeGrid(li, out, layout)
+      assert(GridSink.openStore(spark, out).count() == 500, codec)
+      // parquet file-name markers: .gz.parquet / .lz4hadoop.parquet / .zstd.parquet
+      val ext = codec match {
+        case "gzip" => "gz"; case "lz4" => "lz4hadoop"; case c => c
+      }
+      val files = new java.io.File(out).listFiles.map(_.getName)
+      assert(files.exists(_.contains(s".$ext.parquet")), s"$codec files: ${files.mkString(",")}")
+    }
+  }
+
   test("csv and json roundtrip through readTable") {
     val li = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
