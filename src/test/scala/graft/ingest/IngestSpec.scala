@@ -128,5 +128,10 @@ class IngestSpec extends SparkSpec {
     val pruned = GridSink.openStore(spark, out).where(col("ship_year") === 1996)
     assert(pruned.count() ==
       li.where(col("ship_year") === 1996).count())
+    // and the plan proves it: the predicate lands in PartitionFilters, so
+    // non-matching directories are never opened
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("ship_year"),
+      s"partition filter must prune directories:\n$p")
   }
 }

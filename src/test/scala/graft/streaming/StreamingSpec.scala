@@ -63,6 +63,32 @@ class StreamingSpec extends SparkSpec {
     assert(closed.head.nEvents == 2 && closed.head.durationSec == 10.0)
   }
 
+  test("watermark drops events later than the horizon, keeps in-horizon stragglers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = Streams.windowedStats(
+      input.toDS().toDF("ts", "event_type", "value"),
+      SeriesSpec("ts", Seq("event_type"), "value"),
+      windowDuration = "5 minutes", watermark = "10 minutes")
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("wm_out").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData((t("2024-01-01 01:00:00"), "a", 1.0))
+    q.processAllAvailable() // watermark advances to 00:50
+    // straggler within horizon (00:52 >= 00:50): must still be aggregated
+    input.addData((t("2024-01-01 00:52:00"), "a", 1.0))
+    q.processAllAvailable()
+    // event far past the horizon (00:10 < 00:50): must be dropped
+    input.addData((t("2024-01-01 00:10:00"), "a", 99.0))
+    q.processAllAvailable()
+    val out = spark.table("wm_out").groupBy("bucket").agg(max("n").as("n"))
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+    q.stop()
+    assert(out.contains("2024-01-01 00:50:00.0"), s"straggler bucket missing: $out")
+    assert(!out.contains("2024-01-01 00:10:00.0"), s"late event must be dropped: $out")
+  }
+
   test("native session_window agrees with the manual gap sessionization") {
     val ev = Tables.events(spark, sfDir)
     val manual = Streams.sessionize(ev, "user_id", "ts", gapSeconds = 1800,
