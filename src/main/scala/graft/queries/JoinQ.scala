@@ -69,6 +69,16 @@ object JoinQ extends QueryPack {
           .select(col("s_nationkey"), col("rank"), col("s_suppkey"),
             round(col("revenue"), 2).as("revenue")))
     }),
+    // Pivot: wide-by-category aggregation (the xarray variables-as-columns
+    // shape); oracle via conditional aggregation.
+    "q_pivot" -> ((s, dir) =>
+      round6(
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(avg(col("l_quantity")))
+          .withColumnsRenamed(Map("F" -> "avg_f", "O" -> "avg_o")),
+        "avg_f", "avg_o")),
     // Salted two-stage aggregation: 3 group keys over N cores is the
     // canonical skew case; results provably identical to the direct agg.
     "q_salted_agg" -> ((s, dir) =>
@@ -124,6 +134,13 @@ object JoinQ extends QueryPack {
         |  FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey)
         |SELECT s_nationkey, rank, s_suppkey, round(revenue, 2) AS revenue
         |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |       round(avg(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 6)
+        |         AS avg_f,
+        |       round(avg(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 6)
+        |         AS avg_o
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag,
         |       round(sum(l_quantity), 6) AS sum_value,
