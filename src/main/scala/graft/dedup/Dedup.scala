@@ -2,7 +2,6 @@ package graft.dedup
 
 import graft.text.TextMetrics
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite for document corpora (builder north-star scope):

@@ -1,6 +1,5 @@
 package graft.ingest
 
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types._
 
 /** Physical write-layout planning (reference `ingest/arco_converter.py:20-107`

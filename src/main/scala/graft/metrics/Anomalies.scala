@@ -1,7 +1,6 @@
 package graft.metrics
 
 import graft.model.SeriesSpec
-import graft.functions.StatsFns
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -39,6 +39,10 @@ object AsOfJoin {
       tolerance: Option[Long] = None
   ): DataFrame = {
     val leftCols = left.columns.toSeq
+    val clashes = rightVals.filter(leftCols.contains)
+    require(clashes.isEmpty,
+      s"Right value columns clash with left columns: ${clashes.mkString(", ")} — alias them first")
+    require(rightVals.nonEmpty, "rightVals must name at least one column to carry")
     // side=0 sorts right rows BEFORE left rows at equal timestamps, so a
     // right row at exactly the left ts matches (ASOF >= semantics)
     val taggedRight = right.select(

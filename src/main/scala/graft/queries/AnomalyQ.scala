@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.model.Tables
-import graft.metrics.{Anomalies, Temporal}
+import graft.metrics.Anomalies
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.model.{SeriesSpec, Tables}
-import graft.metrics.{Percentiles, Temporal}
+import graft.metrics.Percentiles
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
