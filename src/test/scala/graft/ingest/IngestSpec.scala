@@ -115,6 +115,11 @@ class IngestSpec extends SparkSpec {
     val inferred = GridSource.readTable(spark, s"$base/csv", "csv")
     assert(inferred.schema("l_quantity").dataType ==
       org.apache.spark.sql.types.DoubleType)
+    // orc is a first-class columnar alternative
+    li.write.orc(s"$base/orc")
+    val fromOrc = GridSource.readTable(spark, s"$base/orc", "orc")
+    assert(fromOrc.count() == li.count())
+    assert(fromOrc.agg(sum("l_orderkey")).head.getLong(0) == key)
   }
 
   test("spatial layout writes partitioned directories") {
