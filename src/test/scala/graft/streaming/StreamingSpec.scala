@@ -63,6 +63,29 @@ class StreamingSpec extends SparkSpec {
     assert(closed.head.nEvents == 2 && closed.head.durationSec == 10.0)
   }
 
+  test("stream-stream join pairs events within the time bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+    val c = clicks.toDS().toDF("cuser", "cts").withWatermark("cts", "10 minutes")
+    val p = purchases.toDS().toDF("puser", "pts").withWatermark("pts", "10 minutes")
+    val joined = c.join(p, expr(
+      "cuser = puser AND pts BETWEEN cts - interval 5 minutes AND cts + interval 5 minutes"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_out").start()
+    clicks.addData((1L, t("2024-01-01 00:10:00")), (2L, t("2024-01-01 00:10:00")))
+    purchases.addData(
+      (1L, t("2024-01-01 00:12:00")), // within 5 min → pairs
+      (2L, t("2024-01-01 00:30:00")), // 20 min away → no pair
+      (3L, t("2024-01-01 00:10:00"))) // no matching click
+    q.processAllAvailable()
+    val out = spark.table("ss_out").select("cuser").as[Long].collect().toSeq
+    q.stop()
+    assert(out == Seq(1L), s"only user 1 pairs within the bound, got $out")
+  }
+
   test("watermark drops events later than the horizon, keeps in-horizon stragglers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
