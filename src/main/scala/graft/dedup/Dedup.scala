@@ -84,9 +84,6 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
-  /** Deterministic 64-bit shingle hash: xxhash64 with Spark's fixed seed. */
-  private def shingleHash(gram: Column): Column = xxhash64(gram)
-
   /** Per-doc distinct gram-hash sets — the shared input of MinHash
     * signatures and exact verification (one tokenize+explode pass).
     */
@@ -192,12 +189,17 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, bucketed on
-    * 16-bit bands (pigeonhole: distance ≤ 3 ⇒ at least one of 4 bands
-    * equal), so only band-colliding docs are compared.
+    * 16-bit bands. Pigeonhole: distance ≤ 3 ⇒ at least one of 4 bands
+    * equal, so only band-colliding docs are compared — and therefore
+    * maxHamming > 3 would silently miss pairs whose differing bits span
+    * all four bands; the guard makes that a hard error instead.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val fp = simhash(df, idCol, textCol).cache()
+    require(maxHamming <= 3,
+      s"4-band bucketing guarantees recall only for hamming <= 3, got $maxHamming; " +
+        "use more/narrower bands for larger distances")
+    val fp = simhash(df, idCol, textCol)
     val banded = fp.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

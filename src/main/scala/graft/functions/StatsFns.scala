@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.commons.math3.distribution.TDistribution
 import org.apache.commons.math3.special.Erf
-import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
 
 /** Statistical scalar kernels the reference pulls from scipy
@@ -32,8 +31,10 @@ object StatsFns {
 
   /** F-UDF1 — percentile rank by clamped piecewise-linear interpolation of a
     * value against a sorted threshold vector (reference
-    * `metrics/anomalies.py:162-170`, `np.interp` semantics). Null/NaN value
-    * or missing thresholds → null.
+    * `metrics/anomalies.py:162-170`, `np.interp` semantics). NaN value or
+    * missing thresholds → None. This is the REFERENCE kernel used by the
+    * property tests; the production column surface is the codegen'd
+    * [[graft.plans.Expressions.percentile_rank]] (identical semantics).
     */
   def percentileRankKernel(value: Double, thresholds: Seq[Double], pcts: Seq[Double]): Option[Double] = {
     if (value.isNaN || thresholds == null || thresholds.isEmpty) None
@@ -48,11 +49,4 @@ object StatsFns {
     }
   }
 
-  val percentileRankUdf = udf(
-    (value: java.lang.Double, thresholds: Seq[Double], pcts: Seq[Double]) =>
-      if (value == null) None
-      else percentileRankKernel(value, thresholds, pcts))
-
-  def percentile_rank(value: Column, thresholds: Column, pcts: Column): Column =
-    percentileRankUdf(value, thresholds, pcts)
 }

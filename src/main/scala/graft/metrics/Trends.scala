@@ -142,11 +142,12 @@ object Trends {
   }
 
   object MannKendallAgg {
-    /** Kernel is O(n²) per cell: cap series length (climate series are ~10³;
-      * at 100 TB the per-cell series, not the table, is what must stay
-      * bounded — aggregate to a coarser time step first if longer).
+    /** Kernel is O(n²) per cell: cap series length. 2000 points bounds the
+      * finish()-time slopes array at ~2M doubles (16 MB) per group — safe
+      * with many groups finishing concurrently. Climate series are ~10³
+      * points; aggregate to a coarser step first if longer.
       */
-    val MaxSeriesLength = 10000
+    val MaxSeriesLength = 2000
   }
 
   /** A9 — Mann-Kendall significance per cell. Input series should be

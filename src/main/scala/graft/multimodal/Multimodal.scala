@@ -50,11 +50,13 @@ object Multimodal {
     val width = 64 + math.abs(h % 512)
     val height = 64 + math.abs((h >> 9) % 512)
     val nFrames = 1 + math.abs((h >> 18) % 16)
-    val features = Array.tabulate(dim) { i =>
-      // cheap deterministic mix of content and index
-      val v = bytes(if (bytes.isEmpty) 0 else math.abs((h + i * 2654435761L).toInt) % bytes.length)
-      (v.toInt & 0xFF) / 255.0f
-    }
+    val features =
+      if (bytes.isEmpty) Array.fill(dim)(0.0f)
+      else Array.tabulate(dim) { i =>
+        // floorMod, not abs%: abs(Int.MinValue) is negative
+        val v = bytes(java.lang.Math.floorMod((h + i * 2654435761L).toInt, bytes.length))
+        (v.toInt & 0xFF) / 255.0f
+      }
     MediaFeatures(id, width, height, nFrames, features)
   }
 

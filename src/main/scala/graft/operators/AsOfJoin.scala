@@ -44,15 +44,18 @@ object AsOfJoin {
       s"Right value columns clash with left columns: ${clashes.mkString(", ")} — alias them first")
     require(rightVals.nonEmpty, "rightVals must name at least one column to carry")
     // side=0 sorts right rows BEFORE left rows at equal timestamps, so a
-    // right row at exactly the left ts matches (ASOF >= semantics)
+    // right row at exactly the left ts matches (ASOF >= semantics).
+    // leftTs is carried ONLY as _ts (renamed back at the end) — carrying it
+    // twice would leave a duplicate, ambiguous column in the output.
+    val carryLeft = leftCols.filterNot(c => on.contains(c) || c == leftTs)
     val taggedRight = right.select(
       (on.map(col) :+ col(rightTs).as("_ts") :+ lit(0).as("_side")) ++
         rightVals.map(c => col(c).as(s"_r_$c")) ++
-        leftCols.filterNot(c => on.contains(c)).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+        carryLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left.select(
       (on.map(col) :+ col(leftTs).as("_ts") :+ lit(1).as("_side")) ++
         rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")) ++
-        leftCols.filterNot(c => on.contains(c)).map(col): _*)
+        carryLeft.map(col): _*)
 
     val w = Window.partitionBy(on.map(col): _*)
       .orderBy(col("_ts"), col("_side"))

@@ -45,15 +45,15 @@ object CurationQ extends QueryPack {
     "q_curation_pipeline" ->
       s"""WITH scored AS (
          |  SELECT doc_id, source,
-         |    len($toks) AS n_tokens,
-         |    greatest(0.0, least(1.0,
+         |    CASE WHEN trim(text) = '' THEN 0 ELSE len($toks) END AS n_tokens,
+         |    CASE WHEN trim(text) = '' THEN 0.0 ELSE greatest(0.0, least(1.0,
          |      least(log10(len($toks) + 1.0) / 3.0, 1.0) * 0.3
          |      + (1.0 - CASE WHEN len(text) = 0 THEN 0.0
          |          ELSE len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
          |               / len(text) END) * 0.4
          |      + least((CASE WHEN len($toks) = 0 THEN 0.0
          |          ELSE len(list_filter($toks, x -> list_contains($stopList, x))) * 1.0
-         |               / len($toks) END) * 4.0, 1.0) * 0.3)) AS quality
+         |               / len($toks) END) * 4.0, 1.0) * 0.3)) END AS quality
          |  FROM documents),
          |gtoks AS (
          |  SELECT doc_id, string_split($norm, ' ') AS w FROM documents),

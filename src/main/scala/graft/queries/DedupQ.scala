@@ -38,9 +38,10 @@ object DedupQ extends QueryPack {
           n = 3, numHashes = 64, bands = 32, threshold = 0.5),
         "jaccard")),
     // xxhash64-based fingerprints have no DuckDB equivalent → rows-only.
+    // maxHamming 3 is the 4-band recall guarantee (see simhashPairs).
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
-        maxHamming = 10)),
+        maxHamming = 3)),
     "q_embedding_dedup" -> ((s, dir) =>
       round6(
         Dedup.embeddingDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",

@@ -46,14 +46,14 @@ object EventsQ extends QueryPack {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_sessions" ->
       """WITH g AS (
-        |  SELECT user_id, epoch(ts) AS e,
+        |  SELECT user_id, event_id, epoch(ts) AS e,
         |         epoch(ts) - lag(epoch(ts)) OVER
         |           (PARTITION BY user_id ORDER BY ts, event_id) AS gap
         |  FROM events),
         |s AS (
         |  SELECT user_id, e,
         |         CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
-        |           OVER (PARTITION BY user_id ORDER BY e
+        |           OVER (PARTITION BY user_id ORDER BY e, event_id
         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |           AS BIGINT) AS session_idx
         |  FROM g)

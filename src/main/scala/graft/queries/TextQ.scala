@@ -43,13 +43,14 @@ object TextQ extends QueryPack {
   def oracles: Map[String, String] = Map(
     "q_token_stats" ->
       s"""SELECT doc_id,
-         |  CAST(len($toks) AS INTEGER) AS n_tokens,
+         |  CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len($toks) END
+         |    AS INTEGER) AS n_tokens,
          |  CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
          |    AS INTEGER) AS n_subwords,
          |  round(CASE WHEN len(text) = 0 THEN 0.0
          |        ELSE len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
          |             / len(text) END, 6) AS punct_ratio,
-         |  round(CASE WHEN len($toks) = 0 THEN 0.0
+         |  round(CASE WHEN trim(text) = '' THEN 0.0
          |        ELSE len(regexp_replace(text, '\\s', '', 'g')) * 1.0
          |             / len($toks) END, 6) AS mean_tok_len
          |FROM documents""".stripMargin,
@@ -60,15 +61,16 @@ object TextQ extends QueryPack {
          |    CASE WHEN len(text) = 0 THEN 0.0
          |         ELSE len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
          |              / len(text) END AS punct,
-         |    CASE WHEN len($toks) = 0 THEN 0.0
+         |    CASE WHEN trim(text) = '' THEN 0.0
          |         ELSE len(list_filter($toks, x -> list_contains($stopList, x))) * 1.0
-         |              / len($toks) END AS stop_ratio
+         |              / len($toks) END AS stop_ratio,
+         |    (trim(text) = '') AS blank
          |  FROM documents)
          |SELECT doc_id, round(stop_ratio, 6) AS stop_ratio,
-         |  round(greatest(0.0, least(1.0,
+         |  round(CASE WHEN blank THEN 0.0 ELSE greatest(0.0, least(1.0,
          |    least(log10(n + 1.0) / 3.0, 1.0) * 0.3
          |    + (1.0 - punct) * 0.4
-         |    + least(stop_ratio * 4.0, 1.0) * 0.3)), 6) AS quality
+         |    + least(stop_ratio * 4.0, 1.0) * 0.3)) END, 6) AS quality
          |FROM t""".stripMargin,
     "q_langid" -> {
       val scores = TextMetrics.LangProfiles.map { case (lang, words) =>

@@ -15,7 +15,12 @@ object Cache {
     * first 16 hex chars (reference `api/cache.py:192-203`).
     */
   def cacheKey(prefix: String, args: Map[String, String]): String = {
-    val canonical = args.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("&")
+    // URL-encode keys and values so delimiter characters inside an arg
+    // cannot collide with a different arg map ("a" -> "b&c=d" vs
+    // {"a"->"b", "c"->"d"})
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val canonical = args.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
     val digest = MessageDigest.getInstance("SHA-256")
       .digest(canonical.getBytes("UTF-8"))
     prefix + ":" + digest.take(8).map("%02x".format(_)).mkString

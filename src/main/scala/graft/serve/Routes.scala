@@ -47,6 +47,10 @@ object Routes {
         InvalidParam(s"lat must be in [-90, 90], got ${req.lat.get}"))
       _ <- Either.cond(req.lon.forall(l => l >= -180 && l <= 180), (),
         InvalidParam(s"lon must be in [-180, 180], got ${req.lon.get}"))
+      _ <- Either.cond(
+        req.lat.isEmpty && req.lon.isEmpty || entry._2.keyCols.length >= 2, (),
+        InvalidParam(s"Dataset '${req.dataset}' has no (lat, lon) grid; " +
+          "point queries are not supported for it"))
     } yield {
       val (df, spec) = entry
       val scoped = (req.lat, req.lon) match {

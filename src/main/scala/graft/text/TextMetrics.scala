@@ -11,10 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object TextMetrics {
 
-  /** Whitespace tokens (collapsing runs), the shared tokenizer. */
+  /** Whitespace tokens (collapsing runs), the shared tokenizer.
+    * NOTE: Spark's `split(trim(""), "\\s+")` yields `[""]` — a phantom
+    * token — so every consumer guards on [[isBlank]] rather than on
+    * `size(tokens) === 0` (which never fires).
+    */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** True for empty or whitespace-only text. */
+  def isBlank(text: Column): Column = trim(text) === ""
+
+  def tokenCount(text: Column): Column =
+    when(isBlank(text), 0).otherwise(size(tokens(text)))
 
   /** BPE-ish subword proxy: alphabetic runs, digit runs, and single
     * non-alnum marks each count as one token.
@@ -36,14 +44,14 @@ object TextMetrics {
     */
   def stopwordRatio(text: Column, stopwords: Seq[String] = EnStopwords): Column = {
     val t = tokens(text)
-    when(size(t) === 0, 0.0)
+    when(isBlank(text), 0.0)
       .otherwise(size(filter(t, x => x.isInCollection(stopwords))).cast("double") / size(t))
   }
 
   /** Mean token length in characters (whitespace excluded). */
   def meanTokenLength(text: Column): Column = {
     val t = tokens(text)
-    when(size(t) === 0, 0.0)
+    when(isBlank(text), 0.0)
       .otherwise(length(regexp_replace(text, "\\s", "")).cast("double") / size(t))
   }
 
@@ -55,8 +63,10 @@ object TextMetrics {
     val lengthTerm = least(log10(tokenCount(text).cast("double") + 1) / 3.0, lit(1.0))
     val punctTerm = lit(1.0) - punctRatio(text)
     val stopTerm = least(stopwordRatio(text) * 4.0, lit(1.0))
-    greatest(lit(0.0), least(lit(1.0),
-      lengthTerm * 0.3 + punctTerm * 0.4 + stopTerm * 0.3))
+    // blank documents are worthless regardless of the component terms
+    when(isBlank(text), 0.0).otherwise(
+      greatest(lit(0.0), least(lit(1.0),
+        lengthTerm * 0.3 + punctTerm * 0.4 + stopTerm * 0.3)))
   }
 
   /** Marker-word profiles for the n-gram/stopword language-ID heuristic. */

@@ -42,9 +42,13 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(4L).isEmpty) // 59 min stale > tolerance
   }
 
-  test("left rows and columns are preserved") {
+  test("left rows and columns are preserved, ts exactly once") {
     val out = AsOfJoin.asofJoin(trades, quotes, Seq("key"), "ts", "ts", Seq("price"))
     assert(out.count() == trades.count())
     assert(Seq("key", "ts", "trade_id", "price", "asof_ts").forall(out.columns.contains))
+    // regression: the left ts must appear ONCE (a duplicate made any
+    // downstream col("ts") reference ambiguous)
+    assert(out.columns.count(_ == "ts") == 1)
+    out.select("ts").collect() // must not throw AMBIGUOUS_REFERENCE
   }
 }
