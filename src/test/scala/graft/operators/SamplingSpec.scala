@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("train/eval split is disjoint, exhaustive and ≈ the requested fraction") {
+    val (train, eval_) = Sampling.trainEvalSplit(docs, "doc_id", evalPct = 20)
+    val n = docs.count()
+    assert(train.count() + eval_.count() == n)
+    assert(train.join(eval_, Seq("doc_id"), "inner").count() == 0)
+    val frac = eval_.count().toDouble / n
+    assert(frac > 0.1 && frac < 0.3, s"eval fraction $frac far from 20%")
+  }
+
+  test("membership is stable: a row's split never depends on the rest of the data") {
+    val (_, evalFull) = Sampling.trainEvalSplit(docs, "doc_id", 20)
+    val (_, evalHalf) = Sampling.trainEvalSplit(docs.where(col("doc_id") < 250), "doc_id", 20)
+    val fullIds = evalFull.select("doc_id").collect().map(_.getLong(0)).toSet
+    val halfIds = evalHalf.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(halfIds == fullIds.filter(_ < 250)) // adding data never reshuffles splits
+  }
+
+  test("different salts give different (but valid) samples") {
+    val a = Sampling.hashSample(docs, "doc_id", 10, 3, salt = "a").count()
+    val b = Sampling.hashSample(docs, "doc_id", 10, 3, salt = "b").count()
+    assert(a > 0 && b > 0)
+    val aIds = Sampling.hashSample(docs, "doc_id", 10, 3, "a")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bIds = Sampling.hashSample(docs, "doc_id", 10, 3, "b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(aIds != bIds)
+    intercept[IllegalArgumentException](Sampling.hashSample(docs, "doc_id", 10, 0))
+  }
+}
