@@ -2,18 +2,24 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark harness (BASELINE.md protocol, scaled to the suite size):
-  * per query 1 warmup + 3 timed runs, median reported. The action is a
-  * noop-format write so projections/expressions are fully computed —
-  * `count()` would let Catalyst drop unreferenced columns (md5s, ranks…)
-  * and fake the numbers.
+/** Benchmark harness on the BASELINE.md protocol (reference
+  * `benchmark_suite.py:72-117`): per query 3 warmup runs + 20 timed
+  * iterations, reporting mean/median/p95/p99/min/max. The reference's
+  * latency gate is max < 2000 ms per query — measured here on the true
+  * max, not a median proxy.
   *
-  * Prints ONE JSON line: {"metric","value","unit","queries","sf"}.
+  * The action is a noop-format write so projections/expressions are fully
+  * computed — `count()` would let Catalyst drop unreferenced columns
+  * (md5s, ranks…) and fake the numbers.
+  *
+  * Prints ONE JSON line: {"metric","value","unit","queries","sf",...} —
+  * "queries" carries the per-query median (the driver's compare key),
+  * "stats" the full distribution.
   */
 object Bench {
 
   /** Headline set: one per operator family (full inventory runs in the
-    * correctness gate; benching all 45 would just time parquet re-reads).
+    * correctness gate; benching all 62 would just time parquet re-reads).
     */
   val headline: Seq[String] = Seq(
     "q_monthly_mean", "q_rolling_mean", "q_clim_percentiles",
@@ -26,10 +32,34 @@ object Bench {
     "q_ngram_jaccard", "q_minhash_dedup",
     "q_ann_topk", "q_scan_pushdown")
 
+  final case class Stats(mean: Double, median: Double, p95: Double,
+                         p99: Double, min: Double, max: Double)
+
+  /** numpy-style linear-interpolation percentile over a sorted sample. */
+  private def pct(sorted: IndexedSeq[Double], p: Double): Double = {
+    val rank = p * (sorted.length - 1)
+    val lo = rank.toInt
+    val hi = math.min(lo + 1, sorted.length - 1)
+    sorted(lo) + (rank - lo) * (sorted(hi) - sorted(lo))
+  }
+
+  private def stats(times: Seq[Double]): Stats = {
+    val s = times.sorted.toIndexedSeq
+    Stats(
+      mean = s.sum / s.length,
+      median = pct(s, 0.5),
+      p95 = pct(s, 0.95),
+      p99 = pct(s, 0.99),
+      min = s.head,
+      max = s.last)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // driver contract: bench runs at local[32] unless overridden
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "20").toInt
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -48,22 +78,30 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
-      try {
-        runOnce(name) // warmup: parquet footer cache, codegen, JIT
-        val times = (1 to 3).map(_ => runOnce(name)).sorted
-        name -> times(times.length / 2)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> -1.0
+    val results: Seq[(String, Option[Stats])] =
+      headline.filter(SparkEntry.queries.contains).map { name =>
+        try {
+          (1 to warmup).foreach(_ => runOnce(name)) // footer cache, codegen, JIT
+          name -> Some(stats((1 to iters).map(_ => runOnce(name))))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            name -> None
+        }
       }
-    }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def f3(v: Double) = f"$v%.3f"
+    val qs = results.map { case (k, st) =>
+      "\"" + k + "\":" + f3(st.map(_.median).getOrElse(-1.0))
+    }.mkString("{", ",", "}")
+    val statsJson = results.collect { case (k, Some(s)) =>
+      s""""$k":{"mean":${f3(s.mean)},"median":${f3(s.median)},"p95":${f3(s.p95)},""" +
+        s""""p99":${f3(s.p99)},"min":${f3(s.min)},"max":${f3(s.max)}}"""
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).map(_.median).sum
+    val worstMax = results.flatMap(_._2).map(_.max).maxOption.getOrElse(-1.0)
+    val gate = results.forall(_._2.exists(_.max < 2.0))
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stats":$statsJson,"iters":$iters,"warmup":$warmup,"worst_max":${f3(worstMax)},"pass_max_lt_2s":$gate,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -129,11 +129,16 @@ object GridSource {
   /** W2 — mean step between consecutive distinct coordinate values — the
     * reference's resolution estimate (`netcdf_reader.py:191-192`,
     * `diff(dim).mean()`). For timestamps pass `epochSeconds(c)`.
+    *
+    * Consecutive diffs over sorted distinct values telescope, so their mean
+    * is EXACTLY `(max − min) / (nDistinct − 1)` for any axis — computed here
+    * as one partial+final aggregate. (The naive sort+lag form needs a
+    * global, partitionless window: every distinct coordinate funnels
+    * through one task — a straggler for a dense time axis at scale.)
+    * Returns null for a single-valued axis (no steps to average).
     */
   def resolution(df: DataFrame, c: Column): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("coord"))
-    df.select(c.as("coord")).distinct()
-      .withColumn("step", col("coord") - lag(col("coord"), 1).over(w))
-      .agg(avg(col("step")).as("resolution"))
+    val n = countDistinct(c)
+    df.agg(when(n > 1, (max(c) - min(c)) / (n - lit(1))).as("resolution"))
   }
 }

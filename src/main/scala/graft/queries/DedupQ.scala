@@ -24,10 +24,21 @@ object DedupQ extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_exact_dedup" -> ((s, dir) =>
       Dedup.exactGroups(doubled(s, dir), "doc_id", "text")),
+    // maxDocFreq=15 is the skew guard: it bounds every posting list (pair
+    // cost Σ|postings|²) while keeping the full pair set at both gate and
+    // bench scale (validated: identical pair-set at sf0.01 and sf0.1).
     "q_ngram_jaccard" -> ((s, dir) =>
       round6(
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.2),
+          n = 3, threshold = 0.2, maxDocFreq = 15),
+        "jaccard")),
+    // Aggressive cap that BITES at the sf0.01 gate (drops the df=6..7
+    // grams) — proves the Spark cap and the SQL mirror implement the same
+    // semantics, not just the no-op case.
+    "q_ngram_jaccard_capped" -> ((s, dir) =>
+      round6(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.2, maxDocFreq = 5),
         "jaccard")),
     // LSH operating point (64 hashes, 32 bands of 2 rows): P(candidate) at
     // j=0.5 is 1-(1-0.25)^32 ≈ 0.9999 → output == exact pairs ≥ 0.5, which
@@ -37,11 +48,21 @@ object DedupQ extends QueryPack {
         Dedup.minhashDedup(Tables.documents(s, dir), "doc_id", "text",
           n = 3, numHashes = 64, bands = 32, threshold = 0.5),
         "jaccard")),
-    // xxhash64-based fingerprints have no DuckDB equivalent → rows-only.
-    // maxHamming 3 is the 4-band recall guarantee (see simhashPairs).
-    "q_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
-        maxHamming = 3)),
+    // xxhash64-based fingerprints have no DuckDB analog, but each emitted
+    // pair's exact n-gram Jaccard rides along: the oracle pins only the
+    // deterministic (id1, id2, hamming) candidate list and recomputes every
+    // jaccard value from the corpus itself — so a bogus candidate pair or a
+    // broken verification join fails loudly. maxHamming 3 is the 4-band
+    // recall guarantee (see simhashPairs).
+    "q_simhash_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sp = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.0)
+      sp.join(jac, Seq("id1", "id2"), "left")
+        .select(col("id1"), col("id2"), col("hamming"),
+          round(coalesce(col("jaccard"), lit(0.0)), 6).as("jaccard"))
+    }),
     "q_embedding_dedup" -> ((s, dir) =>
       round6(
         Dedup.embeddingDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -52,8 +73,15 @@ object DedupQ extends QueryPack {
   private val norm =
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
 
-  /** Shared SQL for exact word-3gram Jaccard pairs at a threshold. */
-  private def jaccardSql(threshold: Double): String =
+  /** Shared SQL for exact word-3gram Jaccard pairs at a threshold.
+    * `maxDocFreq` mirrors [[Dedup.ngramJaccardPairs]]: grams whose document
+    * frequency exceeds the cap are excluded from intersection counts, while
+    * set sizes (the denominators) stay uncapped.
+    */
+  private def jaccardSql(threshold: Double, maxDocFreq: Option[Int] = None): String = {
+    val capFilter = maxDocFreq.map(k =>
+      s"\n  WHERE a.g IN (SELECT g FROM grams GROUP BY g HAVING count(*) <= $k)")
+      .getOrElse("")
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(
        |    $norm, ' ') AS w
@@ -65,7 +93,7 @@ object DedupQ extends QueryPack {
        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
-       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id$capFilter
        |  GROUP BY 1, 2)
        |SELECT id1, id2,
        |  round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard
@@ -73,6 +101,7 @@ object DedupQ extends QueryPack {
        |JOIN sizes s1 ON id1 = s1.doc_id
        |JOIN sizes s2 ON id2 = s2.doc_id
        |WHERE i * 1.0 / (s1.sz + s2.sz - i) >= $threshold""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     "q_exact_dedup" ->
@@ -82,8 +111,39 @@ object DedupQ extends QueryPack {
          |SELECT md5($norm) AS text_hash,
          |       count(*) AS n_docs, min(doc_id) AS keep_id
          |FROM all_docs GROUP BY 1 HAVING count(*) > 1""".stripMargin,
-    "q_ngram_jaccard" -> jaccardSql(0.2),
+    "q_ngram_jaccard" -> jaccardSql(0.2, maxDocFreq = Some(15)),
+    "q_ngram_jaccard_capped" -> jaccardSql(0.2, maxDocFreq = Some(5)),
     "q_minhash_dedup" -> jaccardSql(0.5),
+    // Pinned candidate list = the deterministic simhash output at the
+    // sf0.01 gate (xxhash64 is a fixed pure function of the text); the
+    // jaccard column is recomputed from the corpus by DuckDB.
+    "q_simhash_pairs" ->
+      s"""WITH pairs(id1, id2, hamming) AS (VALUES
+         |  (8,245,2),(45,413,3),(58,293,0),(61,185,0),(70,447,1),(76,102,2),
+         |  (98,290,2),(107,387,1),(120,332,3),(166,323,3),(251,473,3),
+         |  (267,413,2),(285,301,0),(326,457,2),(393,420,0),(435,486,3),
+         |  (458,462,2)),
+         |toks AS (
+         |  SELECT doc_id, string_split(
+         |    $norm, ' ') AS w
+         |  FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+         |  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+         |  WHERE len(w) >= 3),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+         |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT CAST(p.id1 AS BIGINT) AS id1, CAST(p.id2 AS BIGINT) AS id2,
+         |  CAST(p.hamming AS INTEGER) AS hamming,
+         |  round(coalesce(inter.i, 0) * 1.0
+         |    / (s1.sz + s2.sz - coalesce(inter.i, 0)), 6) AS jaccard
+         |FROM pairs p
+         |JOIN sizes s1 ON p.id1 = s1.doc_id
+         |JOIN sizes s2 ON p.id2 = s2.doc_id
+         |LEFT JOIN inter ON p.id1 = inter.id1 AND p.id2 = inter.id2""".stripMargin,
     "q_embedding_dedup" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

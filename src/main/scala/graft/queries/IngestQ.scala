@@ -71,9 +71,11 @@ object IngestQ extends QueryPack {
         |       max(l_quantity) AS value_max,
         |       round(avg(l_quantity), 6) AS value_mean
         |FROM lineitem""".stripMargin,
+    // mean consecutive diff telescopes to (max-min)/(n-1) — mirrors the
+    // single-aggregate form in GridSource.resolution
     "q_time_resolution" ->
-      """WITH c AS (SELECT DISTINCT epoch(l_shipdate) AS coord FROM lineitem),
-        |d AS (SELECT coord - lag(coord) OVER (ORDER BY coord) AS step FROM c)
-        |SELECT round(avg(step), 6) AS resolution FROM d""".stripMargin
+      """WITH c AS (SELECT DISTINCT epoch(l_shipdate) AS coord FROM lineitem)
+        |SELECT round((max(coord) - min(coord)) / (count(*) - 1), 6) AS resolution
+        |FROM c""".stripMargin
   )
 }

@@ -34,14 +34,20 @@ object SimQ extends QueryPack {
           Tables.embeddings(s, dir).where(col("vec_id") < 50),
           "vec_id", "embedding", k = 3, dim = 64),
         "cosine")),
-    // IVF coarse-quantizer ANN (k-means cells + probing) — approximate by
-    // design → rows-only; recall vs exact kNN asserted in DedupSpec.
-    "q_ivf_ann" -> ((s, dir) =>
-      round6(
-        Similarity.ivfTopK(
-          Tables.embeddings(s, dir).where(col("vec_id") < 50),
-          "vec_id", "embedding", k = 3, nlist = 8, nprobe = 4),
-        "cosine"))
+    // IVF coarse-quantizer ANN (k-means cells + probing): the query emits
+    // per-query recall@3 against the in-engine brute-force kNN — a number
+    // DuckDB can pin (seeded KMeans on the single-partition gate table is
+    // deterministic), instead of an unverifiable raw top-k list.
+    "q_ivf_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).where(col("vec_id") < 50)
+      val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        k = 3, nlist = 8, nprobe = 4)
+      val exact = Similarity.knnJoin(emb, "vec_id", "embedding", k = 3)
+      ivf.join(exact.select(col("id1"), col("id2"), lit(1).as("hit")),
+          Seq("id1", "id2"), "left")
+        .groupBy(col("id1"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))) / 3.0, 6).as("recall"))
+    })
   )
 
   private val cos =
@@ -72,6 +78,69 @@ object SimQ extends QueryPack {
          |      ORDER BY cosine DESC, id2) AS INTEGER) AS rank
          |  FROM sims)
          |SELECT id1, id2, round(cosine, 6) AS cosine, rank
-         |FROM ranked WHERE rank <= 3""".stripMargin
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+    // Full independent replay of the LSH pipeline: the seeded hyperplanes
+    // are embedded as literals (same generator the engine uses —
+    // Similarity.hyperplanes(64, 16, 42)), signatures/bands/buckets/ranking
+    // all recomputed by DuckDB from scratch. Nothing is pinned except the
+    // RNG draw itself.
+    "q_lsh_ann" -> lshOracleSql(dim = 64, bits = 16, bands = 4, k = 3),
+    // Deterministic recall@3 of the seeded IVF quantizer at the sf0.01
+    // gate (KMeans seed 42 over the single-partition gate table; exact-kNN
+    // reference recomputed by DuckDB would need the KMeans side too, so
+    // the recall vector is pinned from the engine's deterministic run).
+    "q_ivf_ann" ->
+      ("""SELECT CAST(id1 AS BIGINT) AS id1, CAST(recall AS DOUBLE) AS recall
+         |FROM (VALUES """.stripMargin +
+        "(0,1.0),(1,1.0),(2,1.0),(3,1.0),(4,0.666667),(5,1.0),(6,0.666667)," +
+        "(7,1.0),(8,1.0),(9,0.666667),(10,0.666667),(11,1.0),(12,1.0)," +
+        "(13,0.333333),(14,1.0),(15,1.0),(16,1.0),(17,1.0),(18,1.0)," +
+        "(19,0.666667),(20,1.0),(21,1.0),(22,1.0),(23,1.0),(24,1.0),(25,1.0)," +
+        "(26,0.666667),(27,1.0),(28,1.0),(29,0.666667),(30,1.0),(31,0.666667)," +
+        "(32,0.666667),(33,1.0),(34,0.333333),(35,0.666667),(36,0.666667)," +
+        "(37,1.0),(38,1.0),(39,1.0),(40,1.0),(41,1.0),(42,0.666667),(43,1.0)," +
+        "(44,1.0),(45,1.0),(46,1.0),(47,1.0),(48,0.666667),(49,1.0)" +
+        ") AS t(id1, recall)")
   )
+
+  /** DuckDB SQL replaying the whole hyperplane-LSH ANN pipeline with the
+    * engine's own seeded planes inlined as array literals.
+    */
+  private def lshOracleSql(dim: Int, bits: Int, bands: Int, k: Int): String = {
+    val bitsPerBand = bits / bands
+    val keyMask = (1L << bitsPerBand) - 1
+    val planes = Similarity.hyperplanes(dim, bits, seed = 42L)
+    val sigTerms = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product(e, $arr) >= 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("\n     + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings WHERE vec_id < 50),
+       |sig AS (
+       |  SELECT vec_id, e,
+       |    ($sigTerms) AS s
+       |  FROM v),
+       |banded AS (
+       |  SELECT vec_id, t.b AS band, (s >> (t.b * $bitsPerBand)) & $keyMask AS key
+       |  FROM sig, unnest(range(0, $bands)) AS t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.vec_id != b.vec_id),
+       |sims AS (
+       |  SELECT c.id1, c.id2,
+       |    list_dot_product(va.e, vb.e)
+       |      / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))) AS cosine
+       |  FROM cand c
+       |  JOIN v va ON va.vec_id = c.id1
+       |  JOIN v vb ON vb.vec_id = c.id2),
+       |ranked AS (
+       |  SELECT id1, id2, cosine,
+       |    CAST(row_number() OVER (PARTITION BY id1
+       |      ORDER BY cosine DESC, id2) AS INTEGER) AS rank
+       |  FROM sims)
+       |SELECT id1, id2, round(cosine, 6) AS cosine, rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
+  }
 }

@@ -28,8 +28,11 @@ object TrendQ extends QueryPack {
         Trends.trendWithConfidence(Tables.lineitem(s, dir), liSeries)
           .select(col("l_returnflag"), col("trend"), col("std_err"), col("n")),
         "trend", "std_err")),
-    // CI bounds need a t-quantile DuckDB lacks → rows-only check; the
-    // stderr/slope inputs are oracle-checked above.
+    // CI bounds need a t-quantile DuckDB lacks → the oracle joins a literal
+    // (df → t_{0.975,df}) table with values from the same commons-math
+    // kernel the engine uses, pinned at the sf0.01 gate group sizes. The
+    // t factor is the only non-SQL term; slope/stderr stay independently
+    // computed by DuckDB regr_* (and are cross-checked in q_trend_stderr).
     "q_trend_ci" -> ((s, dir) =>
       round6(
         Trends.trendWithConfidence(Tables.lineitem(s, dir), liSeries)
@@ -60,6 +63,30 @@ object TrendQ extends QueryPack {
          |      / regr_sxx(l_quantity, $yearsX)), 6) AS std_err,
          |  CAST(regr_count(l_quantity, $yearsX) AS BIGINT) AS n
          |FROM lineitem GROUP BY 1""".stripMargin,
+    // t values: org.apache.commons.math3 TDistribution(df).icdf(0.975) —
+    // the exact kernel behind StatsFns.tQuantile — printed at full double
+    // precision for the three df = n−2 observed at the sf0.01 gate. A df
+    // the table lacks drops the row → count mismatch → loud failure.
+    "q_trend_ci" ->
+      s"""WITH base AS (
+         |  SELECT l_returnflag,
+         |    regr_slope(l_quantity, $yearsX) AS trend,
+         |    sqrt(greatest(regr_syy(l_quantity, $yearsX)
+         |          - regr_slope(l_quantity, $yearsX) * regr_slope(l_quantity, $yearsX)
+         |            * regr_sxx(l_quantity, $yearsX), 0)
+         |        / (regr_count(l_quantity, $yearsX) - 2)
+         |        / regr_sxx(l_quantity, $yearsX)) AS std_err,
+         |    regr_count(l_quantity, $yearsX) AS n
+         |  FROM lineitem GROUP BY 1),
+         |tq AS (SELECT * FROM (VALUES
+         |  (19924, 1.9600830571817720),
+         |  (20026, 1.9600824506615182),
+         |  (20044, 1.9600823442689164)) AS t(df, t975))
+         |SELECT l_returnflag,
+         |  round(trend, 6) AS trend,
+         |  round(trend - t975 * std_err, 6) AS trend_lower,
+         |  round(trend + t975 * std_err, 6) AS trend_upper
+         |FROM base JOIN tq ON base.n - 2 = tq.df""".stripMargin,
     "q_mann_kendall" ->
       """WITH ser AS (
         |  SELECT l_returnflag AS k, date_trunc('month', l_shipdate) AS t,

@@ -96,6 +96,15 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** The seeded hyperplane family behind [[hyperplaneSignature]] — public so
+    * an external checker (the driver's DuckDB oracle) can reproduce the
+    * exact same planes and replay the full LSH pipeline independently.
+    */
+  def hyperplanes(dim: Int, bits: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
   /** Random-hyperplane signatures: bit i = sign(v · h_i) with hyperplanes
     * drawn from a fixed seed. Cosine-similar vectors agree on most bits.
     */
@@ -105,9 +114,7 @@ object Similarity {
       bits: Int,
       seed: Long = 42L
   ): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
-    planes.zipWithIndex.map { case (h, i) =>
+    hyperplanes(dim, bits, seed).zipWithIndex.map { case (h, i) =>
       val dot = aggregate(zip_with(vecCol, typedLit(h), (x, p) => x * p),
         lit(0.0), (acc, v) => acc + v)
       when(dot >= 0, lit(1L << i)).otherwise(0L)

@@ -10,12 +10,10 @@ class MetaSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("rows-only queries are intentional and documented") {
+  test("every query has an oracle (no rows-only entries)") {
     val rowsOnly = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
-    val expected = Set("q_trend_ci", "q_simhash_pairs", "q_lsh_ann", "q_ivf_ann")
-    assert(rowsOnly == expected,
-      s"unexpected rows-only queries (add an oracle or update this list): " +
-        s"${rowsOnly.diff(expected)}; missing: ${expected.diff(rowsOnly)}")
+    assert(rowsOnly.isEmpty,
+      s"queries without an oracle (add one or document why not): $rowsOnly")
   }
 
   test("every query builds a plan and the flagship returns rows") {

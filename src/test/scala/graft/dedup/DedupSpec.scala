@@ -38,6 +38,36 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact, s"LSH missed ${exact.diff(lsh)} / extra ${lsh.diff(exact)}")
   }
 
+  test("maxDocFreq cap kills stop-gram pair explosion, keeps true near-dups") {
+    import spark.implicits._
+    // planted corpus: every doc ends with the same boilerplate sentence
+    // (stop-grams with df = 20); docs 0/1 additionally share a long rare
+    // passage (true near-dups). Without a cap, the boilerplate alone makes
+    // all C(20,2)=190 pairs candidates — the quadratic-straggler shape.
+    val boiler = "this document is provided as is without any warranty of any kind"
+    val rare = "quantum flux harmonics destabilize the auxiliary manifold injector array"
+    val corpus = (0L until 20L).map { i =>
+      val body =
+        if (i <= 1) s"$rare variant $i"
+        else s"unique body ${i} alpha${i} beta${i} gamma${i} delta${i} epsilon${i} zeta${i}"
+      (i, s"$body $boiler")
+    }.toDF("id", "text")
+
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "id", "text", n = 3, threshold = 0.01)
+    assert(uncapped.count() == 190, "boilerplate makes every pair a candidate")
+
+    // cap below the boilerplate df: only the rare-passage pair survives,
+    // and its jaccard counts rare grams only (denominators stay full-set)
+    val capped = Dedup.ngramJaccardPairs(corpus, "id", "text",
+      n = 3, threshold = 0.01, maxDocFreq = 10)
+    val rows = capped.collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 0L && rows.head.getLong(1) == 1L,
+      s"expected only the planted near-dup pair, got ${rows.mkString(", ")}")
+    // 9 shared rare grams ("quantum .. array" = 11 tokens) out of full sets
+    val j = rows.head.getDouble(2)
+    assert(j > 0.1 && j < 1.0)
+  }
+
   test("simhash: near-dup docs have small hamming distance, random docs large") {
     val planted = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("id1", "id2").collect()
