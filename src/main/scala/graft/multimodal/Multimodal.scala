@@ -41,6 +41,52 @@ object Multimodal {
       media_id: Long, width: Int, height: Int, n_frames: Int,
       features: Array[Float])
 
+  /** Real image decode via the JDK's built-in codecs (PNG/JPEG/GIF/BMP,
+    * `javax.imageio` — no external library): true width/height from the
+    * stream header and a deterministic luminance-grid feature vector from
+    * the decoded pixels (dim strips, subsampled ≤64 rows/cols per strip so
+    * cost is bounded regardless of resolution). Returns None for bytes no
+    * JDK reader accepts — the caller falls back to the stub, keeping the
+    * pipeline total over mixed/unknown media.
+    */
+  private[multimodal] def realImageFeatures(
+      id: Long, bytes: Array[Byte], dim: Int): Option[MediaFeatures] = {
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val features = Array.tabulate(dim) { i =>
+          val x0 = (i.toLong * w / dim).toInt
+          val x1 = math.max(((i + 1).toLong * w / dim).toInt, x0 + 1).min(w)
+          val sx = math.max((x1 - x0) / 64, 1); val sy = math.max(h / 64, 1)
+          var sum = 0.0; var n = 0
+          var x = x0
+          while (x < x1) {
+            var y = 0
+            while (y < h) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+              n += 1; y += sy
+            }
+            x += sx
+          }
+          (sum / math.max(n, 1) / 255.0).toFloat
+        }
+        Some(MediaFeatures(id, w, h, 1, features))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Decode kernel: real JDK image decode when the bytes are a supported
+    * format, deterministic stub otherwise (audio/video libs are not in
+    * this container; swapping a JNI/FFI decoder in changes this one
+    * dispatch).
+    */
+  private[multimodal] def decode(id: Long, bytes: Array[Byte], dim: Int): MediaFeatures =
+    realImageFeatures(id, bytes, dim).getOrElse(decodeStub(id, bytes, dim))
+
   /** STUB decode kernel — deterministic fake: derives dimensions and a
     * feature vector from the content bytes. Replace with a real decoder
     * (JNI/FFI) without touching the Spark plumbing around it.
@@ -73,7 +119,7 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(64).flatMap { batch => // batch shape ≅ pandas record batches
           batch.iterator.map { case (id, bytes) =>
-            decodeStub(id, Option(bytes).getOrElse(Array.emptyByteArray), dim)
+            decode(id, Option(bytes).getOrElse(Array.emptyByteArray), dim)
           }
         }
       }

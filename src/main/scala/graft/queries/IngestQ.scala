@@ -1,13 +1,30 @@
 package graft.queries
 
 import graft.functions.TimeFns
-import graft.ingest.{BBox, GridSource}
+import graft.ingest.{BBox, GridSink, GridSource, LayoutPlanner}
 import graft.model.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** S2/S5/S6, P1-P3, W2, F8 bound to the driver tables. */
+/** S2/S5/S6, P1-P3, S7-S12, W2, F8 bound to the driver tables. */
 object IngestQ extends QueryPack {
+
+  /** S7/S8 — plan a Timeseries layout for a lineitem slice and write it to
+    * a fresh temp store (each call gets its own directory, so the query is
+    * rerunnable). Drives planner + sink through the driver gate: the
+    * read-back queries below fail if the write path drops/dups rows or
+    * mangles types.
+    */
+  private def writeTempStore(s: SparkSession, dir: String): String = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate", "l_quantity")
+    val store = java.nio.file.Files.createTempDirectory("graft_store")
+      .resolve("lineitem").toString
+    val layout = LayoutPlanner.plan(li.schema, LayoutPlanner.Timeseries,
+      cellCols = Seq("l_returnflag"), tsCol = "l_shipdate")
+    GridSink.writeGrid(li, store, layout)
+    store
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S2/P1/P2 — projection + time-range + value predicate, all pushed to
@@ -38,6 +55,29 @@ object IngestQ extends QueryPack {
           .withColumn("ts_min", col("ts_min").cast("date"))
           .withColumn("ts_max", col("ts_max").cast("date")),
         "value_mean")),
+    // S7-S11 — layout plan → write → open: the aggregate over the
+    // read-back store must equal the same aggregate over the source.
+    "q_roundtrip" -> ((s, dir) => {
+      val back = GridSink.openStore(s, writeTempStore(s, dir))
+      round6(
+        back.groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 6).as("sum_qty"),
+            min(col("l_shipdate")).cast("date").as("first_ship"),
+            max(col("l_shipdate")).cast("date").as("last_ship"),
+            avg(col("l_quantity")).as("avg_qty")),
+        "avg_qty")
+    }),
+    // S12 — store introspection: exact row count plus structural
+    // invariants as booleans the oracle mirrors as literals.
+    "q_store_info" -> ((s, dir) => {
+      val si = GridSink.storeInfo(s, writeTempStore(s, dir))
+      import s.implicits._
+      Seq((si.nRows, si.nFiles > 0, si.totalBytes > 0,
+          si.schemaDdl.contains("l_shipdate TIMESTAMP")))
+        .toDF("n_rows", "has_files", "has_bytes", "has_ts_column")
+    }),
     // W2 — mean time step between distinct timestamps (here: 1 day).
     "q_time_resolution" -> ((s, dir) =>
       round6(
@@ -70,6 +110,18 @@ object IngestQ extends QueryPack {
         |       min(l_quantity) AS value_min,
         |       max(l_quantity) AS value_max,
         |       round(avg(l_quantity), 6) AS value_mean
+        |FROM lineitem""".stripMargin,
+    "q_roundtrip" ->
+      """SELECT l_returnflag,
+        |       count(*) AS n,
+        |       round(sum(l_quantity), 6) AS sum_qty,
+        |       CAST(min(l_shipdate) AS DATE) AS first_ship,
+        |       CAST(max(l_shipdate) AS DATE) AS last_ship,
+        |       round(avg(l_quantity), 6) AS avg_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_store_info" ->
+      """SELECT count(*) AS n_rows, true AS has_files, true AS has_bytes,
+        |       true AS has_ts_column
         |FROM lineitem""".stripMargin,
     // mean consecutive diff telescopes to (max-min)/(n-1) — mirrors the
     // single-aggregate form in GridSource.resolution

@@ -17,6 +17,47 @@ object Routes {
   final case class NotFound(message: String) extends ApiError      // ≅ 404
   final case class InvalidParam(message: String) extends ApiError  // ≅ 422
 
+  // --- health surface (reference `api/routes/health.py:11-54`) ---
+
+  final case class Health(status: String, timestamp: String, service: String)
+  final case class Readiness(status: String, timestamp: String,
+                             checks: Map[String, Boolean])
+  final case class Liveness(status: String, timestamp: String)
+
+  private def nowUtc: String = java.time.Instant.now().toString
+
+  /** ≅ GET /health — service banner (`health.py:11-22`). */
+  def healthRoute(service: String = "graft-analytics"): Health =
+    Health("healthy", nowUtc, service)
+
+  /** ≅ GET /health/ready — dependency checks (`health.py:25-50`). The
+    * reference verifies its core modules import; the Spark analog verifies
+    * the session is live, the catalog answers, and a trivial plan executes
+    * end-to-end (driver → executor → result). `extraChecks` lets a deployer
+    * wire in store/cache probes; any false check flips status to
+    * "not_ready" while still reporting every component.
+    */
+  def readinessRoute(
+      spark: SparkSession,
+      extraChecks: Map[String, () => Boolean] = Map.empty
+  ): Readiness = {
+    val base = Map(
+      "api" -> true,
+      "spark_session" -> !spark.sparkContext.isStopped,
+      "catalog" -> scala.util.Try(spark.catalog.currentDatabase.nonEmpty)
+        .getOrElse(false),
+      "execution" -> scala.util.Try(spark.range(1).count() == 1L)
+        .getOrElse(false))
+    val checks = base ++ extraChecks.map { case (k, f) =>
+      k -> scala.util.Try(f()).getOrElse(false)
+    }
+    Readiness(if (checks.values.forall(identity)) "ready" else "not_ready",
+      nowUtc, checks)
+  }
+
+  /** ≅ GET /health/live (`health.py:53-63`). */
+  def livenessRoute(): Liveness = Liveness("alive", nowUtc)
+
   /** ≅ GET /metrics/temporal/{dataset}?metric=...&lat=&lon=
     * (reference `api/routes/metrics.py:11-46`): Literal metric validation,
     * lat ∈ [-90, 90], lon ∈ [-180, 180].

@@ -98,4 +98,15 @@ class PlanSpec extends SparkSpec {
       Tables.lineitem(spark, sfDir), TemporalQ.liSeries))
     assert(p.contains("BroadcastHashJoin"))
   }
+
+  test("resolution is one aggregate with no global sort or single-partition window") {
+    val df = graft.ingest.GridSource.resolution(
+      Tables.lineitem(spark, sfDir),
+      graft.functions.TimeFns.epochSeconds(col("l_shipdate")))
+    val p = plan(df)
+    assert(!p.contains("Window"), "no window operator (was a partitionless sort+lag)")
+    assert(!p.contains("Sort"), "no global sort")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+    assert(p.contains("partial"), "needs partial+final (map-side combine)")
+  }
 }

@@ -39,4 +39,51 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrameIndexes(100, 1, 5) == Seq(0, 1, 2, 3, 4))
     assert(Multimodal.sampleFrameIndexes(0, 1, 5).isEmpty)
   }
+
+  test("real PNG bytes decode to true dimensions and luminance features") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(20, 10, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 20; y <- 0 until 10)
+      img.setRGB(x, y, if (x < 10) 0x000000 else 0xFFFFFF) // left black, right white
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+
+    val f = Multimodal.realImageFeatures(7L, png, dim = 2).get
+    assert(f.media_id == 7L && f.width == 20 && f.height == 10 && f.n_frames == 1)
+    assert(f.features.length == 2)
+    assert(f.features(0) < 0.01f, "left strip is black")
+    assert(f.features(1) > 0.99f, "right strip is white")
+
+    // JPEG round-trips through the same JDK path (lossy, so just dims)
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jb)
+    val j = Multimodal.realImageFeatures(8L, jb.toByteArray, dim = 4).get
+    assert(j.width == 20 && j.height == 10)
+  }
+
+  test("non-image bytes fall back to the deterministic stub") {
+    val junk = "definitely not an image".getBytes("UTF-8")
+    assert(Multimodal.realImageFeatures(1L, junk, 4).isEmpty)
+    val d = Multimodal.decode(1L, junk, 4)
+    val s = Multimodal.decodeStub(1L, junk, 4) // same deterministic fake
+    assert((d.media_id, d.width, d.height, d.n_frames) ==
+      (s.media_id, s.width, s.height, s.n_frames))
+    assert(d.features.toSeq == s.features.toSeq)
+  }
+
+  test("extractFeatures decodes real images inside the batched partition path") {
+    import spark.implicits._
+    val img = new java.awt.image.BufferedImage(6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val media = Seq((1L, "image/png", png), (2L, "text/plain", "plain".getBytes("UTF-8")))
+      .toDF("media_id", "mime", "content")
+    val out = Multimodal.extractFeatures(media, dim = 3).collect().sortBy(_.media_id)
+    assert(out(0).width == 6 && out(0).height == 4) // real decode
+    val s = Multimodal.decodeStub(2L, "plain".getBytes("UTF-8"), 3) // stub path
+    assert(out(1).width == s.width && out(1).height == s.height)
+    assert(out(1).features.toSeq == s.features.toSeq)
+  }
 }

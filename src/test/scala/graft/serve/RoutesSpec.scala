@@ -40,4 +40,31 @@ class RoutesSpec extends SparkSpec {
       Routes.MetricRequest("era5_sample", "climatology"))
     assert(out.toOption.get.select("lat").distinct().count() == 19)
   }
+
+  test("health returns the service banner with an ISO-8601 UTC timestamp") {
+    val h = Routes.healthRoute()
+    assert(h.status == "healthy" && h.service == "graft-analytics")
+    assert(java.time.Instant.parse(h.timestamp) != null) // parseable ISO-8601
+  }
+
+  test("readiness runs the dependency checks and reports each component") {
+    val r = Routes.readinessRoute(spark)
+    assert(r.status == "ready", s"checks: ${r.checks}")
+    assert(Set("api", "spark_session", "catalog", "execution").subsetOf(r.checks.keySet))
+    assert(r.checks.values.forall(identity))
+  }
+
+  test("a failing dependency check flips readiness to not_ready but keeps the report") {
+    val r = Routes.readinessRoute(spark,
+      extraChecks = Map(
+        "store" -> (() => true),
+        "cache" -> (() => throw new RuntimeException("down"))))
+    assert(r.status == "not_ready")
+    assert(r.checks("store") && !r.checks("cache"))
+    assert(r.checks("execution")) // healthy components still report true
+  }
+
+  test("liveness is alive") {
+    assert(Routes.livenessRoute().status == "alive")
+  }
 }
