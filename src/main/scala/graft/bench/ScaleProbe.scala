@@ -5,13 +5,18 @@ import graft.model.SeriesSpec
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale probe: runs the core metric operators over the medium benchmark
-  * grid (365×180×360 ≈ 23.6M rows, generated in-flight — no scan cost) and
-  * prints per-operator wall times. Evidence that the plans hold well past
-  * the driver test scale; run manually, not part of the driver contract.
+/** Scale probe: runs the core metric operators over a reference benchmark
+  * grid (small 100×90×180, medium 365×180×360 ≈ 23.6M rows, large
+  * 730×360×720 ≈ 189M rows — `benchmark_suite.py:280-284` — generated
+  * in-flight, no scan cost) and prints per-operator wall times. Evidence
+  * that the plans hold well past the driver test scale (results recorded
+  * in SCALE.md); run manually, not part of the driver contract.
+  *
+  * Usage: runMain graft.bench.ScaleProbe [small|medium|large]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
+    val size = args.headOption.getOrElse("medium")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,9 +27,9 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val grid = DataGen.benchGrid(spark, "medium")
+    val grid = DataGen.benchGrid(spark, size)
     val spec = SeriesSpec("ts", Seq("lat", "lon"), "temperature")
-    println(s"rows=${grid.count()}")
+    println(s"size=$size rows=${grid.count()}")
 
     def time(tag: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
