@@ -41,6 +41,7 @@ object ScaleProbe {
     run("monthly_mean", Temporal.monthlyMean(grid, spec))
     run("climatology", Temporal.climatology(grid, spec))
     run("zscore", Anomalies.standardizedAnomaly(grid, spec))
+    run("zscore_windowed", Anomalies.standardizedAnomalyWindowed(grid, spec))
     run("clim_percentiles", Percentiles.climatologicalPercentiles(grid, spec))
     run("approx_percentiles", Percentiles.approxClimatologicalPercentiles(grid, spec))
     run("linear_trend", Trends.linearTrend(grid, spec))

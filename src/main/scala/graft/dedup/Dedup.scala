@@ -107,11 +107,13 @@ object Dedup {
     * h_i(x) = (a_i·x + b_i) mod p over the shingle hashes, minimum per
     * permutation. a/b are drawn from a fixed seed → fully deterministic.
     *
-    * Implementation note: 64 `min` aggregates over exploded gram hashes —
-    * whole-stage-codegen'd hash aggregation. (A higher-order
-    * `array_min(transform(...))` over the collected sets avoids the
-    * explode but measured ~2x slower: HOF lambdas evaluate interpreted,
-    * per element.) Output: (id, sig ArrayType(Long)).
+    * Implementation note: a native codegen'd expression
+    * ([[graft.plans.Expressions.MinHashSignature]]) maintains all k minima
+    * in ONE scan of each (already collected, already distinct) gram-hash
+    * set — no explode, no k-wide aggregation, no re-shuffle. (History: the
+    * explode → 64 min-aggs form cost k·|grams| agg updates; a higher-order
+    * `array_min(transform(...))` was ~2x slower again — HOF lambdas
+    * evaluate interpreted, per element.) Output: (id, sig ArrayType(Long)).
     */
   def minhashSignatures(
       gramSets: DataFrame,
@@ -124,13 +126,9 @@ object Dedup {
     val p = 2147483647L
     val coeffs = Seq.fill(numHashes)((1 + math.abs(rnd.nextLong()) % (p - 1),
                                       math.abs(rnd.nextLong()) % p))
-    val g = gramSets.select(col(idCol), explode(col("gs")).as("h0"))
-      .withColumn("h", pmod(col("h0"), lit(p)))
-    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(p))).as(s"m$i")
-    }
-    g.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    gramSets.select(col(idCol),
+      graft.plans.Expressions.minhash_signature(
+        col("gs"), coeffs.map(_._1), coeffs.map(_._2), p).as("sig"))
   }
 
   /** MinHash LSH candidate pairs: split signatures into `bands`, bucket on

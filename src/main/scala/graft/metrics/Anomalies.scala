@@ -63,6 +63,33 @@ object Anomalies {
       .drop("clim_mean", "clim_std")
   }
 
+  /** Standardized anomaly for the DENSE regime — one shuffle, no join.
+    *
+    * [[standardizedAnomaly]]'s broadcast join is optimal when the
+    * climatology is small (few cells, or a reference period collapses it).
+    * On a dense grid where (cell × climatological group) is nearly
+    * fact-sized — e.g. one observation per group — the join side stops
+    * being broadcastable and the plan degrades to a sort-merge join that
+    * sorts BOTH a fact-sized table and a fact-sized climatology (measured
+    * super-linear on the 189M-row probe grid, SCALE.md). This form computes
+    * the same ddof=0 z-score with window aggregates over
+    * (group, cells): a single exchange of the fact table, one sort, no
+    * second relation. Use it when no `referencePeriod`/pre-computed
+    * climatology is needed (the climatology is the full series itself).
+    */
+  def standardizedAnomalyWindowed(
+      df: DataFrame,
+      spec: SeriesSpec,
+      group: Temporal.ClimGroup = Temporal.ByMonth
+  ): DataFrame = {
+    spec.validate(df)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((group.name +: spec.keyCols).map(col): _*)
+    df.withColumn(group.name, group.expr(col(spec.tsCol)))
+      .withColumn("anomaly", col(spec.valueCol) - avg(col(spec.valueCol)).over(w))
+      .withColumn("zscore", col("anomaly") / stddev_pop(col(spec.valueCol)).over(w))
+  }
+
   /** Severity classification of a z-score column — the 6-deep nested
     * `xr.where` chain of the reference (`metrics/anomalies.py:220-247`) as
     * a single CaseWhen expression, int8 classes −3…3.

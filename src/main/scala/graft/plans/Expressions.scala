@@ -129,6 +129,81 @@ object Expressions {
       copy(first = newFirst, second = newSecond, third = newThird)
   }
 
+  /** MinHash signature of a gram-hash set in one fused pass: for each of k
+    * seeded universal-hash permutations h_i(x) = (a_i·pmod(x,p) + b_i) mod p,
+    * the minimum over the set — all k minima maintained in a single scan of
+    * the array. Replaces the explode → k min-aggregates pipeline in
+    * [[graft.dedup.Dedup.minhashSignatures]] (k·|gs| aggregate updates plus
+    * the row explosion) with a per-row loop inside whole-stage codegen.
+    * Identical arithmetic → identical signatures. Empty/null set → null
+    * (the agg form dropped such docs; callers filter nulls).
+    */
+  case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(a.length == b.length && a.nonEmpty, "coefficient vectors must match")
+
+    override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_minhash_signature"
+
+    @transient private lazy val aArr: Array[Long] = a.toArray
+    @transient private lazy val bArr: Array[Long] = b.toArray
+
+    override def nullSafeEval(gsAny: Any): Any = {
+      val gs = gsAny.asInstanceOf[ArrayData]
+      val n = gs.numElements()
+      if (n == 0) null
+      else {
+        val k = aArr.length
+        val mins = Array.fill(k)(Long.MaxValue)
+        var i = 0
+        while (i < n) {
+          val h = java.lang.Math.floorMod(gs.getLong(i), p) // pmod semantics
+          var j = 0
+          while (j < k) {
+            val v = (h * aArr(j) + bArr(j)) % p // h,a < p=2^31-1: no overflow
+            if (v < mins(j)) mins(j) = v
+            j += 1
+          }
+          i += 1
+        }
+        UnsafeArrayData.fromPrimitiveArray(mins)
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, gs => {
+        val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+        val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val j = ctx.freshName("j"); val h = ctx.freshName("h")
+        val v = ctx.freshName("v"); val mins = ctx.freshName("mins")
+        s"""
+           |int $n = $gs.numElements();
+           |if ($n == 0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int k = $aRef.length;
+           |  long[] $mins = new long[k];
+           |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    long $h = java.lang.Math.floorMod($gs.getLong($i), ${p}L);
+           |    for (int $j = 0; $j < k; $j++) {
+           |      long $v = ($h * $aRef[$j] + $bRef[$j]) % ${p}L;
+           |      if ($v < $mins[$j]) $mins[$j] = $v;
+           |    }
+           |  }
+           |  ${ev.value} =
+           |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+      copy(child = newChild)
+  }
+
   // ---- Column wrappers (the library-facing surface)
 
   def cosine_similarity(a: Column, b: Column): Column =
@@ -140,4 +215,7 @@ object Expressions {
       Bridge.expression(value),
       Bridge.expression(thresholds),
       Bridge.expression(pcts)))
+
+  def minhash_signature(gramSet: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(gramSet), a, b, p))
 }

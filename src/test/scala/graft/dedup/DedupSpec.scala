@@ -38,6 +38,29 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact, s"LSH missed ${exact.diff(lsh)} / extra ${lsh.diff(exact)}")
   }
 
+  test("minhash signature expression matches the reference arithmetic") {
+    import spark.implicits._
+    val p = 2147483647L
+    val rnd = new scala.util.Random(42L)
+    val coeffs = Seq.fill(8)((1 + math.abs(rnd.nextLong()) % (p - 1),
+                              math.abs(rnd.nextLong()) % p))
+    val gs = Seq(-9153824012L, 42L, 7773331119L, -1L)
+    val expected = coeffs.map { case (a, b) =>
+      gs.map(h => (java.lang.Math.floorMod(h, p) * a + b) % p).min
+    }
+    val out = Seq(Tuple1(gs)).toDF("gs")
+      .select(graft.plans.Expressions.minhash_signature(
+        col("gs"), coeffs.map(_._1), coeffs.map(_._2), p).as("sig"))
+      .head.getSeq[Long](0)
+    assert(out == expected)
+    // empty set -> null (the old aggregate form dropped such docs)
+    val nullOut = Seq(Tuple1(Seq.empty[Long])).toDF("gs")
+      .select(graft.plans.Expressions.minhash_signature(
+        col("gs"), coeffs.map(_._1), coeffs.map(_._2), p))
+      .head.isNullAt(0)
+    assert(nullOut)
+  }
+
   test("maxDocFreq cap kills stop-gram pair explosion, keeps true near-dups") {
     import spark.implicits._
     // planted corpus: every doc ends with the same boilerplate sentence

@@ -93,6 +93,23 @@ class ClimateParitySpec extends SparkSpec {
     z.unpersist()
   }
 
+  test("windowed z-score == joined z-score (dense regime, single shuffle)") {
+    val joined = Anomalies.standardizedAnomaly(grid, spec)
+      .select(col("ts"), col("lat"), col("lon"), col("zscore"))
+    val windowed = Anomalies.standardizedAnomalyWindowed(grid, spec)
+      .select(col("ts"), col("lat"), col("lon"), col("zscore").as("zw"))
+    val d = joined.join(windowed, Seq("ts", "lat", "lon"))
+      .agg(max(abs(col("zscore") - col("zw")))).head.getDouble(0)
+    assert(d < 1e-9, s"windowed and joined z-scores diverge: max |diff| = $d")
+    // plan shape: one exchange, a window, and NO join operator (look only
+    // above the cached-input boundary — the test grid's own cached plan
+    // carries its generation exchanges)
+    val p = windowed.queryExecution.executedPlan.toString
+      .split("InMemoryTableScan").head
+    assert(!p.contains("Join"), "dense-regime form must not join")
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly 1 shuffle:\n$p")
+  }
+
   test("severity classes bounded in [-3,3] and two-sided on symmetric noise") {
     val z = Anomalies.standardizedAnomaly(grid, spec)
     val sev = Anomalies.classifySeverity(z).cache()
