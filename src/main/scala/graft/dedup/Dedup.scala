@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Default document-frequency cap for posting lists in
+    * [[ngramJaccardPairs]]. A shingle shared by more than this many
+    * documents is a stop-gram: it contributes O(df²) candidate pairs on a
+    * single reducer while carrying near-zero signal for NEAR-dup semantics
+    * (overlap concentrated in ubiquitous grams is not duplication). 128
+    * bounds any one gram's pair fan-out at ~8k pairs — safe on one reducer
+    * at any corpus size — while sitting far above the df of genuinely
+    * discriminative shingles.
+    */
+  val DefaultMaxDocFreq: Int = 128
+
   /** Exact duplicate groups keyed by md5 of (optionally normalized) text.
     * Output: one row per duplicate group with size and representative
     * (min id) — the keep-one policy of content dedup.
@@ -51,6 +62,13 @@ object Dedup {
     * docs sharing at least one gram meet, Jaccard = |∩| / (|A|+|B|−|∩|).
     * Only pairs above `threshold` survive. This is also the oracle for the
     * approximate variants.
+    *
+    * `maxDocFreq` defaults to [[DefaultMaxDocFreq]] — FINITE on purpose: a
+    * gram shared by k documents contributes k² candidate pairs on one
+    * reducer, so an uncapped run over a real corpus builds a quadratic
+    * stop-gram straggler. Callers who truly want the uncapped all-pairs
+    * semantics (oracle baselines) must say `maxDocFreq = Int.MaxValue`
+    * explicitly.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -58,7 +76,7 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.5,
-      maxDocFreq: Int = Int.MaxValue
+      maxDocFreq: Int = DefaultMaxDocFreq
   ): DataFrame = {
     // Posting-list pair generation: the per-doc gram-set aggregation ALSO
     // yields the set size, which rides along inside the posting lists —
@@ -160,17 +178,26 @@ object Dedup {
       n: Int = 3,
       numHashes: Int = 64,
       bands: Int = 32,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      cacheGramSets: Boolean = false
   ): DataFrame = {
     // ONE tokenize pass builds gram sets; signatures re-explode the
     // (already distinct, already hashed) sets into codegen'd min-aggs.
     // gramSets feeds three consumers (signatures + both verification
-    // sides) — persist it so Catalyst reads the cached relation instead of
-    // re-tokenizing the corpus three times (r1's top bench cost). The
-    // CacheManager keys on the canonicalized plan, so repeated calls over
-    // the same input reuse one copy rather than accumulating.
-    val gramSets = gramHashSets(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sides). With `cacheGramSets=false` (the library default) the three
+    // consumers share the aggregate's shuffle via ReuseExchange — identical
+    // canonicalized exchange subtrees are computed once per execution, and
+    // nothing outlives the query. `cacheGramSets=true` additionally persists
+    // the frame (MEMORY_AND_DISK) so REPEATED calls over the same input skip
+    // the tokenize entirely — callers who opt in own the lifecycle: the
+    // cache is keyed on the canonicalized plan (CacheManager dedups), and is
+    // released by `df.sparkSession.catalog.clearCache()` or an unpersist of
+    // the same plan. Default off: a library operator must not leak a
+    // session-lifetime cache entry per distinct input.
+    val raw = gramHashSets(df, idCol, textCol, n)
+    val gramSets =
+      if (cacheGramSets) raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else raw
     val sigs = minhashSignatures(gramSets, idCol, numHashes, seed = 42L)
     val cands = minhashCandidates(sigs, idCol, bands)
     // exact Jaccard on CANDIDATES ONLY — the whole point of LSH: per-doc

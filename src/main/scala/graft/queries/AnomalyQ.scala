@@ -30,7 +30,16 @@ object AnomalyQ extends QueryPack {
         Anomalies.percentileRank(Tables.lineitem(s, dir), liSeries,
           percentiles = Seq(10, 25, 50, 75, 90))
           .select(col("l_orderkey"), col("l_linenumber"), col("percentile_rank")),
-        "percentile_rank"))
+        "percentile_rank")),
+    // The dense-regime z-score (single window shuffle, no climatology join)
+    // must produce the SAME numbers as the broadcast-join path when the
+    // climatology is the full series — this query proves the two plans are
+    // semantically interchangeable, so choosing by data shape is safe.
+    "q_zscore_windowed" -> ((s, dir) =>
+      round6(
+        Anomalies.standardizedAnomalyWindowed(Tables.lineitem(s, dir), liSeries)
+          .select(col("l_orderkey"), col("l_linenumber"), col("anomaly"), col("zscore")),
+        "anomaly", "zscore"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -83,6 +92,13 @@ object AnomalyQ extends QueryPack {
         |       END, 6) AS percentile_rank
         |FROM lineitem l
         |JOIN thr t ON CAST(month(l.l_shipdate) AS INTEGER) = t.m
-        |          AND l.l_returnflag = t.l_returnflag""".stripMargin
+        |          AND l.l_returnflag = t.l_returnflag""".stripMargin,
+    "q_zscore_windowed" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(l_quantity - avg(l_quantity) OVER w, 6) AS anomaly,
+        |       round((l_quantity - avg(l_quantity) OVER w)
+        |             / stddev_pop(l_quantity) OVER w, 6) AS zscore
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY month(l_shipdate), l_returnflag)""".stripMargin
   )
 }

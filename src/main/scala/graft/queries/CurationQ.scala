@@ -21,7 +21,8 @@ object CurationQ extends QueryPack {
         .withColumn("quality", TextMetrics.qualityScore(col("text")))
         .withColumn("n_tokens", TextMetrics.tokenCount(col("text")))
       val kept = scored.where(col("quality") >= 0.5)
-      // drop the higher doc_id of every near-dup pair (keep-first policy)
+      // drop the higher doc_id of every near-dup pair (keep-first policy);
+      // runs with the library's default df-cap — the oracle mirrors it
       val dupIds = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
         .select(col("id2").as("doc_id")).distinct()
       val deduped = kept.join(dupIds, Seq("doc_id"), "left_anti")
@@ -65,6 +66,8 @@ object CurationQ extends QueryPack {
          |inter AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
          |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  WHERE a.g IN (SELECT g FROM grams GROUP BY g
+         |                HAVING count(*) <= ${Dedup.DefaultMaxDocFreq})
          |  GROUP BY 1, 2),
          |dups AS (
          |  SELECT DISTINCT id2 AS doc_id FROM inter

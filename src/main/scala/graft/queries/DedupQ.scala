@@ -57,8 +57,10 @@ object DedupQ extends QueryPack {
     "q_simhash_pairs" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val sp = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      // uncapped on purpose: the oracle recomputes each pinned pair's exact
+      // Jaccard with no df filter, so the decoration must match it
       val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, threshold = 0.0)
+        n = 3, threshold = 0.0, maxDocFreq = Int.MaxValue)
       sp.join(jac, Seq("id1", "id2"), "left")
         .select(col("id1"), col("id2"), col("hamming"),
           round(coalesce(col("jaccard"), lit(0.0)), 6).as("jaccard"))

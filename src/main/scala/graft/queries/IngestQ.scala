@@ -9,22 +9,62 @@ import org.apache.spark.sql.functions._
 /** S2/S5/S6, P1-P3, S7-S12, W2, F8 bound to the driver tables. */
 object IngestQ extends QueryPack {
 
-  /** S7/S8 — plan a Timeseries layout for a lineitem slice and write it to
-    * a fresh temp store (each call gets its own directory, so the query is
-    * rerunnable). Drives planner + sink through the driver gate: the
-    * read-back queries below fail if the write path drops/dups rows or
-    * mangles types.
+  /** One temp root per JVM, removed by a shutdown hook — repeated
+    * Verify/test runs no longer accumulate orphan stores in /tmp.
     */
-  private def writeTempStore(s: SparkSession, dir: String): String = {
-    val li = Tables.lineitem(s, dir)
-      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate", "l_quantity")
-    val store = java.nio.file.Files.createTempDirectory("graft_store")
-      .resolve("lineitem").toString
-    val layout = LayoutPlanner.plan(li.schema, LayoutPlanner.Timeseries,
-      cellCols = Seq("l_returnflag"), tsCol = "l_shipdate")
-    GridSink.writeGrid(li, store, layout)
-    store
+  private lazy val tmpRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_store")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p.toFile)))
+    p
   }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteTree))
+    f.delete(); ()
+  }
+
+  /** Memoized stores: each (session, sfDir, tag) is written ONCE and shared
+    * by every query that reads it back — q_roundtrip / q_store_info /
+    * q_rechunk drive three read paths over two writes instead of writing a
+    * fresh store per invocation.
+    */
+  private val stores =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
+
+  /** S7/S8 — plan a Timeseries layout for a lineitem slice and write it.
+    * Drives planner + sink through the driver gate: the read-back queries
+    * below fail if the write path drops/dups rows or mangles types.
+    */
+  private def writeTempStore(s: SparkSession, dir: String): String =
+    stores.getOrElseUpdate((s, dir, "base"), {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate", "l_quantity")
+      val store = java.nio.file.Files.createTempDirectory(tmpRoot, "base")
+        .resolve("lineitem").toString
+      val layout = LayoutPlanner.plan(li.schema, LayoutPlanner.Timeseries,
+        cellCols = Seq("l_returnflag"), tsCol = "l_shipdate")
+      GridSink.writeGrid(li, store, layout)
+      store
+    })
+
+  /** S10 — rechunk the Timeseries store to the Balanced layout (range
+    * repartition on (cell, ts) + sort) and persist the result; written with
+    * a plain sink so the partitioning under test is the one [[GridSink
+    * .rechunk]] produced, not a second repartition inside writeGrid.
+    */
+  private def rechunkStore(s: SparkSession, dir: String): String =
+    stores.getOrElseUpdate((s, dir, "rechunk"), {
+      val src = GridSink.openStore(s, writeTempStore(s, dir))
+      val layout = LayoutPlanner.plan(src.schema, LayoutPlanner.Balanced,
+        cellCols = Seq("l_returnflag"), tsCol = "l_shipdate")
+      val store = java.nio.file.Files.createTempDirectory(tmpRoot, "re")
+        .resolve("lineitem").toString
+      GridSink.rechunk(src, layout).write
+        .option("compression", layout.compression)
+        .option("maxRecordsPerFile", layout.maxRecordsPerFile)
+        .parquet(store)
+      store
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S2/P1/P2 — projection + time-range + value predicate, all pushed to
@@ -78,6 +118,21 @@ object IngestQ extends QueryPack {
           si.schemaDdl.contains("l_shipdate TIMESTAMP")))
         .toDF("n_rows", "has_files", "has_bytes", "has_ts_column")
     }),
+    // S10 — the rechunked (Balanced-layout) store must carry exactly the
+    // same data as the source: a different aggregate shape than q_roundtrip
+    // (yearly, with a distinct count) so the two read paths aren't one test.
+    "q_rechunk" -> ((s, dir) => {
+      val back = GridSink.openStore(s, rechunkStore(s, dir))
+      round6(
+        back.groupBy(year(col("l_shipdate")).as("year"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 6).as("sum_qty"),
+            countDistinct(col("l_returnflag")).as("n_flags"),
+            min(col("l_orderkey")).as("min_order"),
+            max(col("l_orderkey")).as("max_order")),
+        "sum_qty")
+    }),
     // W2 — mean time step between distinct timestamps (here: 1 day).
     "q_time_resolution" -> ((s, dir) =>
       round6(
@@ -123,6 +178,14 @@ object IngestQ extends QueryPack {
       """SELECT count(*) AS n_rows, true AS has_files, true AS has_bytes,
         |       true AS has_ts_column
         |FROM lineitem""".stripMargin,
+    "q_rechunk" ->
+      """SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
+        |       count(*) AS n,
+        |       round(sum(l_quantity), 6) AS sum_qty,
+        |       count(DISTINCT l_returnflag) AS n_flags,
+        |       min(l_orderkey) AS min_order,
+        |       max(l_orderkey) AS max_order
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // mean consecutive diff telescopes to (max-min)/(n-1) — mirrors the
     // single-aggregate form in GridSource.resolution
     "q_time_resolution" ->

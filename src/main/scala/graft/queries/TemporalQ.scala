@@ -32,6 +32,17 @@ object TemporalQ extends QueryPack {
     "q_climatology_season" -> ((s, dir) =>
       round6(Temporal.climatology(Tables.lineitem(s, dir), liSeries, Temporal.BySeason),
         "clim_mean", "clim_std")),
+    // A13 — generic reduce along time: caller-supplied aggregate columns
+    // over the cell key (the reference's dask `reduction(dim='time')`).
+    "q_reduce_time" -> ((s, dir) =>
+      round6(
+        Temporal.reduceOverTime(Tables.lineitem(s, dir), liSeries,
+          count(lit(1)).as("n"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          avg(col("l_quantity")).as("avg_qty"),
+          stddev_pop(col("l_quantity")).as("std_qty")),
+        "avg_qty", "std_qty")),
     "q_rolling_mean" -> ((s, dir) => {
       val ev = Tables.events(s, dir).where(col("event_type") === "purchase")
       val spec = SeriesSpec("ts", Seq("event_type"), "value")
@@ -84,6 +95,13 @@ object TemporalQ extends QueryPack {
         |       round(avg(l_quantity), 6) AS clim_mean,
         |       round(stddev_pop(l_quantity), 6) AS clim_std
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_reduce_time" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       min(l_quantity) AS min_qty,
+        |       max(l_quantity) AS max_qty,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       round(stddev_pop(l_quantity), 6) AS std_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_rolling_mean" ->
       """SELECT event_id,
         |       round(CASE WHEN count(value) OVER w >= 3

@@ -30,24 +30,44 @@ object Routes {
   def healthRoute(service: String = "graft-analytics"): Health =
     Health("healthy", nowUtc, service)
 
+  /** The end-to-end execution probe is a full (if tiny) Spark job — running
+    * it on EVERY readiness poll would add constant scheduler load and can
+    * flip "not_ready" precisely when executors are saturated with real
+    * work. Its result is therefore cached per-session for a TTL; the cheap
+    * probes (isStopped, catalog) stay per-call.
+    */
+  private val execProbe =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (Long, Boolean)]()
+
+  private[serve] def executionCheck(spark: SparkSession, ttlMs: Long): Boolean = {
+    val now = System.nanoTime() / 1000000L
+    val cached = Option(execProbe.get(spark)).filter { case (t, _) => now - t < ttlMs }
+    cached.map(_._2).getOrElse {
+      val ok = scala.util.Try(spark.range(1).count() == 1L).getOrElse(false)
+      execProbe.put(spark, (now, ok))
+      ok
+    }
+  }
+
   /** ≅ GET /health/ready — dependency checks (`health.py:25-50`). The
     * reference verifies its core modules import; the Spark analog verifies
     * the session is live, the catalog answers, and a trivial plan executes
-    * end-to-end (driver → executor → result). `extraChecks` lets a deployer
-    * wire in store/cache probes; any false check flips status to
-    * "not_ready" while still reporting every component.
+    * end-to-end (driver → executor → result; TTL-cached, see
+    * [[executionCheck]]). `extraChecks` lets a deployer wire in store/cache
+    * probes; any false check flips status to "not_ready" while still
+    * reporting every component.
     */
   def readinessRoute(
       spark: SparkSession,
-      extraChecks: Map[String, () => Boolean] = Map.empty
+      extraChecks: Map[String, () => Boolean] = Map.empty,
+      executionProbeTtlMs: Long = 30000L
   ): Readiness = {
     val base = Map(
       "api" -> true,
       "spark_session" -> !spark.sparkContext.isStopped,
       "catalog" -> scala.util.Try(spark.catalog.currentDatabase.nonEmpty)
         .getOrElse(false),
-      "execution" -> scala.util.Try(spark.range(1).count() == 1L)
-        .getOrElse(false))
+      "execution" -> executionCheck(spark, executionProbeTtlMs))
     val checks = base ++ extraChecks.map { case (k, f) =>
       k -> scala.util.Try(f()).getOrElse(false)
     }

@@ -76,7 +76,8 @@ class DedupSpec extends SparkSpec {
       (i, s"$body $boiler")
     }.toDF("id", "text")
 
-    val uncapped = Dedup.ngramJaccardPairs(corpus, "id", "text", n = 3, threshold = 0.01)
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "id", "text", n = 3,
+      threshold = 0.01, maxDocFreq = Int.MaxValue)
     assert(uncapped.count() == 190, "boilerplate makes every pair a candidate")
 
     // cap below the boilerplate df: only the rare-passage pair survives,
@@ -89,6 +90,31 @@ class DedupSpec extends SparkSpec {
     // 9 shared rare grams ("quantum .. array" = 11 tokens) out of full sets
     val j = rows.head.getDouble(2)
     assert(j > 0.1 && j < 1.0)
+  }
+
+  test("DEFAULT maxDocFreq is finite and caps a planted stop-gram") {
+    import spark.implicits._
+    // boilerplate shared by MORE docs than the default cap: with defaults,
+    // its grams are dropped before the pair explode, so only the rare-passage
+    // pair survives; uncapped, every pair is a candidate (the quadratic
+    // reducer a defaults-user must never get for free).
+    val boiler = "all rights reserved no part of this publication may be reproduced"
+    val rare = "unregistered tachyon condensate aligns the dorsal phase conduit lattice"
+    val nDocs = Dedup.DefaultMaxDocFreq + 12
+    val corpus = (0L until nDocs.toLong).map { i =>
+      val body =
+        if (i <= 1) s"$rare copy $i"
+        else s"filler ${i} aa${i} bb${i} cc${i} dd${i} ee${i} ff${i} gg${i}"
+      (i, s"$body $boiler")
+    }.toDF("id", "text")
+    val out = Dedup.ngramJaccardPairs(corpus, "id", "text", n = 3, threshold = 0.01)
+      .collect()
+    assert(out.length == 1 && out.head.getLong(0) == 0L && out.head.getLong(1) == 1L,
+      s"default cap should leave only the rare-passage pair, got ${out.length} pairs")
+    val uncapped = Dedup.ngramJaccardPairs(corpus, "id", "text", n = 3,
+      threshold = 0.01, maxDocFreq = Int.MaxValue).count()
+    assert(uncapped == nDocs.toLong * (nDocs - 1) / 2,
+      "explicit Int.MaxValue restores the all-candidates shape")
   }
 
   test("simhash: near-dup docs have small hamming distance, random docs large") {
