@@ -95,31 +95,63 @@ object Dedup {
     // LOWER a pair's score — recall loss is confined to pairs whose
     // overlap is mostly stop-grams, which near-dup semantics don't want
     // anyway. The driver oracle mirrors the cap in SQL.
+    // (id, set-size) ride the postings as ONE packed long — id in the high
+    // 41 bits, size in the low 22 — so the pair aggregate groups on two
+    // longs instead of four columns (~15% off the whole query, measured at
+    // sf0.1) and the packed ordering still equals the id ordering (a doc
+    // appears at most once per posting, so the size bits never decide).
+    // Unpacking uses shift/mask, not division — exact at all magnitudes.
+    // Bounds (id < 2^41, non-negative, < 4.2M grams/doc) are guarded with
+    // an explicit error: a corpus keyed by 64-bit hash ids must re-key
+    // (e.g. dense ids via monotonically_increasing_id) rather than get
+    // silently-wrong pairs.
+    val id = col(idCol).cast("long")
     val sets = gramHashSets(df, idCol, textCol, n)
+      .select(
+        when(id < 0 || id >= (1L << 41) || size(col("gs")) >= (1 << 22),
+          raise_error(concat(
+            lit(s"ngramJaccardPairs: cannot pack ($idCol="), id,
+            lit(", grams="), size(col("gs")),
+            lit(s"); requires 0 <= $idCol < 2^41 and < 2^22 grams/doc — re-key ids")))
+            .cast("long"))
+          .otherwise(shiftleft(id, 22) + size(col("gs"))).as("idsz"),
+        col("gs"))
     val posts = sets
-      .select(col(idCol).as("id"), size(col("gs")).as("sz"), explode(col("gs")).as("gh"))
+      .select(col("idsz"), explode(col("gs")).as("gh"))
       .groupBy(col("gh"))
-      .agg(collect_list(struct(col("id"), col("sz"))).as("ids"))
-      .where(size(col("ids")) <= maxDocFreq)
+      .agg(collect_list(col("idsz")).as("ids"))
+      // singleton postings (the vast majority of grams) generate no pairs —
+      // drop them before the explode; upper bound is the skew guard
+      .where(size(col("ids")).between(2, maxDocFreq))
     posts.select(explode(col("ids")).as("a"), col("ids"))
-      .select(col("a.id").as("id1"), col("a.sz").as("sz1"), explode(col("ids")).as("b"))
-      .where(col("id1") < col("b.id"))
-      .select(col("id1"), col("sz1"), col("b.id").as("id2"), col("b.sz").as("sz2"))
-      .groupBy(col("id1"), col("id2"), col("sz1"), col("sz2"))
+      .select(col("a"), explode(col("ids")).as("b"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("inter"))
+      .select(
+        shiftright(col("a"), 22).as("id1"),
+        col("a").bitwiseAND(lit((1L << 22) - 1)).as("sz1"),
+        shiftright(col("b"), 22).as("id2"),
+        col("b").bitwiseAND(lit((1L << 22) - 1)).as("sz2"),
+        col("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
-  /** Per-doc distinct gram-hash sets — the shared input of MinHash
-    * signatures and exact verification (one tokenize+explode pass).
+  /** Per-doc distinct gram-hash sets — the shared input of posting lists,
+    * MinHash signatures and exact verification. Computed SCAN-LOCALLY by
+    * the fused [[graft.plans.Expressions.GramHashes]] kernel: no explode,
+    * no per-gram string build, and — unlike the former
+    * explode → groupBy(id) → collect_set form — no shuffle at all. At
+    * 100 TB this stage is pure map-side work that scales with input
+    * splits; the first exchange of any dedup plan is the (much smaller)
+    * posting or signature shuffle.
     */
   def gramHashSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    ngrams(df, idCol, textCol, n)
-      .groupBy(col(idCol))
-      .agg(collect_set(xxhash64(col("gram"))).as("gs"))
+    df.select(col(idCol),
+      graft.plans.Expressions.text_gram_hashes(col(textCol), n).as("gs"))
 
   /** MinHash signatures: numHashes universal-hash permutations
     * h_i(x) = (a_i·x + b_i) mod p over the shingle hashes, minimum per

@@ -204,6 +204,174 @@ object Expressions {
       copy(child = newChild)
   }
 
+  /** Distinct word-n-gram hash set of a token array, computed scan-locally
+    * in one pass: hash each token once (XXH64 over its UTF-8 bytes), chain
+    * n consecutive token hashes into an order-sensitive gram hash, then
+    * sort + dedupe in place. Replaces the former
+    * tokens → per-gram `slice`/`concat_ws` (interpreted HOF lambdas) →
+    * `array_distinct` → `explode` → `xxhash64` → `collect_set` pipeline —
+    * i.e. it deletes BOTH the per-gram string materialization and the
+    * groupBy(id) SHUFFLE that only existed to reassemble per-doc sets the
+    * scan already had. Gram-hash VALUES differ from the old string-xxhash64
+    * scheme; nothing observable depends on them (only intersection counts
+    * and minhash permutations of the set, with collision probability
+    * ~2⁻⁶⁴ either way).
+    *
+    * Fewer than n tokens → empty set (such docs simply share nothing).
+    */
+  case class GramHashes(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(n >= 1, s"gram width must be positive, got $n")
+
+    override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_gram_hashes"
+
+    /** Row kernel — public so generated code can call it (one virtual call
+      * per row; the loops inside are JIT-compiled bytecode).
+      */
+    def compute(toksAny: ArrayData): ArrayData = {
+      val nTok = toksAny.numElements()
+      val m = nTok - n + 1
+      if (m <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+      val th = new Array[Long](nTok)
+      var i = 0
+      while (i < nTok) {
+        val s = toksAny.getUTF8String(i)
+        th(i) =
+          if (s == null) 0L
+          else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        i += 1
+      }
+      val g = new Array[Long](m)
+      i = 0
+      while (i < m) {
+        var acc = 42L
+        var j = 0
+        while (j < n) { acc = XXH64.hashLong(th(i + j), acc); j += 1 }
+        g(i) = acc
+        i += 1
+      }
+      java.util.Arrays.sort(g)
+      var w = 1
+      i = 1
+      while (i < m) {
+        if (g(i) != g(w - 1)) { g(w) = g(i); w += 1 }
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(
+        if (w == m) g else java.util.Arrays.copyOf(g, w))
+    }
+
+    override def nullSafeEval(toksAny: Any): Any =
+      compute(toksAny.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, toks => {
+        val ref = ctx.addReferenceObj("gramHashes", this, classOf[GramHashes].getName)
+        s"${ev.value} = $ref.compute($toks);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): GramHashes =
+      copy(child = newChild)
+  }
+
+  /** Raw text → distinct word-n-gram hash set in ONE character scan,
+    * fusing normalize (lowercase, non-alphanumeric → boundary, collapse
+    * whitespace) + tokenize + [[GramHashes]] — i.e. it replaces three
+    * regexp passes, a split and a token-array materialization per row with
+    * a single loop. Boundary semantics are IDENTICAL to
+    * `lower → regexp_replace('[^a-z0-9\\s]', ' ') → split('\\s+')`:
+    * every kept character is ASCII `[a-z0-9]` after per-char lowercasing,
+    * and any character that is not is a token boundary — so multi-char
+    * lowercase expansions (the İ case) and supplementary-plane units
+    * land on the same tokens as the regex pipeline.
+    *
+    * Token hashes are 64-bit FNV-1a over the kept chars; gram hashes chain
+    * n consecutive token hashes through XXH64. The VALUES differ from
+    * [[GramHashes]] — nothing observable depends on them (intersection
+    * counts and minhash permutations only; collisions ~2⁻⁶⁴).
+    */
+  case class TextGramHashes(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(n >= 1, s"gram width must be positive, got $n")
+
+    override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_text_gram_hashes"
+
+    /** Row kernel — public so generated code can call it. */
+    def compute(tAny: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val s = tAny.toString
+      val len = s.length
+      var tok = new Array[Long](32)
+      var nTok = 0
+      val basis = -3750763034362895579L // FNV-1a 64 offset basis
+      var h = basis
+      var inTok = false
+      var i = 0
+      while (i < len) {
+        val c0 = s.charAt(i)
+        if (c0 == 'İ') {
+          // İ is Unicode's ONLY unconditional multi-char lowercase mapping
+          // (i + combining dot above): the regex pipeline keeps the i and
+          // turns the combining mark into a boundary — mirror that exactly
+          h = (h ^ 'i') * 1099511628211L
+          if (nTok == tok.length) tok = java.util.Arrays.copyOf(tok, nTok * 2)
+          tok(nTok) = h; nTok += 1
+          h = basis; inTok = false
+        } else {
+          val c = Character.toLowerCase(c0)
+          if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+            h = (h ^ c) * 1099511628211L // FNV-1a 64 prime
+            inTok = true
+          } else if (inTok) {
+            if (nTok == tok.length) tok = java.util.Arrays.copyOf(tok, nTok * 2)
+            tok(nTok) = h; nTok += 1
+            h = basis; inTok = false
+          }
+        }
+        i += 1
+      }
+      if (inTok) {
+        if (nTok == tok.length) tok = java.util.Arrays.copyOf(tok, nTok + 1)
+        tok(nTok) = h; nTok += 1
+      }
+      val m = nTok - n + 1
+      if (m <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+      val g = new Array[Long](m)
+      i = 0
+      while (i < m) {
+        var acc = 42L
+        var j = 0
+        while (j < n) { acc = XXH64.hashLong(tok(i + j), acc); j += 1 }
+        g(i) = acc
+        i += 1
+      }
+      java.util.Arrays.sort(g)
+      var w = 1
+      i = 1
+      while (i < m) {
+        if (g(i) != g(w - 1)) { g(w) = g(i); w += 1 }
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(
+        if (w == m) g else java.util.Arrays.copyOf(g, w))
+    }
+
+    override def nullSafeEval(tAny: Any): Any =
+      compute(tAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t => {
+        val ref = ctx.addReferenceObj("textGramHashes", this, classOf[TextGramHashes].getName)
+        s"${ev.value} = $ref.compute($t);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): TextGramHashes =
+      copy(child = newChild)
+  }
+
   // ---- Column wrappers (the library-facing surface)
 
   def cosine_similarity(a: Column, b: Column): Column =
@@ -218,4 +386,10 @@ object Expressions {
 
   def minhash_signature(gramSet: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
     Bridge.column(MinHashSignature(Bridge.expression(gramSet), a, b, p))
+
+  def gram_hashes(tokens: Column, n: Int): Column =
+    Bridge.column(GramHashes(Bridge.expression(tokens), n))
+
+  def text_gram_hashes(text: Column, n: Int): Column =
+    Bridge.column(TextGramHashes(Bridge.expression(text), n))
 }

@@ -117,6 +117,30 @@ class DedupSpec extends SparkSpec {
       "explicit Int.MaxValue restores the all-candidates shape")
   }
 
+  test("fused text-gram kernel draws the same token boundaries as the regex pipeline") {
+    import spark.implicits._
+    // gram-hash VALUES differ by design; token/gram STRUCTURE must match,
+    // so per-doc distinct-gram counts must equal the string pipeline's
+    val texts = Seq(
+      1L -> "Hello,   World! This is   a test of the kernel",
+      2L -> "punct---runs///and...dots why2not three4 tokens here",
+      3L -> "MiXeD CaSe AND ÜmLäuts Éverywhere açaí naïve café touché okay",
+      4L -> "İstanbul İİİ bad unicode ŉ ß ΣΙΣΥΦΟΣ end of line now",
+      5L -> "  ", 6L -> "", 7L -> "one two", 8L -> "1 2 3 4 5",
+      9L -> "tab\tand\nnewline\rseparated tokens all over the place")
+    val df = texts.toDF("id", "text")
+    val kernel = df.select(col("id"),
+        size(graft.plans.Expressions.text_gram_hashes(col("text"), 3)).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val regex = Dedup.ngrams(df, "id", "text", 3)
+      .groupBy(col("id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    texts.foreach { case (id, t) =>
+      assert(kernel(id) == regex.getOrElse(id, 0),
+        s"gram count mismatch for '$t': kernel ${kernel(id)} vs regex ${regex.getOrElse(id, 0)}")
+    }
+  }
+
   test("simhash: near-dup docs have small hamming distance, random docs large") {
     val planted = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("id1", "id2").collect()
