@@ -18,8 +18,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Headline set: one per operator family (full inventory runs in the
-    * correctness gate; benching all 62 would just time parquet re-reads).
+  /** Headline set: one per operator family (the full 67-query inventory
+    * runs in the correctness gate; benching all of it would just time
+    * parquet re-reads).
     */
   val headline: Seq[String] = Seq(
     "q_monthly_mean", "q_rolling_mean", "q_clim_percentiles",

@@ -1,6 +1,6 @@
 package graft.bench
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Synthetic climate-grid generators (reference `src/arco_demo.py:36-116`
@@ -53,6 +53,36 @@ object DataGen {
     val lon = spark.range(3).select(coord(col("id")).as("lon"))
     time.crossJoin(lat).crossJoin(lon)
       .withColumn("temperature", lit(280.0) + randn(seed) * 5.0)
+  }
+
+  /** Deterministic synthetic document corpus for dedup scale probes
+    * (builder north-star scope — no reference analog): `nDocs` documents of
+    * `wordsPerDoc` words drawn from a `vocab`-word vocabulary by a seeded
+    * hash of (doc id, position), plus one near-duplicate twin (last
+    * `perturb` words rewritten) for every `1/dupFrac`-th doc, under
+    * id + nDocs. Pure column expressions over `spark.range` — the
+    * generator is partition-parallel and never holds a document on the
+    * driver.
+    */
+  def corpus(
+      spark: SparkSession,
+      nDocs: Long,
+      wordsPerDoc: Int = 80,
+      vocab: Int = 5000,
+      dupEvery: Int = 100,
+      perturb: Int = 8,
+      seed: Long = 42L
+  ): DataFrame = {
+    def word(pos: Int, alt: Boolean): Column =
+      if (alt) concat(lit("z"), pmod(xxhash64(col("id"), lit(pos), lit(seed + 1)), lit(vocab)))
+      else concat(lit("w"), pmod(xxhash64(col("id"), lit(pos), lit(seed)), lit(vocab)))
+    def text(altTail: Boolean): Column = concat_ws(" ",
+      (0 until wordsPerDoc).map(p => word(p, altTail && p >= wordsPerDoc - perturb)): _*)
+    val base = spark.range(nDocs).select(col("id"), text(altTail = false).as("text"))
+    val twins = spark.range(nDocs).where(pmod(col("id"), lit(dupEvery)) === 0)
+      .select(col("id"), text(altTail = true).as("text"))
+      .withColumn("id", col("id") + nDocs)
+    base.unionByName(twins)
   }
 
   /** Benchmark-scale generator (`benchmark_suite.py:269-327`): named sizes

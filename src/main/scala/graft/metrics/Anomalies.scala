@@ -59,23 +59,34 @@ object Anomalies {
     val clim = climatology.getOrElse(Temporal.climatology(df, spec, group, referencePeriod))
     joinClim(df, spec, group, clim)
       .withColumn("anomaly", col(spec.valueCol) - col("clim_mean"))
-      .withColumn("zscore", col("anomaly") / col("clim_std"))
+      .withColumn("zscore", zdiv(col("anomaly"), col("clim_std")))
       .drop("clim_mean", "clim_std")
   }
+
+  /** z = anomaly / std with numpy division semantics: a zero-variance group
+    * (e.g. one observation per climatological cell) yields NaN (0/0), not
+    * an ANSI DIVIDE_BY_ZERO error — the anomaly is identically 0 whenever
+    * the std is 0, so the numerator case x/0 = ±inf cannot occur.
+    */
+  private def zdiv(anomaly: Column, std: Column): Column =
+    when(std === 0.0, lit(Double.NaN)).otherwise(anomaly / std)
 
   /** Standardized anomaly for the DENSE regime — one shuffle, no join.
     *
     * [[standardizedAnomaly]]'s broadcast join is optimal when the
-    * climatology is small (few cells, or a reference period collapses it).
-    * On a dense grid where (cell × climatological group) is nearly
-    * fact-sized — e.g. one observation per group — the join side stops
-    * being broadcastable and the plan degrades to a sort-merge join that
-    * sorts BOTH a fact-sized table and a fact-sized climatology (measured
-    * super-linear on the 189M-row probe grid, SCALE.md). This form computes
-    * the same ddof=0 z-score with window aggregates over
-    * (group, cells): a single exchange of the fact table, one sort, no
-    * second relation. Use it when no `referencePeriod`/pre-computed
-    * climatology is needed (the climatology is the full series itself).
+    * climatology is small relative to the fact table (monthly groups, few
+    * cells, or a reference period collapses it) — it stays ahead even at
+    * the 189M-row probe grid with a monthly climatology. The regime that
+    * kills it is (cell × climatological group) approaching fact size: a
+    * day-of-year climatology on the 23.7M-row probe grid makes the
+    * broadcast form 8× slower than this one (97.9 s vs 11.7 s, SCALE.md),
+    * and at the 189M-row grid the forced broadcast would ship a ~95M-row
+    * relation — past Spark's 8 GiB broadcast hard limit, i.e. the plan
+    * fails outright. This form computes the same ddof=0 z-score with
+    * window aggregates over (group, cells): a single exchange of the fact
+    * table, one sort, no second relation. Use it when no
+    * `referencePeriod`/pre-computed climatology is needed (the climatology
+    * is the full series itself).
     */
   def standardizedAnomalyWindowed(
       df: DataFrame,
@@ -87,7 +98,7 @@ object Anomalies {
       .partitionBy((group.name +: spec.keyCols).map(col): _*)
     df.withColumn(group.name, group.expr(col(spec.tsCol)))
       .withColumn("anomaly", col(spec.valueCol) - avg(col(spec.valueCol)).over(w))
-      .withColumn("zscore", col("anomaly") / stddev_pop(col(spec.valueCol)).over(w))
+      .withColumn("zscore", zdiv(col("anomaly"), stddev_pop(col(spec.valueCol)).over(w)))
   }
 
   /** Severity classification of a z-score column — the 6-deep nested

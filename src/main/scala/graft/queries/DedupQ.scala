@@ -74,7 +74,14 @@ object DedupQ extends QueryPack {
       round6(
         Dedup.embeddingDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
           threshold = 0.45),
-        "cosine"))
+        "cosine")),
+    // Transitive closure of the near-dup relation: pairs alone under-merge
+    // (A~B, B~C must become ONE cluster even when A~C was never emitted).
+    // Oracle = DuckDB recursive CTE over the SAME pair list.
+    "q_dup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.2, maxDocFreq = 15)))
   )
 
   private val norm =
@@ -119,6 +126,16 @@ object DedupQ extends QueryPack {
          |       count(*) AS n_docs, min(doc_id) AS keep_id
          |FROM all_docs GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "q_ngram_jaccard" -> jaccardSql(0.2, maxDocFreq = Some(15)),
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE jac AS (
+         |${jaccardSql(0.2, maxDocFreq = Some(15))}),
+         |e AS (SELECT id1 AS a, id2 AS b FROM jac
+         |      UNION SELECT id2 AS a, id1 AS b FROM jac),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+         |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
     "q_ngram_jaccard_capped" -> jaccardSql(0.2, maxDocFreq = Some(5)),
     "q_minhash_dedup" -> jaccardSql(0.5),
     // Pinned candidate list = the deterministic simhash output at the

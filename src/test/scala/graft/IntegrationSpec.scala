@@ -56,10 +56,15 @@ class IntegrationSpec extends SparkSpec {
     assert(cold.length == 365) // full daily series at the snapped cell
     assert(warm.length == cold.length)
     assert(cache.stats.hits == 1)
-    // The < 2000 ms reference latency target (BASELINE.md) is GATED in the
-    // bench harness, where the box is quiet; here suites run concurrently
-    // and wall-clock assertions flake under load — report-only.
+    // The < 2000 ms reference latency target (BASELINE.md) is ENFORCED in
+    // the bench harness, where the box is quiet: Bench exits nonzero when
+    // any headline query's 20-iteration max breaches 2 s (strict unless
+    // SPARK_GRAFT_STRICT_GATE=0). Here suites run concurrently and tight
+    // wall-clock assertions flake under load, so this spec only reports —
+    // plus a very generous 100× bound that catches gross regressions
+    // (a cached point lookup taking minutes) without load-flaking.
     info(f"point access: cold $coldMs%.1f ms, warm $warmMs%.3f ms (reference envelope: 2000 ms)")
+    assert(warmMs < 200000, f"cached point access took $warmMs%.0f ms — something is pathological")
 
     // 6. region stats on the store (the /stats endpoint shape)
     val stats = Api.regionStats(back, spec, BBox(-90, -45, 90, 45)).head()

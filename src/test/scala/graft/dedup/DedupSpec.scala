@@ -157,6 +157,26 @@ class DedupSpec extends SparkSpec {
     assert(far > 12)
   }
 
+  test("connectedComponents merges transitive chains that pairs under-merge") {
+    import spark.implicits._
+    // chain 1-2-3-4 (no 1~3, 1~4, 2~4 edges), isolated pair 10-11, and a
+    // triangle 20-21-22: min-label must flow across every chain
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L), s"chain: $cc")
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(cc(_) == 20L))
+    assert(cc.size == 9)
+
+    // keep-one canonicalization drops exactly the non-representatives
+    val docs = (1L to 25L).map(i => (i, s"doc $i")).toDF("id", "text")
+    val kept = Dedup.dropDuplicateClusters(docs, "id", pairs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == (1L to 25L).toSet -- Set(2L, 3L, 4L, 11L, 21L, 22L))
+  }
+
   test("cosine expression matches a hand-computed value") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0, 1.0), Seq(1.0, 1.0, 0.0))).toDF("a", "b")

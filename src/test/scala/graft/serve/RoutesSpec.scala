@@ -67,4 +67,20 @@ class RoutesSpec extends SparkSpec {
   test("liveness is alive") {
     assert(Routes.livenessRoute().status == "alive")
   }
+
+  test("execution probe is TTL-cached: no Spark job per readiness poll") {
+    // prime the cache, then count jobs across a burst of polls
+    Routes.readinessRoute(spark)
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    (1 to 20).foreach(_ => Routes.readinessRoute(spark))
+    val after = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"20 polls within the TTL ran ${after - before} Spark jobs; expected 0")
+    // ttl = 0 forces a fresh probe (and therefore a job) every call
+    val b2 = sc.statusTracker.getJobIdsForGroup(null).length
+    Routes.readinessRoute(spark, executionProbeTtlMs = 0L)
+    val a2 = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(a2 > b2, "ttl=0 should re-run the execution probe")
+  }
 }
