@@ -118,6 +118,22 @@ object IngestQ extends QueryPack {
           si.schemaDdl.contains("l_shipdate TIMESTAMP")))
         .toDF("n_rows", "has_files", "has_bytes", "has_ts_column")
     }),
+    // S3/S4 — schema probes: the expected answers are knowable a priori
+    // from each table's schema (name conventions, then dtype fallback), so
+    // the literal oracle is an independent expectation, not an engine echo.
+    "q_detect_schema" -> ((s, dir) => {
+      import s.implicits._
+      def probe(name: String, schema: org.apache.spark.sql.types.StructType) = {
+        val (la, lo) = GridSource.detectLatLonColumns(schema)
+        (name, GridSource.detectTimeColumn(schema).getOrElse(""),
+          la.getOrElse(""), lo.getOrElse(""))
+      }
+      Seq(
+        probe("lineitem", Tables.lineitem(s, dir).schema),
+        probe("events", Tables.events(s, dir).schema),
+        probe("grid", graft.bench.DataGen.smallGrid(s).schema))
+        .toDF("table_name", "ts_col", "lat_col", "lon_col")
+    }),
     // S10 — the rechunked (Balanced-layout) store must carry exactly the
     // same data as the source: a different aggregate shape than q_roundtrip
     // (yearly, with a distinct count) so the two read paths aren't one test.
@@ -178,6 +194,15 @@ object IngestQ extends QueryPack {
       """SELECT count(*) AS n_rows, true AS has_files, true AS has_bytes,
         |       true AS has_ts_column
         |FROM lineitem""".stripMargin,
+    // lineitem: no conventional time name -> dtype fallback finds the first
+    // timestamp column (l_shipdate); no lat/lon. events: name match on ts.
+    // grid: full conventional schema.
+    "q_detect_schema" ->
+      """SELECT * FROM (VALUES
+        |  ('lineitem', 'l_shipdate', '', ''),
+        |  ('events', 'ts', '', ''),
+        |  ('grid', 'ts', 'lat', 'lon'))
+        |AS t(table_name, ts_col, lat_col, lon_col)""".stripMargin,
     "q_rechunk" ->
       """SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
         |       count(*) AS n,

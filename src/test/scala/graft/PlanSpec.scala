@@ -99,6 +99,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  test("gram-set construction is scan-local: zero exchanges before postings") {
+    val docs = Tables.documents(spark, sfDir)
+    // the per-doc gram sets themselves must not shuffle (the fused
+    // TextGramHashes kernel replaced an explode + groupBy(id) + collect_set)
+    val sets = graft.dedup.Dedup.gramHashSets(docs, "doc_id", "text", 3)
+    assert("Exchange".r.findAllIn(plan(sets)).isEmpty,
+      "gram sets must be pure map-side work")
+    // the whole pair query plans exactly two shuffles: postings groupBy(gh)
+    // and the pair-count groupBy — anything more is a scale regression
+    val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.2, maxDocFreq = 15)
+    val p = plan(pairs)
+    assert("Exchange".r.findAllIn(p).size == 2, s"expected 2 shuffles:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "pair generation must not plan decorate joins")
+  }
+
   test("resolution is one aggregate with no global sort or single-partition window") {
     val df = graft.ingest.GridSource.resolution(
       Tables.lineitem(spark, sfDir),
