@@ -31,7 +31,10 @@ object Bench {
     "q_asof_join", "q_range_join", "q_salted_agg",
     "q_token_stats", "q_fingerprint",
     "q_ngram_jaccard", "q_minhash_dedup",
-    "q_ann_topk", "q_scan_pushdown")
+    "q_ann_topk", "q_scan_pushdown",
+    // the reference suite's own access patterns (benchmark_suite.py:122-195):
+    // time_series_point ≅ q_point_series, spatial_subset ≅ q_region_stats
+    "q_point_series", "q_region_stats")
 
   final case class Stats(mean: Double, median: Double, p95: Double,
                          p99: Double, min: Double, max: Double)
