@@ -34,6 +34,16 @@ object SimQ extends QueryPack {
           Tables.embeddings(s, dir).where(col("vec_id") < 50),
           "vec_id", "embedding", k = 3, dim = 64),
         "cosine")),
+    // Embedding near-dup pairs via LSH buckets — the scale path whose
+    // O(n²) baseline is q_embedding_dedup; same full-replay oracle style
+    // as q_lsh_ann (planes inlined, buckets/candidates/cosines all
+    // recomputed by DuckDB).
+    "q_lsh_dup_pairs" -> ((s, dir) =>
+      round6(
+        Similarity.lshCosinePairs(Tables.embeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.45, dim = 64,
+          bits = 16, bands = 4),
+        "cosine")),
     // IVF coarse-quantizer ANN (k-means cells + probing): the query emits
     // per-query recall@3 against the in-engine brute-force kNN — a number
     // DuckDB can pin (seeded KMeans on the single-partition gate table is
@@ -85,6 +95,8 @@ object SimQ extends QueryPack {
     // all recomputed by DuckDB from scratch. Nothing is pinned except the
     // RNG draw itself.
     "q_lsh_ann" -> lshOracleSql(dim = 64, bits = 16, bands = 4, k = 3),
+    "q_lsh_dup_pairs" -> lshPairsOracleSql(dim = 64, bits = 16, bands = 4,
+      threshold = 0.45),
     // Deterministic recall@3 of the seeded IVF quantizer at the sf0.01
     // gate (KMeans seed 42 over the single-partition gate table; exact-kNN
     // reference recomputed by DuckDB would need the KMeans side too, so
@@ -102,6 +114,45 @@ object SimQ extends QueryPack {
         "(44,1.0),(45,1.0),(46,1.0),(47,1.0),(48,0.666667),(49,1.0)" +
         ") AS t(id1, recall)")
   )
+
+  /** DuckDB SQL replaying the LSH pair pipeline (buckets → candidate pairs
+    * → exact cosine ≥ threshold) with the seeded planes inlined — nothing
+    * pinned but the RNG draw.
+    */
+  private def lshPairsOracleSql(dim: Int, bits: Int, bands: Int,
+                                threshold: Double): String = {
+    val bitsPerBand = bits / bands
+    val keyMask = (1L << bitsPerBand) - 1
+    val planes = Similarity.hyperplanes(dim, bits, seed = 42L)
+    val sigTerms = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product(e, $arr) >= 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("\n     + ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, e,
+       |    ($sigTerms) AS s
+       |  FROM v),
+       |banded AS (
+       |  SELECT vec_id, t.b AS band, (s >> (t.b * $bitsPerBand)) & $keyMask AS key
+       |  FROM sig, unnest(range(0, $bands)) AS t(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.vec_id < b.vec_id)
+       |SELECT c.id1, c.id2,
+       |  round(list_dot_product(va.e, vb.e)
+       |    / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))),
+       |    6) AS cosine
+       |FROM cand c
+       |JOIN v va ON va.vec_id = c.id1
+       |JOIN v vb ON vb.vec_id = c.id2
+       |WHERE list_dot_product(va.e, vb.e)
+       |    / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e)))
+       |    >= $threshold""".stripMargin
+  }
 
   /** DuckDB SQL replaying the whole hyperplane-LSH ANN pipeline with the
     * engine's own seeded planes inlined as array literals.

@@ -121,6 +121,41 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** Embedding near-dup PAIRS above a cosine threshold via hyperplane-LSH
+    * bucketing — the scale path for [[graft.dedup.Dedup.embeddingDupPairs]]
+    * (whose all-pairs form is the O(n²) oracle baseline). Vectors only meet
+    * inside a (band, key) bucket; exact cosine is then computed on those
+    * candidates and thresholded, so precision is exact and recall is the
+    * band-collision probability (1 − (1 − p^bitsPerBand)^bands with
+    * p = 1 − θ/π for angle θ) — raise `bands` / lower `bitsPerBand` to push
+    * recall toward 1 at the cost of candidate volume.
+    */
+  def lshCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      bits: Int = 16,
+      bands: Int = 8,
+      seed: Long = 42L
+  ): DataFrame = {
+    val bitsPerBand = bits / bands
+    val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("sig", hyperplaneSignature(col("v"), dim, bits, seed))
+    val banded = v.select(col(idCol), col("v"),
+      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+        shiftright(col("sig"), b * bitsPerBand)
+          .bitwiseAND(lit((1L << bitsPerBand) - 1)).as("key"))): _*)).as("bk"))
+      .select(col(idCol), col("v"), col("bk.band"), col("bk.key"))
+    val l = banded.select(col(idCol).as("id1"), col("v").as("v1"), col("band"), col("key"))
+    val r = banded.select(col(idCol).as("id2"), col("v").as("v2"), col("band"), col("key"))
+    l.join(r, Seq("band", "key")).where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), Dedup.cosine(col("v1"), col("v2")).as("cosine"))
+      .distinct()
+      .where(col("cosine") >= threshold)
+  }
+
   /** ANN top-k via LSH: bucket on signature bands, rank within buckets.
     * Recall < 1 by construction; `bands` trades recall vs. bucket size.
     */

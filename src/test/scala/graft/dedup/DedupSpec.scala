@@ -195,6 +195,29 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall@3 too low: $recall")
   }
 
+  test("LSH cosine pairs: exact precision, bounded recall vs all-pairs baseline") {
+    val exact = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.45)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshCosinePairs(emb, "vec_id", "embedding",
+        threshold = 0.45, dim = 64, bits = 16, bands = 4)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // precision is exact by construction (candidates verified with true cosine)
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    // 4×4-bit point: for a borderline pair at cosine ≈ 0.45 (θ ≈ 63°),
+    // P(band match) = (1 − θ/π)⁴ ≈ 0.18 → recall ≈ 1−(1−0.18)⁴ ≈ 0.55, and
+    // lower still for the sub-0.5-cosine bulk — a COARSE operating point
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall collapsed at the 4x4-bit point: $recall")
+    // the bands dial: 8×2-bit buckets push band-match to p² → recall ≈ 0.99
+    val fine = Similarity.lshCosinePairs(emb, "vec_id", "embedding",
+        threshold = 0.45, dim = 64, bits = 16, bands = 8)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fine.subsetOf(exact), s"false positives: ${fine.diff(exact)}")
+    assert(fine.size.toDouble / exact.size >= 0.8,
+      s"8x2-bit point should recall nearly everything: ${fine.size}/${exact.size}")
+  }
+
   test("LSH ANN achieves high recall@3 against exact kNN") {
     val sample = emb.where(col("vec_id") < 100)
     val exact = Similarity.knnJoin(sample, "vec_id", "embedding", 3)
