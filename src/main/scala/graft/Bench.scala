@@ -115,12 +115,17 @@ object Bench {
     val total = results.flatMap(_._2).map(_.median).sum
     val worstMax = results.flatMap(_._2).map(_.max).maxOption.getOrElse(-1.0)
     val gate = results.forall(_._2.exists(_.max < 2.0))
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stats":$statsJson,"iters":$iters,"warmup":$warmup,"worst_max":${f3(worstMax)},"pass_max_lt_2s":$gate,"sf":"$sfDir"}"""
+    val subset = if (only.isEmpty) "" else
+      s""","subset":[${only.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stats":$statsJson,"iters":$iters,"warmup":$warmup,"worst_max":${f3(worstMax)},"pass_max_lt_2s":$gate$subset,"sf":"$sfDir"}"""
     println(line)
     // the full distribution also lands in the repo so the round artifact
-    // can't lose it to output truncation
+    // can't lose it to output truncation; a SPARK_GRAFT_ONLY dev-subset run
+    // is marked as such and written to a scratch path so it can never
+    // clobber the committed full-run artifact
+    val reportPath = if (only.isEmpty) "bench_report.json" else "bench_report_subset.json"
     scala.util.Try(java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_report.json"), line + "\n"))
+      java.nio.file.Paths.get(reportPath), line + "\n"))
     spark.stop()
     // the latency gate FAILS the process unless explicitly waived — a
     // silent report-only boolean is not a gate (set

@@ -101,16 +101,20 @@ object Dedup {
     // sf0.1) and the packed ordering still equals the id ordering (a doc
     // appears at most once per posting, so the size bits never decide).
     // Unpacking uses shift/mask, not division — exact at all magnitudes.
-    // Bounds (id < 2^41, non-negative, < 4.2M grams/doc) are guarded with
-    // an explicit error: a corpus keyed by 64-bit hash ids must re-key
-    // (e.g. dense ids via monotonically_increasing_id) rather than get
-    // silently-wrong pairs.
+    // Bounds (id < 2^41, non-negative, non-null, < 4.2M grams/doc) are
+    // guarded with an explicit error: a corpus keyed by 64-bit hash ids
+    // must re-key (e.g. dense ids via monotonically_increasing_id) rather
+    // than get silently-wrong pairs. The isNull arm matters: with ANSI off,
+    // cast("long") of a non-numeric id yields null, and null < 0 is null —
+    // a guard without it would skip the raise_error, idsz would be null,
+    // and every such doc would silently vanish from the pair output.
     val id = col(idCol).cast("long")
     val sets = gramHashSets(df, idCol, textCol, n)
       .select(
-        when(id < 0 || id >= (1L << 41) || size(col("gs")) >= (1 << 22),
+        when(id.isNull || id < 0 || id >= (1L << 41) || size(col("gs")) >= (1 << 22),
           raise_error(concat(
-            lit(s"ngramJaccardPairs: cannot pack ($idCol="), id,
+            lit(s"ngramJaccardPairs: cannot pack ($idCol="),
+            coalesce(id.cast("string"), lit("NULL (id not castable to long)")),
             lit(", grams="), size(col("gs")),
             lit(s"); requires 0 <= $idCol < 2^41 and < 2^22 grams/doc — re-key ids")))
             .cast("long"))
@@ -260,12 +264,32 @@ object Dedup {
     * per doc IN some pair — candidates only, not the corpus), so the cost
     * is rounds × join(|pairs|), never corpus-sized. `maxIterations` hard-
     * stops pathological chains; the result is then still a valid (if
-    * unconverged) refinement and the method warns via the return flag.
+    * unconverged) refinement — [[connectedComponentsWithStatus]] exposes
+    * the converged flag, and this convenience form logs a warning instead
+    * (an unconverged labeling can keep >1 doc per true cluster on chains
+    * whose diameter exceeds `maxIterations`).
     */
   def connectedComponents(
       pairs: DataFrame,
       maxIterations: Int = 20
   ): DataFrame = {
+    val (labels, converged) = connectedComponentsWithStatus(pairs, maxIterations)
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents: label propagation did not converge within " +
+          s"$maxIterations iterations; cluster_ids are a valid refinement but " +
+          "may split longer-diameter chains — raise maxIterations")
+    labels
+  }
+
+  /** [[connectedComponents]] plus an explicit convergence flag: `true` iff
+    * a full propagation round changed no label before `maxIterations` ran
+    * out. Callers that must not act on partial clusters gate on the flag.
+    */
+  def connectedComponentsWithStatus(
+      pairs: DataFrame,
+      maxIterations: Int = 20
+  ): (DataFrame, Boolean) = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
       .where(col("id1") =!= col("id2"))
@@ -303,7 +327,7 @@ object Dedup {
     val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .localCheckpoint(true)
     labels.unpersist()
-    out
+    (out, converged)
   }
 
   /** Keep-one canonicalization: drop every doc whose `cluster_id` names a

@@ -63,13 +63,19 @@ object Anomalies {
       .drop("clim_mean", "clim_std")
   }
 
-  /** z = anomaly / std with numpy division semantics: a zero-variance group
-    * (e.g. one observation per climatological cell) yields NaN (0/0), not
-    * an ANSI DIVIDE_BY_ZERO error — the anomaly is identically 0 whenever
-    * the std is 0, so the numerator case x/0 = ±inf cannot occur.
+  /** z = anomaly / std with numpy division semantics, not an ANSI
+    * DIVIDE_BY_ZERO error: 0/0 → NaN, x/0 → ±inf (sign of x). The x/0 case
+    * is reachable — with a `referencePeriod` (or user-supplied) climatology
+    * a row OUTSIDE the reference window can carry a nonzero anomaly over a
+    * zero-variance group; only a full-series climatology guarantees
+    * anomaly ≡ 0 wherever std = 0 (reference `metrics/anomalies.py`
+    * inherits exactly these semantics from numpy).
     */
   private def zdiv(anomaly: Column, std: Column): Column =
-    when(std === 0.0, lit(Double.NaN)).otherwise(anomaly / std)
+    when(std === 0.0,
+      when(anomaly === 0.0, lit(Double.NaN))
+        .otherwise(signum(anomaly) * lit(Double.PositiveInfinity)))
+      .otherwise(anomaly / std)
 
   /** Standardized anomaly for the DENSE regime — one shuffle, no join.
     *

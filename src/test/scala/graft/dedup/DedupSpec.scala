@@ -177,6 +177,35 @@ class DedupSpec extends SparkSpec {
     assert(kept == (1L to 25L).toSet -- Set(2L, 3L, 4L, 11L, 21L, 22L))
   }
 
+  test("connectedComponentsWithStatus reports non-convergence on deep chains") {
+    import spark.implicits._
+    // path graph of diameter 7: label 1 needs ~7 rounds to reach node 8
+    val chain = (1L to 7L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val (_, c2) = Dedup.connectedComponentsWithStatus(chain, maxIterations = 2)
+    assert(!c2, "2 iterations cannot converge a diameter-7 chain")
+    val (labels, ok) = Dedup.connectedComponentsWithStatus(chain, maxIterations = 20)
+    assert(ok)
+    assert(labels.collect().forall(_.getLong(1) == 1L))
+  }
+
+  test("non-castable ids fail loudly instead of silently vanishing (ANSI off)") {
+    import spark.implicits._
+    // with ANSI off, cast('docA' as long) = null; the guard's isNull arm
+    // must turn that into an error, not an empty pair list
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val df = Seq(("docA", "one two three four"), ("docB", "one two three four"))
+        .toDF("id", "text")
+      val e = intercept[Exception] {
+        Dedup.ngramJaccardPairs(df, "id", "text", n = 3, threshold = 0.0).collect()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("re-key ids"), s"wrong failure: $msgs")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("cosine expression matches a hand-computed value") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 0.0, 1.0), Seq(1.0, 1.0, 0.0))).toDF("a", "b")

@@ -93,6 +93,27 @@ class ClimateParitySpec extends SparkSpec {
     z.unpersist()
   }
 
+  test("zero-variance climatology: 0/0 → NaN, x/0 → ±inf (numpy semantics)") {
+    import spark.implicits._
+    // reference period has one constant value per (month, cell): std = 0.
+    // Rows OUTSIDE the window then divide a NONZERO anomaly by zero —
+    // numpy yields ±inf there and NaN only for 0/0.
+    val df = Seq(
+      ("2000-01-05", 5.0), ("2000-01-15", 5.0), // in-window, anomaly 0 → NaN
+      ("2001-01-10", 7.0), // +2 / 0 → +inf
+      ("2001-01-20", 3.0), // −2 / 0 → −inf
+      ("2001-01-25", 5.0)  //  0 / 0 → NaN
+    ).toDF("d", "temperature")
+      .withColumn("ts", col("d").cast("timestamp"))
+      .withColumn("lat", lit(10.0)).withColumn("lon", lit(20.0)).drop("d")
+    val z = Anomalies.standardizedAnomaly(df, spec,
+        referencePeriod = Some(("2000-01-01", "2000-12-31")))
+      .orderBy("ts").select("zscore").as[Double].collect()
+    assert(z(0).isNaN && z(1).isNaN && z(4).isNaN)
+    assert(z(2).isPosInfinity, s"expected +inf, got ${z(2)}")
+    assert(z(3).isNegInfinity, s"expected -inf, got ${z(3)}")
+  }
+
   test("windowed z-score == joined z-score (dense regime, single shuffle)") {
     val joined = Anomalies.standardizedAnomaly(grid, spec)
       .select(col("ts"), col("lat"), col("lon"), col("zscore"))

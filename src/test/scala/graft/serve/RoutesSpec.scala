@@ -69,18 +69,23 @@ class RoutesSpec extends SparkSpec {
   }
 
   test("execution probe is TTL-cached: no Spark job per readiness poll") {
-    // prime the cache, then count jobs across a burst of polls
-    Routes.readinessRoute(spark)
+    // The probe runs on the calling thread, so a thread-local job group
+    // scopes exactly the jobs THIS test triggers — counting the global job
+    // list (getJobIdsForGroup(null)) flakes when a concurrently-running
+    // suite lands a job between the before/after samples.
     val sc = spark.sparkContext
-    val before = sc.statusTracker.getJobIdsForGroup(null).length
-    (1 to 20).foreach(_ => Routes.readinessRoute(spark))
-    val after = sc.statusTracker.getJobIdsForGroup(null).length
-    assert(after == before,
-      s"20 polls within the TTL ran ${after - before} Spark jobs; expected 0")
-    // ttl = 0 forces a fresh probe (and therefore a job) every call
-    val b2 = sc.statusTracker.getJobIdsForGroup(null).length
-    Routes.readinessRoute(spark, executionProbeTtlMs = 0L)
-    val a2 = sc.statusTracker.getJobIdsForGroup(null).length
-    assert(a2 > b2, "ttl=0 should re-run the execution probe")
+    sc.setJobGroup("routes-ttl-probe", "RoutesSpec TTL test", interruptOnCancel = false)
+    try {
+      def probeJobs = sc.statusTracker.getJobIdsForGroup("routes-ttl-probe").length
+      Routes.readinessRoute(spark) // prime the cache
+      val before = probeJobs
+      (1 to 20).foreach(_ => Routes.readinessRoute(spark))
+      val after = probeJobs
+      assert(after == before,
+        s"20 polls within the TTL ran ${after - before} Spark jobs; expected 0")
+      // ttl = 0 forces a fresh probe (and therefore a job) every call
+      Routes.readinessRoute(spark, executionProbeTtlMs = 0L)
+      assert(probeJobs > after, "ttl=0 should re-run the execution probe")
+    } finally sc.clearJobGroup()
   }
 }
