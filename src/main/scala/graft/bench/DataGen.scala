@@ -85,6 +85,58 @@ object DataGen {
     base.unionByName(twins)
   }
 
+  /** Hash-uniform draw in (0,1): the first 8 md5 hex digits of
+    * `"tag:k1:k2:…"` over INTEGER grid indices, +0.5 so the value is
+    * strictly inside the open interval (ln(u) and ln(1−u) stay finite).
+    * Unlike `rand`/`randn` (Spark-internal XORShift streams), an external
+    * engine can replay this exactly — DuckDB:
+    * `(CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT) + 0.5) / 4294967296.0`.
+    */
+  private def hashU(tag: String, keys: Column*): Column =
+    (conv(substring(md5(concat_ws(":", lit(tag) +: keys.map(_.cast("string")): _*)), 1, 8),
+      16, 10).cast("long") + lit(0.5)) / lit(4294967296.0)
+
+  /** S13/S14 in a DuckDB-replayable form: the same grid and signal as
+    * [[sampleGrid]] (reference `conftest.py:8-66`) but with the noise as a
+    * deterministic hash draw — N(0,1) via Box-Muller over two md5
+    * uniforms, Exp via inverse CDF over a third — keyed on the integer
+    * grid indices `(d, i, j)`. Every value is recomputable bit-for-bit
+    * before rounding by any engine with md5/ln/sqrt/cos, which is what
+    * lets the generators be driver-oracle-checked rather than spec-only.
+    * [[sampleGrid]] keeps Spark-native `randn`/`rand` for bench/test
+    * ergonomics; this is the verification twin.
+    */
+  def deterministicGrid(
+      spark: SparkSession,
+      days: Int = 366,
+      startDate: String = "2020-01-01",
+      latPoints: Int = 19,
+      lonPoints: Int = 36
+  ): DataFrame = {
+    val time = spark.range(days).select(col("id").cast("int").as("d"))
+    val lat = spark.range(latPoints).select(col("id").cast("int").as("i"))
+    val lon = spark.range(lonPoints).select(col("id").cast("int").as("j"))
+    val keys = Seq(col("d"), col("i"), col("j"))
+    val u1 = hashU("graft-gen:t1", keys: _*)
+    val u2 = hashU("graft-gen:t2", keys: _*)
+    val u3 = hashU("graft-gen:p", keys: _*)
+    // Box-Muller; the SQL oracle parenthesizes identically (float × is not
+    // associative, so 2·(sqrt·cos) must not become (2·sqrt)·cos there).
+    val z = sqrt(lit(-2.0) * log(u1)) * cos(lit(2 * math.Pi) * u2)
+    val grid = time.crossJoin(lat).crossJoin(lon)
+      .withColumn("ts",
+        date_add(lit(startDate).cast("date"), col("d")).cast("timestamp"))
+      .withColumn("lat", col("i") * lit(180.0 / (latPoints - 1)) - lit(90.0))
+      .withColumn("lon", col("j") * lit(360.0 / lonPoints) - lit(180.0))
+    val doy = dayofyear(col("ts"))
+    val seasonal = lit(10.0) * sin(lit(2 * math.Pi) * (doy - 80) / lit(365.0))
+    val gradient = lit(288.0) - lit(40.0) * abs(col("lat")) / lit(90.0)
+    grid
+      .withColumn("temperature", gradient + seasonal + lit(2.0) * z)
+      .withColumn("precipitation", lit(-0.001) * log(lit(1.0) - u3))
+      .drop("d", "i", "j")
+  }
+
   /** Benchmark-scale generator (`benchmark_suite.py:269-327`): named sizes
     * small/medium/large with 3 float variables.
     */

@@ -125,6 +125,56 @@ object Multimodal {
       }
   }
 
+  /** Minimal RIFF/WAVE container around raw PCM bytes — a spec-conformant
+    * WAV file the JDK's `javax.sound` parses back. Used to exercise the
+    * REAL audio decode path below without external media libraries: the
+    * waveform may be synthetic, the container and decode are not.
+    */
+  def wavFromPcm(pcm: Array[Byte], sampleRate: Int = 8000,
+                 channels: Int = 1, bitsPerSample: Int = 8): Array[Byte] = {
+    val byteRate = sampleRate * channels * bitsPerSample / 8
+    val blockAlign = channels * bitsPerSample / 8
+    val bb = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort).putInt(sampleRate).putInt(byteRate)
+      .putShort(blockAlign.toShort).putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(pcm.length).put(pcm)
+    bb.array()
+  }
+
+  final case class AudioMeta(media_id: Long, encoding: String,
+                             sample_rate: Int, channels: Int,
+                             n_frames: Long, duration_s: Double)
+
+  /** Real audio decode via the JDK's `javax.sound` (WAV/AIFF/AU — no
+    * external library, header parse only so cost is O(1) per blob):
+    * container → encoding, sample rate, channels, frame count, duration.
+    * Per-partition like [[extractFeatures]]; emits no row for bytes no
+    * installed reader accepts, keeping the pipeline total on mixed media.
+    */
+  def audioMeta(df: DataFrame): Dataset[AudioMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          try {
+            val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+              new java.io.ByteArrayInputStream(bytes))
+            val fmt = aff.getFormat
+            Some(AudioMeta(id, fmt.getEncoding.toString, fmt.getSampleRate.toInt,
+              fmt.getChannels, aff.getFrameLength.toLong,
+              aff.getFrameLength.toDouble / fmt.getSampleRate.toDouble))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+  }
+
   /** Frame sampling stub for video-like media: every k-th fake frame index,
     * capped — the plumbing for a real frame extractor.
     */

@@ -52,6 +52,26 @@ object ApiQ extends QueryPack {
         .rollup(col("o_orderpriority"), year(col("o_orderdate")).as("order_year"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+    // C1-C3 — the serving cache in front of a real computation: the
+    // second lookup MUST be a hit (the recompute thunk throws), and the
+    // returned rows are the cached ones — so a stale/corrupting cache
+    // fails the oracle, not just a unit test.
+    "q_cached_stats" -> ((s, dir) => {
+      import s.implicits._
+      val cache = new graft.serve.Cache.LruCache[Seq[(String, Long, Double)]]()
+      def compute(): Seq[(String, Long, Double)] =
+        Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 6).as("sum_qty"))
+          .as[(String, Long, Double)].collect().toSeq
+      val key = graft.serve.Cache.cacheKey("stats",
+        Map("table" -> "lineitem", "sf" -> dir))
+      cache.getOrCompute(key)(compute())
+      val cached = cache.getOrCompute(key)(
+        sys.error("cache miss on second lookup — C3 memoization broken"))
+      require(cache.stats.hits == 1 && cache.stats.misses == 1,
+        s"unexpected cache stats: ${cache.stats}")
+      cached.toDF("l_returnflag", "n", "sum_qty")
     })
   )
 
@@ -105,6 +125,10 @@ object ApiQ extends QueryPack {
         |       count(*) AS n,
         |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |GROUP BY ROLLUP(1, 2)""".stripMargin
+        |GROUP BY ROLLUP(1, 2)""".stripMargin,
+    "q_cached_stats" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(sum(l_quantity), 6) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin
   )
 }

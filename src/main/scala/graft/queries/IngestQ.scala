@@ -149,6 +149,22 @@ object IngestQ extends QueryPack {
             max(col("l_orderkey")).as("max_order")),
         "sum_qty")
     }),
+    // S13/S14 — the synthetic generator itself, driver-checked: the
+    // deterministic twin replaces randn/rand with md5 hash draws keyed on
+    // integer grid indices, so DuckDB replays the whole generation —
+    // grid cross-join, lat gradient, seasonal cycle, Box-Muller noise,
+    // inverse-CDF exponential — and must land on the same 12 monthly
+    // aggregates. (Generator queries ignore sfDir by design: the source
+    // IS the generator.)
+    "q_datagen" -> ((s, _) =>
+      round6(
+        graft.bench.DataGen.deterministicGrid(s)
+          .groupBy(month(col("ts")).as("month"))
+          .agg(
+            count(lit(1)).as("n"),
+            avg(col("temperature")).as("mean_temp"),
+            avg(col("precipitation")).as("mean_precip")),
+        "mean_temp", "mean_precip")),
     // W2 — mean time step between distinct timestamps (here: 1 day).
     "q_time_resolution" -> ((s, dir) =>
       round6(
@@ -211,6 +227,35 @@ object IngestQ extends QueryPack {
         |       min(l_orderkey) AS min_order,
         |       max(l_orderkey) AS max_order
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // Full replay of DataGen.deterministicGrid: same md5 keys, same
+    // Box-Muller, same association (2·(sqrt·cos) parenthesized — float ×
+    // is not associative).
+    "q_datagen" ->
+      """WITH days AS (SELECT unnest(range(0, 366)) AS d),
+        |     lats AS (SELECT unnest(range(0, 19)) AS i),
+        |     lons AS (SELECT unnest(range(0, 36)) AS j),
+        |     g AS (
+        |  SELECT DATE '2020-01-01' + CAST(d AS INTEGER) AS dt,
+        |         i * 10.0 - 90.0 AS lat, d, i, j
+        |  FROM days, lats, lons),
+        |     u AS (
+        |  SELECT dt, lat,
+        |    (CAST(concat('0x', substr(md5('graft-gen:t1:' || d || ':' || i || ':' || j), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0 AS u1,
+        |    (CAST(concat('0x', substr(md5('graft-gen:t2:' || d || ':' || i || ':' || j), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0 AS u2,
+        |    (CAST(concat('0x', substr(md5('graft-gen:p:' || d || ':' || i || ':' || j), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0 AS u3,
+        |    dayofyear(DATE '2020-01-01' + CAST(d AS INTEGER)) AS doy
+        |  FROM g),
+        |     v AS (
+        |  SELECT month(dt) AS month,
+        |    288.0 - 40.0 * abs(lat) / 90.0
+        |      + 10.0 * sin(2 * pi() * (doy - 80) / 365.0)
+        |      + 2.0 * (sqrt(-2.0 * ln(u1)) * cos(2 * pi() * u2)) AS temperature,
+        |    -0.001 * ln(1.0 - u3) AS precipitation
+        |  FROM u)
+        |SELECT CAST(month AS INTEGER) AS month, count(*) AS n,
+        |       round(avg(temperature), 6) AS mean_temp,
+        |       round(avg(precipitation), 6) AS mean_precip
+        |FROM v GROUP BY 1""".stripMargin,
     // mean consecutive diff telescopes to (max-min)/(n-1) — mirrors the
     // single-aggregate form in GridSource.resolution
     "q_time_resolution" ->

@@ -1,8 +1,9 @@
 package graft.queries
 
+import graft.ingest.{GridSink, LayoutPlanner}
 import graft.model.Tables
 import graft.multimodal.Multimodal
-import graft.pipeline.{Jobs, Pipeline}
+import graft.pipeline.{Jobs, LazyPipeline, Pipeline}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,6 +13,13 @@ import org.apache.spark.sql.functions._
 object PipelineQ extends QueryPack {
 
   import TemporalQ.liSeries
+
+  /** One converted store per (session, sfDir) — q_job_convert's async
+    * write runs once, not once per plan build (MetaSpec builds every
+    * query's plan).
+    */
+  private val jobStores =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D1/D2 + P7: the op-descriptor list interpreted onto the lineitem
@@ -33,7 +41,115 @@ object PipelineQ extends QueryPack {
     // Multimodal: binary content column + content-addressed metadata.
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text", "text/plain")
-        .select(col("media_id"), col("mime"), col("n_bytes"), col("sha256")))
+        .select(col("media_id"), col("mime"), col("n_bytes"), col("sha256"))),
+    // D5 — per-group arbitrary transform through the typed flatMapGroups
+    // surface: per ship-month exact stats (count/min/max — no float
+    // summation, so the hash compare is partition-order-proof).
+    "q_apply_groups" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+        .select(month(col("l_shipdate")).as("m"), col("l_quantity"))
+      Pipeline.applyToGroups[Int, (Int, Long, Double, Double)](
+        li, r => r.getInt(0)) { (m, rows) =>
+          var n = 0L; var mn = Double.MaxValue; var mx = Double.MinValue
+          rows.foreach { r =>
+            n += 1; val q = r.getDouble(1)
+            if (q < mn) mn = q
+            if (q > mx) mx = q
+          }
+          Iterator.single((m, n, mn, mx))
+        }.toDF("month", "n", "min_qty", "max_qty")
+    }),
+    // D4 — per-partition kernel with an explicit output encoder; the
+    // kernel is pure per-row (ASCII class counts over the raw chars) so
+    // the result cannot depend on partitioning.
+    "q_map_blocks" -> ((s, dir) => {
+      import s.implicits._
+      Pipeline.mapBlocks[(Long, Int, Int, Int)](
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))) { rows =>
+          rows.map { r =>
+            val id = r.getLong(0); val t = r.getString(1)
+            var up = 0; var dig = 0; var ws = 0; var k = 0
+            while (k < t.length) {
+              val c = t.charAt(k)
+              if (c >= 'A' && c <= 'Z') up += 1
+              else if (c >= '0' && c <= '9') dig += 1
+              else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') ws += 1
+              k += 1
+            }
+            (id, up, dig, ws)
+          }
+        }.toDF("doc_id", "n_upper", "n_digit", "n_space")
+    }),
+    // D3 — three independent metric jobs submitted concurrently from one
+    // driver; the scheduler interleaves them across executor slots. Each
+    // returns one exact summary row.
+    "q_parallel_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val plans: Seq[(String, DataFrame)] = Seq(
+        "monthly" -> li.groupBy(month(col("l_shipdate"))).agg(count(lit(1))),
+        "annual" -> li.groupBy(year(col("l_shipdate"))).agg(count(lit(1))),
+        "flags" -> li.groupBy(col("l_returnflag")).agg(count(lit(1))))
+      val ns = Pipeline.executeParallel[Long](plans.map(_._2), _.count())
+      plans.map(_._1).zip(ns).toDF("metric", "n_groups")
+    }),
+    // D6 — LazyPipeline: history-tracked lazy composition with a persisted
+    // intermediate; the downstream metric must compute the same values
+    // through the cached slice as straight SQL over the source.
+    "q_lazy_pipeline" -> ((s, dir) => {
+      val lp = LazyPipeline(Tables.lineitem(s, dir))
+        .apply("slice")(
+          _.where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")))
+        .persist()
+        .apply("seasonal")(d => Jobs.computeMetric(d, liSeries, "seasonal"))
+      require(lp.history == Seq("slice", "seasonal"), s"history ${lp.history}")
+      require(lp.graphInfo("history") == "slice -> seasonal")
+      round6(lp.dataFrame, "mean_value")
+    }),
+    // D7/D9 — async convert-and-verify through the JobManager: a Future
+    // wraps the write action under a job group (the Celery-task shape);
+    // the query returns the read-back verification aggregate, so a job
+    // runner that drops rows or never runs fails the oracle.
+    "q_job_convert" -> ((s, dir) => {
+      val back = GridSink.openStore(s, jobStores.getOrElseUpdate((s, dir), {
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val jm = new Jobs.JobManager(s)
+        val store = java.nio.file.Files.createTempDirectory("graft_job")
+          .resolve("orders").toString
+        val o = Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice")
+        val layout = LayoutPlanner.plan(o.schema, LayoutPlanner.Balanced,
+          cellCols = Seq("o_orderpriority"), tsCol = "o_orderdate")
+        val fut = jm.submit("convert-orders", {
+          GridSink.writeGrid(o, store, layout)
+          GridSink.openStore(s, store) // read-back: count() verifies the write
+        })
+        val n = scala.concurrent.Await.result(
+          fut, scala.concurrent.duration.Duration.Inf)
+        require(jm.status("convert-orders").contains(Jobs.Done(n)),
+          s"job status ${jm.status("convert-orders")}")
+        store
+      }))
+      round6(
+        back.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            avg(col("o_totalprice")).as("avg_price"),
+            min(col("o_orderdate")).cast("date").as("first_order")),
+        "avg_price")
+    }),
+    // Multimodal audio: wrap each document's bytes as real 8-bit PCM WAV,
+    // then decode BACK through javax.sound — the container build and the
+    // decode are both real; only the waveform is synthetic.
+    "q_audio_meta" -> ((s, dir) => {
+      import s.implicits._
+      val wavs = Multimodal
+        .fromText(Tables.documents(s, dir), "doc_id", "text", "audio/wav")
+        .select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+        .map { case (id, pcm) => (id, Multimodal.wavFromPcm(pcm)) }
+        .toDF("media_id", "content")
+      round6(Multimodal.audioMeta(wavs).toDF(), "duration_s")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -53,6 +169,50 @@ object PipelineQ extends QueryPack {
       """SELECT doc_id AS media_id, 'text/plain' AS mime,
         |       octet_length(encode(text)) AS n_bytes,
         |       sha256(text) AS sha256
+        |FROM documents""".stripMargin,
+    "q_apply_groups" ->
+      """SELECT CAST(month(l_shipdate) AS INTEGER) AS month, count(*) AS n,
+        |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // count-of-class via keep-class regex (NOT length-difference: the
+    // kernel counts UTF-16 units only for ASCII classes, which match
+    // 1:1 under any encoding)
+    "q_map_blocks" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS INTEGER) AS n_upper,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INTEGER) AS n_digit,
+        |  CAST(length(regexp_replace(text, '[^ \t\n\r]', '', 'g')) AS INTEGER) AS n_space
+        |FROM documents""".stripMargin,
+    "q_parallel_metrics" ->
+      """SELECT 'monthly' AS metric,
+        |       count(DISTINCT month(l_shipdate)) AS n_groups FROM lineitem
+        |UNION ALL
+        |SELECT 'annual', count(DISTINCT year(l_shipdate)) FROM lineitem
+        |UNION ALL
+        |SELECT 'flags', count(DISTINCT l_returnflag) FROM lineitem""".stripMargin,
+    "q_lazy_pipeline" ->
+      """SELECT CAST(year(l_shipdate + INTERVAL 1 MONTH) AS INTEGER) AS season_year,
+        |       CASE WHEN month(l_shipdate) IN (12,1,2) THEN 'DJF'
+        |            WHEN month(l_shipdate) IN (3,4,5) THEN 'MAM'
+        |            WHEN month(l_shipdate) IN (6,7,8) THEN 'JJA'
+        |            ELSE 'SON' END AS season,
+        |       l_returnflag,
+        |       round(avg(l_quantity), 6) AS mean_value
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_job_convert" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       round(avg(o_totalprice), 6) AS avg_price,
+        |       CAST(min(o_orderdate) AS DATE) AS first_order
+        |FROM orders GROUP BY 1""".stripMargin,
+    // frames = PCM payload bytes (8-bit mono, blockAlign 1); duration =
+    // frames / rate, an exact IEEE division on both engines
+    "q_audio_meta" ->
+      """SELECT doc_id AS media_id, 'PCM_UNSIGNED' AS encoding,
+        |       8000 AS sample_rate, 1 AS channels,
+        |       octet_length(encode(text)) AS n_frames,
+        |       round(octet_length(encode(text)) / 8000.0, 6) AS duration_s
         |FROM documents""".stripMargin
   )
 }

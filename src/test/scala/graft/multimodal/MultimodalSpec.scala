@@ -34,6 +34,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV container roundtrip: javax.sound decodes rate/channels/frames") {
+    import spark.implicits._
+    val pcm = Array.tabulate(1600)(i => (math.sin(i * 0.1) * 100 + 128).toByte)
+    val wav8 = Multimodal.wavFromPcm(pcm, sampleRate = 8000)
+    val m = Multimodal.audioMeta(Seq((1L, wav8)).toDF("media_id", "content"))
+      .collect().head
+    assert(m.encoding == "PCM_UNSIGNED")
+    assert(m.sample_rate == 8000 && m.channels == 1)
+    assert(m.n_frames == 1600L && m.duration_s == 0.2)
+    // 16-bit stereo: 4 bytes per frame
+    val wav16 = Multimodal.wavFromPcm(new Array[Byte](800), sampleRate = 16000,
+      channels = 2, bitsPerSample = 16)
+    val m2 = Multimodal.audioMeta(Seq((2L, wav16)).toDF("media_id", "content"))
+      .collect().head
+    assert(m2.encoding == "PCM_SIGNED")
+    assert(m2.sample_rate == 16000 && m2.channels == 2 && m2.n_frames == 200L)
+    // non-audio bytes yield no row — the pipeline stays total on mixed media
+    val bad = Seq((3L, "not audio".getBytes("UTF-8"))).toDF("media_id", "content")
+    assert(Multimodal.audioMeta(bad).isEmpty)
+  }
+
   test("frame sampling stub: stride and cap") {
     assert(Multimodal.sampleFrameIndexes(10, 3, 10) == Seq(0, 3, 6, 9))
     assert(Multimodal.sampleFrameIndexes(100, 1, 5) == Seq(0, 1, 2, 3, 4))
