@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, udf}
+
+/** Bloom-filter join pruning — the manual, composable form of Spark's
+  * runtime bloom filter: build a compact filter over the small side's
+  * join keys, broadcast it, and drop non-matching fact rows BEFORE the
+  * join's shuffle.
+  *
+  * At 100 TB the win is shuffle volume: a selective dimension predicate
+  * prunes the overwhelming share of fact bytes for a few MB of filter
+  * shipped to every executor. The filter is conservative (false
+  * positives only, never false negatives), so it composes with the exact
+  * join that follows — results are identical to the unpruned join, the
+  * plan is just cheaper. (No reference analog; the reference's joins are
+  * all broadcast-sized, `metrics/anomalies.py:46-53`.)
+  */
+object BloomPrune {
+
+  /** Exact left-semi join with a bloom pre-filter on the fact side.
+    *
+    * `expectedItems`/`fpp` size the filter (bits ≈ −n·ln(fpp)/ln²2);
+    * overshooting `expectedItems` only costs memory, undershooting only
+    * raises the false-positive rate — correctness never depends on it
+    * because the exact semi join runs on the pruned remainder.
+    */
+  def prunedSemiJoin(
+      fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      expectedItems: Long = 100000L, fpp: Double = 0.01
+  ): DataFrame = {
+    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val bc = fact.sparkSession.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    fact.where(mightContain(col(factKey)))
+      .join(dim.select(col(dimKey)).distinct(),
+        col(factKey) === col(dimKey), "left_semi")
+  }
+}

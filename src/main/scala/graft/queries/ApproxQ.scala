@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.model.Tables
+import graft.text.TextMetrics
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -33,7 +34,31 @@ object ApproxQ extends QueryPack {
           .withColumn("within_tolerance",
             abs(col("approx") - col("exact_p50")) / col("exact_p50") <= 0.01)
           .drop("approx"),
-        "exact_p50"))
+        "exact_p50")),
+    // Count-min-sketch heavy hitters: ONE mergeable fixed-size sketch per
+    // partition instead of a full-width token groupBy — the 100 TB path
+    // for frequency estimates over an unbounded keyspace. The gate checks
+    // the exact top-20 (same as q_top_tokens' shape) plus the CMS
+    // guarantee: estimate ∈ [true, true + eps·N] for every head token.
+    "q_approx_topk" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextMetrics.tokens(lower(col("text")))).as("token"))
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)
+        .as[(String, Long)].collect()
+      val agg = toks.agg(
+        count_min_sketch(col("token"), lit(0.001d), lit(0.99d), lit(42)),
+        count(lit(1)))
+        .head()
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(agg.getAs[Array[Byte]](0)))
+      val total = agg.getLong(1)
+      exact.toSeq.map { case (t, n) =>
+        val est = cms.estimateCount(t)
+        (t, n, est >= n && est <= n + math.ceil(0.001 * total).toLong)
+      }.toDF("token", "n", "within_tolerance")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -46,6 +71,11 @@ object ApproxQ extends QueryPack {
       """SELECT l_returnflag,
         |       round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
         |       TRUE AS within_tolerance
-        |FROM lineitem GROUP BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_approx_topk" ->
+      """SELECT token, count(*) AS n, TRUE AS within_tolerance
+        |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin
   )
 }

@@ -54,6 +54,21 @@ object JoinQ extends QueryPack {
         .agg(count(lit(1)).as("n"), lit("without_orders").as("cls"))
       withO.unionByName(withoutO).select(col("cls"), col("n"))
     }),
+    // Bloom-filter join pruning: fact rows are dropped by a broadcast
+    // bloom filter BEFORE the semi join's shuffle — the runtime-filter
+    // pattern that cuts shuffle volume at scale. The exact semi join
+    // behind it absorbs bloom false positives, so the result equals the
+    // plain semi join and a plain IN-subquery oracle checks it.
+    "q_bloom_prune" -> ((s, dir) => {
+      val urgent = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+      round6(
+        graft.operators.BloomPrune.prunedSemiJoin(
+            Tables.lineitem(s, dir), urgent, "l_orderkey", "o_orderkey")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), avg(col("l_quantity")).as("avg_qty")),
+        "avg_qty")
+    }),
     // Ranking window: top-3 suppliers by revenue within each nation.
     "q_top_suppliers" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -123,6 +138,13 @@ object JoinQ extends QueryPack {
         |UNION ALL
         |SELECT 'without_orders' AS cls, count(*) AS n FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+    "q_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(avg(l_quantity), 6) AS avg_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
     "q_top_suppliers" ->
       """WITH rev AS (
         |  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS revenue

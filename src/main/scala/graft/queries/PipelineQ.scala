@@ -16,10 +16,19 @@ object PipelineQ extends QueryPack {
 
   /** One converted store per (session, sfDir) — q_job_convert's async
     * write runs once, not once per plan build (MetaSpec builds every
-    * query's plan).
+    * query's plan). Root is removed on JVM exit, like IngestQ's stores.
     */
   private val jobStores =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private lazy val jobTmpRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_job")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(p.toFile)))
+    p
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D1/D2 + P7: the op-descriptor list interpreted onto the lineitem
@@ -115,7 +124,7 @@ object PipelineQ extends QueryPack {
       val back = GridSink.openStore(s, jobStores.getOrElseUpdate((s, dir), {
         import scala.concurrent.ExecutionContext.Implicits.global
         val jm = new Jobs.JobManager(s)
-        val store = java.nio.file.Files.createTempDirectory("graft_job")
+        val store = java.nio.file.Files.createTempDirectory(jobTmpRoot, "conv")
           .resolve("orders").toString
         val o = Tables.orders(s, dir)
           .select("o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice")

@@ -1,0 +1,30 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.model.Tables
+import org.apache.spark.sql.functions._
+
+class BloomPruneSpec extends SparkSpec {
+
+  test("bloom-pruned semi join equals the exact semi join") {
+    val li = Tables.lineitem(spark, sfDir)
+    val dim = Tables.orders(spark, sfDir)
+      .where(col("o_orderpriority") === "1-URGENT")
+    val pruned = BloomPrune.prunedSemiJoin(li, dim, "l_orderkey", "o_orderkey")
+      .select("l_orderkey", "l_linenumber")
+    val exact = li.join(dim, li("l_orderkey") === dim("o_orderkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber")
+    assert(pruned.exceptAll(exact).isEmpty && exact.exceptAll(pruned).isEmpty)
+  }
+
+  test("the filter prunes most non-matching keys at the configured fpp") {
+    import spark.implicits._
+    val dim = spark.range(0, 1000).toDF("k")
+    val bf = dim.stat.bloomFilter("k", 1000, 0.01)
+    // keys 1000..10999 are not in the filter; ≈1% false positives allowed
+    val fp = (1000L until 11000L).count(bf.mightContainLong)
+    assert(fp < 300, s"false-positive count $fp way above the 1% target")
+    // no false negatives, ever — that's the correctness contract
+    assert((0L until 1000L).forall(bf.mightContainLong))
+  }
+}
