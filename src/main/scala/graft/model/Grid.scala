@@ -77,11 +77,16 @@ object GridSchema {
   * `spark.read.parquet` so every query benefits from the same scan options.
   */
 object Tables {
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // The events table stores TIMESTAMP(NANOS) which Spark reads as long
-    // nanos under spark.sql.legacy.parquet.nanosAsLong; the generated values
-    // are µs-aligned, so converting to TimestampType (µs) is lossless.
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+
+  /** The events table stores TIMESTAMP(NANOS) which Spark reads as long
+    * nanos under spark.sql.legacy.parquet.nanosAsLong; the generated values
+    * are µs-aligned, so converting to TimestampType (µs) is lossless.
+    * Shared by the batch loader and the streaming reader (same physical
+    * schema must normalize identically on both paths).
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) {
       case (d, f) if f.name == "ts" && f.dataType == LongType =>
         // integer DIV, not `/`: double division rounds half the sub-µs
@@ -90,7 +95,6 @@ object Tables {
           org.apache.spark.sql.functions.expr("ts DIV 1000")))
       case (d, _) => d
     }
-  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

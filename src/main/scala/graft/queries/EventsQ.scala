@@ -14,6 +14,34 @@ object EventsQ extends QueryPack {
 
   private val evSpec = SeriesSpec("ts", Seq("event_type"), "value")
 
+  private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private lazy val ckptRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(p.toFile)))
+    p
+  }
+
+  /** The file-stream source lists a DIRECTORY; the driver tables are
+    * single parquet files — stage each sfDir's events file into a temp
+    * dir once (hard link when the filesystem allows, copy otherwise).
+    */
+  private val streamDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def eventsStreamDir(dir: String): String =
+    streamDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory(ckptRoot, "events_src")
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val dst = d.resolve("events.parquet")
+      try java.nio.file.Files.createLink(dst, src)
+      catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
+      d.toString
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_windows" -> ((s, dir) =>
       round6(Streams.windowedStats(Tables.events(s, dir), evSpec, "5 minutes"),
@@ -33,7 +61,27 @@ object EventsQ extends QueryPack {
           .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
           .groupBy((col("k") % 10).as("k_bucket"), col("event_type"))
           .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value")),
-        "avg_value"))
+        "avg_value")),
+    // The SAME windowed expression as q_event_windows, but executed as a
+    // REAL Structured Streaming job: file-stream source over the events
+    // parquet, event-time windows + watermark, memory sink in complete
+    // mode. Static input fully processed ⇒ the final complete result must
+    // equal the batch aggregation — the batch/stream unification contract,
+    // driver-checked against the same DuckDB oracle (not just spec-pinned).
+    "q_stream_windows" -> ((s, dir) => {
+      val path = eventsStreamDir(dir)
+      val schema = s.read.parquet(path).schema
+      val stream = Tables.normalizeTs(s.readStream.schema(schema).parquet(path))
+      val name = s"graft_stream_windows_${streamSeq.incrementAndGet()}"
+      val sq = Streams.windowedStats(stream, evSpec, "5 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(ckptRoot, "sw").toString)
+        .start()
+      try { sq.processAllAvailable() } finally sq.stop()
+      round6(s.table(name), "sum_value", "avg_value")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -73,6 +121,15 @@ object EventsQ extends QueryPack {
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
         |         AS k_bucket,
         |       event_type, count(*) AS n,
+        |       round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // identical to q_event_windows — the streaming run must land on the
+    // batch answer
+    "q_stream_windows" ->
+      """SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP)
+        |         AS bucket,
+        |       event_type, count(*) AS n,
+        |       round(sum(value), 6) AS sum_value,
         |       round(avg(value), 6) AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin
   )

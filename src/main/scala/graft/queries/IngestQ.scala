@@ -66,6 +66,21 @@ object IngestQ extends QueryPack {
       store
     })
 
+  /** +formats — the same lineitem slice written once as CSV (with header)
+    * and once as ORC; q_format_roundtrip reads both back via
+    * [[GridSource.readTable]] and must see identical aggregates.
+    */
+  private def formatStore(s: SparkSession, dir: String, fmt: String): String =
+    stores.getOrElseUpdate((s, dir, fmt), {
+      val src = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_returnflag", "l_shipdate", "l_quantity")
+      val path = java.nio.file.Files.createTempDirectory(tmpRoot, fmt)
+        .resolve("lineitem").toString
+      val w = src.coalesce(4).write.format(fmt)
+      (if (fmt == "csv") w.option("header", "true") else w).save(path)
+      path
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S2/P1/P2 — projection + time-range + value predicate, all pushed to
     // the parquet scan.
@@ -149,6 +164,25 @@ object IngestQ extends QueryPack {
             max(col("l_orderkey")).as("max_order")),
         "sum_qty")
     }),
+    // +formats — CSV and ORC read paths: write the same slice in both
+    // formats, read back through readTable (explicit schema for CSV —
+    // header+string parsing; ORC self-describing), and aggregate. A
+    // format layer that mangles types/headers/timestamps fails here.
+    "q_format_roundtrip" -> ((s, dir) => {
+      val schema = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_returnflag", "l_shipdate", "l_quantity").schema
+      def summarize(df: DataFrame, fmt: String): DataFrame =
+        df.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 6).as("sum_qty"),
+            min(col("l_shipdate")).cast("date").as("first_ship"))
+          .withColumn("fmt", lit(fmt))
+      summarize(GridSource.readTable(s, formatStore(s, dir, "csv"), "csv",
+          Some(schema)), "csv")
+        .unionByName(
+          summarize(GridSource.readTable(s, formatStore(s, dir, "orc"), "orc"),
+            "orc"))
+    }),
     // S13/S14 — the synthetic generator itself, driver-checked: the
     // deterministic twin replaces randn/rand with md5 hash draws keyed on
     // integer grid indices, so DuckDB replays the whole generation —
@@ -227,6 +261,15 @@ object IngestQ extends QueryPack {
         |       min(l_orderkey) AS min_order,
         |       max(l_orderkey) AS max_order
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_format_roundtrip" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         round(sum(l_quantity), 6) AS sum_qty,
+        |         CAST(min(l_shipdate) AS DATE) AS first_ship
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n, sum_qty, first_ship, 'csv' AS fmt FROM s
+        |UNION ALL
+        |SELECT l_returnflag, n, sum_qty, first_ship, 'orc' AS fmt FROM s""".stripMargin,
     // Full replay of DataGen.deterministicGrid: same md5 keys, same
     // Box-Muller, same association (2·(sqrt·cos) parenthesized — float ×
     // is not associative).
