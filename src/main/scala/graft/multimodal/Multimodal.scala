@@ -134,15 +134,20 @@ object Multimodal {
                  channels: Int = 1, bitsPerSample: Int = 8): Array[Byte] = {
     val byteRate = sampleRate * channels * bitsPerSample / 8
     val blockAlign = channels * bitsPerSample / 8
-    val bb = java.nio.ByteBuffer.allocate(44 + pcm.length)
+    // RIFF chunks are word-aligned: an odd-sized data chunk carries one
+    // trailing pad byte (not counted in the chunk's own ckSize, counted
+    // in the RIFF size)
+    val pad = pcm.length & 1
+    val bb = java.nio.ByteBuffer.allocate(44 + pcm.length + pad)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length + pad)
       .put("WAVE".getBytes("US-ASCII"))
       .put("fmt ".getBytes("US-ASCII")).putInt(16)
       .putShort(1.toShort) // PCM
       .putShort(channels.toShort).putInt(sampleRate).putInt(byteRate)
       .putShort(blockAlign.toShort).putShort(bitsPerSample.toShort)
       .put("data".getBytes("US-ASCII")).putInt(pcm.length).put(pcm)
+    if (pad == 1) bb.put(0.toByte)
     bb.array()
   }
 

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{col, udf}
+import org.apache.spark.sql.types._
 
 /** Bloom-filter join pruning — the manual, composable form of Spark's
   * runtime bloom filter: build a compact filter over the small side's
@@ -24,18 +25,38 @@ object BloomPrune {
     * overshooting `expectedItems` only costs memory, undershooting only
     * raises the false-positive rate — correctness never depends on it
     * because the exact semi join runs on the pruned remainder.
+    *
+    * Key types are dispatched explicitly (integral → mightContainLong,
+    * string → mightContainString) and anything else is rejected up
+    * front: a silent cast-to-long of a string key would null out every
+    * row and break the no-false-negatives contract.
     */
   def prunedSemiJoin(
       fact: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String,
       expectedItems: Long = 100000L, fpp: Double = 0.01
   ): DataFrame = {
+    val integralKey = fact.schema(factKey).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case StringType => false
+      case other => throw new IllegalArgumentException(
+        s"BloomPrune: unsupported key type $other for '$factKey' " +
+          "(integral and string keys only — matching dim.stat.bloomFilter)")
+    }
     val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bf)
-    val mightContain =
-      udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    fact.where(mightContain(col(factKey)))
-      .join(dim.select(col(dimKey)).distinct(),
-        col(factKey) === col(dimKey), "left_semi")
+    val mightContain: Column =
+      if (integralKey)
+        udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+          .apply(col(factKey).cast("long"))
+      else
+        udf((k: String) => k != null && bc.value.mightContainString(k))
+          .apply(col(factKey))
+    // no distinct() on the build side (left_semi already deduplicates);
+    // the dim key is aliased so factKey == dimKey doesn't turn the join
+    // condition ambiguous
+    fact.where(mightContain)
+      .join(dim.select(col(dimKey).as("__bloom_key")),
+        col(factKey) === col("__bloom_key"), "left_semi")
   }
 }

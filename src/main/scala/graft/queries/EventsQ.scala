@@ -16,14 +16,7 @@ object EventsQ extends QueryPack {
 
   private val streamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private lazy val ckptRoot: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_ckpt")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(p.toFile)))
-    p
-  }
+  private lazy val ckptRoot: java.nio.file.Path = graft.util.Tmp.root("graft_ckpt")
 
   /** The file-stream source lists a DIRECTORY; the driver tables are
     * single parquet files — stage each sfDir's events file into a temp
@@ -41,6 +34,14 @@ object EventsQ extends QueryPack {
       catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
       d.toString
     })
+
+  /** One streaming run per (session, sfDir) — repeated invocations
+    * (MetaSpec plan builds, Verify, repeated suites in one JVM) reuse the
+    * first run's memory-sink table instead of launching a new streaming
+    * query and leaking another temp view + checkpoint each time.
+    */
+  private val streamRuns =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_windows" -> ((s, dir) =>
@@ -69,18 +70,21 @@ object EventsQ extends QueryPack {
     // equal the batch aggregation — the batch/stream unification contract,
     // driver-checked against the same DuckDB oracle (not just spec-pinned).
     "q_stream_windows" -> ((s, dir) => {
-      val path = eventsStreamDir(dir)
-      val schema = s.read.parquet(path).schema
-      val stream = Tables.normalizeTs(s.readStream.schema(schema).parquet(path))
-      val name = s"graft_stream_windows_${streamSeq.incrementAndGet()}"
-      val sq = Streams.windowedStats(stream, evSpec, "5 minutes")
-        .writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory(ckptRoot, "sw").toString)
-        .start()
-      try { sq.processAllAvailable() } finally sq.stop()
-      round6(s.table(name), "sum_value", "avg_value")
+      val table = streamRuns.getOrElseUpdate((s, dir), {
+        val path = eventsStreamDir(dir)
+        val schema = s.read.parquet(path).schema
+        val stream = Tables.normalizeTs(s.readStream.schema(schema).parquet(path))
+        val name = s"graft_stream_windows_${streamSeq.incrementAndGet()}"
+        val sq = Streams.windowedStats(stream, evSpec, "5 minutes")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory(ckptRoot, "sw").toString)
+          .start()
+        try { sq.processAllAvailable() } finally sq.stop()
+        name
+      })
+      round6(s.table(table), "sum_value", "avg_value")
     })
   )
 

@@ -12,16 +12,7 @@ object IngestQ extends QueryPack {
   /** One temp root per JVM, removed by a shutdown hook — repeated
     * Verify/test runs no longer accumulate orphan stores in /tmp.
     */
-  private lazy val tmpRoot: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_store")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(p.toFile)))
-    p
-  }
-
-  private def deleteTree(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(deleteTree))
-    f.delete(); ()
-  }
+  private lazy val tmpRoot: java.nio.file.Path = graft.util.Tmp.root("graft_store")
 
   /** Memoized stores: each (session, sfDir, tag) is written ONCE and shared
     * by every query that reads it back — q_roundtrip / q_store_info /

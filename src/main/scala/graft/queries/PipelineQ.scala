@@ -21,14 +21,7 @@ object PipelineQ extends QueryPack {
   private val jobStores =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
-  private lazy val jobTmpRoot: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_job")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(p.toFile)))
-    p
-  }
+  private lazy val jobTmpRoot: java.nio.file.Path = graft.util.Tmp.root("graft_job")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D1/D2 + P7: the op-descriptor list interpreted onto the lineitem

@@ -50,8 +50,15 @@ class MultimodalSpec extends SparkSpec {
       .collect().head
     assert(m2.encoding == "PCM_SIGNED")
     assert(m2.sample_rate == 16000 && m2.channels == 2 && m2.n_frames == 200L)
+    // odd-length PCM: RIFF word alignment adds one pad byte after the
+    // data chunk; ckSize (and so the frame count) still equals the PCM size
+    val wavOdd = Multimodal.wavFromPcm(new Array[Byte](1601))
+    assert(wavOdd.length == 44 + 1601 + 1)
+    val mOdd = Multimodal.audioMeta(Seq((3L, wavOdd)).toDF("media_id", "content"))
+      .collect().head
+    assert(mOdd.n_frames == 1601L)
     // non-audio bytes yield no row — the pipeline stays total on mixed media
-    val bad = Seq((3L, "not audio".getBytes("UTF-8"))).toDF("media_id", "content")
+    val bad = Seq((4L, "not audio".getBytes("UTF-8"))).toDF("media_id", "content")
     assert(Multimodal.audioMeta(bad).isEmpty)
   }
 

@@ -17,6 +17,20 @@ class BloomPruneSpec extends SparkSpec {
     assert(pruned.exceptAll(exact).isEmpty && exact.exceptAll(pruned).isEmpty)
   }
 
+  test("string keys dispatch to mightContainString — no silent cast-to-null") {
+    import spark.implicits._
+    val fact = Seq(("a", 1), ("b", 2), ("c", 3), ("d", 4)).toDF("code", "v")
+    val dim = Seq("b", "d").toDF("code") // same column name on both sides
+    val kept = BloomPrune.prunedSemiJoin(fact, dim, "code", "code")
+      .select("v").as[Int].collect().sorted.toSeq
+    assert(kept == Seq(2, 4))
+    // unsupported key types fail loudly instead of pruning everything
+    val arr = Seq((Seq(1), 1)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      BloomPrune.prunedSemiJoin(arr, arr, "k", "k")
+    }
+  }
+
   test("the filter prunes most non-matching keys at the configured fpp") {
     import spark.implicits._
     val dim = spark.range(0, 1000).toDF("k")
