@@ -172,7 +172,15 @@ object Multimodal {
             val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
               new java.io.ByteArrayInputStream(bytes))
             val fmt = aff.getFormat
-            Some(AudioMeta(id, fmt.getEncoding.toString, fmt.getSampleRate.toInt,
+            // some containers (AU, streamed input) report NOT_SPECIFIED
+            // (-1) for frame length or rate — skip those rows rather than
+            // emit a negative duration, matching the "no row for bytes no
+            // installed reader accepts" contract
+            val notSpec = javax.sound.sampled.AudioSystem.NOT_SPECIFIED
+            if (aff.getFrameLength == notSpec || fmt.getSampleRate <= 0f ||
+                fmt.getSampleRate == notSpec.toFloat) None
+            else Some(AudioMeta(id, fmt.getEncoding.toString,
+              fmt.getSampleRate.toInt,
               fmt.getChannels, aff.getFrameLength.toLong,
               aff.getFrameLength.toDouble / fmt.getSampleRate.toDouble))
           } catch { case scala.util.control.NonFatal(_) => None }

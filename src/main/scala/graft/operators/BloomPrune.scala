@@ -36,14 +36,30 @@ object BloomPrune {
       factKey: String, dimKey: String,
       expectedItems: Long = 100000L, fpp: Double = 0.01
   ): DataFrame = {
-    val integralKey = fact.schema(factKey).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case StringType => false
-      case other => throw new IllegalArgumentException(
-        s"BloomPrune: unsupported key type $other for '$factKey' " +
-          "(integral and string keys only — matching dim.stat.bloomFilter)")
-    }
-    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    def keyFamily(df: DataFrame, key: String, side: String): Boolean =
+      df.schema(key).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case StringType => false
+        case other => throw new IllegalArgumentException(
+          s"BloomPrune: unsupported $side key type $other for '$key' " +
+            "(integral and string keys only — matching dim.stat.bloomFilter)")
+      }
+    val integralKey = keyFamily(fact, factKey, "fact")
+    // the dim side must hash in the SAME family: a string dim key bloom
+    // filter probed with long-hashed fact keys (or vice versa) would
+    // produce false NEGATIVES — silently dropped rows — not just noise
+    if (keyFamily(dim, dimKey, "dim") != integralKey)
+      throw new IllegalArgumentException(
+        s"BloomPrune: key type family mismatch — fact '$factKey' is " +
+          s"${fact.schema(factKey).dataType} but dim '$dimKey' is " +
+          s"${dim.schema(dimKey).dataType}; the filter would be built over " +
+          "differently-hashed values and drop matching rows")
+    // integral dim keys are widened to long so byte/short/int dims probe
+    // identically to the fact side's cast("long")
+    val dimKeyCol =
+      if (integralKey) col(dimKey).cast("long") else col(dimKey)
+    val bf = dim.select(dimKeyCol.as(dimKey)).stat
+      .bloomFilter(dimKey, expectedItems, fpp)
     val bc = fact.sparkSession.sparkContext.broadcast(bf)
     val mightContain: Column =
       if (integralKey)

@@ -21,27 +21,36 @@ object EventsQ extends QueryPack {
   /** The file-stream source lists a DIRECTORY; the driver tables are
     * single parquet files — stage each sfDir's events file into a temp
     * dir once (hard link when the filesystem allows, copy otherwise).
+    * The memo key includes the source's mtime+size so a regenerated
+    * events.parquet mid-JVM gets a fresh staging dir instead of silently
+    * replaying the old inode's data through the hard link.
     */
   private val streamDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def eventsStreamDir(dir: String): String =
-    streamDirs.getOrElseUpdate(dir, {
+  private def eventsStreamDir(dir: String): String = {
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val key = s"$src@${java.nio.file.Files.getLastModifiedTime(src).toMillis}" +
+      s":${java.nio.file.Files.size(src)}"
+    streamDirs.getOrElseUpdate(key, {
       val d = java.nio.file.Files.createTempDirectory(ckptRoot, "events_src")
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
       val dst = d.resolve("events.parquet")
       try java.nio.file.Files.createLink(dst, src)
       catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
       d.toString
     })
+  }
 
-  /** One streaming run per (session, sfDir) — repeated invocations
+  /** One streaming run per (session UUID, sfDir) — repeated invocations
     * (MetaSpec plan builds, Verify, repeated suites in one JVM) reuse the
     * first run's memory-sink table instead of launching a new streaming
-    * query and leaking another temp view + checkpoint each time.
+    * query and leaking another temp view + checkpoint each time. Keyed by
+    * `sessionUUID` (a string), not the session object, so a stopped
+    * session is GC-able — its stale entry is two small strings, and a new
+    * session gets a new UUID and therefore a fresh run.
     */
   private val streamRuns =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_event_windows" -> ((s, dir) =>
@@ -70,7 +79,7 @@ object EventsQ extends QueryPack {
     // equal the batch aggregation — the batch/stream unification contract,
     // driver-checked against the same DuckDB oracle (not just spec-pinned).
     "q_stream_windows" -> ((s, dir) => {
-      val table = streamRuns.getOrElseUpdate((s, dir), {
+      val table = streamRuns.getOrElseUpdate((graft.util.Sessions.id(s), dir), {
         val path = eventsStreamDir(dir)
         val schema = s.read.parquet(path).schema
         val stream = Tables.normalizeTs(s.readStream.schema(schema).parquet(path))

@@ -14,20 +14,21 @@ object IngestQ extends QueryPack {
     */
   private lazy val tmpRoot: java.nio.file.Path = graft.util.Tmp.root("graft_store")
 
-  /** Memoized stores: each (session, sfDir, tag) is written ONCE and shared
-    * by every query that reads it back — q_roundtrip / q_store_info /
+  /** Memoized stores: each (session UUID, sfDir, tag) is written ONCE and
+    * shared by every query that reads it back — q_roundtrip / q_store_info /
     * q_rechunk drive three read paths over two writes instead of writing a
-    * fresh store per invocation.
+    * fresh store per invocation. Keyed by `sessionUUID`, not the session
+    * object, so stopped sessions stay GC-able.
     */
   private val stores =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), String]
 
   /** S7/S8 — plan a Timeseries layout for a lineitem slice and write it.
     * Drives planner + sink through the driver gate: the read-back queries
     * below fail if the write path drops/dups rows or mangles types.
     */
   private def writeTempStore(s: SparkSession, dir: String): String =
-    stores.getOrElseUpdate((s, dir, "base"), {
+    stores.getOrElseUpdate((graft.util.Sessions.id(s), dir, "base"), {
       val li = Tables.lineitem(s, dir)
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate", "l_quantity")
       val store = java.nio.file.Files.createTempDirectory(tmpRoot, "base")
@@ -44,7 +45,7 @@ object IngestQ extends QueryPack {
     * .rechunk]] produced, not a second repartition inside writeGrid.
     */
   private def rechunkStore(s: SparkSession, dir: String): String =
-    stores.getOrElseUpdate((s, dir, "rechunk"), {
+    stores.getOrElseUpdate((graft.util.Sessions.id(s), dir, "rechunk"), {
       val src = GridSink.openStore(s, writeTempStore(s, dir))
       val layout = LayoutPlanner.plan(src.schema, LayoutPlanner.Balanced,
         cellCols = Seq("l_returnflag"), tsCol = "l_shipdate")
@@ -62,7 +63,7 @@ object IngestQ extends QueryPack {
     * [[GridSource.readTable]] and must see identical aggregates.
     */
   private def formatStore(s: SparkSession, dir: String, fmt: String): String =
-    stores.getOrElseUpdate((s, dir, fmt), {
+    stores.getOrElseUpdate((graft.util.Sessions.id(s), dir, fmt), {
       val src = Tables.lineitem(s, dir)
         .select("l_orderkey", "l_returnflag", "l_shipdate", "l_quantity")
       val path = java.nio.file.Files.createTempDirectory(tmpRoot, fmt)

@@ -14,12 +14,13 @@ object PipelineQ extends QueryPack {
 
   import TemporalQ.liSeries
 
-  /** One converted store per (session, sfDir) — q_job_convert's async
+  /** One converted store per (session UUID, sfDir) — q_job_convert's async
     * write runs once, not once per plan build (MetaSpec builds every
-    * query's plan). Root is removed on JVM exit, like IngestQ's stores.
+    * query's plan). Root is removed on JVM exit, like IngestQ's stores;
+    * the string key keeps stopped sessions GC-able.
     */
   private val jobStores =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
   private lazy val jobTmpRoot: java.nio.file.Path = graft.util.Tmp.root("graft_job")
 
@@ -114,7 +115,7 @@ object PipelineQ extends QueryPack {
     // the query returns the read-back verification aggregate, so a job
     // runner that drops rows or never runs fails the oracle.
     "q_job_convert" -> ((s, dir) => {
-      val back = GridSink.openStore(s, jobStores.getOrElseUpdate((s, dir), {
+      val back = GridSink.openStore(s, jobStores.getOrElseUpdate((graft.util.Sessions.id(s), dir), {
         import scala.concurrent.ExecutionContext.Implicits.global
         val jm = new Jobs.JobManager(s)
         val store = java.nio.file.Files.createTempDirectory(jobTmpRoot, "conv")

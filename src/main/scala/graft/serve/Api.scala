@@ -2,7 +2,7 @@ package graft.serve
 
 import graft.ingest.{BBox, GridSource}
 import graft.model.SeriesSpec
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Query-surface functions behind the REST layer (reference

@@ -17,6 +17,13 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The session's stable UUID (`private[sql]` on the classic session) —
+    * a string identity for memo maps that must not strongly hold the
+    * session object itself.
+    */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
   /** Register a function builder on a LIVE session (extensions only apply
     * at session build time; `withExtensions` is silently ignored by
     * `getOrCreate` when a session already exists).

@@ -31,6 +31,26 @@ class BloomPruneSpec extends SparkSpec {
     }
   }
 
+  test("mismatched key families are rejected — no silent false negatives") {
+    import spark.implicits._
+    val factStr = Seq(("1", 1), ("2", 2)).toDF("k", "v")
+    val dimLong = Seq(1L, 2L).toDF("k")
+    // string fact vs long dim: the filter would hash longs but be probed
+    // with strings — every row silently dropped; must throw instead
+    intercept[IllegalArgumentException] {
+      BloomPrune.prunedSemiJoin(factStr, dimLong, "k", "k")
+    }
+    intercept[IllegalArgumentException] {
+      BloomPrune.prunedSemiJoin(dimLong, factStr, "k", "k")
+    }
+    // mixed integral widths are fine: both sides widen to long
+    val factLong = Seq(1L, 2L, 3L, 4L).toDF("k")
+    val dimInt = Seq(2, 4).toDF("k")
+    val kept = BloomPrune.prunedSemiJoin(factLong, dimInt, "k", "k")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 4L))
+  }
+
   test("the filter prunes most non-matching keys at the configured fpp") {
     import spark.implicits._
     val dim = spark.range(0, 1000).toDF("k")
