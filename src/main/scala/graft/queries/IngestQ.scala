@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TimeFns
-import graft.ingest.{BBox, GridSink, GridSource, LayoutPlanner}
+import graft.ingest.{BBox, GridSink, GridSource, LayoutPlanner, ZOrder}
 import graft.model.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -70,6 +70,25 @@ object IngestQ extends QueryPack {
         .resolve("lineitem").toString
       val w = src.coalesce(4).write.format(fmt)
       (if (fmt == "csv") w.option("header", "true") else w).save(path)
+      path
+    })
+
+  /** +Z-order — the lat/lon-decorated lineitem rewritten clustered on the
+    * Morton key (range-partitioned + sorted by z ⇒ per-file disjoint
+    * spatial tiles). One write, shared by q_zorder_bbox's read-back.
+    */
+  private def zorderStore(s: SparkSession, dir: String): String =
+    stores.getOrElseUpdate((graft.util.Sessions.id(s), dir, "zorder"), {
+      val g = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"),
+          (col("l_partkey") % 180 - 89).cast("double").as("lat"),
+          TimeFns.normalizeLon(col("l_extendedprice")).as("lon"))
+      val path = java.nio.file.Files.createTempDirectory(tmpRoot, "zo")
+        .resolve("grid").toString
+      ZOrder.cluster(g, "lat", "lon", numPartitions = 8)
+        .write.option("compression", "zstd")
+        .option("maxRecordsPerFile", 20000L).parquet(path)
       path
     })
 
@@ -196,7 +215,21 @@ object IngestQ extends QueryPack {
       round6(
         GridSource.resolution(Tables.lineitem(s, dir),
           TimeFns.epochSeconds(col("l_shipdate"))),
-        "resolution"))
+        "resolution")),
+    // +Z-order — bbox aggregate over the Morton-clustered rewrite. The
+    // bbox predicate runs on lat/lon (pushed to the scan; the clustering
+    // is what makes those min-max stats selective) and the result must be
+    // byte-identical to the same bbox over the unclustered source — the
+    // layout is invisible to semantics, only the files touched change.
+    "q_zorder_bbox" -> ((s, dir) =>
+      round6(
+        GridSource.readGrid(s, zorderStore(s, dir))
+          .where(col("lat").between(-30, 30) && col("lon").between(20, 80))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 6).as("sum_qty"),
+            countDistinct(col("l_orderkey")).as("n_orders")),
+        "sum_qty"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -296,6 +329,21 @@ object IngestQ extends QueryPack {
     "q_time_resolution" ->
       """WITH c AS (SELECT DISTINCT epoch(l_shipdate) AS coord FROM lineitem)
         |SELECT round((max(coord) - min(coord)) / (count(*) - 1), 6) AS resolution
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    // the z-ordered rewrite must be semantically invisible: same bbox
+    // aggregate as over the raw table (same lat/lon derivation as
+    // q_antimeridian)
+    "q_zorder_bbox" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, l_quantity, l_orderkey,
+        |         CAST(l_partkey % 180 - 89 AS DOUBLE) AS lat,
+        |         fmod(fmod(l_extendedprice + 180, 360) + 360, 360) - 180 AS lon
+        |  FROM lineitem)
+        |SELECT l_returnflag, count(*) AS n,
+        |       round(sum(l_quantity), 6) AS sum_qty,
+        |       count(DISTINCT l_orderkey) AS n_orders
+        |FROM g
+        |WHERE lat BETWEEN -30 AND 30 AND lon BETWEEN 20 AND 80
+        |GROUP BY 1""".stripMargin
   )
 }
