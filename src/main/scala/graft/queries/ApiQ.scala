@@ -53,6 +53,21 @@ object ApiQ extends QueryPack {
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     }),
+    // Full cube: every grouping-set combination (priority × year, priority,
+    // year, grand total) in ONE pass — Spark expands the sets map-side, so
+    // it's a single shuffle, not four scans. grouping_id disambiguates a
+    // real NULL from a rolled-up cell (mirrored by GROUPING() in the
+    // oracle), which q_rollup_revenue's shape doesn't need but a catalog
+    // of pre-aggregates at 100 TB does.
+    "q_cube_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .cube(col("o_orderpriority"), year(col("o_orderdate")).as("order_year"))
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
     // C1-C3 — the serving cache in front of a real computation: the
     // second lookup MUST be a hit (the recompute thunk throws), and the
     // returned rows are the cached ones — so a stale/corrupting cache
@@ -126,6 +141,17 @@ object ApiQ extends QueryPack {
         |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY ROLLUP(1, 2)""".stripMargin,
+    // GROUPING bit order (first arg = MSB) matches Spark's grouping_id
+    "q_cube_revenue" ->
+      """WITH j AS (
+        |  SELECT o.o_orderpriority,
+        |         CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+        |         l.l_extendedprice * (1 - l.l_discount) AS rev
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT o_orderpriority, order_year,
+        |       CAST(GROUPING(o_orderpriority, order_year) AS BIGINT) AS gid,
+        |       count(*) AS n, round(sum(rev), 2) AS revenue
+        |FROM j GROUP BY CUBE(o_orderpriority, order_year)""".stripMargin,
     "q_cached_stats" ->
       """SELECT l_returnflag, count(*) AS n,
         |       round(sum(l_quantity), 6) AS sum_qty

@@ -28,15 +28,17 @@ object EventsQ extends QueryPack {
   private val streamDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def eventsStreamDir(dir: String): String = {
+  private def eventsStreamDir(dir: String, copies: Int = 1): String = {
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val key = s"$src@${java.nio.file.Files.getLastModifiedTime(src).toMillis}" +
-      s":${java.nio.file.Files.size(src)}"
+      s":${java.nio.file.Files.size(src)}:x$copies"
     streamDirs.getOrElseUpdate(key, {
       val d = java.nio.file.Files.createTempDirectory(ckptRoot, "events_src")
-      val dst = d.resolve("events.parquet")
-      try java.nio.file.Files.createLink(dst, src)
-      catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
+      (1 to copies).foreach { i =>
+        val dst = d.resolve(s"events_$i.parquet")
+        try java.nio.file.Files.createLink(dst, src)
+        catch { case _: Exception => java.nio.file.Files.copy(src, dst) }
+      }
       d.toString
     })
   }
@@ -94,6 +96,37 @@ object EventsQ extends QueryPack {
         name
       })
       round6(s.table(table), "sum_value", "avg_value")
+    }),
+    // Streaming dedup under real duplication: the source directory holds
+    // the events file TWICE, so the stream sees every event exactly twice;
+    // dropDuplicatesWithinWatermark on event_id must restore exactly-once
+    // delivery — the aggregate over the deduped sink equals the plain
+    // aggregate over the single-copy table. This is the streaming face of
+    // exact dedup (state = one entry per key inside the watermark horizon,
+    // evicted as event time advances — bounded memory at 100 TB/day rates).
+    "q_stream_dedup" -> ((s, dir) => {
+      val table = streamRuns.getOrElseUpdate(
+        (graft.util.Sessions.id(s), s"$dir#dedup"), {
+          val path = eventsStreamDir(dir, copies = 2)
+          val schema = s.read.parquet(path).schema
+          val stream = Tables.normalizeTs(s.readStream.schema(schema).parquet(path))
+          val name = s"graft_stream_dedup_${streamSeq.incrementAndGet()}"
+          val sq = Streams.dedupStream(stream, Seq("event_id"), "ts",
+              watermark = "10 minutes")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation",
+              java.nio.file.Files.createTempDirectory(ckptRoot, "sd").toString)
+            .start()
+          try { sq.processAllAvailable() } finally sq.stop()
+          name
+        })
+      round6(
+        s.table(table).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("value")).as("sum_value")),
+        "sum_value")
     })
   )
 
@@ -136,6 +169,13 @@ object EventsQ extends QueryPack {
         |       event_type, count(*) AS n,
         |       round(avg(value), 6) AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // the doubled stream deduped on event_id must equal the single-copy
+    // table's aggregate — exactly-once restored
+    "q_stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+        |       count(DISTINCT user_id) AS n_users,
+        |       round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
     // identical to q_event_windows — the streaming run must land on the
     // batch answer
     "q_stream_windows" ->

@@ -57,6 +57,20 @@ object SimQ extends QueryPack {
           Seq("id1", "id2"), "left")
         .groupBy(col("id1"))
         .agg(round(sum(coalesce(col("hit"), lit(0))) / 3.0, 6).as("recall"))
+    }),
+    // Product-quantization ANN (the compression layer: codes = m small
+    // ints, ADC lookup scoring). Same pinned-recall oracle style as
+    // q_ivf_ann: per-query recall@10 of the seeded deterministic run
+    // against in-engine exact kNN.
+    "q_pq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).where(col("vec_id") < 50)
+      val pq = Similarity.pqTopK(emb, "vec_id", "embedding",
+        k = 10, dim = 64, m = 8, codebookSize = 16)
+      val exact = Similarity.knnJoin(emb, "vec_id", "embedding", k = 10)
+      pq.join(exact.select(col("id1"), col("id2"), lit(1).as("hit")),
+          Seq("id1", "id2"), "left")
+        .groupBy(col("id1"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))) / 10.0, 6).as("recall"))
     })
   )
 
@@ -112,6 +126,23 @@ object SimQ extends QueryPack {
         "(32,0.666667),(33,1.0),(34,0.333333),(35,0.666667),(36,0.666667)," +
         "(37,1.0),(38,1.0),(39,1.0),(40,1.0),(41,1.0),(42,0.666667),(43,1.0)," +
         "(44,1.0),(45,1.0),(46,1.0),(47,1.0),(48,0.666667),(49,1.0)" +
+        ") AS t(id1, recall)"),
+    // Deterministic recall@10 of the seeded PQ quantizer (m=8 subspaces ×
+    // 16 centroids) at the sf0.01 gate — pinned from the engine's
+    // deterministic run for the same reason as q_ivf_ann (the k-means
+    // codebooks can't be replayed in SQL); the independent evidence is
+    // DedupSpec's zero-quantization-error ADC-equals-cosine proof and the
+    // recall bound vs in-engine exact kNN.
+    "q_pq_ann" ->
+      ("""SELECT CAST(id1 AS BIGINT) AS id1, CAST(recall AS DOUBLE) AS recall
+         |FROM (VALUES """.stripMargin +
+        "(0,0.6),(1,0.6),(2,0.4),(3,0.5),(4,0.6),(5,0.6),(6,0.5),(7,0.7)," +
+        "(8,0.7),(9,0.8),(10,0.7),(11,0.7),(12,0.6),(13,0.8),(14,0.8)," +
+        "(15,0.4),(16,0.9),(17,0.6),(18,0.6),(19,0.7),(20,1.0),(21,0.7)," +
+        "(22,0.7),(23,0.7),(24,0.6),(25,0.7),(26,0.8),(27,0.5),(28,0.6)," +
+        "(29,0.6),(30,0.7),(31,0.6),(32,0.7),(33,0.8),(34,0.6),(35,0.6)," +
+        "(36,0.8),(37,0.6),(38,0.7),(39,0.7),(40,0.6),(41,0.7),(42,0.6)," +
+        "(43,0.8),(44,0.7),(45,0.7),(46,0.5),(47,0.6),(48,0.8),(49,1.0)" +
         ") AS t(id1, recall)")
   )
 

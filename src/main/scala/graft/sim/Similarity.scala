@@ -156,6 +156,109 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** Per-subspace k-means codebooks for product quantization: the
+    * embedding is split into `m` contiguous subvectors and each subspace
+    * gets its own `codebookSize`-centroid quantizer (seeded → fits are
+    * deterministic). Returned as plain Scala arrays — small enough
+    * (m·k·dim/m doubles) to inline as literals into every executor's
+    * codegen, no broadcast variable needed.
+    *
+    * Vectors are L2-normalized before fitting so inner product ≡ cosine
+    * downstream. At 100 TB the fit runs on a sample; the codebook cost is
+    * independent of corpus size.
+    */
+  def pqCodebooks(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      codebookSize: Int,
+      seed: Long = 42L
+  ): Seq[Seq[Seq[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sub = dim / m
+    val u = df.select(l2normalize(asDouble(col(vecCol))).as("u"))
+    (0 until m).map { j =>
+      val sv = u.select(array_to_vector(slice(col("u"), j * sub + 1, sub)).as("features"))
+      new KMeans().setK(codebookSize).setSeed(seed + j).setMaxIter(10).fit(sv)
+        .clusterCenters.map(_.toArray.toSeq).toSeq
+    }
+  }
+
+  private def l2normalize(vec: Column): Column = {
+    val n = sqrt(aggregate(transform(vec, x => x * x), lit(0.0), _ + _))
+    when(n === 0.0, vec).otherwise(transform(vec, _ / n))
+  }
+
+  private def dot(a: Column, b: Seq[Double]): Column =
+    aggregate(zip_with(a, typedLit(b), (x, y) => x * y), lit(0.0), _ + _)
+
+  /** PQ encoding: `codes[j] = argmin_c ‖u_j − codebook[j][c]‖²` — the
+    * embedding compressed to m small ints (4–8 bits each), a 32–64×
+    * reduction of what a similarity scan has to read. Pure Column
+    * arithmetic over inlined centroids: codegen'd, scan-local, no UDF.
+    */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val m = codebooks.size
+    val sub = codebooks.head.head.size
+    val u = l2normalize(vec)
+    array((0 until m).map { j =>
+      val uj = slice(u, j * sub + 1, sub)
+      val dists = array(codebooks(j).map { c =>
+        aggregate(zip_with(uj, typedLit(c), (x, y) => (x - y) * (x - y)),
+          lit(0.0), _ + _)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** Product-quantization ANN (asymmetric distance computation): the
+    * corpus is stored as PQ codes; each query builds one lookup table per
+    * subspace (`lut[j][c] = ⟨q_j, codebook[j][c]⟩`) and a candidate's
+    * approximate cosine is `Σ_j lut[j][codes[j]]` — m array lookups per
+    * pair instead of a dim-wide dot product.
+    *
+    * PQ is the COMPRESSION layer of ANN, not the pruning layer: every
+    * code is still scanned per query, but the scan reads m bytes/vector
+    * instead of 4·dim and the score is m adds. Compose with [[ivfTopK]]
+    * (probe cells first, ADC inside probed cells) for the classic IVF-PQ
+    * at corpus scale. The query side is broadcast — the big side (codes)
+    * never shuffles.
+    */
+  def pqTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      m: Int = 8,
+      codebookSize: Int = 16,
+      seed: Long = 42L
+  ): DataFrame = {
+    val books = pqCodebooks(df, vecCol, dim, m, codebookSize, seed)
+    val sub = dim / m
+    val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+    val encoded = v.select(col(idCol).as("cid"),
+      pqEncode(col("v"), books).as("codes"))
+    val luts = array((0 until m).map { j =>
+      val qj = slice(col("u"), j * sub + 1, sub)
+      array(books(j).map(c => dot(qj, c)): _*)
+    }: _*)
+    val queries = v.select(col(idCol).as("qid"), l2normalize(col("v")).as("u"))
+      .select(col("qid"), luts.as("luts"))
+    val scored = encoded.crossJoin(broadcast(queries))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("score",
+        aggregate(zip_with(col("luts"), col("codes"),
+          (l, c) => element_at(l, c + 1)), lit(0.0), _ + _))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid").as("id1"), col("cid").as("id2"),
+        col("score"), col("rank"))
+  }
+
   /** ANN top-k via LSH: bucket on signature bands, rank within buckets.
     * Recall < 1 by construction; `bands` trades recall vs. bucket size.
     */

@@ -213,6 +213,46 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(c - 0.5) < 1e-12) // 1/(√2·√2)
   }
 
+  test("PQ ADC equals exact cosine at zero quantization error, ranks by it") {
+    import spark.implicits._
+    // 2 subspaces × ≤4 distinct subvectors each, codebookSize 4 ⇒ k-means
+    // centers ARE the subvectors ⇒ ADC reconstructs the exact inner
+    // product of the normalized vectors
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 1.0)),
+      (1L, Seq(1.0, 0.0, 1.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 1.0)),
+      (3L, Seq(0.0, 1.0, 1.0, 0.0)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val pq = Similarity.pqTopK(df, "vec_id", "embedding", k = 3,
+        dim = 4, m = 2, codebookSize = 4)
+      .select(col("id1"), col("id2"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val unit = vecs.map { case (id, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum); id -> v.map(_ / n)
+    }.toMap
+    for (((a, b), s) <- pq) {
+      val exact = unit(a).zip(unit(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(s - exact) < 1e-9, s"ADC($a,$b)=$s exact=$exact")
+    }
+  }
+
+  test("PQ codes are valid and recall@10 holds against exact kNN") {
+    val sample = emb.where(col("vec_id") < 100)
+    val books = Similarity.pqCodebooks(sample, "embedding", 64, 8, 16)
+    val codes = sample
+      .select(explode(Similarity.pqEncode(
+        transform(col("embedding"), _.cast("double")), books)).as("c"))
+      .agg(min(col("c")), max(col("c"))).head()
+    assert(codes.getInt(0) >= 0 && codes.getInt(1) < 16, s"code range $codes")
+    val exact = Similarity.knnJoin(sample, "vec_id", "embedding", 10)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(sample, "vec_id", "embedding", 10, dim = 64)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall@10 too low: $recall")
+  }
+
   test("IVF ANN achieves high recall@3 against exact kNN") {
     val sample = emb.where(col("vec_id") < 100)
     val exact = Similarity.knnJoin(sample, "vec_id", "embedding", 3)
