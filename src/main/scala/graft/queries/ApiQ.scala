@@ -68,6 +68,21 @@ object ApiQ extends QueryPack {
           count(lit(1)).as("n"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     }),
+    // Incremental aggregate maintenance: the data arrives as three
+    // "ingest batches" (disjoint year slices), each reduced to its
+    // algebraic partial state; the merged states must equal the direct
+    // aggregate over the whole table — recompute-free stats at 100 TB.
+    "q_incremental_stats" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val batches = Seq(
+        li.where(year(col("l_shipdate")) <= 1996),
+        li.where(year(col("l_shipdate")) === 1997),
+        li.where(year(col("l_shipdate")) >= 1998))
+      val states = batches.map(b =>
+        graft.operators.Incremental.partialState(b, Seq("l_returnflag"), "l_quantity"))
+      round6(graft.operators.Incremental.merge(states, Seq("l_returnflag")),
+        "mean", "std")
+    }),
     // C1-C3 — the serving cache in front of a real computation: the
     // second lookup MUST be a hit (the recompute thunk throws), and the
     // returned rows are the cached ones — so a stale/corrupting cache
@@ -155,6 +170,13 @@ object ApiQ extends QueryPack {
     "q_cached_stats" ->
       """SELECT l_returnflag, count(*) AS n,
         |       round(sum(l_quantity), 6) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // merged batch states must equal the direct whole-table aggregate
+    "q_incremental_stats" ->
+      """SELECT l_returnflag, count(l_quantity) AS n,
+        |       round(avg(l_quantity), 6) AS mean,
+        |       round(stddev_pop(l_quantity), 6) AS std,
+        |       min(l_quantity) AS min, max(l_quantity) AS max
         |FROM lineitem GROUP BY 1""".stripMargin
   )
 }

@@ -71,6 +71,18 @@ object SimQ extends QueryPack {
           Seq("id1", "id2"), "left")
         .groupBy(col("id1"))
         .agg(round(sum(coalesce(col("hit"), lit(0))) / 10.0, 6).as("recall"))
+    }),
+    // IVF-PQ composition: coarse cells prune candidates, ADC scores them
+    // — both scale dials engaged; recall@10 pinned as above.
+    "q_ivfpq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).where(col("vec_id") < 50)
+      val ivfpq = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        k = 10, dim = 64, nlist = 8, nprobe = 4, m = 8, codebookSize = 16)
+      val exact = Similarity.knnJoin(emb, "vec_id", "embedding", k = 10)
+      ivfpq.join(exact.select(col("id1"), col("id2"), lit(1).as("hit")),
+          Seq("id1", "id2"), "left")
+        .groupBy(col("id1"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))) / 10.0, 6).as("recall"))
     })
   )
 
@@ -143,6 +155,18 @@ object SimQ extends QueryPack {
         "(29,0.6),(30,0.7),(31,0.6),(32,0.7),(33,0.8),(34,0.6),(35,0.6)," +
         "(36,0.8),(37,0.6),(38,0.7),(39,0.7),(40,0.6),(41,0.7),(42,0.6)," +
         "(43,0.8),(44,0.7),(45,0.7),(46,0.5),(47,0.6),(48,0.8),(49,1.0)" +
+        ") AS t(id1, recall)"),
+    // same pinned style for the IVF-PQ composition (cells + codes)
+    "q_ivfpq_ann" ->
+      ("""SELECT CAST(id1 AS BIGINT) AS id1, CAST(recall AS DOUBLE) AS recall
+         |FROM (VALUES """.stripMargin +
+        "(0,0.6),(1,0.7),(2,0.6),(3,0.6),(4,0.7),(5,0.6),(6,0.5),(7,0.6)," +
+        "(8,0.5),(9,0.7),(10,0.7),(11,0.7),(12,0.7),(13,0.5),(14,0.8)," +
+        "(15,0.5),(16,0.7),(17,0.6),(18,0.7),(19,0.6),(20,0.8),(21,0.6)," +
+        "(22,0.5),(23,0.8),(24,0.7),(25,0.5),(26,0.7),(27,0.6),(28,0.6)," +
+        "(29,0.6),(30,0.7),(31,0.6),(32,0.7),(33,0.8),(34,0.6),(35,0.5)," +
+        "(36,0.7),(37,0.6),(38,0.7),(39,0.6),(40,0.6),(41,0.7),(42,0.5)," +
+        "(43,0.9),(44,0.7),(45,0.8),(46,0.3),(47,0.6),(48,0.6),(49,0.9)" +
         ") AS t(id1, recall)")
   )
 

@@ -259,6 +259,65 @@ object Similarity {
         col("score"), col("rank"))
   }
 
+  /** IVF-PQ: the classic composition — the coarse quantizer prunes the
+    * candidate set to `nprobe` cells ([[ivfTopK]]'s shape) and PQ codes
+    * score the survivors by ADC lookups ([[pqTopK]]'s shape). Per query:
+    * `(n/nlist)·nprobe` candidates × m byte lookups — both the IO and
+    * the compute dial at once, which is what a billion-vector corpus
+    * needs. Codes are built on raw vectors (not residuals) — simpler,
+    * costs some precision vs FAISS's residual PQ; the recall dial is
+    * `nprobe` and `m` as usual.
+    */
+  def ivfPqTopK(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      codebookSize: Int = 16,
+      seed: Long = 42L
+  ): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sub = dim / m
+    val books = pqCodebooks(df, vecCol, dim, m, codebookSize, seed)
+    val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(v)
+    // corpus side: one cell id + m-byte code vector per row — the only
+    // thing the candidate scan ever reads
+    val assigned = model.transform(v)
+      .select(col(idCol).as("cid"), pqEncode(col("v"), books).as("codes"),
+        col("prediction").as("cell"))
+    val centDf = model.clusterCenters.map(_.toArray.toSeq).zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
+    val luts = array((0 until m).map { j =>
+      val qj = slice(col("u"), j * sub + 1, sub)
+      array(books(j).map(c => dot(qj, c)): _*)
+    }: _*)
+    val probes = v.select(col(idCol).as("qid"), l2normalize(col("v")).as("u"))
+      .crossJoin(broadcast(
+        df.sparkSession.createDataFrame(centDf).toDF("cell", "cv")))
+      .withColumn("sim", graft.dedup.Dedup.cosine(col("u"), col("cv")))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cell"))))
+      .where(col("r") <= nprobe)
+      .select(col("qid"), luts.as("luts"), col("cell"))
+    // each corpus vector lives in exactly one cell — no pair duplication
+    val scored = probes.join(assigned, Seq("cell"))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("score",
+        aggregate(zip_with(col("luts"), col("codes"),
+          (l, c) => element_at(l, c + 1)), lit(0.0), _ + _))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid").as("id1"), col("cid").as("id2"),
+        col("score"), col("rank"))
+  }
+
   /** ANN top-k via LSH: bucket on signature bands, rank within buckets.
     * Recall < 1 by construction; `bands` trades recall vs. bucket size.
     */

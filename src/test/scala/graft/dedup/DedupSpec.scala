@@ -253,6 +253,19 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ recall@10 too low: $recall")
   }
 
+  test("IVF-PQ composition keeps usable recall@10 against exact kNN") {
+    val sample = emb.where(col("vec_id") < 100)
+    val exact = Similarity.knnJoin(sample, "vec_id", "embedding", 10)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.ivfPqTopK(sample, "vec_id", "embedding", 10,
+        dim = 64, nlist = 8, nprobe = 4)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivfpq).size.toDouble / exact.size
+    // both dials engaged (cell pruning AND code quantization) — recall
+    // sits below either alone but must stay usable
+    assert(recall >= 0.4, s"IVF-PQ recall@10 too low: $recall")
+  }
+
   test("IVF ANN achieves high recall@3 against exact kNN") {
     val sample = emb.where(col("vec_id") < 100)
     val exact = Similarity.knnJoin(sample, "vec_id", "embedding", 3)
