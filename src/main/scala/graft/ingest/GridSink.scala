@@ -62,6 +62,30 @@ object GridSink {
     w.format("parquet").saveAsTable(table)
   }
 
+  /** Small-files compaction: rewrite a store into ≈`targetFileMB` files
+    * computed from its MEASURED on-disk bytes. Streaming ingest, frequent
+    * partitioned appends, and over-parallel writes accumulate files far
+    * below the row-group sweet spot, and at 100 TB scan cost becomes
+    * per-file overhead (open + footer + seek) instead of bytes; periodic
+    * compaction is the housekeeping op every large store needs. Sorting
+    * columns are preserved per-file when given so min/max skipping
+    * survives the rewrite. Returns the compacted store's info.
+    */
+  def compact(spark: SparkSession, src: String, dest: String,
+              targetFileMB: Int = 128,
+              sortCols: Seq[String] = Nil): StoreInfo = {
+    val info = storeInfo(spark, src)
+    val target = LayoutPlanner.clampTargetMB(targetFileMB) * 1024L * 1024L
+    val nFiles = math.max(1L, (info.totalBytes + target - 1) / target).toInt
+    val df = openStore(spark, src)
+    val rep =
+      if (sortCols.isEmpty) df.repartition(nFiles)
+      else df.repartitionByRange(nFiles, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    rep.write.mode(SaveMode.Overwrite).option("compression", "zstd").parquet(dest)
+    storeInfo(spark, dest)
+  }
+
   /** S11 — open a store (parquet footers are the consolidated metadata). */
   def openStore(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -46,4 +46,30 @@ object Salting {
         max(col("_max")).as("max_value"))
       .withColumn("avg_value", col("sum_value") / col("n"))
   }
+
+  /** Skew-safe inner equi-join: the fact side is salted deterministically
+    * and the build side replicated once per salt bucket, so a hot join
+    * key spreads over `saltBuckets` reducers instead of pinning one
+    * straggler. Row-for-row identical to the plain join (every fact row
+    * meets every matching build row in exactly one (key, salt) bucket).
+    *
+    * For when the build side is too big to broadcast (which would dodge
+    * skew entirely) but can afford k× replication — the middle regime
+    * between broadcast-hash and AQE's skewedJoin split. Build-side rows
+    * must be unique per key-match semantics the caller intends; the
+    * replication factor multiplies build-side shuffle volume only.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      build: DataFrame,
+      key: String,
+      tieBreaker: String,
+      saltBuckets: Int = 16
+  ): DataFrame = {
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    val saltedFact = fact.withColumn("_salt", salt(col(tieBreaker), saltBuckets))
+    val replicated = build.withColumn("_salt",
+      explode(array((0 until saltBuckets).map(lit(_)): _*)))
+    saltedFact.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
 }

@@ -92,6 +92,28 @@ object IngestQ extends QueryPack {
       path
     })
 
+  /** +compaction — a deliberately fragmented store (64 tiny files) and
+    * its compacted rewrite, shared by q_compact.
+    */
+  private def fragStore(s: SparkSession, dir: String): String =
+    stores.getOrElseUpdate((graft.util.Sessions.id(s), dir, "frag"), {
+      val li = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_returnflag", "l_shipdate", "l_quantity")
+      val path = java.nio.file.Files.createTempDirectory(tmpRoot, "frag")
+        .resolve("lineitem").toString
+      li.repartition(64).write.parquet(path)
+      path
+    })
+
+  private def compactedStore(s: SparkSession, dir: String): String =
+    stores.getOrElseUpdate((graft.util.Sessions.id(s), dir, "compacted"), {
+      val dest = java.nio.file.Files.createTempDirectory(tmpRoot, "cmp")
+        .resolve("lineitem").toString
+      GridSink.compact(s, fragStore(s, dir), dest, targetFileMB = 16,
+        sortCols = Seq("l_shipdate"))
+      dest
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S2/P1/P2 — projection + time-range + value predicate, all pushed to
     // the parquet scan.
@@ -216,6 +238,22 @@ object IngestQ extends QueryPack {
         GridSource.resolution(Tables.lineitem(s, dir),
           TimeFns.epochSeconds(col("l_shipdate"))),
         "resolution")),
+    // +compaction — the 64-file fragmented store compacted to the byte
+    // target: fewer files, identical rows. The aggregate runs over the
+    // COMPACTED store; the booleans assert the file count dropped and no
+    // row was lost/duplicated.
+    "q_compact" -> ((s, dir) => {
+      val before = GridSink.storeInfo(s, fragStore(s, dir))
+      val after = GridSink.storeInfo(s, compactedStore(s, dir))
+      round6(
+        GridSink.openStore(s, compactedStore(s, dir))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 6).as("sum_qty"))
+          .withColumn("fewer_files", lit(after.nFiles < before.nFiles))
+          .withColumn("rows_kept", lit(after.nRows == before.nRows)),
+        "sum_qty")
+    }),
     // +Z-order — bbox aggregate over the Morton-clustered rewrite. The
     // bbox predicate runs on lat/lon (pushed to the scan; the clustering
     // is what makes those min-max stats selective) and the result must be
@@ -330,6 +368,13 @@ object IngestQ extends QueryPack {
       """WITH c AS (SELECT DISTINCT epoch(l_shipdate) AS coord FROM lineitem)
         |SELECT round((max(coord) - min(coord)) / (count(*) - 1), 6) AS resolution
         |FROM c""".stripMargin,
+    // compaction is lossless: aggregate over the compacted store equals
+    // the raw table; the structural booleans are mirrored as literals
+    "q_compact" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       round(sum(l_quantity), 6) AS sum_qty,
+        |       true AS fewer_files, true AS rows_kept
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // the z-ordered rewrite must be semantically invisible: same bbox
     // aggregate as over the raw table (same lat/lon derivation as
     // q_antimeridian)

@@ -102,6 +102,21 @@ object JoinQ extends QueryPack {
           keys = Seq("l_returnflag"), valueCol = "l_quantity",
           tieBreaker = "l_orderkey", saltBuckets = 16),
         "sum_value", "avg_value")),
+    // Salted JOIN: the fact side salted on a high-cardinality column, the
+    // build side replicated per salt bucket — a hot orderkey spreads over
+    // 8 reducers. Must be row-identical to the plain join (checked via
+    // the aggregate the oracle recomputes directly).
+    "q_salted_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Salting.saltedJoin(li, o, key = "l_orderkey",
+          tieBreaker = "l_partkey", saltBuckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+    }),
     // Running cumulative sum per customer over order dates.
     "q_running_total" -> ((s, dir) => {
       val o = Tables.orders(s, dir).where(col("o_custkey") % 50 === 0)
@@ -171,6 +186,12 @@ object JoinQ extends QueryPack {
         |       max(l_quantity) AS max_value,
         |       round(sum(l_quantity) / count(l_quantity), 6) AS avg_value
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // the salted join must reproduce the plain join exactly (money to cents)
+    "q_salted_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
     "q_running_total" ->
       """SELECT o_orderkey, o_custkey,
         |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey

@@ -57,6 +57,34 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size == 1)
   }
 
+  test("z-ordered store: bbox predicates reach the parquet scan") {
+    val g = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        (col("l_partkey") % 180 - 89).cast("double").as("lat"),
+        graft.functions.TimeFns.normalizeLon(col("l_extendedprice")).as("lon"))
+    val path = tmpDir() + "/zplan"
+    graft.ingest.ZOrder.cluster(g, "lat", "lon", numPartitions = 2)
+      .write.parquet(path)
+    val p = plan(spark.read.parquet(path)
+      .where(col("lat").between(-30, 30) && col("lon").between(20, 80)))
+    // the clustering only pays off if the lat/lon min-max predicates are
+    // pushed to the scan, where row-group stats can skip
+    assert(p.contains("PushedFilters") && p.contains("lat") && p.contains("lon"),
+      s"bbox must push down:\n$p")
+  }
+
+  test("PQ ANN broadcasts the query side; codes never shuffle before scoring") {
+    val emb = Tables.embeddings(spark, sfDir).where(col("vec_id") < 20)
+    val pq = graft.sim.Similarity.pqTopK(emb, "vec_id", "embedding",
+      k = 3, dim = 64, m = 4, codebookSize = 8)
+    val p = plan(pq)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query LUTs must broadcast over the code scan:\n$p")
+    // the only shuffle is the per-query ranking window
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the rank window's shuffle:\n$p")
+  }
+
   test("bucketed tables join without a shuffle") {
     import graft.ingest.GridSink
     // clean both the metastore entries and any orphaned warehouse dirs

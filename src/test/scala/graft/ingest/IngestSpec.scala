@@ -81,6 +81,23 @@ class IngestSpec extends SparkSpec {
     assert(info.nRows == 10 && info.nFiles > 0 && info.totalBytes > 0)
   }
 
+  test("compaction merges small files losslessly and keeps sort order") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_shipdate", "l_quantity")
+    val frag = tmpDir() + "/frag"
+    li.repartition(32).write.parquet(frag)
+    val before = GridSink.storeInfo(spark, frag)
+    assert(before.nFiles >= 32)
+    val dest = tmpDir() + "/compacted"
+    val after = GridSink.compact(spark, frag, dest, targetFileMB = 16,
+      sortCols = Seq("l_shipdate"))
+    assert(after.nFiles < before.nFiles, s"${after.nFiles} vs ${before.nFiles}")
+    assert(after.nRows == before.nRows)
+    val a = li.agg(sum("l_quantity")).head.getDouble(0)
+    val b = GridSink.openStore(spark, dest).agg(sum("l_quantity")).head.getDouble(0)
+    assert(math.abs(a - b) / math.abs(a) < 1e-12)
+  }
+
   test("codec choices roundtrip (S9: zstd, lz4, gzip)") {
     val li = Tables.lineitem(spark, sfDir).limit(500)
     Seq("zstd", "lz4", "gzip").foreach { codec =>
