@@ -140,6 +140,18 @@ object DataGen {
   /** Benchmark-scale generator (`benchmark_suite.py:269-327`): named sizes
     * small/medium/large with 3 float variables.
     */
+  /** Synthetic embedding corpus for the ANN scale probe: dim hash-derived
+    * floats in [-1, 1) per vector — deterministic (no RNG state), fully
+    * generated in-flight like [[corpus]], uniform over the hypersphere-ish
+    * enough to exercise the ANN plans' cost shape.
+    */
+  def vectors(spark: SparkSession, n: Long, dim: Int, seed: Long = 42L): DataFrame =
+    spark.range(n).toDF("vec_id")
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => pmod(xxhash64(col("vec_id"), j, lit(seed)), lit(1000000L))
+            .cast("double") / 500000.0 - 1.0))
+
   def benchGrid(spark: SparkSession, size: String, seed: Long = 42L): DataFrame = {
     val (t, la, lo) = size match {
       case "small" => (100, 90, 180)

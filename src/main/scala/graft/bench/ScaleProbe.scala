@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * that the plans hold well past the driver test scale; results recorded
   * in SCALE.md. Run manually, not part of the driver contract.
   *
-  * Usage: runMain graft.bench.ScaleProbe [small|medium|large] [grid|corpus|all]
+  * Usage: runMain graft.bench.ScaleProbe [small|medium|large] [grid|corpus|ann|all]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -86,6 +86,35 @@ object ScaleProbe {
         n = 3, numHashes = 64, bands = 32, threshold = 0.5,
         cacheGramSets = true))
       run("simhash_pairs", Dedup.simhashPairs(docs, "id", "text", maxHamming = 3))
+    }
+
+    if (what == "ann" || what == "all") {
+      val n = size match {
+        case "small" => 20000L
+        case "medium" => 100000L
+        case "large" => 400000L
+        case other => throw new IllegalArgumentException(s"Unknown size: $other")
+      }
+      val emb = DataGen.vectors(spark, n, 64)
+      println(s"$size ann_vectors=${emb.count()}")
+      val qs = emb.where(col("vec_id") < 100)
+      // exact baseline: 100 broadcast queries × full corpus × dim mults
+      run("knn_exact_100q",
+        graft.sim.Similarity.knnForQueries(emb, qs, "vec_id", "embedding", 10))
+      // codebook training: bounded sample, corpus-size independent
+      var books: Seq[Seq[Seq[Double]]] = null
+      time("pq_fit_10k_sample") {
+        books = graft.sim.Similarity.pqCodebooks(emb, "embedding", 64, 8, 16)
+      }
+      // PQ scan: encode full corpus + ADC-score 100 queries × n codes
+      run("pq_topk_100q",
+        graft.sim.Similarity.pqTopK(emb, "vec_id", "embedding", 10,
+          dim = 64, queries = Some(qs), codebooks = Some(books)))
+      // IVF-PQ: encode + cell pruning; candidates ≈ n/nlist·nprobe
+      run("ivfpq_topk_100q",
+        graft.sim.Similarity.ivfPqTopK(emb, "vec_id", "embedding", 10,
+          dim = 64, nlist = 64, nprobe = 8, queries = Some(qs),
+          codebooks = Some(books)))
     }
     spark.stop()
   }

@@ -372,6 +372,149 @@ object Expressions {
       copy(child = newChild)
   }
 
+  /** Product-quantization encoder in one fused pass: L2-normalize the
+    * vector, then per subspace pick the nearest codebook centroid —
+    * `m·k·(dim/m)` multiplies per row with zero intermediate arrays. The
+    * composed `transform`/`zip_with`/`aggregate` form this replaces is
+    * interpreted (higher-order functions don't codegen) and re-evaluated
+    * the normalize subtree per centroid — ~100× slower at corpus scale.
+    * Arithmetic is bit-identical to the composed form (division by the
+    * norm, left-to-right sums, first-wins argmin), so results and the
+    * pinned oracles are unchanged.
+    */
+  case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
+      extends UnaryExpression with ExpectsInputTypes {
+    require(books.nonEmpty && books.head.nonEmpty && books.head.head.nonEmpty,
+      "codebooks must be m × k × sub, all non-empty")
+
+    private val m = books.size
+    private val k = books.head.size
+    private val sub = books.head.head.size
+
+    override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_pq_encode"
+
+    // flattened [(j*k + c)*sub + t] for branch-free indexed access
+    @transient private lazy val flat: Array[Double] =
+      books.flatten.flatten.toArray
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val dim = m * sub
+      var ss = 0.0
+      var i = 0
+      while (i < dim) { val x = v.getDouble(i); ss += x * x; i += 1 }
+      val nrm = math.sqrt(ss)
+      val codes = new Array[Int](m)
+      var j = 0
+      while (j < m) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val base = (j * k + c) * sub
+          var d = 0.0; var t = 0
+          while (t < sub) {
+            val u = if (nrm == 0.0) v.getDouble(j * sub + t)
+                    else v.getDouble(j * sub + t) / nrm
+            val x = u - flat(base + t)
+            d += x * x; t += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        codes(j) = best
+        j += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(codes)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val fRef = ctx.addReferenceObj("pqBooks", flat, "double[]")
+        val ss = ctx.freshName("ss"); val nrm = ctx.freshName("nrm")
+        val codes = ctx.freshName("codes"); val i = ctx.freshName("i")
+        val j = ctx.freshName("j"); val c = ctx.freshName("c")
+        val t = ctx.freshName("t"); val d = ctx.freshName("d")
+        val u = ctx.freshName("u"); val x = ctx.freshName("x")
+        val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+        val base = ctx.freshName("base")
+        s"""
+           |double $ss = 0.0;
+           |for (int $i = 0; $i < ${m * sub}; $i++) {
+           |  double v = $v.getDouble($i); $ss += v * v;
+           |}
+           |double $nrm = java.lang.Math.sqrt($ss);
+           |int[] $codes = new int[$m];
+           |for (int $j = 0; $j < $m; $j++) {
+           |  int $best = 0; double $bestD = Double.MAX_VALUE;
+           |  for (int $c = 0; $c < $k; $c++) {
+           |    int $base = ($j * $k + $c) * $sub;
+           |    double $d = 0.0;
+           |    for (int $t = 0; $t < $sub; $t++) {
+           |      double $u = $nrm == 0.0 ? $v.getDouble($j * $sub + $t)
+           |                              : $v.getDouble($j * $sub + $t) / $nrm;
+           |      double $x = $u - $fRef[$base + $t];
+           |      $d += $x * $x;
+           |    }
+           |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+           |  }
+           |  $codes[$j] = $best;
+           |}
+           |${ev.value} =
+           |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): PqEncode =
+      copy(child = newChild)
+  }
+
+  /** ADC lookup score: `Σ_j luts[j][codes[j]]` — the per-candidate cost of
+    * a PQ similarity scan, fused so the hot cross-join pair loop does m
+    * array reads and adds instead of interpreted zip_with/aggregate
+    * allocations. Left-to-right sum, identical to the composed form.
+    */
+  case class PqAdc(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[Bridge.AbstractType] =
+      Seq(ArrayType(ArrayType(DoubleType)), ArrayType(IntegerType))
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_pq_adc"
+
+    override def nullSafeEval(lutsAny: Any, codesAny: Any): Any = {
+      val luts = lutsAny.asInstanceOf[ArrayData]
+      val codes = codesAny.asInstanceOf[ArrayData]
+      val m = math.min(luts.numElements(), codes.numElements())
+      var s = 0.0
+      var j = 0
+      while (j < m) {
+        s += luts.getArray(j).getDouble(codes.getInt(j))
+        j += 1
+      }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (l, c) => {
+        val j = ctx.freshName("j"); val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($l.numElements(), $c.numElements());
+           |double $s = 0.0;
+           |for (int $j = 0; $j < $n; $j++) {
+           |  $s += $l.getArray($j).getDouble($c.getInt($j));
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): PqAdc =
+      copy(left = newLeft, right = newRight)
+  }
+
   // ---- Column wrappers (the library-facing surface)
 
   def cosine_similarity(a: Column, b: Column): Column =
@@ -392,4 +535,10 @@ object Expressions {
 
   def text_gram_hashes(text: Column, n: Int): Column =
     Bridge.column(TextGramHashes(Bridge.expression(text), n))
+
+  def pq_encode(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    Bridge.column(PqEncode(Bridge.expression(vec), books))
+
+  def pq_adc(luts: Column, codes: Column): Column =
+    Bridge.column(PqAdc(Bridge.expression(luts), Bridge.expression(codes)))
 }

@@ -148,25 +148,25 @@ object SimQ extends QueryPack {
     "q_pq_ann" ->
       ("""SELECT CAST(id1 AS BIGINT) AS id1, CAST(recall AS DOUBLE) AS recall
          |FROM (VALUES """.stripMargin +
-        "(0,0.6),(1,0.6),(2,0.4),(3,0.5),(4,0.6),(5,0.6),(6,0.5),(7,0.7)," +
-        "(8,0.7),(9,0.8),(10,0.7),(11,0.7),(12,0.6),(13,0.8),(14,0.8)," +
-        "(15,0.4),(16,0.9),(17,0.6),(18,0.6),(19,0.7),(20,1.0),(21,0.7)," +
-        "(22,0.7),(23,0.7),(24,0.6),(25,0.7),(26,0.8),(27,0.5),(28,0.6)," +
-        "(29,0.6),(30,0.7),(31,0.6),(32,0.7),(33,0.8),(34,0.6),(35,0.6)," +
-        "(36,0.8),(37,0.6),(38,0.7),(39,0.7),(40,0.6),(41,0.7),(42,0.6)," +
-        "(43,0.8),(44,0.7),(45,0.7),(46,0.5),(47,0.6),(48,0.8),(49,1.0)" +
+        "(0,0.7),(1,0.5),(2,0.5),(3,0.5),(4,0.6),(5,0.7),(6,0.6),(7,0.6)," +
+        "(8,0.5),(9,0.7),(10,0.8),(11,0.6),(12,0.5),(13,0.7),(14,0.7)," +
+        "(15,0.5),(16,0.6),(17,0.5),(18,0.5),(19,0.6),(20,0.7),(21,0.7)," +
+        "(22,0.5),(23,0.6),(24,0.5),(25,0.7),(26,0.8),(27,0.5),(28,0.5)," +
+        "(29,0.7),(30,0.7),(31,0.6),(32,0.6),(33,0.9),(34,0.7),(35,0.6)," +
+        "(36,0.7),(37,0.5),(38,0.8),(39,0.7),(40,0.4),(41,0.4),(42,0.7)," +
+        "(43,0.8),(44,0.7),(45,0.7),(46,0.5),(47,0.7),(48,0.8),(49,0.8)" +
         ") AS t(id1, recall)"),
     // same pinned style for the IVF-PQ composition (cells + codes)
     "q_ivfpq_ann" ->
       ("""SELECT CAST(id1 AS BIGINT) AS id1, CAST(recall AS DOUBLE) AS recall
          |FROM (VALUES """.stripMargin +
-        "(0,0.6),(1,0.7),(2,0.6),(3,0.6),(4,0.7),(5,0.6),(6,0.5),(7,0.6)," +
-        "(8,0.5),(9,0.7),(10,0.7),(11,0.7),(12,0.7),(13,0.5),(14,0.8)," +
-        "(15,0.5),(16,0.7),(17,0.6),(18,0.7),(19,0.6),(20,0.8),(21,0.6)," +
-        "(22,0.5),(23,0.8),(24,0.7),(25,0.5),(26,0.7),(27,0.6),(28,0.6)," +
-        "(29,0.6),(30,0.7),(31,0.6),(32,0.7),(33,0.8),(34,0.6),(35,0.5)," +
-        "(36,0.7),(37,0.6),(38,0.7),(39,0.6),(40,0.6),(41,0.7),(42,0.5)," +
-        "(43,0.9),(44,0.7),(45,0.8),(46,0.3),(47,0.6),(48,0.6),(49,0.9)" +
+        "(0,0.7),(1,0.6),(2,0.6),(3,0.6),(4,0.6),(5,0.7),(6,0.6),(7,0.6)," +
+        "(8,0.5),(9,0.6),(10,0.8),(11,0.7),(12,0.5),(13,0.5),(14,0.7)," +
+        "(15,0.6),(16,0.7),(17,0.5),(18,0.6),(19,0.7),(20,0.8),(21,0.7)," +
+        "(22,0.4),(23,0.6),(24,0.6),(25,0.6),(26,0.7),(27,0.5),(28,0.5)," +
+        "(29,0.5),(30,0.7),(31,0.6),(32,0.7),(33,0.9),(34,0.6),(35,0.6)," +
+        "(36,0.5),(37,0.6),(38,0.7),(39,0.6),(40,0.5),(41,0.7),(42,0.7)," +
+        "(43,0.7),(44,0.8),(45,0.8),(46,0.5),(47,0.6),(48,0.7),(49,0.8)" +
         ") AS t(id1, recall)")
   )
 

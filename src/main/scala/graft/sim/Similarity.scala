@@ -156,16 +156,40 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** Exact cosine top-k for an explicit query batch: queries broadcast,
+    * ONE corpus scan for the whole batch, no corpus shuffle — the exact
+    * baseline every ANN variant here is measured against, and the right
+    * brute-force shape at scale (cost = |corpus| · |batch| · dim, but IO
+    * = one pass).
+    */
+  def knnForQueries(
+      df: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val c = df.select(col(idCol).as("cid"), asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    val sims = c.crossJoin(broadcast(q)).where(col("qid") =!= col("cid"))
+      .select(col("qid").as("id1"), col("cid").as("id2"),
+        Dedup.cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("id1")).orderBy(col("cosine").desc, col("id2"))
+    sims.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Per-subspace k-means codebooks for product quantization: the
     * embedding is split into `m` contiguous subvectors and each subspace
-    * gets its own `codebookSize`-centroid quantizer (seeded → fits are
-    * deterministic). Returned as plain Scala arrays — small enough
-    * (m·k·dim/m doubles) to inline as literals into every executor's
-    * codegen, no broadcast variable needed.
+    * gets its own `codebookSize`-centroid quantizer. Returned as plain
+    * Scala arrays — small enough (m·k·dim/m doubles) to inline as
+    * literals into every executor's codegen, no broadcast needed.
     *
-    * Vectors are L2-normalized before fitting so inner product ≡ cosine
-    * downstream. At 100 TB the fit runs on a sample; the codebook cost is
-    * independent of corpus size.
+    * The fit runs on a BOUNDED driver-side sample (`sampleRows`) with a
+    * seeded local Lloyd's — the standard quantizer-training shape (FAISS
+    * trains on a sample too): codebook cost is O(sample), independent of
+    * corpus size, launches no per-iteration distributed jobs, and is
+    * fully deterministic (no partition-order sensitivity). Vectors are
+    * L2-normalized before fitting so inner product ≡ cosine downstream.
     */
   def pqCodebooks(
       df: DataFrame,
@@ -173,18 +197,64 @@ object Similarity {
       dim: Int,
       m: Int,
       codebookSize: Int,
-      seed: Long = 42L
+      seed: Long = 42L,
+      sampleRows: Int = 10000
   ): Seq[Seq[Seq[Double]]] = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val sub = dim / m
-    val u = df.select(l2normalize(asDouble(col(vecCol))).as("u"))
+    val sample: Array[Array[Double]] =
+      df.select(l2normalize(asDouble(col(vecCol))).as("u"))
+        .limit(sampleRows).collect()
+        .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqCodebooks: empty input")
     (0 until m).map { j =>
-      val sv = u.select(array_to_vector(slice(col("u"), j * sub + 1, sub)).as("features"))
-      new KMeans().setK(codebookSize).setSeed(seed + j).setMaxIter(10).fit(sv)
-        .clusterCenters.map(_.toArray.toSeq).toSeq
+      val pts = sample.map(u => java.util.Arrays.copyOfRange(u, j * sub, (j + 1) * sub))
+      kmeansLocal(pts, codebookSize, iters = 10, seed = seed + j)
+        .map(_.toSeq).toSeq
     }
+  }
+
+  /** Seeded Lloyd's over an in-memory sample: init from a shuffled point
+    * permutation, fixed iteration count, empty clusters keep their old
+    * centroid. Deterministic for a given (points order, seed).
+    */
+  private def kmeansLocal(points: Array[Array[Double]], k: Int,
+                          iters: Int, seed: Long): Array[Array[Double]] = {
+    val n = points.length
+    val dim = points.head.length
+    val rnd = new scala.util.Random(seed)
+    val perm = rnd.shuffle((0 until n).toVector)
+    val cents = Array.tabulate(k)(i => points(perm(i % n)).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < n) {
+        val p = points(i)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          var d = 0.0; var t = 0
+          while (t < dim) { val x = p(t) - cents(c)(t); d += x * x; t += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        val s = sums(best); var t = 0
+        while (t < dim) { s(t) += p(t); t += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var t = 0
+          while (t < dim) { cents(c)(t) = sums(c)(t) / counts(c); t += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents
   }
 
   private def l2normalize(vec: Column): Column = {
@@ -197,22 +267,13 @@ object Similarity {
 
   /** PQ encoding: `codes[j] = argmin_c ‖u_j − codebook[j][c]‖²` — the
     * embedding compressed to m small ints (4–8 bits each), a 32–64×
-    * reduction of what a similarity scan has to read. Pure Column
-    * arithmetic over inlined centroids: codegen'd, scan-local, no UDF.
+    * reduction of what a similarity scan has to read. A fused native
+    * codegen expression ([[graft.plans.Expressions.PqEncode]]): one
+    * normalize + argmin loop per row, no intermediate arrays — the
+    * composed higher-order-function form is interpreted and ~100× slower.
     */
-  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
-    val m = codebooks.size
-    val sub = codebooks.head.head.size
-    val u = l2normalize(vec)
-    array((0 until m).map { j =>
-      val uj = slice(u, j * sub + 1, sub)
-      val dists = array(codebooks(j).map { c =>
-        aggregate(zip_with(uj, typedLit(c), (x, y) => (x - y) * (x - y)),
-          lit(0.0), _ + _)
-      }: _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }: _*)
-  }
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    graft.plans.Expressions.pq_encode(vec, codebooks)
 
   /** Product-quantization ANN (asymmetric distance computation): the
     * corpus is stored as PQ codes; each query builds one lookup table per
@@ -235,9 +296,11 @@ object Similarity {
       dim: Int,
       m: Int = 8,
       codebookSize: Int = 16,
-      seed: Long = 42L
+      seed: Long = 42L,
+      queries: Option[DataFrame] = None,
+      codebooks: Option[Seq[Seq[Seq[Double]]]] = None
   ): DataFrame = {
-    val books = pqCodebooks(df, vecCol, dim, m, codebookSize, seed)
+    val books = codebooks.getOrElse(pqCodebooks(df, vecCol, dim, m, codebookSize, seed))
     val sub = dim / m
     val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
     val encoded = v.select(col(idCol).as("cid"),
@@ -246,13 +309,14 @@ object Similarity {
       val qj = slice(col("u"), j * sub + 1, sub)
       array(books(j).map(c => dot(qj, c)): _*)
     }: _*)
-    val queries = v.select(col(idCol).as("qid"), l2normalize(col("v")).as("u"))
+    val qside = queries.getOrElse(df)
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .select(col(idCol).as("qid"), l2normalize(col("v")).as("u"))
       .select(col("qid"), luts.as("luts"))
-    val scored = encoded.crossJoin(broadcast(queries))
+    val scored = encoded.crossJoin(broadcast(qside))
       .where(col("qid") =!= col("cid"))
       .withColumn("score",
-        aggregate(zip_with(col("luts"), col("codes"),
-          (l, c) => element_at(l, c + 1)), lit(0.0), _ + _))
+        graft.plans.Expressions.pq_adc(col("luts"), col("codes")))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("qid").as("id1"), col("cid").as("id2"),
@@ -278,15 +342,21 @@ object Similarity {
       nprobe: Int = 4,
       m: Int = 8,
       codebookSize: Int = 16,
-      seed: Long = 42L
+      seed: Long = 42L,
+      queries: Option[DataFrame] = None,
+      codebooks: Option[Seq[Seq[Seq[Double]]]] = None,
+      coarseSampleRows: Int = 10000
   ): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val sub = dim / m
-    val books = pqCodebooks(df, vecCol, dim, m, codebookSize, seed)
+    val books = codebooks.getOrElse(pqCodebooks(df, vecCol, dim, m, codebookSize, seed))
     val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("features", array_to_vector(col("v")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(v)
+    // coarse quantizer trained on a bounded sample (assignment below
+    // still covers the full corpus) — fit cost independent of corpus size
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(v.limit(coarseSampleRows))
     // corpus side: one cell id + m-byte code vector per row — the only
     // thing the candidate scan ever reads
     val assigned = model.transform(v)
@@ -298,7 +368,9 @@ object Similarity {
       val qj = slice(col("u"), j * sub + 1, sub)
       array(books(j).map(c => dot(qj, c)): _*)
     }: _*)
-    val probes = v.select(col(idCol).as("qid"), l2normalize(col("v")).as("u"))
+    val probes = queries.getOrElse(df)
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .select(col(idCol).as("qid"), l2normalize(col("v")).as("u"))
       .crossJoin(broadcast(
         df.sparkSession.createDataFrame(centDf).toDF("cell", "cv")))
       .withColumn("sim", graft.dedup.Dedup.cosine(col("u"), col("cv")))
@@ -310,8 +382,7 @@ object Similarity {
     val scored = probes.join(assigned, Seq("cell"))
       .where(col("qid") =!= col("cid"))
       .withColumn("score",
-        aggregate(zip_with(col("luts"), col("codes"),
-          (l, c) => element_at(l, c + 1)), lit(0.0), _ + _))
+        graft.plans.Expressions.pq_adc(col("luts"), col("codes")))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("qid").as("id1"), col("cid").as("id2"),
