@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Headline set: one per operator family (the full 67-query inventory
+  /** Headline set: one per operator family (the full 90-query inventory
     * runs in the correctness gate; benching all of it would just time
     * parquet re-reads).
     */
@@ -34,7 +34,10 @@ object Bench {
     "q_ann_topk", "q_scan_pushdown",
     // the reference suite's own access patterns (benchmark_suite.py:122-195):
     // time_series_point ≅ q_point_series, spatial_subset ≅ q_region_stats
-    "q_point_series", "q_region_stats")
+    "q_point_series", "q_region_stats",
+    // round-5 scale operators: z-ordered bbox read (store write memoized,
+    // warmup pays it), skew-safe join, mergeable-state stats, cube
+    "q_zorder_bbox", "q_salted_join", "q_incremental_stats", "q_cube_revenue")
 
   final case class Stats(mean: Double, median: Double, p95: Double,
                          p99: Double, min: Double, max: Double)

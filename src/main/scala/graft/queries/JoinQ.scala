@@ -104,14 +104,14 @@ object JoinQ extends QueryPack {
         "sum_value", "avg_value")),
     // Salted JOIN: the fact side salted on a high-cardinality column, the
     // build side replicated per salt bucket — a hot orderkey spreads over
-    // 8 reducers. Must be row-identical to the plain join (checked via
+    // 4 reducers. Must be row-identical to the plain join (checked via
     // the aggregate the oracle recomputes directly).
     "q_salted_join" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
       graft.operators.Salting.saltedJoin(li, o, key = "l_orderkey",
-          tieBreaker = "l_partkey", saltBuckets = 8)
+          tieBreaker = "l_partkey", saltBuckets = 4)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
