@@ -74,6 +74,9 @@ object GridSink {
   def compact(spark: SparkSession, src: String, dest: String,
               targetFileMB: Int = 128,
               sortCols: Seq[String] = Nil): StoreInfo = {
+    // overwriting the store being read would destroy it mid-scan
+    require(new Path(src) != new Path(dest),
+      s"compact: dest must differ from src ($src)")
     val info = storeInfo(spark, src)
     val target = LayoutPlanner.clampTargetMB(targetFileMB) * 1024L * 1024L
     val nFiles = math.max(1L, (info.totalBytes + target - 1) / target).toInt

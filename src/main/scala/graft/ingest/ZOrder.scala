@@ -73,6 +73,10 @@ object ZOrder {
       bits: Int = 16,
       keepKey: Boolean = false
   ): DataFrame = {
+    // withColumn would silently REPLACE an existing z_key column and the
+    // default path would then drop the caller's data — refuse instead
+    require(!df.columns.contains("z_key"),
+      "ZOrder.cluster: input already has a 'z_key' column — rename it first")
     val z = df.withColumn("z_key", zValue(col(latCol), col(lonCol), bits))
       .repartitionByRange(numPartitions, col("z_key"))
       .sortWithinPartitions(col("z_key"))

@@ -33,6 +33,10 @@ object Incremental {
     * shuffle ships group-cardinality state, not rows.
     */
   def partialState(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    // a key named like a state column would collide in the output schema
+    // and corrupt every later merge — refuse up front
+    require(keys.intersect(StateCols).isEmpty,
+      s"partialState: key columns may not be named any of $StateCols")
     val v = col(valueCol).cast("double")
     df.groupBy(keys.map(col): _*)
       .agg(

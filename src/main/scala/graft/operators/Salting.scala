@@ -67,6 +67,10 @@ object Salting {
       saltBuckets: Int = 16
   ): DataFrame = {
     require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    // a pre-existing _salt column would be silently replaced on the fact
+    // side and become part of the join key on the build side — refuse
+    require(!fact.columns.contains("_salt") && !build.columns.contains("_salt"),
+      "saltedJoin: inputs must not already have a '_salt' column")
     val saltedFact = fact.withColumn("_salt", salt(col(tieBreaker), saltBuckets))
     val replicated = build.withColumn("_salt",
       explode(array((0 until saltBuckets).map(lit(_)): _*)))

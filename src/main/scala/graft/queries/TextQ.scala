@@ -34,7 +34,18 @@ object TextQ extends QueryPack {
     "q_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
-        TextMetrics.fingerprint(col("text")).as("fingerprint")))
+        TextMetrics.fingerprint(col("text")).as("fingerprint"))),
+    // Gopher-style repetition rules: duplicate-word/bigram fractions and
+    // the top-word share, all scan-local (no per-doc shuffle).
+    "q_repetition" -> ((s, dir) =>
+      round6(
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextMetrics.tokenCount(col("text")).as("n_words"),
+          TextMetrics.topWordFrac(col("text")).as("top_word_frac"),
+          TextMetrics.dupWordFrac(col("text")).as("dup_word_frac"),
+          TextMetrics.dupBigramFrac(col("text")).as("dup_bigram_frac")),
+        "top_word_frac", "dup_word_frac", "dup_bigram_frac"))
   )
 
   private val toks = """string_split_regex(trim(text), '\s+')"""
@@ -95,6 +106,33 @@ object TextQ extends QueryPack {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(
         |    string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fingerprint
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, trim(text) = '' AS blank,
+        |         string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, blank, toks, len(toks) AS n,
+        |         list_transform(range(1, len(toks)),
+        |           i -> toks[i] || ' ' || toks[i + 1]) AS bg
+        |  FROM t),
+        |tops AS (
+        |  SELECT doc_id, max(c) AS top_n
+        |  FROM (SELECT doc_id, w, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(toks) AS w FROM t)
+        |        GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CAST(CASE WHEN b.blank THEN 0 ELSE b.n END AS INTEGER) AS n_words,
+        |  round(CASE WHEN b.blank THEN 0.0
+        |        ELSE tops.top_n * 1.0 / b.n END, 6) AS top_word_frac,
+        |  round(CASE WHEN b.blank THEN 0.0
+        |        ELSE 1.0 - len(list_distinct(b.toks)) * 1.0 / b.n END, 6)
+        |    AS dup_word_frac,
+        |  round(CASE WHEN b.blank OR b.n < 2 THEN 0.0
+        |        ELSE 1.0 - len(list_distinct(b.bg)) * 1.0 / (b.n - 1) END, 6)
+        |    AS dup_bigram_frac
+        |FROM base b JOIN tops USING (doc_id)""".stripMargin
   )
 }

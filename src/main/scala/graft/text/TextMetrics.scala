@@ -105,4 +105,52 @@ object TextMetrics {
     */
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  // ---- Repetition metrics (Gopher-style quality rules): the filters a
+  // training-data pipeline applies before any dedup pass — documents that
+  // repeat themselves are low-value regardless of near-duplicates
+  // elsewhere. All three are scan-local pure-Column arithmetic over the
+  // token array: no shuffle, no UDF, no per-doc state.
+
+  /** Fraction of word occurrences that are repeats of an earlier word:
+    * `1 − |distinct| / |words|`. Blank → 0.
+    */
+  def dupWordFrac(text: Column): Column = {
+    val t = tokens(lower(text))
+    when(isBlank(text), 0.0)
+      .otherwise(lit(1.0) - size(array_distinct(t)).cast("double") / size(t))
+  }
+
+  /** Same, over adjacent word bigrams — catches phrase-level loops that
+    * word-level stats miss. Fewer than 2 words → 0.
+    */
+  def dupBigramFrac(text: Column): Column = {
+    val t = tokens(lower(text))
+    val n = size(t)
+    val bigrams = transform(sequence(lit(1), n - 1),
+      i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))
+    when(isBlank(text) || n < 2, 0.0)
+      .otherwise(lit(1.0) -
+        size(array_distinct(bigrams)).cast("double") / (n - 1).cast("double"))
+  }
+
+  /** Share of the document taken by its single most frequent word — the
+    * classic keyword-stuffing detector. Computed as the longest equal run
+    * of the SORTED token array via one `aggregate` fold (still
+    * scan-local; no explode/groupBy shuffle per document). Blank → 0.
+    */
+  def topWordFrac(text: Column): Column = {
+    val t = array_sort(tokens(lower(text)))
+    val best = aggregate(
+      t,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val newRun = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), newRun.as("run"),
+          greatest(acc.getField("best"), newRun).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(isBlank(text), 0.0).otherwise(best.cast("double") / size(t))
+  }
 }

@@ -31,6 +31,28 @@ class SaltingSpec extends SparkSpec {
     assert(salted.count() == 5)
   }
 
+  test("reserved-column collisions fail loudly instead of corrupting") {
+    import spark.implicits._
+    val withSalt = Seq((1L, 2L, 3L)).toDF("k", "tb", "_salt")
+    val plain = Seq((1L, 2L)).toDF("k", "tb")
+    intercept[IllegalArgumentException] {
+      Salting.saltedJoin(withSalt, plain, "k", "tb")
+    }
+    intercept[IllegalArgumentException] {
+      Salting.saltedJoin(plain, withSalt.select("k", "_salt"), "k", "tb")
+    }
+    intercept[IllegalArgumentException] {
+      graft.ingest.ZOrder.cluster(
+        Seq((1.0, 2.0, 3L)).toDF("lat", "lon", "z_key"), "lat", "lon", 2)
+    }
+    intercept[IllegalArgumentException] {
+      Incremental.partialState(plain, Seq("p_n"), "tb")
+    }
+    intercept[IllegalArgumentException] {
+      graft.ingest.GridSink.compact(spark, "/tmp/same", "/tmp/same")
+    }
+  }
+
   test("every salt bucket receives rows for a hot key") {
     val li = Tables.lineitem(spark, sfDir)
     val buckets = li

@@ -40,6 +40,33 @@ class TextSpec extends SparkSpec {
     assert(out(0) == "en" && out(1) == "es" && out(2) == "fr" && out(3) == "und")
   }
 
+  test("repetition metrics: hand-computed values and edge cases") {
+    val rows = Seq(
+      ("", 0),                      // blank
+      ("hello", 1),                 // single word
+      ("spam spam spam spam", 2),   // total repetition
+      ("a b a b a b", 3),           // phrase loop
+      ("one two three four", 4))    // no repetition
+      .map(_._1).toDF("text")
+      .select(
+        col("text"),
+        TextMetrics.topWordFrac(col("text")).as("top"),
+        TextMetrics.dupWordFrac(col("text")).as("dw"),
+        TextMetrics.dupBigramFrac(col("text")).as("db"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    def close(got: (Double, Double, Double), want: (Double, Double, Double)): Boolean =
+      math.abs(got._1 - want._1) < 1e-12 && math.abs(got._2 - want._2) < 1e-12 &&
+        math.abs(got._3 - want._3) < 1e-12
+    assert(close(rows(""), (0.0, 0.0, 0.0)))
+    assert(close(rows("hello"), (1.0, 0.0, 0.0)))
+    // 4/4 top word; 3 of 4 occurrences are repeats; all 3 bigrams equal
+    assert(close(rows("spam spam spam spam"), (1.0, 0.75, 2.0 / 3)))
+    // a:3 of 6; 4 of 6 repeats; 5 bigrams, 2 distinct ("a b", "b a")
+    assert(close(rows("a b a b a b"), (0.5, 4.0 / 6, 3.0 / 5)))
+    assert(close(rows("one two three four"), (0.25, 0.0, 0.0)))
+  }
+
   test("fingerprint is invariant to word order and duplication") {
     val fps = Seq("alpha beta gamma", "gamma beta alpha", "beta alpha gamma beta",
       "alpha beta delta").toDF("text")
