@@ -43,6 +43,30 @@ object EventsQ extends QueryPack {
     })
   }
 
+  /** Two-file staging (events split by user parity) so a
+    * maxFilesPerTrigger=1 stream processes REAL multiple micro-batches.
+    */
+  private def eventsSplitDir(s: SparkSession, dir: String): String = {
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val key = s"$src@${java.nio.file.Files.getLastModifiedTime(src).toMillis}" +
+      s":${java.nio.file.Files.size(src)}:split"
+    streamDirs.getOrElseUpdate(key, {
+      val d = java.nio.file.Files.createTempDirectory(ckptRoot, "events_split")
+      val ev = Tables.events(s, dir)
+      Seq(0, 1).foreach { h =>
+        val tmp = java.nio.file.Files.createTempDirectory(ckptRoot, s"half$h")
+        ev.where(pmod(col("user_id"), lit(2)) === h).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = java.nio.file.Files.list(tmp)
+          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        try java.nio.file.Files.createLink(d.resolve(s"half$h.parquet"), part)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(part, d.resolve(s"half$h.parquet")) }
+      }
+      d.toString
+    })
+  }
+
   /** One streaming run per (session UUID, sfDir) — repeated invocations
     * (MetaSpec plan builds, Verify, repeated suites in one JVM) reuse the
     * first run's memory-sink table instead of launching a new streaming
@@ -127,6 +151,34 @@ object EventsQ extends QueryPack {
             countDistinct(col("user_id")).as("n_users"),
             sum(col("value")).as("sum_value")),
         "sum_value")
+    }),
+    // Streaming incremental aggregate maintenance: the events table split
+    // into two files, streamed one file per micro-batch through
+    // foreachBatch → per-batch mergeable partial states appended to a
+    // state store; the merged state (TWO real batches, asserted via
+    // n_batches) must equal the direct whole-table aggregate. The
+    // materialized-view pattern: current stats without re-reading history.
+    "q_stream_incremental" -> ((s, dir) => {
+      val stateDir = streamRuns.getOrElseUpdate(
+        (graft.util.Sessions.id(s), s"$dir#inc"), {
+          val path = eventsSplitDir(s, dir)
+          val schema = s.read.parquet(path).schema
+          val stream = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(path)
+          val state = java.nio.file.Files
+            .createTempDirectory(ckptRoot, "incstate").toString
+          val sq = Streams.incrementalStats(stream, Seq("event_type"), "value",
+            state, java.nio.file.Files
+              .createTempDirectory(ckptRoot, "incckpt").toString)
+          try { sq.processAllAvailable() } finally sq.stop()
+          state
+        })
+      val nBatches = s.read.parquet(stateDir)
+        .agg(countDistinct(col("batch_id"))).head().getLong(0)
+      round6(
+        Streams.incrementalStatsRead(s, stateDir, Seq("event_type"))
+          .withColumn("n_batches", lit(nBatches)),
+        "mean", "std")
     })
   )
 
@@ -175,6 +227,14 @@ object EventsQ extends QueryPack {
       """SELECT event_type, count(*) AS n,
         |       count(DISTINCT user_id) AS n_users,
         |       round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+    // merged per-batch states (2 real micro-batches) ≡ direct aggregate
+    "q_stream_incremental" ->
+      """SELECT event_type, count(value) AS n,
+        |       round(avg(value), 6) AS mean,
+        |       round(stddev_pop(value), 6) AS std,
+        |       min(value) AS min, max(value) AS max,
+        |       CAST(2 AS BIGINT) AS n_batches
         |FROM events GROUP BY 1""".stripMargin,
     // identical to q_event_windows — the streaming run must land on the
     // batch answer

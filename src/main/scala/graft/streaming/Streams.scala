@@ -168,6 +168,40 @@ object Streams {
         .dropDuplicatesWithinWatermark(keyCols)
     else df.dropDuplicates(keyCols)
 
+  /** Streaming incremental aggregate maintenance — the streaming face of
+    * [[graft.operators.Incremental]]: each micro-batch is reduced to its
+    * mergeable partial state (n, Σx, Σx², min, max per key) and APPENDED
+    * to a parquet state store; [[incrementalStatsRead]] merges the
+    * accumulated states into current totals. This is the materialized-
+    * view pattern at 100 TB/day: the stream never re-reads history, the
+    * state table grows by group-cardinality rows per batch (compact it
+    * with [[graft.ingest.GridSink.compact]] or re-partialize
+    * periodically), and batch backfill writes the SAME state schema.
+    */
+  def incrementalStats(
+      stream: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      stateDir: String,
+      checkpointDir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Incremental.partialState(batch.toDF(), keys, valueCol)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(stateDir)
+        ()
+      }
+      .start()
+
+  /** Merge the accumulated per-batch states into current per-key totals. */
+  def incrementalStatsRead(spark: SparkSession, stateDir: String,
+                           keys: Seq[String]): DataFrame =
+    graft.operators.Incremental.merge(
+      Seq(spark.read.parquet(stateDir).drop("batch_id")), keys)
+
   /** Open a parquet directory as a stream with an explicit schema — the
     * local test harness for the streaming paths.
     */
