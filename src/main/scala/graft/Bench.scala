@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** Headline set: one per operator family (the full 90-query inventory
+  /** Headline set: one per operator family (the full query inventory
     * runs in the correctness gate; benching all of it would just time
     * parquet re-reads).
     */

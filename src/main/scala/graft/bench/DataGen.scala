@@ -137,9 +137,6 @@ object DataGen {
       .drop("d", "i", "j")
   }
 
-  /** Benchmark-scale generator (`benchmark_suite.py:269-327`): named sizes
-    * small/medium/large with 3 float variables.
-    */
   /** Synthetic embedding corpus for the ANN scale probe: dim hash-derived
     * floats in [-1, 1) per vector — deterministic (no RNG state), fully
     * generated in-flight like [[corpus]], uniform over the hypersphere-ish
@@ -152,6 +149,9 @@ object DataGen {
           j => pmod(xxhash64(col("vec_id"), j, lit(seed)), lit(1000000L))
             .cast("double") / 500000.0 - 1.0))
 
+  /** Benchmark-scale generator (`benchmark_suite.py:269-327`): named sizes
+    * small/medium/large with 3 float variables.
+    */
   def benchGrid(spark: SparkSession, size: String, seed: Long = 42L): DataFrame = {
     val (t, la, lo) = size match {
       case "small" => (100, 90, 180)

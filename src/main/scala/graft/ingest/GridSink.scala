@@ -74,9 +74,12 @@ object GridSink {
   def compact(spark: SparkSession, src: String, dest: String,
               targetFileMB: Int = 128,
               sortCols: Seq[String] = Nil): StoreInfo = {
-    // overwriting the store being read would destroy it mid-scan
-    require(new Path(src) != new Path(dest),
-      s"compact: dest must differ from src ($src)")
+    // overwriting the store being read would destroy it mid-scan; compare
+    // fully-qualified paths so scheme/relative aliases can't slip past
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val srcQ = new Path(src).getFileSystem(hconf).makeQualified(new Path(src))
+    val destQ = new Path(dest).getFileSystem(hconf).makeQualified(new Path(dest))
+    require(srcQ != destQ, s"compact: dest must differ from src ($srcQ)")
     val info = storeInfo(spark, src)
     val target = LayoutPlanner.clampTargetMB(targetFileMB) * 1024L * 1024L
     val nFiles = math.max(1L, (info.totalBytes + target - 1) / target).toInt

@@ -63,8 +63,12 @@ object Incremental {
         n.as("n"),
         (s / n).as("mean"),
         // population std from the merged moments, clamped at 0 against
-        // floating-point jitter for constant groups
-        sqrt(greatest(s2 / n - (s / n) * (s / n), lit(0.0))).as("std"),
+        // floating-point jitter for constant groups; NULL (not 0) when the
+        // group has no non-null values — matching direct stddev_pop, which
+        // greatest(NULL, 0.0)'s null-skipping would otherwise mask
+        when(n === 0, lit(null).cast("double"))
+          .otherwise(sqrt(greatest(s2 / n - (s / n) * (s / n), lit(0.0))))
+          .as("std"),
         min(col("p_min")).as("min"),
         max(col("p_max")).as("max"))
   }

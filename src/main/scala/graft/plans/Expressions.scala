@@ -439,10 +439,11 @@ object Expressions {
         val u = ctx.freshName("u"); val x = ctx.freshName("x")
         val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
         val base = ctx.freshName("base")
+        val vv = ctx.freshName("vv")
         s"""
            |double $ss = 0.0;
            |for (int $i = 0; $i < ${m * sub}; $i++) {
-           |  double v = $v.getDouble($i); $ss += v * v;
+           |  double $vv = $v.getDouble($i); $ss += $vv * $vv;
            |}
            |double $nrm = java.lang.Math.sqrt($ss);
            |int[] $codes = new int[$m];
@@ -486,7 +487,14 @@ object Expressions {
     override def nullSafeEval(lutsAny: Any, codesAny: Any): Any = {
       val luts = lutsAny.asInstanceOf[ArrayData]
       val codes = codesAny.asInstanceOf[ArrayData]
-      val m = math.min(luts.numElements(), codes.numElements())
+      // a subspace-count mismatch means the LUTs and codes came from
+      // DIFFERENT codebooks (e.g. stale codes after retraining with a new
+      // m) — summing a truncated prefix would be quietly wrong scores
+      if (luts.numElements() != codes.numElements())
+        throw new IllegalArgumentException(
+          s"graft_pq_adc: ${luts.numElements()} LUTs vs " +
+            s"${codes.numElements()} codes — mismatched codebooks")
+      val m = codes.numElements()
       var s = 0.0
       var j = 0
       while (j < m) {
@@ -501,7 +509,12 @@ object Expressions {
         val j = ctx.freshName("j"); val n = ctx.freshName("n")
         val s = ctx.freshName("s")
         s"""
-           |int $n = java.lang.Math.min($l.numElements(), $c.numElements());
+           |if ($l.numElements() != $c.numElements()) {
+           |  throw new IllegalArgumentException(
+           |    "graft_pq_adc: " + $l.numElements() + " LUTs vs " +
+           |    $c.numElements() + " codes — mismatched codebooks");
+           |}
+           |int $n = $c.numElements();
            |double $s = 0.0;
            |for (int $j = 0; $j < $n; $j++) {
            |  $s += $l.getArray($j).getDouble($c.getInt($j));

@@ -57,8 +57,15 @@ object EventsQ extends QueryPack {
         val tmp = java.nio.file.Files.createTempDirectory(ckptRoot, s"half$h")
         ev.where(pmod(col("user_id"), lit(2)) === h).coalesce(1)
           .write.mode("overwrite").parquet(tmp.toString)
-        val part = java.nio.file.Files.list(tmp)
-          .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        val listing = java.nio.file.Files.list(tmp)
+        val part =
+          try {
+            val found = listing
+              .filter(p => p.toString.endsWith(".parquet")).findFirst()
+            require(found.isPresent,
+              s"eventsSplitDir: no part file written for half $h under $tmp")
+            found.get()
+          } finally listing.close()
         try java.nio.file.Files.createLink(d.resolve(s"half$h.parquet"), part)
         catch { case _: Exception =>
           java.nio.file.Files.copy(part, d.resolve(s"half$h.parquet")) }

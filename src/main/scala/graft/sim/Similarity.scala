@@ -300,7 +300,11 @@ object Similarity {
       queries: Option[DataFrame] = None,
       codebooks: Option[Seq[Seq[Seq[Double]]]] = None
   ): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
     val books = codebooks.getOrElse(pqCodebooks(df, vecCol, dim, m, codebookSize, seed))
+    require(books.size == m && books.head.head.size == dim / m,
+      s"codebooks shape ${books.size}×${books.head.size}×${books.head.head.size} " +
+        s"does not match m=$m, dim/m=${dim / m}")
     val sub = dim / m
     val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
     val encoded = v.select(col(idCol).as("cid"),
@@ -349,8 +353,12 @@ object Similarity {
   ): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
     val sub = dim / m
     val books = codebooks.getOrElse(pqCodebooks(df, vecCol, dim, m, codebookSize, seed))
+    require(books.size == m && books.head.head.size == sub,
+      s"codebooks shape ${books.size}×${books.head.size}×${books.head.head.size} " +
+        s"does not match m=$m, dim/m=$sub")
     val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("features", array_to_vector(col("v")))
     // coarse quantizer trained on a bounded sample (assignment below

@@ -189,9 +189,17 @@ object Streams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // foreachBatch is at-least-once: a crash between the state write
+        // and the checkpoint commit replays the batch with the SAME id.
+        // Partitioning by batch_id with dynamic partition overwrite makes
+        // the replay idempotent (it rewrites its own partition) instead
+        // of double-counting into the merge.
         graft.operators.Incremental.partialState(batch.toDF(), keys, valueCol)
           .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(stateDir)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(stateDir)
         ()
       }
       .start()
