@@ -1,0 +1,241 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
+
+/** Native sort-merge as-of join — the whole-operator Catalyst extension
+  * (logical node + SparkStrategy + physical exec) for the point-in-time
+  * enrichment the reference realizes as nearest-neighbour extraction
+  * (`api/routes/data.py:88-127`) and [[graft.operators.AsOfJoin]] builds by
+  * composition (union + window).
+  *
+  * Why a custom operator when the composition is already oracle-green:
+  * the union+window form materializes left+right in ONE window pass, so
+  * every fact row is widened with every carried column and the whole union
+  * is sorted together. At 100 TB the fact side dominates; this exec instead
+  * mirrors `SortMergeJoinExec`'s shape — each side shuffles once on its own
+  * key, sorts `(key, ts)` within partitions, and a streaming per-partition
+  * merge emits the joined rows with O(1) state (one held right row). No row
+  * widening before the merge, no `_side` tag, and Catalyst's
+  * EnsureRequirements provides the exchanges/sorts, so bucketing or a prior
+  * shuffle on the key is reused for free.
+  *
+  * Semantics (ASOF `>=`, left outer): for each left row, the LATEST right
+  * row with the same key and `rightTs <= leftTs` (ties on the full sort key
+  * resolved to the last right row in sort order, matching the composition);
+  * unmatched / out-of-tolerance left rows keep nulls on the right side.
+  */
+object AsOfMerge {
+
+  /** Logical node. Children are already-analyzed plans; all expressions are
+    * resolved attributes of the respective child, so the analyzer passes
+    * this node through untouched and the optimizer treats it as opaque.
+    */
+  case class AsOfJoinNode(
+      leftKeys: Seq[Attribute],
+      rightKeys: Seq[Attribute],
+      leftTs: Attribute,
+      rightTs: Attribute,
+      toleranceUnits: Option[Long],
+      left: LogicalPlan,
+      right: LogicalPlan) extends BinaryNode {
+    override def output: Seq[Attribute] =
+      left.output ++ right.output.map(_.withNullability(true))
+    override protected def withNewChildrenInternal(
+        newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Plans [[AsOfJoinNode]] into [[AsOfMergeJoinExec]]. Installed via
+    * `spark.experimental.extraStrategies` (the public live-session hook) —
+    * see [[install]].
+    */
+  object AsOfMergeStrategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case j: AsOfJoinNode =>
+        AsOfMergeJoinExec(j.leftKeys, j.rightKeys, j.leftTs, j.rightTs,
+          j.toleranceUnits, planLater(j.left), planLater(j.right)) :: Nil
+      case _ => Nil
+    }
+  }
+
+  def install(spark: SparkSession): Unit = synchronized {
+    val em = spark.experimental
+    if (!em.extraStrategies.contains(AsOfMergeStrategy))
+      em.extraStrategies = em.extraStrategies :+ AsOfMergeStrategy
+  }
+
+  private val TsTypes = Seq(TimestampType, TimestampNTZType, LongType, IntegerType, DateType)
+
+  /** Physical streaming merge. Declares `ClusteredDistribution` per child
+    * and `(key, ts)` child ordering; EnsureRequirements inserts the (at
+    * most) one exchange + sort per side, exactly as for a sort-merge join,
+    * and AQE/ValidateRequirements see ordinary requirements it knows how to
+    * satisfy and re-check.
+    */
+  case class AsOfMergeJoinExec(
+      leftKeys: Seq[Attribute],
+      rightKeys: Seq[Attribute],
+      leftTs: Attribute,
+      rightTs: Attribute,
+      toleranceUnits: Option[Long],
+      left: SparkPlan,
+      right: SparkPlan) extends BinaryExecNode {
+
+    override def output: Seq[Attribute] =
+      left.output ++ right.output.map(_.withNullability(true))
+
+    override lazy val metrics = Map(
+      "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+    override def requiredChildDistribution: Seq[Distribution] =
+      ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+    override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+      (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
+      (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+
+    override def outputPartitioning: Partitioning = left.outputPartitioning
+
+    override def outputOrdering: Seq[SortOrder] =
+      (leftKeys :+ leftTs).map(SortOrder(_, Ascending))
+
+    override protected def withNewChildrenInternal(
+        newLeft: SparkPlan, newRight: SparkPlan): AsOfMergeJoinExec =
+      copy(left = newLeft, right = newRight)
+
+    protected override def doExecute(): RDD[InternalRow] = {
+      require(TsTypes.contains(leftTs.dataType) && TsTypes.contains(rightTs.dataType),
+        s"as-of timestamps must be timestamp/long/int/date, got " +
+          s"${leftTs.dataType} / ${rightTs.dataType}")
+      val numOutputRows = longMetric("numOutputRows")
+      val lKeyExprs = leftKeys
+      val rKeyExprs = rightKeys
+      val lOut = left.output
+      val rOut = right.output
+      val lTsBound = BindReferences.bindReference(leftTs: Expression, lOut)
+      val rTsBound = BindReferences.bindReference(rightTs: Expression, rOut)
+      val keyTypes = leftKeys.map(_.dataType)
+      val tol = toleranceUnits
+      val outAttrs = output
+
+      left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+        val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+        val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+        // Keys project to identical schemas on both sides (validated at
+        // build time), so a natural ascending ordering compares them.
+        val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+        def keyCmp(a: InternalRow, b: InternalRow): Int = keyOrd.compare(a, b)
+        def tsVal(bound: Expression, row: InternalRow): java.lang.Long = {
+          val v = bound.eval(row)
+          if (v == null) null else v.asInstanceOf[Number].longValue()
+        }
+        val rBuf = rIter.buffered
+        val joined = new JoinedRow
+        val rNulls = new GenericInternalRow(rOut.size)
+        val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+        var heldKey: UnsafeRow = null
+        var heldRow: InternalRow = null
+        var heldTs: Long = 0L
+
+        lIter.map { lRow =>
+          val lKey = lKeyProj(lRow)
+          val lTsV = tsVal(lTsBound, lRow)
+          // Advance the right side: drop rows behind the left key, consume
+          // (remember) rows at the key with ts <= left ts. One pass total —
+          // each right row is visited once per partition.
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val c = keyCmp(rKeyProj(head), lKey)
+            if (c < 0) { rBuf.next() }
+            else if (c == 0) {
+              val rTsV = tsVal(rTsBound, head)
+              if (rTsV == null) { rBuf.next() } // null ts can never match
+              else if (lTsV != null && rTsV.longValue() <= lTsV.longValue()) {
+                heldRow = rBuf.next().copy()
+                heldKey = lKey.copy()
+                heldTs = rTsV.longValue()
+              } else advancing = false
+            } else advancing = false
+          }
+          val matched = heldRow != null && lTsV != null &&
+            heldKey != null && heldKey.equals(lKey) &&
+            tol.forall(t => lTsV.longValue() - heldTs <= t)
+          numOutputRows += 1
+          resultProj(joined(lRow, if (matched) heldRow else rNulls))
+        }
+      }
+    }
+  }
+
+  /** As-of join through the native exec — same surface and semantics as
+    * [[graft.operators.AsOfJoin.asofJoin]] (which stays as the
+    * composition-only fallback / differential-testing twin).
+    *
+    * @param tolerance max staleness in SECONDS for timestamp columns (raw
+    *                  units for long/int/date time axes), None = unbounded
+    */
+  def asofMergeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      on: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightVals: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val clashes = rightVals.filter(leftCols.contains)
+    require(clashes.isEmpty,
+      s"Right value columns clash with left columns: ${clashes.mkString(", ")} — alias them first")
+    require(rightVals.nonEmpty, "rightVals must name at least one column to carry")
+    val spark = left.sparkSession
+    install(spark)
+
+    // Keys/ts on the right are re-aliased so the joined frame never carries
+    // duplicate column names; fresh exprIds also keep self-joins unambiguous.
+    val rightProj = right.select(
+      on.map(c => col(c).as(s"_asof_k_$c")) ++
+        (col(rightTs).as("_asof_rts") +: rightVals.map(col)): _*)
+
+    val lPlan = Bridge.analyzed(left)
+    var rPlan = Bridge.analyzed(rightProj)
+    if (lPlan.outputSet.intersect(rPlan.outputSet).nonEmpty) {
+      // Same-lineage inputs (self-join): break attribute identity with a
+      // fresh-exprId projection, the same remedy DeduplicateRelations applies.
+      rPlan = Project(rPlan.output.map(a => Alias(a, a.name)()), rPlan)
+    }
+    val rOut = rPlan.output
+    def lAttr(n: String) = lPlan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"left column not found: $n"))
+    def rAttr(n: String) = rOut.find(_.name == n).get
+    val lKeys = on.map(lAttr)
+    val rKeys = on.map(c => rAttr(s"_asof_k_$c"))
+    lKeys.zip(rKeys).zip(on).foreach { case ((l, r), n) =>
+      require(l.dataType == r.dataType,
+        s"as-of key '$n' types differ: ${l.dataType} vs ${r.dataType}") }
+    val lTsA = lAttr(leftTs)
+    val rTsA = rAttr("_asof_rts")
+    val tolUnits = tolerance.map { t =>
+      if (lTsA.dataType == TimestampType || lTsA.dataType == TimestampNTZType)
+        t * 1000000L // seconds -> microseconds
+      else t
+    }
+
+    val joined = Bridge.ofRows(spark,
+      AsOfJoinNode(lKeys, rKeys, lTsA, rTsA, tolUnits, lPlan, rPlan))
+    joined.select(
+      leftCols.map(col) ++ rightVals.map(col) :+ col("_asof_rts").as("asof_ts"): _*)
+  }
+}
