@@ -45,7 +45,40 @@ object TextQ extends QueryPack {
           TextMetrics.topWordFrac(col("text")).as("top_word_frac"),
           TextMetrics.dupWordFrac(col("text")).as("dup_word_frac"),
           TextMetrics.dupBigramFrac(col("text")).as("dup_bigram_frac")),
-        "top_word_frac", "dup_word_frac", "dup_bigram_frac"))
+        "top_word_frac", "dup_word_frac", "dup_bigram_frac")),
+    // C4-style page cleaning: documents are assembled into 10-line pages
+    // (deterministic by doc_id) and the line/page rules applied. The driver
+    // corpus has no sentence punctuation, so the terminal-punct rule is
+    // disabled here (requirePunct=false) and the word-count floor raised to
+    // where it discriminates (40 vs the ~54-word mean); TextSpec covers the
+    // full default rule set on structured pages.
+    "q_c4_clean" -> ((s, dir) => {
+      val pages = Tables.documents(s, dir)
+        .groupBy(floor(col("doc_id") / 10).as("page"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")), "\n").as("pt"))
+      val kept = TextMetrics.c4CleanLines(col("pt"), minWords = 40, requirePunct = false)
+      pages.select(
+        col("page"),
+        size(split(col("pt"), "\n")).as("n_lines"),
+        size(kept).as("n_kept"),
+        length(array_join(kept, "\n")).as("kept_chars"),
+        TextMetrics.c4DropPage(col("pt"), minWords = 40, minKeptLines = 7,
+          requirePunct = false).as("drop_page"))
+    }),
+    // Grouped top-k over RAW rows (k longest docs per source) through the
+    // rank-filter idiom — Catalyst's InferWindowGroupLimit turns it into a
+    // partial+final group-limit around the shuffle, so each partition ships
+    // at most k rows per group (pinned in PlanSpec). The 100 TB top-k path.
+    "q_topk_docs" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+    })
   )
 
   private val toks = """string_split_regex(trim(text), '\s+')"""
@@ -133,6 +166,31 @@ object TextQ extends QueryPack {
         |  round(CASE WHEN b.blank OR b.n < 2 THEN 0.0
         |        ELSE 1.0 - len(list_distinct(b.bg)) * 1.0 / (b.n - 1) END, 6)
         |    AS dup_bigram_frac
-        |FROM base b JOIN tops USING (doc_id)""".stripMargin
+        |FROM base b JOIN tops USING (doc_id)""".stripMargin,
+    "q_c4_clean" ->
+      """WITH pages AS (
+        |  SELECT doc_id // 10 AS page,
+        |         string_agg(text, chr(10) ORDER BY doc_id) AS pt
+        |  FROM documents GROUP BY 1),
+        |k AS (
+        |  SELECT page, pt,
+        |    list_filter(string_split(pt, chr(10)), l ->
+        |      len(string_split_regex(trim(l), '\s+')) >= 40
+        |      AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+        |  FROM pages)
+        |SELECT page,
+        |  CAST(len(string_split(pt, chr(10))) AS INTEGER) AS n_lines,
+        |  CAST(len(kept) AS INTEGER) AS n_kept,
+        |  CAST(len(array_to_string(kept, chr(10))) AS INTEGER) AS kept_chars,
+        |  (len(kept) < 7 OR contains(lower(pt), 'lorem ipsum')
+        |    OR contains(pt, '{')) AS drop_page
+        |FROM k""".stripMargin,
+    "q_topk_docs" ->
+      """SELECT source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rank,
+        |  doc_id, n_chars
+        |FROM documents
+        |QUALIFY rank <= 3""".stripMargin
   )
 }

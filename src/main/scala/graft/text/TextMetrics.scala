@@ -153,4 +153,37 @@ object TextMetrics {
       acc => acc.getField("best"))
     when(isBlank(text), 0.0).otherwise(best.cast("double") / size(t))
   }
+
+  // ---- C4-style line-level cleaning (Raffel et al. 2020 §2.2, public):
+  // the page-structure filters applied before quality scoring and dedup.
+  // Pure Column expressions over the line array — scan-local at 100 TB.
+
+  /** C4 line keep-rule: the trimmed line ends in terminal punctuation
+    * (skippable via `requirePunct` for corpora without sentence structure),
+    * has at least `minWords` whitespace words, and does not mention
+    * javascript (case-insensitive).
+    */
+  def c4KeepLine(line: Column, minWords: Int = 5,
+                 requirePunct: Boolean = true): Column = {
+    val t = trim(line)
+    val punctOk =
+      if (requirePunct) substring(t, -1, 1).isin(".", "!", "?", "\"")
+      else lit(true)
+    punctOk && size(split(t, "\\s+")) >= minWords &&
+      !lower(t).contains("javascript")
+  }
+
+  /** Lines of a page that survive [[c4KeepLine]]. */
+  def c4CleanLines(text: Column, minWords: Int = 5,
+                   requirePunct: Boolean = true): Column =
+    filter(split(text, "\n"), l => c4KeepLine(l, minWords, requirePunct))
+
+  /** C4 page drop-rule: fewer than `minKeptLines` surviving lines, or the
+    * page mentions "lorem ipsum" (case-insensitive) or contains a curly
+    * brace (code markers).
+    */
+  def c4DropPage(text: Column, minWords: Int = 5, minKeptLines: Int = 3,
+                 requirePunct: Boolean = true): Column =
+    size(c4CleanLines(text, minWords, requirePunct)) < minKeptLines ||
+      lower(text).contains("lorem ipsum") || text.contains("{")
 }

@@ -154,4 +154,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
     assert(p.contains("partial"), "needs partial+final (map-side combine)")
   }
+
+  test("grouped top-k gets a partial group limit before the shuffle") {
+    val df = graft.queries.TextQ.queries("q_topk_docs")(spark, sfDir)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    // InferWindowGroupLimit must plan partial+final WindowGroupLimit around
+    // the exchange: each input partition ships at most k rows per group —
+    // the property that makes rank-filter top-k viable at 100 TB.
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n$p")
+    assert(p.contains("Partial"), s"partial mode missing:\n$p")
+  }
 }

@@ -74,4 +74,35 @@ class TextSpec extends SparkSpec {
     assert(fps(0) == fps(1) && fps(1) == fps(2))
     assert(fps(0) != fps(3))
   }
+
+  test("C4 line rules: terminal punct, min words, javascript, page drops") {
+    val page = Seq(
+      "This line has the five words needed.",   // kept
+      "Short line.",                             // < 5 words
+      "No terminal punctuation on this long line here", // no punct
+      "Enable javascript to view this content please.", // javascript
+      "  A trimmed line also ends properly!  ",  // kept (trim + '!')
+      "Is this a kept question line?",           // kept ('?')
+      "\"A quoted line with enough words here.\"" // kept ('"')
+    ).mkString("\n")
+    val df = Seq(page).toDF("pt").select(
+      size(TextMetrics.c4CleanLines(col("pt"))).as("n_kept"),
+      TextMetrics.c4DropPage(col("pt")).as("drop3"),
+      TextMetrics.c4DropPage(col("pt"), minKeptLines = 5).as("drop5"))
+    val r = df.collect()(0)
+    assert(r.getInt(0) === 4)
+    assert(!r.getBoolean(1)) // 4 kept >= 3: page survives
+    assert(r.getBoolean(2))  // but not a 5-line floor
+    // lorem ipsum and curly braces drop the page regardless of kept lines
+    val lorem = page + "\nMore Lorem Ipsum filler text follows here."
+    val braces = page + "\nfunction f() { return 1; } stated with words."
+    val flags = Seq(lorem, braces).toDF("pt")
+      .select(TextMetrics.c4DropPage(col("pt"))).collect().map(_.getBoolean(0))
+    assert(flags.forall(identity))
+    // blank page: zero kept lines, dropped
+    val blank = Seq("").toDF("pt").select(
+      size(TextMetrics.c4CleanLines(col("pt"))),
+      TextMetrics.c4DropPage(col("pt"))).collect()(0)
+    assert(blank.getInt(0) === 0 && blank.getBoolean(1))
+  }
 }
