@@ -88,6 +88,35 @@ object ScaleProbe {
       run("simhash_pairs", Dedup.simhashPairs(docs, "id", "text", maxHamming = 3))
     }
 
+    if (what == "asof" || what == "all") {
+      // Point-in-time enrichment at stream scale: the union+window
+      // composition vs the native sort-merge exec on the same inputs.
+      // Left:right = 10:1, ~200 rows/key — the click/purchase shape.
+      val nL = size match {
+        case "small" => 2000000L
+        case "medium" => 20000000L
+        case "large" => 100000000L
+        case other => throw new IllegalArgumentException(s"Unknown size: $other")
+      }
+      val nR = nL / 10
+      val keys = math.max(nL / 200, 1L)
+      val t0 = 1577836800L // 2020-01-01
+      def facts = spark.range(nL).select(
+        pmod(col("id"), lit(keys)).as("k"),
+        timestamp_seconds(lit(t0) + (col("id") / keys).cast("long") * 60 +
+          pmod(hash(col("id")), lit(17))).as("ts"),
+        (col("id") % 1000).cast("double").as("v"))
+      def quotes = spark.range(nR).select(
+        pmod(col("id"), lit(keys)).as("k"),
+        timestamp_seconds(lit(t0) + (col("id") / keys).cast("long") * 600).as("rts"),
+        (col("id") % 997).cast("double").as("rv"))
+      println(s"$size asof_left=$nL asof_right=$nR keys=$keys")
+      run("asof_union_window", graft.operators.AsOfJoin.asofJoin(
+        facts, quotes, Seq("k"), "ts", "rts", Seq("rv")))
+      run("asof_merge_exec", graft.plans.AsOfMerge.asofMergeJoin(
+        facts, quotes, Seq("k"), "ts", "rts", Seq("rv")))
+    }
+
     if (what == "ann" || what == "all") {
       val n = size match {
         case "small" => 20000L
