@@ -193,4 +193,105 @@ object Multimodal {
     */
   def sampleFrameIndexes(nFrames: Int, stride: Int, maxFrames: Int): Seq[Int] =
     (0 until nFrames by math.max(stride, 1)).take(maxFrames)
+
+  // ---- Image resize (real decode → scale → re-encode, JDK-only) ----
+
+  final case class Thumb(media_id: Long, width: Int, height: Int,
+                         thumb_w: Int, thumb_h: Int, thumb: Array[Byte])
+
+  /** Aspect-preserving target dims, integer arithmetic only (so an
+    * external oracle can replay them): `floor(side * maxDim / longSide)`,
+    * floored at 1. A no-op (`longSide <= maxDim`) still re-encodes — one
+    * code path, deterministic output either way.
+    */
+  private[multimodal] def thumbDims(w: Int, h: Int, maxDim: Int): (Int, Int) = {
+    val mx = math.max(w, h)
+    (math.max(1, w * maxDim / mx), math.max(1, h * maxDim / mx))
+  }
+
+  /** One-image kernel: decode via ImageIO, scale with bilinear AWT
+    * drawImage into TYPE_INT_RGB, re-encode as PNG. None for bytes no JDK
+    * reader accepts (caller drops the row — resize is a media operator,
+    * not a total map).
+    */
+  private[multimodal] def resizeImage(id: Long, bytes: Array[Byte],
+                                      maxDim: Int): Option[Thumb] = {
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (tw, th) = thumbDims(img.getWidth, img.getHeight, maxDim)
+        val out = new java.awt.image.BufferedImage(
+          tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, tw, th, null)
+        } finally g.dispose()
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", buf)
+        Some(Thumb(id, img.getWidth, img.getHeight, tw, th, buf.toByteArray))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Batched per-partition resize over a media table — same `mapInPandas`
+    * shape as [[extractFeatures]]: partition count bounds memory, rows
+    * whose bytes are not decodable images are dropped.
+    */
+  def resizeImages(df: DataFrame, maxDim: Int): Dataset[Thumb] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes) => resizeImage(id, bytes, maxDim) }
+        }
+      }
+  }
+
+  /** Solid-colour PNG builder (test/oracle fixture: every pixel carries
+    * the same RGB, so any resize interpolation preserves channel values
+    * exactly and an external oracle can predict the decoded means).
+    */
+  def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) { img.setRGB(x, y, rgb); y += 1 }
+      x += 1
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  /** Exact per-channel pixel means of a decoded image (doubles; exact
+    * integers for solid fixtures). None for undecodable bytes.
+    */
+  def channelMeans(bytes: Array[Byte]): Option[(Double, Double, Double)] = {
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      var r = 0.0; var g = 0.0; var b = 0.0
+      var x = 0
+      while (x < img.getWidth) {
+        var y = 0
+        while (y < img.getHeight) {
+          val p = img.getRGB(x, y)
+          r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+          y += 1
+        }
+        x += 1
+      }
+      val n = img.getWidth.toDouble * img.getHeight
+      Some((r / n, g / n, b / n))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 }

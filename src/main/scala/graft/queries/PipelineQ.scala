@@ -45,6 +45,27 @@ object PipelineQ extends QueryPack {
     "q_multimodal_meta" -> ((s, dir) =>
       Multimodal.fromText(Tables.documents(s, dir), "doc_id", "text", "text/plain")
         .select(col("media_id"), col("mime"), col("n_bytes"), col("sha256"))),
+    // Real codec roundtrip: solid-colour PNGs (dims/colour arithmetic
+    // functions of the id) → ImageIO decode → bilinear AWT resize → PNG
+    // re-encode → decode the thumb and measure channel means. Solid colour
+    // makes every step's output an integer formula DuckDB replays — the
+    // oracle is fully independent of the engine while the bytes really go
+    // through the JDK codec twice.
+    "q_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = s.range(200).map { id =>
+        val w = (16 + id * 13 % 48).toInt
+        val h = (16 + id * 29 % 48).toInt
+        val rgb = ((id * 37 % 256) << 16 | (id * 59 % 256) << 8 | (id * 83 % 256)).toInt
+        (id, Multimodal.solidPng(w, h, rgb))
+      }.toDF("media_id", "content")
+      Multimodal.resizeImages(imgs, maxDim = 16).map { t =>
+        val (r, g, b) = Multimodal.channelMeans(t.thumb).get
+        (t.media_id, t.width, t.height, t.thumb_w, t.thumb_h,
+          math.round(r).toInt, math.round(g).toInt, math.round(b).toInt)
+      }.toDF("media_id", "width", "height", "thumb_w", "thumb_h",
+        "mean_r", "mean_g", "mean_b")
+    }),
     // D5 — per-group arbitrary transform through the typed flatMapGroups
     // surface: per ship-month exact stats (count/min/max — no float
     // summation, so the hash compare is partition-order-proof).
@@ -173,6 +194,19 @@ object PipelineQ extends QueryPack {
         |       octet_length(encode(text)) AS n_bytes,
         |       sha256(text) AS sha256
         |FROM documents""".stripMargin,
+    "q_image_resize" ->
+      """WITH t AS (
+        |  SELECT range AS id,
+        |         CAST(16 + (range * 13) % 48 AS INTEGER) AS w,
+        |         CAST(16 + (range * 29) % 48 AS INTEGER) AS h
+        |  FROM range(200))
+        |SELECT id AS media_id, w AS width, h AS height,
+        |  CAST(greatest(1, w * 16 // greatest(w, h)) AS INTEGER) AS thumb_w,
+        |  CAST(greatest(1, h * 16 // greatest(w, h)) AS INTEGER) AS thumb_h,
+        |  CAST((id * 37) % 256 AS INTEGER) AS mean_r,
+        |  CAST((id * 59) % 256 AS INTEGER) AS mean_g,
+        |  CAST((id * 83) % 256 AS INTEGER) AS mean_b
+        |FROM t""".stripMargin,
     "q_apply_groups" ->
       """SELECT CAST(month(l_shipdate) AS INTEGER) AS month, count(*) AS n,
         |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty

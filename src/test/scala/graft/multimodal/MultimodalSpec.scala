@@ -114,4 +114,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).width == s.width && out(1).height == s.height)
     assert(out(1).features.toSeq == s.features.toSeq)
   }
+
+  test("thumbDims: aspect-preserving integer scaling, floored at 1") {
+    assert(Multimodal.thumbDims(100, 50, 20) === (20, 10))
+    assert(Multimodal.thumbDims(50, 100, 20) === (10, 20))
+    assert(Multimodal.thumbDims(16, 16, 16) === (16, 16)) // no-op size
+    assert(Multimodal.thumbDims(1000, 3, 16) === (16, 1)) // floor at 1
+    assert(Multimodal.thumbDims(10, 5, 20) === (20, 10))  // upscale allowed
+  }
+
+  test("resizeImages: real decode->scale->encode roundtrip; junk rows dropped") {
+    import spark.implicits._
+    val solid = Multimodal.solidPng(96, 32, 0x40A0C0)
+    val media = Seq((1L, solid), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "content")
+    val out = Multimodal.resizeImages(media, maxDim = 24).collect()
+    assert(out.length === 1) // junk dropped, not stubbed
+    val t = out(0)
+    assert((t.width, t.height, t.thumb_w, t.thumb_h) === (96, 32, 24, 8))
+    // thumb must itself decode, at the declared dims, colour preserved
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(t.thumb))
+    assert(img.getWidth === 24 && img.getHeight === 8)
+    val (r, g, b) = Multimodal.channelMeans(t.thumb).get
+    assert((r, g, b) === (0x40.toDouble, 0xA0.toDouble, 0xC0.toDouble))
+  }
 }
