@@ -28,7 +28,7 @@ object Bench {
     "q_linear_trend", "q_mann_kendall",
     "q_region_revenue", "q_top_suppliers",
     "q_event_windows", "q_sessions", "q_sliding_windows",
-    "q_asof_join", "q_asof_merge", "q_range_join", "q_salted_agg",
+    "q_asof_join", "q_asof_merge", "q_asof_broadcast", "q_range_join", "q_salted_agg",
     "q_token_stats", "q_fingerprint",
     "q_ngram_jaccard", "q_minhash_dedup",
     "q_ann_topk", "q_scan_pushdown",

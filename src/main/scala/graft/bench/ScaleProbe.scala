@@ -114,7 +114,20 @@ object ScaleProbe {
       run("asof_union_window", graft.operators.AsOfJoin.asofJoin(
         facts, quotes, Seq("k"), "ts", "rts", Seq("rv")))
       run("asof_merge_exec", graft.plans.AsOfMerge.asofMergeJoin(
-        facts, quotes, Seq("k"), "ts", "rts", Seq("rv")))
+        facts, quotes, Seq("k"), "ts", "rts", Seq("rv"),
+        broadcast = Some(false)))
+      // small-reference regime (right = 1% of facts): the broadcast form's
+      // zero-shuffle plan vs the merge form still shuffling the fact side
+      def quotesSmall = spark.range(math.max(nR / 100, 1)).select(
+        pmod(col("id"), lit(keys)).as("k"),
+        timestamp_seconds(lit(t0) + (col("id") / keys).cast("long") * 60000).as("rts"),
+        (col("id") % 997).cast("double").as("rv"))
+      run("asof_merge_smallref", graft.plans.AsOfMerge.asofMergeJoin(
+        facts, quotesSmall, Seq("k"), "ts", "rts", Seq("rv"),
+        broadcast = Some(false)))
+      run("asof_broadcast_smallref", graft.plans.AsOfMerge.asofMergeJoin(
+        facts, quotesSmall, Seq("k"), "ts", "rts", Seq("rv"),
+        broadcast = Some(true)))
     }
 
     if (what == "ann" || what == "all") {

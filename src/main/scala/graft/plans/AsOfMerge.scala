@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   Alias, Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
   JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.functions.col
@@ -48,6 +48,7 @@ object AsOfMerge {
       leftTs: Attribute,
       rightTs: Attribute,
       toleranceUnits: Option[Long],
+      broadcastHint: Option[Boolean],
       left: LogicalPlan,
       right: LogicalPlan) extends BinaryNode {
     override def output: Seq[Attribute] =
@@ -57,15 +58,28 @@ object AsOfMerge {
       copy(left = newLeft, right = newRight)
   }
 
-  /** Plans [[AsOfJoinNode]] into [[AsOfMergeJoinExec]]. Installed via
+  /** Plans [[AsOfJoinNode]] into a physical join, choosing the physical
+    * strategy the way Spark's own JoinSelection does: the broadcast form
+    * when the right side's estimated size clears
+    * `spark.sql.autoBroadcastJoinThreshold` (fact side keeps its layout,
+    * ZERO shuffles), the shuffled sort-merge form otherwise. An explicit
+    * `broadcastHint` overrides the statistics. Installed via
     * `spark.experimental.extraStrategies` (the public live-session hook) —
     * see [[install]].
     */
   object AsOfMergeStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case j: AsOfJoinNode =>
-        AsOfMergeJoinExec(j.leftKeys, j.rightKeys, j.leftTs, j.rightTs,
-          j.toleranceUnits, planLater(j.left), planLater(j.right)) :: Nil
+        val threshold =
+          org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+        val broadcast = j.broadcastHint.getOrElse(
+          threshold > 0 && j.right.stats.sizeInBytes <= threshold)
+        if (broadcast)
+          AsOfBroadcastJoinExec(j.leftKeys, j.rightKeys, j.leftTs, j.rightTs,
+            j.toleranceUnits, planLater(j.left), planLater(j.right)) :: Nil
+        else
+          AsOfMergeJoinExec(j.leftKeys, j.rightKeys, j.leftTs, j.rightTs,
+            j.toleranceUnits, planLater(j.left), planLater(j.right)) :: Nil
       case _ => Nil
     }
   }
@@ -77,6 +91,25 @@ object AsOfMerge {
   }
 
   private val TsTypes = Seq(TimestampType, TimestampNTZType, LongType, IntegerType, DateType)
+
+  /** Executor-level memo of built broadcast indexes, keyed by broadcast id
+    * — every task on an executor shares one build, the way Spark's own
+    * `HashedRelation` ships pre-built inside its broadcast. Bounded LRU:
+    * the values are small by the broadcast contract, but joins come and go
+    * with sessions, so old entries must age out.
+    */
+  private val broadcastIndexCache =
+    new java.util.LinkedHashMap[Long, AnyRef](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Long, AnyRef]): Boolean =
+        size() > 8
+    }
+
+  private def cachedIndex[T <: AnyRef](id: Long)(build: => T): T =
+    broadcastIndexCache.synchronized {
+      val hit = broadcastIndexCache.get(id)
+      if (hit != null) hit.asInstanceOf[T]
+      else { val v = build; broadcastIndexCache.put(id, v); v }
+    }
 
   /** Physical streaming merge. Declares `ClusteredDistribution` per child
     * and `(key, ts)` child ordering; EnsureRequirements inserts the (at
@@ -180,12 +213,126 @@ object AsOfMerge {
     }
   }
 
+  /** Broadcast as-of join: the right side ships whole to every task
+    * (`BroadcastDistribution(IdentityBroadcastMode)` — EnsureRequirements
+    * inserts the BroadcastExchange), gets indexed per partition into
+    * key → ts-sorted row arrays, and each left row binary-searches its
+    * match. The fact side keeps its partitioning and ordering untouched —
+    * ZERO shuffles — which is the only viable as-of plan at 100 TB when
+    * the right side is a small reference table (the climatology-join
+    * regime, `SURVEY.md` §2.3 J1).
+    */
+  case class AsOfBroadcastJoinExec(
+      leftKeys: Seq[Attribute],
+      rightKeys: Seq[Attribute],
+      leftTs: Attribute,
+      rightTs: Attribute,
+      toleranceUnits: Option[Long],
+      left: SparkPlan,
+      right: SparkPlan) extends BinaryExecNode {
+
+    override def output: Seq[Attribute] =
+      left.output ++ right.output.map(_.withNullability(true))
+
+    override lazy val metrics = Map(
+      "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+    override def requiredChildDistribution: Seq[Distribution] =
+      UnspecifiedDistribution ::
+        BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+    override def outputPartitioning: Partitioning = left.outputPartitioning
+
+    override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+    override protected def withNewChildrenInternal(
+        newLeft: SparkPlan, newRight: SparkPlan): AsOfBroadcastJoinExec =
+      copy(left = newLeft, right = newRight)
+
+    protected override def doExecute(): RDD[InternalRow] = {
+      require(TsTypes.contains(leftTs.dataType) && TsTypes.contains(rightTs.dataType),
+        s"as-of timestamps must be timestamp/long/int/date, got " +
+          s"${leftTs.dataType} / ${rightTs.dataType}")
+      val numOutputRows = longMetric("numOutputRows")
+      val lOut = left.output
+      val rOut = right.output
+      val lKeyExprs = leftKeys
+      val rKeyExprs = rightKeys
+      val lTsBound = BindReferences.bindReference(leftTs: Expression, lOut)
+      val rTsBound = BindReferences.bindReference(rightTs: Expression, rOut)
+      val tol = toleranceUnits
+      val outAttrs = output
+      val bcast = right.executeBroadcast[Array[InternalRow]]()
+
+      left.execute().mapPartitions { lIter =>
+        // key → (ts[], row[]) with ts ascending; rows at equal ts keep
+        // later-wins order to mirror the merge exec's last-consumed rule.
+        // Built once per executor per broadcast (memoized), not per task.
+        val index = cachedIndex(bcast.id) {
+          val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
+          val built = new java.util.HashMap[UnsafeRow, (Array[Long], Array[InternalRow])]()
+          val grouped = new java.util.HashMap[UnsafeRow,
+            scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
+          bcast.value.foreach { r =>
+            val tsv = rTsBound.eval(r)
+            if (tsv != null) {
+              val k = rKeyProj(r).copy()
+              var buf = grouped.get(k)
+              if (buf == null) {
+                buf = scala.collection.mutable.ArrayBuffer.empty
+                grouped.put(k, buf)
+              }
+              buf += ((tsv.asInstanceOf[Number].longValue(), r))
+            }
+          }
+          grouped.forEach { (k, buf) =>
+            val sorted = buf.sortBy(_._1) // stable
+            built.put(k, (sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+          }
+          built
+        }
+        val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
+        val joined = new JoinedRow
+        val rNulls = new GenericInternalRow(rOut.size)
+        val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+        // rightmost index with ts[i] <= target, or -1
+        def search(ts: Array[Long], target: Long): Int = {
+          var lo = 0; var hi = ts.length - 1; var ans = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (ts(mid) <= target) { ans = mid; lo = mid + 1 } else hi = mid - 1
+          }
+          ans
+        }
+        lIter.map { lRow =>
+          val lTsV = lTsBound.eval(lRow)
+          var rRow: InternalRow = rNulls
+          if (lTsV != null) {
+            val entry = index.get(lKeyProj(lRow))
+            if (entry != null) {
+              val t = lTsV.asInstanceOf[Number].longValue()
+              val i = search(entry._1, t)
+              if (i >= 0 && tol.forall(tl => t - entry._1(i) <= tl))
+                rRow = entry._2(i)
+            }
+          }
+          numOutputRows += 1
+          resultProj(joined(lRow, rRow))
+        }
+      }
+    }
+  }
+
   /** As-of join through the native exec — same surface and semantics as
     * [[graft.operators.AsOfJoin.asofJoin]] (which stays as the
     * composition-only fallback / differential-testing twin).
     *
     * @param tolerance max staleness in SECONDS for timestamp columns (raw
     *                  units for long/int/date time axes), None = unbounded
+    * @param broadcast Some(true) forces the zero-shuffle broadcast form,
+    *                  Some(false) forces the shuffled sort-merge form,
+    *                  None lets the strategy decide from Catalyst's size
+    *                  statistics (like Spark's own JoinSelection)
     */
   def asofMergeJoin(
       left: DataFrame,
@@ -194,7 +341,8 @@ object AsOfMerge {
       leftTs: String,
       rightTs: String,
       rightVals: Seq[String],
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      broadcast: Option[Boolean] = None): DataFrame = {
     val leftCols = left.columns.toSeq
     val clashes = rightVals.filter(leftCols.contains)
     require(clashes.isEmpty,
@@ -234,7 +382,7 @@ object AsOfMerge {
     }
 
     val joined = Bridge.ofRows(spark,
-      AsOfJoinNode(lKeys, rKeys, lTsA, rTsA, tolUnits, lPlan, rPlan))
+      AsOfJoinNode(lKeys, rKeys, lTsA, rTsA, tolUnits, broadcast, lPlan, rPlan))
     joined.select(
       leftCols.map(col) ++ rightVals.map(col) :+ col("_asof_rts").as("asof_ts"): _*)
   }

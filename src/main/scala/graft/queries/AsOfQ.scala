@@ -52,7 +52,18 @@ object AsOfQ extends QueryPack {
       AsOfMerge.asofMergeJoin(
         left = clicks, right = purchases.withColumnRenamed("ts", "pts"),
         on = Seq("user_id"), leftTs = "ts", rightTs = "pts",
-        rightVals = Seq("purchase_id", "purchase_value"))
+        rightVals = Seq("purchase_id", "purchase_value"),
+        broadcast = Some(false)) // pin the shuffled sort-merge form
+        .select(col("event_id"), col("user_id"),
+          col("purchase_id"), col("purchase_value"), col("asof_ts"))
+    }),
+    "q_asof_broadcast" -> ((s, dir) => {
+      val (clicks, purchases) = sides(s, dir)
+      AsOfMerge.asofMergeJoin(
+        left = clicks, right = purchases.withColumnRenamed("ts", "pts"),
+        on = Seq("user_id"), leftTs = "ts", rightTs = "pts",
+        rightVals = Seq("purchase_id", "purchase_value"),
+        broadcast = Some(true)) // pin the zero-shuffle broadcast form
         .select(col("event_id"), col("user_id"),
           col("purchase_id"), col("purchase_value"), col("asof_ts"))
     })
@@ -60,6 +71,7 @@ object AsOfQ extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q_asof_join" -> asofOracle,
-    "q_asof_merge" -> asofOracle
+    "q_asof_merge" -> asofOracle,
+    "q_asof_broadcast" -> asofOracle
   )
 }

@@ -38,11 +38,13 @@ class AsOfMergeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   private def sortedRows(df: DataFrame): Seq[String] =
     df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
 
-  private def runBoth(tolerance: Option[Long]): (DataFrame, DataFrame) = {
+  private def runBoth(tolerance: Option[Long],
+                      broadcast: Option[Boolean] = Some(false)): (DataFrame, DataFrame) = {
     val (clicks, purchases) = fixture()
     val native = AsOfMerge.asofMergeJoin(clicks, purchases,
       on = Seq("user_id"), leftTs = "ts", rightTs = "pts",
-      rightVals = Seq("purchase_id", "purchase_value"), tolerance = tolerance)
+      rightVals = Seq("purchase_id", "purchase_value"), tolerance = tolerance,
+      broadcast = broadcast)
     val composed = AsOfJoin.asofJoin(clicks, purchases,
       on = Seq("user_id"), leftTs = "ts", rightTs = "pts",
       rightVals = Seq("purchase_id", "purchase_value"), tolerance = tolerance)
@@ -114,13 +116,54 @@ class AsOfMergeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                     (1L, Some("2024-01-01 00:05:00"), 2.0))
       .toDF("k", "rts_s", "v")
       .select(col("k"), to_timestamp(col("rts_s")).as("rts"), col("v"))
-    val out = AsOfMerge.asofMergeJoin(left, right,
-      on = Seq("k"), leftTs = "ts", rightTs = "rts", rightVals = Seq("v"))
-      .orderBy("tag").collect()
-    assert(out.length === 2)
-    assert(out(0).getAs[Double]("v") === 2.0) // tag=a matches the non-null rts
-    assert(out(0).getAs[Any]("asof_ts") != null)
-    assert(out(1).isNullAt(out(1).fieldIndex("v"))) // null left ts: no match
+    for (form <- Seq(Some(false), Some(true))) { // merge and broadcast paths
+      val out = AsOfMerge.asofMergeJoin(left, right,
+        on = Seq("k"), leftTs = "ts", rightTs = "rts", rightVals = Seq("v"),
+        broadcast = form)
+        .orderBy("tag").collect()
+      assert(out.length === 2)
+      assert(out(0).getAs[Double]("v") === 2.0) // tag=a matches the non-null rts
+      assert(out(0).getAs[Any]("asof_ts") != null)
+      assert(out(1).isNullAt(out(1).fieldIndex("v"))) // null left ts: no match
+    }
+  }
+
+  test("broadcast form matches the merge form (and the composition) exactly") {
+    val (bcast, composed) = runBoth(None, broadcast = Some(true))
+    assert(sortedRows(bcast) === sortedRows(composed))
+    val (bcastTol, composedTol) = runBoth(Some(200L), broadcast = Some(true))
+    assert(sortedRows(bcastTol) === sortedRows(composedTol))
+  }
+
+  test("broadcast form never shuffles the fact side") {
+    val (bcast, _) = runBoth(None, broadcast = Some(true))
+    bcast.collect()
+    val plan = bcast.queryExecution.executedPlan
+    assert(collectWithSubqueries(plan) {
+      case e: AsOfMerge.AsOfBroadcastJoinExec => e
+    }.size === 1, plan.toString)
+    val shape = plan.toString
+    assert(shape.contains("BroadcastExchange"), shape)
+    assert(!shape.contains("ShuffleExchange") && !shape.contains("Exchange hashpartitioning"),
+      s"fact side must keep its partitioning:\n$shape")
+  }
+
+  test("strategy picks broadcast from statistics for a small right side") {
+    // 400-row right side is far under the default 10 MB threshold
+    val (auto, _) = runBoth(None, broadcast = None)
+    auto.collect()
+    assert(collectWithSubqueries(auto.queryExecution.executedPlan) {
+      case e: AsOfMerge.AsOfBroadcastJoinExec => e
+    }.size === 1, auto.queryExecution.executedPlan.toString)
+    // and merge when broadcasting is disabled entirely
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (merge, _) = runBoth(None, broadcast = None)
+      merge.collect()
+      assert(collectWithSubqueries(merge.queryExecution.executedPlan) {
+        case e: AsOfMerge.AsOfMergeJoinExec => e
+      }.size === 1, merge.queryExecution.executedPlan.toString)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("key type mismatch is rejected, column clash is rejected") {
