@@ -166,6 +166,48 @@ class AsOfMergeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("fact-side filters push through the as-of node; right-side stay above") {
+    val (native, _) = runBoth(None)
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val mixed = native.where(col("click_id") > 100 && col("purchase_value") > 0.0)
+    val opt = mixed.queryExecution.optimizedPlan
+    // the right-side predicate must remain a Filter ABOVE the join (under
+    // the API's output-shaping Project)...
+    val above = opt.collectFirst {
+      case Filter(cond, _: AsOfMerge.AsOfJoinNode) => cond }.get
+    assert(above.toString.contains("purchase_value") &&
+      !above.toString.contains("click_id"), opt.toString)
+    // ...while the left-only predicate moved below the as-of node
+    val joinNode = opt.collectFirst { case j: AsOfMerge.AsOfJoinNode => j }.get
+    assert(joinNode.left.collectFirst {
+      case Filter(c, _) if c.toString.contains("click_id") => c }.nonEmpty,
+      opt.toString)
+    // left-only filter: nothing remains above the join at all
+    val leftOnly = runBoth(None)._1.where(col("click_id") > 100)
+    val optL = leftOnly.queryExecution.optimizedPlan
+    assert(optL.collectFirst {
+      case Filter(_, _: AsOfMerge.AsOfJoinNode) => () }.isEmpty, optL.toString)
+    // parity survives the rewrite
+    val composedFiltered = runBoth(None)._2.where(col("click_id") > 100)
+    assert(sortedRows(leftOnly) === sortedRows(composedFiltered))
+  }
+
+  test("pushed fact filters reach the parquet scan under the as-of node") {
+    val ev = graft.model.Tables.events(spark, sfDir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    val out = AsOfMerge.asofMergeJoin(clicks, purchases,
+      on = Seq("user_id"), leftTs = "ts", rightTs = "pts",
+      rightVals = Seq("purchase_id", "purchase_value"))
+      .where(col("user_id") < 50)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("LessThan(user_id,50)"),
+      s"fact predicate must reach PushedFilters of the scan:\n$p")
+  }
+
   test("key type mismatch is rejected, column clash is rejected") {
     val (clicks, purchases) = fixture()
     val badRight = purchases.withColumn("user_id", col("user_id").cast("string"))
