@@ -120,23 +120,23 @@ object AsOfMerge {
 
   private val TsTypes = Seq(TimestampType, TimestampNTZType, LongType, IntegerType, DateType)
 
-  /** Executor-level memo of built broadcast indexes, keyed by broadcast id
-    * — every task on an executor shares one build, the way Spark's own
-    * `HashedRelation` ships pre-built inside its broadcast. Bounded LRU:
-    * the values are small by the broadcast contract, but joins come and go
-    * with sessions, so old entries must age out.
+  /** Executor-level memo of built broadcast indexes — every task on an
+    * executor shares one build, the way Spark's own `HashedRelation` ships
+    * pre-built inside its broadcast. Keyed WEAKLY by the identity of the
+    * broadcast VALUE (the deserialized array is shared executor-wide by
+    * the block manager, and array equality is reference equality): a
+    * broadcast id could repeat across SparkContexts in one JVM, but the
+    * value object cannot, and entries vanish with the broadcast itself —
+    * no LRU policy to tune, no stale-index hazard.
     */
   private val broadcastIndexCache =
-    new java.util.LinkedHashMap[Long, AnyRef](16, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[Long, AnyRef]): Boolean =
-        size() > 8
-    }
+    new java.util.WeakHashMap[AnyRef, AnyRef]()
 
-  private def cachedIndex[T <: AnyRef](id: Long)(build: => T): T =
+  private def cachedIndex[T <: AnyRef](key: AnyRef)(build: => T): T =
     broadcastIndexCache.synchronized {
-      val hit = broadcastIndexCache.get(id)
+      val hit = broadcastIndexCache.get(key)
       if (hit != null) hit.asInstanceOf[T]
-      else { val v = build; broadcastIndexCache.put(id, v); v }
+      else { val v = build; broadcastIndexCache.put(key, v); v }
     }
 
   /** Physical streaming merge. Declares `ClusteredDistribution` per child
@@ -296,7 +296,7 @@ object AsOfMerge {
         // key → (ts[], row[]) with ts ascending; rows at equal ts keep
         // later-wins order to mirror the merge exec's last-consumed rule.
         // Built once per executor per broadcast (memoized), not per task.
-        val index = cachedIndex(bcast.id) {
+        val index = cachedIndex(bcast.value) {
           val rKeyProj = UnsafeProjection.create(rKeyExprs, rOut)
           val built = new java.util.HashMap[UnsafeRow, (Array[Long], Array[InternalRow])]()
           val grouped = new java.util.HashMap[UnsafeRow,
