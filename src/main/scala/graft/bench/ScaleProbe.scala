@@ -30,7 +30,13 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def time(tag: String)(f: => Unit): Unit = {
+    // SPARK_GRAFT_PROBE_ONLY=tag1,tag2 narrows a probe run to specific
+    // operators (substring match) — for re-measuring one cell of SCALE.md
+    // without paying for the whole suite.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(",").map(_.trim).toSet)
+    def wanted(tag: String): Boolean = only.forall(_.exists(tag.contains))
+    def time(tag: String)(f: => Unit): Unit = if (wanted(tag)) {
       val t0 = System.nanoTime(); f
       println(f"$size $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
@@ -148,6 +154,9 @@ object ScaleProbe {
       time("pq_fit_10k_sample") {
         books = graft.sim.Similarity.pqCodebooks(emb, "embedding", 64, 8, 16)
       }
+      // the scans below need codebooks even when the fit itself is filtered out
+      if (books == null && (wanted("pq_topk_100q") || wanted("ivfpq_topk_100q")))
+        books = graft.sim.Similarity.pqCodebooks(emb, "embedding", 64, 8, 16)
       // PQ scan: encode full corpus + ADC-score 100 queries × n codes
       run("pq_topk_100q",
         graft.sim.Similarity.pqTopK(emb, "vec_id", "embedding", 10,

@@ -48,7 +48,17 @@ object AsOfJoin {
     // leftTs is carried ONLY as _ts (renamed back at the end) — carrying it
     // twice would leave a duplicate, ambiguous column in the output.
     val carryLeft = leftCols.filterNot(c => on.contains(c) || c == leftTs)
-    val taggedRight = right.select(
+    // SQL equality semantics: a right row with a null key or null timestamp
+    // can never be an as-of match (`l.k = r.k` is never true for NULL, and a
+    // null timestamp has no position on the time axis). Dropping them before
+    // the union keeps them out of the window carry entirely — otherwise
+    // `last(..., ignoreNulls)` would carry their VALUES (which may be
+    // non-null) while `_asof_ts` stays null, and null-key left rows would
+    // silently match null-key right rows. Matches the native exec
+    // (plans/AsOfMerge.scala) row for row.
+    val matchableRight = right.where(
+      (on.map(col(_).isNotNull) :+ col(rightTs).isNotNull).reduce(_ && _))
+    val taggedRight = matchableRight.select(
       (on.map(col) :+ col(rightTs).as("_ts") :+ lit(0).as("_side")) ++
         rightVals.map(c => col(c).as(s"_r_$c")) ++
         carryLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)

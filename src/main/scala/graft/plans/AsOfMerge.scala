@@ -132,12 +132,29 @@ object AsOfMerge {
   private val broadcastIndexCache =
     new java.util.WeakHashMap[AnyRef, AnyRef]()
 
-  private def cachedIndex[T <: AnyRef](key: AnyRef)(build: => T): T =
-    broadcastIndexCache.synchronized {
+  /** Per-key memoization: the global lock is held only long enough to
+    * install a lazy holder, and the (potentially expensive) index build runs
+    * under that holder's own lock — first tasks of DIFFERENT concurrent
+    * broadcast as-of joins build in parallel instead of serializing behind
+    * one global monitor.
+    */
+  private def cachedIndex[T <: AnyRef](key: AnyRef)(build: => T): T = {
+    val holder = broadcastIndexCache.synchronized {
       val hit = broadcastIndexCache.get(key)
-      if (hit != null) hit.asInstanceOf[T]
-      else { val v = build; broadcastIndexCache.put(key, v); v }
+      if (hit != null) hit
+      else { val h: AnyRef = new LazyHolder(() => build); broadcastIndexCache.put(key, h); h }
     }
+    holder.asInstanceOf[LazyHolder[T]].value
+  }
+
+  /** The build closure is dropped once evaluated: it captures the Broadcast
+    * handle, and holding it would strongly pin this map's weak KEY (the
+    * broadcast value) through the entry's own value — the classic
+    * WeakHashMap self-retention leak.
+    */
+  private final class LazyHolder[T](@volatile private var build: () => T) {
+    lazy val value: T = { val v = build(); build = null; v }
+  }
 
   /** Physical streaming merge. Declares `ClusteredDistribution` per child
     * and `(key, ts)` child ordering; EnsureRequirements inserts the (at
@@ -213,29 +230,43 @@ object AsOfMerge {
         lIter.map { lRow =>
           val lKey = lKeyProj(lRow)
           val lTsV = tsVal(lTsBound, lRow)
-          // Advance the right side: drop rows behind the left key, consume
-          // (remember) rows at the key with ts <= left ts. One pass total —
-          // each right row is visited once per partition.
-          var advancing = true
-          while (advancing && rBuf.hasNext) {
-            val head = rBuf.head
-            val c = keyCmp(rKeyProj(head), lKey)
-            if (c < 0) { rBuf.next() }
-            else if (c == 0) {
-              val rTsV = tsVal(rTsBound, head)
-              if (rTsV == null) { rBuf.next() } // null ts can never match
-              else if (lTsV != null && rTsV.longValue() <= lTsV.longValue()) {
-                heldRow = rBuf.next().copy()
-                heldKey = lKey.copy()
-                heldTs = rTsV.longValue()
-              } else advancing = false
-            } else advancing = false
+          // SQL equality semantics: a null equi-key never matches anything
+          // (`l.k = r.k` is never true for NULL), so null-key left rows emit
+          // the unmatched shape without touching the right cursor (they sort
+          // first, so no right progress is lost), and null-key right rows are
+          // dropped on sight rather than held.
+          if (lKey.anyNull) {
+            numOutputRows += 1
+            resultProj(joined(lRow, rNulls))
+          } else {
+            // Advance the right side: drop rows behind the left key, consume
+            // (remember) rows at the key with ts <= left ts. One pass total —
+            // each right row is visited once per partition.
+            var advancing = true
+            while (advancing && rBuf.hasNext) {
+              val head = rBuf.head
+              val hKey = rKeyProj(head)
+              if (hKey.anyNull) { rBuf.next() } // null key can never match
+              else {
+                val c = keyCmp(hKey, lKey)
+                if (c < 0) { rBuf.next() }
+                else if (c == 0) {
+                  val rTsV = tsVal(rTsBound, head)
+                  if (rTsV == null) { rBuf.next() } // null ts can never match
+                  else if (lTsV != null && rTsV.longValue() <= lTsV.longValue()) {
+                    heldRow = rBuf.next().copy()
+                    heldKey = lKey.copy()
+                    heldTs = rTsV.longValue()
+                  } else advancing = false
+                } else advancing = false
+              }
+            }
+            val matched = heldRow != null && lTsV != null &&
+              heldKey != null && heldKey.equals(lKey) &&
+              tol.forall(t => lTsV.longValue() - heldTs <= t)
+            numOutputRows += 1
+            resultProj(joined(lRow, if (matched) heldRow else rNulls))
           }
-          val matched = heldRow != null && lTsV != null &&
-            heldKey != null && heldKey.equals(lKey) &&
-            tol.forall(t => lTsV.longValue() - heldTs <= t)
-          numOutputRows += 1
-          resultProj(joined(lRow, if (matched) heldRow else rNulls))
         }
       }
     }
@@ -303,7 +334,10 @@ object AsOfMerge {
             scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
           bcast.value.foreach { r =>
             val tsv = rTsBound.eval(r)
-            if (tsv != null) {
+            // SQL equality semantics: null-key rows can never match a probe
+            // (`l.k = r.k` is never true for NULL), so they stay out of the
+            // index — mirrors the merge exec dropping them on sight.
+            if (tsv != null && !rKeyProj(r).anyNull) {
               val k = rKeyProj(r).copy()
               var buf = grouped.get(k)
               if (buf == null) {
@@ -336,7 +370,10 @@ object AsOfMerge {
           val lTsV = lTsBound.eval(lRow)
           var rRow: InternalRow = rNulls
           if (lTsV != null) {
-            val entry = index.get(lKeyProj(lRow))
+            val lKey = lKeyProj(lRow)
+            // Null-key probes never match (index holds no null keys either,
+            // but UnsafeRow map equality would treat null==null as a hit).
+            val entry = if (lKey.anyNull) null else index.get(lKey)
             if (entry != null) {
               val t = lTsV.asInstanceOf[Number].longValue()
               val i = search(entry._1, t)
@@ -403,6 +440,13 @@ object AsOfMerge {
         s"as-of key '$n' types differ: ${l.dataType} vs ${r.dataType}") }
     val lTsA = lAttr(leftTs)
     val rTsA = rAttr("_asof_rts")
+    // The merge compares raw long values of the two time axes, and tolerance
+    // unit conversion keys off the LEFT type — a TimestampType left against a
+    // LongType(seconds) right would silently compare microseconds to seconds.
+    // Mirror the key-type check: same dtype or nothing.
+    require(lTsA.dataType == rTsA.dataType,
+      s"as-of time axes must have the same type: " +
+        s"$leftTs is ${lTsA.dataType}, $rightTs is ${rTsA.dataType} — cast one side first")
     val tolUnits = tolerance.map { t =>
       if (lTsA.dataType == TimestampType || lTsA.dataType == TimestampNTZType)
         t * 1000000L // seconds -> microseconds

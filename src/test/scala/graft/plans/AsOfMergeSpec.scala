@@ -116,15 +116,49 @@ class AsOfMergeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
                     (1L, Some("2024-01-01 00:05:00"), 2.0))
       .toDF("k", "rts_s", "v")
       .select(col("k"), to_timestamp(col("rts_s")).as("rts"), col("v"))
-    for (form <- Seq(Some(false), Some(true))) { // merge and broadcast paths
-      val out = AsOfMerge.asofMergeJoin(left, right,
-        on = Seq("k"), leftTs = "ts", rightTs = "rts", rightVals = Seq("v"),
-        broadcast = form)
-        .orderBy("tag").collect()
+    // all three paths: merge exec, broadcast exec, union+window composition —
+    // a null-ts right row must neither match nor leak carried values anywhere
+    val runs: Seq[DataFrame] = Seq(
+      AsOfMerge.asofMergeJoin(left, right, on = Seq("k"), leftTs = "ts",
+        rightTs = "rts", rightVals = Seq("v"), broadcast = Some(false)),
+      AsOfMerge.asofMergeJoin(left, right, on = Seq("k"), leftTs = "ts",
+        rightTs = "rts", rightVals = Seq("v"), broadcast = Some(true)),
+      AsOfJoin.asofJoin(left, right, on = Seq("k"), leftTs = "ts",
+        rightTs = "rts", rightVals = Seq("v")))
+    for (df <- runs) {
+      val out = df.select("k", "ts", "tag", "v", "asof_ts").orderBy("tag").collect()
       assert(out.length === 2)
       assert(out(0).getAs[Double]("v") === 2.0) // tag=a matches the non-null rts
       assert(out(0).getAs[Any]("asof_ts") != null)
       assert(out(1).isNullAt(out(1).fieldIndex("v"))) // null left ts: no match
+      assert(out(1).isNullAt(out(1).fieldIndex("asof_ts")))
+    }
+  }
+
+  test("null equi-keys never match (SQL equality), all three paths agree") {
+    val left = Seq((Some(1L), "2024-01-01 00:10:00", "a"),
+                   (None, "2024-01-01 00:10:00", "b"))
+      .toDF("k", "ts_s", "tag")
+      .select(col("k"), to_timestamp(col("ts_s")).as("ts"), col("tag"))
+    val right = Seq((Some(1L), "2024-01-01 00:05:00", 1.0),
+                    (None, "2024-01-01 00:06:00", 9.0)) // must never be carried
+      .toDF("k", "rts_s", "v")
+      .select(col("k"), to_timestamp(col("rts_s")).as("rts"), col("v"))
+    val runs: Seq[DataFrame] = Seq(
+      AsOfMerge.asofMergeJoin(left, right, on = Seq("k"), leftTs = "ts",
+        rightTs = "rts", rightVals = Seq("v"), broadcast = Some(false)),
+      AsOfMerge.asofMergeJoin(left, right, on = Seq("k"), leftTs = "ts",
+        rightTs = "rts", rightVals = Seq("v"), broadcast = Some(true)),
+      AsOfJoin.asofJoin(left, right, on = Seq("k"), leftTs = "ts",
+        rightTs = "rts", rightVals = Seq("v")))
+    for (df <- runs) {
+      val out = df.select("k", "ts", "tag", "v", "asof_ts").orderBy("tag").collect()
+      assert(out.length === 2)
+      assert(out(0).getAs[Double]("v") === 1.0) // non-null key matches normally
+      // null-key left row: left outer survives, but NOTHING matches it —
+      // `c.k = p.k` is never true for NULL in the DuckDB ASOF oracle either
+      assert(out(1).isNullAt(out(1).fieldIndex("v")))
+      assert(out(1).isNullAt(out(1).fieldIndex("asof_ts")))
     }
   }
 
@@ -218,6 +252,13 @@ class AsOfMergeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     intercept[IllegalArgumentException] {
       AsOfMerge.asofMergeJoin(clicks, purchases.withColumnRenamed("purchase_value", "value"),
         Seq("user_id"), "ts", "pts", Seq("value"))
+    }
+    // mismatched time axes (timestamp vs long-seconds) must be rejected, not
+    // silently compared microseconds-to-seconds
+    val longRight = purchases.withColumn("pts", unix_timestamp(col("pts")))
+    intercept[IllegalArgumentException] {
+      AsOfMerge.asofMergeJoin(clicks, longRight, Seq("user_id"), "ts", "pts",
+        Seq("purchase_value"))
     }
   }
 }
