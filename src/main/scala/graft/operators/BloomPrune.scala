@@ -60,14 +60,11 @@ object BloomPrune {
       if (integralKey) col(dimKey).cast("long") else col(dimKey)
     val bf = dim.select(dimKeyCol.as(dimKey)).stat
       .bloomFilter(dimKey, expectedItems, fpp)
-    val bc = fact.sparkSession.sparkContext.broadcast(bf)
-    val mightContain: Column =
-      if (integralKey)
-        udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-          .apply(col(factKey).cast("long"))
-      else
-        udf((k: String) => k != null && bc.value.mightContainString(k))
-          .apply(col(factKey))
+    // codegen'd probe (plans/Expressions.BloomMightContain): the filter rides
+    // the plan's broadcast task binary, the probe stays inside whole-stage
+    // codegen instead of crossing a UDF boundary per fact row
+    val mightContain: Column = graft.plans.Expressions.bloom_might_contain(
+      if (integralKey) col(factKey).cast("long") else col(factKey), bf)
     // no distinct() on the build side (left_semi already deduplicates);
     // the dim key is aliased so factKey == dimKey doesn't turn the join
     // condition ambiguous

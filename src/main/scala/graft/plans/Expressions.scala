@@ -528,6 +528,75 @@ object Expressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Codegen'd bloom-filter membership probe over a pre-built
+    * `org.apache.spark.util.sketch.BloomFilter` — replaces the Scala UDF in
+    * [[graft.operators.BloomPrune]] so the probe stays inside whole-stage
+    * codegen (a UDF forces boxing + a codegen boundary right where the
+    * 100 TB fact scan is hottest). The filter travels as its serialized
+    * bytes (the expression is part of the plan, which Spark broadcasts to
+    * executors once) and is deserialized lazily per JVM.
+    *
+    * Accepts LongType (integral keys pre-cast by the caller, probed via
+    * `mightContainLong`) and StringType (probed via the UTF-8 bytes —
+    * exactly what `mightContainString` hashes, minus the String detour).
+    * Null keys probe false, like the UDF it replaces (a null key can never
+    * match the exact semi join that follows).
+    */
+  case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+      extends UnaryExpression {
+
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case LongType | StringType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"graft_bloom_might_contain needs a long or string key, got $other")
+      }
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_bloom_might_contain"
+
+    @transient private lazy val bf: org.apache.spark.util.sketch.BloomFilter =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(filterBytes))
+
+    /** Row kernels — public so generated code can call them. */
+    def testLong(v: Long): Boolean = bf.mightContainLong(v)
+    def testString(s: org.apache.spark.unsafe.types.UTF8String): Boolean =
+      bf.mightContainBinary(s.getBytes)
+
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val v = child.eval(input)
+      if (v == null) false
+      else child.dataType match {
+        case LongType => testLong(v.asInstanceOf[Long])
+        case _ => testString(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      }
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val ref = ctx.addReferenceObj("bloomProbe", this, classOf[BloomMightContain].getName)
+      val c = child.genCode(ctx)
+      val probe = child.dataType match {
+        case LongType => s"$ref.testLong(${c.value})"
+        case _ => s"$ref.testString(${c.value})"
+      }
+      ev.copy(
+        code = code"""
+          ${c.code}
+          boolean ${ev.value} = false;
+          if (!${c.isNull}) { ${ev.value} = $probe; }""",
+        isNull = FalseLiteral)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+      copy(child = newChild)
+  }
+
   // ---- Column wrappers (the library-facing surface)
 
   def cosine_similarity(a: Column, b: Column): Column =
@@ -554,4 +623,10 @@ object Expressions {
 
   def pq_adc(luts: Column, codes: Column): Column =
     Bridge.column(PqAdc(Bridge.expression(luts), Bridge.expression(codes)))
+
+  def bloom_might_contain(key: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val out = new java.io.ByteArrayOutputStream()
+    filter.writeTo(out)
+    Bridge.column(BloomMightContain(Bridge.expression(key), out.toByteArray))
+  }
 }

@@ -51,6 +51,25 @@ class BloomPruneSpec extends SparkSpec {
     assert(kept == Seq(2L, 4L))
   }
 
+  test("probe is a codegen expression — no UDF node, inside WholeStageCodegen") {
+    val li = Tables.lineitem(spark, sfDir)
+    val dim = Tables.orders(spark, sfDir)
+      .where(col("o_orderpriority") === "1-URGENT")
+    val pruned = BloomPrune.prunedSemiJoin(li, dim, "l_orderkey", "o_orderkey")
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("UDF") &&
+      !plan.contains("ScalaUDF"), s"probe must not be a UDF:\n$plan")
+    assert(plan.contains("graft_bloom_might_contain"), plan)
+    // null keys probe false (the UDF contract): nulls never reach the join
+    import spark.implicits._
+    val fact = Seq(Some(1L), None, Some(2L)).toDF("k")
+    val d2 = Seq(1L, 2L).toDF("k")
+    val kept = BloomPrune.prunedSemiJoin(fact, d2, "k", "k")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L))
+  }
+
   test("the filter prunes most non-matching keys at the configured fpp") {
     import spark.implicits._
     val dim = spark.range(0, 1000).toDF("k")
