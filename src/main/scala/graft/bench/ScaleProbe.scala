@@ -149,9 +149,9 @@ object ScaleProbe {
       // exact baseline: 100 broadcast queries × full corpus × dim mults
       run("knn_exact_100q",
         graft.sim.Similarity.knnForQueries(emb, qs, "vec_id", "embedding", 10))
-      // codebook training: bounded sample, corpus-size independent
+      // codebook training: distributed treeAggregate Lloyd's, full corpus
       var books: Seq[Seq[Seq[Double]]] = null
-      time("pq_fit_10k_sample") {
+      time("pq_fit_distributed") {
         books = graft.sim.Similarity.pqCodebooks(emb, "embedding", 64, 8, 16)
       }
       // the scans below need codebooks even when the fit itself is filtered out

@@ -140,33 +140,35 @@ object SimQ extends QueryPack {
         "(44,1.0),(45,1.0),(46,1.0),(47,1.0),(48,0.666667),(49,1.0)" +
         ") AS t(id1, recall)"),
     // Deterministic recall@10 of the seeded PQ quantizer (m=8 subspaces ×
-    // 16 centroids) at the sf0.01 gate — pinned from the engine's
-    // deterministic run for the same reason as q_ivf_ann (the k-means
-    // codebooks can't be replayed in SQL); the independent evidence is
-    // DedupSpec's zero-quantization-error ADC-equals-cosine proof and the
-    // recall bound vs in-engine exact kNN.
+    // 16 centroids, distributed Lloyd's fit with hash-sorted init and
+    // order-fixed partial merge) at the sf0.01 gate — pinned from the
+    // engine's deterministic run for the same reason as q_ivf_ann (the
+    // k-means codebooks can't be replayed in SQL); the independent
+    // evidence is DedupSpec's zero-quantization-error ADC-equals-cosine
+    // proof, the recall bound vs in-engine exact kNN, and the bit-exact
+    // refit reproducibility case.
     "q_pq_ann" ->
       ("""SELECT CAST(id1 AS BIGINT) AS id1, CAST(recall AS DOUBLE) AS recall
          |FROM (VALUES """.stripMargin +
-        "(0,0.7),(1,0.5),(2,0.5),(3,0.5),(4,0.6),(5,0.7),(6,0.6),(7,0.6)," +
-        "(8,0.5),(9,0.7),(10,0.8),(11,0.6),(12,0.5),(13,0.7),(14,0.7)," +
-        "(15,0.5),(16,0.6),(17,0.5),(18,0.5),(19,0.6),(20,0.7),(21,0.7)," +
-        "(22,0.5),(23,0.6),(24,0.5),(25,0.7),(26,0.8),(27,0.5),(28,0.5)," +
-        "(29,0.7),(30,0.7),(31,0.6),(32,0.6),(33,0.9),(34,0.7),(35,0.6)," +
-        "(36,0.7),(37,0.5),(38,0.8),(39,0.7),(40,0.4),(41,0.4),(42,0.7)," +
-        "(43,0.8),(44,0.7),(45,0.7),(46,0.5),(47,0.7),(48,0.8),(49,0.8)" +
+        "(0,0.5),(1,0.6),(2,0.6),(3,0.5),(4,0.6),(5,0.7),(6,0.7),(7,0.7)," +
+        "(8,0.5),(9,0.5),(10,0.8),(11,0.7),(12,0.5),(13,0.4),(14,0.6)," +
+        "(15,0.5),(16,0.8),(17,0.7),(18,0.6),(19,0.8),(20,0.7),(21,0.5)," +
+        "(22,0.5),(23,0.8),(24,0.7),(25,0.3),(26,0.7),(27,0.7),(28,0.7)," +
+        "(29,0.7),(30,0.9),(31,0.8),(32,0.6),(33,0.6),(34,0.8),(35,0.7)," +
+        "(36,0.6),(37,0.5),(38,0.8),(39,0.6),(40,0.8),(41,0.7),(42,0.8)," +
+        "(43,0.6),(44,0.8),(45,0.7),(46,0.6),(47,0.6),(48,0.8),(49,0.5)" +
         ") AS t(id1, recall)"),
     // same pinned style for the IVF-PQ composition (cells + codes)
     "q_ivfpq_ann" ->
       ("""SELECT CAST(id1 AS BIGINT) AS id1, CAST(recall AS DOUBLE) AS recall
          |FROM (VALUES """.stripMargin +
-        "(0,0.7),(1,0.6),(2,0.6),(3,0.6),(4,0.6),(5,0.7),(6,0.6),(7,0.6)," +
-        "(8,0.5),(9,0.6),(10,0.8),(11,0.7),(12,0.5),(13,0.5),(14,0.7)," +
-        "(15,0.6),(16,0.7),(17,0.5),(18,0.6),(19,0.7),(20,0.8),(21,0.7)," +
-        "(22,0.4),(23,0.6),(24,0.6),(25,0.6),(26,0.7),(27,0.5),(28,0.5)," +
-        "(29,0.5),(30,0.7),(31,0.6),(32,0.7),(33,0.9),(34,0.6),(35,0.6)," +
-        "(36,0.5),(37,0.6),(38,0.7),(39,0.6),(40,0.5),(41,0.7),(42,0.7)," +
-        "(43,0.7),(44,0.8),(45,0.8),(46,0.5),(47,0.6),(48,0.7),(49,0.8)" +
+        "(0,0.6),(1,0.6),(2,0.7),(3,0.5),(4,0.5),(5,0.7),(6,0.6),(7,0.7)," +
+        "(8,0.4),(9,0.5),(10,0.8),(11,0.7),(12,0.5),(13,0.3),(14,0.7)," +
+        "(15,0.4),(16,0.7),(17,0.6),(18,0.7),(19,0.8),(20,0.7),(21,0.5)," +
+        "(22,0.4),(23,0.8),(24,0.8),(25,0.5),(26,0.7),(27,0.7),(28,0.7)," +
+        "(29,0.5),(30,0.7),(31,0.8),(32,0.6),(33,0.7),(34,0.7),(35,0.6)," +
+        "(36,0.6),(37,0.6),(38,0.8),(39,0.6),(40,0.7),(41,0.6),(42,0.7)," +
+        "(43,0.7),(44,0.7),(45,0.7),(46,0.5),(47,0.6),(48,0.7),(49,0.5)" +
         ") AS t(id1, recall)")
   )
 

@@ -184,12 +184,22 @@ object Similarity {
     * Scala arrays — small enough (m·k·dim/m doubles) to inline as
     * literals into every executor's codegen, no broadcast needed.
     *
-    * The fit runs on a BOUNDED driver-side sample (`sampleRows`) with a
-    * seeded local Lloyd's — the standard quantizer-training shape (FAISS
-    * trains on a sample too): codebook cost is O(sample), independent of
-    * corpus size, launches no per-iteration distributed jobs, and is
-    * fully deterministic (no partition-order sensitivity). Vectors are
-    * L2-normalized before fitting so inner product ≡ cosine downstream.
+    * The fit is a DISTRIBUTED Lloyd's: every iteration assigns the whole
+    * corpus (or a seeded `sampleFraction` of it) and reduces per-subspace
+    * (sum, count) state through ONE `treeAggregate` — all m subspaces fit
+    * in the same pass, so the job count is `iters`, not `iters × m`, and
+    * the aggregated state is tiny (m·k·(dim/m+1) values) no matter the
+    * corpus size. Nothing is collected but the k seed vectors and the
+    * final centroids, so codebook QUALITY has no corpus-size-bound cap
+    * (the previous fit trained on the first 10k driver-collected rows).
+    *
+    * Determinism: init takes the k vectors with the smallest seeded
+    * xxhash64 — a total order on rows, no partition-order sensitivity —
+    * and the iteration count is fixed; empty clusters keep their previous
+    * centroid. (As with any distributed double summation, the last-ulp
+    * bits depend on the input partitioning; for a fixed layout the fit is
+    * exactly reproducible.) Vectors are L2-normalized before fitting so
+    * inner product ≡ cosine downstream.
     */
   def pqCodebooks(
       df: DataFrame,
@@ -198,63 +208,115 @@ object Similarity {
       m: Int,
       codebookSize: Int,
       seed: Long = 42L,
-      sampleRows: Int = 10000
+      iters: Int = 10,
+      sampleFraction: Option[Double] = None
   ): Seq[Seq[Seq[Double]]] = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
-    val sub = dim / m
-    val sample: Array[Array[Double]] =
-      df.select(l2normalize(asDouble(col(vecCol))).as("u"))
-        .limit(sampleRows).collect()
-        .map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "pqCodebooks: empty input")
-    (0 until m).map { j =>
-      val pts = sample.map(u => java.util.Arrays.copyOfRange(u, j * sub, (j + 1) * sub))
-      kmeansLocal(pts, codebookSize, iters = 10, seed = seed + j)
-        .map(_.toSeq).toSeq
-    }
+    val vecs = df.select(l2normalize(asDouble(col(vecCol))).as("u"))
+    kmeansSubspaces(vecs, dim, m, codebookSize, iters, seed, sampleFraction)
+      .map(_.map(_.toSeq).toSeq).toSeq
   }
 
-  /** Seeded Lloyd's over an in-memory sample: init from a shuffled point
-    * permutation, fixed iteration count, empty clusters keep their old
-    * centroid. Deterministic for a given (points order, seed).
+  /** Distributed Lloyd's over all `m` subspaces at once (see
+    * [[pqCodebooks]]). `vecs` must be a single `array<double>` column "u".
     */
-  private def kmeansLocal(points: Array[Array[Double]], k: Int,
-                          iters: Int, seed: Long): Array[Array[Double]] = {
-    val n = points.length
-    val dim = points.head.length
-    val rnd = new scala.util.Random(seed)
-    val perm = rnd.shuffle((0 until n).toVector)
-    val cents = Array.tabulate(k)(i => points(perm(i % n)).clone())
-    var it = 0
-    while (it < iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Long](k)
-      var i = 0
-      while (i < n) {
-        val p = points(i)
-        var best = 0; var bestD = Double.MaxValue; var c = 0
+  private def kmeansSubspaces(
+      vecs: DataFrame, dim: Int, m: Int, k: Int, iters: Int, seed: Long,
+      sampleFraction: Option[Double]): Array[Array[Array[Double]]] = {
+    val sub = dim / m
+    val spark = vecs.sparkSession
+    // sorted init: the k rows with the smallest seeded hash — a
+    // deterministic global choice (TakeOrderedAndProject, no full sort)
+    val seedRows: Array[Array[Double]] = vecs
+      .orderBy(xxhash64(col("u"), lit(seed)), col("u"))
+      .limit(k).collect().map(_.getSeq[Double](0).toArray)
+    require(seedRows.nonEmpty, "pqCodebooks: empty input")
+    val cents: Array[Array[Array[Double]]] = Array.tabulate(m, k) { (j, c) =>
+      java.util.Arrays.copyOfRange(
+        seedRows(c % seedRows.length), j * sub, (j + 1) * sub)
+    }
+    val base = vecs.rdd.map(_.getSeq[Double](0).toArray)
+    val pts = sampleFraction
+      .map(f => base.sample(withReplacement = false, f, seed)).getOrElse(base)
+    pts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    type Partial = (Array[Array[Array[Double]]], Array[Array[Long]])
+    def combine(x: Partial, y: Partial): Partial = {
+      val (s1, n1) = x; val (s2, n2) = y
+      var j = 0
+      while (j < m) {
+        var c = 0
         while (c < k) {
-          var d = 0.0; var t = 0
-          while (t < dim) { val x = p(t) - cents(c)(t); d += x * x; t += 1 }
-          if (d < bestD) { bestD = d; best = c }
+          val a = s1(j)(c); val b = s2(j)(c)
+          var t = 0
+          while (t < sub) { a(t) += b(t); t += 1 }
+          n1(j)(c) += n2(j)(c)
           c += 1
         }
-        val s = sums(best); var t = 0
-        while (t < dim) { s(t) += p(t); t += 1 }
-        counts(best) += 1
-        i += 1
+        j += 1
       }
-      var c = 0
-      while (c < k) {
-        if (counts(c) > 0) {
-          var t = 0
-          while (t < dim) { cents(c)(t) = sums(c)(t) / counts(c); t += 1 }
-        }
-        c += 1
-      }
-      it += 1
+      (s1, n1)
     }
-    cents
+
+    try {
+      var it = 0
+      while (it < iters) {
+        val bc = spark.sparkContext.broadcast(cents.map(_.map(_.clone())))
+        // One pass: per-partition (sum, count) partials, then a merge that
+        // is DETERMINISTIC by construction — partials are keyed by
+        // partition id, combined in sorted-id order within fixed 64-wide
+        // groups and again in group order on the driver. (treeAggregate's
+        // final reduce merges in task-COMPLETION order, which re-orders
+        // double addition between runs and costs last-ulp reproducibility —
+        // exactly what pinned-recall oracles can't tolerate.) The driver
+        // receives ceil(P/64) partials of m·k·(dim/m+1) values each.
+        val (sums, counts) = pts.mapPartitionsWithIndex { (pid, iter) =>
+          val cs = bc.value
+          val s = Array.fill(m, k)(new Array[Double](sub))
+          val n = Array.fill(m, k)(0L)
+          iter.foreach { u =>
+            var j = 0
+            while (j < m) {
+              val off = j * sub
+              var best = 0; var bestD = Double.MaxValue; var c = 0
+              while (c < k) {
+                val cent = cs(j)(c)
+                var d = 0.0; var t = 0
+                while (t < sub) { val x = u(off + t) - cent(t); d += x * x; t += 1 }
+                if (d < bestD) { bestD = d; best = c }
+                c += 1
+              }
+              val tgt = s(j)(best); var t = 0
+              while (t < sub) { tgt(t) += u(off + t); t += 1 }
+              n(j)(best) += 1L
+              j += 1
+            }
+          }
+          Iterator((pid, (s, n)))
+        }
+          .map { case (pid, p) => (pid / 64, (pid, p)) }
+          .groupByKey()
+          .map { case (g, members) =>
+            (g, members.toArray.sortBy(_._1).map(_._2).reduce(combine)) }
+          .collect().sortBy(_._1).map(_._2)
+          .reduce(combine)
+        var j = 0
+        while (j < m) {
+          var c = 0
+          while (c < k) {
+            if (counts(j)(c) > 0L) {
+              var t = 0
+              while (t < sub) { cents(j)(c)(t) = sums(j)(c)(t) / counts(j)(c); t += 1 }
+            } // empty cluster keeps its previous centroid
+            c += 1
+          }
+          j += 1
+        }
+        bc.destroy()
+        it += 1
+      }
+      cents
+    } finally pts.unpersist(blocking = false)
   }
 
   private def l2normalize(vec: Column): Column = {
@@ -349,7 +411,7 @@ object Similarity {
       seed: Long = 42L,
       queries: Option[DataFrame] = None,
       codebooks: Option[Seq[Seq[Seq[Double]]]] = None,
-      coarseSampleRows: Int = 10000
+      coarseSampleFraction: Option[Double] = None
   ): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -361,10 +423,14 @@ object Similarity {
         s"does not match m=$m, dim/m=$sub")
     val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("features", array_to_vector(col("v")))
-    // coarse quantizer trained on a bounded sample (assignment below
-    // still covers the full corpus) — fit cost independent of corpus size
+    // coarse quantizer trained distributed over the full corpus (matching
+    // [[ivfTopK]]) or a seeded fraction of it — quantizer quality carries
+    // no absolute-row cap; MLlib's fit aggregates per-cluster state, it
+    // never collects rows to the driver
+    val fitInput = coarseSampleFraction
+      .map(f => v.sample(withReplacement = false, f, seed)).getOrElse(v)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(v.limit(coarseSampleRows))
+      .fit(fitInput)
     // corpus side: one cell id + m-byte code vector per row — the only
     // thing the candidate scan ever reads
     val assigned = model.transform(v)

@@ -253,6 +253,32 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ recall@10 too low: $recall")
   }
 
+  test("codebook fit is distributed — structure past a 10k prefix is learned") {
+    // 12k rows: the first 10k are one constant vector, the diverse tail
+    // lies entirely beyond the old driver-side collect cap. A prefix-capped
+    // fit would collapse every subspace to a single effective centroid and
+    // encode the whole tail as one code; the distributed fit must learn the
+    // tail's structure (≥2 distinct codes per subspace over tail rows).
+    val dim = 8; val m = 2
+    val vecs = spark.range(12000).select(col("id"),
+      when(col("id") < 10000,
+        array(Seq.fill(dim)(lit(1.0)): _*))
+        .otherwise(array((0 until dim).map(j =>
+          sin(col("id") * (j + 1)).cast("double")): _*)).as("embedding"))
+    val books = Similarity.pqCodebooks(vecs, "embedding", dim, m, codebookSize = 4)
+    val tailCodes = vecs.where(col("id") >= 10000)
+      .select(Similarity.pqEncode(
+        transform(col("embedding"), _.cast("double")), books).as("codes"))
+    val distinctPerSubspace = (0 until m).map(j =>
+      tailCodes.select(col("codes").getItem(j)).distinct().count())
+    assert(distinctPerSubspace.forall(_ >= 2),
+      s"tail collapsed to one code per subspace: $distinctPerSubspace — " +
+        "fit is not seeing rows beyond a prefix")
+    // determinism: the same seeded fit twice is bit-identical
+    val again = Similarity.pqCodebooks(vecs, "embedding", dim, m, codebookSize = 4)
+    assert(books == again, "seeded distributed fit must be reproducible")
+  }
+
   test("IVF-PQ composition keeps usable recall@10 against exact kNN") {
     val sample = emb.where(col("vec_id") < 100)
     val exact = Similarity.knnJoin(sample, "vec_id", "embedding", 10)
