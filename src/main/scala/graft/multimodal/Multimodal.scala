@@ -188,11 +188,87 @@ object Multimodal {
       }
   }
 
-  /** Frame sampling stub for video-like media: every k-th fake frame index,
-    * capped — the plumbing for a real frame extractor.
+  /** Frame-index selection for video-like media: every `stride`-th frame,
+    * capped at `maxFrames` — the sampling arithmetic [[sampleFrames]]
+    * drives against a real decoder (and an external oracle can replay:
+    * indexes are `stride·s` for `s < maxFrames` while `stride·s < nFrames`).
     */
   def sampleFrameIndexes(nFrames: Int, stride: Int, maxFrames: Int): Seq[Int] =
     (0 until nFrames by math.max(stride, 1)).take(maxFrames)
+
+  final case class FrameSample(media_id: Long, n_frames: Int, frame_idx: Int,
+                               width: Int, height: Int,
+                               mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL frame extraction for motion media through the JDK's multi-frame
+    * ImageIO surface (animated GIF is the dependency-free motion format
+    * every JDK decodes): per blob, count frames, sample indexes via
+    * [[sampleFrameIndexes]], decode ONLY the sampled frames
+    * (`reader.read(i)` — the GIF reader seeks; unsampled frames are
+    * skipped, which is the point of sampling), and emit per-frame dims +
+    * channel means. Same batched per-partition shape as [[resizeImages]]:
+    * partition count bounds decoder memory, and bytes no installed reader
+    * accepts contribute no rows (media operators are not total maps).
+    */
+  def sampleFrames(df: DataFrame, stride: Int, maxFrames: Int): Dataset[FrameSample] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          if (bytes == null || bytes.length < 8) Nil
+          else try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) { iis.close(); Nil }
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis, false, true)
+                val n = reader.getNumImages(true)
+                sampleFrameIndexes(n, stride, maxFrames).flatMap { i =>
+                  val img = reader.read(i)
+                  imageChannelMeans(img).map { case (r, g, b) =>
+                    FrameSample(id, n, i, img.getWidth, img.getHeight, r, g, b)
+                  }
+                }
+              } finally { reader.dispose(); iis.close() }
+            }
+          } catch { case scala.util.control.NonFatal(_) => Nil }
+        }
+      }
+  }
+
+  /** Deterministic animated-GIF builder (test/oracle fixture, mirroring
+    * [[solidPng]]): one solid colour per frame, written through the JDK's
+    * GIF sequence writer with an EXPLICIT 2-entry palette per frame — an
+    * indexed source image means the encoder preserves the colour exactly
+    * instead of quantizing to a web-safe palette, so the decoded per-frame
+    * channel means are integer formulas an external oracle can replay.
+    */
+  def animatedGif(frames: Seq[(Int, Int, Int)], w: Int, h: Int): Array[Byte] = {
+    require(frames.nonEmpty, "animatedGif: at least one frame")
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { case (r, g, b) =>
+        val icm = new java.awt.image.IndexColorModel(8, 2,
+          Array(r.toByte, 0.toByte), Array(g.toByte, 0.toByte),
+          Array(b.toByte, 0.toByte))
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        // raster defaults to index 0 == the frame colour; no draw needed
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
 
   // ---- Image resize (real decode → scale → re-encode, JDK-only) ----
 
@@ -279,19 +355,28 @@ object Multimodal {
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) return None
-      var r = 0.0; var g = 0.0; var b = 0.0
-      var x = 0
-      while (x < img.getWidth) {
-        var y = 0
-        while (y < img.getHeight) {
-          val p = img.getRGB(x, y)
-          r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
-          y += 1
-        }
-        x += 1
-      }
-      val n = img.getWidth.toDouble * img.getHeight
-      Some((r / n, g / n, b / n))
+      imageChannelMeans(img)
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** [[channelMeans]] over an already-decoded image (shared with the frame
+    * sampler, which decodes frames individually).
+    */
+  private def imageChannelMeans(
+      img: java.awt.image.BufferedImage): Option[(Double, Double, Double)] = {
+    if (img.getWidth == 0 || img.getHeight == 0) return None
+    var r = 0.0; var g = 0.0; var b = 0.0
+    var x = 0
+    while (x < img.getWidth) {
+      var y = 0
+      while (y < img.getHeight) {
+        val p = img.getRGB(x, y)
+        r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+        y += 1
+      }
+      x += 1
+    }
+    val n = img.getWidth.toDouble * img.getHeight
+    Some((r / n, g / n, b / n))
   }
 }

@@ -66,6 +66,33 @@ object PipelineQ extends QueryPack {
       }.toDF("media_id", "width", "height", "thumb_w", "thumb_h",
         "mean_r", "mean_g", "mean_b")
     }),
+    // Real multi-frame decode: deterministic animated GIFs (dims, frame
+    // count and per-frame solid colour all arithmetic functions of the
+    // id) → JDK GIF sequence writer → frame count + stride-sampled frame
+    // decode → per-frame dims and channel means. Same fully-independent
+    // oracle style as q_image_resize: the bytes really round-trip the
+    // codec, and every emitted number is an integer formula DuckDB
+    // replays (including the sampling arithmetic stride·s < n_frames).
+    "q_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val vids = s.range(60).map { id =>
+        val w = (8 + id * 7 % 24).toInt
+        val h = (8 + id * 11 % 24).toInt
+        val n = (1 + id % 10).toInt
+        val frames = (0 until n).map { f =>
+          (((id * 37 + f * 11) % 256).toInt,
+           ((id * 59 + f * 23) % 256).toInt,
+           ((id * 83 + f * 31) % 256).toInt)
+        }
+        (id, Multimodal.animatedGif(frames, w, h))
+      }.toDF("media_id", "content")
+      Multimodal.sampleFrames(vids, stride = 3, maxFrames = 3).map { fs =>
+        (fs.media_id, fs.n_frames, fs.frame_idx, fs.width, fs.height,
+          math.round(fs.mean_r).toInt, math.round(fs.mean_g).toInt,
+          math.round(fs.mean_b).toInt)
+      }.toDF("media_id", "n_frames", "frame_idx", "width", "height",
+        "mean_r", "mean_g", "mean_b")
+    }),
     // D5 — per-group arbitrary transform through the typed flatMapGroups
     // surface: per ship-month exact stats (count/min/max — no float
     // summation, so the hash compare is partition-order-proof).
@@ -207,6 +234,24 @@ object PipelineQ extends QueryPack {
         |  CAST((id * 59) % 256 AS INTEGER) AS mean_g,
         |  CAST((id * 83) % 256 AS INTEGER) AS mean_b
         |FROM t""".stripMargin,
+    // frame_idx = 3·s for s in 0..2 while 3·s < n — the engine's
+    // sampleFrameIndexes(n, 3, 3) replayed as a range join
+    "q_frame_sample" ->
+      """WITH t AS (
+        |  SELECT range AS id,
+        |         CAST(8 + (range * 7) % 24 AS INTEGER) AS w,
+        |         CAST(8 + (range * 11) % 24 AS INTEGER) AS h,
+        |         CAST(1 + range % 10 AS INTEGER) AS n
+        |  FROM range(60)),
+        |f AS (
+        |  SELECT t.*, CAST(s.range * 3 AS INTEGER) AS frame_idx
+        |  FROM t, range(0, 3) AS s(range)
+        |  WHERE s.range * 3 < t.n)
+        |SELECT id AS media_id, n AS n_frames, frame_idx, w AS width, h AS height,
+        |  CAST((id * 37 + frame_idx * 11) % 256 AS INTEGER) AS mean_r,
+        |  CAST((id * 59 + frame_idx * 23) % 256 AS INTEGER) AS mean_g,
+        |  CAST((id * 83 + frame_idx * 31) % 256 AS INTEGER) AS mean_b
+        |FROM f""".stripMargin,
     "q_apply_groups" ->
       """SELECT CAST(month(l_shipdate) AS INTEGER) AS month, count(*) AS n,
         |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty

@@ -62,10 +62,37 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.audioMeta(bad).isEmpty)
   }
 
-  test("frame sampling stub: stride and cap") {
+  test("frame index sampling: stride and cap") {
     assert(Multimodal.sampleFrameIndexes(10, 3, 10) == Seq(0, 3, 6, 9))
     assert(Multimodal.sampleFrameIndexes(100, 1, 5) == Seq(0, 1, 2, 3, 4))
     assert(Multimodal.sampleFrameIndexes(0, 1, 5).isEmpty)
+  }
+
+  test("animated GIF roundtrip: real frame count, sampled decode, exact colours") {
+    import spark.implicits._
+    // 7 frames, distinct solid colours; stride 2 cap 3 → frames 0, 2, 4
+    val colours = (0 until 7).map(f => (f * 30 % 256, f * 50 % 256, f * 70 % 256))
+    val gif = Multimodal.animatedGif(colours, w = 12, h = 9)
+    val df = Seq((1L, gif)).toDF("media_id", "content")
+    val out = Multimodal.sampleFrames(df, stride = 2, maxFrames = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(out.forall(f => f.n_frames == 7 && f.width == 12 && f.height == 9))
+    // solid palette-preserved frames decode to their exact colour
+    out.foreach { f =>
+      val (r, g, b) = colours(f.frame_idx)
+      assert(f.mean_r == r && f.mean_g == g && f.mean_b == b,
+        s"frame ${f.frame_idx}: got (${f.mean_r},${f.mean_g},${f.mean_b}), want ($r,$g,$b)")
+    }
+    // undecodable bytes contribute no rows, like the other media operators
+    val bad = Seq((2L, "not a gif".getBytes("UTF-8"))).toDF("media_id", "content")
+    assert(Multimodal.sampleFrames(bad, 1, 5).isEmpty)
+    // a single-frame GIF is just a degenerate video
+    val one = Seq((3L, Multimodal.animatedGif(Seq((10, 20, 30)), 5, 5)))
+      .toDF("media_id", "content")
+    val row = Multimodal.sampleFrames(one, 1, 5).collect().head
+    assert(row.n_frames == 1 && row.frame_idx == 0 &&
+      row.mean_r == 10.0 && row.mean_g == 20.0 && row.mean_b == 30.0)
   }
 
   test("real PNG bytes decode to true dimensions and luminance features") {
