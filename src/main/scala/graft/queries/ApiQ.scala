@@ -102,6 +102,43 @@ object ApiQ extends QueryPack {
       require(cache.stats.hits == 1 && cache.stats.misses == 1,
         s"unexpected cache stats: ${cache.stats}")
       cached.toDF("l_returnflag", "n", "sum_qty")
+    }),
+    // C3 + C4 through the oracle gate: a controllable clock drives a TTL
+    // expiry and a capacity-2 LRU drives an eviction, each of which MUST
+    // force exactly one recompute (throw-on-recompute guards every step
+    // that must hit). The emitted `recomputes` column equals 3 only if
+    // cold-miss + TTL-expiry + eviction each recomputed exactly once; the
+    // data rows stay independently derivable (per-flag lineitem counts).
+    "q_cache_lifecycle" -> ((s, dir) => {
+      import s.implicits._
+      var now = 1000L
+      val cache = new graft.serve.Cache.LruCache[Seq[(String, Long)]](
+        maxEntries = 2, ttlSeconds = 100, clock = () => now)
+      var recomputes = 0
+      def compute(): Seq[(String, Long)] = {
+        recomputes += 1
+        Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"))
+          .as[(String, Long)].collect().sortBy(_._1).toSeq
+      }
+      def mustHit(key: String): Seq[(String, Long)] =
+        cache.getOrCompute(key)(
+          sys.error(s"recompute of resident key $key — cache broken"))
+      val a = graft.serve.Cache.cacheKey("life", Map("k" -> "a"))
+      val b = graft.serve.Cache.cacheKey("life", Map("k" -> "b"))
+      val c = graft.serve.Cache.cacheKey("life", Map("k" -> "c"))
+      cache.getOrCompute(a)(compute())          // cold miss -> recompute 1
+      mustHit(a)                                // resident: no recompute
+      now += 200                                // past the 100 s TTL
+      cache.getOrCompute(a)(compute())          // expired -> recompute 2 (C3)
+      cache.put(b, Seq.empty); cache.put(c, Seq.empty) // capacity 2: evicts LRU=a
+      val rows = cache.getOrCompute(a)(compute()) // evicted -> recompute 3 (C4)
+      mustHit(c)                                // c survived the eviction
+      require(recomputes == 3, s"expected 3 recomputes, got $recomputes")
+      require(cache.stats.hits == 2 && cache.stats.misses == 3 &&
+        cache.stats.entries == 2, s"unexpected cache stats: ${cache.stats}")
+      rows.toDF("l_returnflag", "n")
+        .withColumn("recomputes", lit(recomputes))
     })
   )
 
@@ -170,6 +207,12 @@ object ApiQ extends QueryPack {
     "q_cached_stats" ->
       """SELECT l_returnflag, count(*) AS n,
         |       round(sum(l_quantity), 6) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // recomputes = 3 is the lifecycle contract: cold miss + TTL expiry +
+    // LRU eviction, one recompute each (guarded in-engine by
+    // throw-on-recompute for every step that must hit)
+    "q_cache_lifecycle" ->
+      """SELECT l_returnflag, count(*) AS n, 3 AS recomputes
         |FROM lineitem GROUP BY 1""".stripMargin,
     // merged batch states must equal the direct whole-table aggregate
     "q_incremental_stats" ->
