@@ -166,4 +166,74 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final WindowGroupLimit:\n$p")
     assert(p.contains("Partial"), s"partial mode missing:\n$p")
   }
+
+  test("AQE skew handling and salting divide the labor: joins to AQE, aggs to salt") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val helper = new AdaptiveSparkPlanHelper {}
+    // one hot key (~90% of rows) + a long tail; build side has every key
+    val fact = spark.range(40000).select(
+      when(col("id") % 10 < 9, lit(0L)).otherwise(col("id") % 100).as("k"),
+      col("id").as("row_id"), (col("id") % 7).cast("double").as("v"))
+    val build = spark.range(100).select(col("id").as("k"),
+      concat(lit("dim_"), col("id")).as("label"))
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // force the sort-merge regime (broadcast would dodge skew entirely)
+      // and lower AQE's skew thresholds to test-data scale
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 1. JOIN skew: AQE's OptimizeSkewedJoin splits the hot partition at
+      //    runtime — the plain join needs NO salting under AQE...
+      val plain = fact.join(build, Seq("k"))
+      plain.collect() // finalize AQE on THIS DataFrame's QueryExecution
+      val smj = helper.collectWithSubqueries(plain.queryExecution.executedPlan) {
+        case s: SortMergeJoinExec if s.isSkewJoin => s
+      }
+      assert(smj.nonEmpty,
+        s"AQE should mark the hot-key join skew-split:\n${plain.queryExecution.executedPlan}")
+      // ...and saltedJoin COEXISTS with AQE for the regime AQE can't split
+      // (its replicate-by-salt join is equi-keyed on (k, _salt), uniform by
+      // construction): same rows, no skew flag needed
+      val salted = graft.operators.Salting.saltedJoin(
+        fact, build, key = "k", tieBreaker = "row_id", saltBuckets = 8)
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+        "salted join must be row-identical to the plain join under AQE")
+      // 2. AGGREGATION skew: AQE has no skew rescue for a groupBy — the
+      //    executed plan of the direct aggregation hashes the hot key to
+      //    ONE reducer partition (no skew-split node exists for aggs).
+      //    Salting is the library's answer there: two exchanges (key+salt,
+      //    then key), identical results.
+      val direct = fact.groupBy(col("k")).agg(
+        sum(col("v")).as("sum_value"), count(col("v")).as("n"),
+        min(col("v")).as("min_value"), max(col("v")).as("max_value"))
+        .withColumn("avg_value", col("sum_value") / col("n"))
+      direct.collect()
+      val directPlan = direct.queryExecution.executedPlan.toString
+      assert(!directPlan.toLowerCase.contains("skew"),
+        s"no AQE skew handling exists for aggregations:\n$directPlan")
+      val saltedAgg = graft.operators.Salting.saltedStats(
+        fact, keys = Seq("k"), valueCol = "v", tieBreaker = "row_id",
+        saltBuckets = 8)
+      assert(saltedAgg.exceptAll(direct).isEmpty && direct.exceptAll(saltedAgg).isEmpty,
+        "salted aggregation must equal the direct aggregation")
+      saltedAgg.collect()
+      // the adaptive plan string repeats under "== Initial Plan ==" — count
+      // exchanges in the final section only
+      val saltedPlan = saltedAgg.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert("Exchange hashpartitioning".r.findAllIn(saltedPlan).size == 2,
+        s"salted agg must shuffle on (key, salt) then key:\n$saltedPlan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
