@@ -139,6 +139,58 @@ object ApiQ extends QueryPack {
         cache.stats.entries == 2, s"unexpected cache stats: ${cache.stats}")
       rows.toDF("l_returnflag", "n")
         .withColumn("recomputes", lit(recomputes))
+    }),
+    // O3 through the oracle gate: both serving caps bite on oversized
+    // requests. The time-step cap keeps the FIRST 8760 steps of an
+    // ordered series (deterministic — the capped aggregate replays in
+    // SQL); the point cap bounds the row COUNT only (which rows survive
+    // an unordered limit is plan-dependent, so the count is all that is
+    // asserted — same contract as the reference's cap).
+    "q_serving_caps" -> ((s, dir) => {
+      import graft.model.SeriesSpec
+      val spec = SeriesSpec("ts", Seq("lat", "lon"), "value")
+      // one-cell hourly series, 12000 steps: past the 8760-step cap
+      val series = s.range(12000).select(
+        (to_timestamp(lit("2020-01-01 00:00:00")) +
+          expr("make_interval(0, 0, 0, 0, CAST(id AS INT), 0, 0)")).as("ts"),
+        lit(0.0).as("lat"), lit(0.0).as("lon"),
+        col("id").cast("double").as("value"))
+      val capped = graft.serve.Api.pointSeries(series, spec, 0.0, 0.0)
+      val a = capped.agg(
+        count(lit(1)).as("n"),
+        min(col("ts")).as("ts_min"), max(col("ts")).as("ts_max"),
+        round(sum(col("value")), 6).as("value_sum"))
+        .select(lit("time_steps").as("cap"), col("n"),
+          col("ts_min"), col("ts_max"), col("value_sum"))
+      // 120×120 single-step grid: past the 10000-point cap
+      val grid = s.range(14400).select(
+        to_timestamp(lit("2020-01-01 00:00:00")).as("ts"),
+        (col("id") % 120 - 60).cast("double").as("lat"),
+        (col("id") / 120 - 60).cast("double").as("lon"),
+        col("id").cast("double").as("value"))
+      val b = graft.serve.Api.regionData(grid, spec,
+          graft.ingest.BBox(west = -180, south = -90, east = 180, north = 90))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("points").as("cap"), col("n"),
+          lit(null).cast("timestamp").as("ts_min"),
+          lit(null).cast("timestamp").as("ts_max"),
+          lit(null).cast("double").as("value_sum"))
+      a.unionByName(b)
+    }),
+    // O2 through the oracle gate: climatological percentile levels are
+    // monotone per group — emitted as values PLUS the explicit invariant
+    // column, both independently recomputed by DuckDB.
+    "q_percentile_order" -> ((s, dir) => {
+      val q = col("l_quantity")
+      Tables.lineitem(s, dir).groupBy(col("l_returnflag")).agg(
+        round(percentile(q, lit(0.05)), 6).as("p05"),
+        round(percentile(q, lit(0.25)), 6).as("p25"),
+        round(percentile(q, lit(0.50)), 6).as("p50"),
+        round(percentile(q, lit(0.75)), 6).as("p75"),
+        round(percentile(q, lit(0.95)), 6).as("p95"))
+        .withColumn("ordered",
+          col("p05") <= col("p25") && col("p25") <= col("p50") &&
+            col("p50") <= col("p75") && col("p75") <= col("p95"))
     })
   )
 
@@ -213,6 +265,33 @@ object ApiQ extends QueryPack {
     // throw-on-recompute for every step that must hit)
     "q_cache_lifecycle" ->
       """SELECT l_returnflag, count(*) AS n, 3 AS recomputes
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    // the 8760-step leg replays generation + ordered LIMIT; the point leg
+    // encodes the cap arithmetic (least(available, cap))
+    "q_serving_caps" ->
+      """WITH s AS (
+        |  SELECT TIMESTAMP '2020-01-01' + INTERVAL (range) HOUR AS ts,
+        |         CAST(range AS DOUBLE) AS v
+        |  FROM range(12000) ORDER BY ts LIMIT 8760)
+        |SELECT 'time_steps' AS cap, count(*) AS n,
+        |       min(ts) AS ts_min, max(ts) AS ts_max,
+        |       round(sum(v), 6) AS value_sum
+        |FROM s
+        |UNION ALL
+        |SELECT 'points', least(14400, 10000),
+        |       CAST(NULL AS TIMESTAMP), CAST(NULL AS TIMESTAMP),
+        |       CAST(NULL AS DOUBLE)""".stripMargin,
+    "q_percentile_order" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.05), 6) AS p05,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS p95,
+        |  (round(quantile_cont(l_quantity, 0.05), 6) <= round(quantile_cont(l_quantity, 0.25), 6)
+        |   AND round(quantile_cont(l_quantity, 0.25), 6) <= round(quantile_cont(l_quantity, 0.50), 6)
+        |   AND round(quantile_cont(l_quantity, 0.50), 6) <= round(quantile_cont(l_quantity, 0.75), 6)
+        |   AND round(quantile_cont(l_quantity, 0.75), 6) <= round(quantile_cont(l_quantity, 0.95), 6)) AS ordered
         |FROM lineitem GROUP BY 1""".stripMargin,
     // merged batch states must equal the direct whole-table aggregate
     "q_incremental_stats" ->
