@@ -46,6 +46,28 @@ object TextQ extends QueryPack {
           TextMetrics.dupWordFrac(col("text")).as("dup_word_frac"),
           TextMetrics.dupBigramFrac(col("text")).as("dup_bigram_frac")),
         "top_word_frac", "dup_word_frac", "dup_bigram_frac")),
+    // PII scrub: plant one email, one phone and one IPv4 per document
+    // (all arithmetic functions of doc_id), then detect + redact. The
+    // patterns are Java/RE2-portable, so DuckDB independently replays the
+    // counts AND the exact redacted bytes (md5-compared). Detection runs
+    // on raw text, so documents that happen to contain extra matches
+    // count identically in both engines.
+    "q_pii_redact" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com"),
+          lit(" tel 555-"), lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+          lit(" host 10.0."), pmod(col("doc_id"), lit(256)),
+          lit("."), pmod(col("doc_id"), lit(100))).as("text"))
+      planted.select(
+        col("doc_id"),
+        TextMetrics.piiEmailCount(col("text")).as("n_email"),
+        TextMetrics.piiPhoneCount(col("text")).as("n_phone"),
+        TextMetrics.piiIpv4Count(col("text")).as("n_ip"),
+        md5(TextMetrics.redactPii(col("text"))).as("redacted_md5"),
+        length(TextMetrics.redactPii(col("text"))).as("redacted_len"))
+    }),
     // C4-style page cleaning: documents are assembled into 10-line pages
     // (deterministic by doc_id) and the line/page rules applied. The driver
     // corpus has no sentence punctuation, so the terminal-punct rule is
@@ -84,7 +106,34 @@ object TextQ extends QueryPack {
   private val toks = """string_split_regex(trim(text), '\s+')"""
   private val stopList = TextMetrics.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  private val emailRe = TextMetrics.EmailRe
+  private val phoneRe = TextMetrics.PhoneRe
+  private val ipRe = TextMetrics.Ipv4Re
+
   def oracles: Map[String, String] = Map(
+    // the engine's own pattern constants are interpolated, so detection
+    // and the redacted bytes replay verbatim (patterns are RE2/Java-portable)
+    "q_pii_redact" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || doc_id || '@example.com'
+         |         || ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         |         || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |         || ' host 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$emailRe')) AS INTEGER) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '$phoneRe')) AS INTEGER) AS n_phone,
+         |  CAST(len(regexp_extract_all(t, '$ipRe')) AS INTEGER) AS n_ip,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$emailRe', '<EMAIL>', 'g'),
+         |    '$phoneRe', '<PHONE>', 'g'),
+         |    '$ipRe', '<IP>', 'g')) AS redacted_md5,
+         |  CAST(length(regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$emailRe', '<EMAIL>', 'g'),
+         |    '$phoneRe', '<PHONE>', 'g'),
+         |    '$ipRe', '<IP>', 'g')) AS INTEGER) AS redacted_len
+         |FROM planted""".stripMargin,
     "q_token_stats" ->
       s"""SELECT doc_id,
          |  CAST(CASE WHEN trim(text) = '' THEN 0 ELSE len($toks) END

@@ -186,4 +186,43 @@ object TextMetrics {
                  requirePunct: Boolean = true): Column =
     size(c4CleanLines(text, minWords, requirePunct)) < minKeptLines ||
       lower(text).contains("lorem ipsum") || text.contains("{")
+
+  // ---- PII detection / redaction (the Dolma/C4-style scrub step) ----
+  //
+  // Patterns are deliberately portable between Java's regex engine and
+  // RE2 (no backrefs, no lookaround, ASCII \d and \b), so an external
+  // oracle replays detection AND the redacted bytes identically.
+  // Conservative by design — precision over recall: a false redaction
+  // destroys training text, a miss is caught by the next pipeline stage.
+
+  /** RFC-ish email addresses (the practical 99% form). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** NANP-style phone numbers with - or . separators (555-010-0042). */
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Dotted-quad IPv4 literals. */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Match counts per PII class on the RAW text (detection runs before
+    * redaction; all three are scan-local Column arithmetic).
+    */
+  def piiEmailCount(text: Column): Column = size(regexp_extract_all(text, lit(EmailRe), lit(0)))
+  def piiPhoneCount(text: Column): Column = size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
+  def piiIpv4Count(text: Column): Column = size(regexp_extract_all(text, lit(Ipv4Re), lit(0)))
+
+  /** Replace every PII match with a typed placeholder token. Emails go
+    * first (an address can embed digit runs); the phone and IPv4 classes
+    * cannot overlap each other (3 separators vs 2). Pure `regexp_replace`
+    * chain — codegen'd, no UDF, no shuffle.
+    */
+  def redactPii(text: Column,
+                emailToken: String = "<EMAIL>",
+                phoneToken: String = "<PHONE>",
+                ipToken: String = "<IP>"): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, emailToken),
+        PhoneRe, phoneToken),
+      Ipv4Re, ipToken)
 }

@@ -105,4 +105,31 @@ class TextSpec extends SparkSpec {
       TextMetrics.c4DropPage(col("pt"))).collect()(0)
     assert(blank.getInt(0) === 0 && blank.getBoolean(1))
   }
+
+  test("PII scrub: detection counts and typed redaction, precision edges") {
+    val text = "Mail a.b+c@sub.example.co or x@y.io, call 555-010-0042 " +
+      "or 555.010.0042, server at 10.0.0.1 — but not v1.2.3 or " +
+      "user at example.com or 12-34-5678."
+    val r = Seq(text).toDF("text").select(
+      TextMetrics.piiEmailCount(col("text")).as("e"),
+      TextMetrics.piiPhoneCount(col("text")).as("p"),
+      TextMetrics.piiIpv4Count(col("text")).as("i"),
+      TextMetrics.redactPii(col("text")).as("red")).collect()(0)
+    assert(r.getAs[Int]("e") === 2)
+    assert(r.getAs[Int]("p") === 2)
+    assert(r.getAs[Int]("i") === 1)
+    val red = r.getAs[String]("red")
+    assert(red.contains("<EMAIL>") && red.contains("<PHONE>") && red.contains("<IP>"))
+    // every planted PII string is gone; near-misses survive untouched
+    assert(!red.contains("@sub.example.co") && !red.contains("x@y.io"))
+    assert(!red.contains("555-010-0042") && !red.contains("555.010.0042"))
+    assert(!red.contains("10.0.0.1"))
+    assert(red.contains("v1.2.3") && red.contains("user at example.com") &&
+      red.contains("12-34-5678"), s"near-misses must survive: $red")
+    // clean text passes through byte-identical
+    val clean = "No personal data in this perfectly ordinary sentence."
+    val same = Seq(clean).toDF("text")
+      .select(TextMetrics.redactPii(col("text"))).collect()(0).getString(0)
+    assert(same === clean)
+  }
 }
