@@ -18,6 +18,20 @@ object SampleQ extends QueryPack {
         .unionByName(eval_.agg(count(lit(1)).as("n"), lit("eval").as("split")))
         .select(col("split"), col("n"))
     }),
+    // Weighted corpus mixing: three language slices of the documents
+    // table contribute 80%/50%/20% hash-samples to one mixed corpus with
+    // provenance. Per-source counts and id checksums replay in DuckDB
+    // through the same md5 bucket arithmetic as q_hash_split.
+    "q_weighted_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val mixed = Sampling.weightedMix(Seq(
+        ("en", docs.where(col("lang") === "en"), 80),
+        ("de", docs.where(col("lang") === "de"), 50),
+        ("rest", docs.where(col("lang") =!= "en" && col("lang") =!= "de"), 20)),
+        idCol = "doc_id")
+      mixed.groupBy(col("mix_source")).agg(
+        count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+    }),
     // corpus-level token frequency: top 20 tokens with deterministic
     // tie-break (count desc, token asc).
     "q_top_tokens" -> ((s, dir) =>
@@ -42,6 +56,25 @@ object SampleQ extends QueryPack {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
         |      FROM documents)
-        |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    // per-source salts ("graft:<name>") and thresholds mirror weightedMix
+    "q_weighted_mix" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN lang = 'en' THEN 'en'
+        |         WHEN lang = 'de' THEN 'de'
+        |         ELSE 'rest' END AS mix_source
+        |  FROM documents),
+        |k AS (
+        |  SELECT mix_source, doc_id,
+        |    CAST(concat('0x', substr(md5('graft:' || mix_source || ':' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |  FROM b)
+        |SELECT mix_source, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM k
+        |WHERE (mix_source = 'en' AND bucket < 80)
+        |   OR (mix_source = 'de' AND bucket < 50)
+        |   OR (mix_source = 'rest' AND bucket < 20)
+        |GROUP BY 1""".stripMargin
   )
 }

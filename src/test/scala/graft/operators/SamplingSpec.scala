@@ -36,4 +36,32 @@ class SamplingSpec extends SparkSpec {
     assert(aIds != bIds)
     intercept[IllegalArgumentException](Sampling.hashSample(docs, "doc_id", 10, 0))
   }
+
+  test("weightedMix: proportions, provenance, and per-source stability") {
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 =!= 0)
+    val mixed = Sampling.weightedMix(
+      Seq(("even", a, 80), ("odd", b, 20)), idCol = "doc_id")
+    val counts = mixed.groupBy("mix_source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ~80% of evens, ~20% of odds (loose bands; 250 rows per side)
+    val nA = a.count().toDouble; val nB = b.count().toDouble
+    assert(counts("even") / nA > 0.7 && counts("even") / nA < 0.9, counts.toString)
+    assert(counts("odd") / nB > 0.1 && counts("odd") / nB < 0.3, counts.toString)
+    // reweighting one source never changes WHICH rows of another survive
+    val remixed = Sampling.weightedMix(
+      Seq(("even", a, 80), ("odd", b, 90)), idCol = "doc_id")
+    def ids(df: org.apache.spark.sql.DataFrame, src: String) =
+      df.where(col("mix_source") === src).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    assert(ids(mixed, "even") == ids(remixed, "even"))
+    // a keep=buckets source passes through whole
+    val whole = Sampling.weightedMix(Seq(("all", docs, 100)), "doc_id")
+    assert(whole.count() == docs.count())
+    // duplicate names and provenance-column clashes fail loudly
+    intercept[IllegalArgumentException](
+      Sampling.weightedMix(Seq(("x", a, 10), ("x", b, 10)), "doc_id"))
+    intercept[IllegalArgumentException](
+      Sampling.weightedMix(Seq(("x", whole, 10)), "doc_id")) // has mix_source
+  }
 }
