@@ -159,6 +159,44 @@ object EventsQ extends QueryPack {
             sum(col("value")).as("sum_value")),
         "sum_value")
     }),
+    // Stream-stream interval join as a REAL streaming run: clicks and
+    // purchases are two file-stream sources over the same events staging
+    // dir, joined on user within a 30-minute attribution horizon, raw
+    // match rows append into a memory sink, then batch-aggregated. The
+    // oracle is the plain batch range join in DuckDB — the batch/stream
+    // unification contract for the join operator, like q_stream_windows
+    // is for windowed aggregation.
+    "q_stream_join" -> ((s, dir) => {
+      val table = streamRuns.getOrElseUpdate(
+        (graft.util.Sessions.id(s), s"$dir#join"), {
+          val path = eventsStreamDir(dir)
+          val schema = s.read.parquet(path).schema
+          def src() = Tables.normalizeTs(s.readStream.schema(schema).parquet(path))
+          val clicks = src().where(col("event_type") === "click")
+            .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+              col("event_id").as("click_id"))
+          val purchases = src().where(col("event_type") === "purchase")
+            .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+              col("event_id").as("purchase_id"), col("value").as("p_value"))
+          val joined = Streams.intervalJoinStream(clicks, purchases,
+            leftKey = "c_user", rightKey = "p_user",
+            leftTs = "c_ts", rightTs = "p_ts", horizonSeconds = 1800)
+          val name = s"graft_stream_join_${streamSeq.incrementAndGet()}"
+          val sq = joined.writeStream.format("memory").queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation",
+              java.nio.file.Files.createTempDirectory(ckptRoot, "sj").toString)
+            .start()
+          try { sq.processAllAvailable() } finally sq.stop()
+          name
+        })
+      round6(
+        s.table(table).groupBy(pmod(col("c_user"), lit(10)).as("user_bucket"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("purchase_id")).as("n_purchases"),
+            sum(col("p_value")).as("sum_value")),
+        "sum_value")
+    }),
     // Streaming incremental aggregate maintenance: the events table split
     // into two files, streamed one file per micro-batch through
     // foreachBatch → per-batch mergeable partial states appended to a
@@ -243,6 +281,16 @@ object EventsQ extends QueryPack {
         |       min(value) AS min, max(value) AS max,
         |       CAST(2 AS BIGINT) AS n_batches
         |FROM events GROUP BY 1""".stripMargin,
+    // the streaming interval join's sink must equal the batch range join
+    "q_stream_join" ->
+      """SELECT c.user_id % 10 AS user_bucket, count(*) AS n_pairs,
+        |       count(DISTINCT p.event_id) AS n_purchases,
+        |       round(sum(p.value), 6) AS sum_value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |GROUP BY 1""".stripMargin,
     // identical to q_event_windows — the streaming run must land on the
     // batch answer
     "q_stream_windows" ->

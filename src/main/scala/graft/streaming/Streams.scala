@@ -168,6 +168,41 @@ object Streams {
         .dropDuplicatesWithinWatermark(keyCols)
     else df.dropDuplicates(keyCols)
 
+  /** Stream-stream interval join with watermarks on BOTH sides — the
+    * streaming face of interval enrichment (click → purchase attribution
+    * within a horizon). The join condition carries an explicit event-time
+    * bound (`rightTs ∈ [leftTs, leftTs + horizon]`), which is what lets
+    * Spark prove state is droppable: a buffered left row can never match
+    * once the right watermark passes `leftTs + horizon`, so join state is
+    * bounded by rows-per-horizon, not stream length — the only viable
+    * stream-stream join shape at 100 TB/day. Inner-join matches emit as
+    * soon as both sides arrive (no watermark latency). Works on batch
+    * frames too: the same expression without watermarks.
+    *
+    * Column names must be disjoint (alias the right side first) so the
+    * joined frame is unambiguous — checked up front.
+    */
+  def intervalJoinStream(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      horizonSeconds: Long,
+      watermark: String = "30 minutes"): DataFrame = {
+    val clash = left.columns.intersect(right.columns)
+    require(clash.isEmpty,
+      s"intervalJoinStream: column names must be disjoint, both sides have: ${clash.mkString(", ")}")
+    require(horizonSeconds > 0, "horizonSeconds must be positive")
+    val l = if (left.isStreaming) left.withWatermark(leftTs, watermark) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTs, watermark) else right
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $horizonSeconds SECONDS"))
+  }
+
   /** Streaming incremental aggregate maintenance — the streaming face of
     * [[graft.operators.Incremental]]: each micro-batch is reduced to its
     * mergeable partial state (n, Σx, Σx², min, max per key) and APPENDED

@@ -164,6 +164,41 @@ class StreamingSpec extends SparkSpec {
     assert(b.count() == 1)
   }
 
+  test("stream-stream interval join matches inside the horizon only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = Streams.intervalJoinStream(
+      clicks.toDS().toDF("c_user", "c_ts", "click_id"),
+      buys.toDS().toDF("p_user", "p_ts", "purchase_id"),
+      leftKey = "c_user", rightKey = "p_user",
+      leftTs = "c_ts", rightTs = "p_ts", horizonSeconds = 600)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ij_out").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    clicks.addData((1L, ts(0), 100L), (2L, ts(0), 101L))
+    // user 1 buys inside the 10-min horizon, user 2 after it, user 3 never clicked
+    buys.addData((1L, ts(5), 900L), (2L, ts(20), 901L), (3L, ts(5), 902L))
+    q.processAllAvailable()
+    val pairs = spark.table("ij_out").select("click_id", "purchase_id")
+      .as[(Long, Long)].collect().toSet
+    q.stop()
+    assert(pairs == Set((100L, 900L)))
+    // batch path: identical expression, and a purchase BEFORE the click
+    // (rightTs < leftTs) never matches
+    val bc = Seq((1L, ts(10), 100L)).toDF("c_user", "c_ts", "click_id")
+    val bp = Seq((1L, ts(5), 900L), (1L, ts(15), 901L))
+      .toDF("p_user", "p_ts", "purchase_id")
+    val b = Streams.intervalJoinStream(bc, bp, "c_user", "p_user",
+      "c_ts", "p_ts", horizonSeconds = 600)
+    assert(b.select("purchase_id").as[Long].collect().toSeq == Seq(901L))
+    // ambiguous column names are rejected up front
+    intercept[IllegalArgumentException] {
+      Streams.intervalJoinStream(bc, bc, "c_user", "c_user", "c_ts", "c_ts", 1)
+    }
+  }
+
   test("batch sessionize session definition: gap starts new session") {
     import spark.implicits._
     val df = Seq(
