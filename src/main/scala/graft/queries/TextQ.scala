@@ -46,6 +46,13 @@ object TextQ extends QueryPack {
           TextMetrics.dupWordFrac(col("text")).as("dup_word_frac"),
           TextMetrics.dupBigramFrac(col("text")).as("dup_bigram_frac")),
         "top_word_frac", "dup_word_frac", "dup_bigram_frac")),
+    // Unigram log-prob scoring — the cheap perplexity-filter stand-in:
+    // per-doc mean ln p(token) under the corpus's own unigram model.
+    // Model + scoring replay fully in DuckDB (counts, total, ln, avg).
+    "q_unigram_logprob" -> ((s, dir) =>
+      round6(
+        TextMetrics.meanTokenLogProb(Tables.documents(s, dir), "doc_id", "text"),
+        "mean_logprob")),
     // PII scrub: plant one email, one phone and one IPv4 per document
     // (all arithmetic functions of doc_id), then detect + redact. The
     // patterns are Java/RE2-portable, so DuckDB independently replays the
@@ -111,6 +118,17 @@ object TextQ extends QueryPack {
   private val ipRe = TextMetrics.Ipv4Re
 
   def oracles: Map[String, String] = Map(
+    "q_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |v AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS c FROM toks)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |       round(avg(ln(v.n * 1.0 / tot.c)), 6) AS mean_logprob
+        |FROM toks t JOIN v USING (token) CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
     // the engine's own pattern constants are interpolated, so detection
     // and the redacted bytes replay verbatim (patterns are RE2/Java-portable)
     "q_pii_redact" ->

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the large-scale training-data pipeline
@@ -210,6 +210,35 @@ object TextMetrics {
   def piiEmailCount(text: Column): Column = size(regexp_extract_all(text, lit(EmailRe), lit(0)))
   def piiPhoneCount(text: Column): Column = size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
   def piiIpv4Count(text: Column): Column = size(regexp_extract_all(text, lit(Ipv4Re), lit(0)))
+
+  /** Corpus unigram counts over lowercased whitespace tokens — the model
+    * side of [[meanTokenLogProb]]. One explode + one shuffle.
+    */
+  def unigramCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+
+  /** Per-document mean token log-probability under the corpus's own
+    * unigram distribution — the cheap stand-in for perplexity filtering
+    * (a document whose tokens are systematically improbable under the
+    * corpus is boilerplate, another language, or noise; threshold on this
+    * column to drop it). Plan shape: explode → join the unigram model →
+    * one groupBy per doc. The model is broadcast when `broadcastVocab`
+    * (right for vocabularies up to tens of millions of tokens — the
+    * common case after whitespace tokenization); disable it to let the
+    * join shuffle for pathological vocabularies, the plan stays valid.
+    */
+  def meanTokenLogProb(df: DataFrame, idCol: String, textCol: String,
+                       broadcastVocab: Boolean = true): DataFrame = {
+    val vocab = unigramCounts(df, textCol)
+    val model = vocab.crossJoin(vocab.agg(sum(col("n")).as("_total")))
+      .select(col("token"), log(col("n") / col("_total")).as("_logp"))
+    val side = if (broadcastVocab) broadcast(model) else model
+    df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .join(side, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), avg(col("_logp")).as("mean_logprob"))
+  }
 
   /** Replace every PII match with a typed placeholder token. Emails go
     * first (an address can embed digit runs); the phone and IPv4 classes

@@ -106,6 +106,28 @@ class TextSpec extends SparkSpec {
     assert(blank.getInt(0) === 0 && blank.getBoolean(1))
   }
 
+  test("unigram log-prob: hand-computed model, broadcast join plan") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // corpus: a:2, b:2, c:1, total 5
+    val out = TextMetrics.meanTokenLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val lp = Map("a" -> math.log(2.0 / 5), "b" -> math.log(2.0 / 5),
+      "c" -> math.log(1.0 / 5))
+    assert(out(0).getAs[Long]("n_tokens") === 3)
+    assert(math.abs(out(0).getAs[Double]("mean_logprob") -
+      (lp("a") + lp("a") + lp("b")) / 3) < 1e-12)
+    assert(out(1).getAs[Long]("n_tokens") === 2)
+    assert(math.abs(out(1).getAs[Double]("mean_logprob") -
+      (lp("b") + lp("c")) / 2) < 1e-12)
+    // rarer tokens ⇒ lower mean log-prob: doc 2 scores below doc 1
+    assert(out(1).getAs[Double]("mean_logprob") < out(0).getAs[Double]("mean_logprob"))
+    // the model side broadcasts (scoring a 100 TB corpus must not shuffle
+    // the exploded token stream against the vocabulary)
+    val p = TextMetrics.meanTokenLogProb(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$p")
+  }
+
   test("PII scrub: detection counts and typed redaction, precision edges") {
     val text = "Mail a.b+c@sub.example.co or x@y.io, call 555-010-0042 " +
       "or 555.010.0042, server at 10.0.0.1 — but not v1.2.3 or " +
