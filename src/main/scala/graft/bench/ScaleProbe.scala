@@ -94,6 +94,28 @@ object ScaleProbe {
       run("simhash_pairs", Dedup.simhashPairs(docs, "id", "text", maxHamming = 3))
     }
 
+    if (what == "text" || what == "all") {
+      val nDocs = size match {
+        case "small" => 20000L
+        case "medium" => 100000L
+        case "large" => 400000L
+        case other => throw new IllegalArgumentException(s"Unknown size: $other")
+      }
+      val docs = DataGen.corpus(spark, nDocs)
+      println(s"$size text_docs=${docs.count()}")
+      run("pii_redact", docs.select(col("id"),
+        graft.text.TextMetrics.piiEmailCount(col("text")).as("n_email"),
+        graft.text.TextMetrics.piiPhoneCount(col("text")).as("n_phone"),
+        graft.text.TextMetrics.piiIpv4Count(col("text")).as("n_ip"),
+        length(graft.text.TextMetrics.redactPii(col("text"))).as("len")))
+      run("unigram_logprob",
+        graft.text.TextMetrics.meanTokenLogProb(docs, "id", "text"))
+      run("quality_score", docs.select(col("id"),
+        graft.text.TextMetrics.qualityScore(col("text")).as("q"),
+        graft.text.TextMetrics.dupWordFrac(col("text")).as("dw"),
+        graft.text.TextMetrics.topWordFrac(col("text")).as("tw")))
+    }
+
     if (what == "asof" || what == "all") {
       // Point-in-time enrichment at stream scale: the union+window
       // composition vs the native sort-merge exec on the same inputs.
