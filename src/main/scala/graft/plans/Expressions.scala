@@ -528,6 +528,54 @@ object Expressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Nearest-centroid assignment (`argmin_c ‖v − c‖²`) as a fused codegen
+    * expression — the IVF cell assignment for the whole corpus without
+    * detouring every row through an MLlib `Vector` conversion and model
+    * transform. Centroids inline as one flat double[] reference (nlist ×
+    * dim doubles — tiny). Ties resolve to the lowest cell id (strict <),
+    * matching the probe-side ordering. Null vector → null.
+    */
+  case class NearestCentroid(child: Expression, cents: Seq[Seq[Double]])
+      extends UnaryExpression with ExpectsInputTypes {
+    require(cents.nonEmpty && cents.forall(_.size == cents.head.size),
+      "NearestCentroid: centroids must be non-empty and rectangular")
+
+    override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_nearest_centroid"
+
+    private val k = cents.size
+    private val dim = cents.head.size
+    @transient private lazy val flat: Array[Double] = cents.flatten.toArray
+
+    /** Row kernel — public so generated code can call it. */
+    def compute(v: ArrayData): Int = {
+      val n = math.min(v.numElements(), dim)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val off = c * dim
+        var d = 0.0; var t = 0
+        while (t < n) { val x = v.getDouble(t) - flat(off + t); d += x * x; t += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val ref = ctx.addReferenceObj("nearestCentroid", this,
+          classOf[NearestCentroid].getName)
+        s"${ev.value} = $ref.compute($v);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+      copy(child = newChild)
+  }
+
   /** Codegen'd bloom-filter membership probe over a pre-built
     * `org.apache.spark.util.sketch.BloomFilter` — replaces the Scala UDF in
     * [[graft.operators.BloomPrune]] so the probe stays inside whole-stage
@@ -623,6 +671,9 @@ object Expressions {
 
   def pq_adc(luts: Column, codes: Column): Column =
     Bridge.column(PqAdc(Bridge.expression(luts), Bridge.expression(codes)))
+
+  def nearest_centroid(vec: Column, cents: Seq[Seq[Double]]): Column =
+    Bridge.column(NearestCentroid(Bridge.expression(vec), cents))
 
   def bloom_might_contain(key: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column = {
     val out = new java.io.ByteArrayOutputStream()

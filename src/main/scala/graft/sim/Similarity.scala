@@ -70,11 +70,14 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .withColumn("features", array_to_vector(col("v")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(v)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(v.withColumn("features", array_to_vector(col("v"))))
     val centroids = model.clusterCenters.map(_.toArray.toSeq).zipWithIndex
-    // cell assignment for corpus vectors (nearest centroid)
-    val assigned = model.transform(v).withColumnRenamed("prediction", "cell")
+    // cell assignment for corpus vectors: fused codegen argmin over the
+    // inlined centroids — the full-corpus scan never detours through an
+    // MLlib Vector conversion (only the bounded fit input does)
+    val assigned = v.withColumn("cell",
+      graft.plans.Expressions.nearest_centroid(col("v"), centroids.map(_._1).toSeq))
       .select(col(idCol), col("v"), col("cell"))
     // each query probes its nprobe nearest centroids
     val centDf = centroids.map { case (c, i) => (i, c) }.toSeq
@@ -422,7 +425,6 @@ object Similarity {
       s"codebooks shape ${books.size}×${books.head.size}×${books.head.head.size} " +
         s"does not match m=$m, dim/m=$sub")
     val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .withColumn("features", array_to_vector(col("v")))
     // coarse quantizer trained distributed over the full corpus (matching
     // [[ivfTopK]]) or a seeded fraction of it — quantizer quality carries
     // no absolute-row cap; MLlib's fit aggregates per-cluster state, it
@@ -430,14 +432,15 @@ object Similarity {
     val fitInput = coarseSampleFraction
       .map(f => v.sample(withReplacement = false, f, seed)).getOrElse(v)
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(fitInput)
+      .fit(fitInput.withColumn("features", array_to_vector(col("v"))))
+    val cents = model.clusterCenters.map(_.toArray.toSeq).toSeq
     // corpus side: one cell id + m-byte code vector per row — the only
-    // thing the candidate scan ever reads
-    val assigned = model.transform(v)
-      .select(col(idCol).as("cid"), pqEncode(col("v"), books).as("codes"),
-        col("prediction").as("cell"))
-    val centDf = model.clusterCenters.map(_.toArray.toSeq).zipWithIndex
-      .map { case (c, i) => (i, c) }.toSeq
+    // thing the candidate scan ever reads; assignment is the fused codegen
+    // argmin (no MLlib Vector conversion on the corpus scan)
+    val assigned = v.select(col(idCol).as("cid"),
+      pqEncode(col("v"), books).as("codes"),
+      graft.plans.Expressions.nearest_centroid(col("v"), cents).as("cell"))
+    val centDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
     val luts = array((0 until m).map { j =>
       val qj = slice(col("u"), j * sub + 1, sub)
       array(books(j).map(c => dot(qj, c)): _*)

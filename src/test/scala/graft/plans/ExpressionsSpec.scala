@@ -54,6 +54,31 @@ class ExpressionsSpec extends SparkSpec {
       "cosine must codegen, not fall back to interpreted eval")
   }
 
+  test("nearest centroid: argmin, low-id tie-break, nulls, codegen") {
+    import spark.implicits._
+    val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(0.0, 10.0))
+    val rows = Seq(
+      (1L, Some(Seq(1.0, 1.0))),   // nearest origin -> 0
+      (2L, Some(Seq(9.0, 0.5))),   // -> 1
+      (3L, Some(Seq(0.5, 9.0))),   // -> 2
+      (4L, Some(Seq(5.0, 0.0))),   // equidistant to 0 and 1 -> lowest id 0
+      (5L, None)                   // null vector -> null cell
+    ).toDF("id", "v")
+    val out = rows.select(col("id"),
+      Expressions.nearest_centroid(col("v"), cents).as("cell"))
+      .orderBy("id").collect()
+    assert(out.map(r => if (r.isNullAt(1)) -1 else r.getInt(1)).toSeq ==
+      Seq(0, 1, 2, 0, -1))
+    // and it stays inside whole-stage codegen over a real scan
+    val emb = graft.model.Tables.embeddings(spark, sfDir)
+      .select(transform(col("embedding"), _.cast("double")).as("v"))
+    val df = emb.select(Expressions.nearest_centroid(col("v"),
+      Seq.fill(4)(Seq.fill(64)(0.5))).as("cell"))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "nearest_centroid must codegen")
+  }
+
   test("SQL registration on a live session") {
     GraftExtensions.install(spark)
     val r = spark.sql(
