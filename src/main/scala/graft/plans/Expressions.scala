@@ -382,7 +382,8 @@ object Expressions {
     * norm, left-to-right sums, first-wins argmin), so results and the
     * pinned oracles are unchanged.
     */
-  case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
+  case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]],
+                      normalize: Boolean = true)
       extends UnaryExpression with ExpectsInputTypes {
     require(books.nonEmpty && books.head.nonEmpty && books.head.head.nonEmpty,
       "codebooks must be m × k × sub, all non-empty")
@@ -405,7 +406,9 @@ object Expressions {
       var ss = 0.0
       var i = 0
       while (i < dim) { val x = v.getDouble(i); ss += x * x; i += 1 }
-      val nrm = math.sqrt(ss)
+      // nrm == 0.0 selects the raw-value branch below — residual encoding
+      // (normalize=false) must NOT rescale its input
+      val nrm = if (normalize) math.sqrt(ss) else 0.0
       val codes = new Array[Int](m)
       var j = 0
       while (j < m) {
@@ -445,7 +448,7 @@ object Expressions {
            |for (int $i = 0; $i < ${m * sub}; $i++) {
            |  double $vv = $v.getDouble($i); $ss += $vv * $vv;
            |}
-           |double $nrm = java.lang.Math.sqrt($ss);
+           |double $nrm = $normalize ? java.lang.Math.sqrt($ss) : 0.0;
            |int[] $codes = new int[$m];
            |for (int $j = 0; $j < $m; $j++) {
            |  int $best = 0; double $bestD = Double.MAX_VALUE;
@@ -666,8 +669,9 @@ object Expressions {
   def text_gram_hashes(text: Column, n: Int): Column =
     Bridge.column(TextGramHashes(Bridge.expression(text), n))
 
-  def pq_encode(vec: Column, books: Seq[Seq[Seq[Double]]]): Column =
-    Bridge.column(PqEncode(Bridge.expression(vec), books))
+  def pq_encode(vec: Column, books: Seq[Seq[Seq[Double]]],
+                normalize: Boolean = true): Column =
+    Bridge.column(PqEncode(Bridge.expression(vec), books, normalize))
 
   def pq_adc(luts: Column, codes: Column): Column =
     Bridge.column(PqAdc(Bridge.expression(luts), Bridge.expression(codes)))

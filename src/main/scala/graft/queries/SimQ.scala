@@ -84,6 +84,22 @@ object SimQ extends QueryPack {
         .groupBy(col("id1"))
         .agg(round(sum(coalesce(col("hit"), lit(0))) / 10.0, 6).as("recall"))
     })
+    ,
+    // FAISS-style residual IVF-PQ: codes quantize u − centroid(cell), the
+    // score adds the ⟨q, centroid⟩ term per probed cell; recall@10 pinned
+    // like the other quantizer queries (DedupSpec holds the independent
+    // residual ≥ raw recall evidence).
+    "q_ivfpq_residual" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).where(col("vec_id") < 50)
+      val ivfpq = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        k = 10, dim = 64, nlist = 8, nprobe = 4, m = 8, codebookSize = 16,
+        residual = true)
+      val exact = Similarity.knnJoin(emb, "vec_id", "embedding", k = 10)
+      ivfpq.join(exact.select(col("id1"), col("id2"), lit(1).as("hit")),
+          Seq("id1", "id2"), "left")
+        .groupBy(col("id1"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))) / 10.0, 6).as("recall"))
+    })
   )
 
   private val cos =
@@ -169,6 +185,22 @@ object SimQ extends QueryPack {
         "(29,0.5),(30,0.7),(31,0.8),(32,0.6),(33,0.7),(34,0.7),(35,0.6)," +
         "(36,0.6),(37,0.6),(38,0.8),(39,0.6),(40,0.7),(41,0.6),(42,0.7)," +
         "(43,0.7),(44,0.7),(45,0.7),(46,0.5),(47,0.6),(48,0.7),(49,0.5)" +
+        ") AS t(id1, recall)"),
+    // pinned recall@10 of the seeded RESIDUAL quantizer — mean 0.672 vs
+    // the raw-code path's 0.632 on the same gate table, the expected
+    // FAISS-style precision win (independent evidence: DedupSpec's
+    // residual ≥ raw recall case)
+    "q_ivfpq_residual" ->
+      ("""SELECT CAST(id1 AS BIGINT) AS id1, CAST(recall AS DOUBLE) AS recall
+         |FROM (VALUES """.stripMargin +
+        "(0,0.6),(1,0.7),(2,0.8),(3,0.6),(4,0.6),(5,0.6),(6,0.5)," +
+        "(7,0.8),(8,0.6),(9,0.5),(10,0.8),(11,0.7),(12,0.7),(13,0.5)," +
+        "(14,0.7),(15,0.8),(16,0.6),(17,0.7),(18,0.9),(19,0.8),(20,0.6)," +
+        "(21,0.7),(22,0.4),(23,0.7),(24,0.9),(25,0.7),(26,0.7),(27,0.8)," +
+        "(28,0.7),(29,0.6),(30,0.7),(31,0.8),(32,0.6),(33,0.8),(34,0.6)," +
+        "(35,0.7),(36,0.5),(37,0.7),(38,0.6),(39,0.7),(40,0.7),(41,0.7)," +
+        "(42,0.5),(43,0.8),(44,0.7),(45,0.7),(46,0.5),(47,0.7),(48,0.6)," +
+        "(49,0.7)" +
         ") AS t(id1, recall)")
   )
 

@@ -212,10 +212,15 @@ object Similarity {
       codebookSize: Int,
       seed: Long = 42L,
       iters: Int = 10,
-      sampleFraction: Option[Double] = None
+      sampleFraction: Option[Double] = None,
+      normalizeInput: Boolean = true
   ): Seq[Seq[Seq[Double]]] = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
-    val vecs = df.select(l2normalize(asDouble(col(vecCol))).as("u"))
+    // residual codebooks (normalizeInput=false) must fit the residuals
+    // as-is: rescaling them would break score ≈ ⟨q,cent⟩ + ⟨q,r̂⟩
+    val vecs = df.select(
+      (if (normalizeInput) l2normalize(asDouble(col(vecCol)))
+       else asDouble(col(vecCol))).as("u"))
     kmeansSubspaces(vecs, dim, m, codebookSize, iters, seed, sampleFraction)
       .map(_.map(_.toSeq).toSeq).toSeq
   }
@@ -397,9 +402,11 @@ object Similarity {
     * score the survivors by ADC lookups ([[pqTopK]]'s shape). Per query:
     * `(n/nlist)·nprobe` candidates × m byte lookups — both the IO and
     * the compute dial at once, which is what a billion-vector corpus
-    * needs. Codes are built on raw vectors (not residuals) — simpler,
-    * costs some precision vs FAISS's residual PQ; the recall dial is
-    * `nprobe` and `m` as usual.
+    * needs. Codes quantize raw vectors by default — simpler, and the
+    * recall dial is `nprobe` and `m` as usual; pass `residual = true`
+    * for FAISS-style residual codes ([[ivfPqResidual]]) when the extra
+    * per-cell precision is worth a second pass over the corpus at build
+    * time (assign, then encode the residual).
     */
   def ivfPqTopK(
       df: DataFrame,
@@ -414,12 +421,16 @@ object Similarity {
       seed: Long = 42L,
       queries: Option[DataFrame] = None,
       codebooks: Option[Seq[Seq[Seq[Double]]]] = None,
-      coarseSampleFraction: Option[Double] = None
+      coarseSampleFraction: Option[Double] = None,
+      residual: Boolean = false
   ): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val sub = dim / m
+    if (residual)
+      return ivfPqResidual(df, idCol, vecCol, k, dim, nlist, nprobe, m,
+        codebookSize, seed, queries, codebooks, coarseSampleFraction)
     val books = codebooks.getOrElse(pqCodebooks(df, vecCol, dim, m, codebookSize, seed))
     require(books.size == m && books.head.head.size == sub,
       s"codebooks shape ${books.size}×${books.head.size}×${books.head.head.size} " +
@@ -460,6 +471,75 @@ object Similarity {
       .where(col("qid") =!= col("cid"))
       .withColumn("score",
         graft.plans.Expressions.pq_adc(col("luts"), col("codes")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid").as("id1"), col("cid").as("id2"),
+        col("score"), col("rank"))
+  }
+
+  /** FAISS-style RESIDUAL IVF-PQ (`ivfPqTopK(residual = true)`): codes
+    * quantize `r = u − centroid(cell)` instead of the raw vector, so the
+    * codebooks only have to cover the within-cell spread — the classic
+    * precision win over raw-vector codes. Scoring uses
+    * `⟨q,u⟩ ≈ ⟨q,cent⟩ + ⟨q,r̂⟩`: the first term is one dot per probed
+    * (query, cell) — computed in the probe join, which already pairs them —
+    * and the second is the SAME per-query subspace LUTs as the raw path
+    * (`lut[j][c] = ⟨q_j, book_j[c]⟩` is centroid-independent because r̂
+    * decomposes per subspace), so the per-candidate cost is still m lookups
+    * + m adds, plus one add for the centroid term. Everything runs on
+    * L2-normalized vectors end-to-end; residuals are NOT re-normalized
+    * (that would break the decomposition).
+    */
+  private def ivfPqResidual(
+      df: DataFrame, idCol: String, vecCol: String, k: Int, dim: Int,
+      nlist: Int, nprobe: Int, m: Int, codebookSize: Int, seed: Long,
+      queries: Option[DataFrame], codebooks: Option[Seq[Seq[Seq[Double]]]],
+      coarseSampleFraction: Option[Double]): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sub = dim / m
+    val un = df.select(col(idCol), l2normalize(asDouble(col(vecCol))).as("u0"))
+    val fitInput = coarseSampleFraction
+      .map(f => un.sample(withReplacement = false, f, seed)).getOrElse(un)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(fitInput.withColumn("features", array_to_vector(col("u0"))))
+    val cents = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    val centsLit = typedLit(cents)
+    val resid = un
+      .withColumn("cell", graft.plans.Expressions.nearest_centroid(col("u0"), cents))
+      .withColumn("res",
+        zip_with(col("u0"), element_at(centsLit, col("cell") + 1), (a, b) => a - b))
+    val books = codebooks.getOrElse(pqCodebooks(resid, "res", dim, m,
+      codebookSize, seed, normalizeInput = false))
+    require(books.size == m && books.head.head.size == sub,
+      s"codebooks shape ${books.size}×${books.head.size}×${books.head.head.size} " +
+        s"does not match m=$m, dim/m=$sub")
+    val assigned = resid.select(col(idCol).as("cid"),
+      graft.plans.Expressions.pq_encode(col("res"), books, normalize = false).as("codes"),
+      col("cell"))
+    val centDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
+    val luts = array((0 until m).map { j =>
+      val qj = slice(col("u"), j * sub + 1, sub)
+      array(books(j).map(c => dot(qj, c)): _*)
+    }: _*)
+    val probes = queries.getOrElse(df)
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .select(col(idCol).as("qid"), l2normalize(col("v")).as("u"))
+      .crossJoin(broadcast(
+        df.sparkSession.createDataFrame(centDf).toDF("cell", "cv")))
+      .withColumn("sim", graft.dedup.Dedup.cosine(col("u"), col("cv")))
+      // the ⟨q, centroid⟩ term of the score — a RAW dot (the centroid is
+      // a cell mean, not unit-norm; cosine would rescale it)
+      .withColumn("qc",
+        aggregate(zip_with(col("u"), col("cv"), (x, y) => x * y), lit(0.0), _ + _))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cell"))))
+      .where(col("r") <= nprobe)
+      .select(col("qid"), luts.as("luts"), col("qc"), col("cell"))
+    val scored = probes.join(assigned, Seq("cell"))
+      .where(col("qid") =!= col("cid"))
+      .withColumn("score",
+        col("qc") + graft.plans.Expressions.pq_adc(col("luts"), col("codes")))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("qid").as("id1"), col("cid").as("id2"),

@@ -292,6 +292,26 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF-PQ recall@10 too low: $recall")
   }
 
+  test("residual IVF-PQ recall is at least the raw-code path's") {
+    val sample = emb.where(col("vec_id") < 100)
+    val exact = Similarity.knnJoin(sample, "vec_id", "embedding", 10)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(residual: Boolean): Double = {
+      val got = Similarity.ivfPqTopK(sample, "vec_id", "embedding", 10,
+          dim = 64, nlist = 8, nprobe = 4, residual = residual)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val raw = recallOf(residual = false)
+    val res = recallOf(residual = true)
+    info(f"recall@10 raw=$raw%.3f residual=$res%.3f")
+    // residual codes only need to cover within-cell spread — recall must
+    // not regress vs quantizing the full vectors (small slack for the
+    // coarse-assignment tie noise on this tiny fixture)
+    assert(res >= raw - 0.02, f"residual $res%.3f < raw $raw%.3f")
+    assert(res >= 0.4, f"residual IVF-PQ recall too low: $res%.3f")
+  }
+
   test("IVF ANN achieves high recall@3 against exact kNN") {
     val sample = emb.where(col("vec_id") < 100)
     val exact = Similarity.knnJoin(sample, "vec_id", "embedding", 3)
