@@ -406,9 +406,11 @@ object Expressions {
       var ss = 0.0
       var i = 0
       while (i < dim) { val x = v.getDouble(i); ss += x * x; i += 1 }
-      // nrm == 0.0 selects the raw-value branch below — residual encoding
-      // (normalize=false) must NOT rescale its input
-      val nrm = if (normalize) math.sqrt(ss) else 0.0
+      // Branch on `normalize` itself, never on nrm == 0.0: residual encoding
+      // (normalize=false) must NOT rescale its input, while an all-zero
+      // vector under normalize=true divides 0/0 → NaN distances → code 0 in
+      // every subspace, bit-identical to the composed normalize subtree.
+      val nrm = math.sqrt(ss)
       val codes = new Array[Int](m)
       var j = 0
       while (j < m) {
@@ -418,8 +420,8 @@ object Expressions {
           val base = (j * k + c) * sub
           var d = 0.0; var t = 0
           while (t < sub) {
-            val u = if (nrm == 0.0) v.getDouble(j * sub + t)
-                    else v.getDouble(j * sub + t) / nrm
+            val u = if (normalize) v.getDouble(j * sub + t) / nrm
+                    else v.getDouble(j * sub + t)
             val x = u - flat(base + t)
             d += x * x; t += 1
           }
@@ -448,7 +450,7 @@ object Expressions {
            |for (int $i = 0; $i < ${m * sub}; $i++) {
            |  double $vv = $v.getDouble($i); $ss += $vv * $vv;
            |}
-           |double $nrm = $normalize ? java.lang.Math.sqrt($ss) : 0.0;
+           |double $nrm = java.lang.Math.sqrt($ss);
            |int[] $codes = new int[$m];
            |for (int $j = 0; $j < $m; $j++) {
            |  int $best = 0; double $bestD = Double.MAX_VALUE;
@@ -456,8 +458,8 @@ object Expressions {
            |    int $base = ($j * $k + $c) * $sub;
            |    double $d = 0.0;
            |    for (int $t = 0; $t < $sub; $t++) {
-           |      double $u = $nrm == 0.0 ? $v.getDouble($j * $sub + $t)
-           |                              : $v.getDouble($j * $sub + $t) / $nrm;
+           |      double $u = $normalize ? $v.getDouble($j * $sub + $t) / $nrm
+           |                             : $v.getDouble($j * $sub + $t);
            |      double $x = $u - $fRef[$base + $t];
            |      $d += $x * $x;
            |    }
@@ -551,15 +553,21 @@ object Expressions {
     private val dim = cents.head.size
     @transient private lazy val flat: Array[Double] = cents.flatten.toArray
 
-    /** Row kernel — public so generated code can call it. */
+    /** Row kernel — public so generated code can call it. A dimension
+      * mismatch fails loudly: a prefix-distance assignment on a malformed
+      * embedding would produce a plausible-looking wrong cell.
+      */
     def compute(v: ArrayData): Int = {
-      val n = math.min(v.numElements(), dim)
+      if (v.numElements() != dim)
+        throw new IllegalArgumentException(
+          s"graft_nearest_centroid: vector has ${v.numElements()} elements, " +
+            s"centroids have $dim — malformed embedding")
       var best = 0; var bestD = Double.MaxValue
       var c = 0
       while (c < k) {
         val off = c * dim
         var d = 0.0; var t = 0
-        while (t < n) { val x = v.getDouble(t) - flat(off + t); d += x * x; t += 1 }
+        while (t < dim) { val x = v.getDouble(t) - flat(off + t); d += x * x; t += 1 }
         if (d < bestD) { bestD = d; best = c }
         c += 1
       }
@@ -608,6 +616,17 @@ object Expressions {
     override def dataType: DataType = BooleanType
     override def nullable: Boolean = false
     override def prettyName: String = "graft_bloom_might_contain"
+
+    // Array[Byte] equality is reference-based by default, which would make
+    // two semantically identical probes never compare equal — defeating plan
+    // canonicalization and subexpression elimination. Compare the bytes.
+    override def equals(other: Any): Boolean = other match {
+      case BloomMightContain(otherChild, otherBytes) =>
+        child == otherChild && java.util.Arrays.equals(filterBytes, otherBytes)
+      case _ => false
+    }
+    override def hashCode(): Int =
+      31 * child.hashCode() + java.util.Arrays.hashCode(filterBytes)
 
     @transient private lazy val bf: org.apache.spark.util.sketch.BloomFilter =
       org.apache.spark.util.sketch.BloomFilter.readFrom(

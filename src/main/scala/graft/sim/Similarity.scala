@@ -407,6 +407,14 @@ object Similarity {
     * for FAISS-style residual codes ([[ivfPqResidual]]) when the extra
     * per-cell precision is worth a second pass over the corpus at build
     * time (assign, then encode the residual).
+    *
+    * Caller-supplied `codebooks` must match the path they are used on:
+    * with `residual = true` they must have been fitted on RESIDUALS
+    * (`u − centroid(cell)`, e.g. by a prior residual run's
+    * [[pqCodebooks]] over the residual column). Raw-path books have the
+    * same m×k×sub shape, so passing them cannot be detected here — they
+    * would encode residuals against raw-space centroids and silently
+    * degrade recall.
     */
   def ivfPqTopK(
       df: DataFrame,

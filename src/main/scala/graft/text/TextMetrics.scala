@@ -224,9 +224,10 @@ object TextMetrics {
     * corpus is boilerplate, another language, or noise; threshold on this
     * column to drop it). Plan shape: explode → join the unigram model →
     * one groupBy per doc. The model is broadcast when `broadcastVocab`
-    * (right for vocabularies up to tens of millions of tokens — the
-    * common case after whitespace tokenization); disable it to let the
-    * join shuffle for pathological vocabularies, the plan stays valid.
+    * (right for vocabularies up to a few million entries — a
+    * multi-ten-million-row model hits the driver collect and the 8 GB
+    * broadcast cap at exactly the corpus scale this targets); disable it
+    * to let the join shuffle for huge vocabularies, the plan stays valid.
     */
   def meanTokenLogProb(df: DataFrame, idCol: String, textCol: String,
                        broadcastVocab: Boolean = true): DataFrame = {
