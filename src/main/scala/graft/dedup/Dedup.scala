@@ -415,4 +415,92 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))
   }
+
+  // ---- Substring/passage-level dedup: remove repeated SPANS across
+  // documents, not whole documents — the standard LLM-corpus requirement
+  // (cf. Lee et al., "Deduplicating Training Data Makes Language Models
+  // Better": exact substring dedup via suffix arrays). The Spark-native
+  // shape replaces the suffix array with fixed-width positional gram
+  // hashes: a width-w token window repeated across >= minDocFreq documents
+  // is a repeated span; every occurrence outside the keep document (min
+  // id) is removed, and overlapping windows merge into maximal removed
+  // regions via covered-token union.
+  //
+  // Scale design: unlike the pair-generating dedups above, NOTHING here is
+  // quadratic — each gram occurrence is one row, the repeated-gram
+  // decision is a two-level aggregate (partial map-side combine on
+  // (gh, id), then tiny per-gram stats), and the decision joins back to
+  // occurrences on the 64-bit gram hash. A boilerplate gram shared by
+  // millions of documents is still one row per occurrence through that
+  // join (AQE-splittable skew, not a pair explosion), so no df cap is
+  // NEEDED for cost; `maxDocFreq` is a semantic valve — grams above it are
+  // ubiquitous chrome the caller may prefer to leave to line-level filters
+  // (C4-style) rather than punch out of every document.
+
+  /** Repeated-span occurrences to remove: `(id, pos)` pairs where the
+    * width-`width` token window starting at 0-based position `pos` of
+    * document `id` also appears in at least `minDocFreq − 1` OTHER
+    * documents and `id` is not the keep document (min id over the gram's
+    * postings — keep-one, like [[exactGroups]]). Positions index the
+    * normalized token stream (`TextMetrics.normalize` → whitespace split),
+    * the same boundaries the fused gram kernel uses.
+    */
+  def spanRemovals(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int = 8,
+      minDocFreq: Int = 2,
+      maxDocFreq: Int = Int.MaxValue
+  ): DataFrame = {
+    require(width >= 1, s"span width must be positive, got $width")
+    require(minDocFreq >= 2,
+      s"minDocFreq must be >= 2 (a span repeated in one doc is not cross-document), got $minDocFreq")
+    val grams = df.select(col(idCol).as("id"),
+      posexplode(graft.plans.Expressions.text_gram_hash_seq(col(textCol), width))
+        .as(Seq("pos", "gh")))
+    // distinct (gh, doc) first so the per-gram stats see document
+    // frequency, not occurrence frequency; both levels partial-aggregate
+    val stats = grams.groupBy(col("gh"), col("id")).agg(count(lit(1)).as("_occ"))
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("df"), min(col("id")).as("keep_id"))
+      .where(col("df").between(minDocFreq, maxDocFreq))
+      .select(col("gh"), col("keep_id"))
+    grams.join(stats, Seq("gh"))
+      .where(col("id") =!= col("keep_id"))
+      .select(col("id"), col("pos"))
+  }
+
+  /** Cleaned corpus after cross-document span removal: per document, every
+    * token covered by a removed span ([[spanRemovals]]) is elided from the
+    * NORMALIZED token stream and the survivors are re-joined with single
+    * spaces — the text a training pipeline would feed downstream. Output:
+    * `(id, n_spans, n_kept, clean_text)`; documents with nothing removed
+    * pass through with their full normalized token stream (`n_spans` 0).
+    */
+  def spanDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int = 8,
+      minDocFreq: Int = 2,
+      maxDocFreq: Int = Int.MaxValue
+  ): DataFrame = {
+    val removals = spanRemovals(df, idCol, textCol, width, minDocFreq, maxDocFreq)
+    val starts = removals.groupBy(col("id"))
+      .agg(collect_list(col("pos")).as("starts"))
+    val toks = df.select(col(idCol).as("id"),
+      TextMetrics.tokens(TextMetrics.normalize(col(textCol))).as("toks"))
+    toks.join(starts, Seq("id"), "left")
+      .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
+      // token i survives iff no removed span [s, s+width) covers it; the
+      // lambda runs scan-local over the per-doc starts array (bounded by
+      // spans-per-doc, small by construction)
+      .withColumn("kept", filter(col("toks"),
+        (t, i) => !exists(col("starts"), s => i >= s && i < s + width)))
+      .select(col("id"),
+        size(col("starts")).as("n_spans"),
+        size(col("kept")).as("n_kept"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
 }

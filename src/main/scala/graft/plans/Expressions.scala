@@ -292,6 +292,52 @@ object Expressions {
     * [[GramHashes]] — nothing observable depends on them (intersection
     * counts and minhash permutations only; collisions ~2⁻⁶⁴).
     */
+  /** Shared char-scan tokenizer kernel for [[TextGramHashes]] /
+    * [[TextGramHashSeq]]: one pass over the string, FNV-1a 64 hash per
+    * token, boundary semantics identical to
+    * `lower → regexp_replace('[^a-z0-9\\s]', ' ') → split('\\s+')`
+    * (see [[TextGramHashes]]'s scaladoc for the İ caveat). Returns the
+    * token hashes in document order, exactly sized.
+    */
+  def fnvTokenHashes(tAny: org.apache.spark.unsafe.types.UTF8String): Array[Long] = {
+    val s = tAny.toString
+    val len = s.length
+    var tok = new Array[Long](32)
+    var nTok = 0
+    val basis = -3750763034362895579L // FNV-1a 64 offset basis
+    var h = basis
+    var inTok = false
+    var i = 0
+    while (i < len) {
+      val c0 = s.charAt(i)
+      if (c0 == 'İ') {
+        // İ is Unicode's ONLY unconditional multi-char lowercase mapping
+        // (i + combining dot above): the regex pipeline keeps the i and
+        // turns the combining mark into a boundary — mirror that exactly
+        h = (h ^ 'i') * 1099511628211L
+        if (nTok == tok.length) tok = java.util.Arrays.copyOf(tok, nTok * 2)
+        tok(nTok) = h; nTok += 1
+        h = basis; inTok = false
+      } else {
+        val c = Character.toLowerCase(c0)
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+          h = (h ^ c) * 1099511628211L // FNV-1a 64 prime
+          inTok = true
+        } else if (inTok) {
+          if (nTok == tok.length) tok = java.util.Arrays.copyOf(tok, nTok * 2)
+          tok(nTok) = h; nTok += 1
+          h = basis; inTok = false
+        }
+      }
+      i += 1
+    }
+    if (inTok) {
+      if (nTok == tok.length) tok = java.util.Arrays.copyOf(tok, nTok + 1)
+      tok(nTok) = h; nTok += 1
+    }
+    if (nTok == tok.length) tok else java.util.Arrays.copyOf(tok, nTok)
+  }
+
   case class TextGramHashes(child: Expression, n: Int)
       extends UnaryExpression with ExpectsInputTypes {
     require(n >= 1, s"gram width must be positive, got $n")
@@ -302,45 +348,12 @@ object Expressions {
 
     /** Row kernel — public so generated code can call it. */
     def compute(tAny: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
-      val s = tAny.toString
-      val len = s.length
-      var tok = new Array[Long](32)
-      var nTok = 0
-      val basis = -3750763034362895579L // FNV-1a 64 offset basis
-      var h = basis
-      var inTok = false
-      var i = 0
-      while (i < len) {
-        val c0 = s.charAt(i)
-        if (c0 == 'İ') {
-          // İ is Unicode's ONLY unconditional multi-char lowercase mapping
-          // (i + combining dot above): the regex pipeline keeps the i and
-          // turns the combining mark into a boundary — mirror that exactly
-          h = (h ^ 'i') * 1099511628211L
-          if (nTok == tok.length) tok = java.util.Arrays.copyOf(tok, nTok * 2)
-          tok(nTok) = h; nTok += 1
-          h = basis; inTok = false
-        } else {
-          val c = Character.toLowerCase(c0)
-          if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
-            h = (h ^ c) * 1099511628211L // FNV-1a 64 prime
-            inTok = true
-          } else if (inTok) {
-            if (nTok == tok.length) tok = java.util.Arrays.copyOf(tok, nTok * 2)
-            tok(nTok) = h; nTok += 1
-            h = basis; inTok = false
-          }
-        }
-        i += 1
-      }
-      if (inTok) {
-        if (nTok == tok.length) tok = java.util.Arrays.copyOf(tok, nTok + 1)
-        tok(nTok) = h; nTok += 1
-      }
+      val tok = fnvTokenHashes(tAny)
+      val nTok = tok.length
       val m = nTok - n + 1
       if (m <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
       val g = new Array[Long](m)
-      i = 0
+      var i = 0
       while (i < m) {
         var acc = 42L
         var j = 0
@@ -369,6 +382,53 @@ object Expressions {
       })
 
     override protected def withNewChildInternal(newChild: Expression): TextGramHashes =
+      copy(child = newChild)
+  }
+
+  /** POSITIONAL word-n-gram hashes: element `i` of the output is the hash
+    * of the gram starting at token position `i` (0-based), in document
+    * order, duplicates kept — `posexplode` over it yields `(pos, gh)`
+    * pairs, which is what span-level dedup needs ([[TextGramHashes]]'s
+    * sorted distinct set serves the set-similarity family instead).
+    * Same fused single-scan tokenizer ([[fnvTokenHashes]]), same gram
+    * hash chain, so the two expressions agree on which grams exist.
+    * Fewer than `n` tokens → empty array. Null text → null.
+    */
+  case class TextGramHashSeq(child: Expression, n: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(n >= 1, s"gram width must be positive, got $n")
+
+    override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_text_gram_hash_seq"
+
+    /** Row kernel — public so generated code can call it. */
+    def compute(tAny: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val tok = fnvTokenHashes(tAny)
+      val m = tok.length - n + 1
+      if (m <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+      val g = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        var acc = 42L
+        var j = 0
+        while (j < n) { acc = XXH64.hashLong(tok(i + j), acc); j += 1 }
+        g(i) = acc
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(g)
+    }
+
+    override def nullSafeEval(tAny: Any): Any =
+      compute(tAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t => {
+        val ref = ctx.addReferenceObj("textGramHashSeq", this, classOf[TextGramHashSeq].getName)
+        s"${ev.value} = $ref.compute($t);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): TextGramHashSeq =
       copy(child = newChild)
   }
 
@@ -687,6 +747,9 @@ object Expressions {
 
   def text_gram_hashes(text: Column, n: Int): Column =
     Bridge.column(TextGramHashes(Bridge.expression(text), n))
+
+  def text_gram_hash_seq(text: Column, n: Int): Column =
+    Bridge.column(TextGramHashSeq(Bridge.expression(text), n))
 
   def pq_encode(vec: Column, books: Seq[Seq[Seq[Double]]],
                 normalize: Boolean = true): Column =

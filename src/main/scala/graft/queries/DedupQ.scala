@@ -81,8 +81,23 @@ object DedupQ extends QueryPack {
     "q_dup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.2, maxDocFreq = 15)))
+          n = 3, threshold = 0.2, maxDocFreq = 15))),
+    // Passage-level dedup over the planted near-dup corpus: at width 8 the
+    // 25 planted pairs share multi-window passages, so detection AND
+    // removal both bite (24 docs lose spans at sf0.01). The oracle replays
+    // the whole pipeline — window extraction, keep-one policy, covered-
+    // token union, cleaned-text md5 — in DuckDB SQL.
+    "q_span_dedup" -> ((s, dir) => spanQuery(s, dir, maxDocFreq = Int.MaxValue)),
+    // df cap at 2 BITES at the gate (drops the df=3 windows), proving the
+    // Spark cap and the SQL mirror implement the same semantics.
+    "q_span_dedup_capped" -> ((s, dir) => spanQuery(s, dir, maxDocFreq = 2))
   )
+
+  private def spanQuery(s: SparkSession, dir: String, maxDocFreq: Int): DataFrame =
+    Dedup.spanDedup(Tables.documents(s, dir), "doc_id", "text",
+      width = 8, minDocFreq = 2, maxDocFreq = maxDocFreq)
+      .select(col("id").as("doc_id"), col("n_spans"), col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
 
   private val norm =
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
@@ -117,7 +132,50 @@ object DedupQ extends QueryPack {
        |WHERE i * 1.0 / (s1.sz + s2.sz - i) >= $threshold""".stripMargin
   }
 
+  /** Full SQL replay of [[Dedup.spanDedup]]: fixed-width windows with
+    * 0-based positions, per-window keep-one stats, removal of non-keep
+    * occurrences, covered-token union, and the cleaned token stream's md5.
+    */
+  private def spanSql(width: Int, maxDf: Long): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(
+       |    $norm, ' ') AS w
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+${width - 1}], ' ') AS g
+       |  FROM toks, unnest(range(1, len(w) - $width + 2)) AS t(i)
+       |  WHERE len(w) >= $width),
+       |stats AS (
+       |  SELECT g, min(doc_id) AS keep_id
+       |  FROM grams GROUP BY g
+       |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND $maxDf),
+       |removals AS (
+       |  SELECT gr.doc_id, gr.pos FROM grams gr JOIN stats st ON gr.g = st.g
+       |  WHERE gr.doc_id <> st.keep_id),
+       |tokpos AS (
+       |  SELECT doc_id, i, w[i] AS tok
+       |  FROM toks, unnest(range(1, len(w) + 1)) AS t(i)),
+       |kept AS (
+       |  SELECT tp.doc_id, tp.i, tp.tok FROM tokpos tp
+       |  WHERE NOT EXISTS (SELECT 1 FROM removals r
+       |    WHERE r.doc_id = tp.doc_id
+       |      AND tp.i - 1 BETWEEN r.pos AND r.pos + ${width - 1})),
+       |agg AS (
+       |  SELECT doc_id, count(*) AS n_kept,
+       |         string_agg(tok, ' ' ORDER BY i) AS clean_text
+       |  FROM kept GROUP BY doc_id),
+       |rc AS (SELECT doc_id, count(*) AS n_spans FROM removals GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(rc.n_spans, 0) AS INTEGER) AS n_spans,
+       |  CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_kept,
+       |  md5(coalesce(a.clean_text, '')) AS clean_md5
+       |FROM documents d
+       |LEFT JOIN rc ON d.doc_id = rc.doc_id
+       |LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q_span_dedup" -> spanSql(8, Long.MaxValue),
+    "q_span_dedup_capped" -> spanSql(8, 2L),
     "q_exact_dedup" ->
       s"""WITH all_docs AS (
          |  SELECT doc_id, text FROM documents

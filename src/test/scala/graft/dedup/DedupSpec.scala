@@ -356,4 +356,50 @@ class DedupSpec extends SparkSpec {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.7, s"recall@3 too low: $recall")
   }
+
+  test("spanDedup removes a planted cross-document passage, keep-one") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog tonight" // 10 tokens
+    val df = Seq(
+      (1L, s"alpha beta gamma $passage delta epsilon"),
+      (2L, s"zeta eta $passage theta iota kappa"),
+      (3L, "completely unrelated text with enough tokens to matter here okay")
+    ).toDF("id", "text")
+    val out = Dedup.spanDedup(df, "id", "text", width = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1 is the keep document: nothing removed
+    assert(out(1L).getInt(1) == 0, "keep doc must not lose spans")
+    // doc 2: 3 width-8 windows fit inside the 10 shared tokens; their
+    // covered union is exactly the passage
+    assert(out(2L).getInt(1) == 3)
+    assert(out(2L).getString(3) == "zeta eta theta iota kappa")
+    assert(out(2L).getInt(2) == 5)
+    // unrelated doc untouched, full normalized stream survives
+    assert(out(3L).getInt(1) == 0 && out(3L).getInt(2) == 10)
+  }
+
+  test("span df-cap exempts ubiquitous windows; sub-width runs invisible") {
+    import spark.implicits._
+    val p = "one two three four five six seven eight" // exactly one width-8 window
+    val df = Seq((1L, s"a $p b"), (2L, s"c $p d"), (3L, s"e $p f")).toDF("id", "text")
+    // df=3 window: docs 2 and 3 each lose their occurrence, doc 1 keeps
+    val rem = Dedup.spanRemovals(df, "id", "text", width = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rem == Set((2L, 1), (3L, 1)))
+    // cap at 2 exempts the df=3 window entirely
+    assert(Dedup.spanRemovals(df, "id", "text", width = 8, maxDocFreq = 2).count() == 0)
+    // a 7-token shared run never forms a width-8 window
+    val short = Seq(
+      (1L, "one two three four five six seven x"),
+      (2L, "one two three four five six seven y")).toDF("id", "text")
+    assert(Dedup.spanRemovals(short, "id", "text", width = 8).count() == 0)
+  }
+
+  test("positional gram hashes agree with the distinct-set kernel") {
+    val both = docs.select(
+      graft.plans.Expressions.text_gram_hashes(col("text"), 3).as("set"),
+      array_sort(array_distinct(
+        graft.plans.Expressions.text_gram_hash_seq(col("text"), 3))).as("fromseq"))
+    assert(both.where(not(col("set") <=> col("fromseq"))).count() == 0)
+  }
 }
