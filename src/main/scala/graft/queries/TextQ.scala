@@ -53,6 +53,13 @@ object TextQ extends QueryPack {
       round6(
         TextMetrics.meanTokenLogProb(Tables.documents(s, dir), "doc_id", "text"),
         "mean_logprob")),
+    // interpolated unigram+bigram LM (λ=0.7): fit (two count groupBys) AND
+    // scoring replay fully in DuckDB; (1 - 0.7) is written as the same IEEE
+    // subtraction both sides so the interpolation weights are bit-identical.
+    "q_bigram_logprob" -> ((s, dir) =>
+      round6(
+        TextMetrics.interpolatedLogProb(Tables.documents(s, dir), "doc_id", "text"),
+        "mean_logprob")),
     // PII scrub: plant one email, one phone and one IPv4 per document
     // (all arithmetic functions of doc_id), then detect + redact. The
     // patterns are Java/RE2-portable, so DuckDB independently replays the
@@ -129,6 +136,33 @@ object TextQ extends QueryPack {
         |       round(avg(ln(v.n * 1.0 / tot.c)), 6) AS mean_logprob
         |FROM toks t JOIN v USING (token) CROSS JOIN tot
         |GROUP BY 1""".stripMargin,
+    "q_bigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, w[i] AS cur,
+        |         CASE WHEN i > 1 THEN w[i-1] END AS prev
+        |  FROM toks, unnest(range(1, len(w) + 1)) AS t(i)),
+        |v AS (SELECT cur AS token, count(*) AS n FROM tok GROUP BY 1),
+        |tot AS (SELECT count(*) AS c FROM tok),
+        |bg AS (SELECT prev, cur, count(*) AS n FROM tok
+        |       WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |pt AS (SELECT prev, sum(n) AS np FROM bg GROUP BY 1),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN t.prev IS NULL THEN ln(v.n * 1.0 / tot.c)
+        |         ELSE ln(CAST(0.7 AS DOUBLE) * (bg.n * 1.0 / pt.np)
+        |                 + (1 - CAST(0.7 AS DOUBLE)) * (v.n * 1.0 / tot.c))
+        |    END AS lp
+        |  FROM tok t
+        |  JOIN v ON t.cur = v.token
+        |  CROSS JOIN tot
+        |  LEFT JOIN bg ON t.prev = bg.prev AND t.cur = bg.cur
+        |  LEFT JOIN pt ON t.prev = pt.prev)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       round(avg(lp), 6) AS mean_logprob
+        |FROM scored GROUP BY 1""".stripMargin,
     // the engine's own pattern constants are interpolated, so detection
     // and the redacted bytes replay verbatim (patterns are RE2/Java-portable)
     "q_pii_redact" ->

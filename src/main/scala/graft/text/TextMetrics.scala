@@ -241,6 +241,66 @@ object TextMetrics {
       .agg(count(lit(1)).as("n_tokens"), avg(col("_logp")).as("mean_logprob"))
   }
 
+  /** Corpus bigram counts over the SAME token stream as [[unigramCounts]]
+    * (lowercased whitespace tokens): one row per adjacent `(prev, cur)`
+    * pair occurrence, counted. The pair construction is scan-local array
+    * arithmetic (no per-token row carries the whole document), then one
+    * explode + one shuffle — the model side of [[interpolatedLogProb]].
+    */
+  def bigramCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(tokens(lower(col(textCol))).as("w"))
+      .where(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(2), size(col("w"))),
+        i => struct(element_at(col("w"), i - 1).as("prev"),
+          element_at(col("w"), i).as("cur")))).as("bg"))
+      .groupBy(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-document mean token log-probability under an INTERPOLATED
+    * unigram+bigram model fit on the corpus itself — the upgrade over
+    * [[meanTokenLogProb]]'s pure-unigram stand-in: a document whose token
+    * SEQUENCE is improbable (not just its token bag) scores low, which is
+    * what separates shuffled boilerplate from coherent text.
+    *
+    * Model: `P(cur|prev) = λ·c(prev,cur)/c(prev,·) + (1−λ)·c(cur)/N` for
+    * tokens with a predecessor; the document-initial token scores
+    * `ln c(cur)/N` (no conditioning context). Fit = two groupBys
+    * ([[unigramCounts]], [[bigramCounts]]); scoring = scan-local pair
+    * construction + one join per model order + one groupBy per doc. Both
+    * models broadcast when `broadcastModel` (same few-million-entry
+    * guidance as [[meanTokenLogProb]]); disable to shuffle-join for huge
+    * vocabularies.
+    *
+    * Scoring the fit corpus never sees an unseen bigram; when scoring a
+    * DIFFERENT corpus against a pre-fit model, unseen bigrams fall back to
+    * the `(1−λ)` unigram mass (coalesce-to-zero on the bigram term).
+    */
+  def interpolatedLogProb(df: DataFrame, idCol: String, textCol: String,
+                          lambda: Double = 0.7,
+                          broadcastModel: Boolean = true): DataFrame = {
+    val uni = unigramCounts(df, textCol)
+    val uniP = uni.crossJoin(uni.agg(sum(col("n")).as("_total")))
+      .select(col("token").as("cur"), (col("n") / col("_total")).as("_puni"))
+    val big = bigramCounts(df, textCol)
+    val bigP = big.join(big.groupBy(col("prev")).agg(sum(col("n")).as("_np")), Seq("prev"))
+      .select(col("prev"), col("cur"), (col("n") / col("_np")).as("_pbi"))
+    val (u, b) = if (broadcastModel) (broadcast(uniP), broadcast(bigP)) else (uniP, bigP)
+    val tok = df
+      .select(col(idCol), tokens(lower(col(textCol))).as("w"))
+      .select(col(idCol), explode(transform(sequence(lit(1), size(col("w"))),
+        i => struct(element_at(col("w"), i).as("cur"),
+          when(i > 1, element_at(col("w"), i - 1)).as("prev")))).as("t"))
+      .select(col(idCol), col("t.cur").as("cur"), col("t.prev").as("prev"))
+    tok.join(u, Seq("cur"))
+      .join(b, Seq("prev", "cur"), "left")
+      .withColumn("_lp",
+        when(col("prev").isNull, log(col("_puni")))
+          .otherwise(log(lit(lambda) * coalesce(col("_pbi"), lit(0.0))
+            + lit(1 - lambda) * col("_puni"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), avg(col("_lp")).as("mean_logprob"))
+  }
+
   /** Replace every PII match with a typed placeholder token. Emails go
     * first (an address can embed digit runs); the phone and IPv4 classes
     * cannot overlap each other (3 separators vs 2). Pure `regexp_replace`
