@@ -647,6 +647,94 @@ object Expressions {
       copy(child = newChild)
   }
 
+  /** Top-`k` nearest cells by COSINE similarity in one fused scan — the
+    * probe-side counterpart of [[NearestCentroid]]: returns the `k` best
+    * cell ids ordered (similarity desc, cell asc), so `explode` over it
+    * replaces the crossJoin(broadcast(centroids)) + row_number Window that
+    * previously ranked probe cells — an nlist× row amplification plus a
+    * whole shuffle of the query side, deleted.
+    *
+    * Arithmetic is bit-identical to ranking with [[CosineSimilarity]]:
+    * per-variable accumulators run left-to-right over the same elements
+    * (the query norm once per row, centroid norms once at construction —
+    * each variable's FP addition chain is unchanged), and the final score
+    * is the same `dot / (√nx · √ny)` expression. Ties keep the lower cell
+    * (strict-> displacement while scanning cells in ascending order),
+    * matching the Window's `(sim desc, cell)` ordering. NaN scores (zero
+    * vectors) never displace a slot; with nothing else filled the first
+    * `k` cells win in ascending order — the same set the Window emits.
+    * Dimension mismatches fail loudly, like [[NearestCentroid]].
+    */
+  case class NearestCentroids(child: Expression, cents: Seq[Seq[Double]], k: Int)
+      extends UnaryExpression with ExpectsInputTypes {
+    require(cents.nonEmpty && cents.forall(_.size == cents.head.size),
+      "NearestCentroids: centroids must be non-empty and rectangular")
+    require(k >= 1 && k <= cents.size,
+      s"NearestCentroids: k=$k must be in [1, ${cents.size}]")
+
+    override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_nearest_centroids"
+
+    private val nlist = cents.size
+    private val dim = cents.head.size
+    @transient private lazy val flat: Array[Double] = cents.flatten.toArray
+    @transient private lazy val cnorm: Array[Double] = cents.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.size) { val x = c(i); s += x * x; i += 1 }
+      math.sqrt(s)
+    }.toArray
+
+    /** Row kernel — public so generated code can call it. */
+    def compute(v: ArrayData): ArrayData = {
+      if (v.numElements() != dim)
+        throw new IllegalArgumentException(
+          s"graft_nearest_centroids: vector has ${v.numElements()} elements, " +
+            s"centroids have $dim — malformed embedding")
+      var nx = 0.0
+      var i = 0
+      while (i < dim) { val x = v.getDouble(i); nx += x * x; i += 1 }
+      val snx = math.sqrt(nx)
+      val simTop = new Array[Double](k)
+      val cellTop = new Array[Int](k)
+      var filled = 0
+      var c = 0
+      while (c < nlist) {
+        val off = c * dim
+        var dot = 0.0
+        i = 0
+        while (i < dim) { dot += v.getDouble(i) * flat(off + i); i += 1 }
+        val sim = dot / (snx * cnorm(c))
+        // insert position: first slot strictly beaten (equal sims keep the
+        // earlier, i.e. lower, cell; NaN beats nothing)
+        var p = filled
+        while (p > 0 && sim > simTop(p - 1)) p -= 1
+        if (p < k) {
+          val last = math.min(filled, k - 1)
+          var q = last
+          while (q > p) { simTop(q) = simTop(q - 1); cellTop(q) = cellTop(q - 1); q -= 1 }
+          simTop(p) = sim; cellTop(p) = c
+          if (filled < k) filled += 1
+        }
+        c += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(
+        if (filled == k) cellTop else java.util.Arrays.copyOf(cellTop, filled))
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val ref = ctx.addReferenceObj("nearestCentroids", this,
+          classOf[NearestCentroids].getName)
+        s"${ev.value} = $ref.compute($v);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+      copy(child = newChild)
+  }
+
   /** Codegen'd bloom-filter membership probe over a pre-built
     * `org.apache.spark.util.sketch.BloomFilter` — replaces the Scala UDF in
     * [[graft.operators.BloomPrune]] so the probe stays inside whole-stage
@@ -750,6 +838,9 @@ object Expressions {
 
   def text_gram_hash_seq(text: Column, n: Int): Column =
     Bridge.column(TextGramHashSeq(Bridge.expression(text), n))
+
+  def nearest_centroids(vec: Column, cents: Seq[Seq[Double]], k: Int): Column =
+    Bridge.column(NearestCentroids(Bridge.expression(vec), cents, k))
 
   def pq_encode(vec: Column, books: Seq[Seq[Seq[Double]]],
                 normalize: Boolean = true): Column =

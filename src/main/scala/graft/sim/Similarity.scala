@@ -79,16 +79,14 @@ object Similarity {
     val assigned = v.withColumn("cell",
       graft.plans.Expressions.nearest_centroid(col("v"), centroids.map(_._1).toSeq))
       .select(col(idCol), col("v"), col("cell"))
-    // each query probes its nprobe nearest centroids
-    val centDf = centroids.map { case (c, i) => (i, c) }.toSeq
+    // each query probes its nprobe nearest centroids — ranked by the fused
+    // NearestCentroids kernel (bit-identical cosine ordering), so the
+    // query side keeps its partitioning: no centroid crossJoin row
+    // amplification and no Window shuffle just to pick top-nprobe cells
     val probes = assigned.select(col(idCol).as("qid"), col("v").as("qv"))
-      .crossJoin(broadcast(
-        df.sparkSession.createDataFrame(centDf).toDF("cell", "cv")))
-      .withColumn("dist", Dedup.cosine(col("qv"), col("cv")))
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("dist").desc, col("cell"))))
-      .where(col("r") <= nprobe)
-      .select(col("qid"), col("qv"), col("cell"))
+      .select(col("qid"), col("qv"),
+        explode(graft.plans.Expressions.nearest_centroids(
+          col("qv"), centroids.map(_._1).toSeq, nprobe)).as("cell"))
     // candidates: query × vectors in probed cells only
     val sims = probes.join(assigned, Seq("cell"))
       .where(col("qid") =!= col(idCol))
@@ -459,21 +457,19 @@ object Similarity {
     val assigned = v.select(col(idCol).as("cid"),
       pqEncode(col("v"), books).as("codes"),
       graft.plans.Expressions.nearest_centroid(col("v"), cents).as("cell"))
-    val centDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
     val luts = array((0 until m).map { j =>
       val qj = slice(col("u"), j * sub + 1, sub)
       array(books(j).map(c => dot(qj, c)): _*)
     }: _*)
+    // top-nprobe cells from the fused kernel (same cosine ordering the
+    // crossJoin+Window form produced, without amplifying or shuffling the
+    // query side); LUTs are built once per query row, before the explode
     val probes = queries.getOrElse(df)
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .select(col(idCol).as("qid"), l2normalize(col("v")).as("u"))
-      .crossJoin(broadcast(
-        df.sparkSession.createDataFrame(centDf).toDF("cell", "cv")))
-      .withColumn("sim", graft.dedup.Dedup.cosine(col("u"), col("cv")))
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cell"))))
-      .where(col("r") <= nprobe)
-      .select(col("qid"), luts.as("luts"), col("cell"))
+      .select(col("qid"), luts.as("luts"),
+        explode(graft.plans.Expressions.nearest_centroids(
+          col("u"), cents, nprobe)).as("cell"))
     // each corpus vector lives in exactly one cell — no pair duplication
     val scored = probes.join(assigned, Seq("cell"))
       .where(col("qid") =!= col("cid"))
@@ -525,25 +521,24 @@ object Similarity {
     val assigned = resid.select(col(idCol).as("cid"),
       graft.plans.Expressions.pq_encode(col("res"), books, normalize = false).as("codes"),
       col("cell"))
-    val centDf = cents.zipWithIndex.map { case (c, i) => (i, c) }
     val luts = array((0 until m).map { j =>
       val qj = slice(col("u"), j * sub + 1, sub)
       array(books(j).map(c => dot(qj, c)): _*)
     }: _*)
+    // fused top-nprobe cell ranking (no centroid crossJoin, no Window);
+    // the ⟨q, centroid⟩ score term is a RAW dot against the probed cell's
+    // centroid (a cell mean, not unit-norm; cosine would rescale it) —
+    // same left-to-right HOF arithmetic as the pre-fusion form
     val probes = queries.getOrElse(df)
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .select(col(idCol).as("qid"), l2normalize(col("v")).as("u"))
-      .crossJoin(broadcast(
-        df.sparkSession.createDataFrame(centDf).toDF("cell", "cv")))
-      .withColumn("sim", graft.dedup.Dedup.cosine(col("u"), col("cv")))
-      // the ⟨q, centroid⟩ term of the score — a RAW dot (the centroid is
-      // a cell mean, not unit-norm; cosine would rescale it)
+      .select(col("qid"), col("u"), luts.as("luts"),
+        explode(graft.plans.Expressions.nearest_centroids(
+          col("u"), cents, nprobe)).as("cell"))
       .withColumn("qc",
-        aggregate(zip_with(col("u"), col("cv"), (x, y) => x * y), lit(0.0), _ + _))
-      .withColumn("r", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cell"))))
-      .where(col("r") <= nprobe)
-      .select(col("qid"), luts.as("luts"), col("qc"), col("cell"))
+        aggregate(zip_with(col("u"), element_at(centsLit, col("cell") + 1),
+          (x, y) => x * y), lit(0.0), _ + _))
+      .select(col("qid"), col("luts"), col("qc"), col("cell"))
     val scored = probes.join(assigned, Seq("cell"))
       .where(col("qid") =!= col("cid"))
       .withColumn("score",

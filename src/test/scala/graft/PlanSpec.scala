@@ -85,6 +85,20 @@ class PlanSpec extends SparkSpec {
       s"expected exactly the rank window's shuffle:\n$p")
   }
 
+  test("IVF-PQ probe ranking is fused: one Window total, no centroid crossJoin") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = graft.sim.Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+      k = 3, dim = 64, nlist = 8, nprobe = 2, m = 4, codebookSize = 8)
+    val p = plan(q)
+    // pre-fusion the probe side ranked cells with its own Window over a
+    // centroid crossJoin; the fused NearestCentroids kernel leaves exactly
+    // the final per-query rank Window in the whole plan
+    assert("""\bWindow\b""".r.findAllIn(p).size == 1,
+      s"expected only the final rank Window:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"no centroid crossJoin may survive on the probe side:\n$p")
+  }
+
   test("bucketed tables join without a shuffle") {
     import graft.ingest.GridSink
     // clean both the metastore entries and any orphaned warehouse dirs
