@@ -188,6 +188,24 @@ object ScaleProbe {
         graft.sim.Similarity.ivfPqTopK(emb, "vec_id", "embedding", 10,
           dim = 64, nlist = 64, nprobe = 8, queries = Some(qs),
           codebooks = Some(books)))
+      // fit-once/serve-many: the write pays the codebook fit + coarse fit
+      // + full-corpus encode ONCE; each serve is just probe ranking + a
+      // cell-pruned candidate join over stored m-byte codes
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_scaleprobe_idx").toString
+      time("ivfpq_index_write")(
+        graft.sim.Similarity.writeIvfPqIndex(emb, "vec_id", "embedding",
+          idxDir, dim = 64, nlist = 64, m = 8, codebookSize = 16))
+      if (wanted("ivfpq_serve_100q")) {
+        // the index may not exist when the write cell was filtered out
+        if (!new java.io.File(s"$idxDir/meta").exists())
+          graft.sim.Similarity.writeIvfPqIndex(emb, "vec_id", "embedding",
+            idxDir, dim = 64, nlist = 64, m = 8, codebookSize = 16)
+        val idx = graft.sim.Similarity.openIvfPqIndex(spark.newSession(), idxDir)
+        run("ivfpq_serve_100q",
+          graft.sim.Similarity.ivfPqServe(idx, qs, "vec_id", "embedding",
+            10, nprobe = 8))
+      }
     }
     spark.stop()
   }

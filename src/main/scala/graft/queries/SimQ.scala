@@ -99,12 +99,76 @@ object SimQ extends QueryPack {
           Seq("id1", "id2"), "left")
         .groupBy(col("id1"))
         .agg(round(sum(coalesce(col("hit"), lit(0))) / 10.0, 6).as("recall"))
+    }),
+    // Persisted-index serving: the index (codebooks + centroids + cell-
+    // partitioned codes) is written ONCE per session+sfDir, then a FRESH
+    // session answers the batch purely from the store — no refit, no
+    // corpus re-encode, no in-memory state from the build session. The
+    // result must be bit-identical to the direct ivfPqTopK run, asserted
+    // per query by matches_direct (null-safe over a full outer join, so a
+    // missing or extra row also fails) and pinned in the oracle alongside
+    // q_ivfpq_ann's recall vector.
+    "q_ivfpq_served" -> ((s, dir) => {
+      val idxDir = servedIndexDir(s, dir)
+      val fresh = s.newSession()
+      val emb = Tables.embeddings(fresh, dir).where(col("vec_id") < 50)
+      val idx = Similarity.openIvfPqIndex(fresh, idxDir)
+      val served = Similarity.ivfPqServe(idx, emb, "vec_id", "embedding",
+        k = 10, nprobe = 4)
+      val direct = Similarity.ivfPqTopK(
+        Tables.embeddings(s, dir).where(col("vec_id") < 50),
+        "vec_id", "embedding",
+        k = 10, dim = 64, nlist = 8, nprobe = 4, m = 8, codebookSize = 16)
+      val cmp = served
+        .select(col("id1"), col("rank"),
+          col("id2").as("sid2"), col("score").as("sscore"))
+        .join(direct.select(col("id1"), col("rank"),
+          col("id2").as("did2"), col("score").as("dscore")),
+          Seq("id1", "rank"), "full")
+        .groupBy(col("id1"))
+        .agg(min(col("sid2") <=> col("did2") && col("sscore") <=> col("dscore"))
+          .as("matches_direct"))
+      val exact = Similarity.knnJoin(emb, "vec_id", "embedding", k = 10)
+      served.join(exact.select(col("id1"), col("id2"), lit(1).as("hit")),
+          Seq("id1", "id2"), "left")
+        .groupBy(col("id1"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))) / 10.0, 6).as("recall"))
+        .join(cmp, Seq("id1"))
     })
   )
+
+  /** One persisted index per (application, sfDir): built lazily by the
+    * first q_ivfpq_served run, reused by later iterations in the same
+    * JVM (the bench loop), rebuilt per JVM — the store itself is what a
+    * real deployment would keep.
+    */
+  private val indexDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def servedIndexDir(s: SparkSession, dir: String): String =
+    indexDirs.getOrElseUpdate(s"${s.sparkContext.applicationId}:$dir", {
+      val d = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+      Similarity.writeIvfPqIndex(
+        Tables.embeddings(s, dir).where(col("vec_id") < 50),
+        "vec_id", "embedding", d,
+        dim = 64, nlist = 8, m = 8, codebookSize = 16)
+      d
+    })
 
   private val cos =
     """list_dot_product(a.e, b.e)
       |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))""".stripMargin
+
+  /** Pinned recall@10 of the seeded IVF-PQ run at the sf0.01 gate — shared
+    * by the direct query and the served-from-store query, which must agree.
+    */
+  private val ivfPqRecallValues =
+    "(0,0.6),(1,0.6),(2,0.7),(3,0.5),(4,0.5),(5,0.7),(6,0.6),(7,0.7)," +
+      "(8,0.4),(9,0.5),(10,0.8),(11,0.7),(12,0.5),(13,0.3),(14,0.7)," +
+      "(15,0.4),(16,0.7),(17,0.6),(18,0.7),(19,0.8),(20,0.7),(21,0.5)," +
+      "(22,0.4),(23,0.8),(24,0.8),(25,0.5),(26,0.7),(27,0.7),(28,0.7)," +
+      "(29,0.5),(30,0.7),(31,0.8),(32,0.6),(33,0.7),(34,0.7),(35,0.6)," +
+      "(36,0.6),(37,0.6),(38,0.8),(39,0.6),(40,0.7),(41,0.6),(42,0.7)," +
+      "(43,0.7),(44,0.7),(45,0.7),(46,0.5),(47,0.6),(48,0.7),(49,0.5)"
 
   def oracles: Map[String, String] = Map(
     "q_ann_topk" ->
@@ -177,15 +241,13 @@ object SimQ extends QueryPack {
     // same pinned style for the IVF-PQ composition (cells + codes)
     "q_ivfpq_ann" ->
       ("""SELECT CAST(id1 AS BIGINT) AS id1, CAST(recall AS DOUBLE) AS recall
-         |FROM (VALUES """.stripMargin +
-        "(0,0.6),(1,0.6),(2,0.7),(3,0.5),(4,0.5),(5,0.7),(6,0.6),(7,0.7)," +
-        "(8,0.4),(9,0.5),(10,0.8),(11,0.7),(12,0.5),(13,0.3),(14,0.7)," +
-        "(15,0.4),(16,0.7),(17,0.6),(18,0.7),(19,0.8),(20,0.7),(21,0.5)," +
-        "(22,0.4),(23,0.8),(24,0.8),(25,0.5),(26,0.7),(27,0.7),(28,0.7)," +
-        "(29,0.5),(30,0.7),(31,0.8),(32,0.6),(33,0.7),(34,0.7),(35,0.6)," +
-        "(36,0.6),(37,0.6),(38,0.8),(39,0.6),(40,0.7),(41,0.6),(42,0.7)," +
-        "(43,0.7),(44,0.7),(45,0.7),(46,0.5),(47,0.6),(48,0.7),(49,0.5)" +
-        ") AS t(id1, recall)"),
+         |FROM (VALUES """.stripMargin + ivfPqRecallValues + ") AS t(id1, recall)"),
+    // the served path must reproduce the direct path exactly: same recall
+    // vector, and the engine-side bit-exact comparison pinned true
+    "q_ivfpq_served" ->
+      ("""SELECT CAST(id1 AS BIGINT) AS id1, TRUE AS matches_direct,
+         |  CAST(recall AS DOUBLE) AS recall
+         |FROM (VALUES """.stripMargin + ivfPqRecallValues + ") AS t(id1, recall)"),
     // pinned recall@10 of the seeded RESIDUAL quantizer — mean 0.672 vs
     // the raw-code path's 0.632 on the same gate table, the expected
     // FAISS-style precision win (independent evidence: DedupSpec's

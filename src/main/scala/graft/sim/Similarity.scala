@@ -1,7 +1,7 @@
 package graft.sim
 
 import graft.dedup.Dedup
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -457,24 +457,62 @@ object Similarity {
     val assigned = v.select(col(idCol).as("cid"),
       pqEncode(col("v"), books).as("codes"),
       graft.plans.Expressions.nearest_centroid(col("v"), cents).as("cell"))
+    scoreAssignedCells(assigned, cents, books, residual = false,
+      queries.getOrElse(df), idCol, vecCol, k, nprobe, m, sub)
+  }
+
+  /** The SERVE half of IVF-PQ, shared by the direct paths and the
+    * persisted-index path ([[ivfPqServe]]): given the corpus reduced to
+    * `(cid, codes, cell)` and the small driver-side model (centroids +
+    * codebooks), rank each query's candidates. Per query: fused
+    * top-nprobe cell ranking (no centroid crossJoin, no Window), LUTs
+    * built once per query row before the cell explode, candidates from
+    * the cell equi-join, ADC scoring (+ the ⟨q, centroid⟩ term on the
+    * residual path — a RAW dot against the probed cell's mean, cosine
+    * would rescale it), top-k window.
+    */
+  private def scoreAssignedCells(
+      assigned: DataFrame,
+      cents: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]],
+      residual: Boolean,
+      queryDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int,
+      m: Int,
+      sub: Int
+  ): DataFrame = {
     val luts = array((0 until m).map { j =>
       val qj = slice(col("u"), j * sub + 1, sub)
       array(books(j).map(c => dot(qj, c)): _*)
     }: _*)
-    // top-nprobe cells from the fused kernel (same cosine ordering the
-    // crossJoin+Window form produced, without amplifying or shuffling the
-    // query side); LUTs are built once per query row, before the explode
-    val probes = queries.getOrElse(df)
+    val probesBase = queryDf
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .select(col(idCol).as("qid"), l2normalize(col("v")).as("u"))
-      .select(col("qid"), luts.as("luts"),
-        explode(graft.plans.Expressions.nearest_centroids(
-          col("u"), cents, nprobe)).as("cell"))
+    val probes =
+      if (!residual)
+        probesBase.select(col("qid"), luts.as("luts"),
+          explode(graft.plans.Expressions.nearest_centroids(
+            col("u"), cents, nprobe)).as("cell"))
+      else {
+        val centsLit = typedLit(cents)
+        probesBase.select(col("qid"), col("u"), luts.as("luts"),
+          explode(graft.plans.Expressions.nearest_centroids(
+            col("u"), cents, nprobe)).as("cell"))
+          .withColumn("qc",
+            aggregate(zip_with(col("u"), element_at(centsLit, col("cell") + 1),
+              (x, y) => x * y), lit(0.0), _ + _))
+          .select(col("qid"), col("luts"), col("qc"), col("cell"))
+      }
     // each corpus vector lives in exactly one cell — no pair duplication
     val scored = probes.join(assigned, Seq("cell"))
       .where(col("qid") =!= col("cid"))
       .withColumn("score",
-        graft.plans.Expressions.pq_adc(col("luts"), col("codes")))
+        if (residual)
+          col("qc") + graft.plans.Expressions.pq_adc(col("luts"), col("codes"))
+        else graft.plans.Expressions.pq_adc(col("luts"), col("codes")))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("qid").as("id1"), col("cid").as("id2"),
@@ -521,33 +559,137 @@ object Similarity {
     val assigned = resid.select(col(idCol).as("cid"),
       graft.plans.Expressions.pq_encode(col("res"), books, normalize = false).as("codes"),
       col("cell"))
-    val luts = array((0 until m).map { j =>
-      val qj = slice(col("u"), j * sub + 1, sub)
-      array(books(j).map(c => dot(qj, c)): _*)
-    }: _*)
-    // fused top-nprobe cell ranking (no centroid crossJoin, no Window);
-    // the ⟨q, centroid⟩ score term is a RAW dot against the probed cell's
-    // centroid (a cell mean, not unit-norm; cosine would rescale it) —
-    // same left-to-right HOF arithmetic as the pre-fusion form
-    val probes = queries.getOrElse(df)
-      .select(col(idCol), asDouble(col(vecCol)).as("v"))
-      .select(col(idCol).as("qid"), l2normalize(col("v")).as("u"))
-      .select(col("qid"), col("u"), luts.as("luts"),
-        explode(graft.plans.Expressions.nearest_centroids(
-          col("u"), cents, nprobe)).as("cell"))
-      .withColumn("qc",
-        aggregate(zip_with(col("u"), element_at(centsLit, col("cell") + 1),
-          (x, y) => x * y), lit(0.0), _ + _))
-      .select(col("qid"), col("luts"), col("qc"), col("cell"))
-    val scored = probes.join(assigned, Seq("cell"))
-      .where(col("qid") =!= col("cid"))
-      .withColumn("score",
-        col("qc") + graft.plans.Expressions.pq_adc(col("luts"), col("codes")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("qid").as("id1"), col("cid").as("id2"),
-        col("score"), col("rank"))
+    scoreAssignedCells(assigned, cents, books, residual = true,
+      queries.getOrElse(df), idCol, vecCol, k, nprobe, m, sub)
   }
+
+  // ---- Persisted IVF-PQ index: fit once, serve many. At 100 TB the
+  // expensive steps are the codebook fit and the full-corpus encode; an
+  // index that stores their output — a small driver-side model plus a
+  // (cell, cid, codes) table — lets every later query batch skip straight
+  // to the candidate join. The codes table is PARTITIONED BY cell, so a
+  // serve that probes nprobe cells reads only those directories (dynamic
+  // partition pruning through the broadcast probe join); the corpus
+  // vectors themselves are never stored or read again.
+
+  /** An opened on-disk IVF-PQ index: the small model (centroids m×dim +
+    * codebooks m×k×sub, a few KB — driver-held by design, like the
+    * literal centroids the direct path inlines) and the lazy codes table.
+    */
+  case class IvfPqIndex(
+      cents: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]],
+      dim: Int,
+      m: Int,
+      residual: Boolean,
+      codes: DataFrame)
+
+  /** Fit an IVF-PQ index on `df` and persist it under `path`:
+    * `meta` (one row of params), `centroids` (nlist rows), `codebooks`
+    * (m·k rows), and `codes` — one `(cid, codes)` row per corpus vector,
+    * partitioned by `cell`. The fit is exactly [[ivfPqTopK]]'s (same
+    * seeded coarse KMeans on the same input column, same [[pqCodebooks]]
+    * distributed Lloyd's, same fused assignment expressions), so serving
+    * from the store reproduces the direct path bit-for-bit.
+    */
+  def writeIvfPqIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String,
+      dim: Int,
+      nlist: Int = 16,
+      m: Int = 8,
+      codebookSize: Int = 16,
+      seed: Long = 42L,
+      residual: Boolean = false,
+      coarseSampleFraction: Option[Double] = None
+  ): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (cents, books, assigned) =
+      if (!residual) {
+        val books = pqCodebooks(df, vecCol, dim, m, codebookSize, seed)
+        val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+        val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+          .fit(coarseSampleFraction
+            .map(f => v.sample(withReplacement = false, f, seed)).getOrElse(v)
+            .withColumn("features", array_to_vector(col("v"))))
+        val cents = model.clusterCenters.map(_.toArray.toSeq).toSeq
+        (cents, books, v.select(col(idCol).as("cid"),
+          pqEncode(col("v"), books).as("codes"),
+          graft.plans.Expressions.nearest_centroid(col("v"), cents).as("cell")))
+      } else {
+        val un = df.select(col(idCol), l2normalize(asDouble(col(vecCol))).as("u0"))
+        val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+          .fit(coarseSampleFraction
+            .map(f => un.sample(withReplacement = false, f, seed)).getOrElse(un)
+            .withColumn("features", array_to_vector(col("u0"))))
+        val cents = model.clusterCenters.map(_.toArray.toSeq).toSeq
+        val resid = un
+          .withColumn("cell",
+            graft.plans.Expressions.nearest_centroid(col("u0"), cents))
+          .withColumn("res", zip_with(col("u0"),
+            element_at(typedLit(cents), col("cell") + 1), (a, b) => a - b))
+        val books = pqCodebooks(resid, "res", dim, m, codebookSize, seed,
+          normalizeInput = false)
+        (cents, books, resid.select(col(idCol).as("cid"),
+          graft.plans.Expressions.pq_encode(col("res"), books,
+            normalize = false).as("codes"),
+          col("cell")))
+      }
+    Seq((dim, m, codebookSize, nlist, residual, seed))
+      .toDF("dim", "m", "codebook_size", "nlist", "residual", "seed")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "vec")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    books.zipWithIndex.flatMap { case (bj, j) =>
+      bj.zipWithIndex.map { case (cv, c) => (j, c, cv) }
+    }.toDF("j", "c", "vec")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Open a persisted index: the model tables collect to the driver
+    * (nlist + m·k rows — a few KB, the same size class the direct path
+    * inlines as expression literals); the codes table stays a lazy,
+    * partition-pruned DataFrame.
+    */
+  def openIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("vec"))).toSeq
+    val m = meta.getAs[Int]("m")
+    val booksFlat = spark.read.parquet(s"$path/codebooks")
+      .orderBy("j", "c").collect()
+      .map(r => (r.getAs[Int]("j"), r.getSeq[Double](r.fieldIndex("vec"))))
+    val books = (0 until m).map(j =>
+      booksFlat.filter(_._1 == j).map(_._2).toSeq).toSeq
+    IvfPqIndex(cents, books, meta.getAs[Int]("dim"), m,
+      meta.getAs[Boolean]("residual"),
+      spark.read.parquet(s"$path/codes"))
+  }
+
+  /** Answer a query batch from a persisted index — no codebook fit, no
+    * corpus re-encode, no corpus vector reads: the plan is the probe-side
+    * kernel + a cell equi-join against the stored codes (whose partition
+    * layout prunes to the probed cells) + ADC ranking. Bit-identical
+    * results to the direct [[ivfPqTopK]] with the same parameters.
+    */
+  def ivfPqServe(
+      index: IvfPqIndex,
+      queryDf: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 4
+  ): DataFrame =
+    scoreAssignedCells(index.codes, index.cents, index.books, index.residual,
+      queryDf, idCol, vecCol, k, nprobe, index.m, index.dim / index.m)
 
   /** ANN top-k via LSH: bucket on signature bands, rank within buckets.
     * Recall < 1 by construction; `bands` trades recall vs. bucket size.

@@ -357,6 +357,33 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall@3 too low: $recall")
   }
 
+  test("persisted IVF-PQ index serves bit-identical results, raw and residual") {
+    val sample = emb.where(col("vec_id") < 50)
+    for (res <- Seq(false, true)) {
+      val d = java.nio.file.Files.createTempDirectory(s"ivfpq_idx_$res").toString
+      Similarity.writeIvfPqIndex(sample, "vec_id", "embedding", d, dim = 64,
+        nlist = 8, m = 8, codebookSize = 16, residual = res)
+      // the codes table is partitioned by cell — the serve-time partition-
+      // pruning contract is the directory layout itself
+      val cells = new java.io.File(s"$d/codes").list().count(_.startsWith("cell="))
+      assert(cells > 1, s"codes must be cell-partitioned, found $cells cell dirs")
+      // open in a FRESH session: everything must come back from the store
+      val idx = Similarity.openIvfPqIndex(spark.newSession(), d)
+      assert(idx.residual == res && idx.dim == 64 && idx.m == 8)
+      assert(idx.cents.size == 8 && idx.books.size == 8 &&
+        idx.books.head.size == 16 && idx.books.head.head.size == 8)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val served = rows(Similarity.ivfPqServe(idx, sample, "vec_id", "embedding",
+        k = 5, nprobe = 4))
+      val direct = rows(Similarity.ivfPqTopK(sample, "vec_id", "embedding", k = 5,
+        dim = 64, nlist = 8, nprobe = 4, m = 8, codebookSize = 16, residual = res))
+      assert(served == direct,
+        s"residual=$res: served and direct differ by ${(served diff direct).size} + " +
+          s"${(direct diff served).size} rows")
+    }
+  }
+
   test("spanDedup removes a planted cross-document passage, keep-one") {
     import spark.implicits._
     val passage = "the quick brown fox jumps over the lazy dog tonight" // 10 tokens
