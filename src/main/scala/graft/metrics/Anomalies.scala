@@ -107,6 +107,90 @@ object Anomalies {
       .withColumn("zscore", zdiv(col("anomaly"), stddev_pop(col(spec.valueCol)).over(w)))
   }
 
+  /** Stats-driven plan selection between [[standardizedAnomaly]] (broadcast
+    * climatology join) and [[standardizedAnomalyWindowed]] (one window
+    * shuffle) — the same decision style as the as-of join's exec choice
+    * (`AsOfMerge`: Catalyst size stats vs `autoBroadcastJoinThreshold`),
+    * applied to the measured z-score crossover in SCALE.md: the broadcast
+    * form wins while the climatology is small, is 5× slower by
+    * (cell × day-of-year) at the medium probe grid, and exceeds Spark's
+    * broadcast hard limit outright at the large one.
+    *
+    * The climatology's size is `group.cardinality × cells × row-width`:
+    * the group factor is static (12/366/4), the cell count comes from
+    * Catalyst column stats when ANALYZE/CBO has them, else from one
+    * `approx_count_distinct` probe over the (column-pruned) key columns —
+    * pass `climRowsHint` to skip that job when the grid shape is known.
+    * A user-supplied `climatology` is sized directly from its own plan
+    * stats, exactly as a join side would be. Decision, against
+    * `spark.sql.autoBroadcastJoinThreshold`:
+    *   - fits → broadcast join (identical plan to [[standardizedAnomaly]]);
+    *   - too big, full-series climatology → windowed form (proven
+    *     result-identical by `q_zscore_windowed` vs `q_zscore_severity`);
+    *   - too big, reference-period/user climatology (windowed form is
+    *     semantically unavailable) → the same equi-join WITHOUT the
+    *     broadcast hint, so Spark shuffle-joins instead of dying on an
+    *     oversized broadcast build.
+    */
+  def standardizedAnomalyAuto(
+      df: DataFrame,
+      spec: SeriesSpec,
+      group: Temporal.ClimGroup = Temporal.ByMonth,
+      referencePeriod: Option[(String, String)] = None,
+      climatology: Option[DataFrame] = None,
+      climRowsHint: Option[Long] = None
+  ): DataFrame = {
+    spec.validate(df)
+    val threshold =
+      org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    val climBytes: BigInt = climatology match {
+      case Some(c) => c.queryExecution.optimizedPlan.stats.sizeInBytes
+      case None =>
+        val cells = climRowsHint.map(r => BigInt(r) / group.cardinality.max(1))
+          .getOrElse(estimatedCells(df, spec))
+        cells * group.cardinality * climRowWidth(df, spec)
+    }
+    if (threshold > 0 && climBytes <= threshold)
+      standardizedAnomaly(df, spec, group, referencePeriod, climatology)
+    else if (referencePeriod.isEmpty && climatology.isEmpty)
+      standardizedAnomalyWindowed(df, spec, group)
+    else {
+      val clim = climatology.getOrElse(
+        Temporal.climatology(df, spec, group, referencePeriod))
+      df.withColumn(group.name, group.expr(col(spec.tsCol)))
+        .join(clim, group.name +: spec.keyCols)
+        .withColumn("anomaly", col(spec.valueCol) - col("clim_mean"))
+        .withColumn("zscore", zdiv(col("anomaly"), col("clim_std")))
+        .drop("clim_mean", "clim_std")
+    }
+  }
+
+  /** Distinct (cell) count for the selector: free from Catalyst column
+    * stats when present; otherwise one HLL aggregate over just the key
+    * columns (column-pruned scan, map-side partials, one-row result).
+    */
+  private def estimatedCells(df: DataFrame, spec: SeriesSpec): BigInt = {
+    if (spec.keyCols.isEmpty) return BigInt(1)
+    val stats = df.queryExecution.optimizedPlan.stats
+    val byName = stats.attributeStats.toSeq.collect {
+      case (attr, cs) if cs.distinctCount.isDefined =>
+        attr.name -> cs.distinctCount.get
+    }.toMap
+    if (spec.keyCols.forall(byName.contains)) {
+      val product = spec.keyCols.map(byName).product
+      stats.rowCount.fold(product)(product.min) // cells can't exceed rows
+    } else
+      BigInt(df.select(approx_count_distinct(
+        struct(spec.keyCols.map(col): _*))).head().getLong(0))
+  }
+
+  /** Width of one climatology row in the hashed relation: group int +
+    * key columns + the two double aggregates + per-row object overhead.
+    */
+  private def climRowWidth(df: DataFrame, spec: SeriesSpec): Long =
+    4L + spec.keyCols.map(k => df.schema(k).dataType.defaultSize.toLong).sum +
+      16L + 32L
+
   /** Severity classification of a z-score column — the 6-deep nested
     * `xr.where` chain of the reference (`metrics/anomalies.py:220-247`) as
     * a single CaseWhen expression, int8 classes −3…3.

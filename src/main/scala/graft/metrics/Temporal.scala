@@ -49,15 +49,25 @@ object Temporal {
       .agg(avg(col(spec.valueCol)).as("mean_value"))
   }
 
-  sealed trait ClimGroup { def expr(ts: Column): Column; def name: String }
+  /** `cardinality` is the static upper bound on distinct group values —
+    * the known factor of the climatology's row count that
+    * [[Anomalies.standardizedAnomalyAuto]]'s size estimate multiplies by
+    * the (measured or hinted) cell count.
+    */
+  sealed trait ClimGroup {
+    def expr(ts: Column): Column; def name: String; def cardinality: Int
+  }
   case object ByMonth extends ClimGroup {
     def expr(ts: Column): Column = month(ts); val name = "month"
+    val cardinality = 12
   }
   case object ByDayOfYear extends ClimGroup {
     def expr(ts: Column): Column = dayofyear(ts); val name = "dayofyear"
+    val cardinality = 366
   }
   case object BySeason extends ClimGroup {
     def expr(ts: Column): Column = TimeFns.season(ts); val name = "season"
+    val cardinality = 4
   }
 
   /** A4 — long-term climatology grouped by month | dayofyear | season over

@@ -39,6 +39,15 @@ object AnomalyQ extends QueryPack {
       round6(
         Anomalies.standardizedAnomalyWindowed(Tables.lineitem(s, dir), liSeries)
           .select(col("l_orderkey"), col("l_linenumber"), col("anomaly"), col("zscore")),
+        "anomaly", "zscore")),
+    // Stats-driven regime selection: the selector only changes the physical
+    // form (broadcast join here — monthly × 3 flags is tiny; PlanSpec pins
+    // that doy past the broadcast threshold flips to the windowed plan),
+    // never the numbers — the oracle is the same SQL as q_zscore_windowed.
+    "q_zscore_auto" -> ((s, dir) =>
+      round6(
+        Anomalies.standardizedAnomalyAuto(Tables.lineitem(s, dir), liSeries)
+          .select(col("l_orderkey"), col("l_linenumber"), col("anomaly"), col("zscore")),
         "anomaly", "zscore"))
   )
 
@@ -94,6 +103,13 @@ object AnomalyQ extends QueryPack {
         |JOIN thr t ON CAST(month(l.l_shipdate) AS INTEGER) = t.m
         |          AND l.l_returnflag = t.l_returnflag""".stripMargin,
     "q_zscore_windowed" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       round(l_quantity - avg(l_quantity) OVER w, 6) AS anomaly,
+        |       round((l_quantity - avg(l_quantity) OVER w)
+        |             / stddev_pop(l_quantity) OVER w, 6) AS zscore
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY month(l_shipdate), l_returnflag)""".stripMargin,
+    "q_zscore_auto" ->
       """SELECT l_orderkey, l_linenumber,
         |       round(l_quantity - avg(l_quantity) OVER w, 6) AS anomaly,
         |       round((l_quantity - avg(l_quantity) OVER w)

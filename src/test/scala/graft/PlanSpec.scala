@@ -21,6 +21,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("auto z-score: broadcast for small climatologies, windowed past the threshold") {
+    val li = Tables.lineitem(spark, sfDir)
+    // monthly × 3 return flags → tiny climatology → the broadcast-join regime
+    val pm = plan(Anomalies.standardizedAnomalyAuto(li, TemporalQ.liSeries))
+    assert(pm.contains("BroadcastHashJoin") && !pm.contains("Window"),
+      s"monthly must pick the broadcast-join form:\n$pm")
+    // day-of-year "at scale": shrink the threshold the selector consults —
+    // the same knob that flips at real scale when cells × 366 outgrows it
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+      val pd = plan(Anomalies.standardizedAnomalyAuto(li, TemporalQ.liSeries,
+        Temporal.ByDayOfYear))
+      assert(pd.contains("Window") && !pd.contains("BroadcastHashJoin"),
+        s"oversized doy climatology must pick the windowed form:\n$pd")
+      // reference-period climatology past the threshold: windowed form is
+      // semantically unavailable — must fall back to an UNHINTED equi-join
+      val pr = plan(Anomalies.standardizedAnomalyAuto(li, TemporalQ.liSeries,
+        Temporal.ByDayOfYear, referencePeriod = Some(("1994-01-01", "1996-12-31"))))
+      assert(!pr.contains("BroadcastHashJoin") && !pr.contains("Window") &&
+        pr.contains("SortMergeJoin"),
+        s"oversized reference-period climatology must shuffle-join:\n$pr")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("star join broadcasts dimension tables") {
     val p = plan(graft.queries.JoinQ.queries("q_region_revenue")(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"))
