@@ -149,6 +149,28 @@ object DataGen {
           j => pmod(xxhash64(col("vec_id"), j, lit(seed)), lit(1000000L))
             .cast("double") / 500000.0 - 1.0))
 
+  /** One event-time slice of a synthetic stream for the streaming scale
+    * probe: `n` events with keys uniform over `nKeys` and timestamps
+    * uniform within hour `slice` (epoch-based, starting 2020-01-01).
+    * Slices are staged to files in order, so the file stream source
+    * replays them oldest-first and the event-time watermark advances one
+    * hour per micro-batch — which is what lets the probe observe state
+    * EVICTION, not just state growth.
+    */
+  def eventSlice(
+      spark: SparkSession,
+      slice: Int,
+      n: Long,
+      nKeys: Long,
+      salt: String = "ev"
+  ): DataFrame =
+    spark.range(n).select(
+      pmod(xxhash64(lit(salt), col("id") + lit(slice) * n), lit(nKeys))
+        .as("user_id"),
+      timestamp_seconds(lit(1577836800L) + lit(slice * 3600L) +
+        pmod(xxhash64(lit(salt + "t"), col("id")), lit(3600000L))
+          .cast("double") / 1000.0).as("ts"))
+
   /** Benchmark-scale generator (`benchmark_suite.py:269-327`): named sizes
     * small/medium/large with 3 float variables.
     */

@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * that the plans hold well past the driver test scale; results recorded
   * in SCALE.md. Run manually, not part of the driver contract.
   *
-  * Usage: runMain graft.bench.ScaleProbe [small|medium|large] [grid|corpus|ann|all]
+  * Usage: runMain graft.bench.ScaleProbe [small|medium|large]
+  *          [grid|corpus|text|asof|ann|stream|all]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -205,6 +206,87 @@ object ScaleProbe {
         run("ivfpq_serve_100q",
           graft.sim.Similarity.ivfPqServe(idx, qs, "vec_id", "embedding",
             10, nprobe = 8))
+      }
+    }
+
+    if (what == "stream" || what == "all") {
+      import spark.implicits._
+      // events, event-time slices (hours), distinct keys — at every size
+      // the point is the RATIO: state must track keys (sessionize) or
+      // rows-per-horizon (interval join), never total stream length
+      val (nEvents, nSlices, nKeys) = size match {
+        case "small" => (1000000L, 12, 10000L)
+        case "medium" => (10000000L, 12, 100000L)
+        case "large" => (100000000L, 24, 1000000L)
+        case other => throw new IllegalArgumentException(s"Unknown size: $other")
+      }
+      // stage slices as files IN EVENT-TIME ORDER (4 files per slice +
+      // maxFilesPerTrigger=4 → one hour of events per micro-batch), so
+      // the watermark advances and evicts state every batch
+      def stage(salt: String, n: Long): String = {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_stream_$salt").toString
+        (0 until nSlices).foreach { s =>
+          DataGen.eventSlice(spark, s, n / nSlices, nKeys, salt)
+            .coalesce(4).write.mode("append").parquet(dir)
+        }
+        dir
+      }
+      def readSlices(dir: String) = spark.readStream
+        .schema("user_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(dir)
+      // drives a query to completion and reports throughput plus the
+      // state-store trajectory (max/last rows, max bytes) from progress
+      def drive(tag: String, totalRows: Long)(
+          start: String => org.apache.spark.sql.streaming.StreamingQuery): Unit =
+        if (wanted(tag)) {
+          val ckpt = java.nio.file.Files
+            .createTempDirectory(s"graft_ckpt_$tag").toString
+          val t0 = System.nanoTime()
+          val q = start(ckpt)
+          q.processAllAvailable()
+          val secs = (System.nanoTime() - t0) / 1e9
+          val rows = q.recentProgress.map(_.stateOperators.map(_.numRowsTotal).sum)
+          val mem = q.recentProgress.map(_.stateOperators.map(_.memoryUsedBytes).sum)
+          q.stop()
+          println(f"$size $tag: $secs%.2f s, " +
+            f"${totalRows / secs / 1e6}%.2f Mevents/s, " +
+            s"state_rows max=${if (rows.isEmpty) 0L else rows.max} " +
+            s"last=${if (rows.isEmpty) 0L else rows.last}, " +
+            f"state_mem_max_mb=${if (mem.isEmpty) 0.0 else mem.max / 1e6}%.1f")
+        }
+
+      val evDir = stage("ev", nEvents)
+      drive("stream_sessionize", nEvents) { ckpt =>
+        val events = readSlices(evDir)
+          .select(col("user_id").as("userId"),
+            col("ts").cast("double").as("epochSec"))
+          .as[graft.streaming.Streams.SessionEvent]
+        // data-driven closure (deterministic); state is one row per
+        // ACTIVE KEY — nKeys, independent of stream length
+        graft.streaming.Streams
+          .sessionizeStream(events, gapSeconds = 600, useTimeout = false)
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .format("noop").start()
+      }
+
+      val clickDir = stage("click", nEvents)
+      val buyDir = stage("buy", nEvents / 10)
+      drive("stream_interval_join", nEvents + nEvents / 10) { ckpt =>
+        val clicks = readSlices(clickDir)
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        val buys = readSlices(buyDir)
+          .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+        // time-bound + both-side watermarks ⇒ Spark proves buffered rows
+        // expire; state is rows within horizon+watermark of the frontier
+        graft.streaming.Streams.intervalJoinStream(clicks, buys,
+            "c_user", "b_user", "c_ts", "b_ts",
+            horizonSeconds = 300, watermark = "10 minutes")
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .format("noop").start()
       }
     }
     spark.stop()
