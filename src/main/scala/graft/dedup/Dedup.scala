@@ -503,4 +503,71 @@ object Dedup {
         size(col("kept")).as("n_kept"),
         concat_ws(" ", col("kept")).as("clean_text"))
   }
+
+  /** Benchmark decontamination: per corpus document, how much of it
+    * overlaps a held-out benchmark/eval set at width-`width` token
+    * granularity — the pre-training hygiene step that keeps test
+    * questions out of the training corpus (GPT-3-style n-gram overlap
+    * filtering; 13-gram is the published dial, `width` here). Output per
+    * corpus doc: distinct gram count, grams also present anywhere in the
+    * benchmark, the overlap fraction, and the drop verdict
+    * (`contaminated` = fraction > `maxOverlapFrac`, so the default 0.0
+    * means "any shared window condemns the document").
+    *
+    * Scale: the corpus side is one fused-kernel scan to distinct
+    * (doc, gram-hash) rows — no pair explosion, no positions. The
+    * benchmark side collapses to DISTINCT gram hashes and is broadcast:
+    * eval sets are MB-scale next to a 100 TB corpus, so the plan is
+    * scan → broadcast hash join → per-doc aggregate, and the corpus
+    * never shuffles on gram.
+    */
+  def contamination(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      width: Int = 8,
+      maxOverlapFrac: Double = 0.0
+  ): DataFrame = {
+    require(width >= 1, s"gram width must be positive, got $width")
+    val cg = corpus.select(col(idCol).as("id"),
+        explode(graft.plans.Expressions.text_gram_hash_seq(col(textCol), width))
+          .as("gh"))
+      .distinct()
+    val bg = bench.select(
+        explode(graft.plans.Expressions.text_gram_hash_seq(col(benchTextCol), width))
+          .as("gh"))
+      .distinct()
+    val perDoc = cg.join(broadcast(bg.withColumn("hit", lit(1))), Seq("gh"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).as("n_contaminated"))
+    // docs shorter than `width` tokens produce no grams — they can't be
+    // contaminated at this granularity and pass through with zero counts
+    corpus.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        coalesce(col("n_contaminated") / col("n_grams"), lit(0.0))
+          .as("contaminated_frac"))
+      .withColumn("contaminated", col("contaminated_frac") > maxOverlapFrac)
+  }
+
+  /** The corpus with contaminated documents removed — [[contamination]]'s
+    * verdict applied as an anti-join, keeping the corpus schema.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      width: Int = 8,
+      maxOverlapFrac: Double = 0.0
+  ): DataFrame =
+    corpus.join(
+      contamination(corpus, idCol, textCol, bench, benchTextCol, width, maxOverlapFrac)
+        .where(col("contaminated")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
 }

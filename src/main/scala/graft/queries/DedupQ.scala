@@ -90,7 +90,22 @@ object DedupQ extends QueryPack {
     "q_span_dedup" -> ((s, dir) => spanQuery(s, dir, maxDocFreq = Int.MaxValue)),
     // df cap at 2 BITES at the gate (drops the df=3 windows), proving the
     // Spark cap and the SQL mirror implement the same semantics.
-    "q_span_dedup_capped" -> ((s, dir) => spanQuery(s, dir, maxDocFreq = 2))
+    "q_span_dedup_capped" -> ((s, dir) => spanQuery(s, dir, maxDocFreq = 2)),
+    // Benchmark decontamination: docs 0-49 act as the held-out eval set,
+    // the rest as training corpus; any shared 8-token window condemns a
+    // corpus doc. The planted near-dup twins straddle the id split, so
+    // the flag bites at the gate. Spark compares fused xxhash64 gram
+    // hashes; the oracle compares the literal token windows (the same
+    // replay contract as q_span_dedup).
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contamination(
+          docs.where(col("doc_id") >= 50), "doc_id", "text",
+          docs.where(col("doc_id") < 50), "text", width = 8)
+        .select(col("id").as("doc_id"), col("n_grams"), col("n_contaminated"),
+          round(col("contaminated_frac"), 6).as("contaminated_frac"),
+          col("contaminated"))
+    })
   )
 
   private def spanQuery(s: SparkSession, dir: String, maxDocFreq: Int): DataFrame =
@@ -176,6 +191,30 @@ object DedupQ extends QueryPack {
   def oracles: Map[String, String] = Map(
     "q_span_dedup" -> spanSql(8, Long.MaxValue),
     "q_span_dedup_capped" -> spanSql(8, 2L),
+    "q_decontaminate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(
+         |    $norm, ' ') AS w
+         |  FROM documents),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS g
+         |  FROM toks, unnest(range(1, len(w) - 6)) AS t(i)
+         |  WHERE len(w) >= 8),
+         |bg AS (SELECT DISTINCT g FROM grams WHERE doc_id < 50),
+         |hit AS (
+         |  SELECT cg.doc_id, count(*) AS n_grams,
+         |    sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS n_cont
+         |  FROM grams cg LEFT JOIN bg ON cg.g = bg.g
+         |  WHERE cg.doc_id >= 50
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(h.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(h.n_cont, 0) AS BIGINT) AS n_contaminated,
+         |  round(coalesce(h.n_cont * 1.0 / h.n_grams, 0.0), 6)
+         |    AS contaminated_frac,
+         |  coalesce(h.n_cont, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+         |WHERE d.doc_id >= 50""".stripMargin,
     "q_exact_dedup" ->
       s"""WITH all_docs AS (
          |  SELECT doc_id, text FROM documents

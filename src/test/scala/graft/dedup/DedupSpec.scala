@@ -405,6 +405,33 @@ class DedupSpec extends SparkSpec {
     assert(out(3L).getInt(1) == 0 && out(3L).getInt(2) == 10)
   }
 
+  test("contamination flags benchmark overlap; decontaminate drops only hits") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog" // 9 tokens
+    val bench = Seq((100L, s"question $passage answer choice")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"intro words here $passage and a conclusion follows now"),
+      (2L, "totally different content with no benchmark overlap at all in it"),
+      (3L, "short doc") // < width tokens: no grams, can't be contaminated
+    ).toDF("doc_id", "text")
+    val c = Dedup.contamination(corpus, "doc_id", "text", bench, "text", width = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // 9 shared tokens hold two width-8 windows, both present in the bench
+    assert(c(1L).getBoolean(4), "overlapping doc must be flagged")
+    assert(c(1L).getLong(2) == 2, s"expected 2 contaminated grams, got ${c(1L).getLong(2)}")
+    assert(!c(2L).getBoolean(4) && c(2L).getLong(2) == 0)
+    assert(!c(3L).getBoolean(4) && c(3L).getLong(1) == 0)
+    val kept = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text", width = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+    // a fraction threshold tolerates small overlaps: doc 1 has 2 hits of
+    // 10 grams (20%), so a 50% gate keeps it
+    val tolerant = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text",
+      width = 8, maxOverlapFrac = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tolerant == Set(1L, 2L, 3L))
+  }
+
   test("span df-cap exempts ubiquitous windows; sub-width runs invisible") {
     import spark.implicits._
     val p = "one two three four five six seven eight" // exactly one width-8 window
