@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.text.TextMetrics
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training: deal documents into hash shards,
+  * order each shard by a deterministic md5 permutation (the training
+  * shuffle), concatenate the token stream, and cut it every `budget`
+  * tokens — the pack-and-split step that turns a ragged corpus into
+  * fixed-length training sequences (additive scope: the reference
+  * pipeline has no training-data surface at all).
+  *
+  * Scale design: there is NO global sort. The only ordering is per shard
+  * — one hash-partition exchange plus a per-partition sort, the same
+  * physical shape as any windowed aggregate — so `shards` is the
+  * parallelism dial: pack a 100 TB corpus with shards ≈ cluster cores
+  * and each task owns one shard's running token sum. Both the shard
+  * assignment and the within-shard order are md5 arithmetic over the
+  * document id, so the exact permutation is reproducible by any engine
+  * (same oracle-parity idiom as [[Sampling.hashBucket]]).
+  */
+object Packing {
+
+  /** Per-document pack assignment: the shard, the deterministic order
+    * key, the document's token count, the cumulative tokens before it
+    * within its shard, the training sequence its first token lands in
+    * (`cum_before DIV budget` — cut semantics, documents may straddle a
+    * boundary), and whether it straddles one.
+    */
+  def packAssignments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Long,
+      shards: Int,
+      salt: String = "pack"
+  ): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("okey"), col("id"))
+    df.select(
+        col(idCol).as("id"),
+        Sampling.hashBucket(col(idCol), shards, salt).as("shard"),
+        md5(concat_ws(":", lit(salt + "o"), col(idCol).cast("string"))).as("okey"),
+        TextMetrics.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("seq", expr(s"cum_before DIV $budget"))
+      .withColumn("straddles", col("n_tokens") > 0 &&
+        expr(s"(cum_before + n_tokens - 1) DIV $budget") > col("seq"))
+  }
+
+  /** Pack manifest: one row per (shard, seq) training sequence — how many
+    * documents START in it, the tokens those documents contribute, how
+    * many of them cross the cut into the next sequence, and the first
+    * document id (an order spot-check). By cut semantics every sequence
+    * except a shard's last carries exactly `budget` tokens; the manifest
+    * is the audit of that invariant, sized in sequences (corpus tokens /
+    * budget), not documents.
+    */
+  def packSummary(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Long,
+      shards: Int,
+      salt: String = "pack"
+  ): DataFrame =
+    packAssignments(df, idCol, textCol, budget, shards, salt)
+      .groupBy(col("shard"), col("seq"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("straddles").cast("int")).as("n_straddling"),
+        min(col("id")).as("first_id"))
+}

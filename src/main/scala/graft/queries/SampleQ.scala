@@ -39,7 +39,14 @@ object SampleQ extends QueryPack {
         .select(explode(TextMetrics.tokens(lower(col("text")))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
-        .limit(20))
+        .limit(20)),
+    // Training-sequence packing: md5 shards + a deterministic md5
+    // permutation within each, token stream cut every 512 tokens. The
+    // manifest (docs / tokens / straddlers per sequence) replays in
+    // DuckDB through the same md5 and integer-division arithmetic.
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.operators.Packing.packSummary(Tables.documents(s, dir),
+        "doc_id", "text", budget = 512, shards = 4))
   )
 
   def oracles: Map[String, String] = Map(
@@ -75,6 +82,32 @@ object SampleQ extends QueryPack {
         |WHERE (mix_source = 'en' AND bucket < 80)
         |   OR (mix_source = 'de' AND bucket < 50)
         |   OR (mix_source = 'rest' AND bucket < 20)
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // same md5 shard/order arithmetic as Packing.packAssignments; `//`
+    // is DuckDB integer division = Spark's DIV
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x',
+        |      substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 4 AS shard,
+        |    md5('packo:' || CAST(doc_id AS VARCHAR)) AS okey,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+        |    PARTITION BY shard ORDER BY okey, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum_before
+        |  FROM t)
+        |SELECT shard, cum_before // 512 AS seq, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(CASE WHEN n_tokens > 0
+        |    AND (cum_before + n_tokens - 1) // 512 > cum_before // 512
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+        |  min(doc_id) AS first_id
+        |FROM c GROUP BY 1, 2""".stripMargin
   )
 }
