@@ -114,10 +114,21 @@ object TextQ extends QueryPack {
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= 3)
         .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
-    })
+    }),
+    // Top-3 characteristic terms per doc by smoothed TF-IDF — ties break
+    // on the term, so rank order replays exactly across engines.
+    "q_tfidf_terms" -> ((s, dir) =>
+      round6(
+        TextMetrics.tfIdfTopTerms(Tables.documents(s, dir), "doc_id", "text",
+          k = 3)
+          .select(col("id").as("doc_id"), col("term"), col("tf"), col("df"),
+            col("tf_idf"), col("rank")),
+        "tf_idf"))
   )
 
   private val toks = """string_split_regex(trim(text), '\s+')"""
+  private val norm =
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
   private val stopList = TextMetrics.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   private val emailRe = TextMetrics.EmailRe
@@ -125,6 +136,27 @@ object TextQ extends QueryPack {
   private val ipRe = TextMetrics.Ipv4Re
 
   def oracles: Map[String, String] = Map(
+    "q_tfidf_terms" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest(string_split(
+         |    $norm, ' ')) AS term
+         |  FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf
+         |  FROM terms WHERE term <> '' GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |s AS (
+         |  SELECT doc_id, t.term, t.tf, dfq.df,
+         |    t.tf * (ln((n.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0) AS tf_idf,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY t.tf * (ln((n.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0)
+         |        DESC, t.term) AS rank
+         |  FROM tf t JOIN dfq USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+         |  CAST(df AS BIGINT) AS df, round(tf_idf, 6) AS tf_idf,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM s WHERE rank <= 3""".stripMargin,
     "q_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -315,4 +315,41 @@ object TextMetrics {
         regexp_replace(text, EmailRe, emailToken),
         PhoneRe, phoneToken),
       Ipv4Re, ipToken)
+
+  /** Top-k characteristic terms per document by smoothed TF-IDF
+    * (`tf × (ln((N+1)/(df+1)) + 1)`, the sklearn smoothing so df = N
+    * still scores positive) over the [[normalize]]d token stream —
+    * keyword extraction / topic fingerprinting for corpus curation.
+    * Ties break on the term itself, so the output is deterministic and
+    * engine-reproducible.
+    *
+    * Scale: term frequencies and document frequencies are two partial
+    * aggregates; the doc-count side is one broadcast scalar; the final
+    * top-k is a rank-limited window per doc, which Spark executes with
+    * partial `WindowGroupLimit` pushdown (only k rows per doc survive to
+    * the shuffle — the same plan shape pinned for `q_topk_docs`).
+    */
+  def tfIdfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val terms = df.select(col(idCol).as("id"),
+        explode(tokens(normalize(col(textCol)))).as("term"))
+      .where(col("term") =!= "") // blank docs tokenize to a phantom ""
+    val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("tf_idf").desc, col("term"))
+    tf.join(dfreq, Seq("term")).crossJoin(broadcast(nDocs))
+      .withColumn("tf_idf",
+        col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        col("tf_idf"), col("rank"))
+  }
 }

@@ -189,4 +189,27 @@ class TextSpec extends SparkSpec {
       .select(TextMetrics.redactPii(col("text"))).collect()(0).getString(0)
     assert(same === clean)
   }
+
+  test("tfIdfTopTerms surfaces rare frequent terms over ubiquitous ones") {
+    val df = Seq(
+      (1L, "zebra zebra zebra common words common words filler"),
+      (2L, "common words about ordinary things and common words"),
+      (3L, "common words on another ordinary unrelated subject")
+    ).toDF("doc_id", "text")
+    val top = TextMetrics.tfIdfTopTerms(df, "doc_id", "text", k = 2)
+      .collect().map(r => ((r.getLong(0), r.getInt(5)), r)).toMap
+    // doc 1's top term is the corpus-unique, thrice-repeated "zebra"
+    val z = top((1L, 1))
+    assert(z.getString(1) == "zebra" && z.getLong(2) == 3 && z.getLong(3) == 1)
+    // score matches the smoothed formula: tf * (ln((N+1)/(df+1)) + 1)
+    val expected = 3.0 * (math.log(4.0 / 2.0) + 1.0)
+    assert(math.abs(z.getDouble(4) - expected) < 1e-12)
+    // ranks are dense 1..k per doc
+    (1L to 3L).foreach { id =>
+      assert(top.contains((id, 1)) && top.contains((id, 2)), s"doc $id needs 2 ranks")
+    }
+    // doc 2: "common" and "words" tie exactly (tf=2, df=3 each) — the
+    // deterministic tie-break orders them alphabetically
+    assert(top((2L, 1)).getString(1) == "common" && top((2L, 2)).getString(1) == "words")
+  }
 }
