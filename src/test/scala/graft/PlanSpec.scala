@@ -206,6 +206,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Partial"), s"partial mode missing:\n$p")
   }
 
+  test("decontamination broadcasts the benchmark grams; corpus never shuffles on gram") {
+    val docs = Tables.documents(spark, sfDir)
+    val p = plan(graft.dedup.Dedup.contamination(
+      docs.where(col("doc_id") >= 25), "doc_id", "text",
+      docs.where(col("doc_id") < 25), "text", width = 8))
+    assert(p.contains("BroadcastHashJoin"), s"bench gram side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle on gram:\n$p")
+  }
+
+  test("tf-idf top-k plans a WindowGroupLimit, not a full per-doc sort ship") {
+    val p = plan(graft.text.TextMetrics.tfIdfTopTerms(
+      Tables.documents(spark, sfDir), "doc_id", "text", k = 3))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter must push partial group limits:\n$p")
+  }
+
+  test("sequence packing: one exchange total, reused from window to manifest agg") {
+    val p = plan(graft.operators.Packing.packSummary(
+      Tables.documents(spark, sfDir), "doc_id", "text", budget = 512, shards = 4))
+    // the shard hash-partitioning that feeds the window ALSO satisfies the
+    // (shard, seq) group-by clustering, so the manifest adds no shuffle —
+    // the property that keeps packing one-pass at 100 TB
+    assert("Exchange".r.findAllIn(p).size == 1, s"expected exactly 1 shuffle:\n$p")
+    assert(p.contains("Window"))
+  }
+
   test("AQE skew handling and salting divide the labor: joins to AQE, aggs to salt") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
