@@ -115,6 +115,15 @@ object ScaleProbe {
         graft.text.TextMetrics.qualityScore(col("text")).as("q"),
         graft.text.TextMetrics.dupWordFrac(col("text")).as("dw"),
         graft.text.TextMetrics.topWordFrac(col("text")).as("tw")))
+      // benchmark = a 1k-doc slice; the corpus side is the full table —
+      // the realistic shape (eval sets are tiny, corpora are not)
+      run("decontaminate", graft.dedup.Dedup.contamination(
+        docs.where(col("id") >= 1000), "id", "text",
+        docs.where(col("id") < 1000), "text", width = 8))
+      run("tfidf_top3",
+        graft.text.TextMetrics.tfIdfTopTerms(docs, "id", "text", k = 3))
+      run("pack_sequences", graft.operators.Packing.packSummary(
+        docs, "id", "text", budget = 2048, shards = 64))
     }
 
     if (what == "asof" || what == "all") {

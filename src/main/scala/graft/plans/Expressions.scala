@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
 
@@ -432,6 +432,82 @@ object Expressions {
       copy(child = newChild)
   }
 
+  /** Raw text → map(term → count) in ONE character scan, fusing normalize
+    * (lowercase, non-alphanumeric → boundary) + tokenize + per-document
+    * term counting. Replaces the `explode(split(normalize(text)))` +
+    * `groupBy(id, term)` shape with a row-LOCAL kernel: term frequencies
+    * never cross the network because they never leave the row — at corpus
+    * scale that deletes the largest shuffle of the TF-IDF pipeline (the
+    * exploded token stream) outright. Boundary semantics are identical to
+    * `lower → regexp_replace('[^a-z0-9\\s]', ' ') → split('\\s+')` (see
+    * [[TextGramHashes]] for the İ caveat), so the term STRINGS — which are
+    * part of the output here, unlike the hash kernels — replay exactly in
+    * the SQL oracles. Keys surface in first-appearance order
+    * (deterministic); blank text → empty map; null → null.
+    */
+  case class TokenCounts(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
+    override def dataType: DataType =
+      MapType(StringType, LongType, valueContainsNull = false)
+    override def prettyName: String = "graft_token_counts"
+
+    /** Row kernel — public so generated code can call it. */
+    def compute(tAny: org.apache.spark.unsafe.types.UTF8String): ArrayBasedMapData = {
+      val s = tAny.toString
+      val len = s.length
+      val counts = new java.util.LinkedHashMap[String, java.lang.Long]()
+      val sb = new java.lang.StringBuilder(16)
+      def flush(): Unit = if (sb.length > 0) {
+        val k = sb.toString
+        val c = counts.get(k)
+        counts.put(k, if (c == null) 1L else c + 1L)
+        sb.setLength(0)
+      }
+      var i = 0
+      while (i < len) {
+        val c0 = s.charAt(i)
+        if (c0 == 'İ') {
+          // mirror the regex pipeline: lowercase keeps the i, the combining
+          // dot above becomes a boundary (see fnvTokenHashes)
+          sb.append('i'); flush()
+        } else {
+          val c = Character.toLowerCase(c0)
+          if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+          else flush()
+        }
+        i += 1
+      }
+      flush()
+      val n = counts.size
+      val keys = new Array[Any](n)
+      val vals = new Array[Long](n)
+      var w = 0
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        keys(w) = org.apache.spark.unsafe.types.UTF8String.fromString(e.getKey)
+        vals(w) = e.getValue.longValue()
+        w += 1
+      }
+      new ArrayBasedMapData(
+        new GenericArrayData(keys), UnsafeArrayData.fromPrimitiveArray(vals))
+    }
+
+    override def nullSafeEval(tAny: Any): Any =
+      compute(tAny.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, t => {
+        val ref = ctx.addReferenceObj("tokenCounts", this, classOf[TokenCounts].getName)
+        s"${ev.value} = $ref.compute($t);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): TokenCounts =
+      copy(child = newChild)
+  }
+
   /** Product-quantization encoder in one fused pass: L2-normalize the
     * vector, then per subspace pick the nearest codebook centroid —
     * `m·k·(dim/m)` multiplies per row with zero intermediate arrays. The
@@ -838,6 +914,9 @@ object Expressions {
 
   def text_gram_hash_seq(text: Column, n: Int): Column =
     Bridge.column(TextGramHashSeq(Bridge.expression(text), n))
+
+  def token_counts(text: Column): Column =
+    Bridge.column(TokenCounts(Bridge.expression(text)))
 
   def nearest_centroids(vec: Column, cents: Seq[Seq[Double]], k: Int): Column =
     Bridge.column(NearestCentroids(Bridge.expression(vec), cents, k))

@@ -323,11 +323,17 @@ object TextMetrics {
     * Ties break on the term itself, so the output is deterministic and
     * engine-reproducible.
     *
-    * Scale: term frequencies and document frequencies are two partial
-    * aggregates; the doc-count side is one broadcast scalar; the final
-    * top-k is a rank-limited window per doc, which Spark executes with
-    * partial `WindowGroupLimit` pushdown (only k rows per doc survive to
-    * the shuffle — the same plan shape pinned for `q_topk_docs`).
+    * Scale: term frequencies are computed ROW-LOCALLY by the fused
+    * [[graft.plans.Expressions.TokenCounts]] kernel (one char scan →
+    * map(term → tf), no `groupBy(id, term)` — the token stream never
+    * crosses the network); document frequencies are one partial aggregate
+    * over the already-distinct (doc, term) pairs; the doc-count side is
+    * one broadcast scalar; the final top-k is a rank-limited window per
+    * doc, which Spark executes with partial `WindowGroupLimit` pushdown
+    * (only k rows per doc survive to the shuffle — the same plan shape
+    * pinned for `q_topk_docs`). The tf⋈df join shuffles distinct
+    * (doc, term) pairs once; AQE converts it to broadcast when the
+    * vocabulary is small.
     */
   def tfIdfTopTerms(
       df: DataFrame,
@@ -336,10 +342,9 @@ object TextMetrics {
       k: Int = 3
   ): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val terms = df.select(col(idCol).as("id"),
-        explode(tokens(normalize(col(textCol)))).as("term"))
-      .where(col("term") =!= "") // blank docs tokenize to a phantom ""
-    val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = df.select(col(idCol).as("id"),
+      explode(graft.plans.Expressions.token_counts(col(textCol)))
+        .as(Seq("term", "tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
