@@ -54,6 +54,31 @@ class ExpressionsSpec extends SparkSpec {
       "cosine must codegen, not fall back to interpreted eval")
   }
 
+  test("token counts: explode shape matches the regex pipeline; null text drops; codegen") {
+    import graft.text.TextMetrics
+    val docs = graft.model.Tables.documents(spark, sfDir).limit(100)
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (9001L, "The  quick,  QUICK fox!"),
+        (9002L, "  "),
+        (9003L, null.asInstanceOf[String]),
+        (9004L, "naïve café İstanbul 42 42")
+      ).toDF("doc_id", "text"))
+    val fused = docs.select(col("doc_id"),
+      explode(Expressions.token_counts(col("text"))).as(Seq("term", "tf")))
+    val regex = docs.select(col("doc_id"),
+        explode(TextMetrics.tokens(TextMetrics.normalize(col("text")))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    assert(fused.count() == regex.count())
+    assert(fused.exceptAll(regex).isEmpty && regex.exceptAll(fused).isEmpty)
+    // null and blank docs contribute no rows
+    assert(fused.where(col("doc_id") >= 9002L && col("doc_id") <= 9003L).isEmpty)
+    fused.collect()
+    assert(fused.queryExecution.executedPlan.toString.contains("*("),
+      "token_counts must run inside whole-stage codegen")
+  }
+
   test("nearest centroid: argmin, low-id tie-break, nulls, codegen") {
     import spark.implicits._
     val cents = Seq(Seq(0.0, 0.0), Seq(10.0, 0.0), Seq(0.0, 10.0))
