@@ -157,6 +157,97 @@ object Similarity {
       .where(col("cosine") >= threshold)
   }
 
+  /** Deterministic spherical k-means centroids over the L2-normalized
+    * embeddings — the cluster map behind [[semanticDupPairs]] /
+    * [[semanticDedup]] (SemDeDup). Reuses the distributed bit-exact
+    * Lloyd's fit ([[pqCodebooks]] with a single full-dim subspace:
+    * hash-sorted init, sorted-pid partial merge), so two fits over the
+    * same data produce IDENTICAL doubles — which is what lets a driver
+    * oracle inline the centroids as literals and replay everything
+    * downstream of the fit independently.
+    */
+  def semanticCentroids(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      nlist: Int,
+      seed: Long = 42L,
+      iters: Int = 10
+  ): Seq[Seq[Double]] =
+    pqCodebooks(df, vecCol, dim, m = 1, codebookSize = nlist, seed = seed,
+      iters = iters).head
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with spherical k-means, then
+    * compare embeddings ONLY within a cluster — exact cosine over the
+    * normalized vectors, thresholded. The candidate set is Σ|cell|²/2
+    * instead of n²/2: with nlist sized so cells hold ~10³-10⁴ docs
+    * (nlist ∝ n at 100 TB), the pair stage is linear-ish in n and the
+    * corpus shuffles ONCE on the cell key (self-join reuses the
+    * exchange). The designed tradeoff, as in the paper: near-dups that
+    * straddle a cluster boundary are not candidates — raise nlist
+    * recall-side via [[lshCosinePairs]] when cross-cluster recall
+    * matters more than the cluster prior.
+    *
+    * Pass pre-fit `centroids` (from [[semanticCentroids]]) to skip the
+    * fit — the fit-once/compare-many path; they must be fit over the
+    * same normalization (L2) this operator applies to the corpus side.
+    */
+  def semanticDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nlist: Int,
+      threshold: Double,
+      seed: Long = 42L,
+      iters: Int = 10,
+      centroids: Option[Seq[Seq[Double]]] = None
+  ): DataFrame = {
+    val cents = centroids.getOrElse(semanticCentroids(df, vecCol, dim, nlist, seed, iters))
+    val assigned = df.select(col(idCol), l2normalize(asDouble(col(vecCol))).as("u"))
+      .withColumn("cell",
+        graft.plans.Expressions.nearest_centroid(col("u"), cents))
+    val l = assigned.select(col("cell"), col(idCol).as("id1"), col("u").as("u1"))
+    val r = assigned.select(col("cell"), col(idCol).as("id2"), col("u").as("u2"))
+    l.join(r, Seq("cell")).where(col("id1") < col("id2"))
+      .select(col("cell"), col("id1"), col("id2"),
+        graft.plans.Expressions.cosine_similarity(col("u1"), col("u2")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** End-to-end SemDeDup: every row with its cluster and a keep flag —
+    * one representative (the lowest id, via connected components over
+    * [[semanticDupPairs]]) survives per duplicate group; docs in no
+    * pair keep trivially. Components run over the PAIR table (candidate-
+    * sized, never corpus-sized); the corpus-side cost is the one
+    * cell-key shuffle of the pair stage plus a left join against the
+    * (small) loser set.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nlist: Int,
+      threshold: Double,
+      seed: Long = 42L,
+      iters: Int = 10,
+      centroids: Option[Seq[Seq[Double]]] = None
+  ): DataFrame = {
+    val cents = centroids.getOrElse(semanticCentroids(df, vecCol, dim, nlist, seed, iters))
+    val pairs = semanticDupPairs(df, idCol, vecCol, dim, nlist, threshold,
+      seed, iters, Some(cents))
+    val losers = Dedup.connectedComponents(pairs)
+      .where(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(idCol), lit(false).as("keep"))
+    df.select(col(idCol), l2normalize(asDouble(col(vecCol))).as("u"))
+      .withColumn("cell",
+        graft.plans.Expressions.nearest_centroid(col("u"), cents))
+      .join(losers, Seq(idCol), "left")
+      .select(col(idCol), col("cell"), coalesce(col("keep"), lit(true)).as("keep"))
+  }
+
   /** Exact cosine top-k for an explicit query batch: queries broadcast,
     * ONE corpus scan for the whole batch, no corpus shuffle — the exact
     * baseline every ANN variant here is measured against, and the right
