@@ -444,6 +444,21 @@ object Dedup {
     * postings — keep-one, like [[exactGroups]]). Positions index the
     * normalized token stream (`TextMetrics.normalize` → whitespace split),
     * the same boundaries the fused gram kernel uses.
+    *
+    * Hash collisions MUTATE TEXT here: spans match on the 64-bit gram
+    * hash, not the substring (the published exact-substring technique —
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better" — compares real suffixes), so two different windows that
+    * collide cause a legitimate span to be punched out of a legitimate
+    * document. At W total windows the expected number of colliding pairs
+    * is ≈ W²/2⁶⁵ — negligible at test scale but ~10⁶ pairs at the 100 TB
+    * design point (W ≈ 10¹³), i.e. an O(width · 10⁶ / 10¹³) ≈ 10⁻⁶
+    * fraction of corpus tokens falsely removed. That is usually an
+    * acceptable trade for a training corpus (the removal is random noise,
+    * not bias), but collision-sensitive deployments should re-verify
+    * matched windows by comparing the actual token slices for equal
+    * hashes (cost ∝ candidate removals, not corpus) or widen the
+    * fingerprint to 128 bits before trusting span-level edits.
     */
   def spanRemovals(
       df: DataFrame,
@@ -517,9 +532,17 @@ object Dedup {
     * Scale: the corpus side is one fused-kernel scan to distinct
     * (doc, gram-hash) rows — no pair explosion, no positions. The
     * benchmark side collapses to DISTINCT gram hashes and is broadcast:
-    * eval sets are MB-scale next to a 100 TB corpus, so the plan is
-    * scan → broadcast hash join → per-doc aggregate, and the corpus
-    * never shuffles on gram.
+    * eval sets are MB-scale next to a 100 TB corpus, so the benchmark
+    * probe is a broadcast hash join (no SortMergeJoin — pinned in
+    * PlanSpec) and the corpus never shuffles KEYED BY GRAM ALONE. The
+    * corpus's distinct (doc, gram) pairs do exchange twice — once
+    * hash-partitioned by (id, gh) for the `distinct`, once by id for the
+    * per-doc counts — both partial-aggregated map-side and linear in the
+    * corpus, the unavoidable cost of exact per-document overlap counts.
+    * Gram-hash collisions only perturb the overlap COUNT here (≈2⁻⁶⁴ per
+    * window pair), but with the default `maxOverlapFrac = 0.0` a single
+    * colliding window still condemns a document — the same caveat as
+    * [[spanRemovals]], at document rather than span granularity.
     */
   def contamination(
       corpus: DataFrame,

@@ -736,10 +736,13 @@ object Expressions {
     * each variable's FP addition chain is unchanged), and the final score
     * is the same `dot / (√nx · √ny)` expression. Ties keep the lower cell
     * (strict-> displacement while scanning cells in ascending order),
-    * matching the Window's `(sim desc, cell)` ordering. NaN scores (zero
-    * vectors) never displace a slot; with nothing else filled the first
-    * `k` cells win in ascending order — the same set the Window emits.
-    * Dimension mismatches fail loudly, like [[NearestCentroid]].
+    * matching the Window's `(sim desc, cell)` ordering. NaN similarities
+    * (a zero-norm query or centroid) sort GREATEST, exactly like Spark's
+    * descending double ordering (`nanSafeCompareDoubles`): the insertion
+    * comparison treats NaN as +∞, so a degenerate centroid lands at the
+    * front of the slot array — the same cell set and order the Window
+    * emits — instead of squatting in the tail and blocking later real
+    * scores. Dimension mismatches fail loudly, like [[NearestCentroid]].
     */
   case class NearestCentroids(child: Expression, cents: Seq[Seq[Double]], k: Int)
       extends UnaryExpression with ExpectsInputTypes {
@@ -781,10 +784,14 @@ object Expressions {
         i = 0
         while (i < dim) { dot += v.getDouble(i) * flat(off + i); i += 1 }
         val sim = dot / (snx * cnorm(c))
-        // insert position: first slot strictly beaten (equal sims keep the
-        // earlier, i.e. lower, cell; NaN beats nothing)
+        // insert position: first slot strictly beaten. Equal sims keep the
+        // earlier (lower) cell; NaN counts as +∞ (Spark's descending double
+        // ordering), so it displaces every real score but ties with other
+        // NaNs — matching the Window ordering even on degenerate centroids.
+        val simIsNaN = java.lang.Double.isNaN(sim)
         var p = filled
-        while (p > 0 && sim > simTop(p - 1)) p -= 1
+        while (p > 0 && (sim > simTop(p - 1) ||
+            (simIsNaN && !java.lang.Double.isNaN(simTop(p - 1))))) p -= 1
         if (p < k) {
           val last = math.min(filled, k - 1)
           var q = last

@@ -110,14 +110,18 @@ object SimQ extends QueryPack {
     // q_ivfpq_ann's recall vector.
     "q_ivfpq_served" -> ((s, dir) => {
       val idxDir = servedIndexDir(s, dir)
+      // the whole comparison runs on ONE fresh session: the point is that
+      // the SERVE side carries no build-session state, which the fresh
+      // session proves by itself — mixing Datasets from two SparkSessions
+      // in one plan is an unsupported Spark pattern (conf divergence could
+      // make the halves resolve differently), so the direct twin is
+      // computed on the same fresh session
       val fresh = s.newSession()
       val emb = Tables.embeddings(fresh, dir).where(col("vec_id") < 50)
       val idx = Similarity.openIvfPqIndex(fresh, idxDir)
       val served = Similarity.ivfPqServe(idx, emb, "vec_id", "embedding",
         k = 10, nprobe = 4)
-      val direct = Similarity.ivfPqTopK(
-        Tables.embeddings(s, dir).where(col("vec_id") < 50),
-        "vec_id", "embedding",
+      val direct = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
         k = 10, dim = 64, nlist = 8, nprobe = 4, m = 8, codebookSize = 16)
       val cmp = served
         .select(col("id1"), col("rank"),
@@ -146,7 +150,7 @@ object SimQ extends QueryPack {
 
   private def servedIndexDir(s: SparkSession, dir: String): String =
     indexDirs.getOrElseUpdate(s"${s.sparkContext.applicationId}:$dir", {
-      val d = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+      val d = graft.util.Tmp.root("graft_ivfpq_idx").toString
       Similarity.writeIvfPqIndex(
         Tables.embeddings(s, dir).where(col("vec_id") < 50),
         "vec_id", "embedding", d,

@@ -271,9 +271,13 @@ object TextMetrics {
     * guidance as [[meanTokenLogProb]]); disable to shuffle-join for huge
     * vocabularies.
     *
-    * Scoring the fit corpus never sees an unseen bigram; when scoring a
-    * DIFFERENT corpus against a pre-fit model, unseen bigrams fall back to
-    * the `(1−λ)` unigram mass (coalesce-to-zero on the bigram term).
+    * The model is always fit on `df` itself (there is no pre-fit-model
+    * parameter), so every scored token and bigram was observed during the
+    * fit: the inner unigram join never drops a token and the bigram
+    * coalesce-to-zero branch is defensive, not a cross-corpus OOV
+    * strategy. Scoring a different corpus against a stored model would
+    * additionally need an explicit OOV floor (and `λ < 1`, or an unseen
+    * bigram yields `ln 0`); that is deliberately out of scope here.
     */
   def interpolatedLogProb(df: DataFrame, idCol: String, textCol: String,
                           lambda: Double = 0.7,
