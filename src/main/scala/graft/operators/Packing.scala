@@ -35,7 +35,9 @@ object Packing {
       textCol: String,
       budget: Long,
       shards: Int,
-      salt: String = "pack"
+      salt: String = "pack",
+      countOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextMetrics.tokenCount
   ): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
     require(shards > 0, s"shards must be positive, got $shards")
@@ -44,7 +46,7 @@ object Packing {
         col(idCol).as("id"),
         Sampling.hashBucket(col(idCol), shards, salt).as("shard"),
         md5(concat_ws(":", lit(salt + "o"), col(idCol).cast("string"))).as("okey"),
-        TextMetrics.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        countOf(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("cum_before", coalesce(
         sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
@@ -67,9 +69,11 @@ object Packing {
       textCol: String,
       budget: Long,
       shards: Int,
-      salt: String = "pack"
+      salt: String = "pack",
+      countOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextMetrics.tokenCount
   ): DataFrame =
-    packAssignments(df, idCol, textCol, budget, shards, salt)
+    packAssignments(df, idCol, textCol, budget, shards, salt, countOf)
       .groupBy(col("shard"), col("seq"))
       .agg(
         count(lit(1)).as("n_docs"),

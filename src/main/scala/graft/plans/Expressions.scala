@@ -898,6 +898,90 @@ object Expressions {
       copy(child = newChild)
   }
 
+  /** BPE-encode an array of words into the flattened token stream —
+    * the scan-local half of [[graft.text.Bpe]]: the merge table rides
+    * inside the expression (the plan broadcasts it once per executor),
+    * each word encodes via the canonical greedy merge loop, and a
+    * per-JVM-instance memo makes the Zipf-heavy hot vocabulary
+    * amortize to a hash lookup. Null input → null; empty array →
+    * empty array.
+    */
+  case class BpeEncodeWords(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_bpe_encode"
+
+    @transient private lazy val codec = new graft.text.Bpe.Codec(merges)
+
+    /** Row kernel — public so generated code can call it. */
+    def compute(ws: ArrayData): ArrayData = {
+      val n = ws.numElements()
+      val out = new scala.collection.mutable.ArrayBuffer[Any](n * 2)
+      var i = 0
+      while (i < n) {
+        val toks = codec.encodeWord(ws.getUTF8String(i).toString)
+        var j = 0
+        while (j < toks.length) {
+          out += org.apache.spark.unsafe.types.UTF8String.fromString(toks(j))
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val ref = ctx.addReferenceObj("bpeEncode", this, classOf[BpeEncodeWords].getName)
+        s"${ev.value} = $ref.compute($v);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): BpeEncodeWords =
+      copy(child = newChild)
+  }
+
+  /** BPE token COUNT of an array of words — [[BpeEncodeWords]] without
+    * materializing the token array, for the packing/budget hot path
+    * (counts are what 100 TB of packing arithmetic consumes; the
+    * per-word count memoizes through the same codec).
+    */
+  case class BpeTokenCountWords(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(StringType))
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "graft_bpe_token_count"
+
+    @transient private lazy val codec = new graft.text.Bpe.Codec(merges)
+
+    /** Row kernel — public so generated code can call it. */
+    def compute(ws: ArrayData): Int = {
+      val n = ws.numElements()
+      var total = 0
+      var i = 0
+      while (i < n) {
+        total += codec.countWord(ws.getUTF8String(i).toString)
+        i += 1
+      }
+      total
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val ref = ctx.addReferenceObj("bpeCount", this, classOf[BpeTokenCountWords].getName)
+        s"${ev.value} = $ref.compute($v);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): BpeTokenCountWords =
+      copy(child = newChild)
+  }
+
   // ---- Column wrappers (the library-facing surface)
 
   def cosine_similarity(a: Column, b: Column): Column =
@@ -937,6 +1021,12 @@ object Expressions {
 
   def nearest_centroid(vec: Column, cents: Seq[Seq[Double]]): Column =
     Bridge.column(NearestCentroid(Bridge.expression(vec), cents))
+
+  def bpe_encode_words(words: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeEncodeWords(Bridge.expression(words), merges))
+
+  def bpe_token_count_words(words: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeTokenCountWords(Bridge.expression(words), merges))
 
   def bloom_might_contain(key: Column, filter: org.apache.spark.util.sketch.BloomFilter): Column = {
     val out = new java.io.ByteArrayOutputStream()
