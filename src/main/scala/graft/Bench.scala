@@ -37,7 +37,8 @@ object Bench {
     "q_point_series", "q_region_stats",
     // round-5 scale operators: z-ordered bbox read (store write memoized,
     // warmup pays it), skew-safe join, mergeable-state stats, cube
-    "q_zorder_bbox", "q_salted_join", "q_incremental_stats", "q_cube_revenue")
+    "q_zorder_bbox", "q_salted_join", "q_incremental_stats", "q_cube_revenue",
+    "q_bpe_tokens")
 
   final case class Stats(mean: Double, median: Double, p95: Double,
                          p99: Double, min: Double, max: Double)

@@ -369,19 +369,31 @@ object Dedup {
     * all four bands; the guard makes that a hard error instead.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhash(df, idCol, textCol), idCol, "simhash", maxHamming)
+
+  /** Near-dup pairs of any 64-bit fingerprint column with Hamming
+    * distance ≤ `maxHamming`, bucketed on 16-bit bands — the banding
+    * engine behind [[simhashPairs]] (text) and
+    * [[graft.multimodal.Multimodal.imageDupPairs]] (dHash). Pigeonhole:
+    * distance ≤ 3 ⇒ at least one of 4 bands equal, so only
+    * band-colliding rows are compared — and therefore maxHamming > 3
+    * would silently miss pairs whose differing bits span all four bands;
+    * the guard makes that a hard error instead.
+    */
+  def hammingPairs(fp: DataFrame, idCol: String, hashCol: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"4-band bucketing guarantees recall only for hamming <= 3, got $maxHamming; " +
         "use more/narrower bands for larger distances")
-    val fp = simhash(df, idCol, textCol)
-    val banded = fp.select(col(idCol), col("simhash"),
+    val banded = fp.select(col(idCol), col(hashCol),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
+          shiftright(col(hashCol), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
         .as("bk"))
-      .select(col(idCol), col("simhash"), col("bk.band"), col("bk.key"))
-    val l = banded.select(col(idCol).as("id1"), col("simhash").as("s1"), col("band"), col("key"))
-    val r = banded.select(col(idCol).as("id2"), col("simhash").as("s2"), col("band"), col("key"))
+      .select(col(idCol), col(hashCol), col("bk.band"), col("bk.key"))
+    val l = banded.select(col(idCol).as("id1"), col(hashCol).as("s1"), col("band"), col("key"))
+    val r = banded.select(col(idCol).as("id2"), col(hashCol).as("s2"), col("band"), col("key"))
     l.join(r, Seq("band", "key")).where(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))

@@ -329,6 +329,128 @@ object Multimodal {
       }
   }
 
+  // ---- Perceptual hashing (image near-dup dedup) ----
+
+  /** Difference-hash (dHash) of an image: decode, box-average the
+    * luminance onto a 9×8 grid, then one bit per horizontally adjacent
+    * cell pair — `bit(x,y) = lum(x,y) > lum(x+1,y)`, bit index
+    * `y·8 + x`. Resolution-independent by construction (the grid is a
+    * fixed 9×8 regardless of input size), which is what makes
+    * resized/re-encoded copies collide — the standard perceptual-dedup
+    * property (dHash as popularized by Krawetz, "Kind of Like That").
+    *
+    * Grid cells are the integer boxes `[x·w/9, (x+1)·w/9) ×
+    * [y·h/8, (y+1)·h/8)` and the mean comparison is exact rational
+    * arithmetic (`sum₁·n₂ > sum₂·n₁` — no float division), so for
+    * fixtures whose cells are solid the bits are integer formulas an
+    * external oracle replays verbatim (the q_frame_sample pattern).
+    * None for bytes no JDK reader accepts.
+    */
+  def dHash(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 9 || img.getHeight < 8) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val sums = Array.ofDim[Long](8, 9)
+        val cnts = Array.ofDim[Long](8, 9)
+        var y = 0
+        while (y < 8) {
+          val y0 = y * h / 8; val y1 = (y + 1) * h / 8
+          var x = 0
+          while (x < 9) {
+            val x0 = x * w / 9; val x1 = (x + 1) * w / 9
+            var s = 0L; var n = 0L
+            var px = x0
+            while (px < x1) {
+              var py = y0
+              while (py < y1) {
+                val p = img.getRGB(px, py)
+                s += ((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)
+                n += 1; py += 1
+              }
+              px += 1
+            }
+            sums(y)(x) = s; cnts(y)(x) = n
+            x += 1
+          }
+          y += 1
+        }
+        var bitsAcc = 0L
+        y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            // mean(x) > mean(x+1) as exact cross-multiplication
+            if (sums(y)(x) * cnts(y)(x + 1) > sums(y)(x + 1) * cnts(y)(x))
+              bitsAcc |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        Some(bitsAcc)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Per-image dHash over a media table — batched per-partition like
+    * [[extractFeatures]]; undecodable/too-small bytes contribute no row.
+    */
+  def imageDHashes(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(64).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            dHash(bytes).map(h => (id, h))
+          }
+        }
+      }
+      .toDF("media_id", "dhash")
+  }
+
+  /** Image near-dup pairs: dHash + the same banded-Hamming bucketing as
+    * text SimHash ([[graft.dedup.Dedup.hammingPairs]]) — resized and
+    * losslessly re-encoded copies land at distance 0, light edits within
+    * `maxHamming`. Never all-pairs: only band-colliding images compare.
+    */
+  def imageDupPairs(df: DataFrame, maxHamming: Int = 3): DataFrame =
+    graft.dedup.Dedup.hammingPairs(imageDHashes(df), "media_id", "dhash", maxHamming)
+
+  /** Block-pattern PNG fixture: a 9×8 grid of solid grayscale cells,
+    * `cell` pixels square, cell value `v(x, y)` from the caller —
+    * decoded cell means are EXACT (solid cells), so the dHash bits are
+    * the caller's formula compared pairwise, independent of `cell`
+    * (resolution) and of the lossless container. The image-dedup
+    * counterpart of [[solidPng]]/[[animatedGif]].
+    */
+  def blockPng(cell: Int, v: (Int, Int) => Int, format: String = "png"): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      9 * cell, 8 * cell, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var gx = 0
+    while (gx < 9) {
+      var gy = 0
+      while (gy < 8) {
+        val g = v(gx, gy) & 0xFF
+        val rgb = (g << 16) | (g << 8) | g
+        var x = gx * cell
+        while (x < (gx + 1) * cell) {
+          var y = gy * cell
+          while (y < (gy + 1) * cell) { img.setRGB(x, y, rgb); y += 1 }
+          x += 1
+        }
+        gy += 1
+      }
+      gx += 1
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, buf)
+    buf.toByteArray
+  }
+
   /** Solid-colour PNG builder (test/oracle fixture: every pixel carries
     * the same RGB, so any resize interpolation preserves channel values
     * exactly and an external oracle can predict the decoded means).

@@ -105,6 +105,30 @@ object DedupQ extends QueryPack {
         .select(col("id").as("doc_id"), col("n_grams"), col("n_contaminated"),
           round(col("contaminated_frac"), 6).as("contaminated_frac"),
           col("contaminated"))
+    }),
+    // Perceptual-hash image dedup: 60 block-pattern PNGs (9×8 solid
+    // grayscale cells, value an integer formula of (id, x, y)) plus
+    // planted twins — every 5th id RESIZED (cell 7 instead of 4) and
+    // every 7th RE-ENCODED as BMP. The bytes really round-trip the JDK
+    // codecs; solid cells make each decoded grid mean exact, so the
+    // dHash bits, the twin collisions (hamming 0 despite different
+    // bytes/resolutions/containers), and the banded pair set all replay
+    // as pure integer arithmetic in DuckDB (the q_image_resize oracle
+    // contract). The formula's coefficients keep non-twin images at
+    // hamming ≥ 17, so the pair list is exactly the planted twins.
+    "q_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      def v(id: Long)(x: Int, y: Int): Int =
+        ((x * (37 + id * 11) + y * (23 + id * 7) + x * y * (5 + id)) % 256).toInt
+      val imgs = s.range(60).as[Long].flatMap { id =>
+        val base = Seq((id, graft.multimodal.Multimodal.blockPng(4, v(id))))
+        val resized = if (id % 5 == 0)
+          Seq((1000 + id, graft.multimodal.Multimodal.blockPng(7, v(id)))) else Nil
+        val reenc = if (id % 7 == 0)
+          Seq((2000 + id, graft.multimodal.Multimodal.blockPng(4, v(id), "bmp"))) else Nil
+        base ++ resized ++ reenc
+      }.toDF("media_id", "content")
+      graft.multimodal.Multimodal.imageDupPairs(imgs, maxHamming = 3)
     })
   )
 
@@ -215,6 +239,33 @@ object DedupQ extends QueryPack {
          |  coalesce(h.n_cont, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
          |WHERE d.doc_id >= 50""".stripMargin,
+    // Full arithmetic replay (no pinning): the decoded grid of each
+    // fixture is its generating formula (solid cells), so the oracle
+    // re-derives every dHash bit and compares all pairs at the
+    // bit-position level — no 64-bit assembly, no banding needed for
+    // correctness (4×16-bit banding at hamming ≤ 3 is recall-lossless
+    // by pigeonhole, so engine pair set == all-pairs pair set).
+    "q_image_dedup" ->
+      """WITH ids AS (SELECT range AS id FROM range(60)),
+        |imgs AS (
+        |  SELECT id AS vid, id FROM ids
+        |  UNION ALL SELECT 1000 + id, id FROM ids WHERE id % 5 = 0
+        |  UNION ALL SELECT 2000 + id, id FROM ids WHERE id % 7 = 0),
+        |lum AS (
+        |  SELECT vid, x.range AS x, y.range AS y,
+        |    (x.range * (37 + id * 11) + y.range * (23 + id * 7)
+        |      + x.range * y.range * (5 + id)) % 256 AS v
+        |  FROM imgs, range(9) x, range(8) y),
+        |bits AS (
+        |  SELECT a.vid, a.x, a.y, a.v > b.v AS bit
+        |  FROM lum a JOIN lum b ON a.vid = b.vid AND a.y = b.y AND b.x = a.x + 1
+        |  WHERE a.x < 8)
+        |SELECT a.vid AS id1, b.vid AS id2,
+        |  CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INTEGER)
+        |    AS hamming
+        |FROM bits a JOIN bits b ON a.x = b.x AND a.y = b.y AND a.vid < b.vid
+        |GROUP BY 1, 2
+        |HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3""".stripMargin,
     "q_exact_dedup" ->
       s"""WITH all_docs AS (
          |  SELECT doc_id, text FROM documents

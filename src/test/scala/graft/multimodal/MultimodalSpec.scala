@@ -165,4 +165,44 @@ class MultimodalSpec extends SparkSpec {
     val (r, g, b) = Multimodal.channelMeans(t.thumb).get
     assert((r, g, b) === (0x40.toDouble, 0xA0.toDouble, 0xC0.toDouble))
   }
+
+  private def grad(x: Int, y: Int): Int =
+    (x * 48 + y * 30 + x * y * 12) % 256
+
+  test("dHash: invariant under resolution and lossless re-encode") {
+    val a = Multimodal.dHash(Multimodal.blockPng(4, grad)).get
+    val b = Multimodal.dHash(Multimodal.blockPng(7, grad)).get     // resized
+    val c = Multimodal.dHash(Multimodal.blockPng(4, grad, "bmp")).get // re-encoded
+    assert(a == b && a == c)
+    // a genuinely different pattern lands far away
+    val d = Multimodal.dHash(Multimodal.blockPng(4, (x, y) => grad(8 - x, y))).get
+    assert(java.lang.Long.bitCount(a ^ d) > 3)
+    // undecodable and too-small inputs yield no hash
+    assert(Multimodal.dHash("junk".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.dHash(Multimodal.solidPng(4, 4, 0)).isEmpty)
+  }
+
+  test("dHash survives lossy JPEG re-encode within a small hamming radius") {
+    val png = Multimodal.blockPng(8, grad)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", buf)
+    val orig = Multimodal.dHash(png).get
+    val jpeg = Multimodal.dHash(buf.toByteArray).get
+    // lossy compression may flip a few borderline bits, never the shape
+    assert(java.lang.Long.bitCount(orig ^ jpeg) <= 3)
+  }
+
+  test("imageDupPairs finds planted twins via banding, nothing else") {
+    import spark.implicits._
+    def v(id: Long)(x: Int, y: Int): Int =
+      ((x * (37 + id * 11) + y * (23 + id * 7) + x * y * (5 + id)) % 256).toInt
+    val imgs = (0L until 8L).flatMap { id =>
+      Seq((id, Multimodal.blockPng(4, v(id)))) ++
+        (if (id % 2 == 0) Seq((100 + id, Multimodal.blockPng(6, v(id)))) else Nil)
+    }.toDF("media_id", "content")
+    val pairs = Multimodal.imageDupPairs(imgs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(pairs.toSeq == Seq((0L, 100L, 0), (2L, 102L, 0), (4L, 104L, 0), (6L, 106L, 0)))
+  }
 }
