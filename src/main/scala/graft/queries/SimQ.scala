@@ -138,6 +138,43 @@ object SimQ extends QueryPack {
         .groupBy(col("id1"))
         .agg(round(sum(coalesce(col("hit"), lit(0))) / 10.0, 6).as("recall"))
         .join(cmp, Seq("id1"))
+    }),
+    // Fit-once/GROW-many: the index is fit on vec_id < 40 only, then
+    // vec_id 40..49 are APPENDED — encoded with the stored centroids/
+    // codebooks (no refit) and written into the same cell-partitioned
+    // layout. Serving the grown store must be bit-identical to serving
+    // an index whose codes table is the full corpus re-encoded with the
+    // SAME stored model (matches_rebuild, null-safe full-outer like
+    // q_ivfpq_served) — i.e. append changes WHERE codes live, never what
+    // they are. recall@10 is against the exact 50-vector kNN; it dips
+    // below q_ivfpq_ann's (the quantizer never saw the appended
+    // vectors — exactly the drift ivfPqCellDrift reports).
+    "q_ivfpq_append" -> ((s, dir) => {
+      val idxDir = appendIndexDir(s, dir)
+      val fresh = s.newSession()
+      val all = Tables.embeddings(fresh, dir).where(col("vec_id") < 50)
+      val idx = Similarity.openIvfPqIndex(fresh, idxDir)
+      val served = Similarity.ivfPqServe(idx, all, "vec_id", "embedding",
+        k = 10, nprobe = 4)
+      val rebuilt = idx.copy(codes =
+        Similarity.encodeForIndex(idx, all, "vec_id", "embedding"))
+      val direct = Similarity.ivfPqServe(rebuilt, all, "vec_id", "embedding",
+        k = 10, nprobe = 4)
+      val cmp = served
+        .select(col("id1"), col("rank"),
+          col("id2").as("sid2"), col("score").as("sscore"))
+        .join(direct.select(col("id1"), col("rank"),
+          col("id2").as("did2"), col("score").as("dscore")),
+          Seq("id1", "rank"), "full")
+        .groupBy(col("id1"))
+        .agg(min(col("sid2") <=> col("did2") && col("sscore") <=> col("dscore"))
+          .as("matches_rebuild"))
+      val exact = Similarity.knnJoin(all, "vec_id", "embedding", k = 10)
+      served.join(exact.select(col("id1"), col("id2"), lit(1).as("hit")),
+          Seq("id1", "id2"), "left")
+        .groupBy(col("id1"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))) / 10.0, 6).as("recall"))
+        .join(cmp, Seq("id1"))
     })
   )
 
@@ -158,6 +195,23 @@ object SimQ extends QueryPack {
       d
     })
 
+  /** Grown index for q_ivfpq_append: fit on the first 40 vectors only,
+    * then append the last 10 with the stored model — built once per
+    * (application, sfDir) like [[servedIndexDir]].
+    */
+  private def appendIndexDir(s: SparkSession, dir: String): String =
+    indexDirs.getOrElseUpdate(s"${s.sparkContext.applicationId}:$dir:append", {
+      val d = graft.util.Tmp.root("graft_ivfpq_app").toString
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeIvfPqIndex(
+        emb.where(col("vec_id") < 40), "vec_id", "embedding", d,
+        dim = 64, nlist = 8, m = 8, codebookSize = 16)
+      Similarity.appendToIvfPqIndex(
+        emb.where(col("vec_id") >= 40 && col("vec_id") < 50),
+        "vec_id", "embedding", d)
+      d
+    })
+
   private val cos =
     """list_dot_product(a.e, b.e)
       |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))""".stripMargin
@@ -173,6 +227,19 @@ object SimQ extends QueryPack {
       "(29,0.5),(30,0.7),(31,0.8),(32,0.6),(33,0.7),(34,0.7),(35,0.6)," +
       "(36,0.6),(37,0.6),(38,0.8),(39,0.6),(40,0.7),(41,0.6),(42,0.7)," +
       "(43,0.7),(44,0.7),(45,0.7),(46,0.5),(47,0.6),(48,0.7),(49,0.5)"
+
+  /** Pinned recall@10 of serving the grown (fit-40 + append-10) store at
+    * the sf0.01 gate — re-pin from a fresh Verify run whenever the
+    * seeded fit changes (see the re-pin rule in the repo memory).
+    */
+  private val ivfPqAppendRecallValues =
+    "(0,0.6),(1,0.5),(2,0.4),(3,0.5),(4,0.2),(5,0.8),(6,0.7),(7,0.6)," +
+      "(8,0.5),(9,0.6),(10,0.8),(11,0.7),(12,0.7),(13,0.4),(14,0.7)," +
+      "(15,0.5),(16,0.7),(17,0.7),(18,0.7),(19,0.7),(20,0.7),(21,0.4)," +
+      "(22,0.4),(23,0.6),(24,0.6),(25,0.4),(26,0.8),(27,0.5),(28,0.5)," +
+      "(29,0.4),(30,0.8),(31,0.6),(32,0.5),(33,0.8),(34,0.4),(35,0.6)," +
+      "(36,0.7),(37,0.5),(38,0.7),(39,0.5),(40,0.6),(41,0.4),(42,0.8)," +
+      "(43,0.7),(44,0.5),(45,0.5),(46,0.7),(47,0.6),(48,0.6),(49,0.6)"
 
   def oracles: Map[String, String] = Map(
     "q_ann_topk" ->
@@ -252,6 +319,13 @@ object SimQ extends QueryPack {
       ("""SELECT CAST(id1 AS BIGINT) AS id1, TRUE AS matches_direct,
          |  CAST(recall AS DOUBLE) AS recall
          |FROM (VALUES """.stripMargin + ivfPqRecallValues + ") AS t(id1, recall)"),
+    // pinned recall@10 of serving the GROWN store (fit on 40, append 10,
+    // same seeded fit); matches_rebuild is the engine-side bit-parity
+    // gate against re-encoding the full corpus with the stored model
+    "q_ivfpq_append" ->
+      ("""SELECT CAST(id1 AS BIGINT) AS id1, TRUE AS matches_rebuild,
+         |  CAST(recall AS DOUBLE) AS recall
+         |FROM (VALUES """.stripMargin + ivfPqAppendRecallValues + ") AS t(id1, recall)"),
     // pinned recall@10 of the seeded RESIDUAL quantizer — mean 0.672 vs
     // the raw-code path's 0.632 on the same gate table, the expected
     // FAISS-style precision win (independent evidence: DedupSpec's

@@ -742,6 +742,77 @@ object Similarity {
     }.toDF("j", "c", "vec")
       .write.mode("overwrite").parquet(s"$path/codebooks")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    // fit-time cell occupancy snapshot — the baseline the staleness
+    // signal compares against ([[ivfPqCellDrift]]); derived from the
+    // stored codes so it reflects exactly what the index holds
+    spark.read.parquet(s"$path/codes").groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_fit"))
+      .write.mode("overwrite").parquet(s"$path/cellstats")
+  }
+
+  /** Encode vectors with an OPENED index's stored model — the exact
+    * assignment expressions of the fit path ([[writeIvfPqIndex]]), no
+    * refit: coarse cell from the stored centroids, PQ codes from the
+    * stored codebooks (residual-aware). The scan-local encode step of
+    * fit-once/grow-many.
+    */
+  def encodeForIndex(index: IvfPqIndex, df: DataFrame,
+                     idCol: String, vecCol: String): DataFrame =
+    if (!index.residual) {
+      df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+        .select(col(idCol).as("cid"),
+          pqEncode(col("v"), index.books).as("codes"),
+          graft.plans.Expressions.nearest_centroid(col("v"), index.cents).as("cell"))
+    } else {
+      df.select(col(idCol), l2normalize(asDouble(col(vecCol))).as("u0"))
+        .withColumn("cell",
+          graft.plans.Expressions.nearest_centroid(col("u0"), index.cents))
+        .withColumn("res", zip_with(col("u0"),
+          element_at(typedLit(index.cents), col("cell") + 1), (a, b) => a - b))
+        .select(col(idCol).as("cid"),
+          graft.plans.Expressions.pq_encode(col("res"), index.books,
+            normalize = false).as("codes"),
+          col("cell"))
+    }
+
+  /** Append new vectors to a persisted index: encode with the STORED
+    * centroids/codebooks ([[encodeForIndex]] — no refit, so existing
+    * codes stay valid) and write into the same cell-partitioned layout
+    * (each new file lands inside its cell directory; serving's partition
+    * pruning is unaffected). The fit-time `cellstats` snapshot is
+    * deliberately NOT updated — the growing gap between it and the
+    * live occupancy IS the refit signal ([[ivfPqCellDrift]]): appended
+    * vectors are quantized against centroids fit on the old
+    * distribution, so accumulating drift degrades recall even though
+    * every individual append is exact.
+    *
+    * Caller owns id-uniqueness (an appended cid equal to a stored cid
+    * produces two candidate rows, like any append-only store).
+    */
+  def appendToIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+                         path: String): Unit = {
+    val index = openIvfPqIndex(df.sparkSession, path)
+    encodeForIndex(index, df, idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Staleness signal: per-cell live occupancy vs the fit-time snapshot,
+    * plus the growth ratio. A cell whose `growth` is large holds many
+    * vectors the coarse quantizer never saw at fit time — refit when the
+    * aggregate (or any hot cell's) growth passes the deployment's
+    * tolerance. Full outer: a cell that only gained vectors after fit
+    * shows `n_fit` 0.
+    */
+  def ivfPqCellDrift(spark: SparkSession, path: String): DataFrame = {
+    val fit = spark.read.parquet(s"$path/cellstats")
+    val now = spark.read.parquet(s"$path/codes")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_now"))
+    fit.join(now, Seq("cell"), "full")
+      .select(col("cell"),
+        coalesce(col("n_fit"), lit(0L)).as("n_fit"),
+        coalesce(col("n_now"), lit(0L)).as("n_now"))
+      .withColumn("growth",
+        (col("n_now") - col("n_fit")) / greatest(col("n_fit"), lit(1L)))
   }
 
   /** Open a persisted index: the model tables collect to the driver

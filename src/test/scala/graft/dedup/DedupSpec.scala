@@ -384,6 +384,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("index append: encode-with-stored-model parity, layout, drift signal") {
+    for (res <- Seq(false, true)) {
+      val d = java.nio.file.Files.createTempDirectory(s"ivfpq_app_$res").toString
+      Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 40),
+        "vec_id", "embedding", d, dim = 64, nlist = 8, m = 8,
+        codebookSize = 16, residual = res)
+      Similarity.appendToIvfPqIndex(
+        emb.where(col("vec_id") >= 40 && col("vec_id") < 50),
+        "vec_id", "embedding", d)
+      val fresh = spark.newSession()
+      val idx = Similarity.openIvfPqIndex(fresh, d)
+      // the grown store holds all 50 codes in the cell layout
+      assert(idx.codes.count() == 50)
+      // serving the grown store == serving a full re-encode with the
+      // SAME stored model (append changes where codes live, not what
+      // they are)
+      val all = emb.where(col("vec_id") < 50)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val served = rows(Similarity.ivfPqServe(idx, all, "vec_id", "embedding",
+        k = 5, nprobe = 4))
+      val rebuilt = idx.copy(codes =
+        Similarity.encodeForIndex(idx, all, "vec_id", "embedding"))
+      assert(served == rows(Similarity.ivfPqServe(rebuilt, all, "vec_id",
+        "embedding", k = 5, nprobe = 4)), s"residual=$res")
+      // drift: fit-time snapshot stays at 40 total, live count at 50,
+      // growth nonnegative with at least one grown cell
+      val drift = Similarity.ivfPqCellDrift(fresh, d).collect()
+      assert(drift.map(_.getLong(1)).sum == 40 && drift.map(_.getLong(2)).sum == 50)
+      assert(drift.forall(_.getDouble(3) >= 0.0) &&
+        drift.exists(_.getDouble(3) > 0.0))
+    }
+  }
+
   test("spanDedup removes a planted cross-document passage, keep-one") {
     import spark.implicits._
     val passage = "the quick brown fox jumps over the lazy dog tonight" // 10 tokens
