@@ -124,6 +124,29 @@ object ScaleProbe {
         graft.text.TextMetrics.tfIdfTopTerms(docs, "id", "text", k = 3))
       run("pack_sequences", graft.operators.Packing.packSummary(
         docs, "id", "text", budget = 2048, shards = 64))
+      // Passage-level span dedup — the heaviest text operator: the
+      // positional posting list is ≈ one row per corpus token. Probe the
+      // full pipeline (postings → df-band stats → removal → cleaned
+      // text) with the stop-gram cap off and on; print the posting
+      // volume so SCALE.md can pin cost ∝ tokens, not docs².
+      if (wanted("span")) {
+        val postings = docs.select(sum(greatest(
+          graft.text.TextMetrics.tokenCount(col("text")) - 7, lit(0))))
+          .head().getLong(0)
+        println(s"$size span_postings=$postings")
+      }
+      run("span_dedup",
+        graft.dedup.Dedup.spanDedup(docs, "id", "text", width = 8))
+      run("span_dedup_capped",
+        graft.dedup.Dedup.spanDedup(docs, "id", "text", width = 8,
+          maxDocFreq = 50))
+      // BPE: one word-count aggregate + bounded driver fit, then the
+      // scan-local memoized encode over the full corpus
+      run("bpe_tokens", {
+        val merges = graft.text.Bpe.fit(docs, "text", numMerges = 30)
+        docs.select(col("id"),
+          graft.text.Bpe.tokenCount(col("text"), merges).as("n_bpe"))
+      })
     }
 
     if (what == "asof" || what == "all") {

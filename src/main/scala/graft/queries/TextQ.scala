@@ -31,6 +31,36 @@ object TextQ extends QueryPack {
       Tables.documents(s, dir).select(
         col("doc_id"), col("lang"),
         TextMetrics.langId(col("text")).as("predicted"))),
+    // Trained quality classifier: clean docs (label 0) + planted
+    // keyword-stuffed boilerplate twins (every 5th doc's 4-token prefix
+    // repeated 12×, label 1), logistic regression fit by the
+    // deterministic integer-grid GD of QualityModel (25 iterations,
+    // lr 10, zero init). The oracle replays the ENTIRE fit — fixture
+    // construction, feature extraction, all 25 weight updates, scoring —
+    // in unrolled SQL; the spec asserts the learned model separates the
+    // planted boilerplate perfectly while the hand-weighted heuristic
+    // cannot (boilerplate even scores slightly HIGHER on the heuristic).
+    "q_quality_model" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ltoks = TextMetrics.tokens(lower(col("text")))
+      val boiler = docs.where(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + lit(100000L)).as("doc_id"),
+          repeat(concat(concat_ws(" ", slice(ltoks, 1, 4)), lit(" ")), 12)
+            .as("text"),
+          lit(1).as("label"))
+      val corpus = docs.select(col("doc_id"), col("text"), lit(0).as("label"))
+        .unionByName(boiler)
+      val fcols = graft.text.QualityModel.features(col("text"))
+      val names = fcols.map(_._1)
+      val feats = corpus.select(
+        (Seq(col("doc_id"), col("label")) ++
+          fcols.map { case (n, c) => c.as(n) }): _*).cache()
+      val w = graft.text.QualityModel.fitLogistic(feats, names, "label",
+        iters = QmIters, lr = QmLr)
+      val sc = graft.text.QualityModel.score(names, w.toSeq)
+      feats.select(col("doc_id"), col("label"),
+        round(sc, 6).as("score"), (sc > 0.5).as("pred"))
+    }),
     "q_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -125,6 +155,88 @@ object TextQ extends QueryPack {
             col("tf_idf"), col("rank")),
         "tf_idf"))
   )
+
+  private val QmIters = 25
+  private val QmLr = 10.0
+  private val QmFeatNames = Seq("f_bias", "f_len", "f_punct", "f_stop", "f_top", "f_dup")
+
+  /** `w·x` with weights from alias `w` and features from alias `f`. */
+  private def qmZ: String =
+    QmFeatNames.zipWithIndex
+      .map { case (fn, j) => s"w.w$j * f.$fn" }.mkString(" + ")
+
+  /** One GD iteration: per-row sigmoid from the previous weights, the
+    * six gradient sums on the 10⁻⁹ integer grid (exact, order-free —
+    * mirrors QualityModel.fitLogistic), then the update.
+    */
+  private def qmStage(t: Int): String = {
+    val grads = QmFeatNames.zipWithIndex.map { case (fn, j) =>
+      s"sum(CAST(floor((p - label) * $fn * 1e9 + 0.5) AS BIGINT)) AS g$j"
+    }.mkString(",\n       |      ")
+    val keeps = (0 until QmFeatNames.size).map(j => s"min(w$j) AS w$j")
+      .mkString(", ")
+    val updates = (0 until QmFeatNames.size)
+      .map(j => s"w$j - $QmLr * (g$j / 1e9) / n AS w$j").mkString(",\n       |    ")
+    s"""qm_w$t AS MATERIALIZED (
+       |  SELECT $updates, n
+       |  FROM (
+       |    SELECT $keeps, min(n) AS n,
+       |      $grads
+       |    FROM (
+       |      SELECT f.label, ${QmFeatNames.map("f." + _).mkString(", ")},
+       |        w.*, 1.0 / (1.0 + exp(-($qmZ))) AS p
+       |      FROM qm_feats f CROSS JOIN qm_w${t - 1} w)))""".stripMargin
+  }
+
+  /** Full replay of q_quality_model: fixture, features, $QmIters unrolled
+    * GD stages, scoring. Multiply-referenced CTEs are MATERIALIZED.
+    */
+  private def qmSql: String = {
+    val head =
+      s"""WITH qm_base AS (
+         |  SELECT doc_id, text, 0 AS label FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000,
+         |    repeat(array_to_string(
+         |      (string_split_regex(trim(lower(text)), '\\s+'))[1:4], ' ') || ' ', 12),
+         |    1
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |qm_t AS (
+         |  SELECT doc_id, label, text, trim(text) = '' AS blank,
+         |    string_split_regex(trim(text), '\\s+') AS rt,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS lt
+         |  FROM qm_base),
+         |qm_tops AS (
+         |  SELECT doc_id, max(c) AS top_n FROM (
+         |    SELECT doc_id, w, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(lt) AS w FROM qm_t) GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |qm_feats AS MATERIALIZED (
+         |  SELECT t.doc_id, t.label,
+         |    1.0 AS f_bias,
+         |    least(log10((CASE WHEN blank THEN 0 ELSE len(rt) END) + 1.0) / 3.0,
+         |      1.0) AS f_len,
+         |    CASE WHEN len(text) = 0 THEN 0.0
+         |         ELSE len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+         |              / len(text) END AS f_punct,
+         |    CASE WHEN blank THEN 0.0
+         |         ELSE len(list_filter(rt, x -> list_contains($stopList, x))) * 1.0
+         |              / len(rt) END AS f_stop,
+         |    CASE WHEN blank THEN 0.0 ELSE tp.top_n * 1.0 / len(lt) END AS f_top,
+         |    CASE WHEN blank THEN 0.0
+         |         ELSE 1.0 - len(list_distinct(lt)) * 1.0 / len(lt) END AS f_dup
+         |  FROM qm_t t JOIN qm_tops tp ON t.doc_id = tp.doc_id),
+         |qm_w0 AS (
+         |  SELECT ${(0 until QmFeatNames.size).map(j => s"0.0 AS w$j").mkString(", ")},
+         |    (SELECT count(*) * 1.0 FROM qm_feats) AS n)""".stripMargin
+    val stages = (1 to QmIters).map(qmStage)
+    (head +: stages).mkString(",\n") +
+      s"""
+         |SELECT f.doc_id, f.label,
+         |  round(1.0 / (1.0 + exp(-($qmZ))), 6) AS score,
+         |  (1.0 / (1.0 + exp(-($qmZ)))) > 0.5 AS pred
+         |FROM qm_feats f CROSS JOIN qm_w$QmIters w""".stripMargin
+  }
 
   private val toks = """string_split_regex(trim(text), '\s+')"""
   private val norm =
@@ -249,6 +361,7 @@ object TextQ extends QueryPack {
          |    + (1.0 - punct) * 0.4
          |    + least(stop_ratio * 4.0, 1.0) * 0.3)) END, 6) AS quality
          |FROM t""".stripMargin,
+    "q_quality_model" -> qmSql,
     "q_langid" -> {
       val scores = TextMetrics.LangProfiles.map { case (lang, words) =>
         val l = words.map(w => s"'$w'").mkString("[", ", ", "]")
