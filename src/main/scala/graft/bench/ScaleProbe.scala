@@ -141,10 +141,15 @@ object ScaleProbe {
         graft.dedup.Dedup.spanDedup(docs, "id", "text", width = 8,
           maxDocFreq = 50))
       // BPE: one word-count aggregate + bounded driver fit, then the
-      // scan-local memoized encode over the full corpus
+      // scan-local memoized encode over the full corpus. DataGen words
+      // are letter+digits ("w1234"), which the [a-z]+ word regex would
+      // collapse to single letters — map digits to letters so the fit
+      // sees a real 5k-word subword space.
       run("bpe_tokens", {
-        val merges = graft.text.Bpe.fit(docs, "text", numMerges = 30)
-        docs.select(col("id"),
+        val letters = docs.select(col("id"),
+          translate(col("text"), "0123456789", "abcdefghij").as("text"))
+        val merges = graft.text.Bpe.fit(letters, "text", numMerges = 30)
+        letters.select(col("id"),
           graft.text.Bpe.tokenCount(col("text"), merges).as("n_bpe"))
       })
     }

@@ -28,6 +28,11 @@ object Packing {
     * within its shard, the training sequence its first token lands in
     * (`cum_before DIV budget` — cut semantics, documents may straddle a
     * boundary), and whether it straddles one.
+    *
+    * `countOf` is the budget currency: whitespace tokens by default,
+    * real subword counts via `Bpe.tokenCount(_, merges)` (the
+    * `q_pack_bpe` wiring) — any deterministic scan-local count column
+    * works, the shard/cut arithmetic is count-agnostic.
     */
   def packAssignments(
       df: DataFrame,
