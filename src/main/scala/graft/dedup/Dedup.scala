@@ -467,10 +467,13 @@ object Dedup {
     * design point (W ≈ 10¹³), i.e. an O(width · 10⁶ / 10¹³) ≈ 10⁻⁶
     * fraction of corpus tokens falsely removed. That is usually an
     * acceptable trade for a training corpus (the removal is random noise,
-    * not bias), but collision-sensitive deployments should re-verify
-    * matched windows by comparing the actual token slices for equal
-    * hashes (cost ∝ candidate removals, not corpus) or widen the
-    * fingerprint to 128 bits before trusting span-level edits.
+    * not bias); collision-sensitive deployments pass
+    * `exactVerify = true`, which re-compares the ACTUAL token windows of
+    * hash-matched occurrences against the keeper's window and drops
+    * removals whose text differs — restoring Lee et al.'s
+    * exact-substring guarantee at a cost proportional to the CANDIDATE
+    * set (each candidate occurrence rejoins its document's token array
+    * once), not the corpus.
     */
   def spanRemovals(
       df: DataFrame,
@@ -478,7 +481,8 @@ object Dedup {
       textCol: String,
       width: Int = 8,
       minDocFreq: Int = 2,
-      maxDocFreq: Int = Int.MaxValue
+      maxDocFreq: Int = Int.MaxValue,
+      exactVerify: Boolean = false
   ): DataFrame = {
     require(width >= 1, s"span width must be positive, got $width")
     require(minDocFreq >= 2,
@@ -493,9 +497,30 @@ object Dedup {
       .agg(count(lit(1)).as("df"), min(col("id")).as("keep_id"))
       .where(col("df").between(minDocFreq, maxDocFreq))
       .select(col("gh"), col("keep_id"))
-    grams.join(stats, Seq("gh"))
-      .where(col("id") =!= col("keep_id"))
-      .select(col("id"), col("pos"))
+    val cand = grams.join(stats, Seq("gh"))
+    if (!exactVerify)
+      cand.where(col("id") =!= col("keep_id")).select(col("id"), col("pos"))
+    else {
+      // re-materialize the literal token windows of candidate
+      // occurrences only (the candidate set is tiny next to the corpus)
+      // and keep a removal iff its window EQUALS the keeper's window at
+      // that hash — a colliding gram verifies unequal and survives
+      val toks = df.select(col(idCol).as("id"),
+        TextMetrics.tokens(TextMetrics.normalize(col(textCol))).as("toks"))
+      val withText = cand.join(toks, Seq("id"))
+        .withColumn("wtext",
+          concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(width))))
+        .drop("toks")
+      // the keeper's reference window: its first occurrence of the hash
+      // (any occurrence works when there is no collision; min pos makes
+      // the choice deterministic when there is one)
+      val keepText = withText.where(col("id") === col("keep_id"))
+        .groupBy(col("gh")).agg(min_by(col("wtext"), col("pos")).as("ktext"))
+      withText.where(col("id") =!= col("keep_id"))
+        .join(keepText, Seq("gh"))
+        .where(col("wtext") === col("ktext"))
+        .select(col("id"), col("pos"))
+    }
   }
 
   /** Cleaned corpus after cross-document span removal: per document, every
@@ -511,9 +536,11 @@ object Dedup {
       textCol: String,
       width: Int = 8,
       minDocFreq: Int = 2,
-      maxDocFreq: Int = Int.MaxValue
+      maxDocFreq: Int = Int.MaxValue,
+      exactVerify: Boolean = false
   ): DataFrame = {
-    val removals = spanRemovals(df, idCol, textCol, width, minDocFreq, maxDocFreq)
+    val removals = spanRemovals(df, idCol, textCol, width, minDocFreq,
+      maxDocFreq, exactVerify)
     val starts = removals.groupBy(col("id"))
       .agg(collect_list(col("pos")).as("starts"))
     val toks = df.select(col(idCol).as("id"),

@@ -91,6 +91,14 @@ object DedupQ extends QueryPack {
     // df cap at 2 BITES at the gate (drops the df=3 windows), proving the
     // Spark cap and the SQL mirror implement the same semantics.
     "q_span_dedup_capped" -> ((s, dir) => spanQuery(s, dir, maxDocFreq = 2)),
+    // Exact-substring mode: every hash-matched occurrence re-compares its
+    // LITERAL token window against the keeper's before removal, so a
+    // 64-bit collision can no longer punch text out of an innocent
+    // document (Lee et al.'s guarantee restored; cost ∝ candidates).
+    // The oracle is the SAME literal-window SQL as q_span_dedup — which
+    // this mode now matches by SEMANTICS, not by collision-freedom luck.
+    "q_span_dedup_verified" -> ((s, dir) =>
+      spanQuery(s, dir, maxDocFreq = Int.MaxValue, exactVerify = true)),
     // Benchmark decontamination: docs 0-49 act as the held-out eval set,
     // the rest as training corpus; any shared 8-token window condemns a
     // corpus doc. The planted near-dup twins straddle the id split, so
@@ -132,9 +140,11 @@ object DedupQ extends QueryPack {
     })
   )
 
-  private def spanQuery(s: SparkSession, dir: String, maxDocFreq: Int): DataFrame =
+  private def spanQuery(s: SparkSession, dir: String, maxDocFreq: Int,
+                        exactVerify: Boolean = false): DataFrame =
     Dedup.spanDedup(Tables.documents(s, dir), "doc_id", "text",
-      width = 8, minDocFreq = 2, maxDocFreq = maxDocFreq)
+      width = 8, minDocFreq = 2, maxDocFreq = maxDocFreq,
+      exactVerify = exactVerify)
       .select(col("id").as("doc_id"), col("n_spans"), col("n_kept"),
         md5(col("clean_text")).as("clean_md5"))
 
@@ -215,6 +225,9 @@ object DedupQ extends QueryPack {
   def oracles: Map[String, String] = Map(
     "q_span_dedup" -> spanSql(8, Long.MaxValue),
     "q_span_dedup_capped" -> spanSql(8, 2L),
+    // identical literal-window replay: the verified mode's contract IS
+    // the oracle's semantics (it compares real windows, not hashes)
+    "q_span_dedup_verified" -> spanSql(8, Long.MaxValue),
     "q_decontaminate" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(

@@ -418,6 +418,17 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("exact-verify span mode agrees with hash mode on a collision-free corpus") {
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    def rows(exact: Boolean) =
+      Dedup.spanDedup(docs, "doc_id", "text", width = 8, exactVerify = exact)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .toSet
+    // at test scale there are no 64-bit collisions, so the verified pass
+    // must change nothing — it only ever REMOVES false removals
+    assert(rows(exact = true) == rows(exact = false))
+  }
+
   test("spanDedup removes a planted cross-document passage, keep-one") {
     import spark.implicits._
     val passage = "the quick brown fox jumps over the lazy dog tonight" // 10 tokens
