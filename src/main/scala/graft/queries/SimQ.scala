@@ -175,6 +175,56 @@ object SimQ extends QueryPack {
         .groupBy(col("id1"))
         .agg(round(sum(coalesce(col("hit"), lit(0))) / 10.0, 6).as("recall"))
         .join(cmp, Seq("id1"))
+    }),
+    // Fit-once/SHRINK-many: 7 of the 50 indexed vectors are tombstoned
+    // (a cheap parquet append — no codes rewrite). Serving the live view
+    // must be bit-identical to serving codes re-encoded from the
+    // survivors with the same stored model (matches_filtered), serving
+    // AFTER compaction must be bit-identical to serving the tombstoned
+    // store (matches_compacted — compaction reclaims space, never
+    // changes answers), and recall@10 is against the exact kNN over the
+    // surviving corpus.
+    "q_ivfpq_delete" -> ((s, dir) => {
+      val delDir = deleteIndexDir(s, dir, compacted = false)
+      val cmpDir = deleteIndexDir(s, dir, compacted = true)
+      val fresh = s.newSession()
+      val survivors = Tables.embeddings(fresh, dir)
+        .where(col("vec_id") < 50 && col("vec_id") % 7 =!= 3)
+      val idx = Similarity.openIvfPqIndex(fresh, delDir)
+      val served = Similarity.ivfPqServe(idx, survivors, "vec_id", "embedding",
+        k = 10, nprobe = 4)
+      val rebuilt = idx.copy(codes =
+        Similarity.encodeForIndex(idx, survivors, "vec_id", "embedding"))
+      val direct = Similarity.ivfPqServe(rebuilt, survivors, "vec_id", "embedding",
+        k = 10, nprobe = 4)
+      val cmpF = served
+        .select(col("id1"), col("rank"),
+          col("id2").as("sid2"), col("score").as("sscore"))
+        .join(direct.select(col("id1"), col("rank"),
+          col("id2").as("did2"), col("score").as("dscore")),
+          Seq("id1", "rank"), "full")
+        .groupBy(col("id1"))
+        .agg(min(col("sid2") <=> col("did2") && col("sscore") <=> col("dscore"))
+          .as("matches_filtered"))
+      val idxC = Similarity.openIvfPqIndex(fresh, cmpDir)
+      val servedC = Similarity.ivfPqServe(idxC, survivors, "vec_id", "embedding",
+        k = 10, nprobe = 4)
+      val cmpC = served
+        .select(col("id1"), col("rank"),
+          col("id2").as("sid2"), col("score").as("sscore"))
+        .join(servedC.select(col("id1"), col("rank"),
+          col("id2").as("cid2"), col("score").as("cscore")),
+          Seq("id1", "rank"), "full")
+        .groupBy(col("id1"))
+        .agg(min(col("sid2") <=> col("cid2") && col("sscore") <=> col("cscore"))
+          .as("matches_compacted"))
+      val exact = Similarity.knnJoin(survivors, "vec_id", "embedding", k = 10)
+      served.join(exact.select(col("id1"), col("id2"), lit(1).as("hit")),
+          Seq("id1", "id2"), "left")
+        .groupBy(col("id1"))
+        .agg(round(sum(coalesce(col("hit"), lit(0))) / 10.0, 6).as("recall"))
+        .join(cmpF, Seq("id1"))
+        .join(cmpC, Seq("id1"))
     })
   )
 
@@ -212,6 +262,27 @@ object SimQ extends QueryPack {
       d
     })
 
+  /** Shrunk index for q_ivfpq_delete: fit on all 50, tombstone the 7 ids
+    * with vec_id ≡ 3 (mod 7); the `compacted` twin additionally folds the
+    * tombstones into the cell layout. Both built once per (application,
+    * sfDir) like [[servedIndexDir]] — the identical seeded fit makes the
+    * two stores differ ONLY in whether the dead rows are still on disk.
+    */
+  private def deleteIndexDir(s: SparkSession, dir: String,
+                             compacted: Boolean): String =
+    indexDirs.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}:$dir:del:$compacted", {
+        val d = graft.util.Tmp.root("graft_ivfpq_del").toString
+        val emb = Tables.embeddings(s, dir).where(col("vec_id") < 50)
+        Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", d,
+          dim = 64, nlist = 8, m = 8, codebookSize = 16)
+        Similarity.deleteFromIvfPqIndex(
+          emb.where(col("vec_id") % 7 === 3).select(col("vec_id")),
+          "vec_id", d)
+        if (compacted) Similarity.compactIvfPqIndex(s, d)
+        d
+      })
+
   private val cos =
     """list_dot_product(a.e, b.e)
       |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))""".stripMargin
@@ -240,6 +311,13 @@ object SimQ extends QueryPack {
       "(29,0.4),(30,0.8),(31,0.6),(32,0.5),(33,0.8),(34,0.4),(35,0.6)," +
       "(36,0.7),(37,0.5),(38,0.7),(39,0.5),(40,0.6),(41,0.4),(42,0.8)," +
       "(43,0.7),(44,0.5),(45,0.5),(46,0.7),(47,0.6),(48,0.6),(49,0.6)"
+
+  /** Pinned recall@10 of serving the tombstoned (fit-50 − 7 deletes)
+    * store at the sf0.01 gate — re-pin from a fresh Verify run whenever
+    * the seeded fit changes (see the re-pin rule in the repo memory).
+    */
+  private val ivfPqDeleteRecallValues =
+    "(0,0.0)" // placeholder — pinned from Verify below
 
   def oracles: Map[String, String] = Map(
     "q_ann_topk" ->
@@ -326,6 +404,14 @@ object SimQ extends QueryPack {
       ("""SELECT CAST(id1 AS BIGINT) AS id1, TRUE AS matches_rebuild,
          |  CAST(recall AS DOUBLE) AS recall
          |FROM (VALUES """.stripMargin + ivfPqAppendRecallValues + ") AS t(id1, recall)"),
+    // pinned recall@10 of serving the SHRUNK store (fit on 50, tombstone
+    // 7, same seeded fit) against exact kNN over the 43 survivors;
+    // matches_filtered / matches_compacted are the engine-side bit-parity
+    // gates (tombstoned serve ≡ survivor re-encode; compacted ≡ tombstoned)
+    "q_ivfpq_delete" ->
+      ("""SELECT CAST(id1 AS BIGINT) AS id1, CAST(recall AS DOUBLE) AS recall,
+         |  TRUE AS matches_filtered, TRUE AS matches_compacted
+         |FROM (VALUES """.stripMargin + ivfPqDeleteRecallValues + ") AS t(id1, recall)"),
     // pinned recall@10 of the seeded RESIDUAL quantizer — mean 0.672 vs
     // the raw-code path's 0.632 on the same gate table, the expected
     // FAISS-style precision win (independent evidence: DedupSpec's

@@ -796,16 +796,90 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 
-  /** Staleness signal: per-cell live occupancy vs the fit-time snapshot,
-    * plus the growth ratio. A cell whose `growth` is large holds many
-    * vectors the coarse quantizer never saw at fit time — refit when the
-    * aggregate (or any hot cell's) growth passes the deployment's
-    * tolerance. Full outer: a cell that only gained vectors after fit
-    * shows `n_fit` 0.
+  /** Delete vectors from a persisted index by id: appends the ids to a
+    * `tombstones` table — no codes rewrite, so a delete is as cheap as a
+    * small parquet append regardless of corpus size. [[openIvfPqIndex]]
+    * anti-joins the codes against the tombstones, so serving and the
+    * drift signal see only live vectors immediately; the dead rows stay
+    * on disk until [[compactIvfPqIndex]] rewrites their cells.
+    *
+    * Tombstones apply to the WHOLE store at open time: re-appending a
+    * previously deleted id resurrects nothing until the store is
+    * compacted (the standard tombstone caveat — compact before re-add).
+    */
+  def deleteFromIvfPqIndex(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol).as("cid")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  /** Tombstones table if any delete has happened, else None. */
+  private def tombstonesOpt(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).distinct()) else None
+  }
+
+  /** The live view of the codes table: stored codes minus tombstoned ids.
+    * The anti-join broadcasts while the tombstone set is small (the
+    * normal regime — compaction keeps it from growing unboundedly) and
+    * degrades to a shuffled anti-join, never a scan-per-id, beyond that.
+    */
+  private def liveCodes(spark: SparkSession, path: String): DataFrame = {
+    val codes = spark.read.parquet(s"$path/codes")
+    tombstonesOpt(spark, path)
+      .map(t => codes.join(t, Seq("cid"), "left_anti")).getOrElse(codes)
+  }
+
+  /** Fold accumulated tombstones into the codes layout: rewrite ONLY the
+    * cell partitions that actually contain a tombstoned id (dynamic
+    * partition overwrite — untouched cells keep their original files),
+    * then drop the tombstones table. Serving before and after compaction
+    * is bit-identical by construction; compaction just reclaims the dead
+    * rows and re-arms [[deleteFromIvfPqIndex]] for id reuse.
+    *
+    * The affected-cell list collects to the driver — bounded by nlist,
+    * same size class as the centroid table.
+    */
+  def compactIvfPqIndex(spark: SparkSession, path: String): Unit =
+    tombstonesOpt(spark, path).foreach { tomb =>
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val codes = spark.read.parquet(s"$path/codes")
+      val affected = codes.join(tomb, Seq("cid"), "left_semi")
+        .select(col("cell")).distinct().collect().map(_.get(0))
+      if (affected.nonEmpty) {
+        // survivors of the affected cells only; staged through a temp dir
+        // because Spark refuses to overwrite a path it is reading from
+        val tmp = s"$path/_compact_tmp"
+        codes.where(col("cell").isin(affected: _*))
+          .join(tomb, Seq("cid"), "left_anti")
+          .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        val staged = spark.read.parquet(tmp)
+        staged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cell").parquet(s"$path/codes")
+        // a cell whose every vector was tombstoned has no row left, so
+        // dynamic overwrite never visits it — drop its directory directly
+        val stillThere = staged.select(col("cell")).distinct().collect()
+          .map(_.get(0)).toSet
+        affected.filterNot(stillThere).foreach { c =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes/cell=$c"), true)
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    }
+
+  /** Staleness signal: per-cell LIVE occupancy (appends minus tombstoned
+    * deletes) vs the fit-time snapshot, plus the growth ratio. A cell
+    * whose `growth` is large holds many vectors the coarse quantizer
+    * never saw at fit time; a strongly negative `growth` means the cell
+    * has drained — both directions distort the fit-time balance, so
+    * refit when |growth| passes the deployment's tolerance. Full outer:
+    * a cell that only gained vectors after fit shows `n_fit` 0.
     */
   def ivfPqCellDrift(spark: SparkSession, path: String): DataFrame = {
     val fit = spark.read.parquet(s"$path/cellstats")
-    val now = spark.read.parquet(s"$path/codes")
+    val now = liveCodes(spark, path)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_now"))
     fit.join(now, Seq("cell"), "full")
       .select(col("cell"),
@@ -818,7 +892,8 @@ object Similarity {
   /** Open a persisted index: the model tables collect to the driver
     * (nlist + m·k rows — a few KB, the same size class the direct path
     * inlines as expression literals); the codes table stays a lazy,
-    * partition-pruned DataFrame.
+    * partition-pruned DataFrame — the LIVE view, i.e. tombstoned ids
+    * from [[deleteFromIvfPqIndex]] are already excluded.
     */
   def openIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex = {
     val meta = spark.read.parquet(s"$path/meta").head()
@@ -833,7 +908,7 @@ object Similarity {
       booksFlat.filter(_._1 == j).map(_._2).toSeq).toSeq
     IvfPqIndex(cents, books, meta.getAs[Int]("dim"), m,
       meta.getAs[Boolean]("residual"),
-      spark.read.parquet(s"$path/codes"))
+      liveCodes(spark, path))
   }
 
   /** Answer a query batch from a persisted index — no codebook fit, no

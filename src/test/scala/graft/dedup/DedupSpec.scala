@@ -418,6 +418,86 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("index delete: tombstone serve parity, compaction rewrites only affected cells") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("ivfpq_del").toString
+    val sample = emb.where(col("vec_id") < 50)
+    Similarity.writeIvfPqIndex(sample, "vec_id", "embedding", d, dim = 64,
+      nlist = 8, m = 8, codebookSize = 16)
+    val deadIds = Seq(3L, 10L, 17L, 24L, 31L, 38L, 45L)
+    Similarity.deleteFromIvfPqIndex(deadIds.toDF("vec_id"), "vec_id", d)
+    val fresh = spark.newSession()
+    val idx = Similarity.openIvfPqIndex(fresh, d)
+    // the live view excludes tombstoned ids immediately, before compaction
+    assert(idx.codes.count() == 43)
+    assert(idx.codes.where(col("cid").isin(deadIds: _*)).count() == 0)
+    // drift sees the shrinkage: live total 43 vs fit-time 50
+    val drift = Similarity.ivfPqCellDrift(fresh, d).collect()
+    assert(drift.map(_.getLong(1)).sum == 50 && drift.map(_.getLong(2)).sum == 43)
+    assert(drift.exists(_.getDouble(3) < 0.0))
+    val survivors = sample.where(!col("vec_id").isin(deadIds: _*))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val served = rows(Similarity.ivfPqServe(idx, survivors, "vec_id", "embedding",
+      k = 5, nprobe = 4))
+    // tombstoned serve == serving codes re-encoded from the survivors only
+    val rebuilt = idx.copy(codes =
+      Similarity.encodeForIndex(idx, survivors, "vec_id", "embedding"))
+    assert(served == rows(Similarity.ivfPqServe(rebuilt, survivors, "vec_id",
+      "embedding", k = 5, nprobe = 4)))
+    // no served row ever points at a deleted id
+    assert(!served.exists(t => deadIds.contains(t._2)))
+    // which cells hold a dead id (pre-compaction layout), and the file set
+    // of one UNAFFECTED cell — compaction must leave those files alone
+    val deadCells = spark.read.parquet(s"$d/codes")
+      .where(col("cid").isin(deadIds: _*))
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    val allCells = new java.io.File(s"$d/codes").list()
+      .filter(_.startsWith("cell=")).map(_.stripPrefix("cell=").toInt).toSet
+    assert(deadCells.nonEmpty && deadCells != allCells,
+      "test needs at least one unaffected cell to check selective rewrite")
+    val untouched = (allCells diff deadCells).head
+    def cellFiles(c: Int) = new java.io.File(s"$d/codes/cell=$c").list()
+      .filter(_.endsWith(".parquet")).sorted.toSeq
+    val before = cellFiles(untouched)
+    Similarity.compactIvfPqIndex(spark, d)
+    assert(cellFiles(untouched) == before,
+      "compaction must not rewrite cells that hold no tombstoned id")
+    assert(!new java.io.File(s"$d/tombstones").exists(),
+      "compaction must drop the tombstones table")
+    assert(!new java.io.File(s"$d/_compact_tmp").exists())
+    // post-compaction store: same live content, bit-identical serve
+    val idxC = Similarity.openIvfPqIndex(spark.newSession(), d)
+    assert(idxC.codes.count() == 43)
+    assert(rows(Similarity.ivfPqServe(idxC, survivors, "vec_id", "embedding",
+      k = 5, nprobe = 4)) == served)
+    // compaction re-arms deletes: a second delete+compact cycle works
+    Similarity.deleteFromIvfPqIndex(Seq(7L).toDF("vec_id"), "vec_id", d)
+    assert(Similarity.openIvfPqIndex(spark.newSession(), d).codes.count() == 42)
+    Similarity.compactIvfPqIndex(spark, d)
+    assert(spark.read.parquet(s"$d/codes").count() == 42)
+  }
+
+  test("index delete: compacting a fully-tombstoned cell drops its directory") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("ivfpq_del_all").toString
+    val sample = emb.where(col("vec_id") < 50)
+    Similarity.writeIvfPqIndex(sample, "vec_id", "embedding", d, dim = 64,
+      nlist = 8, m = 8, codebookSize = 16)
+    // tombstone EVERY member of one cell
+    val victim = spark.read.parquet(s"$d/codes")
+      .groupBy(col("cell")).agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .orderBy(col("n"), col("cell")).head().getInt(0)
+    val members = spark.read.parquet(s"$d/codes")
+      .where(col("cell") === victim).select(col("cid"))
+    val nDead = members.count()
+    Similarity.deleteFromIvfPqIndex(members, "cid", d)
+    Similarity.compactIvfPqIndex(spark, d)
+    assert(!new java.io.File(s"$d/codes/cell=$victim").exists(),
+      "an emptied cell's directory must be removed, not left stale")
+    assert(spark.read.parquet(s"$d/codes").count() == 50 - nDead)
+  }
+
   test("exact-verify span mode agrees with hash mode on a collision-free corpus") {
     val docs = graft.model.Tables.documents(spark, sfDir)
     def rows(exact: Boolean) =
