@@ -93,6 +93,13 @@ object Tables {
         // tails up one µs, diverging from DuckDB's truncating ns→µs cast
         d.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case (d, f) if f.name == "ts" && f.dataType == TimestampNTZType =>
+        // some parquet writers mark the column isAdjustedToUTC=false, which
+        // Spark surfaces as TIMESTAMP_NTZ — a type `withWatermark` rejects
+        // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session tz is pinned
+        // UTC, so reinterpreting NTZ as an instant is lossless and matches
+        // DuckDB's tz-naive read of the same file.
+        d.withColumn("ts", d.col("ts").cast(TimestampType))
       case (d, _) => d
     }
 

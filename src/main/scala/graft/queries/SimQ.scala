@@ -317,7 +317,12 @@ object SimQ extends QueryPack {
     * the seeded fit changes (see the re-pin rule in the repo memory).
     */
   private val ivfPqDeleteRecallValues =
-    "(0,0.0)" // placeholder — pinned from Verify below
+    "(0,0.7),(1,0.6),(2,0.8),(4,0.5),(5,0.7),(6,0.5),(7,0.6),(8,0.4)," +
+      "(9,0.6),(11,0.4),(12,0.6),(13,0.4),(14,0.7),(15,0.5),(16,0.7)," +
+      "(18,0.7),(19,0.8),(20,0.7),(21,0.4),(22,0.5),(23,0.7),(25,0.5)," +
+      "(26,0.6),(27,0.8),(28,0.7),(29,0.5),(30,0.7),(32,0.7),(33,0.8)," +
+      "(34,0.6),(35,0.7),(36,0.6),(37,0.6),(39,0.4),(40,0.7),(41,0.6)," +
+      "(42,0.8),(43,0.7),(44,0.8),(46,0.6),(47,0.6),(48,0.6),(49,0.5)"
 
   def oracles: Map[String, String] = Map(
     "q_ann_topk" ->

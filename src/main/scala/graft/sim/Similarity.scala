@@ -786,12 +786,21 @@ object Similarity {
     * distribution, so accumulating drift degrades recall even though
     * every individual append is exact.
     *
-    * Caller owns id-uniqueness (an appended cid equal to a stored cid
-    * produces two candidate rows, like any append-only store).
+    * Caller owns id-uniqueness (an appended cid equal to a stored LIVE cid
+    * produces two candidate rows, like any append-only store). Re-adding a
+    * previously DELETED cid is handled: the store is compacted first, so
+    * the tombstone is gone and only the new vector serves — delete→re-add
+    * is an upsert, never stale emptiness or a dead-row resurrection.
     */
   def appendToIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
                          path: String): Unit = {
-    val index = openIvfPqIndex(df.sparkSession, path)
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol).as("cid")).distinct()
+    // fast path: no tombstones, or none colliding — just a semi-join probe
+    if (tombstonesOpt(spark, path)
+          .exists(t => !t.join(ids, Seq("cid"), "left_semi").isEmpty))
+      compactIvfPqIndex(spark, path)
+    val index = openIvfPqIndex(spark, path)
     encodeForIndex(index, df, idCol, vecCol)
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
@@ -850,17 +859,21 @@ object Similarity {
         // survivors of the affected cells only; staged through a temp dir
         // because Spark refuses to overwrite a path it is reading from
         val tmp = s"$path/_compact_tmp"
-        codes.where(col("cell").isin(affected: _*))
+        val survivors = codes.where(col("cell").isin(affected: _*))
           .join(tomb, Seq("cid"), "left_anti")
-          .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-        val staged = spark.read.parquet(tmp)
-        staged.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cell").parquet(s"$path/codes")
-        // a cell whose every vector was tombstoned has no row left, so
-        // dynamic overwrite never visits it — drop its directory directly
+        survivors.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        // an empty partitioned write emits no data files, so the staged
+        // read needs the survivors' schema handed to it explicitly — and
+        // with zero survivors the dynamic overwrite is a no-op anyway
+        val staged = spark.read.schema(survivors.schema).parquet(tmp)
         val stillThere = staged.select(col("cell")).distinct().collect()
           .map(_.get(0)).toSet
+        if (stillThere.nonEmpty)
+          staged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell").parquet(s"$path/codes")
+        // a cell whose every vector was tombstoned has no row left, so
+        // dynamic overwrite never visits it — drop its directory directly
         affected.filterNot(stillThere).foreach { c =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes/cell=$c"), true)
         }

@@ -498,6 +498,34 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$d/codes").count() == 50 - nDead)
   }
 
+  test("index delete then re-add is an upsert: live immediately, no dup rows") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("ivfpq_readd").toString
+    val sample = emb.where(col("vec_id") < 50)
+    Similarity.writeIvfPqIndex(sample, "vec_id", "embedding", d, dim = 64,
+      nlist = 8, m = 8, codebookSize = 16)
+    Similarity.deleteFromIvfPqIndex(Seq(10L, 20L).toDF("vec_id"), "vec_id", d)
+    assert(Similarity.openIvfPqIndex(spark.newSession(), d).codes.count() == 48)
+    // re-add one of the two deleted ids WITHOUT compacting first
+    Similarity.appendToIvfPqIndex(sample.where(col("vec_id") === 10),
+      "vec_id", "embedding", d)
+    val idx = Similarity.openIvfPqIndex(spark.newSession(), d)
+    // id 10 is live again and exactly once (old dead row reclaimed, not
+    // resurrected alongside the new one); id 20's delete still holds
+    assert(idx.codes.where(col("cid") === 10L).count() == 1)
+    assert(idx.codes.where(col("cid") === 20L).count() == 0)
+    assert(idx.codes.count() == 49)
+    // a plain append with NO tombstone collision must stay the cheap
+    // append-only fast path: the untouched tombstone table survives
+    Similarity.deleteFromIvfPqIndex(Seq(30L).toDF("vec_id"), "vec_id", d)
+    Similarity.appendToIvfPqIndex(
+      emb.where(col("vec_id") >= 50 && col("vec_id") < 52),
+      "vec_id", "embedding", d)
+    assert(new java.io.File(s"$d/tombstones").exists(),
+      "a collision-free append must not trigger compaction")
+    assert(Similarity.openIvfPqIndex(spark.newSession(), d).codes.count() == 50)
+  }
+
   test("exact-verify span mode agrees with hash mode on a collision-free corpus") {
     val docs = graft.model.Tables.documents(spark, sfDir)
     def rows(exact: Boolean) =
