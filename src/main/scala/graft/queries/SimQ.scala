@@ -249,6 +249,9 @@ object SimQ extends QueryPack {
     * then append the last 10 with the stored model — built once per
     * (application, sfDir) like [[servedIndexDir]].
     */
+  private[queries] def appendStoreDir(s: SparkSession, dir: String): String =
+    appendIndexDir(s, dir)
+
   private def appendIndexDir(s: SparkSession, dir: String): String =
     indexDirs.getOrElseUpdate(s"${s.sparkContext.applicationId}:$dir:append", {
       val d = graft.util.Tmp.root("graft_ivfpq_app").toString
