@@ -1,0 +1,109 @@
+package graft.serve
+
+import graft.SparkSpec
+import graft.bench.DataGen
+import graft.model.SeriesSpec
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** End-to-end HTTP tests: a real socket, a real client, real Spark jobs
+  * behind the handlers — the uvicorn-level coverage the reference gets
+  * from its FastAPI test client.
+  */
+class ServerSpec extends SparkSpec {
+
+  private lazy val grid = DataGen.sampleGrid(spark, days = 120)
+  private val spec = SeriesSpec("ts", Seq("lat", "lon"), "temperature")
+  private lazy val registry = Map("era5_sample" -> (grid, spec))
+
+  private lazy val srv = Server.start(spark, registry)
+  private val client = HttpClient.newHttpClient()
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${srv.port}$path")).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("banner, info, and health endpoints answer 200 JSON") {
+    val root = get("/")
+    assert(root.statusCode() == 200)
+    assert(root.headers().firstValue("Content-Type").get == "application/json")
+    assert(root.body().contains("\"endpoints\""))
+    assert(get("/api/v1/info").body().contains("\"max_points_per_request\":10000"))
+    assert(get("/health").body().contains("\"status\":\"healthy\""))
+    assert(get("/health/live").body().contains("\"alive\""))
+    val ready = get("/health/ready")
+    assert(ready.statusCode() == 200)
+    assert(ready.body().contains("\"execution\":true"))
+  }
+
+  test("dataset catalog lists and describes; unknown id is a 404 detail") {
+    val list = get("/api/v1/data/datasets")
+    assert(list.statusCode() == 200)
+    assert(list.body().contains("\"count\":1") &&
+      list.body().contains("\"era5_sample\""))
+    val one = get("/api/v1/data/datasets/era5_sample")
+    assert(one.body().contains("\"variable\":\"temperature\""))
+    val missing = get("/api/v1/data/datasets/nope")
+    assert(missing.statusCode() == 404)
+    assert(missing.body() == "{\"detail\":\"Dataset not found: nope\"}")
+  }
+
+  test("point route returns a capped ordered series; bad lat is a 422") {
+    val ok = get("/api/v1/data/datasets/era5_sample/point?lat=12.0&lon=33.0")
+    assert(ok.statusCode() == 200)
+    // 120 daily rows at the snapped cell, Spark-serialized
+    assert("\"temperature\":".r.findAllIn(ok.body()).size == 120)
+    val bad = get("/api/v1/data/datasets/era5_sample/point?lat=123&lon=0")
+    assert(bad.statusCode() == 422)
+    assert(bad.body().contains("lat must be in [-90, 90]"))
+    val nonNum = get("/api/v1/data/datasets/era5_sample/point?lat=abc&lon=0")
+    assert(nonNum.statusCode() == 422)
+  }
+
+  test("region and stats routes honor the bbox; missing bbox on region is 422") {
+    val stats = get("/api/v1/data/datasets/era5_sample/stats" +
+      "?min_lon=0&min_lat=0&max_lon=90&max_lat=45")
+    assert(stats.statusCode() == 200)
+    assert(stats.body().contains("\"p50\":"))
+    val global = get("/api/v1/data/datasets/era5_sample/stats")
+    assert(global.statusCode() == 200)
+    assert(global.body().contains("\"temperature_mean\":"))
+    assert(get("/api/v1/data/datasets/era5_sample/region").statusCode() == 422)
+    val region = get("/api/v1/data/datasets/era5_sample/region" +
+      "?min_lon=0&min_lat=0&max_lon=90&max_lat=45")
+    assert(region.statusCode() == 200)
+  }
+
+  test("metric routes dispatch; invalid metric is a 422 with the allow-list") {
+    val monthly = get("/api/v1/metrics/temporal/era5_sample?metric=monthly&lat=12&lon=33")
+    assert(monthly.statusCode() == 200)
+    assert(monthly.body().contains("\"metric\":\"monthly\""))
+    val trend = get("/api/v1/metrics/trend/era5_sample")
+    assert(trend.statusCode() == 200)
+    val bad = get("/api/v1/metrics/temporal/era5_sample?metric=hourly")
+    assert(bad.statusCode() == 422)
+    assert(bad.body().contains("Allowed:"))
+    assert(get("/api/v1/metrics/temporal/nope?metric=monthly").statusCode() == 404)
+  }
+
+  test("response cache serves repeat requests without recomputing") {
+    val path = "/api/v1/data/datasets/era5_sample/point?lat=45.0&lon=100.0"
+    val first = get(path)
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val second = get(path)
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(first.body() == second.body())
+    assert(jobsBefore == jobsAfter, "cache hit must not launch Spark jobs")
+  }
+
+  test("unknown path 404s; non-GET is a 405") {
+    assert(get("/api/v2/whatever").statusCode() == 404)
+    val post = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${srv.port}/health"))
+        .POST(HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(post.statusCode() == 405)
+  }
+}
