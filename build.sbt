@@ -27,5 +27,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // 24g: at 8g the bench suite's cross-query System.gc() hygiene calls
+  // compact a nearly full old gen (62 Full GCs, worst 1.05s, compounding
+  // across 35 queries — see SCALE.md "Bench tail diagnosis"; the multi-
+  // second tails themselves are host CPU steal, not GC). The box has
+  // 125 GiB; 24g keeps compressed oops and makes the hygiene GCs cheap.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // SPARK_GRAFT_JAVA_OPTS: extra flags for forked run/test JVMs
+  // (e.g. "-Xlog:gc*,safepoint:file=gc.log" when diagnosing latency tails)
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").filter(_.nonEmpty))
