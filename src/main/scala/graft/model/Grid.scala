@@ -96,9 +96,14 @@ object Tables {
       case (d, f) if f.name == "ts" && f.dataType == TimestampNTZType =>
         // some parquet writers mark the column isAdjustedToUTC=false, which
         // Spark surfaces as TIMESTAMP_NTZ — a type `withWatermark` rejects
-        // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The session tz is pinned
-        // UTC, so reinterpreting NTZ as an instant is lossless and matches
-        // DuckDB's tz-naive read of the same file.
+        // (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The NTZ→TIMESTAMP cast is
+        // only lossless when the session tz is UTC (entry points pin it);
+        // a non-UTC caller must fail loudly here, not silently shift every
+        // ts by its zone offset.
+        val tz = d.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"Tables.normalizeTs: TIMESTAMP_NTZ reinterpretation requires " +
+            s"spark.sql.session.timeZone=UTC, got '$tz'")
         d.withColumn("ts", d.col("ts").cast(TimestampType))
       case (d, _) => d
     }

@@ -75,4 +75,155 @@ object Cache {
         v
       }
   }
+
+  /** Pluggable store behind the response cache — the seam where the
+    * reference swaps Redis for its in-memory fallback (`api/cache.py:
+    * 28-177` RedisCache vs `:282-317` InMemoryCache). Implementations
+    * may throw: callers that must never fail a request go through
+    * [[ResilientCache]], which degrades to compute on backend errors
+    * (the reference's `except RedisError: return None` contract).
+    */
+  trait CacheBackend {
+    def get(key: String): Option[String]
+    def put(key: String, value: String, ttlSeconds: Long): Unit
+    def delete(key: String): Boolean
+    def clearPrefix(prefix: String): Int
+    def entryCount: Int
+    /** For /api/v1/info's `"cache"` capability string. */
+    def describe: String
+  }
+
+  /** In-process backend: the [[LruCache]] behind the [[CacheBackend]]
+    * seam (the reference's InMemoryCache fallback).
+    */
+  final class LruBackend(maxEntries: Int = 1024, ttlSeconds: Long = 3600,
+                         clock: () => Long = () => Instant.now.getEpochSecond)
+      extends CacheBackend {
+    private val lru = new LruCache[String](maxEntries, ttlSeconds, clock)
+    def get(key: String): Option[String] = lru.get(key)
+    def put(key: String, value: String, ttlSeconds: Long): Unit =
+      lru.put(key, value, ttlSeconds)
+    def delete(key: String): Boolean = lru.delete(key)
+    def clearPrefix(prefix: String): Int = lru.clearPrefix(prefix)
+    def entryCount: Int = lru.stats.entries
+    def describe: String = "in-memory-lru"
+  }
+
+  /** Process-external backend over a shared directory — the slot the
+    * reference fills with Redis (`api/cache.py:28-177`). One file per
+    * entry (`<urlenc(key)>.cache`, first line = expiry epoch-seconds,
+    * rest = payload), written atomically via temp-file + move so
+    * concurrent uvicorn-style worker processes never observe a torn
+    * value. Expired entries are deleted lazily on read, like Redis TTL
+    * from the caller's perspective. All I/O errors propagate — wrap in
+    * [[ResilientCache]] for the degrade-to-compute serving contract.
+    */
+  final class FileBackend(dir: java.nio.file.Path,
+                          clock: () => Long = () => Instant.now.getEpochSecond)
+      extends CacheBackend {
+    import java.nio.file.{Files, StandardCopyOption}
+    Files.createDirectories(dir)
+
+    private def enc(key: String) =
+      java.net.URLEncoder.encode(key, "UTF-8") + ".cache"
+    private def dec(fileName: String) =
+      java.net.URLDecoder.decode(fileName.stripSuffix(".cache"), "UTF-8")
+
+    def get(key: String): Option[String] = {
+      val p = dir.resolve(enc(key))
+      if (!Files.exists(p)) None
+      else {
+        val body = new String(Files.readAllBytes(p), "UTF-8")
+        val nl = body.indexOf('\n')
+        val expiresAt = body.substring(0, math.max(nl, 0)).toLong
+        if (expiresAt < clock()) { Files.deleteIfExists(p); None }
+        else Some(body.substring(nl + 1))
+      }
+    }
+
+    def put(key: String, value: String, ttlSeconds: Long): Unit = {
+      val tmp = Files.createTempFile(dir, ".put", ".tmp")
+      Files.write(tmp, ((clock() + ttlSeconds).toString + "\n" + value).getBytes("UTF-8"))
+      Files.move(tmp, dir.resolve(enc(key)), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    def delete(key: String): Boolean = Files.deleteIfExists(dir.resolve(enc(key)))
+
+    def clearPrefix(prefix: String): Int = {
+      val it = Files.list(dir).iterator()
+      var n = 0
+      while (it.hasNext) {
+        val p = it.next()
+        val name = p.getFileName.toString
+        if (name.endsWith(".cache") && dec(name).startsWith(prefix) &&
+          Files.deleteIfExists(p)) n += 1
+      }
+      n
+    }
+
+    def entryCount: Int = {
+      val it = Files.list(dir).iterator()
+      var n = 0
+      while (it.hasNext) if (it.next().getFileName.toString.endsWith(".cache")) n += 1
+      n
+    }
+
+    def describe: String = s"file:$dir"
+  }
+
+  final case class ResilientStats(hits: Long, misses: Long, errors: Long,
+                                  degraded: Boolean)
+
+  /** The serving-side cache front: memoization over any [[CacheBackend]]
+    * with the reference's graceful-degradation contract (`api/cache.py`:
+    * every Redis error is caught and the request falls through to
+    * compute — a broken cache slows responses, it never fails them).
+    * After `maxErrors` consecutive backend failures the backend is
+    * bypassed entirely (degraded mode, `connect`-failure analog) until
+    * a later probe succeeds.
+    */
+  final class ResilientCache(backend: CacheBackend, ttlSeconds: Long = 3600,
+                             maxErrors: Int = 3) {
+    private var hits = 0L
+    private var misses = 0L
+    private var errors = 0L
+    private var consecutiveErrors = 0
+    private var bypassed = 0L
+
+    private def attempt[A](op: => A): Option[A] = {
+      val skip = synchronized {
+        // degraded: skip the backend, but probe it every 16th call so a
+        // recovered backend is picked back up without a restart
+        val s = consecutiveErrors >= maxErrors && (bypassed % 16) != 15
+        if (s) bypassed += 1 else bypassed = 0
+        s
+      }
+      if (skip) None
+      else {
+        try { val a = op; synchronized { consecutiveErrors = 0 }; Some(a) }
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            synchronized { errors += 1; consecutiveErrors += 1 }
+            None
+        }
+      }
+    }
+
+    def getOrCompute(key: String)(compute: => String): String =
+      attempt(backend.get(key)).flatten match {
+        case Some(v) => synchronized { hits += 1 }; v
+        case None =>
+          synchronized { misses += 1 }
+          val v = compute
+          attempt(backend.put(key, v, ttlSeconds))
+          v
+      }
+
+    def stats: ResilientStats = synchronized {
+      ResilientStats(hits, misses, errors, consecutiveErrors >= maxErrors)
+    }
+
+    def describe: String = backend.describe
+  }
 }

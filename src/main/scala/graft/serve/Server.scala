@@ -26,9 +26,12 @@ import java.nio.charset.StandardCharsets
   *
   * Error contract is FastAPI's: `{"detail": …}` with 404 (unknown
   * dataset), 422 (validation), 500 (unhandled — `main.py:107-117`).
-  * Successful data/metric responses flow through the [[Cache.LruCache]]
-  * response cache exactly where the reference put Redis (`api/cache.py`),
-  * keyed by [[Cache.cacheKey]] over path + sorted query params.
+  * Successful data/metric responses flow through a
+  * [[Cache.ResilientCache]] over a pluggable [[Cache.CacheBackend]]
+  * exactly where the reference put Redis (`api/cache.py` — in-process
+  * LRU by default, [[Cache.FileBackend]] for cross-process sharing;
+  * backend failures degrade to compute, never to a 500), keyed by
+  * [[Cache.cacheKey]] over path + sorted query params.
   *
   * Serving stays bounded: every row payload is `limit()`-capped at
   * [[Api.MaxPointsPerRequest]] / [[Api.MaxTimeSteps]] BEFORE collect, so
@@ -38,9 +41,17 @@ import java.nio.charset.StandardCharsets
   */
 object Server {
 
-  final class Running private[Server] (server: HttpServer) {
+  final class Running private[Server] (
+      server: HttpServer,
+      pool: java.util.concurrent.ExecutorService,
+      val cacheStats: () => Cache.ResilientStats) {
     def port: Int = server.getAddress.getPort
-    def stop(): Unit = server.stop(0)
+    def stop(): Unit = {
+      server.stop(0)
+      // HttpServer.stop does NOT stop a user-supplied executor; without
+      // this its non-daemon threads keep the JVM alive after stop()
+      pool.shutdown()
+    }
   }
 
   private def nowUtc: String = java.time.Instant.now().toString
@@ -110,10 +121,15 @@ object Server {
       registry: Map[String, (DataFrame, SeriesSpec)],
       port: Int = 0,
       cacheTtlSeconds: Long = 3600L,
-      service: String = "graft-analytics"
+      service: String = "graft-analytics",
+      // the Redis slot: any CacheBackend (e.g. Cache.FileBackend for
+      // cross-process sharing); None = in-process LRU fallback. Backend
+      // failures degrade to compute via ResilientCache, never to a 500.
+      cacheBackend: Option[Cache.CacheBackend] = None
   ): Running = {
-    val cache = new Cache.LruCache[String](maxEntries = 1024,
-      ttlSeconds = cacheTtlSeconds)
+    val backend = cacheBackend.getOrElse(
+      new Cache.LruBackend(maxEntries = 1024, ttlSeconds = cacheTtlSeconds))
+    val cache = new Cache.ResilientCache(backend, ttlSeconds = cacheTtlSeconds)
 
     def datasetJson(id: String, df: DataFrame, spec: SeriesSpec): String = {
       val units = df.schema.fields.find(_.name == spec.valueCol)
@@ -171,7 +187,11 @@ object Server {
         lat = dbl(params, "lat"), lon = dbl(params, "lon"),
         referencePeriod = (params.get("ref_start"), params.get("ref_end")) match {
           case (Some(s), Some(e)) => Some((s, e))
-          case _ => None
+          case (None, None) => None
+          // mirror timeRange(): a half-specified pair is a validation
+          // error, not a silent ignore
+          case _ => throw HttpError(422,
+            "ref_start and ref_end must be given together")
         })
       Routes.metricRoute(spark, registry, req) match {
         case Left(Routes.NotFound(m)) => throw HttpError(404, m)
@@ -219,7 +239,7 @@ object Server {
           "processing" -> jobj(
             "engine" -> jstr("spark-sql"),
             "parallel" -> jstr("spark"),
-            "cache" -> jstr("in-memory-lru")),
+            "cache" -> jstr(cache.describe)),
           "limits" -> jobj(
             "max_points_per_request" -> Api.MaxPointsPerRequest.toString,
             "max_time_steps" -> Api.MaxTimeSteps.toString,
@@ -312,8 +332,9 @@ object Server {
     })
     // small fixed pool: request handling is mostly Spark-job-bound; the
     // pool bounds concurrent driver-side collects, not Spark parallelism
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    server.setExecutor(pool)
     server.start()
-    new Running(server)
+    new Running(server, pool, () => cache.stats)
   }
 }

@@ -37,4 +37,69 @@ class CacheSpec extends AnyFunSuite {
     assert(c.getOrCompute("k")(compute) == 42)
     assert(calls == 1)
   }
+
+  test("FileBackend: cross-instance visibility, TTL, prefix clear, atomic overwrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cache")
+    var now = 1000L
+    val a = new FileBackend(dir, clock = () => now)
+    val b = new FileBackend(dir, clock = () => now) // a second "process"
+    a.put("stats:0001", "v1", ttlSeconds = 10)
+    assert(b.get("stats:0001").contains("v1"), "second instance sees the entry")
+    b.put("stats:0001", "v2", ttlSeconds = 10)
+    assert(a.get("stats:0001").contains("v2"))
+    a.put("point:0002", "p", ttlSeconds = 10)
+    assert(a.entryCount == 2)
+    now += 11
+    assert(a.get("stats:0001").isEmpty, "expired entry reads as miss")
+    a.put("stats:0003", "x", ttlSeconds = 100)
+    a.put("stats:0004", "y", ttlSeconds = 100)
+    assert(a.clearPrefix("stats:") == 2)
+    assert(b.get("stats:0003").isEmpty)
+    // keys with filesystem-hostile characters round-trip
+    a.put("we/ird:k?y=1", "z", ttlSeconds = 100)
+    assert(b.get("we/ird:k?y=1").contains("z"))
+  }
+
+  test("ResilientCache: hits/misses over a healthy backend") {
+    val c = new ResilientCache(new LruBackend(ttlSeconds = 100))
+    var calls = 0
+    def compute = { calls += 1; "r" }
+    assert(c.getOrCompute("k")(compute) == "r")
+    assert(c.getOrCompute("k")(compute) == "r")
+    assert(calls == 1)
+    val s = c.stats
+    assert(s.hits == 1 && s.misses == 1 && s.errors == 0 && !s.degraded)
+  }
+
+  test("ResilientCache: backend failure degrades to compute, never throws") {
+    var broken = true
+    val flaky = new CacheBackend {
+      val inner = new LruBackend(ttlSeconds = 100)
+      private def gate[A](a: => A): A =
+        if (broken) throw new RuntimeException("backend down") else a
+      def get(key: String) = gate(inner.get(key))
+      def put(key: String, value: String, ttlSeconds: Long) =
+        gate(inner.put(key, value, ttlSeconds))
+      def delete(key: String) = gate(inner.delete(key))
+      def clearPrefix(prefix: String) = gate(inner.clearPrefix(prefix))
+      def entryCount = inner.entryCount
+      def describe = "flaky"
+    }
+    val c = new ResilientCache(flaky, maxErrors = 3)
+    var calls = 0
+    def compute = { calls += 1; s"r$calls" }
+    // requests always succeed while the backend throws
+    (1 to 5).foreach(_ => assert(c.getOrCompute("k")(compute).startsWith("r")))
+    assert(calls == 5, "every call recomputes while the backend is down")
+    assert(c.stats.degraded, "after maxErrors consecutive failures, degraded")
+    // recovery: a periodic probe finds the backend healthy again and
+    // caching resumes — the tail of the run serves one cached value
+    broken = false
+    val results = (1 to 40).map(_ => c.getOrCompute("k")(compute))
+    assert(results.drop(20).distinct.size == 1, "backend resumed serving cached values")
+    assert(!c.stats.degraded)
+    val callsAfter = calls
+    (1 to 5).foreach(_ => c.getOrCompute("k")(compute))
+    assert(calls == callsAfter, "post-recovery hits do not recompute")
+  }
 }

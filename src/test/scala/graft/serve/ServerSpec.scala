@@ -11,7 +11,7 @@ import java.net.http.{HttpClient, HttpRequest, HttpResponse}
   * behind the handlers — the uvicorn-level coverage the reference gets
   * from its FastAPI test client.
   */
-class ServerSpec extends SparkSpec {
+class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   private lazy val grid = DataGen.sampleGrid(spark, days = 120)
   private val spec = SeriesSpec("ts", Seq("lat", "lon"), "temperature")
@@ -19,6 +19,11 @@ class ServerSpec extends SparkSpec {
 
   private lazy val srv = Server.start(spark, registry)
   private val client = HttpClient.newHttpClient()
+
+  override def afterAll(): Unit = {
+    srv.stop() // releases the socket AND shuts down the handler pool
+    super.afterAll()
+  }
 
   private def get(path: String): HttpResponse[String] =
     client.send(
@@ -96,6 +101,34 @@ class ServerSpec extends SparkSpec {
     val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     assert(first.body() == second.body())
     assert(jobsBefore == jobsAfter, "cache hit must not launch Spark jobs")
+  }
+
+  test("half-specified reference period is a 422, like start/end dates") {
+    val half = get("/api/v1/metrics/anomaly/era5_sample?ref_start=2020-01-01")
+    assert(half.statusCode() == 422)
+    assert(half.body().contains("ref_start and ref_end must be given together"))
+  }
+
+  test("a file-backed cache is shared across server instances") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-srv-cache")
+    val a = Server.start(spark, registry,
+      cacheBackend = Some(new Cache.FileBackend(dir)))
+    val b = Server.start(spark, registry,
+      cacheBackend = Some(new Cache.FileBackend(dir)))
+    try {
+      val path = "/api/v1/data/datasets/era5_sample/point?lat=-33.0&lon=18.0"
+      def on(port: Int) = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val first = on(a.port)
+      assert(first.statusCode() == 200)
+      val second = on(b.port) // different process-analog, same backing dir
+      assert(second.body() == first.body())
+      assert(b.cacheStats().hits == 1,
+        "second server must hit the shared file cache, not recompute")
+      assert(get("/api/v1/info").body().contains("in-memory-lru"),
+        "default server still reports the in-process backend")
+    } finally { a.stop(); b.stop() }
   }
 
   test("unknown path 404s; non-GET is a 405") {
