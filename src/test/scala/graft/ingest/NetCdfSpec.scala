@@ -1,0 +1,158 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class NetCdfSpec extends SparkSpec {
+  import NetCdf._
+
+  test("cfTimeUnits parses the CF time vocabulary") {
+    assert(cfTimeUnits("days since 1970-01-01").contains((86400.0, 0L)))
+    assert(cfTimeUnits("hours since 1970-01-01 00:00:00").contains((3600.0, 0L)))
+    val d = cfTimeUnits("seconds since 2020-01-02T00:00:00Z")
+    assert(d.contains((1.0, 1577923200000000L)))
+    assert(cfTimeUnits("kelvin").isEmpty)
+    assert(cfTimeUnits("Days since 1996-01-01").isDefined, "case-insensitive")
+  }
+
+  test("header roundtrip: dims, coord vars, attrs, types survive") {
+    val path = tmpDir() + "/h.nc"
+    write(path,
+      dims = Seq(Dim("time", 2), Dim("lat", 3)),
+      vars = Seq(
+        (VarDef("time", Seq("time"), NcDouble,
+          Seq("units" -> "days since 2020-01-01")), Array(0.0, 1.0)),
+        (VarDef("lat", Seq("lat"), NcDouble), Array(-10.0, 0.0, 10.0)),
+        (VarDef("t2m", Seq("time", "lat"), NcFloat,
+          Seq("units" -> "K", "_FillValue" -> -9999.0f)),
+          Array(1, 2, 3, 4, 5, -9999).map(_.toDouble))),
+      gatts = Seq("title" -> "graft test", "Conventions" -> "CF-1.8"))
+    val h = readHeader(path)
+    assert(h.version == 1 && h.numRecs == 0)
+    assert(h.dims == IndexedSeq(Dim("time", 2), Dim("lat", 3)))
+    assert(h.gatts.find(_.name == "title").flatMap(_.str).contains("graft test"))
+    val t2m = h.variable("t2m")
+    assert(t2m.tpe == NcFloat)
+    assert(t2m.dimIds == IndexedSeq(0, 1))
+    assert(t2m.attr("units").flatMap(_.str).contains("K"))
+    assert(t2m.attr("_FillValue").flatMap(_.num).contains(-9999.0))
+    assert(readVarDriver(path, h, "lat").toSeq == Seq(-10.0, 0.0, 10.0))
+    // info() surfaces the variable inventory
+    val inf = NetCdf.info(spark, path).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(inf == Map("time" -> 2L, "lat" -> 3L, "t2m" -> 6L))
+  }
+
+  test("distributed read: CF time decode, unpacking, fill -> null") {
+    val path = tmpDir() + "/grid.nc"
+    val (nt, nlat, nlon) = (4, 3, 2)
+    val temps = Array.tabulate(nt * nlat * nlon)(i => 250.0 + i) // kelvin
+    // pack as shorts: t = raw * 0.5 + 200, fill = -32768
+    val packed = temps.map(t => (t - 200.0) / 0.5)
+    packed(5) = -32768.0
+    write(path,
+      dims = Seq(Dim("time", nt), Dim("lat", nlat), Dim("lon", nlon)),
+      vars = Seq(
+        (VarDef("time", Seq("time"), NcDouble,
+          Seq("units" -> "hours since 2021-06-01")),
+          Array.tabulate(nt)(_ * 6.0)),
+        (VarDef("lat", Seq("lat"), NcDouble), Array(-45.0, 0.0, 45.0)),
+        (VarDef("lon", Seq("lon"), NcDouble), Array(0.0, 90.0)),
+        (VarDef("t2m", Seq("time", "lat", "lon"), NcShort,
+          Seq("scale_factor" -> 0.5, "add_offset" -> 200.0,
+            "_FillValue" -> (-32768: Short))), packed),
+        (VarDef("count", Seq("time", "lat", "lon"), NcInt),
+          Array.tabulate(nt * nlat * nlon)(_.toDouble))))
+    val df = read(spark, path, Seq("t2m", "count"))
+    assert(df.columns.toSeq == Seq("time", "lat", "lon", "t2m", "count"))
+    assert(df.count() == nt * nlat * nlon)
+    assert(df.schema("time").dataType.typeName == "timestamp")
+    // CF time: hour offsets from the epoch in the units string
+    val times = df.select(col("time")).distinct().orderBy("time")
+      .collect().map(_.getTimestamp(0).toString)
+    assert(times.head == "2021-06-01 00:00:00.0" && times(1) == "2021-06-01 06:00:00.0")
+    // unpacking: raw * 0.5 + 200 restores kelvin, fill is null
+    val row0 = df.where(col("count") === 0).head()
+    assert(row0.getDouble(row0.fieldIndex("t2m")) == 250.0)
+    assert(df.where(col("t2m").isNull).count() == 1)
+    assert(df.where(col("count") === 5).head().isNullAt(3))
+    // row-major unravel: value follows the (time, lat, lon) odometer
+    val at = df.where(col("time") === lit("2021-06-01 06:00:00").cast("timestamp") &&
+      col("lat") === 0.0 && col("lon") === 90.0).head()
+    val flat = ((1 * nlat) + 1) * nlon + 1
+    assert(at.getDouble(at.fieldIndex("t2m")) == 250.0 + flat)
+  }
+
+  test("converted parquet equals the in-memory source (the on-ramp contract)") {
+    val base = tmpDir()
+    val path = base + "/conv.nc"
+    val n = Array.tabulate(2 * 2 * 2)(i => (i * 7 % 5) + 1.0)
+    write(path,
+      dims = Seq(Dim("time", 2), Dim("lat", 2), Dim("lon", 2)),
+      vars = Seq(
+        (VarDef("time", Seq("time"), NcDouble,
+          Seq("units" -> "days since 1996-01-01")), Array(0.0, 31.0)),
+        (VarDef("lat", Seq("lat"), NcDouble), Array(-10.0, 10.0)),
+        (VarDef("lon", Seq("lon"), NcDouble), Array(20.0, 40.0)),
+        (VarDef("pr", Seq("time", "lat", "lon"), NcDouble), n)))
+    convertToParquet(spark, path, base + "/pq", Seq("pr"))
+    val back = spark.read.parquet(base + "/pq")
+    val direct = read(spark, path, Seq("pr"))
+    // parquet round-trips names and types (nullability widens on read)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      direct.schema.map(f => (f.name, f.dataType)))
+    // aggregate equivalence, the q_monthly_mean-style check
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(month(col("time")).as("m")).agg(sum("pr").as("s"))
+        .orderBy("m").collect().toSeq
+    assert(agg(back) == agg(direct))
+    assert(agg(back).map(_.getDouble(1)).sum == n.sum)
+  }
+
+  test("a record-dimension file reads identically (spec interleaving)") {
+    // hand-build a CDF-1 file with time as the RECORD dim and two record
+    // vars, exercising the interleaved-record read path our writer does
+    // not produce
+    val path = tmpDir() + "/rec.nc"
+    val bb = java.nio.ByteBuffer.allocate(4096)
+    def name(s: String): Unit = {
+      bb.putInt(s.length); bb.put(s.getBytes("UTF-8"))
+      (s.length % 4) match { case 0 => case r => (0 until 4 - r).foreach(_ => bb.put(0.toByte)) }
+    }
+    bb.put(Array[Byte]('C', 'D', 'F', 1))
+    bb.putInt(3) // numrecs = 3
+    bb.putInt(0x0A); bb.putInt(2)
+    name("time"); bb.putInt(0) // record dim
+    name("x"); bb.putInt(2)
+    bb.putInt(0); bb.putInt(0) // no gatts
+    bb.putInt(0x0B); bb.putInt(2) // two record vars
+    val vsize = 2 * 8 // 2 doubles, already 4-aligned
+    // headerLen: computed after layout — patch begins below
+    val beginPatch = scala.collection.mutable.ArrayBuffer[Int]()
+    name("a"); bb.putInt(2); bb.putInt(0); bb.putInt(1); bb.putInt(0); bb.putInt(0)
+    bb.putInt(6); bb.putInt(vsize); beginPatch += bb.position(); bb.putInt(0)
+    name("b"); bb.putInt(2); bb.putInt(0); bb.putInt(1); bb.putInt(0); bb.putInt(0)
+    bb.putInt(6); bb.putInt(vsize); beginPatch += bb.position(); bb.putInt(0)
+    val headerEnd = bb.position()
+    bb.putInt(beginPatch(0), headerEnd)
+    bb.putInt(beginPatch(1), headerEnd + vsize)
+    // records interleaved: rec r = [a(r, 0..1), b(r, 0..1)]
+    (0 until 3).foreach { r =>
+      bb.putDouble(r * 10.0); bb.putDouble(r * 10.0 + 1)
+      bb.putDouble(r * 100.0); bb.putDouble(r * 100.0 + 1)
+    }
+    val bytes = new Array[Byte](bb.position()); bb.rewind(); bb.get(bytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+
+    val h = readHeader(path)
+    assert(h.numRecs == 3 && h.dims(0).isRecord)
+    assert(h.recSize == 2 * vsize, "two record vars -> summed vsizes")
+    val df = read(spark, path, Seq("a", "b")).orderBy("time", "x")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq(
+      (0L, 0L, 0.0, 0.0), (0L, 1L, 1.0, 1.0),
+      (1L, 0L, 10.0, 100.0), (1L, 1L, 11.0, 101.0),
+      (2L, 0L, 20.0, 200.0), (2L, 1L, 21.0, 201.0)))
+  }
+}
