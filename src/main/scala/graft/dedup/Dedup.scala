@@ -255,25 +255,31 @@ object Dedup {
     * alone under-merge: A~B, B~C must collapse to ONE cluster even when
     * A~C was never emitted).
     *
-    * Algorithm: iterative min-label propagation. Each round joins every
-    * node's current label against the (small, already-deduplicated) pair
-    * list and takes the min over neighbors' labels; stops when no label
-    * changed. Rounds needed = graph diameter, and near-dup graphs are
-    * clusters of near-identical docs — diameter a handful at worst. Each
-    * round is one broadcast-or-shuffle join of the LABELS frame (one row
-    * per doc IN some pair — candidates only, not the corpus), so the cost
-    * is rounds × join(|pairs|), never corpus-sized. `maxIterations` hard-
-    * stops pathological chains; the result is then still a valid (if
-    * unconverged) refinement — [[connectedComponentsWithStatus]] exposes
-    * the converged flag, and this convenience form logs a warning instead
-    * (an unconverged labeling can keep >1 doc per true cluster on chains
-    * whose diameter exceeds `maxIterations`).
+    * Algorithm: stats-driven, AQE-style. The edge list is materialized
+    * (it is candidate-sized — near-dup pairs, orders of magnitude below
+    * the corpus) and counted once; a graph at or under `driverMaxEdges`
+    * runs a driver-side union-find (O(E α(E)), one collect bounded by the
+    * explicit threshold — the same bounded-collect class as the k-means
+    * seed and nlist-cell collects) while a larger one runs iterative
+    * min-label propagation on the cluster. Propagation rounds = graph
+    * diameter (near-dup graphs are clusters of near-identical docs —
+    * diameter a handful at worst), each round one join of the labels
+    * frame against the pair list, shuffle width sized to the edge count,
+    * so the cost is rounds × join(|pairs|), never corpus-sized.
+    * `maxIterations` hard-stops pathological chains; the result is then
+    * still a valid (if unconverged) refinement —
+    * [[connectedComponentsWithStatus]] exposes the converged flag, and
+    * this convenience form logs a warning instead (an unconverged
+    * labeling can keep >1 doc per true cluster on chains whose diameter
+    * exceeds `maxIterations`).
     */
   def connectedComponents(
       pairs: DataFrame,
-      maxIterations: Int = 20
+      maxIterations: Int = 20,
+      driverMaxEdges: Long = DefaultDriverMaxEdges
   ): DataFrame = {
-    val (labels, converged) = connectedComponentsWithStatus(pairs, maxIterations)
+    val (labels, converged) =
+      connectedComponentsWithStatus(pairs, maxIterations, driverMaxEdges)
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents: label propagation did not converge within " +
@@ -282,42 +288,103 @@ object Dedup {
     labels
   }
 
+  /** Edge-count threshold under which connected components runs as a
+    * driver-side union-find instead of iterative cluster rounds: 4M edges
+    * ≈ 64 MB collected — the same bounded-collect size class as the ANN
+    * seed/cell collects. Above it, label propagation runs distributed.
+    */
+  val DefaultDriverMaxEdges: Long = 4000000L
+
   /** [[connectedComponents]] plus an explicit convergence flag: `true` iff
-    * a full propagation round changed no label before `maxIterations` ran
-    * out. Callers that must not act on partial clusters gate on the flag.
+    * the labeling is complete — always for the union-find path, and for
+    * propagation iff a full round changed no label before `maxIterations`
+    * ran out. Callers that must not act on partial clusters gate on the
+    * flag. Set `driverMaxEdges = 0` to force the distributed path.
     */
   def connectedComponentsWithStatus(
       pairs: DataFrame,
-      maxIterations: Int = 20
+      maxIterations: Int = 20,
+      driverMaxEdges: Long = DefaultDriverMaxEdges
   ): (DataFrame, Boolean) = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
       .where(col("id1") =!= col("id2"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges.count()
+    if (nEdges <= driverMaxEdges) {
+      // Small-graph strategy (the overwhelmingly common dedup case: the
+      // pair table is the candidate set, not the corpus): collect the
+      // edges once — bounded by the explicit threshold — and union-find
+      // on the driver. Union-by-min + path compression keeps the
+      // representative = min id of the component, identical to what
+      // min-label propagation converges to, so the two paths are
+      // result-equivalent and oracle replays are strategy-independent.
+      // A 20-stage propagation on a 51-edge graph costs ~2 s of pure
+      // scheduling; this path costs one collect (SCALE.md).
+      val rows = edges.collect()
+      edges.unpersist()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      rows.foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet().forEach(id => out += ((id.toLong, find(id))))
+      import spark.implicits._
+      return (out.toSeq.toDF("doc_id", "cluster_id"), true)
+    }
+    // Large-graph strategy: iterative min-label propagation, shuffle
+    // width sized to the GRAPH, not the session — each round persists
+    // its output, which pins the session's full shuffle width onto every
+    // subsequent stage (AQE does not re-coalesce cached plans). ~2M edges
+    // per partition, so a billion-edge graph still fans out. The conf is
+    // saved/restored around the loop — plans compiled outside it are
+    // unaffected.
+    val np = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      nEdges / 2000000L + 1L)).toString
     // both directions once, so one join propagates labels both ways
     val und = edges.unionByName(
       edges.select(col("id2").as("id1"), col("id1").as("id2")))
-    var labels = edges.select(explode(array(col("id1"), col("id2"))).as("id"))
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", np)
+    var labels = und.select(col("id1").as("id"))
       .distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var i = 0
-    while (!converged && i < maxIterations) {
-      val next = und.join(labels.withColumnRenamed("id", "id2"), Seq("id2"))
-        .groupBy(col("id1").as("id"))
-        .agg(min(col("label")).as("nbr"))
-        .join(labels, Seq("id"))
-        .select(col("id"), least(col("label"), col("nbr")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .where(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      i += 1
-    }
+    try {
+      while (!converged && i < maxIterations) {
+        // min over neighbors' labels, change-detection folded into the
+        // same pass (nbr < label) — one action per round, no extra join
+        val next = und
+          .join(labels.select(col("id").as("id2"), col("label").as("nlabel")),
+            Seq("id2"))
+          .groupBy(col("id1").as("id"))
+          .agg(min(col("nlabel")).as("nbr"))
+          .join(labels, Seq("id"))
+          .select(col("id"), least(col("label"), col("nbr")).as("label"),
+            (col("nbr") < col("label")).as("chg"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val changed = next.where(col("chg")).limit(1).count()
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        i += 1
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     edges.unpersist()
     // truncate the iteration lineage: the result is a small (candidate-set
     // sized) frame; localCheckpoint materializes it once and its blocks are

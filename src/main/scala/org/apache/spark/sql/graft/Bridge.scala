@@ -17,6 +17,13 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `TypeCollection` (accept-any-of input type) is `private[sql]` like
+    * `AbstractDataType` itself — re-exported for expressions that take
+    * e.g. array<float> OR array<double> without forcing a cast.
+    */
+  def typeCollection(ts: AbstractType*): AbstractType =
+    org.apache.spark.sql.types.TypeCollection(ts: _*)
+
   /** The session's stable UUID (`private[sql]` on the classic session) —
     * a string identity for memo maps that must not strongly hold the
     * session object itself.
