@@ -179,13 +179,24 @@ class DedupSpec extends SparkSpec {
 
   test("connectedComponentsWithStatus reports non-convergence on deep chains") {
     import spark.implicits._
-    // path graph of diameter 7: label 1 needs ~7 rounds to reach node 8
+    // path graph of diameter 7: label 1 needs ~7 rounds to reach node 8.
+    // driverMaxEdges = 0 forces the distributed propagation path (the
+    // default union-find path always converges and both strategies are
+    // result-equivalent — asserted below)
     val chain = (1L to 7L).map(i => (i, i + 1)).toDF("id1", "id2")
-    val (_, c2) = Dedup.connectedComponentsWithStatus(chain, maxIterations = 2)
+    val (_, c2) = Dedup.connectedComponentsWithStatus(chain,
+      maxIterations = 2, driverMaxEdges = 0)
     assert(!c2, "2 iterations cannot converge a diameter-7 chain")
-    val (labels, ok) = Dedup.connectedComponentsWithStatus(chain, maxIterations = 20)
+    val (labels, ok) = Dedup.connectedComponentsWithStatus(chain,
+      maxIterations = 20, driverMaxEdges = 0)
     assert(ok)
     assert(labels.collect().forall(_.getLong(1) == 1L))
+    // strategy equivalence: union-find (default) produces the identical
+    // labeling the converged propagation run produced
+    val uf = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uf == prop)
   }
 
   test("non-castable ids fail loudly instead of silently vanishing (ANSI off)") {
@@ -416,6 +427,40 @@ class DedupSpec extends SparkSpec {
       assert(drift.forall(_.getDouble(3) >= 0.0) &&
         drift.exists(_.getDouble(3) > 0.0))
     }
+  }
+
+  test("index refit: drift past threshold rewrites; refit index == fresh fit") {
+    val d = java.nio.file.Files.createTempDirectory("ivfpq_refit").toString
+    val old = emb.where(col("vec_id") < 40)
+    val grown = emb.where(col("vec_id") < 80)
+    Similarity.writeIvfPqIndex(old, "vec_id", "embedding", d, dim = 64,
+      nlist = 8, m = 8, codebookSize = 16)
+    // steady state: no appends yet, nothing to do at any sane threshold
+    assert(!Similarity.refitIvfPqIndex(old, "vec_id", "embedding", d,
+      threshold = 0.5), "no drift -> no refit")
+    Similarity.appendToIvfPqIndex(
+      emb.where(col("vec_id") >= 40 && col("vec_id") < 80),
+      "vec_id", "embedding", d)
+    // the corpus doubled: some cell must have grown ≥ 50%
+    assert(Similarity.refitIvfPqIndex(grown, "vec_id", "embedding", d,
+      threshold = 0.5), "drift past threshold -> refit")
+    val fresh = spark.newSession()
+    val idx = Similarity.openIvfPqIndex(fresh, d)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // recall parity: a refit store serves bit-identically to a direct fit
+    // on today's corpus (same seed, same params) — the append-era
+    // quantization drift is gone
+    val served = rows(Similarity.ivfPqServe(idx, grown, "vec_id", "embedding",
+      k = 5, nprobe = 4))
+    val direct = rows(Similarity.ivfPqTopK(grown, "vec_id", "embedding", k = 5,
+      dim = 64, nlist = 8, nprobe = 4, m = 8, codebookSize = 16))
+    assert(served == direct, "refit index must equal a fresh direct fit")
+    // the lifecycle loop is closed: post-refit drift is identically zero
+    val drift = Similarity.ivfPqCellDrift(fresh, d).collect()
+    assert(drift.forall(_.getDouble(3) == 0.0), "refit re-arms the drift signal")
+    assert(!Similarity.refitIvfPqIndex(grown, "vec_id", "embedding", d,
+      threshold = 0.5), "re-armed signal -> steady-state no-op")
   }
 
   test("index delete: tombstone serve parity, compaction rewrites only affected cells") {
