@@ -230,6 +230,41 @@ object SimQ extends QueryPack {
         .agg(round(sum(coalesce(col("hit"), lit(0))) / 10.0, 6).as("recall"))
         .join(cmpF, Seq("id1"))
         .join(cmpC, Seq("id1"))
+    }),
+    // Drift-triggered REFIT — the last arc of the lifecycle (fit → serve
+    // → append → delete → compact → drift → refit). The fixture grows a
+    // fit-40 store by 10 appends, then refitIvfPqIndex fires on the
+    // drift signal (and proves itself a no-op immediately after — the
+    // requires in refitIndexDir are part of the gate). A refit store is
+    // bit-identical to a fresh fit on today's corpus with the same seed,
+    // so serving it must match servedIndexDir's pinned full-fit twin
+    // row-for-row (matches_full_fit, null-safe full-outer) and its
+    // recall@10 must equal q_ivfpq_served's pinned vector exactly —
+    // which is the oracle.
+    "q_ivfpq_refit" -> ((s, dir) => {
+      val rDir = refitIndexDir(s, dir)
+      val pinDir = servedIndexDir(s, dir)
+      val fresh = s.newSession()
+      val emb = Tables.embeddings(fresh, dir).where(col("vec_id") < 50)
+      val idx = Similarity.openIvfPqIndex(fresh, rDir)
+      val served = Similarity.ivfPqServe(idx, emb, "vec_id", "embedding",
+        k = 10, nprobe = 4)
+      val direct = fresh.read.parquet(s"$pinDir/expected/direct")
+      val exact = fresh.read.parquet(s"$pinDir/expected/exact")
+      served
+        .select(col("id1"), col("rank"),
+          col("id2").as("sid2"), col("score").as("sscore"))
+        .join(direct.select(col("id1"), col("rank"),
+          col("id2").as("did2"), col("score").as("dscore")),
+          Seq("id1", "rank"), "full")
+        .join(exact.select(col("id1"), col("id2").as("sid2"),
+          lit(1).as("hit")), Seq("id1", "sid2"), "left")
+        .groupBy(col("id1"))
+        .agg(
+          round(sum(coalesce(col("hit"), lit(0))) / 10.0, 6).as("recall"),
+          min(col("sid2") <=> col("did2") && col("sscore") <=> col("dscore"))
+            .as("matches_full_fit"))
+        .select(col("id1"), col("recall"), col("matches_full_fit"))
     })
   )
 
@@ -278,6 +313,34 @@ object SimQ extends QueryPack {
       Similarity.appendToIvfPqIndex(
         emb.where(col("vec_id") >= 40 && col("vec_id") < 50),
         "vec_id", "embedding", d)
+      d
+    })
+
+  /** Store for q_ivfpq_refit: grown like [[appendIndexDir]] (fit on 40,
+    * append 10 — the quantizer never saw the appended vectors), then
+    * REFIT from the full current corpus via the drift trigger. The two
+    * `require`s are part of the gate: the first refit must fire (the
+    * grown store is stale past the threshold) and a second must NOT
+    * (refit resets the drift baseline — the cheap steady-state probe).
+    * A refit store is bit-identical to a fresh fit on the same corpus
+    * with the same seed, which q_ivfpq_refit asserts per query against
+    * [[servedIndexDir]]'s pinned full-fit twin.
+    */
+  private def refitIndexDir(s: SparkSession, dir: String): String =
+    indexDirs.getOrElseUpdate(s"${s.sparkContext.applicationId}:$dir:refit", {
+      val d = graft.util.Tmp.root("graft_ivfpq_refit").toString
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeIvfPqIndex(
+        emb.where(col("vec_id") < 40), "vec_id", "embedding", d,
+        dim = 64, nlist = 8, m = 8, codebookSize = 16)
+      Similarity.appendToIvfPqIndex(
+        emb.where(col("vec_id") >= 40 && col("vec_id") < 50),
+        "vec_id", "embedding", d)
+      val corpus = emb.where(col("vec_id") < 50)
+      require(Similarity.refitIvfPqIndex(corpus, "vec_id", "embedding", d,
+        threshold = 0.1), "refit must trigger on the grown store")
+      require(!Similarity.refitIvfPqIndex(corpus, "vec_id", "embedding", d,
+        threshold = 0.1), "refit must be a no-op right after a refit")
       d
     })
 
@@ -419,6 +482,12 @@ object SimQ extends QueryPack {
     // vector, and the engine-side bit-exact comparison pinned true
     "q_ivfpq_served" ->
       ("""SELECT CAST(id1 AS BIGINT) AS id1, TRUE AS matches_direct,
+         |  CAST(recall AS DOUBLE) AS recall
+         |FROM (VALUES """.stripMargin + ivfPqRecallValues + ") AS t(id1, recall)"),
+    // a refit store is bit-identical to the fresh full fit, so its serve
+    // replays q_ivfpq_served's pinned recall vector verbatim
+    "q_ivfpq_refit" ->
+      ("""SELECT CAST(id1 AS BIGINT) AS id1, TRUE AS matches_full_fit,
          |  CAST(recall AS DOUBLE) AS recall
          |FROM (VALUES """.stripMargin + ivfPqRecallValues + ") AS t(id1, recall)"),
     // pinned recall@10 of serving the GROWN store (fit on 40, append 10,
