@@ -154,6 +154,36 @@ object ScaleProbe {
       })
     }
 
+    if (what == "cc" || what == "all") {
+      // Connected-components strategy crossover (see Dedup.scala
+      // connectedComponentsWithStatus): driver union-find (bounded
+      // collect) vs distributed min-label propagation, on a realistic
+      // near-dup edge shape — star clusters of 5 (4 edges per 5 nodes)
+      // plus 1% diameter-4 chains so propagation needs >1 round.
+      val nEdges = size match {
+        case "small" => 1000000L
+        case "medium" => 4000000L
+        case "large" => 16000000L
+        case other => throw new IllegalArgumentException(s"Unknown size: $other")
+      }
+      val n = nEdges * 5 / 4
+      def pairs = spark.range(n).where(col("id") % 5 =!= 0)
+        .select(col("id").as("id1"),
+          when(col("id") % 500 === 499, col("id") - 1) // chain tail: 496-497-498-499
+            .otherwise(col("id") - col("id") % 5).as("id2"))
+      println(s"$size cc_edges=${pairs.count()}")
+      time("cc_driver_unionfind") {
+        val (labels, _) = Dedup.connectedComponentsWithStatus(
+          pairs, driverMaxEdges = Long.MaxValue)
+        labels.write.format("noop").mode("overwrite").save()
+      }
+      time("cc_distributed") {
+        val (labels, _) = Dedup.connectedComponentsWithStatus(
+          pairs, driverMaxEdges = 0)
+        labels.write.format("noop").mode("overwrite").save()
+      }
+    }
+
     if (what == "asof" || what == "all") {
       // Point-in-time enrichment at stream scale: the union+window
       // composition vs the native sort-merge exec on the same inputs.
