@@ -5,7 +5,6 @@ import org.apache.spark.sql.types._
 
 import java.io.{DataOutputStream, FileOutputStream, RandomAccessFile}
 import java.nio.ByteBuffer
-import java.nio.channels.FileChannel
 
 /** NetCDF classic (CDF-1/CDF-2) container support, written against the
   * PUBLIC file-format spec (the NetCDF "classic format spec" BNF published
@@ -94,6 +93,62 @@ object NetCdf {
     }
   }
 
+  // ---- storage access ----
+
+  /** Positioned-read handle. Local paths (no scheme / file:) go straight
+    * to RandomAccessFile; every other scheme resolves through Hadoop's
+    * FileSystem API, so an archive on hdfs:// or s3a:// scans with the
+    * SAME byte-range pattern as a local one — the object-store layout a
+    * 100 TB .nc archive actually lives in.
+    */
+  private trait PosRead extends java.io.Closeable {
+    def readFully(pos: Long, dst: Array[Byte], off: Int, len: Int): Unit
+    def length: Long
+  }
+
+  private def openRead(path: String, fsProps: Map[String, String]): PosRead = {
+    val uri = java.net.URI.create(path)
+    if (uri.getScheme == null || uri.getScheme == "file") {
+      val f = if (uri.getScheme == null) path else uri.getPath
+      val raf = new RandomAccessFile(f, "r")
+      new PosRead {
+        def readFully(pos: Long, dst: Array[Byte], off: Int, len: Int): Unit = {
+          raf.seek(pos); raf.readFully(dst, off, len)
+        }
+        def length: Long = raf.length()
+        def close(): Unit = raf.close()
+      }
+    } else {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      fsProps.foreach { case (k, v) => conf.set(k, v) }
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val len = fs.getFileStatus(p).getLen
+      val in = fs.open(p)
+      new PosRead {
+        def readFully(pos: Long, dst: Array[Byte], off: Int, len: Int): Unit =
+          in.readFully(pos, dst, off, len)
+        def length: Long = len
+        def close(): Unit = in.close()
+      }
+    }
+  }
+
+  /** The `fs.*` Hadoop properties of the session (filesystem impls +
+    * credentials), captured on the driver and shipped in task closures so
+    * executors open remote paths with the session's configuration.
+    */
+  private def fsProps(spark: SparkSession): Map[String, String] = {
+    val c = spark.sessionState.newHadoopConf()
+    val b = Map.newBuilder[String, String]
+    val it = c.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith("fs.")) b += e.getKey -> e.getValue
+    }
+    b.result()
+  }
+
   // ---- header parsing (driver-side; headers are KBs) ----
 
   private final class Reader(buf: ByteBuffer) {
@@ -123,12 +178,14 @@ object NetCdf {
     }
   }
 
-  def readHeader(path: String): Header = {
-    val raf = new RandomAccessFile(path, "r")
+  def readHeader(path: String): Header = readHeader(path, Map.empty)
+
+  private[ingest] def readHeader(path: String, props: Map[String, String]): Header = {
+    val raf = openRead(path, props)
     try {
       // headers are tiny; 1 MiB covers pathological attr lists
-      val headBytes = new Array[Byte](math.min(raf.length(), 1L << 20).toInt)
-      raf.readFully(headBytes)
+      val headBytes = new Array[Byte](math.min(raf.length, 1L << 20).toInt)
+      raf.readFully(0L, headBytes, 0, headBytes.length)
       val r = new Reader(ByteBuffer.wrap(headBytes))
       require(r.i4() >>> 8 == 0x434446, s"$path: not a NetCDF classic file")
       val version = headBytes(3).toInt
@@ -190,19 +247,23 @@ object NetCdf {
   }
 
   /** Driver-side read of a whole (small) variable — coordinate vars only. */
-  def readVarDriver(path: String, h: Header, name: String): Array[Double] = {
+  def readVarDriver(path: String, h: Header, name: String): Array[Double] =
+    readVarDriver(path, h, name, Map.empty)
+
+  private[ingest] def readVarDriver(path: String, h: Header, name: String,
+                                    props: Map[String, String]): Array[Double] = {
     val v = h.variable(name)
     val n0 = v.dimIds.headOption.map(h.dimLen).getOrElse(1)
-    val raf = new RandomAccessFile(path, "r")
+    val raf = openRead(path, props)
     try {
       if (v.dimIds.isEmpty) {
         val bytes = new Array[Byte](v.tpe.size)
-        raf.seek(v.begin); raf.readFully(bytes)
+        raf.readFully(v.begin, bytes, 0, bytes.length)
         decodeSlab(bytes, v.tpe)
       } else (0 until n0).toArray.flatMap { i0 =>
         val (off, len) = sliceRange(h, v, i0)
         val bytes = new Array[Byte](len)
-        raf.seek(off); raf.readFully(bytes)
+        raf.readFully(off, bytes, 0, len)
         decodeSlab(bytes, v.tpe)
       }
     } finally raf.close()
@@ -252,7 +313,7 @@ object NetCdf {
     * per variable, driver-side header only.
     */
   def info(spark: SparkSession, path: String): DataFrame = {
-    val h = readHeader(path)
+    val h = readHeader(path, fsProps(spark))
     val rows = h.vars.map { v =>
       Row(v.name, v.tpe.toString.stripPrefix("Nc").toLowerCase,
         v.dimIds.map(h.dims(_).name).mkString(","),
@@ -280,7 +341,8 @@ object NetCdf {
     */
   def read(spark: SparkSession, path: String, varNames: Seq[String],
            numPartitions: Int = 0): DataFrame = {
-    val h = readHeader(path)
+    val props = fsProps(spark)
+    val h = readHeader(path, props)
     val vs = varNames.map(h.variable)
     val dimIds = vs.head.dimIds
     require(vs.forall(_.dimIds == dimIds),
@@ -295,7 +357,7 @@ object NetCdf {
         val dn = h.dims(id).name
         h.vars.find(v => v.name == dn && v.dimIds == IndexedSeq(id)) match {
           case Some(cv) =>
-            val vals = readVarDriver(path, h, dn)
+            val vals = readVarDriver(path, h, dn, props)
             val unpack = unpackOf(cv)
             val unpacked = vals.map(r => Option(unpack(r)).map(_.toDouble).getOrElse(Double.NaN))
             (dn, Some(unpacked), cv.attr("units").flatMap(_.str).flatMap(cfTimeUnits))
@@ -321,7 +383,7 @@ object NetCdf {
     val rowsRdd = spark.sparkContext
       .range(0L, dimLens(0).toLong, 1L, math.max(parts, 1))
       .mapPartitions { slices =>
-        val ch = FileChannel.open(java.nio.file.Paths.get(path))
+        val ch = openRead(path, props)
         val slabs = new Array[Array[Double]](varMeta.length)
         new Iterator[Row] {
           private var rem: Iterator[Row] = Iterator.empty
@@ -335,13 +397,9 @@ object NetCdf {
             while (vi < varMeta.length) {
               val (v, hh) = varMeta(vi)
               val (off, len) = sliceRange(hh, v, i0)
-              val bb = ByteBuffer.allocate(len)
-              var read = 0
-              while (read < len) {
-                val r = ch.read(bb, off + read)
-                require(r > 0, s"short read at $off+$read"); read += r
-              }
-              slabs(vi) = decodeSlab(bb.array(), v.tpe)
+              val bytes = new Array[Byte](len)
+              ch.readFully(off, bytes, 0, len)
+              slabs(vi) = decodeSlab(bytes, v.tpe)
               vi += 1
             }
             val idx = new Array[Int](innerLens.length)
@@ -390,6 +448,26 @@ object NetCdf {
   def convertToParquet(spark: SparkSession, ncPath: String, outDir: String,
                        varNames: Seq[String]): Unit =
     read(spark, ncPath, varNames).write.mode("overwrite").parquet(outDir)
+
+  /** Read every `.nc` file under `dir` (the archive layout the reference
+    * ingests: one file per year/month/tile) into ONE long-form frame —
+    * `unionByName` so files may declare variables in any order, each
+    * file's scan independently parallel over its outer dimension, so a
+    * directory of F files runs F × slices tasks. Headers (KBs each)
+    * parse on the driver; file data never does.
+    */
+  def readDir(spark: SparkSession, dir: String, varNames: Seq[String]): DataFrame = {
+    val props = fsProps(spark)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    props.foreach { case (k, v) => conf.set(k, v) }
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val files = fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".nc"))
+      .map(_.getPath.toString).sorted
+    require(files.nonEmpty, s"no .nc files under $dir")
+    files.map(f => read(spark, f, varNames)).reduce(_.unionByName(_))
+  }
 
   // ---- writer (export / test fixtures; data passed as driver arrays) ----
 

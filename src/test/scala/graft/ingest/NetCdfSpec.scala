@@ -109,6 +109,35 @@ class NetCdfSpec extends SparkSpec {
     assert(agg(back).map(_.getDouble(1)).sum == n.sum)
   }
 
+  test("readDir unions an archive directory of monthly files") {
+    // the reference's archive layout: one file per time chunk
+    val base = tmpDir()
+    val lats = Array(-30.0, 30.0)
+    (0 until 3).foreach { m =>
+      write(s"$base/y1996m$m.nc",
+        dims = Seq(Dim("time", 2), Dim("lat", 2)),
+        vars = Seq(
+          (VarDef("time", Seq("time"), NcDouble,
+            Seq("units" -> "days since 1996-01-01")),
+            Array(m * 31.0, m * 31.0 + 1)),
+          (VarDef("lat", Seq("lat"), NcDouble), lats),
+          (VarDef("x", Seq("time", "lat"), NcDouble),
+            Array.tabulate(4)(i => m * 100.0 + i))))
+    }
+    val df = readDir(spark, base, Seq("x"))
+    assert(df.count() == 3 * 2 * 2)
+    // every file contributes its own slab; totals follow the per-file fill
+    val total = df.agg(sum("x")).head().getDouble(0)
+    assert(total == (0 until 3).map(m => 4 * m * 100.0 + 6).sum)
+    // readDir of a dir without .nc files fails loudly
+    val empty = base + "/empty"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(empty))
+    val err = intercept[IllegalArgumentException] {
+      readDir(spark, empty, Seq("x"))
+    }.getMessage
+    assert(err.contains("no .nc files"))
+  }
+
   test("a record-dimension file reads identically (spec interleaving)") {
     // hand-build a CDF-1 file with time as the RECORD dim and two record
     // vars, exercising the interleaved-record read path our writer does
