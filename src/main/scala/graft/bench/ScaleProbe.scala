@@ -239,6 +239,27 @@ object ScaleProbe {
       // exact baseline: 100 broadcast queries × full corpus × dim mults
       run("knn_exact_100q",
         graft.sim.Similarity.knnForQueries(emb, qs, "vec_id", "embedding", 10))
+      // LSH signature over the FULL corpus: the native fused kernel vs the
+      // composed per-bit zip_with/aggregate chain it replaced (kept inline
+      // here as the measured counterfactual — HOF lambdas are interpreted)
+      run("lsh_sig_native", emb.select(
+        graft.plans.Expressions.hyperplane_signature(
+          transform(col("embedding"), _.cast("double")),
+          graft.sim.Similarity.hyperplanes(64, 16)).as("sig")))
+      run("lsh_sig_hof", {
+        val v = transform(col("embedding"), _.cast("double"))
+        val sig = graft.sim.Similarity.hyperplanes(64, 16).zipWithIndex.map {
+          case (h, i) =>
+            val dot = aggregate(zip_with(v, typedLit(h), (x, p) => x * p),
+              lit(0.0), (acc, x) => acc + x)
+            when(dot >= 0, lit(1L << i)).otherwise(0L)
+        }.reduce(_.bitwiseOR(_))
+        emb.select(sig.as("sig"))
+      })
+      // corpus-size-aware operating point; the FIXED 2-bit-key default
+      // measured 306 s at 100k vectors (bucket occupancy n/4 → quadratic)
+      run("lsh_pairs_auto", graft.sim.Similarity.lshCosinePairsAuto(
+        emb, "vec_id", "embedding", threshold = 0.8, dim = 64))
       // codebook training: distributed treeAggregate Lloyd's, full corpus
       var books: Seq[Seq[Seq[Double]]] = null
       time("pq_fit_distributed") {

@@ -730,6 +730,66 @@ object Expressions {
       copy(child = newChild)
   }
 
+  /** All `bits` hyperplane sign tests in ONE fused loop over the vector —
+    * replaces a per-bit `zip_with`+`aggregate` chain (bits × dim
+    * interpreted boxed ops per corpus row; the LSH signature runs over the
+    * ENTIRE corpus, so this was the same O(dim²)-class cost L2Normalize
+    * had). Bit `i` is set iff `dot(vec, planes(i)) >= 0`, with the same
+    * left-to-right accumulation from 0.0 as the composed form, so the
+    * signatures — and the SQL-replayed LSH oracles — are bit-identical.
+    * Elements are read over min(|vec|, dim) like [[CosineSimilarity]].
+    */
+  case class HyperplaneSignature(child: Expression, planes: Seq[Seq[Double]])
+      extends UnaryExpression with ExpectsInputTypes {
+    require(planes.nonEmpty && planes.forall(_.size == planes.head.size),
+      "HyperplaneSignature: planes must be non-empty and rectangular")
+
+    override def inputTypes: Seq[Bridge.AbstractType] =
+      Seq(Bridge.typeCollection(ArrayType(DoubleType), ArrayType(FloatType)))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_hyperplane_signature"
+
+    private val bits = planes.size
+    private val dim = planes.head.size
+    @transient private lazy val flat: Array[Double] = planes.flatten.toArray
+    @transient private lazy val isFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+    /** Row kernel — public so generated code can call it. */
+    def compute(v: ArrayData): Long = {
+      val n = math.min(v.numElements(), dim)
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        val off = b * dim
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+          dot += x * flat(off + i)
+          i += 1
+        }
+        if (dot >= 0) sig |= 1L << b
+        b += 1
+      }
+      sig
+    }
+
+    override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val ref = ctx.addReferenceObj("hyperplaneSig", this,
+          classOf[HyperplaneSignature].getName)
+        s"${ev.value} = $ref.compute($v);"
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): HyperplaneSignature =
+      copy(child = newChild)
+  }
+
   case class NearestCentroid(child: Expression, cents: Seq[Seq[Double]])
       extends UnaryExpression with ExpectsInputTypes {
     require(cents.nonEmpty && cents.forall(_.size == cents.head.size),
@@ -1078,6 +1138,9 @@ object Expressions {
 
   def l2_normalize(vec: Column): Column =
     Bridge.column(L2Normalize(Bridge.expression(vec)))
+
+  def hyperplane_signature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    Bridge.column(HyperplaneSignature(Bridge.expression(vec), planes))
 
   def bpe_encode_words(words: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeEncodeWords(Bridge.expression(words), merges))

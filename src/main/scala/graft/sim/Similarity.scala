@@ -114,13 +114,12 @@ object Similarity {
       dim: Int,
       bits: Int,
       seed: Long = 42L
-  ): Column = {
-    hyperplanes(dim, bits, seed).zipWithIndex.map { case (h, i) =>
-      val dot = aggregate(zip_with(vecCol, typedLit(h), (x, p) => x * p),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_.bitwiseOR(_))
-  }
+  ): Column =
+    // native fused kernel: all `bits` sign tests in one loop per row — the
+    // per-bit zip_with/aggregate chain was bits × dim interpreted boxed
+    // ops on every corpus vector (same class as the L2Normalize fix)
+    graft.plans.Expressions.hyperplane_signature(
+      vecCol, hyperplanes(dim, bits, seed))
 
   /** Embedding near-dup PAIRS above a cosine threshold via hyperplane-LSH
     * bucketing — the scale path for [[graft.dedup.Dedup.embeddingDupPairs]]
@@ -155,6 +154,39 @@ object Similarity {
       .select(col("id1"), col("id2"), Dedup.cosine(col("v1"), col("v2")).as("cosine"))
       .distinct()
       .where(col("cosine") >= threshold)
+  }
+
+  /** [[lshCosinePairs]] at a corpus-size-aware operating point. Expected
+    * bucket occupancy is n / 2^bitsPerBand, and per-band candidate volume
+    * is Σ occupancy²/2 ≈ n²/2^(bitsPerBand+1) — so a FIXED key width that
+    * is fine at 2k vectors is quadratic at 100k (measured: 306 s for the
+    * 2-bit default at 100k vectors vs ~15 s here; SCALE.md). This variant
+    * counts the corpus once and picks bitsPerBand = ceil(log2(n /
+    * targetBucketSize)), clamped so the banded signature still fits one
+    * long (bands × bitsPerBand ≤ 63). The recall consequence is the
+    * standard LSH dial, now stated instead of implicit: P(band match) =
+    * (1 − θ/π)^bitsPerBand, recall = 1 − (1 − p^bitsPerBand)^bands —
+    * near-dup pairs (cosine ≥ 0.9, θ ≤ 26°) keep recall ≥ ~0.9 at the
+    * 6-band/9-bit point; borderline-similarity mining at scale should
+    * raise `bands` (more signatures) rather than widen buckets.
+    */
+  def lshCosinePairsAuto(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      dim: Int,
+      bands: Int = 6,
+      targetBucketSize: Int = 1024,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(bands >= 1 && bands <= 31, s"bands out of range: $bands")
+    val n = math.max(df.count(), 1L)
+    val maxBpb = 63 / bands
+    val bpb = math.max(2, math.min(maxBpb,
+      math.ceil(math.log(n.toDouble / targetBucketSize) / math.log(2)).toInt))
+    lshCosinePairs(df, idCol, vecCol, threshold, dim,
+      bits = bands * bpb, bands = bands, seed = seed)
   }
 
   /** Deterministic spherical k-means centroids over the L2-normalized

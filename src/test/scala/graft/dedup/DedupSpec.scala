@@ -357,6 +357,20 @@ class DedupSpec extends SparkSpec {
       s"8x2-bit point should recall nearly everything: ${fine.size}/${exact.size}")
   }
 
+  test("lshCosinePairsAuto: exact precision at the size-chosen operating point") {
+    val exact = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.45)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // tiny corpus → bitsPerBand clamps to the 2-bit floor → wide buckets
+    // → near-exhaustive candidates; precision stays exact by construction
+    val auto = Similarity.lshCosinePairsAuto(emb, "vec_id", "embedding",
+        threshold = 0.45, dim = 64)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.subsetOf(exact), s"false positives: ${auto.diff(exact)}")
+    assert(auto.size.toDouble / exact.size >= 0.8,
+      s"small-corpus auto point should recall nearly everything: " +
+        s"${auto.size}/${exact.size}")
+  }
+
   test("LSH ANN achieves high recall@3 against exact kNN") {
     val sample = emb.where(col("vec_id") < 100)
     val exact = Similarity.knnJoin(sample, "vec_id", "embedding", 3)
