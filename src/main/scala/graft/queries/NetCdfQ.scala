@@ -6,71 +6,111 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** S1-parity on-ramp through the oracle gate: lineitem-derived grid →
-  * aggregate → written to a REAL NetCDF classic file (CF time units,
+  * aggregate → written to REAL NetCDF classic files (CF time units,
   * _FillValue for absent cells) → re-read distributed by [[NetCdf.read]]
-  * → re-aggregated — and DuckDB replays the whole thing from the parquet
-  * tables, so a byte-layout bug anywhere in writer or reader shows up as
-  * a hash mismatch, not just a unit-test failure. (Reference:
-  * `ingest/netcdf_reader.py:13-77`, conventions probe `:80-111`.)
+  * / [[NetCdf.readDir]] → re-aggregated — and DuckDB replays the whole
+  * thing from the parquet tables, so a byte-layout bug anywhere in
+  * writer or reader shows up as a hash mismatch, not just a unit-test
+  * failure. (Reference: `ingest/netcdf_reader.py:13-77`, conventions
+  * probe `:80-111`.)
   */
 object NetCdfQ extends QueryPack {
 
+  /** The ApiQ lineitem grid rolled up per (ship year, cell), as dense
+    * slabs: per-year time axis, 18×36 lat/lon grid, fill for absent
+    * cells. Bounded: ≤ 7 years × 18 lats × 36 lons = 4536 rows at ANY sf.
+    */
+  private val Fill = -9999.0
+  private val lats = (0 until 18).map(i => i * 10.0 - 85)
+  private val lons = (0 until 36).map(i => i * 10.0 - 175)
+
+  private def gridSlabs(s: SparkSession, dir: String)
+      : (Array[Int], Array[Double], Array[Double]) = {
+    val cells = Tables.lineitem(s, dir)
+      .withColumn("lat", (col("l_partkey") % 18 * 10 - 85).cast("double"))
+      .withColumn("lon", (col("l_suppkey") % 36 * 10 - 175).cast("double"))
+      .groupBy(year(col("l_shipdate")).as("ship_year"), col("lat"), col("lon"))
+      .agg(count(lit(1)).cast("double").as("n"), avg(col("l_quantity")).as("mean_qty"))
+      .collect()
+    val years = cells.map(_.getInt(0)).distinct.sorted
+    val yIdx = years.zipWithIndex.toMap
+    val nVals = Array.fill(years.length * 18 * 36)(Fill)
+    val qVals = Array.fill(years.length * 18 * 36)(Fill)
+    cells.foreach { r =>
+      val i = (yIdx(r.getInt(0)) * 18 + ((r.getDouble(1) + 85) / 10).round.toInt) * 36 +
+        ((r.getDouble(2) + 175) / 10).round.toInt
+      nVals(i) = r.getDouble(3); qVals(i) = r.getDouble(4)
+    }
+    (years, nVals, qVals)
+  }
+
+  /** Write `years.length` time steps of the slabs to one .nc file. */
+  private def writeGrid(path: String, years: Seq[Int],
+                        nVals: Array[Double], qVals: Array[Double]): Unit =
+    NetCdf.write(path,
+      dims = Seq(NetCdf.Dim("time", years.length),
+        NetCdf.Dim("lat", 18), NetCdf.Dim("lon", 36)),
+      vars = Seq(
+        (NetCdf.VarDef("time", Seq("time"), NetCdf.NcDouble,
+          Seq("units" -> "days since 1970-01-01")),
+          years.map(y => java.time.LocalDate.of(y, 1, 1).toEpochDay.toDouble).toArray),
+        (NetCdf.VarDef("lat", Seq("lat"), NetCdf.NcDouble,
+          Seq("units" -> "degrees_north")), lats.toArray),
+        (NetCdf.VarDef("lon", Seq("lon"), NetCdf.NcDouble,
+          Seq("units" -> "degrees_east")), lons.toArray),
+        (NetCdf.VarDef("n", Seq("time", "lat", "lon"), NetCdf.NcDouble,
+          Seq("_FillValue" -> Fill)), nVals),
+        (NetCdf.VarDef("mean_qty", Seq("time", "lat", "lon"), NetCdf.NcDouble,
+          Seq("_FillValue" -> Fill, "units" -> "items")), qVals)),
+      gatts = Seq("Conventions" -> "CF-1.8", "source" -> "graft lineitem grid"))
+
+  /** CF time back to ship_year, fills back to null — the read side both
+    * queries share; output rows match the lineitem group-by oracle.
+    */
+  private def backToRows(df: DataFrame): DataFrame =
+    round6(df.where(col("n").isNotNull)
+      .select(year(col("time")).as("ship_year"), col("lat"), col("lon"),
+        col("n").cast("long").as("n"), col("mean_qty")),
+      "mean_qty")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_netcdf_roundtrip" -> ((s, dir) => {
-      // the ApiQ lineitem grid, rolled up per (ship year, cell)
-      val cells = Tables.lineitem(s, dir)
-        .withColumn("lat", (col("l_partkey") % 18 * 10 - 85).cast("double"))
-        .withColumn("lon", (col("l_suppkey") % 36 * 10 - 175).cast("double"))
-        .groupBy(year(col("l_shipdate")).as("ship_year"), col("lat"), col("lon"))
-        .agg(count(lit(1)).cast("double").as("n"), avg(col("l_quantity")).as("mean_qty"))
-        .collect() // bounded: ≤ 7 years × 18 lats × 36 lons = 4536 rows at ANY sf
-      val years = cells.map(_.getInt(0)).distinct.sorted
-      val lats = (0 until 18).map(i => i * 10.0 - 85)
-      val lons = (0 until 36).map(i => i * 10.0 - 175)
-      val yIdx = years.zipWithIndex.toMap
-      val Fill = -9999.0
-      val nVals = Array.fill(years.length * 18 * 36)(Fill)
-      val qVals = Array.fill(years.length * 18 * 36)(Fill)
-      cells.foreach { r =>
-        val i = (yIdx(r.getInt(0)) * 18 + ((r.getDouble(1) + 85) / 10).round.toInt) * 36 +
-          ((r.getDouble(2) + 175) / 10).round.toInt
-        nVals(i) = r.getDouble(3); qVals(i) = r.getDouble(4)
-      }
+      val (years, nVals, qVals) = gridSlabs(s, dir)
       val path = java.nio.file.Files
         .createTempDirectory("graft-nc").resolve("grid.nc").toString
-      NetCdf.write(path,
-        dims = Seq(NetCdf.Dim("time", years.length),
-          NetCdf.Dim("lat", 18), NetCdf.Dim("lon", 36)),
-        vars = Seq(
-          (NetCdf.VarDef("time", Seq("time"), NetCdf.NcDouble,
-            Seq("units" -> "days since 1970-01-01")),
-            years.map(y => java.time.LocalDate.of(y, 1, 1).toEpochDay.toDouble)),
-          (NetCdf.VarDef("lat", Seq("lat"), NetCdf.NcDouble,
-            Seq("units" -> "degrees_north")), lats.toArray),
-          (NetCdf.VarDef("lon", Seq("lon"), NetCdf.NcDouble,
-            Seq("units" -> "degrees_east")), lons.toArray),
-          (NetCdf.VarDef("n", Seq("time", "lat", "lon"), NetCdf.NcDouble,
-            Seq("_FillValue" -> Fill)), nVals),
-          (NetCdf.VarDef("mean_qty", Seq("time", "lat", "lon"), NetCdf.NcDouble,
-            Seq("_FillValue" -> Fill, "units" -> "items")), qVals)),
-        gatts = Seq("Conventions" -> "CF-1.8", "source" -> "graft lineitem grid"))
-      // distributed re-read: CF time back to timestamps, fills back to null
-      round6(NetCdf.read(s, path, Seq("n", "mean_qty"))
-        .where(col("n").isNotNull)
-        .select(year(col("time")).as("ship_year"), col("lat"), col("lon"),
-          col("n").cast("long").as("n"), col("mean_qty")),
-        "mean_qty")
+      writeGrid(path, years.toSeq, nVals, qVals)
+      backToRows(NetCdf.read(s, path, Seq("n", "mean_qty")))
+    }),
+    // The archive layout the reference ingests — ONE FILE PER YEAR —
+    // read back as a single frame by readDir (each file's scan
+    // independently parallel over its time axis). Same oracle as the
+    // single-file roundtrip: the multi-file read must reproduce the
+    // identical row set, so a slab-offset or union bug in the directory
+    // path hash-mismatches.
+    "q_netcdf_archive" -> ((s, dir) => {
+      val (years, nVals, qVals) = gridSlabs(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft-nc-arch")
+      val slab = 18 * 36
+      years.zipWithIndex.foreach { case (y, i) =>
+        writeGrid(base.resolve(f"y$y%04d.nc").toString, Seq(y),
+          nVals.slice(i * slab, (i + 1) * slab),
+          qVals.slice(i * slab, (i + 1) * slab))
+      }
+      backToRows(NetCdf.readDir(s, base.toString, Seq("n", "mean_qty")))
     })
   )
 
+  private val roundtripSql =
+    """SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+      |       CAST(l_partkey % 18 * 10 - 85 AS DOUBLE) AS lat,
+      |       CAST(l_suppkey % 36 * 10 - 175 AS DOUBLE) AS lon,
+      |       count(*) AS n,
+      |       round(avg(l_quantity), 6) AS mean_qty
+      |FROM lineitem
+      |GROUP BY 1, 2, 3""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "q_netcdf_roundtrip" ->
-      """SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
-        |       CAST(l_partkey % 18 * 10 - 85 AS DOUBLE) AS lat,
-        |       CAST(l_suppkey % 36 * 10 - 175 AS DOUBLE) AS lon,
-        |       count(*) AS n,
-        |       round(avg(l_quantity), 6) AS mean_qty
-        |FROM lineitem
-        |GROUP BY 1, 2, 3""".stripMargin
+    "q_netcdf_roundtrip" -> roundtripSql,
+    "q_netcdf_archive" -> roundtripSql
   )
 }
