@@ -280,6 +280,30 @@ object Similarity {
       .select(col(idCol), col("cell"), coalesce(col("keep"), lit(true)).as("keep"))
   }
 
+  /** [[semanticDedup]] at a corpus-size-aware cell count — the "nlist ∝
+    * n" sizing the SemDeDup design calls for, made explicit: one corpus
+    * count picks nlist = clamp(n / targetCellSize, 4, 65536), so the
+    * in-cell pair volume Σ|cell|²/2 ≈ n · targetCellSize / 2 stays
+    * LINEAR in corpus size instead of quadratic under a fixed nlist.
+    * targetCellSize is the paper's ~10³-10⁴-docs-per-cluster regime; the
+    * k-means fit cost grows with nlist but stays one treeAggregate per
+    * iteration regardless ([[semanticCentroids]]).
+    */
+  def semanticDedupAuto(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      targetCellSize: Int = 4096,
+      seed: Long = 42L,
+      iters: Int = 10
+  ): DataFrame = {
+    val n = math.max(df.count(), 1L)
+    val nlist = math.max(4L, math.min(65536L, n / targetCellSize + 1L)).toInt
+    semanticDedup(df, idCol, vecCol, dim, nlist, threshold, seed, iters)
+  }
+
   /** Exact cosine top-k for an explicit query batch: queries broadcast,
     * ONE corpus scan for the whole batch, no corpus shuffle — the exact
     * baseline every ANN variant here is measured against, and the right

@@ -357,6 +357,24 @@ class DedupSpec extends SparkSpec {
       s"8x2-bit point should recall nearly everything: ${fine.size}/${exact.size}")
   }
 
+  test("semanticDedupAuto sizes cells from the corpus and keeps one per group") {
+    val out = Similarity.semanticDedupAuto(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.45)
+    // total output = corpus (every doc gets a verdict)
+    assert(out.count() == emb.count())
+    // tiny corpus → nlist floor (4): every in-cell exact pair is checked,
+    // so the kept set must equal the explicit-nlist run's at the same
+    // cells — and dropping docs requires a true cosine >= threshold pair
+    val dropped = out.where(!col("keep")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "the gate table plants near-dup twins")
+    val allPairs = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.45)
+      .select("id1", "id2").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(dropped.subsetOf(allPairs),
+      s"dropped a doc with no true near-dup: ${dropped.diff(allPairs)}")
+  }
+
   test("lshCosinePairsAuto: exact precision at the size-chosen operating point") {
     val exact = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", 0.45)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
