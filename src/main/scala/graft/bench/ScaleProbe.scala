@@ -154,6 +154,56 @@ object ScaleProbe {
       })
     }
 
+    if (what == "nc" || what == "all") {
+      // NetCDF distributed-scan throughput: one .nc file, slab reads over
+      // the outer (time) dimension — 1 partition (a naive whole-file
+      // reader's shape) vs the default min(outerDim, cores) fan-out.
+      val (nt, nlat, nlon) = size match {
+        case "small" => (128, 256, 256)   //  ~17M values (2 vars), ~134 MB
+        case "medium" => (256, 384, 384)  //  ~75M values, ~604 MB
+        case "large" => (512, 512, 512)   // ~268M values, ~2.1 GB
+        case other => throw new IllegalArgumentException(s"Unknown size: $other")
+      }
+      val ncPath = java.nio.file.Files
+        .createTempDirectory("graft_scaleprobe_nc").resolve("grid.nc").toString
+      time("nc_write") {
+        val slab = nlat * nlon
+        val t2m = new Array[Double](nt * slab)
+        val pr = new Array[Double](nt * slab)
+        var i = 0
+        while (i < t2m.length) {
+          t2m(i) = 250.0 + (i % 97); pr(i) = (i % 13) * 0.1; i += 1
+        }
+        graft.ingest.NetCdf.write(ncPath,
+          dims = Seq(graft.ingest.NetCdf.Dim("time", nt),
+            graft.ingest.NetCdf.Dim("lat", nlat),
+            graft.ingest.NetCdf.Dim("lon", nlon)),
+          vars = Seq(
+            (graft.ingest.NetCdf.VarDef("time", Seq("time"),
+              graft.ingest.NetCdf.NcDouble,
+              Seq("units" -> "hours since 2020-01-01")),
+              Array.tabulate(nt)(_.toDouble)),
+            (graft.ingest.NetCdf.VarDef("lat", Seq("lat"),
+              graft.ingest.NetCdf.NcDouble),
+              Array.tabulate(nlat)(i => i * 180.0 / nlat - 90)),
+            (graft.ingest.NetCdf.VarDef("lon", Seq("lon"),
+              graft.ingest.NetCdf.NcDouble),
+              Array.tabulate(nlon)(i => i * 360.0 / nlon - 180)),
+            (graft.ingest.NetCdf.VarDef("t2m", Seq("time", "lat", "lon"),
+              graft.ingest.NetCdf.NcDouble), t2m),
+            (graft.ingest.NetCdf.VarDef("pr", Seq("time", "lat", "lon"),
+              graft.ingest.NetCdf.NcDouble), pr)))
+      }
+      println(s"$size nc_values=${nt.toLong * nlat * nlon * 2}")
+      def scan(parts: Int) = graft.ingest.NetCdf
+        .read(spark, ncPath, Seq("t2m", "pr"), numPartitions = parts)
+        .agg(sum(col("t2m")), sum(col("pr")))
+        .write.format("noop").mode("overwrite").save()
+      time("nc_scan_1part")(scan(1))
+      time("nc_scan_parallel")(scan(0))
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ncPath))
+    }
+
     if (what == "cc" || what == "all") {
       // Connected-components strategy crossover (see Dedup.scala
       // connectedComponentsWithStatus): driver union-find (bounded
