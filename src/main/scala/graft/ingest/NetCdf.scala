@@ -330,17 +330,44 @@ object NetCdf {
         StructField("units", StringType, nullable = true))))
   }
 
+  /** Accepted spellings of the spatial axes — the reference's convention
+    * probe (`netcdf_reader.py:93-111`).
+    */
+  private val LatNames = Set("lat", "latitude", "y")
+  private val LonNames = Set("lon", "longitude", "x")
+
+  private def parseInstantMicros(s: String): Long = {
+    val iso = s.trim.replace(' ', 'T') match {
+      case d if d.length == 10 => d + "T00:00:00Z"
+      case d if d.endsWith("Z") || d.contains("+") => d
+      case d => d + "Z"
+    }
+    val i = java.time.Instant.parse(iso)
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
   /** Long-form distributed read: one row per grid cell, one column per
     * dimension (coordinate-var values; CF time dims become TIMESTAMP) and
     * one DOUBLE column per requested data variable (unpacked, fill → null).
     * All requested variables must share the same dimension tuple.
     *
-    * Parallelism: `spark.range` over the outermost dimension; each task
+    * Pushdown at open, like the reference's lazy reader (S2,
+    * `netcdf_reader.py:34-77`): `timeRange` (inclusive ISO bounds) prunes
+    * along the CF-decoded time dimension and `bbox` = (west, south, east,
+    * north) along lat/lon dimensions, ANTIMERIDIAN included (west > east
+    * wraps into an OR, `netcdf_reader.py:147-154`). A pruned OUTER slice
+    * is never read — its byte range is skipped entirely, the .nc analog
+    * of partition pruning; pruned inner coordinates are masked before row
+    * construction, so the filter costs index lookups, not rows.
+    *
+    * Parallelism: the selected outer slices fan out over tasks; each task
     * seeks straight to its slices (`begin + i0 * slab`), so N executors
     * read N disjoint byte ranges — the parquet-row-group access shape.
     */
   def read(spark: SparkSession, path: String, varNames: Seq[String],
-           numPartitions: Int = 0): DataFrame = {
+           numPartitions: Int = 0,
+           timeRange: Option[(String, String)] = None,
+           bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
     val props = fsProps(spark)
     val h = readHeader(path, props)
     val vs = varNames.map(h.variable)
@@ -365,6 +392,40 @@ object NetCdf {
         }
       }
 
+    // per-dimension keep masks from the pushdown predicates; dims without
+    // a matching predicate (or without coordinate values) keep everything
+    val dimMasks: IndexedSeq[Array[Boolean]] = coords.zipWithIndex.map {
+      case ((dn, vals, cf), d) =>
+        val len = dimLens(d)
+        val keep = Array.fill(len)(true)
+        (vals, cf) match {
+          case (Some(vsArr), Some((perSec, epochMicros))) if timeRange.isDefined =>
+            val lo = parseInstantMicros(timeRange.get._1)
+            val hi = parseInstantMicros(timeRange.get._2)
+            var i = 0
+            while (i < len) {
+              val micros = epochMicros + math.round(vsArr(i) * perSec * 1e6)
+              keep(i) = micros >= lo && micros <= hi
+              i += 1
+            }
+          case (Some(vsArr), None) if bbox.isDefined && LatNames(dn.toLowerCase) =>
+            val (_, south, _, north) = bbox.get
+            var i = 0
+            while (i < len) { keep(i) = vsArr(i) >= south && vsArr(i) <= north; i += 1 }
+          case (Some(vsArr), None) if bbox.isDefined && LonNames(dn.toLowerCase) =>
+            val (west, _, east, _) = bbox.get
+            var i = 0
+            while (i < len) {
+              keep(i) =
+                if (west <= east) vsArr(i) >= west && vsArr(i) <= east
+                else vsArr(i) >= west || vsArr(i) <= east // antimeridian OR
+              i += 1
+            }
+          case _ => ()
+        }
+        keep
+    }
+
     val schema = StructType(
       coords.map {
         case (dn, _, Some(_)) => StructField(dn, TimestampType, nullable = false)
@@ -377,11 +438,17 @@ object NetCdf {
     val innerLens = dimLens.drop(1)
     val innerCount = innerLens.map(_.toLong).product
     require(innerCount < Int.MaxValue, "inner slab too large for one task")
+    // outer-dimension pruning: unselected slices never become tasks and
+    // their byte ranges are never read
+    val selected = (0 until dimLens(0)).filter(dimMasks(0))
+    val innerMasks = dimMasks.drop(1)
+    val anyInnerFilter = innerMasks.exists(_.exists(k => !k))
     val parts = if (numPartitions > 0) numPartitions
-      else math.min(dimLens(0), spark.sparkContext.defaultParallelism)
+      else math.max(1,
+        math.min(selected.length, spark.sparkContext.defaultParallelism))
 
     val rowsRdd = spark.sparkContext
-      .range(0L, dimLens(0).toLong, 1L, math.max(parts, 1))
+      .parallelize(selected.map(_.toLong), math.max(parts, 1))
       .mapPartitions { slices =>
         val ch = openRead(path, props)
         val slabs = new Array[Array[Double]](varMeta.length)
@@ -405,25 +472,38 @@ object NetCdf {
             val idx = new Array[Int](innerLens.length)
             var flat = 0
             Iterator.continually {
-              val fields = new Array[Any](coords.length + varMeta.length)
-              var d = 0
-              while (d < coords.length) {
-                val pos = if (d == 0) i0 else idx(d - 1)
-                fields(d) = coords(d) match {
-                  case (_, Some(vals), Some((perSec, epochMicros))) =>
-                    val micros = epochMicros + math.round(vals(pos) * perSec * 1e6)
-                    java.time.Instant.ofEpochSecond(
-                      Math.floorDiv(micros, 1000000L),
-                      Math.floorMod(micros, 1000000L) * 1000L)
-                  case (_, Some(vals), None) => vals(pos)
-                  case (_, None, _) => pos.toLong
+              // inner-coordinate pushdown: masked positions skip row
+              // construction entirely (index lookups, no allocation)
+              var keep = true
+              if (anyInnerFilter) {
+                var m = 0
+                while (keep && m < idx.length) {
+                  keep = innerMasks(m)(idx(m)); m += 1
                 }
-                d += 1
               }
-              var vj = 0
-              while (vj < varMeta.length) {
-                fields(coords.length + vj) = unpacks(vj)(slabs(vj)(flat))
-                vj += 1
+              val row: Row = if (!keep) null
+              else {
+                val fields = new Array[Any](coords.length + varMeta.length)
+                var d = 0
+                while (d < coords.length) {
+                  val pos = if (d == 0) i0 else idx(d - 1)
+                  fields(d) = coords(d) match {
+                    case (_, Some(vals), Some((perSec, epochMicros))) =>
+                      val micros = epochMicros + math.round(vals(pos) * perSec * 1e6)
+                      java.time.Instant.ofEpochSecond(
+                        Math.floorDiv(micros, 1000000L),
+                        Math.floorMod(micros, 1000000L) * 1000L)
+                    case (_, Some(vals), None) => vals(pos)
+                    case (_, None, _) => pos.toLong
+                  }
+                  d += 1
+                }
+                var vj = 0
+                while (vj < varMeta.length) {
+                  fields(coords.length + vj) = unpacks(vj)(slabs(vj)(flat))
+                  vj += 1
+                }
+                Row.fromSeq(fields.toIndexedSeq)
               }
               // increment the inner odometer
               flat += 1
@@ -434,8 +514,8 @@ object NetCdf {
                 if (idx(k) == innerLens(k)) idx(k) = 0 else carry = false
                 k -= 1
               }
-              Row.fromSeq(fields.toIndexedSeq)
-            }.take(innerCount.toInt)
+              row
+            }.take(innerCount.toInt).filter(_ != null)
           }
         }
       }
@@ -456,7 +536,9 @@ object NetCdf {
     * directory of F files runs F × slices tasks. Headers (KBs each)
     * parse on the driver; file data never does.
     */
-  def readDir(spark: SparkSession, dir: String, varNames: Seq[String]): DataFrame = {
+  def readDir(spark: SparkSession, dir: String, varNames: Seq[String],
+              timeRange: Option[(String, String)] = None,
+              bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
     val props = fsProps(spark)
     val conf = new org.apache.hadoop.conf.Configuration()
     props.foreach { case (k, v) => conf.set(k, v) }
@@ -466,7 +548,10 @@ object NetCdf {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".nc"))
       .map(_.getPath.toString).sorted
     require(files.nonEmpty, s"no .nc files under $dir")
-    files.map(f => read(spark, f, varNames)).reduce(_.unionByName(_))
+    // pushdown per file: a file whose whole time axis misses the range
+    // contributes zero tasks — file-level pruning over the archive
+    files.map(f => read(spark, f, varNames, timeRange = timeRange, bbox = bbox))
+      .reduce(_.unionByName(_))
   }
 
   // ---- writer (export / test fixtures; data passed as driver arrays) ----

@@ -97,6 +97,21 @@ object NetCdfQ extends QueryPack {
           qVals.slice(i * slab, (i + 1) * slab))
       }
       backToRows(NetCdf.readDir(s, base.toString, Seq("n", "mean_qty")))
+    }),
+    // The reference's LAZY open with pushdown (S2/S5): timeRange prunes
+    // whole outer slices before any data byte is read, bbox masks cells —
+    // including the antimeridian wrap (west 95 → east −95 keeps
+    // |lon| ≥ 95 as an OR, `netcdf_reader.py:147-156`). DuckDB replays
+    // the same predicates over lineitem, so a mask/pruning bug anywhere
+    // hash-mismatches.
+    "q_netcdf_pushdown" -> ((s, dir) => {
+      val (years, nVals, qVals) = gridSlabs(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-nc-push").resolve("grid.nc").toString
+      writeGrid(path, years.toSeq, nVals, qVals)
+      backToRows(NetCdf.read(s, path, Seq("n", "mean_qty"),
+        timeRange = Some(("1993-01-01", "1995-12-31")),
+        bbox = Some((95.0, -45.0, -95.0, 45.0))))
     })
   )
 
@@ -111,6 +126,18 @@ object NetCdfQ extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q_netcdf_roundtrip" -> roundtripSql,
-    "q_netcdf_archive" -> roundtripSql
+    "q_netcdf_archive" -> roundtripSql,
+    "q_netcdf_pushdown" ->
+      """SELECT * FROM (
+        |  SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+        |         CAST(l_partkey % 18 * 10 - 85 AS DOUBLE) AS lat,
+        |         CAST(l_suppkey % 36 * 10 - 175 AS DOUBLE) AS lon,
+        |         count(*) AS n,
+        |         round(avg(l_quantity), 6) AS mean_qty
+        |  FROM lineitem
+        |  GROUP BY 1, 2, 3
+        |) WHERE ship_year BETWEEN 1993 AND 1995
+        |  AND lat BETWEEN -45 AND 45
+        |  AND (lon >= 95 OR lon <= -95)""".stripMargin
   )
 }

@@ -109,6 +109,36 @@ class NetCdfSpec extends SparkSpec {
     assert(agg(back).map(_.getDouble(1)).sum == n.sum)
   }
 
+  test("open-time pushdown: timeRange prunes slices, bbox masks cells (antimeridian OR)") {
+    val path = tmpDir() + "/push.nc"
+    val (nt, nlat, nlon) = (6, 4, 6)
+    write(path,
+      dims = Seq(Dim("time", nt), Dim("lat", nlat), Dim("lon", nlon)),
+      vars = Seq(
+        (VarDef("time", Seq("time"), NcDouble,
+          Seq("units" -> "days since 2022-01-01")), Array.tabulate(nt)(_ * 10.0)),
+        (VarDef("lat", Seq("lat"), NcDouble), Array(-60.0, -20.0, 20.0, 60.0)),
+        (VarDef("lon", Seq("lon"), NcDouble),
+          Array(-150.0, -90.0, -30.0, 30.0, 90.0, 150.0)),
+        (VarDef("x", Seq("time", "lat", "lon"), NcDouble),
+          Array.tabulate(nt * nlat * nlon)(_.toDouble))))
+    // full read filtered afterwards = pushdown read: same rows
+    val full = read(spark, path, Seq("x"))
+    val pushed = read(spark, path, Seq("x"),
+      timeRange = Some(("2022-01-11", "2022-01-31")),         // days 10,20,30
+      bbox = Some((120.0, -30.0, -120.0, 70.0)))              // lon wraps; lat -20,20,60
+    val expected = full.where(
+      col("time").between(lit("2022-01-11").cast("timestamp"),
+        lit("2022-01-31").cast("timestamp")) &&
+      col("lat").between(-30.0, 70.0) &&
+      (col("lon") >= 120.0 || col("lon") <= -120.0))
+    assert(pushed.count() == 3L * 3 * 2, s"got ${pushed.count()}")
+    assert(pushed.orderBy("time", "lat", "lon").collect().toSeq ==
+      expected.orderBy("time", "lat", "lon").collect().toSeq)
+    // outer pruning is physical: only the 3 selected slices become tasks
+    assert(pushed.rdd.getNumPartitions <= 3)
+  }
+
   test("readDir unions an archive directory of monthly files") {
     // the reference's archive layout: one file per time chunk
     val base = tmpDir()
