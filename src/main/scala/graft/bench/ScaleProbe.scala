@@ -201,6 +201,15 @@ object ScaleProbe {
         .write.format("noop").mode("overwrite").save()
       time("nc_scan_1part")(scan(1))
       time("nc_scan_parallel")(scan(0))
+      // open-time pushdown: an eighth of the time axis → an eighth of the
+      // slices become tasks; the other 7/8 of the bytes are never read
+      val hi = java.time.Instant.parse("2020-01-01T00:00:00Z")
+        .plusSeconds((nt / 8 - 1) * 3600L).toString
+      time("nc_scan_pushdown_eighth")(graft.ingest.NetCdf
+        .read(spark, ncPath, Seq("t2m", "pr"),
+          timeRange = Some(("2020-01-01T00:00:00Z", hi)))
+        .agg(sum(col("t2m")), sum(col("pr")))
+        .write.format("noop").mode("overwrite").save())
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ncPath))
     }
 
