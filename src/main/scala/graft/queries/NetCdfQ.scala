@@ -112,6 +112,19 @@ object NetCdfQ extends QueryPack {
       backToRows(NetCdf.read(s, path, Seq("n", "mean_qty"),
         timeRange = Some(("1993-01-01", "1995-12-31")),
         bbox = Some((95.0, -45.0, -95.0, 45.0))))
+    }),
+    // S6 for .nc (dataset-info probe): variables, dtypes, dim tuples,
+    // value counts, units — header-only, no data read. The value counts
+    // derive from the ship-year span, which DuckDB recomputes from
+    // lineitem, so even the header metadata is oracle-derived, not pinned.
+    "q_netcdf_info" -> ((s, dir) => {
+      val (years, nVals, qVals) = gridSlabs(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-nc-info").resolve("grid.nc").toString
+      writeGrid(path, years.toSeq, nVals, qVals)
+      NetCdf.info(s, path)
+        .select(col("variable"), col("dtype"), col("dims"),
+          col("n_values"), col("units"))
     })
   )
 
@@ -138,6 +151,26 @@ object NetCdfQ extends QueryPack {
         |  GROUP BY 1, 2, 3
         |) WHERE ship_year BETWEEN 1993 AND 1995
         |  AND lat BETWEEN -45 AND 45
-        |  AND (lon >= 95 OR lon <= -95)""".stripMargin
+        |  AND (lon >= 95 OR lon <= -95)""".stripMargin,
+    // header metadata derived from the same grid: nyears comes from the
+    // data, so DuckDB recomputes it instead of pinning
+    "q_netcdf_info" ->
+      """WITH y AS (
+        |  SELECT count(DISTINCT year(l_shipdate)) AS nyears FROM lineitem)
+        |SELECT variable, dtype, dims, n_values, units FROM (
+        |  SELECT 'time' AS variable, 'double' AS dtype, 'time' AS dims,
+        |         CAST(nyears AS BIGINT) AS n_values,
+        |         'days since 1970-01-01' AS units FROM y
+        |  UNION ALL
+        |  SELECT 'lat', 'double', 'lat', 18, 'degrees_north' FROM y
+        |  UNION ALL
+        |  SELECT 'lon', 'double', 'lon', 36, 'degrees_east' FROM y
+        |  UNION ALL
+        |  SELECT 'n', 'double', 'time,lat,lon',
+        |         CAST(nyears * 18 * 36 AS BIGINT), NULL FROM y
+        |  UNION ALL
+        |  SELECT 'mean_qty', 'double', 'time,lat,lon',
+        |         CAST(nyears * 18 * 36 AS BIGINT), 'items' FROM y
+        |)""".stripMargin
   )
 }

@@ -44,6 +44,17 @@ object SimQ extends QueryPack {
           "vec_id", "embedding", threshold = 0.45, dim = 64,
           bits = 16, bands = 4),
         "cosine")),
+    // The size-aware operating point through the gate: at the gate tables'
+    // corpus sizes (500 @ sf0.01, 2000 @ sf0.1) the auto sizing lands on
+    // the 2-bit-per-band floor, so the oracle replays bits = 12, bands = 6
+    // — the SAME constants the formula produces for any n ≤ 4096·2
+    // (bitsPerBand = max(2, ceil(log2(n/1024)))). A change to the sizing
+    // formula or the seeded planes hash-mismatches here.
+    "q_lsh_auto_pairs" -> ((s, dir) =>
+      round6(
+        Similarity.lshCosinePairsAuto(Tables.embeddings(s, dir),
+          "vec_id", "embedding", threshold = 0.45, dim = 64),
+        "cosine")),
     // IVF coarse-quantizer ANN (k-means cells + probing): the query emits
     // per-query recall@3 against the in-engine brute-force kNN — a number
     // DuckDB can pin (seeded KMeans on the single-partition gate table is
@@ -438,6 +449,9 @@ object SimQ extends QueryPack {
     // RNG draw itself.
     "q_lsh_ann" -> lshOracleSql(dim = 64, bits = 16, bands = 4, k = 3),
     "q_lsh_dup_pairs" -> lshPairsOracleSql(dim = 64, bits = 16, bands = 4,
+      threshold = 0.45),
+    // the auto sizing's output at gate-table corpus sizes (2-bit floor)
+    "q_lsh_auto_pairs" -> lshPairsOracleSql(dim = 64, bits = 12, bands = 6,
       threshold = 0.45),
     // Deterministic recall@3 of the seeded IVF quantizer at the sf0.01
     // gate (KMeans seed 42 over the single-partition gate table; exact-kNN
