@@ -241,7 +241,13 @@ object NetCdf {
   /** Byte offset and length of outer-slice `i0` of `v`. */
   private def sliceRange(h: Header, v: Variable, i0: Int): (Long, Int) = {
     val innerVals = v.dimIds.drop(1).map(h.dimLen(_).toLong).product
-    val len = (innerVals * v.tpe.size).toInt
+    val lenBytes = innerVals * v.tpe.size
+    // guard BYTES, not value count: 2^28 doubles is a legal element count
+    // whose byte length wraps a signed Int
+    require(lenBytes <= Int.MaxValue,
+      s"${v.name}: one outer slice is $lenBytes bytes (> 2 GiB) — rechunk " +
+        "the file or split the outer dimension upstream")
+    val len = lenBytes.toInt
     if (h.isRecordVar(v)) (v.begin + i0 * h.recSize, len)
     else (v.begin + i0.toLong * len, len)
   }
@@ -271,6 +277,43 @@ object NetCdf {
 
   // ---- CF conventions ----
 
+  /** CF epoch timestamp → epoch micros. Real CF files carry epochs like
+    * `1990-01-01`, `1990-1-1 0:0:0.0`, `1990-01-01 00:00:00-6:00`,
+    * `1990-01-01T00:00:00+05:30` — single-digit fields and ±hh[:mm]
+    * offsets included — so this parses the components explicitly instead
+    * of handing a doctored string to `Instant.parse` (which rejects
+    * one-digit fields and any string with both an offset and an appended
+    * 'Z'). No offset ⇒ UTC, per CF.
+    */
+  private val CfEpochRe =
+    """^(\d{1,4})-(\d{1,2})-(\d{1,2})(?:[T ](\d{1,2}):(\d{1,2})(?::(\d{1,2}(?:\.\d+)?))?)?\s*(Z|[+-]\d{1,2}(?::?\d{2})?)?$""".r
+
+  private[ingest] def parseEpochMicros(raw: String): Option[Long] =
+    CfEpochRe.findFirstMatchIn(raw.trim).flatMap { m =>
+      scala.util.Try {
+        val secFrac = Option(m.group(6)).map(_.toDouble).getOrElse(0.0)
+        val secs = secFrac.toInt
+        val fracMicros = math.round((secFrac - secs) * 1e6)
+        val off = Option(m.group(7)) match {
+          case None | Some("Z") => java.time.ZoneOffset.UTC
+          case Some(o) =>
+            val neg = o.charAt(0) == '-'
+            val body = o.substring(1).replace(":", "")
+            val (h, mn) =
+              if (body.length <= 2) (body.toInt, 0)
+              else (body.dropRight(2).toInt, body.takeRight(2).toInt)
+            java.time.ZoneOffset.ofHoursMinutes(
+              if (neg) -h else h, if (neg) -mn else mn)
+        }
+        val odt = java.time.OffsetDateTime.of(
+          m.group(1).toInt, m.group(2).toInt, m.group(3).toInt,
+          Option(m.group(4)).map(_.toInt).getOrElse(0),
+          Option(m.group(5)).map(_.toInt).getOrElse(0),
+          secs, 0, off)
+        odt.toInstant.getEpochSecond * 1000000L + fracMicros
+      }.toOption
+    }
+
   /** Parse `"<interval> since <epoch>"` time units → seconds-per-unit and
     * epoch micros (reference conventions probe `ingest/netcdf_reader.py:
     * 80-111`). Returns None when the units string is not CF time.
@@ -285,15 +328,7 @@ object NetCdf {
         case s if s.startsWith("hour") => 3600.0
         case _ => 86400.0
       }
-      val raw = mm.group(2).trim
-      // accept "1970-01-01", "1970-01-01 00:00:00", ISO with T / offset
-      val iso = raw.replace(' ', 'T') match {
-        case d if d.length == 10 => d + "T00:00:00Z"
-        case d if d.endsWith("Z") || d.contains("+") => d
-        case d => d + "Z"
-      }
-      scala.util.Try(java.time.Instant.parse(iso)).toOption
-        .map(epoch => (per, epoch.getEpochSecond * 1000000L + epoch.getNano / 1000L))
+      parseEpochMicros(mm.group(2)).map(epochMicros => (per, epochMicros))
     }
   }
 
@@ -336,15 +371,9 @@ object NetCdf {
   private val LatNames = Set("lat", "latitude", "y")
   private val LonNames = Set("lon", "longitude", "x")
 
-  private def parseInstantMicros(s: String): Long = {
-    val iso = s.trim.replace(' ', 'T') match {
-      case d if d.length == 10 => d + "T00:00:00Z"
-      case d if d.endsWith("Z") || d.contains("+") => d
-      case d => d + "Z"
-    }
-    val i = java.time.Instant.parse(iso)
-    i.getEpochSecond * 1000000L + i.getNano / 1000L
-  }
+  private def parseInstantMicros(s: String): Long =
+    parseEpochMicros(s).getOrElse(
+      sys.error(s"unparseable timestamp bound '$s' (expected ISO date[/time][offset])"))
 
   /** Long-form distributed read: one row per grid cell, one column per
     * dimension (coordinate-var values; CF time dims become TIMESTAMP) and
@@ -393,13 +422,20 @@ object NetCdf {
       }
 
     // per-dimension keep masks from the pushdown predicates; dims without
-    // a matching predicate (or without coordinate values) keep everything
+    // a matching predicate (or without coordinate values) keep everything.
+    // Each supplied predicate must BIND to a dimension — a timeRange with
+    // no CF time coordinate, or a bbox with no recognizable lat/lon axis,
+    // fails loudly instead of silently returning unfiltered rows.
+    var timeBound = false
+    var latBound = false
+    var lonBound = false
     val dimMasks: IndexedSeq[Array[Boolean]] = coords.zipWithIndex.map {
       case ((dn, vals, cf), d) =>
         val len = dimLens(d)
         val keep = Array.fill(len)(true)
         (vals, cf) match {
           case (Some(vsArr), Some((perSec, epochMicros))) if timeRange.isDefined =>
+            timeBound = true
             val lo = parseInstantMicros(timeRange.get._1)
             val hi = parseInstantMicros(timeRange.get._2)
             var i = 0
@@ -409,10 +445,12 @@ object NetCdf {
               i += 1
             }
           case (Some(vsArr), None) if bbox.isDefined && LatNames(dn.toLowerCase) =>
+            latBound = true
             val (_, south, _, north) = bbox.get
             var i = 0
             while (i < len) { keep(i) = vsArr(i) >= south && vsArr(i) <= north; i += 1 }
           case (Some(vsArr), None) if bbox.isDefined && LonNames(dn.toLowerCase) =>
+            lonBound = true
             val (west, _, east, _) = bbox.get
             var i = 0
             while (i < len) {
@@ -425,6 +463,15 @@ object NetCdf {
         }
         keep
     }
+    require(timeRange.isEmpty || timeBound,
+      s"$path: timeRange pushdown bound to no dimension — no coordinate " +
+        s"variable with CF time units among dims ${dimNames.mkString(", ")}")
+    require(bbox.isEmpty || (latBound && lonBound),
+      s"$path: bbox pushdown bound to " +
+        (if (latBound) "no longitude axis" else if (lonBound) "no latitude axis"
+         else "neither a latitude nor a longitude axis") +
+        s" — recognized names are ${(LatNames ++ LonNames).mkString("/")}; " +
+        s"dims are ${dimNames.mkString(", ")}")
 
     val schema = StructType(
       coords.map {
@@ -451,12 +498,19 @@ object NetCdf {
       .parallelize(selected.map(_.toLong), math.max(parts, 1))
       .mapPartitions { slices =>
         val ch = openRead(path, props)
+        // close on task completion, not only on iterator drain: limit/take/
+        // show terminate the iterator early and would otherwise leak the
+        // file handle for the task's lifetime
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; ch.close() }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         val slabs = new Array[Array[Double]](varMeta.length)
         new Iterator[Row] {
           private var rem: Iterator[Row] = Iterator.empty
           override def hasNext: Boolean = {
             while (!rem.hasNext && slices.hasNext) rem = sliceRows(slices.next().toInt)
-            if (!rem.hasNext && !slices.hasNext) { ch.close(); false } else true
+            if (!rem.hasNext && !slices.hasNext) { closeOnce(); false } else true
           }
           override def next(): Row = rem.next()
           private def sliceRows(i0: Int): Iterator[Row] = {

@@ -151,22 +151,28 @@ object Cache {
     def delete(key: String): Boolean = Files.deleteIfExists(dir.resolve(enc(key)))
 
     def clearPrefix(prefix: String): Int = {
-      val it = Files.list(dir).iterator()
-      var n = 0
-      while (it.hasNext) {
-        val p = it.next()
-        val name = p.getFileName.toString
-        if (name.endsWith(".cache") && dec(name).startsWith(prefix) &&
-          Files.deleteIfExists(p)) n += 1
-      }
-      n
+      val stream = Files.list(dir)
+      try {
+        val it = stream.iterator()
+        var n = 0
+        while (it.hasNext) {
+          val p = it.next()
+          val name = p.getFileName.toString
+          if (name.endsWith(".cache") && dec(name).startsWith(prefix) &&
+            Files.deleteIfExists(p)) n += 1
+        }
+        n
+      } finally stream.close()
     }
 
     def entryCount: Int = {
-      val it = Files.list(dir).iterator()
-      var n = 0
-      while (it.hasNext) if (it.next().getFileName.toString.endsWith(".cache")) n += 1
-      n
+      val stream = Files.list(dir)
+      try {
+        val it = stream.iterator()
+        var n = 0
+        while (it.hasNext) if (it.next().getFileName.toString.endsWith(".cache")) n += 1
+        n
+      } finally stream.close()
     }
 
     def describe: String = s"file:$dir"

@@ -15,6 +15,39 @@ class NetCdfSpec extends SparkSpec {
     assert(cfTimeUnits("Days since 1996-01-01").isDefined, "case-insensitive")
   }
 
+  test("CF epochs with UTC offsets and single-digit fields parse correctly") {
+    // negative offset (common in real CF files): -6:00 means 06:00 UTC
+    assert(parseEpochMicros("1970-01-01 00:00:00-6:00").contains(6L * 3600 * 1000000L))
+    assert(parseEpochMicros("1970-01-01 00:00:00+05:30").contains(-(5L * 3600 + 30 * 60) * 1000000L))
+    assert(parseEpochMicros("1970-01-01T01:00:00-0100").contains(2L * 3600 * 1000000L))
+    // single-digit date/time components (xarray accepts these)
+    assert(parseEpochMicros("1970-1-1 0:0:0").contains(0L))
+    assert(parseEpochMicros("1970-01-01 00:00:30.5").contains(30500000L))
+    assert(parseEpochMicros("not a date").isEmpty)
+    // cfTimeUnits no longer degrades offset epochs to undecoded doubles
+    assert(cfTimeUnits("hours since 1990-01-01 00:00:00-6:00")
+      .contains((3600.0, (java.time.Instant.parse("1990-01-01T06:00:00Z").getEpochSecond) * 1000000L)))
+  }
+
+  test("pushdown predicates that bind to no dimension fail loudly") {
+    val path = tmpDir() + "/nobind.nc"
+    // no CF time units, dims named a/b (not lat/lon)
+    write(path,
+      dims = Seq(Dim("a", 2), Dim("b", 2)),
+      vars = Seq(
+        (VarDef("a", Seq("a"), NcDouble), Array(0.0, 1.0)),
+        (VarDef("b", Seq("b"), NcDouble), Array(0.0, 1.0)),
+        (VarDef("x", Seq("a", "b"), NcDouble), Array(1.0, 2.0, 3.0, 4.0))))
+    val e1 = intercept[IllegalArgumentException] {
+      read(spark, path, Seq("x"), timeRange = Some(("2020-01-01", "2020-02-01")))
+    }.getMessage
+    assert(e1.contains("timeRange") && e1.contains("bound to no dimension"))
+    val e2 = intercept[IllegalArgumentException] {
+      read(spark, path, Seq("x"), bbox = Some((0.0, 0.0, 1.0, 1.0)))
+    }.getMessage
+    assert(e2.contains("bbox"))
+  }
+
   test("header roundtrip: dims, coord vars, attrs, types survive") {
     val path = tmpDir() + "/h.nc"
     write(path,
