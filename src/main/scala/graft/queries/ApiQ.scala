@@ -72,15 +72,18 @@ object ApiQ extends QueryPack {
     // "ingest batches" (disjoint year slices), each reduced to its
     // algebraic partial state; the merged states must equal the direct
     // aggregate over the whole table — recompute-free stats at 100 TB.
+    // The batch key is derived IN-ROW so the per-batch states come out
+    // of ONE table scan (grouping by (key, batch)) instead of three
+    // sequential filtered scans — same state algebra, a third the IO.
     "q_incremental_stats" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-      val batches = Seq(
-        li.where(year(col("l_shipdate")) <= 1996),
-        li.where(year(col("l_shipdate")) === 1997),
-        li.where(year(col("l_shipdate")) >= 1998))
-      val states = batches.map(b =>
-        graft.operators.Incremental.partialState(b, Seq("l_returnflag"), "l_quantity"))
-      round6(graft.operators.Incremental.merge(states, Seq("l_returnflag")),
+      val batched = li.withColumn("p_batch",
+        when(year(col("l_shipdate")) <= 1996, 0)
+          .when(year(col("l_shipdate")) === 1997, 1)
+          .otherwise(2))
+      val states = graft.operators.Incremental.partialState(
+        batched, Seq("l_returnflag", "p_batch"), "l_quantity")
+      round6(graft.operators.Incremental.merge(Seq(states), Seq("l_returnflag")),
         "mean", "std")
     }),
     // C1-C3 — the serving cache in front of a real computation: the

@@ -17,23 +17,119 @@ object Api {
   val MaxPointsPerRequest = 10000
   val MaxTimeSteps = 8760
 
+  /** Geometry of one coordinate axis: distinct-value count, extent, and
+    * whether the values form a REGULAR (evenly spaced) ladder. For a
+    * regular axis the nearest cell is pure arithmetic — no Spark job.
+    */
+  final case class AxisMeta(n: Long, min: Double, max: Double, regular: Boolean) {
+    def res: Double = if (n > 1) (max - min) / (n - 1) else 0.0
+    /** Nearest ladder value to `v` (ties toward the smaller coordinate,
+      * matching `orderBy(abs(c-v), c)`); None when the axis is irregular.
+      */
+    def snap(v: Double): Option[Double] =
+      if (!regular) None
+      else if (n <= 1) Some(min)
+      else {
+        val p = (v - min) / res
+        val idx = math.min(n - 1, math.max(0L, math.ceil(p - 0.5).toLong))
+        Some(min + idx * res)
+      }
+  }
+
+  final case class GridMeta(lat: AxisMeta, lon: AxisMeta)
+
+  /** ONE aggregate job probing both axes: per axis the distinct count,
+    * extent, and the distinct-value sum and sum-of-squares. An evenly
+    * spaced ladder is fully determined by (n, min, max), so comparing the
+    * measured sums against the arithmetic-progression closed forms decides
+    * regularity without materializing the coordinate vector:
+    *   sum   = n(min+max)/2
+    *   sumSq = n·min² + min·res·n(n−1) + res²·(n−1)n(2n−1)/6
+    */
+  def gridMeta(df: DataFrame, latCol: String = "lat",
+               lonCol: String = "lon"): GridMeta = {
+    def axisAggs(c: String) = Seq(
+      countDistinct(col(c)), min(col(c)).cast("double"), max(col(c)).cast("double"),
+      sum_distinct(col(c).cast("double")),
+      sum_distinct(col(c).cast("double") * col(c).cast("double")))
+    val aggs = axisAggs(latCol) ++ axisAggs(lonCol)
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    def axis(o: Int): AxisMeta = {
+      val n = r.getLong(o)
+      if (n == 0 || r.isNullAt(o + 1)) // all-null axis: no ladder to snap to
+        return AxisMeta(0, Double.NaN, Double.NaN, regular = false)
+      val (mn, mx) = (r.getDouble(o + 1), r.getDouble(o + 2))
+      val (s, sq) = (r.getDouble(o + 3), r.getDouble(o + 4))
+      val regular = n <= 2 || {
+        val res = (mx - mn) / (n - 1)
+        val sAP = n * (mn + mx) / 2.0
+        val sqAP = n * mn * mn + mn * res * n * (n - 1) +
+          res * res * (n - 1.0) * n * (2.0 * n - 1) / 6.0
+        math.abs(s - sAP) <= 1e-9 * math.max(1.0, math.abs(sAP)) &&
+          math.abs(sq - sqAP) <= 1e-9 * math.max(1.0, math.abs(sqAP))
+      }
+      AxisMeta(n, mn, mx, regular)
+    }
+    GridMeta(axis(0), axis(5))
+  }
+
+  /** Per-JVM grid-geometry cache keyed by the CANONICALIZED logical plan
+    * (structural equality — no hash-collision wrongness) + axis columns.
+    * Grid geometry is immutable for a registered dataset: appending time
+    * steps never changes the lat/lon ladder. If spatial tiles are added,
+    * call [[invalidateGridMeta]].
+    */
+  private val metaCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(Any, String, String), GridMeta](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Any, String, String), GridMeta]): Boolean =
+          size() > 128
+      })
+
+  def invalidateGridMeta(): Unit = metaCache.clear()
+
+  private def cachedMeta(df: DataFrame, latCol: String, lonCol: String): GridMeta = {
+    val key = (df.queryExecution.logical.canonicalized, latCol, lonCol)
+    val hit = metaCache.get(key)
+    if (hit != null) hit
+    else {
+      val m = gridMeta(df, latCol, lonCol)
+      metaCache.put(key, m)
+      m
+    }
+  }
+
   /** P4 — nearest grid cell to (lat, lon), per-axis like xarray
     * `sel(method="nearest")`: nearest distinct lat, nearest distinct lon,
-    * ties broken toward the smaller coordinate. Two tiny fully-parallel
-    * aggregations; only two scalars reach the driver.
+    * ties broken toward the smaller coordinate.
+    *
+    * Serving path: the first request probes the grid geometry with ONE
+    * aggregate job ([[gridMeta]], cached per dataset); every later request
+    * on a REGULAR grid snaps arithmetically — zero jobs before the series
+    * scan itself. Irregular axes fall back to a distinct+sort scan, the
+    * only case where per-request coordinate jobs are still paid.
     */
   def nearestCell(df: DataFrame, lat: Double, lon: Double,
                   latCol: String = "lat", lonCol: String = "lon"): (Double, Double) = {
-    def nearest(c: String, v: Double): Double =
+    def scanNearest(c: String, v: Double): Double =
       df.select(col(c)).distinct()
         .orderBy(abs(col(c) - v), col(c))
         .head().getDouble(0)
-    (nearest(latCol, lat), nearest(lonCol, lon))
+    val meta = cachedMeta(df, latCol, lonCol)
+    (meta.lat.snap(lat).getOrElse(scanNearest(latCol, lat)),
+      meta.lon.snap(lon).getOrElse(scanNearest(lonCol, lon)))
   }
 
   /** P4 — time series at a point: snap to the nearest cell, then an
     * equality+range filter that pushes down to the scan. Output capped at
     * [[MaxTimeSteps]] rows.
+    *
+    * Regular grids match the snapped coordinate with an ulp-scale
+    * tolerance (res·1e-6): the arithmetic snap can differ from the stored
+    * double in the last bit when the file's coordinates were accumulated
+    * differently (float32 ladders, 0.1° steps). Rows still carry the
+    * STORED coordinates, so outputs are exact either way.
     */
   def pointSeries(
       df: DataFrame,
@@ -44,11 +140,18 @@ object Api {
       latCol: String = "lat",
       lonCol: String = "lon"
   ): DataFrame = {
+    val meta = cachedMeta(df, latCol, lonCol)
     val (nlat, nlon) = nearestCell(df, lat, lon, latCol, lonCol)
+    def cellMatch(c: String, snapped: Double, axis: AxisMeta) =
+      if (axis.regular && axis.n > 1) {
+        // range form, not abs(): plain comparisons push down to the scan
+        val tol = math.abs(axis.res) * 1e-6
+        col(c) >= snapped - tol && col(c) <= snapped + tol
+      } else col(c) === snapped
     val in = timeRange.fold(df) { case (s, e) =>
       df.where(col(spec.tsCol).between(lit(s).cast("timestamp"), lit(e).cast("timestamp")))
     }
-    in.where(col(latCol) === nlat && col(lonCol) === nlon)
+    in.where(cellMatch(latCol, nlat, meta.lat) && cellMatch(lonCol, nlon, meta.lon))
       .select(col(spec.tsCol), col(latCol), col(lonCol), col(spec.valueCol))
       .orderBy(col(spec.tsCol))
       .limit(MaxTimeSteps)

@@ -1,0 +1,82 @@
+package graft.serve
+
+import graft.SparkSpec
+import graft.model.SeriesSpec
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+
+/** P4 serving path: metadata-snap nearest-cell selection (regular grids
+  * snap arithmetically from a one-job geometry probe; irregular grids
+  * fall back to the distinct+sort scan) and the steady-state job count.
+  */
+class ApiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def regularGrid = {
+    // 0.25-degree-style ladders: lat 10 steps from -4.5, lon 8 from 100.25
+    val lats = (0 until 10).map(i => -4.5 + i * 0.25)
+    val lons = (0 until 8).map(j => 100.25 + j * 0.25)
+    val rows = for {
+      t <- 0 until 3; la <- lats; lo <- lons
+    } yield (java.sql.Timestamp.valueOf(s"2020-01-0${t + 1} 00:00:00"),
+      la, lo, t * 1000.0 + la * 10 + lo)
+    rows.toDF("time", "lat", "lon", "v")
+  }
+
+  test("gridMeta: regular ladders detected; snap == scan-based nearest") {
+    val g = regularGrid
+    val meta = Api.gridMeta(g)
+    assert(meta.lat.regular && meta.lon.regular)
+    assert(meta.lat.n == 10 && meta.lon.n == 8)
+    assert(math.abs(meta.lat.res - 0.25) < 1e-12)
+    def scanNearest(c: String, v: Double): Double =
+      g.select(col(c)).distinct().orderBy(abs(col(c) - v), col(c))
+        .head().getDouble(0)
+    // interior, exact-cell, out-of-range (clamps), and tie probes
+    for (p <- Seq(-4.43, -3.0, -2.62, -99.0, 99.0, -4.375 /* tie */ ))
+      assert(meta.lat.snap(p).contains(scanNearest("lat", p)), s"lat probe $p")
+    for (p <- Seq(100.3, 101.99, 0.0, 200.0, 100.375 /* tie */ ))
+      assert(meta.lon.snap(p).contains(scanNearest("lon", p)), s"lon probe $p")
+    // tie goes to the SMALLER coordinate, matching orderBy(abs, c)
+    assert(meta.lat.snap(-4.375).contains(-4.5))
+  }
+
+  test("gridMeta: irregular axis detected; nearestCell falls back to the scan") {
+    val rows = for {
+      la <- Seq(-10.0, 0.0, 3.0, 50.0) // uneven spacing
+      lo <- Seq(0.0, 10.0, 20.0)       // even
+    } yield (la, lo, la + lo)
+    val g = rows.toDF("lat", "lon", "v")
+    val meta = Api.gridMeta(g)
+    assert(!meta.lat.regular, "uneven lat ladder must not be treated as regular")
+    assert(meta.lon.regular)
+    assert(meta.lat.snap(2.0).isEmpty)
+    // fallback still selects the true nearest cell
+    assert(Api.nearestCell(g, 2.0, 8.0) == ((3.0, 10.0)))
+    assert(Api.nearestCell(g, -6.0, 25.0) == ((-10.0, 20.0)))
+  }
+
+  test("pointSeries on a regular grid: correct cell, one job per warm request") {
+    val g = regularGrid.cache()
+    g.count() // materialize so the serving scan is one stage
+    val spec = SeriesSpec("time", Seq("lat", "lon"), "v")
+    // warm the geometry cache (first request pays the one probe job)
+    Api.invalidateGridMeta()
+    Api.nearestCell(g, 0.0, 0.0)
+    var jobs = 0
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rows = Api.pointSeries(g, spec, lat = -2.62, lon = 100.3).collect()
+      // listener delivery is async; give the bus a beat to drain
+      Thread.sleep(300)
+      // steady-state serving: ONLY the series scan runs — no per-request
+      // coordinate-distinct jobs
+      assert(jobs == 1, s"expected exactly one job, saw $jobs")
+      assert(rows.length == 3)
+      assert(rows.forall(r => r.getDouble(1) == -2.5 && r.getDouble(2) == 100.25))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}
