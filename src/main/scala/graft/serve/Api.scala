@@ -38,39 +38,48 @@ object Api {
 
   final case class GridMeta(lat: AxisMeta, lon: AxisMeta)
 
-  /** ONE aggregate job probing both axes: per axis the distinct count,
-    * extent, and the distinct-value sum and sum-of-squares. An evenly
+  /** ONE aggregate job probing both axes: each axis's distinct ladder
+    * (explode both coordinates into (axis, v) pairs, distinct with
+    * map-side combine — the shuffle carries per-partition ladders, not
+    * rows) reduced to count, extent, sum, and sum of squares. An evenly
     * spaced ladder is fully determined by (n, min, max), so comparing the
-    * measured sums against the arithmetic-progression closed forms decides
-    * regularity without materializing the coordinate vector:
+    * measured moments against the arithmetic-progression closed forms
+    * decides regularity without collecting the coordinate vector:
     *   sum   = n(min+max)/2
     *   sumSq = n·min² + min·res·n(n−1) + res²·(n−1)n(2n−1)/6
+    * (The moments must be taken over DISTINCT LADDER VALUES — a
+    * sum_distinct of v² would collapse symmetric ±v pairs.)
     */
   def gridMeta(df: DataFrame, latCol: String = "lat",
                lonCol: String = "lon"): GridMeta = {
-    def axisAggs(c: String) = Seq(
-      countDistinct(col(c)), min(col(c)).cast("double"), max(col(c)).cast("double"),
-      sum_distinct(col(c).cast("double")),
-      sum_distinct(col(c).cast("double") * col(c).cast("double")))
-    val aggs = axisAggs(latCol) ++ axisAggs(lonCol)
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
-    def axis(o: Int): AxisMeta = {
-      val n = r.getLong(o)
-      if (n == 0 || r.isNullAt(o + 1)) // all-null axis: no ladder to snap to
-        return AxisMeta(0, Double.NaN, Double.NaN, regular = false)
-      val (mn, mx) = (r.getDouble(o + 1), r.getDouble(o + 2))
-      val (s, sq) = (r.getDouble(o + 3), r.getDouble(o + 4))
-      val regular = n <= 2 || {
-        val res = (mx - mn) / (n - 1)
-        val sAP = n * (mn + mx) / 2.0
-        val sqAP = n * mn * mn + mn * res * n * (n - 1) +
-          res * res * (n - 1.0) * n * (2.0 * n - 1) / 6.0
-        math.abs(s - sAP) <= 1e-9 * math.max(1.0, math.abs(sAP)) &&
-          math.abs(sq - sqAP) <= 1e-9 * math.max(1.0, math.abs(sqAP))
-      }
-      AxisMeta(n, mn, mx, regular)
+    val v = col("p.v")
+    val byAxis = df
+      .select(explode(array(
+        struct(lit(0).as("axis"), col(latCol).cast("double").as("v")),
+        struct(lit(1).as("axis"), col(lonCol).cast("double").as("v")))).as("p"))
+      .where(v.isNotNull)
+      .groupBy(col("p.axis").as("axis"), v.as("v")).agg(count(lit(1)))
+      .groupBy(col("axis"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"),
+        sum(col("v")).as("s"), sum(col("v") * col("v")).as("sq"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    def axis(i: Int): AxisMeta = byAxis.get(i) match {
+      case None => AxisMeta(0, Double.NaN, Double.NaN, regular = false)
+      case Some(r) =>
+        val n = r.getLong(1)
+        val (mn, mx) = (r.getDouble(2), r.getDouble(3))
+        val (s, sq) = (r.getDouble(4), r.getDouble(5))
+        val regular = n <= 2 || {
+          val res = (mx - mn) / (n - 1)
+          val sAP = n * (mn + mx) / 2.0
+          val sqAP = n * mn * mn + mn * res * n * (n - 1) +
+            res * res * (n - 1.0) * n * (2.0 * n - 1) / 6.0
+          math.abs(s - sAP) <= 1e-9 * math.max(1.0, math.abs(sAP)) &&
+            math.abs(sq - sqAP) <= 1e-9 * math.max(1.0, math.abs(sqAP))
+        }
+        AxisMeta(n, mn, mx, regular)
     }
-    GridMeta(axis(0), axis(5))
+    GridMeta(axis(0), axis(1))
   }
 
   /** Per-JVM grid-geometry cache keyed by the CANONICALIZED logical plan
@@ -89,11 +98,15 @@ object Api {
 
   def invalidateGridMeta(): Unit = metaCache.clear()
 
+  /** Geometry probes actually run (test observability for cache hits). */
+  @volatile private[serve] var probeCount: Long = 0L
+
   private def cachedMeta(df: DataFrame, latCol: String, lonCol: String): GridMeta = {
     val key = (df.queryExecution.logical.canonicalized, latCol, lonCol)
     val hit = metaCache.get(key)
     if (hit != null) hit
     else {
+      probeCount += 1
       val m = gridMeta(df, latCol, lonCol)
       metaCache.put(key, m)
       m

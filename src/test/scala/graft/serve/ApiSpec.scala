@@ -41,6 +41,17 @@ class ApiSpec extends SparkSpec {
     assert(meta.lat.snap(-4.375).contains(-4.5))
   }
 
+  test("gridMeta: symmetric ladders (±v pairs) are still regular") {
+    // lat -85..85 step 10 has v/-v pairs whose SQUARES collide — the
+    // moment probe must not collapse them (regression: sum_distinct(v²))
+    val rows = for (la <- -85 to 85 by 10; lo <- 0 to 40 by 10)
+      yield (la.toDouble, lo.toDouble, 1.0)
+    val g = rows.toDF("lat", "lon", "v")
+    val meta = Api.gridMeta(g)
+    assert(meta.lat.regular && meta.lat.n == 18 && meta.lat.res == 10.0)
+    assert(meta.lat.snap(10.3).contains(15.0))
+  }
+
   test("gridMeta: irregular axis detected; nearestCell falls back to the scan") {
     val rows = for {
       la <- Seq(-10.0, 0.0, 3.0, 50.0) // uneven spacing
@@ -54,6 +65,21 @@ class ApiSpec extends SparkSpec {
     // fallback still selects the true nearest cell
     assert(Api.nearestCell(g, 2.0, 8.0) == ((3.0, 10.0)))
     assert(Api.nearestCell(g, -6.0, 25.0) == ((-10.0, 20.0)))
+  }
+
+  test("geometry cache hits across separately-built plans over the same files") {
+    val dir = tmpDir() + "/gridpq"
+    regularGrid.write.parquet(dir)
+    Api.invalidateGridMeta()
+    val before = Api.probeCount
+    // two INDEPENDENT reads + identical derivations: canonicalized-plan
+    // equality must dedupe them into one probe (the bench/serving shape:
+    // every request rebuilds the frame from the catalog)
+    def build() = spark.read.parquet(dir).withColumn("lat2", col("lat") * 1.0)
+    Api.nearestCell(build(), 0.0, 0.0)
+    Api.nearestCell(build(), 1.0, 1.0)
+    assert(Api.probeCount == before + 1,
+      s"expected one probe for two identical plans, ran ${Api.probeCount - before}")
   }
 
   test("pointSeries on a regular grid: correct cell, one job per warm request") {
