@@ -41,12 +41,24 @@ object NetCdf {
   case object NcInt extends NcType(4, 4)
   case object NcFloat extends NcType(5, 4)
   case object NcDouble extends NcType(6, 8)
+  // CDF-5 additions (pnetcdf/netcdf-c "64-bit data" format)
+  case object NcUByte extends NcType(7, 1)
+  case object NcUShort extends NcType(8, 2)
+  case object NcUInt extends NcType(9, 4)
+  case object NcInt64 extends NcType(10, 8)
+  case object NcUInt64 extends NcType(11, 8)
 
   private def ncType(id: Int): NcType = id match {
     case 1 => NcByte; case 2 => NcChar; case 3 => NcShort
     case 4 => NcInt; case 5 => NcFloat; case 6 => NcDouble
+    case 7 => NcUByte; case 8 => NcUShort; case 9 => NcUInt
+    case 10 => NcInt64; case 11 => NcUInt64
     case other => sys.error(s"unknown nc_type $other")
   }
+
+  /** Two's-complement long reinterpreted as unsigned, as a double. */
+  private def unsignedToDouble(x: Long): Double =
+    if (x >= 0) x.toDouble else x.toDouble + 1.8446744073709552E19
 
   final case class Dim(name: String, length: Int) {
     def isRecord: Boolean = length == 0
@@ -58,6 +70,7 @@ object NetCdf {
       case b: Byte => b.toDouble
       case s: Short => s.toDouble
       case i: Int => i.toDouble
+      case l: Long => l.toDouble
       case f: Float => f.toDouble
       case d: Double => d
     }
@@ -151,11 +164,24 @@ object NetCdf {
 
   // ---- header parsing (driver-side; headers are KBs) ----
 
-  private final class Reader(buf: ByteBuffer) {
+  /** `v5`: CDF-5 widens every NON_NEG field (counts, name lengths, dim
+    * lengths, vsize) to 8 bytes — `sz()` abstracts that.
+    */
+  private final class Reader(buf: ByteBuffer, v5: Boolean) {
     def i4(): Int = buf.getInt
     def i8(): Long = buf.getLong
+    /** NON_NEG: 4-byte in CDF-1/2, 8-byte in CDF-5; must fit an Int for
+      * in-memory structures (a single >2^31 dim/name/count is rejected,
+      * not wrapped).
+      */
+    def sz(): Int = {
+      val v = if (v5) i8() else i4().toLong & 0xFFFFFFFFL
+      require(v <= Int.MaxValue, s"CDF size field $v exceeds Int range")
+      v.toInt
+    }
+    def szL(): Long = if (v5) i8() else i4().toLong & 0xFFFFFFFFL
     def name(): String = {
-      val n = i4()
+      val n = sz()
       val bytes = new Array[Byte](n)
       buf.get(bytes)
       skipPad(n)
@@ -172,6 +198,11 @@ object NetCdf {
         case NcInt => (0 until n).map(_ => buf.getInt)
         case NcFloat => (0 until n).map(_ => buf.getFloat)
         case NcDouble => (0 until n).map(_ => buf.getDouble)
+        case NcUByte => (0 until n).map(_ => buf.get() & 0xFF)
+        case NcUShort => (0 until n).map(_ => buf.getShort & 0xFFFF)
+        case NcUInt => (0 until n).map(_ => buf.getInt.toLong & 0xFFFFFFFFL)
+        case NcInt64 => (0 until n).map(_ => buf.getLong)
+        case NcUInt64 => (0 until n).map(_ => unsignedToDouble(buf.getLong))
       }
       skipPad(n * t.size)
       out
@@ -186,34 +217,43 @@ object NetCdf {
       // headers are tiny; 1 MiB covers pathological attr lists
       val headBytes = new Array[Byte](math.min(raf.length, 1L << 20).toInt)
       raf.readFully(0L, headBytes, 0, headBytes.length)
-      val r = new Reader(ByteBuffer.wrap(headBytes))
-      require(r.i4() >>> 8 == 0x434446, s"$path: not a NetCDF classic file")
+      require(headBytes.length >= 4 &&
+        headBytes(0) == 'C' && headBytes(1) == 'D' && headBytes(2) == 'F',
+        s"$path: not a NetCDF classic/64-bit file")
       val version = headBytes(3).toInt
-      require(version == 1 || version == 2,
-        s"$path: CDF-$version not supported (classic/64-bit-offset only; " +
-          "NetCDF-4/HDF5 files need conversion upstream)")
-      val numRecs = r.i4()
+      require(version == 1 || version == 2 || version == 5,
+        s"$path: CDF-$version not supported (classic, 64-bit-offset, and " +
+          "64-bit-data supported here; NetCDF-4/HDF5 routes through Hdf5)")
+      val v5 = version == 5
+      val r = new Reader(ByteBuffer.wrap(headBytes), v5)
+      r.i4() // skip magic
+      val numRecs = {
+        val n = if (v5) r.i8() else r.i4().toLong
+        // STREAMING (-1) files are still being written; reject cleanly
+        require(n >= 0 && n <= Int.MaxValue, s"$path: unsupported numrecs $n")
+        n.toInt
+      }
       def attList(): Seq[Attr] = {
-        val tag = r.i4(); val n = r.i4()
+        val tag = r.i4(); val n = r.sz()
         require(tag == TagAtt || (tag == 0 && n == 0), s"bad att_list tag $tag")
         (0 until n).map { _ =>
-          val nm = r.name(); val t = ncType(r.i4()); val cnt = r.i4()
+          val nm = r.name(); val t = ncType(r.i4()); val cnt = r.sz()
           Attr(nm, t, r.values(t, cnt))
         }
       }
-      val dimTag = r.i4(); val nDims = r.i4()
+      val dimTag = r.i4(); val nDims = r.sz()
       require(dimTag == TagDim || (dimTag == 0 && nDims == 0), s"bad dim_list tag $dimTag")
-      val dims = (0 until nDims).map(_ => Dim(r.name(), r.i4()))
+      val dims = (0 until nDims).map(_ => Dim(r.name(), r.sz()))
       val gatts = attList()
-      val varTag = r.i4(); val nVars = r.i4()
+      val varTag = r.i4(); val nVars = r.sz()
       require(varTag == TagVar || (varTag == 0 && nVars == 0), s"bad var_list tag $varTag")
       val vars = (0 until nVars).map { _ =>
         val nm = r.name()
-        val rank = r.i4()
-        val dimIds = (0 until rank).map(_ => r.i4())
+        val rank = r.sz()
+        val dimIds = (0 until rank).map(_ => r.sz())
         val atts = attList()
         val t = ncType(r.i4())
-        val vsize = r.i4().toLong & 0xFFFFFFFFL
+        val vsize = r.szL()
         val begin = if (version == 1) r.i4().toLong & 0xFFFFFFFFL else r.i8()
         Variable(nm, dimIds, atts, t, vsize, begin)
       }
@@ -234,6 +274,11 @@ object NetCdf {
       case NcInt => while (i < n) { out(i) = bb.getInt.toDouble; i += 1 }
       case NcFloat => while (i < n) { out(i) = bb.getFloat.toDouble; i += 1 }
       case NcDouble => while (i < n) { out(i) = bb.getDouble; i += 1 }
+      case NcUByte => while (i < n) { out(i) = (bb.get() & 0xFF).toDouble; i += 1 }
+      case NcUShort => while (i < n) { out(i) = (bb.getShort & 0xFFFF).toDouble; i += 1 }
+      case NcUInt => while (i < n) { out(i) = (bb.getInt.toLong & 0xFFFFFFFFL).toDouble; i += 1 }
+      case NcInt64 => while (i < n) { out(i) = bb.getLong.toDouble; i += 1 }
+      case NcUInt64 => while (i < n) { out(i) = unsignedToDouble(bb.getLong); i += 1 }
     }
     out
   }
@@ -613,71 +658,91 @@ object NetCdf {
   final case class VarDef(name: String, dimNames: Seq[String], tpe: NcType,
                           attrs: Seq[(String, Any)] = Nil)
 
-  /** Write a classic CDF-1 file with fixed dimensions (no record dim —
-    * our own reader and any spec reader handle both). Data arrays are
-    * row-major in the declared dim order. This is the small-extract export
-    * path (xarray `to_netcdf` analog); bulk data at scale flows the other
-    * way (nc → parquet → engine).
+  /** Write a CDF-1 (default) or CDF-5 (64-bit data, `version = 5`) file
+    * with fixed dimensions (no record dim — our own reader and any spec
+    * reader handle both). Data arrays are row-major in the declared dim
+    * order. This is the small-extract export path (xarray `to_netcdf`
+    * analog); bulk data at scale flows the other way (nc → parquet →
+    * engine). CDF-5 widens every NON_NEG header field to 8 bytes and
+    * admits the unsigned/64-bit value types.
     */
   def write(path: String, dims: Seq[Dim],
             vars: Seq[(VarDef, Array[Double])],
-            gatts: Seq[(String, Any)] = Nil): Unit = {
+            gatts: Seq[(String, Any)] = Nil,
+            version: Int = 1): Unit = {
+    require(version == 1 || version == 5, s"writer supports CDF-1/CDF-5, not CDF-$version")
+    val v5 = version == 5
+    val szLen = if (v5) 8 else 4 // NON_NEG width
     val dimIndex = dims.map(_.name).zipWithIndex.toMap
     def pad4(n: Long): Long = (n + 3) / 4 * 4
 
+    def putSz(bb: ByteBuffer, v: Long): ByteBuffer =
+      if (v5) bb.putLong(v) else bb.putInt(v.toInt)
     def nameBytes(s: String): Array[Byte] = {
       val b = s.getBytes("UTF-8")
-      val out = ByteBuffer.allocate(4 + pad4(b.length).toInt)
-      out.putInt(b.length).put(b)
+      val out = ByteBuffer.allocate(szLen + pad4(b.length).toInt)
+      putSz(out, b.length).put(b)
       out.array()
     }
-    def attrBytes(name: String, value: Any): Array[Byte] = value match {
-      case s: String =>
-        val vb = s.getBytes("UTF-8")
-        val out = ByteBuffer.allocate(nameBytes(name).length + 8 + pad4(vb.length).toInt)
-        out.put(nameBytes(name)).putInt(NcChar.id).putInt(vb.length).put(vb)
-        out.array()
-      case d: Double =>
-        val out = ByteBuffer.allocate(nameBytes(name).length + 16)
-        out.put(nameBytes(name)).putInt(NcDouble.id).putInt(1).putDouble(d)
-        out.array()
-      case f: Float =>
-        val out = ByteBuffer.allocate(nameBytes(name).length + 12)
-        out.put(nameBytes(name)).putInt(NcFloat.id).putInt(1).putFloat(f)
-        out.array()
-      case i: Int =>
-        val out = ByteBuffer.allocate(nameBytes(name).length + 12)
-        out.put(nameBytes(name)).putInt(NcInt.id).putInt(1).putInt(i)
-        out.array()
-      case s: Short =>
-        val out = ByteBuffer.allocate(nameBytes(name).length + 12)
-        out.put(nameBytes(name)).putInt(NcShort.id).putInt(1).putShort(s)
-        // pad 2
-        out.array()
-      case other => sys.error(s"unsupported attr type: ${other.getClass}")
+    def attrBytes(name: String, value: Any): Array[Byte] = {
+      val nm = nameBytes(name)
+      value match {
+        case s: String =>
+          val vb = s.getBytes("UTF-8")
+          val out = ByteBuffer.allocate(nm.length + 4 + szLen + pad4(vb.length).toInt)
+          putSz(out.put(nm).putInt(NcChar.id), vb.length).put(vb)
+          out.array()
+        case d: Double =>
+          val out = ByteBuffer.allocate(nm.length + 4 + szLen + 8)
+          putSz(out.put(nm).putInt(NcDouble.id), 1).putDouble(d)
+          out.array()
+        case f: Float =>
+          val out = ByteBuffer.allocate(nm.length + 4 + szLen + 4)
+          putSz(out.put(nm).putInt(NcFloat.id), 1).putFloat(f)
+          out.array()
+        case i: Int =>
+          val out = ByteBuffer.allocate(nm.length + 4 + szLen + 4)
+          putSz(out.put(nm).putInt(NcInt.id), 1).putInt(i)
+          out.array()
+        case l: Long =>
+          require(v5, "int64 attributes need a CDF-5 file")
+          val out = ByteBuffer.allocate(nm.length + 4 + szLen + 8)
+          putSz(out.put(nm).putInt(NcInt64.id), 1).putLong(l)
+          out.array()
+        case s: Short =>
+          val out = ByteBuffer.allocate(nm.length + 4 + szLen + 4)
+          putSz(out.put(nm).putInt(NcShort.id), 1).putShort(s).putShort(0) // pad 2
+          out.array()
+        case other => sys.error(s"unsupported attr type: ${other.getClass}")
+      }
     }
     def attListBytes(attrs: Seq[(String, Any)]): Array[Byte] =
-      if (attrs.isEmpty) Array.fill[Byte](8)(0)
+      if (attrs.isEmpty) Array.fill[Byte](4 + szLen)(0)
       else {
         val body = attrs.toArray.flatMap { case (n, v) => attrBytes(n, v) }
-        val out = ByteBuffer.allocate(8 + body.length)
-        out.putInt(TagAtt).putInt(attrs.length).put(body)
+        val out = ByteBuffer.allocate(4 + szLen + body.length)
+        putSz(out.putInt(TagAtt), attrs.length).put(body)
         out.array()
       }
 
     def vsizeOf(vd: VarDef): Long =
       pad4(vd.dimNames.map(dn => dims(dimIndex(dn)).length.toLong).product * vd.tpe.size)
 
-    // var entry length (CDF-1: 4-byte begin)
+    // var entry: name + rank + dimids + atts + nc_type + vsize + begin
+    // (CDF-1 begin is 4-byte; CDF-5 dimids/vsize are 8-byte, begin 8-byte)
     def varEntryLen(vd: VarDef): Int =
-      nameBytes(vd.name).length + 4 + 4 * vd.dimNames.length +
-        attListBytes(vd.attrs).length + 4 + 4 + 4
+      nameBytes(vd.name).length + szLen + szLen * vd.dimNames.length +
+        attListBytes(vd.attrs).length + 4 + szLen + (if (v5) 8 else 4)
+
+    require(v5 || !vars.exists { case (vd, _) =>
+      Set[NcType](NcUByte, NcUShort, NcUInt, NcInt64, NcUInt64)(vd.tpe) },
+      "unsigned/64-bit variable types need a CDF-5 file")
 
     val headerLen = {
-      var n = 4 + 4 // magic + numrecs
-      n += 8 + dims.map(d => nameBytes(d.name).length + 4).sum
+      var n = 4 + szLen // magic + numrecs
+      n += 4 + szLen + dims.map(d => nameBytes(d.name).length + szLen).sum
       n += attListBytes(gatts).length
-      n += 8 + vars.map { case (vd, _) => varEntryLen(vd) }.sum
+      n += 4 + szLen + vars.map { case (vd, _) => varEntryLen(vd) }.sum
       n
     }
 
@@ -687,26 +752,27 @@ object NetCdf {
         val b = off; off += vsizeOf(vd); b
       }
     }
-    require(begins.lastOption.forall(_ <= Int.MaxValue.toLong),
-      "CDF-1 writer: file too large for 32-bit offsets")
+    require(v5 || begins.lastOption.forall(_ <= Int.MaxValue.toLong),
+      "CDF-1 writer: file too large for 32-bit offsets (use version = 5)")
 
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       new FileOutputStream(path)))
+    def outSz(v: Long): Unit = if (v5) out.writeLong(v) else out.writeInt(v.toInt)
     try {
-      out.write(Array[Byte]('C', 'D', 'F', 1))
-      out.writeInt(0) // numrecs: all dims fixed
-      out.writeInt(TagDim); out.writeInt(dims.length)
-      dims.foreach { d => out.write(nameBytes(d.name)); out.writeInt(d.length) }
+      out.write(Array[Byte]('C', 'D', 'F', version.toByte))
+      outSz(0) // numrecs: all dims fixed
+      out.writeInt(TagDim); outSz(dims.length)
+      dims.foreach { d => out.write(nameBytes(d.name)); outSz(d.length) }
       out.write(attListBytes(gatts))
-      out.writeInt(TagVar); out.writeInt(vars.length)
+      out.writeInt(TagVar); outSz(vars.length)
       vars.zip(begins).foreach { case ((vd, _), begin) =>
         out.write(nameBytes(vd.name))
-        out.writeInt(vd.dimNames.length)
-        vd.dimNames.foreach(dn => out.writeInt(dimIndex(dn)))
+        outSz(vd.dimNames.length)
+        vd.dimNames.foreach(dn => outSz(dimIndex(dn)))
         out.write(attListBytes(vd.attrs))
         out.writeInt(vd.tpe.id)
-        out.writeInt(vsizeOf(vd).toInt)
-        out.writeInt(begin.toInt)
+        outSz(vsizeOf(vd))
+        if (v5) out.writeLong(begin) else out.writeInt(begin.toInt)
       }
       // pad header to the first begin
       var pos = headerLen.toLong
@@ -722,6 +788,18 @@ object NetCdf {
           case NcInt => data.foreach(d => out.writeInt(d.toInt)); written = nVals * 4
           case NcShort => data.foreach(d => out.writeShort(d.toInt)); written = nVals * 2
           case NcByte | NcChar => data.foreach(d => out.writeByte(d.toInt)); written = nVals
+          case NcUByte => data.foreach(d => out.writeByte(d.toLong.toInt & 0xFF)); written = nVals
+          case NcUShort => data.foreach(d => out.writeShort(d.toLong.toInt & 0xFFFF)); written = nVals * 2
+          case NcUInt => data.foreach(d => out.writeInt(d.toLong.toInt)); written = nVals * 4
+          case NcInt64 => data.foreach(d => out.writeLong(d.toLong)); written = nVals * 8
+          case NcUInt64 =>
+            // doubles ≥ 2^63 reinterpreted as the unsigned bit pattern
+            data.foreach { d =>
+              val bits = if (d >= 9.223372036854776E18)
+                (d - 1.8446744073709552E19).toLong else d.toLong
+              out.writeLong(bits)
+            }
+            written = nVals * 8
         }
         while (written < vsizeOf(vd)) { out.writeByte(0); written += 1 }
       }

@@ -201,6 +201,61 @@ class NetCdfSpec extends SparkSpec {
     assert(err.contains("no .nc files"))
   }
 
+  test("CDF-5 roundtrip: 64-bit header fields, unsigned and 64-bit types") {
+    val path = tmpDir() + "/v5.nc"
+    val (nt, nlat) = (3, 4)
+    write(path,
+      dims = Seq(Dim("time", nt), Dim("lat", nlat)),
+      vars = Seq(
+        (VarDef("time", Seq("time"), NcInt64,
+          Seq("units" -> "days since 2000-01-01")), Array(0.0, 1.0, 2.0)),
+        (VarDef("lat", Seq("lat"), NcDouble), Array(-30.0, -10.0, 10.0, 30.0)),
+        (VarDef("u8", Seq("time", "lat"), NcUByte),
+          Array.tabulate(nt * nlat)(i => (i * 23 % 256).toDouble)),
+        (VarDef("u16", Seq("time", "lat"), NcUShort),
+          Array.tabulate(nt * nlat)(i => (i * 7001 % 65536).toDouble)),
+        (VarDef("u32", Seq("time", "lat"), NcUInt,
+          Seq("big" -> 3000000000L)),
+          Array.tabulate(nt * nlat)(i => 4.0e9 + i)),
+        (VarDef("i64", Seq("time", "lat"), NcInt64),
+          Array.tabulate(nt * nlat)(i => -5.0e15 + i * 1e12))),
+      gatts = Seq("Conventions" -> "CF-1.8"),
+      version = 5)
+    val h = readHeader(path)
+    assert(h.version == 5)
+    assert(h.dims == IndexedSeq(Dim("time", nt), Dim("lat", nlat)))
+    assert(h.variable("u32").attr("big").flatMap(_.num).contains(3.0e9))
+    assert(h.variable("time").tpe == NcInt64)
+    val df = read(spark, path, Seq("u8", "u16", "u32", "i64"))
+    assert(df.count() == nt * nlat)
+    assert(df.schema("time").dataType.typeName == "timestamp", "CF time on int64 axis")
+    val r0 = df.orderBy("time", "lat").head()
+    assert(r0.getDouble(r0.fieldIndex("u8")) == 0.0)
+    assert(r0.getDouble(r0.fieldIndex("u32")) == 4.0e9, "uint past Int range")
+    assert(r0.getDouble(r0.fieldIndex("i64")) == -5.0e15)
+    // unsigned wrap-around is NOT applied to in-range values
+    val all = df.select(sum(col("u8"))).head().getDouble(0)
+    assert(all == (0 until nt * nlat).map(i => i * 23 % 256).sum.toDouble)
+  }
+
+  test("CDF-5 pushdown behaves exactly like classic") {
+    val path = tmpDir() + "/v5push.nc"
+    val nt = 5
+    write(path,
+      dims = Seq(Dim("time", nt), Dim("lat", 2)),
+      vars = Seq(
+        (VarDef("time", Seq("time"), NcDouble,
+          Seq("units" -> "days since 2022-01-01")), Array.tabulate(nt)(_ * 10.0)),
+        (VarDef("lat", Seq("lat"), NcDouble), Array(-45.0, 45.0)),
+        (VarDef("x", Seq("time", "lat"), NcDouble),
+          Array.tabulate(nt * 2)(_.toDouble))),
+      version = 5)
+    val pushed = read(spark, path, Seq("x"),
+      timeRange = Some(("2022-01-11", "2022-01-31")))
+    assert(pushed.count() == 3L * 2)
+    assert(pushed.rdd.getNumPartitions <= 3)
+  }
+
   test("a record-dimension file reads identically (spec interleaving)") {
     // hand-build a CDF-1 file with time as the RECORD dim and two record
     // vars, exercising the interleaved-record read path our writer does
