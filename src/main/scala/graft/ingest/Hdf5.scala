@@ -1,0 +1,1168 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** NetCDF-4 (HDF5 container) support, written against the PUBLIC "HDF5
+  * File Format Specification" (version III, hdfgroup.org) — no external
+  * reader library, because the build is offline-only. This closes the gap
+  * the reference covers through xarray's netcdf engine
+  * (`ingest/netcdf_reader.py:13-77`), whose h5netcdf/netCDF4 backends open
+  * HDF5-based archives (ERA5 distributions, CMIP6).
+  *
+  * Honest scope for real-world files (the layouts CF grid files actually
+  * use):
+  *   - superblock v0/v1 (symbol-table root group) and v2/v3 (link-message
+  *     root group); object headers v1 and v2 with continuations
+  *   - datatypes: fixed-point (signed/unsigned, LE/BE), IEEE float,
+  *     strings (attrs), object references and vlen-of-reference (for
+  *     DIMENSION_LIST)
+  *   - data layout v3: compact, contiguous, and chunked with a B-tree v1
+  *     chunk index, UNFILTERED (a filter pipeline — deflate/shuffle —
+  *     fails with a clear message; decompression is out of scope here)
+  *   - netCDF-4 semantics: dimension-scale datasets (CLASS =
+  *     "DIMENSION_SCALE"), DIMENSION_LIST resolution through the global
+  *     heap, coordinate variables, CF time/scale/offset/fill decoding
+  *   - groups: the root group only (netCDF-4 classic-model files);
+  *     dense (fractal-heap) link storage is rejected loudly
+  *
+  * Scale shape mirrors [[NetCdf]]: all metadata (superblock, headers,
+  * B-trees — KBs) parses on the driver; variable DATA is read by
+  * executors with byte-range seeks per outer slice, contiguous slabs or
+  * the intersecting chunks — [[GridCube.read]] runs the shared
+  * distributed plan, so pushdown/pruning behave identically to classic.
+  */
+object Hdf5 {
+
+  private val Signature: Array[Byte] =
+    Array(0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n')
+
+  def isHdf5(path: String, props: Map[String, String]): Boolean = {
+    val ch = NetCdf.openRead(path, props)
+    try {
+      if (ch.length < 8) false
+      else {
+        val b = new Array[Byte](8)
+        ch.readFully(0, b, 0, 8)
+        java.util.Arrays.equals(b, Signature)
+      }
+    } finally ch.close()
+  }
+
+  // ---- model ----
+
+  /** cls: 0 fixed-point, 1 float, 3 string, 7 reference, 9 vlen. */
+  final case class H5Type(cls: Int, size: Int, littleEndian: Boolean,
+                          signed: Boolean, base: Option[H5Type] = None)
+
+  sealed trait H5Layout extends Serializable
+  final case class Contiguous(addr: Long, size: Long) extends H5Layout
+  /** chunkDims excludes the trailing element-size pseudo-dimension. */
+  final case class Chunked(chunkDims: IndexedSeq[Int],
+                           chunks: IndexedSeq[H5Chunk]) extends H5Layout
+  final case class Compact(data: Array[Byte]) extends H5Layout
+
+  /** One stored chunk: element offsets per dimension, file address, bytes. */
+  final case class H5Chunk(offsets: IndexedSeq[Long], addr: Long, size: Int)
+
+  final case class H5Dataset(name: String, addr: Long, dtype: H5Type,
+                             dims: IndexedSeq[Int], layout: H5Layout,
+                             attrs: Map[String, Any],
+                             fillRaw: Option[Double],
+                             isDimScale: Boolean,
+                             dimRefs: Option[IndexedSeq[Long]]) {
+    def attrStr(n: String): Option[String] =
+      attrs.get(n).collect { case s: String => s }
+    def attrNum(n: String): Option[Double] =
+      attrs.get(n).collect { case d: Double => d
+                             case a: Array[Double] if a.nonEmpty => a(0) }
+  }
+
+  final case class H5File(datasets: IndexedSeq[H5Dataset])
+
+  private val Undef = -1L // all-1s addresses normalize to -1
+
+  // ---- low-level byte access (little-endian, per spec) ----
+
+  private final class At(ch: NetCdf.PosRead) {
+    def bytes(off: Long, len: Int): ByteBuffer = {
+      val b = new Array[Byte](len)
+      ch.readFully(off, b, 0, len)
+      ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    }
+  }
+
+  private def getOfs(bb: ByteBuffer, size: Int): Long = {
+    val v = if (size == 8) bb.getLong
+      else if (size == 4) bb.getInt.toLong & 0xFFFFFFFFL
+      else sys.error(s"unsupported offset/length size $size")
+    if (size == 4 && v == 0xFFFFFFFFL) Undef
+    else if (size == 8 && v == -1L) Undef
+    else v
+  }
+
+  // ---- structure parse (driver-side) ----
+
+  private final case class Shape(ofs: Int, len: Int) // sizes of offsets/lengths
+
+  /** Parse the file's dataset inventory: superblock → root group links →
+    * per-dataset object headers (dataspace/datatype/layout/attrs) →
+    * chunk indexes. Everything here is metadata, read once on the driver.
+    */
+  def readStructure(path: String, props: Map[String, String]): H5File = {
+    val ch = NetCdf.openRead(path, props)
+    try {
+      val at = new At(ch)
+      val head = at.bytes(0, 8)
+      val sig = new Array[Byte](8); head.get(sig)
+      require(java.util.Arrays.equals(sig, Signature), s"$path: not an HDF5 file")
+      val verByte = at.bytes(8, 1).get()
+      val (sh, rootAddr, rootStEntry) = (verByte & 0xFF) match {
+        case 0 | 1 =>
+          val fixed = at.bytes(9, 12)
+          /* free(1) root-ver(1) res(1) shm-ver(1) */ fixed.position(4)
+          val so = fixed.get() & 0xFF
+          val sl = fixed.get() & 0xFF
+          fixed.get() // reserved
+          // leaf K (2), internal K (2), flags (4)
+          var off = 9L + 7 + 2 + 2 + 4
+          if ((verByte & 0xFF) == 1) off += 4 // indexed-storage K + reserved
+          val shape = Shape(so, sl)
+          val bb = at.bytes(off, 4 * so)
+          getOfs(bb, so) // base address
+          getOfs(bb, so); getOfs(bb, so); getOfs(bb, so)
+          // root group symbol table entry
+          val st = at.bytes(off + 4 * so, 2 * so + 8 + 16)
+          getOfs(st, so) // link name offset
+          val hdr = getOfs(st, so)
+          (shape, hdr, true)
+        case 2 | 3 =>
+          val bb = at.bytes(9, 3)
+          val so = bb.get() & 0xFF
+          val sl = bb.get() & 0xFF
+          bb.get() // flags
+          val shape = Shape(so, sl)
+          val b2 = at.bytes(12, 4L.toInt * so)
+          getOfs(b2, so); getOfs(b2, so); getOfs(b2, so)
+          val root = getOfs(at.bytes(12 + 3L * so, so), so)
+          (shape, root, false)
+        case v => sys.error(s"$path: HDF5 superblock v$v not supported")
+      }
+      val _ = rootStEntry
+      val rootMsgs = readObjectHeader(at, rootAddr, sh)
+      val links = collectLinks(at, rootMsgs, sh, path)
+      val datasets = links.map { case (name, addr) =>
+        parseDataset(at, name, addr, sh, path)
+      }
+      H5File(datasets.toIndexedSeq)
+    } finally ch.close()
+  }
+
+  /** (type, flags, data) triples across chunk0 + continuations. */
+  private def readObjectHeader(at: At, addr: Long, sh: Shape): Seq[(Int, ByteBuffer)] = {
+    val first4 = at.bytes(addr, 4)
+    val sigBytes = new Array[Byte](4); first4.get(sigBytes)
+    if (sigBytes.sameElements("OHDR".getBytes("US-ASCII")))
+      readObjectHeaderV2(at, addr, sh)
+    else readObjectHeaderV1(at, addr, sh)
+  }
+
+  private def readObjectHeaderV1(at: At, addr: Long, sh: Shape): Seq[(Int, ByteBuffer)] = {
+    val pre = at.bytes(addr, 16)
+    val ver = pre.get() & 0xFF
+    require(ver == 1, s"object header v$ver at $addr (expected 1)")
+    pre.get() // reserved
+    val numMsgs = pre.getShort & 0xFFFF
+    pre.getInt // reference count
+    val hdrSize = pre.getInt // size of chunk-0 message data
+    // chunk 0 data begins after the 12-byte prefix + 4 pad
+    val out = Seq.newBuilder[(Int, ByteBuffer)]
+    var blocks = List((addr + 16, hdrSize.toLong))
+    var read = 0
+    while (read < numMsgs && blocks.nonEmpty) {
+      val (bOff, bLen) = blocks.head
+      blocks = blocks.tail
+      val bb = at.bytes(bOff, bLen.toInt)
+      while (read < numMsgs && bb.remaining() >= 8) {
+        val t = bb.getShort & 0xFFFF
+        val size = math.min(bb.getShort & 0xFFFF, {
+          bb.get(); bb.position(bb.position() + 3) // flags + reserved
+          bb.remaining()
+        })
+        val data = bb.slice().order(ByteOrder.LITTLE_ENDIAN)
+        data.limit(size)
+        bb.position(bb.position() + size)
+        if (t == 0x10) { // continuation
+          val c = data.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+          val off = getOfs(c, sh.ofs); val len = getOfs(c, sh.len)
+          blocks = blocks :+ (off, len)
+        } else if (t != 0) out += ((t, data))
+        read += 1
+      }
+    }
+    out.result()
+  }
+
+  private def readObjectHeaderV2(at: At, addr: Long, sh: Shape): Seq[(Int, ByteBuffer)] = {
+    val pre = at.bytes(addr, 12)
+    pre.getInt // "OHDR"
+    val ver = pre.get() & 0xFF
+    require(ver == 2, s"OHDR v$ver")
+    val flags = pre.get() & 0xFF
+    var pos = addr + 6
+    if ((flags & 0x20) != 0) pos += 16 // times
+    if ((flags & 0x10) != 0) pos += 4  // max compact / min dense
+    val sizeLen = 1 << (flags & 0x3)
+    val szBuf = at.bytes(pos, sizeLen)
+    val chunk0 = sizeLen match {
+      case 1 => szBuf.get().toLong & 0xFF
+      case 2 => szBuf.getShort.toLong & 0xFFFF
+      case 4 => szBuf.getInt.toLong & 0xFFFFFFFFL
+      case 8 => szBuf.getLong
+    }
+    pos += sizeLen
+    val trackOrder = (flags & 0x04) != 0
+    val out = Seq.newBuilder[(Int, ByteBuffer)]
+    // (offset, length, hasSignature)
+    var blocks = List((pos, chunk0, false))
+    while (blocks.nonEmpty) {
+      val (bOff, bLen, sigd) = blocks.head
+      blocks = blocks.tail
+      val start = if (sigd) bOff + 4 else bOff
+      val dataLen = (if (sigd) bLen - 8 else bLen - 4).toInt // minus checksum (+sig)
+      val bb = at.bytes(start, dataLen)
+      val msgHdrLen = if (trackOrder) 6 else 4
+      while (bb.remaining() >= msgHdrLen) {
+        val t = bb.get() & 0xFF
+        val size = bb.getShort & 0xFFFF
+        bb.get() // flags
+        if (trackOrder) bb.getShort
+        if (bb.remaining() < size) { bb.position(bb.limit()) }
+        else {
+          val data = bb.slice().order(ByteOrder.LITTLE_ENDIAN)
+          data.limit(size)
+          bb.position(bb.position() + size)
+          if (t == 0x10) {
+            val c = data.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+            val off = getOfs(c, sh.ofs); val len = getOfs(c, sh.len)
+            blocks = blocks :+ ((off, len, true))
+          } else if (t != 0) out += ((t, data))
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Root-group links: symbol-table (old style) or link messages (new). */
+  private def collectLinks(at: At, msgs: Seq[(Int, ByteBuffer)], sh: Shape,
+                           path: String): Seq[(String, Long)] = {
+    msgs.find(_._1 == 0x11) match {
+      case Some((_, bb)) => // symbol table: B-tree v1 + local heap
+        val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+        val btree = getOfs(b, sh.ofs)
+        val heap = getOfs(b, sh.ofs)
+        val heapData = {
+          val hb = at.bytes(heap, 8 + 1 + 3 + 2 * sh.len + sh.ofs)
+          val hsig = new Array[Byte](4); hb.get(hsig)
+          require(hsig.sameElements("HEAP".getBytes("US-ASCII")), s"$path: bad local heap")
+          hb.get(); hb.get(); hb.get(); hb.get() // version + 3 reserved
+          getOfs(hb, sh.len) // data segment size
+          getOfs(hb, sh.len) // free list head
+          getOfs(hb, sh.ofs) // data segment address
+        }
+        def heapName(off: Long): String = {
+          val bytes = at.bytes(heapData + off, 256)
+          val sb = new StringBuilder
+          var c = bytes.get()
+          while (c != 0) { sb.append(c.toChar); c = bytes.get() }
+          sb.toString
+        }
+        def walk(nodeAddr: Long): Seq[(String, Long)] = {
+          val nb = at.bytes(nodeAddr, 4 + 1 + 1 + 2 + 2 * sh.ofs)
+          val nsig = new Array[Byte](4); nb.get(nsig)
+          require(nsig.sameElements("TREE".getBytes("US-ASCII")), s"$path: bad group B-tree")
+          val nodeType = nb.get() & 0xFF
+          require(nodeType == 0, s"$path: B-tree node type $nodeType in group tree")
+          val level = nb.get() & 0xFF
+          val used = nb.getShort & 0xFFFF
+          getOfs(nb, sh.ofs); getOfs(nb, sh.ofs) // siblings
+          val body = at.bytes(nodeAddr + 4 + 4 + 2 * sh.ofs,
+            (used + 1) * sh.len + used * sh.ofs)
+          val children = (0 until used).map { _ =>
+            getOfs(body, sh.len) // key i
+            getOfs(body, sh.ofs) // child i
+          }
+          if (level > 0) children.flatMap(walk)
+          else children.flatMap { snodAddr =>
+            val sb = at.bytes(snodAddr, 8)
+            val ssig = new Array[Byte](4); sb.get(ssig)
+            require(ssig.sameElements("SNOD".getBytes("US-ASCII")), s"$path: bad SNOD")
+            sb.get(); sb.get() // version + reserved
+            val n = sb.getShort & 0xFFFF
+            val entries = at.bytes(snodAddr + 8, n * (2 * sh.ofs + 8 + 16))
+            (0 until n).map { _ =>
+              val nameOff = getOfs(entries, sh.ofs)
+              val hdrAddr = getOfs(entries, sh.ofs)
+              entries.position(entries.position() + 8 + 16)
+              (heapName(nameOff), hdrAddr)
+            }
+          }
+        }
+        walk(btree)
+      case None =>
+        val links = msgs.filter(_._1 == 0x06).map { case (_, bb) =>
+          val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+          val ver = b.get() & 0xFF
+          require(ver == 1, s"link message v$ver")
+          val flags = b.get() & 0xFF
+          val linkType = if ((flags & 0x08) != 0) b.get() & 0xFF else 0
+          if ((flags & 0x04) != 0) b.getLong // creation order
+          if ((flags & 0x10) != 0) b.get()   // charset
+          val nameLen = (flags & 0x3) match {
+            case 0 => b.get().toLong & 0xFF
+            case 1 => b.getShort.toLong & 0xFFFF
+            case 2 => b.getInt.toLong & 0xFFFFFFFFL
+            case 3 => b.getLong
+          }
+          val nameBytes = new Array[Byte](nameLen.toInt); b.get(nameBytes)
+          require(linkType == 0, s"$path: non-hard link '${new String(nameBytes)}'")
+          (new String(nameBytes, "UTF-8"), getOfs(b, sh.ofs))
+        }
+        if (links.nonEmpty) links
+        else if (msgs.exists(m => m._1 == 0x02)) // link info without links
+          msgs.find(_._1 == 0x02).map { case (_, bb) =>
+            val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+            b.get(); val f = b.get() & 0xFF
+            if ((f & 1) != 0) b.getLong
+            val fheap = getOfs(b, sh.ofs)
+            require(fheap == Undef,
+              s"$path: dense (fractal-heap) group link storage not supported")
+            Seq.empty[(String, Long)]
+          }.getOrElse(Nil)
+        else Nil
+    }
+  }
+
+  private def parseDatatype(bb: ByteBuffer): H5Type = {
+    val cv = bb.get() & 0xFF
+    val cls = cv & 0x0F
+    val bits0 = bb.get() & 0xFF
+    bb.get(); bb.get() // bitfields 8-23
+    val size = bb.getInt
+    cls match {
+      case 0 => // fixed-point: bit0 order, bit3 signed
+        bb.getShort; bb.getShort // bit offset + precision
+        H5Type(0, size, littleEndian = (bits0 & 1) == 0, signed = (bits0 & 0x08) != 0)
+      case 1 => // float (IEEE assumed from size)
+        bb.getShort; bb.getShort; bb.get(); bb.get(); bb.get(); bb.get(); bb.getInt
+        H5Type(1, size, littleEndian = (bits0 & 1) == 0, signed = true)
+      case 3 => H5Type(3, size, littleEndian = true, signed = false)
+      case 7 => H5Type(7, size, littleEndian = true, signed = false)
+      case 9 =>
+        val base = parseDatatype(bb)
+        H5Type(9, size, littleEndian = true, signed = false, base = Some(base))
+      case c => sys.error(s"HDF5 datatype class $c not supported " +
+        "(fixed/float/string/reference/vlen only)")
+    }
+  }
+
+  private def parseDataspace(bb: ByteBuffer, sh: Shape): IndexedSeq[Long] = {
+    val ver = bb.get() & 0xFF
+    val rank = bb.get() & 0xFF
+    val flags = bb.get() & 0xFF
+    if (ver == 1) { bb.get(); bb.getInt } // reserved
+    else bb.get() // v2: type
+    val dims = (0 until rank).map(_ => getOfs(bb, sh.len))
+    if ((flags & 1) != 0) (0 until rank).foreach(_ => getOfs(bb, sh.len))
+    dims
+  }
+
+  /** Decode one scalar/array attribute value from its datatype + raw bytes. */
+  private def decodeAttrValue(at: At, sh: Shape, tpe: H5Type,
+                              n: Int, data: ByteBuffer): Any = tpe.cls match {
+    case 3 =>
+      val b = new Array[Byte](tpe.size * math.max(n, 1))
+      data.get(b)
+      new String(b, "UTF-8").takeWhile(_ != 0)
+    case 0 | 1 =>
+      val arr = decodeValues(data, tpe, math.max(n, 1))
+      if (n <= 1) arr(0) else arr
+    case 7 =>
+      val refs = (0 until math.max(n, 1)).map(_ => getOfs(data, sh.ofs))
+      if (n <= 1) refs.head else refs
+    case 9 =>
+      // vlen: per element (4 len, O gheap addr, 4 index) → resolve through
+      // the global heap; used by DIMENSION_LIST (vlen of object refs)
+      val base = tpe.base.get
+      (0 until math.max(n, 1)).map { _ =>
+        val len = data.getInt
+        val addr = getOfs(data, sh.ofs)
+        val idx = data.getInt
+        val obj = globalHeapObject(at, sh, addr, idx)
+        if (base.cls == 7) (0 until len).map(_ => getOfs(obj, sh.ofs))
+        else decodeValues(obj, base, len)
+      }
+    case c => s"<unsupported attr class $c>"
+  }
+
+  private def globalHeapObject(at: At, sh: Shape, collAddr: Long, index: Int): ByteBuffer = {
+    val head = at.bytes(collAddr, 8 + sh.len)
+    val gsig = new Array[Byte](4); head.get(gsig)
+    require(gsig.sameElements("GCOL".getBytes("US-ASCII")), "bad global heap")
+    head.get(); head.get(); head.get(); head.get() // wait: version + 3 reserved is 4 bytes
+    val collSize = getOfs(head, sh.len)
+    val body = at.bytes(collAddr + 4 + 4 + sh.len, (collSize - 8 - sh.len).toInt)
+    while (body.remaining() >= 8 + sh.len) {
+      val idx = body.getShort & 0xFFFF
+      body.getShort // refcount
+      body.getInt   // reserved
+      val size = getOfs(body, sh.len)
+      if (idx == index) {
+        val out = body.slice().order(ByteOrder.LITTLE_ENDIAN)
+        out.limit(size.toInt)
+        return out
+      }
+      if (idx == 0) return ByteBuffer.allocate(0) // free space marker: not found
+      val padded = (size + 7) / 8 * 8
+      body.position(body.position() + padded.toInt)
+    }
+    sys.error(s"global heap object $index not found in collection at $collAddr")
+  }
+
+  /** Raw numeric values → doubles, honoring endianness and signedness. */
+  private def decodeValues(data: ByteBuffer, tpe: H5Type, n: Int): Array[Double] = {
+    val bb = data.duplicate().order(
+      if (tpe.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    val out = new Array[Double](n)
+    var i = 0
+    (tpe.cls, tpe.size) match {
+      case (1, 4) => while (i < n) { out(i) = bb.getFloat.toDouble; i += 1 }
+      case (1, 8) => while (i < n) { out(i) = bb.getDouble; i += 1 }
+      case (0, 1) =>
+        if (tpe.signed) while (i < n) { out(i) = bb.get().toDouble; i += 1 }
+        else while (i < n) { out(i) = (bb.get() & 0xFF).toDouble; i += 1 }
+      case (0, 2) =>
+        if (tpe.signed) while (i < n) { out(i) = bb.getShort.toDouble; i += 1 }
+        else while (i < n) { out(i) = (bb.getShort & 0xFFFF).toDouble; i += 1 }
+      case (0, 4) =>
+        if (tpe.signed) while (i < n) { out(i) = bb.getInt.toDouble; i += 1 }
+        else while (i < n) { out(i) = (bb.getInt.toLong & 0xFFFFFFFFL).toDouble; i += 1 }
+      case (0, 8) =>
+        if (tpe.signed) while (i < n) { out(i) = bb.getLong.toDouble; i += 1 }
+        else while (i < n) {
+          val x = bb.getLong
+          out(i) = if (x >= 0) x.toDouble else x.toDouble + 1.8446744073709552E19
+          i += 1 }
+      case (c, s) => sys.error(s"unsupported numeric type class=$c size=$s")
+    }
+    out
+  }
+
+  private def parseDataset(at: At, name: String, addr: Long, sh: Shape,
+                           path: String): H5Dataset = {
+    val msgs = readObjectHeader(at, addr, sh)
+    require(!msgs.exists(m => m._1 == 0x11 || m._1 == 0x06 || m._1 == 0x02),
+      s"$path: '$name' is a GROUP — only netCDF-4 classic-model files " +
+        "(all variables in the root group) are supported")
+    val dtype = msgs.find(_._1 == 0x03).map { case (_, bb) =>
+      parseDatatype(bb.duplicate().order(ByteOrder.LITTLE_ENDIAN))
+    }.getOrElse(sys.error(s"$path: '$name' has no datatype message"))
+    val dims = msgs.find(_._1 == 0x01).map { case (_, bb) =>
+      parseDataspace(bb.duplicate().order(ByteOrder.LITTLE_ENDIAN), sh)
+    }.getOrElse(sys.error(s"$path: '$name' has no dataspace message"))
+    require(dims.forall(_ <= Int.MaxValue), s"$path: '$name' dimension exceeds Int range")
+
+    // filter pipeline present → compressed chunks, out of scope
+    msgs.find(_._1 == 0x0B).foreach { case (_, bb) =>
+      val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+      b.get() // version
+      val nf = b.get() & 0xFF
+      require(nf == 0,
+        s"$path: '$name' uses a filter pipeline ($nf filters — deflate/" +
+          "shuffle); only unfiltered chunked/contiguous layouts are " +
+          "supported — repack with `h5repack -f NONE` or nccopy upstream")
+    }
+
+    val layout = msgs.find(_._1 == 0x08).map { case (_, bb) =>
+      val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+      val ver = b.get() & 0xFF
+      require(ver == 3, s"$path: '$name' data layout v$ver (v3 only)")
+      (b.get() & 0xFF) match {
+        case 0 =>
+          val size = b.getShort & 0xFFFF
+          val d = new Array[Byte](size); b.get(d)
+          Compact(d)
+        case 1 =>
+          val a = getOfs(b, sh.ofs); val size = getOfs(b, sh.len)
+          Contiguous(a, size)
+        case 2 =>
+          val rank = b.get() & 0xFF // ndims + 1
+          val btree = getOfs(b, sh.ofs)
+          val cdims = (0 until rank).map(_ => b.getInt)
+          val chunkDims = cdims.dropRight(1)
+          val chunks =
+            if (btree == Undef) IndexedSeq.empty[H5Chunk]
+            else walkChunkTree(at, btree, rank, sh, path)
+          Chunked(chunkDims, chunks)
+        case c => sys.error(s"$path: '$name' layout class $c not supported")
+      }
+    }.getOrElse(sys.error(s"$path: '$name' has no layout message"))
+
+    // attributes (v1/v2/v3 compact storage; dense attr storage rejected).
+    // Attributes whose datatype we don't model (REFERENCE_LIST is a
+    // compound, for instance — real netCDF-4 dim scales carry it) are
+    // skipped rather than failing the whole dataset: none of them feed
+    // the CF grid semantics.
+    require(!msgs.exists(_._1 == 0x15),
+      s"$path: '$name' uses dense attribute storage (not supported)")
+    val attrs = msgs.filter(_._1 == 0x0C).flatMap { case (_, bb) =>
+      scala.util.Try(
+        parseAttribute(at, bb.duplicate().order(ByteOrder.LITTLE_ENDIAN), sh)
+      ).toOption
+    }.toMap
+
+    val isDimScale = attrs.get("CLASS").exists {
+      case s: String => s == "DIMENSION_SCALE"; case _ => false }
+    val dimRefs = attrs.get("DIMENSION_LIST").collect {
+      case els: IndexedSeq[_] =>
+        els.map {
+          case refs: IndexedSeq[_] if refs.nonEmpty => refs.head.asInstanceOf[Long]
+          case _ => Undef
+        }
+    }
+    val fillRaw = msgs.find(_._1 == 0x05).flatMap { case (_, bb) =>
+      val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+      val ver = b.get() & 0xFF
+      val size = ver match {
+        case 1 => b.get(); b.get(); b.getInt // alloc time, write time, size
+        case 2 =>
+          b.get(); b.get()
+          if ((b.get() & 0xFF) == 1) b.getInt else 0 // defined flag gates size
+        case 3 => if ((b.get() & 0x20) != 0) b.getInt else 0
+        case _ => 0
+      }
+      if (size == 0 || dtype.cls > 1 || size < dtype.size) None
+      else Some(decodeValues(b, dtype, 1)(0))
+    }.orElse(attrs.get("_FillValue").collect { case d: Double => d })
+
+    H5Dataset(name, addr, dtype, dims.map(_.toInt), layout, attrs,
+      fillRaw, isDimScale, dimRefs)
+  }
+
+  private def parseAttribute(at: At, b: ByteBuffer, sh: Shape): (String, Any) = {
+    val ver = b.get() & 0xFF
+    val flags = b.get() & 0xFF // v1: reserved (0)
+    val nameSize = b.getShort & 0xFFFF
+    val dtSize = b.getShort & 0xFFFF
+    val dsSize = b.getShort & 0xFFFF
+    if (ver == 3) b.get() // name character-set encoding
+    require(ver == 1 || (flags & 0x3) == 0,
+      "shared attribute datatype/dataspace not supported")
+    def pad8(n: Int): Int = if (ver == 1) (n + 7) / 8 * 8 else n
+    val nameB = new Array[Byte](pad8(nameSize)); b.get(nameB)
+    val name = new String(nameB, 0, nameSize, "UTF-8").takeWhile(_ != 0)
+    val dtB = b.slice().order(ByteOrder.LITTLE_ENDIAN); dtB.limit(pad8(dtSize))
+    b.position(b.position() + pad8(dtSize))
+    val dsB = b.slice().order(ByteOrder.LITTLE_ENDIAN); dsB.limit(pad8(dsSize))
+    b.position(b.position() + pad8(dsSize))
+    val tpe = parseDatatype(dtB)
+    val dims = parseDataspace(dsB, sh)
+    val n = if (dims.isEmpty) 1 else dims.product.toInt
+    val data = b.slice().order(ByteOrder.LITTLE_ENDIAN)
+    name -> decodeAttrValue(at, sh, tpe, n, data)
+  }
+
+  private def walkChunkTree(at: At, nodeAddr: Long, rank: Int, sh: Shape,
+                            path: String): IndexedSeq[H5Chunk] = {
+    val nb = at.bytes(nodeAddr, 4 + 1 + 1 + 2 + 2 * sh.ofs)
+    val sig = new Array[Byte](4); nb.get(sig)
+    require(sig.sameElements("TREE".getBytes("US-ASCII")), s"$path: bad chunk B-tree")
+    val nodeType = nb.get() & 0xFF
+    require(nodeType == 1, s"$path: B-tree node type $nodeType in chunk tree")
+    val level = nb.get() & 0xFF
+    val used = nb.getShort & 0xFFFF
+    getOfs(nb, sh.ofs); getOfs(nb, sh.ofs)
+    val keySize = 4 + 4 + 8 * rank
+    val body = at.bytes(nodeAddr + 4 + 4 + 2 * sh.ofs,
+      (used + 1) * keySize + used * sh.ofs)
+    val out = IndexedSeq.newBuilder[H5Chunk]
+    var i = 0
+    while (i < used) {
+      val size = body.getInt
+      body.getInt // filter mask
+      val offs = (0 until rank).map(_ => body.getLong)
+      val child = getOfs(body, sh.ofs)
+      if (level > 0) out ++= walkChunkTree(at, child, rank, sh, path)
+      else out += H5Chunk(offs.dropRight(1), child, size)
+      i += 1
+    }
+    out.result()
+  }
+
+  // ---- netCDF-4 semantic mapping + read ----
+
+  /** Dimension resolution for a data variable: DIMENSION_LIST references
+    * when present (address → dim-scale dataset name), else positional
+    * shape matching against the dimension-scale inventory.
+    */
+  private def dimNamesOf(v: H5Dataset, f: H5File): IndexedSeq[String] = {
+    val byAddr = f.datasets.map(d => d.addr -> d.name).toMap
+    v.dimRefs match {
+      case Some(refs) if refs.forall(byAddr.contains) => refs.map(byAddr)
+      case _ =>
+        val scales = f.datasets.filter(d => d.isDimScale && d.dims.length == 1)
+        v.dims.zipWithIndex.map { case (len, i) =>
+          scales.find(_.dims.head == len).map(_.name)
+            .getOrElse(s"phony_dim_$i")
+        }
+    }
+  }
+
+  /** Driver-side full read of a (small) dataset — coordinate vars and
+    * test support. Row-major doubles.
+    */
+  def readVarDriver(path: String, props: Map[String, String],
+                    name: String): Array[Double] = {
+    val f = readStructure(path, props)
+    val v = f.datasets.find(_.name == name)
+      .getOrElse(sys.error(s"$path: no dataset '$name'"))
+    val ch = NetCdf.openRead(path, props)
+    try readAll(new At(ch), v) finally ch.close()
+  }
+
+  private def readAll(at: At, v: H5Dataset): Array[Double] = {
+    val n = v.dims.map(_.toLong).product.toInt
+    v.layout match {
+      case Compact(data) =>
+        decodeValues(ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN), v.dtype, n)
+      case Contiguous(addr, _) =>
+        if (addr == Undef) Array.fill(n)(v.fillRaw.getOrElse(Double.NaN))
+        else decodeValues(at.bytes(addr, n * v.dtype.size), v.dtype, n)
+      case ch: Chunked =>
+        val out = Array.fill(n)(v.fillRaw.getOrElse(Double.NaN))
+        copyChunksInto(at, v, ch, out, sliceLo = 0, sliceHi = v.dims.headOption.getOrElse(1))
+        out
+    }
+  }
+
+  /** Copy every chunk cell intersecting outer slices [sliceLo, sliceHi)
+    * into `out`, which is row-major over (sliceHi-sliceLo) × inner dims.
+    */
+  private def copyChunksInto(at: At, v: H5Dataset, ch: Chunked,
+                             out: Array[Double], sliceLo: Int, sliceHi: Int): Unit = {
+    val dims = v.dims
+    val rank = dims.length
+    val cdims = ch.chunkDims
+    require(cdims.length == rank, s"chunk rank ${cdims.length} != dataset rank $rank")
+    val innerCount = dims.drop(1).map(_.toLong).product
+    for (c <- ch.chunks) {
+      val c0 = c.offsets.head.toInt
+      if (c0 < sliceHi && c0 + cdims.head > sliceLo) {
+        val vals = decodeValues(at.bytes(c.addr, c.size), v.dtype,
+          c.size / v.dtype.size)
+        // odometer over the chunk's cells; copy those inside the dataset
+        // bounds and the requested outer window
+        val idx = new Array[Int](rank)
+        val total = cdims.map(_.toLong).product
+        var flat = 0L
+        while (flat < total) {
+          var inside = true
+          var g0 = 0
+          var innerFlat = 0L
+          var d = 0
+          while (d < rank && inside) {
+            val g = c.offsets(d).toInt + idx(d)
+            if (g >= dims(d)) inside = false
+            else if (d == 0) { g0 = g; inside = g >= sliceLo && g < sliceHi }
+            else innerFlat = innerFlat * dims(d) + g
+            d += 1
+          }
+          if (inside)
+            out(((g0 - sliceLo) * innerCount + innerFlat).toInt) = vals(flat.toInt)
+          // odometer
+          var k = rank - 1
+          var carry = true
+          while (k >= 0 && carry) {
+            idx(k) += 1
+            if (idx(k) == cdims(k)) idx(k) = 0 else carry = false
+            k -= 1
+          }
+          flat += 1
+        }
+      }
+    }
+  }
+
+  private def unpackOf(v: H5Dataset): GridCube.Unpack = GridCube.Unpack(
+    scale = v.attrNum("scale_factor").getOrElse(1.0),
+    offset = v.attrNum("add_offset").getOrElse(0.0),
+    fill = v.attrNum("_FillValue").orElse(v.attrNum("missing_value"))
+      .orElse(v.fillRaw))
+
+  /** S6 analog for NetCDF-4: variable inventory, driver metadata only. */
+  def info(spark: SparkSession, path: String): DataFrame = {
+    val props = NetCdf.fsProps(spark)
+    val f = readStructure(path, props)
+    val rows = f.datasets.map { v =>
+      val dtype = (v.dtype.cls, v.dtype.size, v.dtype.signed) match {
+        case (1, 8, _) => "double"; case (1, 4, _) => "float"
+        case (0, 8, true) => "int64"; case (0, 8, false) => "uint64"
+        case (0, 4, true) => "int"; case (0, 4, false) => "uint"
+        case (0, 2, true) => "short"; case (0, 2, false) => "ushort"
+        case (0, 1, true) => "byte"; case (0, 1, false) => "ubyte"
+        case _ => s"class${v.dtype.cls}"
+      }
+      Row(v.name, dtype, dimNamesOf(v, f).mkString(","),
+        v.dims.map(_.toLong).product,
+        v.attrStr("units").orNull)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("variable", StringType, nullable = false),
+        StructField("dtype", StringType, nullable = false),
+        StructField("dims", StringType, nullable = false),
+        StructField("n_values", LongType, nullable = false),
+        StructField("units", StringType, nullable = true))))
+  }
+
+  /** Long-form distributed read of a NetCDF-4 file — the same contract,
+    * schema, and pushdown as [[NetCdf.read]] ([[GridCube.read]] carries
+    * the shared plan). Executors read contiguous slabs or intersecting
+    * unfiltered chunks per outer slice.
+    */
+  def read(spark: SparkSession, path: String, varNames: Seq[String],
+           numPartitions: Int = 0,
+           timeRange: Option[(String, String)] = None,
+           bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
+    val props = NetCdf.fsProps(spark)
+    val f = readStructure(path, props)
+    def ds(n: String) = f.datasets.find(_.name == n)
+      .getOrElse(sys.error(s"$path: no dataset '$n' " +
+        s"(have ${f.datasets.map(_.name).mkString(", ")})"))
+    val vs = varNames.map(ds).toIndexedSeq
+    val dimNames = dimNamesOf(vs.head, f)
+    require(vs.forall(v => dimNamesOf(v, f) == dimNames),
+      s"variables ${varNames.mkString(",")} must share one dimension tuple")
+    require(vs.head.dims.nonEmpty, "scalar variables have no grid to unravel")
+
+    val byName = f.datasets.map(d => d.name -> d).toMap
+    val chRead = NetCdf.openRead(path, props)
+    val axes = try {
+      val at = new At(chRead)
+      dimNames.zip(vs.head.dims).map { case (dn, len) =>
+        byName.get(dn).filter(d => d.dims == IndexedSeq(len)) match {
+          case Some(cv) if !cv.attrStr("NAME").exists(_.startsWith(
+              "This is a netCDF dimension but not a netCDF variable")) =>
+            val unpack = unpackOf(cv)
+            val vals = readAll(at, cv)
+              .map(r => Option(unpack(r)).map(_.toDouble).getOrElse(Double.NaN))
+            GridCube.Axis(dn, len, Some(vals),
+              cv.attrStr("units").flatMap(GridCube.cfTimeUnits))
+          case _ => GridCube.Axis(dn, len, None, None)
+        }
+      }
+    } finally chRead.close()
+
+    val unpacks = vs.map(unpackOf)
+    val varMeta = vs // case classes, serialized into the reader factory
+    val mkReader = () => new GridCube.SlabReader {
+      private val ch = NetCdf.openRead(path, props)
+      private val at = new At(ch)
+      def slab(vi: Int, i0: Int): Array[Double] = {
+        val v = varMeta(vi)
+        val innerCount = v.dims.drop(1).map(_.toLong).product
+        v.layout match {
+          case Compact(data) =>
+            val all = decodeValues(
+              ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN),
+              v.dtype, v.dims.map(_.toLong).product.toInt)
+            java.util.Arrays.copyOfRange(all,
+              (i0 * innerCount).toInt, ((i0 + 1) * innerCount).toInt)
+          case Contiguous(addr, _) =>
+            if (addr == Undef)
+              Array.fill(innerCount.toInt)(v.fillRaw.getOrElse(Double.NaN))
+            else {
+              val lenBytes = innerCount * v.dtype.size
+              require(lenBytes <= Int.MaxValue,
+                s"${v.name}: one outer slice is $lenBytes bytes (> 2 GiB)")
+              decodeValues(at.bytes(addr + i0 * lenBytes, lenBytes.toInt),
+                v.dtype, innerCount.toInt)
+            }
+          case ck: Chunked =>
+            val out = Array.fill(innerCount.toInt)(v.fillRaw.getOrElse(Double.NaN))
+            copyChunksInto(at, v, ck, out, sliceLo = i0, sliceHi = i0 + 1)
+            out
+        }
+      }
+      def close(): Unit = ch.close()
+    }
+    GridCube.read(spark, path, axes.toIndexedSeq, varNames, unpacks, mkReader,
+      numPartitions, timeRange, bbox)
+  }
+
+  // ---- writer (export / test fixtures) ----
+
+  /** Growable LE buffer with labeled 8-byte address slots patched at the
+    * end — lets the writer emit blocks in any order despite forward
+    * references (superblock → root header → heap/B-tree → datasets →
+    * global heap → data).
+    */
+  private final class Buf {
+    private var arr = new Array[Byte](1 << 16)
+    private var len = 0
+    private val patches = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+    private val labels = scala.collection.mutable.HashMap[String, Long]()
+    def pos: Int = len
+    private def ensure(n: Int): Unit =
+      if (len + n > arr.length) {
+        val grown = new Array[Byte](math.max(arr.length * 2, len + n))
+        System.arraycopy(arr, 0, grown, 0, len); arr = grown
+      }
+    def u8(v: Int): Unit = { ensure(1); arr(len) = v.toByte; len += 1 }
+    def u16(v: Int): Unit = { ensure(2); arr(len) = v.toByte; arr(len + 1) = (v >> 8).toByte; len += 2 }
+    def u32(v: Long): Unit = { ensure(4); var i = 0; while (i < 4) { arr(len + i) = (v >> (8 * i)).toByte; i += 1 }; len += 4 }
+    def u64(v: Long): Unit = { ensure(8); var i = 0; while (i < 8) { arr(len + i) = (v >> (8 * i)).toByte; i += 1 }; len += 8 }
+    def f64(v: Double): Unit = u64(java.lang.Double.doubleToLongBits(v))
+    def f32(v: Float): Unit = u32(java.lang.Float.floatToIntBits(v).toLong & 0xFFFFFFFFL)
+    def bytes(b: Array[Byte]): Unit = { ensure(b.length); System.arraycopy(b, 0, arr, len, b.length); len += b.length }
+    def zeros(n: Int): Unit = { ensure(n); len += n }
+    def padTo8(): Unit = zeros((8 - len % 8) % 8)
+    def mark(label: String): Unit = labels(label) = len.toLong
+    def addr(label: String): Unit = { patches += ((len, label)); u64(0) }
+    def result(): Array[Byte] = {
+      patches.foreach { case (p, l) =>
+        val v = labels.getOrElse(l, sys.error(s"unresolved HDF5 label $l"))
+        var i = 0; while (i < 8) { arr(p + i) = (v >> (8 * i)).toByte; i += 1 }
+      }
+      java.util.Arrays.copyOf(arr, len)
+    }
+  }
+
+  private def h5TypeBytes(t: NetCdf.NcType): Array[Byte] = {
+    import NetCdf._
+    val bb = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+    t match {
+      case NcFloat | NcDouble =>
+        val size = t.size
+        bb.put(0x11.toByte) // version 1, class 1 float
+        bb.put(0x20.toByte) // LE, msb-set mantissa normalization
+        bb.put((size * 8 - 1).toByte).put(0.toByte) // sign location
+        bb.putInt(size)
+        bb.putShort(0).putShort((size * 8).toShort) // bit offset + precision
+        if (t == NcDouble) { bb.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte).putInt(1023) }
+        else { bb.put(23.toByte).put(8.toByte).put(0.toByte).put(23.toByte).putInt(127) }
+      case _ =>
+        val signed = t match {
+          case NcUByte | NcUShort | NcUInt | NcUInt64 => false
+          case _ => true
+        }
+        bb.put(0x10.toByte) // version 1, class 0 fixed
+        bb.put((if (signed) 0x08 else 0x00).toByte) // LE + signed bit
+        bb.put(0.toByte).put(0.toByte)
+        bb.putInt(t.size)
+        bb.putShort(0).putShort((t.size * 8).toShort)
+    }
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  private def h5StringTypeBytes(len: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(0x13.toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(len)
+    bb.array()
+  }
+
+  private val h5RefTypeBytes: Array[Byte] = {
+    val bb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(0x17.toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(8)
+    bb.array()
+  }
+
+  private val h5VlenRefTypeBytes: Array[Byte] = {
+    val bb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(0x19.toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(16)
+    bb.put(h5RefTypeBytes)
+    bb.array()
+  }
+
+  private def dataspaceBytes(dims: Seq[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + 8 * dims.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte).put(dims.length.toByte).put(0.toByte)
+    bb.put(0.toByte).putInt(0) // reserved ×5
+    dims.foreach(bb.putLong)
+    bb.array()
+  }
+
+  private def pad8(n: Int): Int = (n + 7) / 8 * 8
+
+  /** Write one NetCDF-4 (HDF5) file: superblock v0, symbol-table root
+    * group, v1 object headers, dimension-scale datasets with
+    * CLASS/NAME, data variables with DIMENSION_LIST (vlen object refs
+    * through a global heap), contiguous layout — or chunked-unfiltered
+    * (one chunk per outer slice) when `chunked` is set. The layouts
+    * libhdf5 writes for netCDF-4 classic-model grid files, against the
+    * public format spec; the small-extract export analog of
+    * `xarray.to_netcdf(engine="h5netcdf")`.
+    */
+  def write(path: String, dims: Seq[NetCdf.Dim],
+            vars: Seq[(NetCdf.VarDef, Array[Double])],
+            gatts: Seq[(String, Any)] = Nil,
+            chunked: Boolean = false): Unit = {
+    val dimLen = dims.map(d => d.name -> d.length).toMap
+    val dimNames = dims.map(_.name)
+    val varNames = vars.map(_._1.name)
+    require(varNames.distinct == varNames, "duplicate variable names")
+    val b = new Buf
+
+    // ---- attribute message emission ----
+    def attrMessage(name: String, dtBytes: Array[Byte], dsBytes: Array[Byte],
+                    dataLen: Int)(emitData: => Unit): (Int, Int, () => Unit) = {
+      val nameB = name.getBytes("UTF-8") :+ 0.toByte
+      val size = pad8(8 + pad8(nameB.length) + pad8(dtBytes.length) +
+        pad8(dsBytes.length) + dataLen)
+      (0x0C, size, () => {
+        val start = b.pos
+        b.u8(1); b.u8(0) // version 1 + reserved
+        b.u16(nameB.length); b.u16(dtBytes.length); b.u16(dsBytes.length)
+        b.bytes(nameB); b.zeros(pad8(nameB.length) - nameB.length)
+        b.bytes(dtBytes); b.zeros(pad8(dtBytes.length) - dtBytes.length)
+        b.bytes(dsBytes); b.zeros(pad8(dsBytes.length) - dsBytes.length)
+        emitData
+        b.zeros(size - (b.pos - start))
+      })
+    }
+    def scalarAttr(name: String, value: Any): (Int, Int, () => Unit) = value match {
+      case s: String =>
+        val sb = s.getBytes("UTF-8") :+ 0.toByte
+        attrMessage(name, h5StringTypeBytes(sb.length), dataspaceBytes(Nil), sb.length) {
+          b.bytes(sb)
+        }
+      case d: Double =>
+        attrMessage(name, h5TypeBytes(NetCdf.NcDouble), dataspaceBytes(Nil), 8) { b.f64(d) }
+      case f: Float =>
+        attrMessage(name, h5TypeBytes(NetCdf.NcFloat), dataspaceBytes(Nil), 4) { b.f32(f) }
+      case i: Int =>
+        attrMessage(name, h5TypeBytes(NetCdf.NcInt), dataspaceBytes(Nil), 4) { b.u32(i.toLong) }
+      case s: Short =>
+        attrMessage(name, h5TypeBytes(NetCdf.NcShort), dataspaceBytes(Nil), 2) { b.u16(s.toInt) }
+      case l: Long =>
+        attrMessage(name, h5TypeBytes(NetCdf.NcInt64), dataspaceBytes(Nil), 8) { b.u64(l) }
+      case other => sys.error(s"unsupported attribute type ${other.getClass}")
+    }
+
+    // ---- object headers ----
+    def objectHeader(label: String, msgs: Seq[(Int, Int, () => Unit)]): Unit = {
+      // (type, paddedDataSize, emit) — emit must write exactly size bytes
+      b.padTo8()
+      b.mark(label)
+      val hdrSize = msgs.map { case (_, s, _) => 8 + s }.sum
+      b.u8(1); b.u8(0)
+      b.u16(msgs.length)
+      b.u32(1)             // reference count
+      b.u32(hdrSize.toLong)
+      b.zeros(4)           // prefix padding — messages begin 8-aligned
+      msgs.foreach { case (t, size, emit) =>
+        b.u16(t); b.u16(size); b.u8(0); b.zeros(3)
+        val start = b.pos
+        emit()
+        require(b.pos - start == size, s"message $t wrote ${b.pos - start}, declared $size")
+      }
+    }
+
+    def datasetHeader(vd: NetCdf.VarDef, isDim: Boolean): Unit = {
+      val shape = vd.dimNames.map(dn => dimLen(dn).toLong)
+      val elemSize = vd.tpe.size
+      val dtB = h5TypeBytes(vd.tpe)
+      val dsB = dataspaceBytes(shape)
+      val msgs = Seq.newBuilder[(Int, Int, () => Unit)]
+      msgs += ((0x01, pad8(dsB.length), () => { b.bytes(dsB); b.zeros(pad8(dsB.length) - dsB.length) }))
+      msgs += ((0x03, pad8(dtB.length), () => { b.bytes(dtB); b.zeros(pad8(dtB.length) - dtB.length) }))
+      if (chunked && !isDim && shape.nonEmpty) {
+        val rank = shape.length
+        val size = pad8(2 + 1 + 8 + 4 * (rank + 1))
+        msgs += ((0x08, size, () => {
+          val start = b.pos
+          b.u8(3); b.u8(2) // v3, chunked
+          b.u8(rank + 1)
+          b.addr(s"chunkbt:${vd.name}")
+          b.u32(1) // chunk outer extent = one slice
+          shape.drop(1).foreach(d => b.u32(d))
+          b.u32(elemSize.toLong)
+          b.zeros(size - (b.pos - start))
+        }))
+      } else {
+        val size = pad8(2 + 8 + 8)
+        msgs += ((0x08, size, () => {
+          val start = b.pos
+          b.u8(3); b.u8(1) // v3, contiguous
+          b.addr(s"data:${vd.name}")
+          b.u64(shape.product * elemSize)
+          b.zeros(size - (b.pos - start))
+        }))
+      }
+      if (isDim) {
+        msgs += scalarAttr("CLASS", "DIMENSION_SCALE")
+        msgs += scalarAttr("NAME", vd.name)
+      } else if (vd.dimNames.nonEmpty) {
+        // DIMENSION_LIST: vlen(objref)[ndims] resolved via the global heap
+        val nd = vd.dimNames.length
+        msgs += attrMessage("DIMENSION_LIST", h5VlenRefTypeBytes,
+          dataspaceBytes(Seq(nd.toLong)), nd * 16) {
+          vd.dimNames.zipWithIndex.foreach { case (dn, i) =>
+            b.u32(1) // one reference per dimension
+            b.addr("gheap")
+            b.u32(gheapIndex((vd.name, dn, i)).toLong)
+          }
+        }
+      }
+      vd.attrs.foreach { case (n, v) => msgs += scalarAttr(n, v) }
+      objectHeader(s"hdr:${vd.name}", msgs.result())
+    }
+
+    // global heap object index per (var, dim, position)
+    lazy val gheapIndex: Map[(String, String, Int), Int] = {
+      val entries = for {
+        (vd, _) <- vars if !dimNames.contains(vd.name) && vd.dimNames.nonEmpty
+        (dn, i) <- vd.dimNames.zipWithIndex
+      } yield (vd.name, dn, i)
+      entries.zipWithIndex.map { case (k, i) => k -> (i + 1) }.toMap
+    }
+
+    // ---- superblock ----
+    b.bytes(Signature)
+    b.u8(0)            // superblock v0
+    b.u8(0); b.u8(0); b.u8(0); b.u8(0) // freespace, root STE, reserved, shm versions
+    b.u8(8); b.u8(8)   // sizes of offsets and lengths
+    b.u8(0)
+    b.u16(4); b.u16(16) // group leaf / internal K
+    b.u32(0)           // consistency flags
+    b.u64(0)           // base address
+    b.u64(-1L)         // freespace (undefined)
+    b.addr("eof")
+    b.u64(-1L)         // driver info (undefined)
+    // root group symbol table entry
+    b.u64(0)           // link name offset ("")
+    b.addr("hdr:/")
+    b.u32(0); b.u32(0); b.zeros(16)
+
+    // ---- root group header: symbol table message + global attributes ----
+    {
+      val msgs = Seq.newBuilder[(Int, Int, () => Unit)]
+      msgs += ((0x11, 16, () => { b.addr("btree"); b.addr("heap") }))
+      gatts.foreach { case (n, v) => msgs += scalarAttr(n, v) }
+      objectHeader("hdr:/", msgs.result())
+    }
+
+    // ---- local heap: "" at 0, then each dataset name ----
+    val sortedNames = varNames.sorted
+    val nameOffsets = scala.collection.mutable.HashMap[String, Long]()
+    val heapData = {
+      val hb = new Buf
+      hb.zeros(8) // "" at offset 0
+      sortedNames.foreach { n =>
+        nameOffsets(n) = hb.pos.toLong
+        hb.bytes(n.getBytes("UTF-8") :+ 0.toByte)
+        hb.padTo8()
+      }
+      hb.result()
+    }
+    b.padTo8(); b.mark("heap")
+    b.bytes("HEAP".getBytes("US-ASCII"))
+    b.u8(0); b.zeros(3)
+    b.u64(heapData.length.toLong)
+    b.u64(-1L) // no free list
+    b.addr("heapdata")
+    b.padTo8(); b.mark("heapdata")
+    b.bytes(heapData)
+
+    // ---- group B-tree (single level-0 node) + SNOD ----
+    b.padTo8(); b.mark("btree")
+    b.bytes("TREE".getBytes("US-ASCII"))
+    b.u8(0); b.u8(0) // node type 0 (group), level 0
+    b.u16(1)
+    b.u64(-1L); b.u64(-1L) // siblings
+    b.u64(0) // key 0: ""
+    b.addr("snod")
+    b.u64(nameOffsets(sortedNames.last)) // key 1: largest name
+    b.padTo8(); b.mark("snod")
+    b.bytes("SNOD".getBytes("US-ASCII"))
+    b.u8(1); b.u8(0)
+    b.u16(sortedNames.length)
+    sortedNames.foreach { n =>
+      b.u64(nameOffsets(n))
+      b.addr(s"hdr:$n")
+      b.u32(0); b.u32(0); b.zeros(16)
+    }
+
+    // ---- dataset object headers ----
+    vars.foreach { case (vd, _) => datasetHeader(vd, dimNames.contains(vd.name)) }
+
+    // ---- global heap (DIMENSION_LIST payloads) ----
+    if (gheapIndex.nonEmpty) {
+      b.padTo8(); b.mark("gheap")
+      val objBytes = gheapIndex.size * 24
+      b.bytes("GCOL".getBytes("US-ASCII"))
+      b.u8(1); b.zeros(3)
+      b.u64((16 + objBytes + 16).toLong) // header + objects + free-space object
+      gheapIndex.toSeq.sortBy(_._2).foreach { case ((_, dn, _), idx) =>
+        b.u16(idx); b.u16(1); b.u32(0)
+        b.u64(8)
+        b.addr(s"hdr:$dn")
+      }
+      b.u16(0); b.u16(0); b.u32(0); b.u64(0) // free-space terminator
+    }
+
+    // ---- data blocks ----
+    def emitValues(tpe: NetCdf.NcType, data: Array[Double]): Unit = {
+      import NetCdf._
+      tpe match {
+        case NcDouble => data.foreach(b.f64)
+        case NcFloat => data.foreach(d => b.f32(d.toFloat))
+        case NcInt | NcUInt => data.foreach(d => b.u32(d.toLong & 0xFFFFFFFFL))
+        case NcShort | NcUShort => data.foreach(d => b.u16(d.toLong.toInt & 0xFFFF))
+        case NcByte | NcUByte | NcChar => data.foreach(d => b.u8(d.toLong.toInt & 0xFF))
+        case NcInt64 | NcUInt64 => data.foreach(d => b.u64(d.toLong))
+      }
+    }
+    vars.foreach { case (vd, data) =>
+      val shape = vd.dimNames.map(dimLen)
+      val nVals = shape.map(_.toLong).product
+      require(data.length == nVals, s"${vd.name}: ${data.length} values for $nVals cells")
+      val isDim = dimNames.contains(vd.name)
+      if (chunked && !isDim && shape.nonEmpty) {
+        val outer = shape.head
+        val innerCount = shape.drop(1).map(_.toLong).product.toInt
+        val chunkBytes = innerCount * vd.tpe.size
+        (0 until outer).foreach { i =>
+          b.padTo8(); b.mark(s"chunk:${vd.name}:$i")
+          emitValues(vd.tpe, java.util.Arrays.copyOfRange(data, i * innerCount, (i + 1) * innerCount))
+        }
+        val rank = shape.length
+        b.padTo8(); b.mark(s"chunkbt:${vd.name}")
+        b.bytes("TREE".getBytes("US-ASCII"))
+        b.u8(1); b.u8(0) // node type 1 (chunk), level 0
+        b.u16(outer)
+        b.u64(-1L); b.u64(-1L)
+        (0 until outer).foreach { i =>
+          b.u32(chunkBytes.toLong); b.u32(0)
+          b.u64(i.toLong); shape.drop(1).foreach(_ => b.u64(0)); b.u64(0)
+          b.addr(s"chunk:${vd.name}:$i")
+        }
+        // final (upper bound) key
+        b.u32(0); b.u32(0)
+        b.u64(outer.toLong); shape.drop(1).foreach(d => b.u64(d.toLong)); b.u64(0)
+        val _ = rank
+      } else {
+        b.padTo8(); b.mark(s"data:${vd.name}")
+        emitValues(vd.tpe, data)
+      }
+    }
+
+    b.mark("eof")
+    val bytes = b.result()
+    val out = new java.io.FileOutputStream(path)
+    try out.write(bytes) finally out.close()
+  }
+}

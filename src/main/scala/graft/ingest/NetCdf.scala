@@ -114,12 +114,12 @@ object NetCdf {
     * SAME byte-range pattern as a local one — the object-store layout a
     * 100 TB .nc archive actually lives in.
     */
-  private trait PosRead extends java.io.Closeable {
+  private[ingest] trait PosRead extends java.io.Closeable {
     def readFully(pos: Long, dst: Array[Byte], off: Int, len: Int): Unit
     def length: Long
   }
 
-  private def openRead(path: String, fsProps: Map[String, String]): PosRead = {
+  private[ingest] def openRead(path: String, fsProps: Map[String, String]): PosRead = {
     val uri = java.net.URI.create(path)
     if (uri.getScheme == null || uri.getScheme == "file") {
       val f = if (uri.getScheme == null) path else uri.getPath
@@ -151,7 +151,7 @@ object NetCdf {
     * credentials), captured on the driver and shipped in task closures so
     * executors open remote paths with the session's configuration.
     */
-  private def fsProps(spark: SparkSession): Map[String, String] = {
+  private[ingest] def fsProps(spark: SparkSession): Map[String, String] = {
     val c = spark.sessionState.newHadoopConf()
     val b = Map.newBuilder[String, String]
     val it = c.iterator()
@@ -320,71 +320,15 @@ object NetCdf {
     } finally raf.close()
   }
 
-  // ---- CF conventions ----
-
-  /** CF epoch timestamp → epoch micros. Real CF files carry epochs like
-    * `1990-01-01`, `1990-1-1 0:0:0.0`, `1990-01-01 00:00:00-6:00`,
-    * `1990-01-01T00:00:00+05:30` — single-digit fields and ±hh[:mm]
-    * offsets included — so this parses the components explicitly instead
-    * of handing a doctored string to `Instant.parse` (which rejects
-    * one-digit fields and any string with both an offset and an appended
-    * 'Z'). No offset ⇒ UTC, per CF.
-    */
-  private val CfEpochRe =
-    """^(\d{1,4})-(\d{1,2})-(\d{1,2})(?:[T ](\d{1,2}):(\d{1,2})(?::(\d{1,2}(?:\.\d+)?))?)?\s*(Z|[+-]\d{1,2}(?::?\d{2})?)?$""".r
+  // ---- CF conventions (shared machinery lives in GridCube) ----
 
   private[ingest] def parseEpochMicros(raw: String): Option[Long] =
-    CfEpochRe.findFirstMatchIn(raw.trim).flatMap { m =>
-      scala.util.Try {
-        val secFrac = Option(m.group(6)).map(_.toDouble).getOrElse(0.0)
-        val secs = secFrac.toInt
-        val fracMicros = math.round((secFrac - secs) * 1e6)
-        val off = Option(m.group(7)) match {
-          case None | Some("Z") => java.time.ZoneOffset.UTC
-          case Some(o) =>
-            val neg = o.charAt(0) == '-'
-            val body = o.substring(1).replace(":", "")
-            val (h, mn) =
-              if (body.length <= 2) (body.toInt, 0)
-              else (body.dropRight(2).toInt, body.takeRight(2).toInt)
-            java.time.ZoneOffset.ofHoursMinutes(
-              if (neg) -h else h, if (neg) -mn else mn)
-        }
-        val odt = java.time.OffsetDateTime.of(
-          m.group(1).toInt, m.group(2).toInt, m.group(3).toInt,
-          Option(m.group(4)).map(_.toInt).getOrElse(0),
-          Option(m.group(5)).map(_.toInt).getOrElse(0),
-          secs, 0, off)
-        odt.toInstant.getEpochSecond * 1000000L + fracMicros
-      }.toOption
-    }
+    GridCube.parseEpochMicros(raw)
 
-  /** Parse `"<interval> since <epoch>"` time units → seconds-per-unit and
-    * epoch micros (reference conventions probe `ingest/netcdf_reader.py:
-    * 80-111`). Returns None when the units string is not CF time.
-    */
-  private[ingest] def cfTimeUnits(units: String): Option[(Double, Long)] = {
-    val m = "(?i)^\\s*(seconds?|minutes?|hours?|days?)\\s+since\\s+(.+)$".r
-      .findFirstMatchIn(units)
-    m.flatMap { mm =>
-      val per = mm.group(1).toLowerCase match {
-        case s if s.startsWith("second") => 1.0
-        case s if s.startsWith("minute") => 60.0
-        case s if s.startsWith("hour") => 3600.0
-        case _ => 86400.0
-      }
-      parseEpochMicros(mm.group(2)).map(epochMicros => (per, epochMicros))
-    }
-  }
+  private[ingest] def cfTimeUnits(units: String): Option[(Double, Long)] =
+    GridCube.cfTimeUnits(units)
 
-  private final case class Unpack(scale: Double, offset: Double,
-                                  fill: Option[Double]) {
-    def apply(raw: Double): java.lang.Double =
-      if (fill.exists(f => f == raw || (f.isNaN && raw.isNaN))) null
-      else raw * scale + offset
-  }
-
-  private def unpackOf(v: Variable): Unpack = Unpack(
+  private def unpackOf(v: Variable): GridCube.Unpack = GridCube.Unpack(
     scale = v.attr("scale_factor").flatMap(_.num).getOrElse(1.0),
     offset = v.attr("add_offset").flatMap(_.num).getOrElse(0.0),
     fill = v.attr("_FillValue").orElse(v.attr("missing_value")).flatMap(_.num))
@@ -393,7 +337,9 @@ object NetCdf {
     * per variable, driver-side header only.
     */
   def info(spark: SparkSession, path: String): DataFrame = {
-    val h = readHeader(path, fsProps(spark))
+    val props = fsProps(spark)
+    if (Hdf5.isHdf5(path, props)) return Hdf5.info(spark, path)
+    val h = readHeader(path, props)
     val rows = h.vars.map { v =>
       Row(v.name, v.tpe.toString.stripPrefix("Nc").toLowerCase,
         v.dimIds.map(h.dims(_).name).mkString(","),
@@ -410,29 +356,15 @@ object NetCdf {
         StructField("units", StringType, nullable = true))))
   }
 
-  /** Accepted spellings of the spatial axes — the reference's convention
-    * probe (`netcdf_reader.py:93-111`).
-    */
-  private val LatNames = Set("lat", "latitude", "y")
-  private val LonNames = Set("lon", "longitude", "x")
-
-  private def parseInstantMicros(s: String): Long =
-    parseEpochMicros(s).getOrElse(
-      sys.error(s"unparseable timestamp bound '$s' (expected ISO date[/time][offset])"))
-
   /** Long-form distributed read: one row per grid cell, one column per
     * dimension (coordinate-var values; CF time dims become TIMESTAMP) and
     * one DOUBLE column per requested data variable (unpacked, fill → null).
     * All requested variables must share the same dimension tuple.
     *
-    * Pushdown at open, like the reference's lazy reader (S2,
-    * `netcdf_reader.py:34-77`): `timeRange` (inclusive ISO bounds) prunes
-    * along the CF-decoded time dimension and `bbox` = (west, south, east,
-    * north) along lat/lon dimensions, ANTIMERIDIAN included (west > east
-    * wraps into an OR, `netcdf_reader.py:147-154`). A pruned OUTER slice
-    * is never read — its byte range is skipped entirely, the .nc analog
-    * of partition pruning; pruned inner coordinates are masked before row
-    * construction, so the filter costs index lookups, not rows.
+    * Dispatches on the file signature: CDF-1/2/5 parse here; NetCDF-4
+    * (HDF5 container) routes to [[Hdf5.read]]. Pushdown semantics,
+    * schema, and the distributed slice plan are identical either way —
+    * [[GridCube.read]] carries them for both formats.
     *
     * Parallelism: the selected outer slices fan out over tasks; each task
     * seeks straight to its slices (`begin + i0 * slab`), so N executors
@@ -443,182 +375,43 @@ object NetCdf {
            timeRange: Option[(String, String)] = None,
            bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
     val props = fsProps(spark)
+    if (Hdf5.isHdf5(path, props))
+      return Hdf5.read(spark, path, varNames, numPartitions, timeRange, bbox)
     val h = readHeader(path, props)
     val vs = varNames.map(h.variable)
     val dimIds = vs.head.dimIds
     require(vs.forall(_.dimIds == dimIds),
       s"variables ${varNames.mkString(",")} must share one dimension tuple")
     require(dimIds.nonEmpty, "scalar variables have no grid to unravel")
-    val dimNames = dimIds.map(h.dims(_).name)
-    val dimLens = dimIds.map(h.dimLen).toArray
 
     // coordinate vars: 1-D variable named after the dim; CF time decode
-    val coords: IndexedSeq[(String, Option[Array[Double]], Option[(Double, Long)])] =
-      dimIds.map { id =>
-        val dn = h.dims(id).name
-        h.vars.find(v => v.name == dn && v.dimIds == IndexedSeq(id)) match {
-          case Some(cv) =>
-            val vals = readVarDriver(path, h, dn, props)
-            val unpack = unpackOf(cv)
-            val unpacked = vals.map(r => Option(unpack(r)).map(_.toDouble).getOrElse(Double.NaN))
-            (dn, Some(unpacked), cv.attr("units").flatMap(_.str).flatMap(cfTimeUnits))
-          case None => (dn, None, None)
-        }
+    val axes: IndexedSeq[GridCube.Axis] = dimIds.map { id =>
+      val dn = h.dims(id).name
+      h.vars.find(v => v.name == dn && v.dimIds == IndexedSeq(id)) match {
+        case Some(cv) =>
+          val vals = readVarDriver(path, h, dn, props)
+          val unpack = unpackOf(cv)
+          val unpacked = vals.map(r => Option(unpack(r)).map(_.toDouble).getOrElse(Double.NaN))
+          GridCube.Axis(dn, h.dimLen(id), Some(unpacked),
+            cv.attr("units").flatMap(_.str).flatMap(cfTimeUnits))
+        case None => GridCube.Axis(dn, h.dimLen(id), None, None)
       }
-
-    // per-dimension keep masks from the pushdown predicates; dims without
-    // a matching predicate (or without coordinate values) keep everything.
-    // Each supplied predicate must BIND to a dimension — a timeRange with
-    // no CF time coordinate, or a bbox with no recognizable lat/lon axis,
-    // fails loudly instead of silently returning unfiltered rows.
-    var timeBound = false
-    var latBound = false
-    var lonBound = false
-    val dimMasks: IndexedSeq[Array[Boolean]] = coords.zipWithIndex.map {
-      case ((dn, vals, cf), d) =>
-        val len = dimLens(d)
-        val keep = Array.fill(len)(true)
-        (vals, cf) match {
-          case (Some(vsArr), Some((perSec, epochMicros))) if timeRange.isDefined =>
-            timeBound = true
-            val lo = parseInstantMicros(timeRange.get._1)
-            val hi = parseInstantMicros(timeRange.get._2)
-            var i = 0
-            while (i < len) {
-              val micros = epochMicros + math.round(vsArr(i) * perSec * 1e6)
-              keep(i) = micros >= lo && micros <= hi
-              i += 1
-            }
-          case (Some(vsArr), None) if bbox.isDefined && LatNames(dn.toLowerCase) =>
-            latBound = true
-            val (_, south, _, north) = bbox.get
-            var i = 0
-            while (i < len) { keep(i) = vsArr(i) >= south && vsArr(i) <= north; i += 1 }
-          case (Some(vsArr), None) if bbox.isDefined && LonNames(dn.toLowerCase) =>
-            lonBound = true
-            val (west, _, east, _) = bbox.get
-            var i = 0
-            while (i < len) {
-              keep(i) =
-                if (west <= east) vsArr(i) >= west && vsArr(i) <= east
-                else vsArr(i) >= west || vsArr(i) <= east // antimeridian OR
-              i += 1
-            }
-          case _ => ()
-        }
-        keep
     }
-    require(timeRange.isEmpty || timeBound,
-      s"$path: timeRange pushdown bound to no dimension — no coordinate " +
-        s"variable with CF time units among dims ${dimNames.mkString(", ")}")
-    require(bbox.isEmpty || (latBound && lonBound),
-      s"$path: bbox pushdown bound to " +
-        (if (latBound) "no longitude axis" else if (lonBound) "no latitude axis"
-         else "neither a latitude nor a longitude axis") +
-        s" — recognized names are ${(LatNames ++ LonNames).mkString("/")}; " +
-        s"dims are ${dimNames.mkString(", ")}")
-
-    val schema = StructType(
-      coords.map {
-        case (dn, _, Some(_)) => StructField(dn, TimestampType, nullable = false)
-        case (dn, Some(_), None) => StructField(dn, DoubleType, nullable = false)
-        case (dn, None, None) => StructField(dn, LongType, nullable = false)
-      } ++ vs.map(v => StructField(v.name, DoubleType, nullable = true)))
-
     val unpacks = vs.map(unpackOf)
-    val varMeta = vs.map(v => (v, h)) // serialized into the closure
-    val innerLens = dimLens.drop(1)
-    val innerCount = innerLens.map(_.toLong).product
-    require(innerCount < Int.MaxValue, "inner slab too large for one task")
-    // outer-dimension pruning: unselected slices never become tasks and
-    // their byte ranges are never read
-    val selected = (0 until dimLens(0)).filter(dimMasks(0))
-    val innerMasks = dimMasks.drop(1)
-    val anyInnerFilter = innerMasks.exists(_.exists(k => !k))
-    val parts = if (numPartitions > 0) numPartitions
-      else math.max(1,
-        math.min(selected.length, spark.sparkContext.defaultParallelism))
-
-    val rowsRdd = spark.sparkContext
-      .parallelize(selected.map(_.toLong), math.max(parts, 1))
-      .mapPartitions { slices =>
-        val ch = openRead(path, props)
-        // close on task completion, not only on iterator drain: limit/take/
-        // show terminate the iterator early and would otherwise leak the
-        // file handle for the task's lifetime
-        var closed = false
-        def closeOnce(): Unit = if (!closed) { closed = true; ch.close() }
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
-        val slabs = new Array[Array[Double]](varMeta.length)
-        new Iterator[Row] {
-          private var rem: Iterator[Row] = Iterator.empty
-          override def hasNext: Boolean = {
-            while (!rem.hasNext && slices.hasNext) rem = sliceRows(slices.next().toInt)
-            if (!rem.hasNext && !slices.hasNext) { closeOnce(); false } else true
-          }
-          override def next(): Row = rem.next()
-          private def sliceRows(i0: Int): Iterator[Row] = {
-            var vi = 0
-            while (vi < varMeta.length) {
-              val (v, hh) = varMeta(vi)
-              val (off, len) = sliceRange(hh, v, i0)
-              val bytes = new Array[Byte](len)
-              ch.readFully(off, bytes, 0, len)
-              slabs(vi) = decodeSlab(bytes, v.tpe)
-              vi += 1
-            }
-            val idx = new Array[Int](innerLens.length)
-            var flat = 0
-            Iterator.continually {
-              // inner-coordinate pushdown: masked positions skip row
-              // construction entirely (index lookups, no allocation)
-              var keep = true
-              if (anyInnerFilter) {
-                var m = 0
-                while (keep && m < idx.length) {
-                  keep = innerMasks(m)(idx(m)); m += 1
-                }
-              }
-              val row: Row = if (!keep) null
-              else {
-                val fields = new Array[Any](coords.length + varMeta.length)
-                var d = 0
-                while (d < coords.length) {
-                  val pos = if (d == 0) i0 else idx(d - 1)
-                  fields(d) = coords(d) match {
-                    case (_, Some(vals), Some((perSec, epochMicros))) =>
-                      val micros = epochMicros + math.round(vals(pos) * perSec * 1e6)
-                      java.time.Instant.ofEpochSecond(
-                        Math.floorDiv(micros, 1000000L),
-                        Math.floorMod(micros, 1000000L) * 1000L)
-                    case (_, Some(vals), None) => vals(pos)
-                    case (_, None, _) => pos.toLong
-                  }
-                  d += 1
-                }
-                var vj = 0
-                while (vj < varMeta.length) {
-                  fields(coords.length + vj) = unpacks(vj)(slabs(vj)(flat))
-                  vj += 1
-                }
-                Row.fromSeq(fields.toIndexedSeq)
-              }
-              // increment the inner odometer
-              flat += 1
-              var k = idx.length - 1
-              var carry = true
-              while (k >= 0 && carry) {
-                idx(k) += 1
-                if (idx(k) == innerLens(k)) idx(k) = 0 else carry = false
-                k -= 1
-              }
-              row
-            }.take(innerCount.toInt).filter(_ != null)
-          }
-        }
+    val varMeta = vs.map(v => (v, h)) // serialized into the reader factory
+    val mkReader = () => new GridCube.SlabReader {
+      private val ch = openRead(path, props)
+      def slab(vi: Int, i0: Int): Array[Double] = {
+        val (v, hh) = varMeta(vi)
+        val (off, len) = sliceRange(hh, v, i0)
+        val bytes = new Array[Byte](len)
+        ch.readFully(off, bytes, 0, len)
+        decodeSlab(bytes, v.tpe)
       }
-    spark.createDataFrame(rowsRdd, schema)
+      def close(): Unit = ch.close()
+    }
+    GridCube.read(spark, path, axes, varNames, unpacks, mkReader,
+      numPartitions, timeRange, bbox)
   }
 
   /** The offline conversion utility the reference's users would run once:

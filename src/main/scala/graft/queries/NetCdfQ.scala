@@ -44,25 +44,40 @@ object NetCdfQ extends QueryPack {
     (years, nVals, qVals)
   }
 
+  private def gridDims(years: Seq[Int]) = Seq(
+    NetCdf.Dim("time", years.length), NetCdf.Dim("lat", 18), NetCdf.Dim("lon", 36))
+
+  private def gridVars(years: Seq[Int], nVals: Array[Double], qVals: Array[Double]) = Seq(
+    (NetCdf.VarDef("time", Seq("time"), NetCdf.NcDouble,
+      Seq("units" -> "days since 1970-01-01")),
+      years.map(y => java.time.LocalDate.of(y, 1, 1).toEpochDay.toDouble).toArray),
+    (NetCdf.VarDef("lat", Seq("lat"), NetCdf.NcDouble,
+      Seq("units" -> "degrees_north")), lats.toArray),
+    (NetCdf.VarDef("lon", Seq("lon"), NetCdf.NcDouble,
+      Seq("units" -> "degrees_east")), lons.toArray),
+    (NetCdf.VarDef("n", Seq("time", "lat", "lon"), NetCdf.NcDouble,
+      Seq("_FillValue" -> Fill)), nVals),
+    (NetCdf.VarDef("mean_qty", Seq("time", "lat", "lon"), NetCdf.NcDouble,
+      Seq("_FillValue" -> Fill, "units" -> "items")), qVals))
+
+  private val gridGatts = Seq(
+    "Conventions" -> "CF-1.8", "source" -> "graft lineitem grid")
+
   /** Write `years.length` time steps of the slabs to one .nc file. */
   private def writeGrid(path: String, years: Seq[Int],
-                        nVals: Array[Double], qVals: Array[Double]): Unit =
-    NetCdf.write(path,
-      dims = Seq(NetCdf.Dim("time", years.length),
-        NetCdf.Dim("lat", 18), NetCdf.Dim("lon", 36)),
-      vars = Seq(
-        (NetCdf.VarDef("time", Seq("time"), NetCdf.NcDouble,
-          Seq("units" -> "days since 1970-01-01")),
-          years.map(y => java.time.LocalDate.of(y, 1, 1).toEpochDay.toDouble).toArray),
-        (NetCdf.VarDef("lat", Seq("lat"), NetCdf.NcDouble,
-          Seq("units" -> "degrees_north")), lats.toArray),
-        (NetCdf.VarDef("lon", Seq("lon"), NetCdf.NcDouble,
-          Seq("units" -> "degrees_east")), lons.toArray),
-        (NetCdf.VarDef("n", Seq("time", "lat", "lon"), NetCdf.NcDouble,
-          Seq("_FillValue" -> Fill)), nVals),
-        (NetCdf.VarDef("mean_qty", Seq("time", "lat", "lon"), NetCdf.NcDouble,
-          Seq("_FillValue" -> Fill, "units" -> "items")), qVals)),
-      gatts = Seq("Conventions" -> "CF-1.8", "source" -> "graft lineitem grid"))
+                        nVals: Array[Double], qVals: Array[Double],
+                        version: Int = 1): Unit =
+    NetCdf.write(path, gridDims(years), gridVars(years, nVals, qVals),
+      gridGatts, version = version)
+
+  /** The same grid as a NetCDF-4 (HDF5) file — dimension scales,
+    * DIMENSION_LIST, chunked-unfiltered data (one chunk per time step),
+    * the libhdf5 layout for an unlimited time dim.
+    */
+  private def writeGridH5(path: String, years: Seq[Int],
+                          nVals: Array[Double], qVals: Array[Double]): Unit =
+    graft.ingest.Hdf5.write(path, gridDims(years), gridVars(years, nVals, qVals),
+      gridGatts, chunked = true)
 
   /** CF time back to ship_year, fills back to null — the read side both
     * queries share; output rows match the lineitem group-by oracle.
@@ -113,6 +128,38 @@ object NetCdfQ extends QueryPack {
         timeRange = Some(("1993-01-01", "1995-12-31")),
         bbox = Some((95.0, -45.0, -95.0, 45.0))))
     }),
+    // The SAME grid through the NetCDF-4/HDF5 container (from-spec reader:
+    // superblock, object headers, dimension scales, DIMENSION_LIST via the
+    // global heap, chunked-unfiltered B-tree index) — identical oracle to
+    // the classic roundtrip, so any byte-layout bug in the HDF5 path
+    // hash-mismatches against DuckDB's replay from lineitem.
+    "q_netcdf4_roundtrip" -> ((s, dir) => {
+      val (years, nVals, qVals) = gridSlabs(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-nc4").resolve("grid.nc").toString
+      writeGridH5(path, years.toSeq, nVals, qVals)
+      backToRows(NetCdf.read(s, path, Seq("n", "mean_qty"))) // dispatches on signature
+    }),
+    // Open-time pushdown through the HDF5 path: pruned time slices never
+    // have their CHUNKS read, bbox masks cells — same predicates and the
+    // same DuckDB replay as q_netcdf_pushdown.
+    "q_netcdf4_pushdown" -> ((s, dir) => {
+      val (years, nVals, qVals) = gridSlabs(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-nc4-push").resolve("grid.nc").toString
+      writeGridH5(path, years.toSeq, nVals, qVals)
+      backToRows(NetCdf.read(s, path, Seq("n", "mean_qty"),
+        timeRange = Some(("1993-01-01", "1995-12-31")),
+        bbox = Some((95.0, -45.0, -95.0, 45.0))))
+    }),
+    // CDF-5 (64-bit data) variant of the classic container, same oracle.
+    "q_netcdf5_roundtrip" -> ((s, dir) => {
+      val (years, nVals, qVals) = gridSlabs(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-nc5").resolve("grid.nc").toString
+      writeGrid(path, years.toSeq, nVals, qVals, version = 5)
+      backToRows(NetCdf.read(s, path, Seq("n", "mean_qty")))
+    }),
     // S6 for .nc (dataset-info probe): variables, dtypes, dim tuples,
     // value counts, units — header-only, no data read. The value counts
     // derive from the ship-year span, which DuckDB recomputes from
@@ -137,9 +184,25 @@ object NetCdfQ extends QueryPack {
       |FROM lineitem
       |GROUP BY 1, 2, 3""".stripMargin
 
+  private val pushdownSql =
+    """SELECT * FROM (
+      |  SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+      |         CAST(l_partkey % 18 * 10 - 85 AS DOUBLE) AS lat,
+      |         CAST(l_suppkey % 36 * 10 - 175 AS DOUBLE) AS lon,
+      |         count(*) AS n,
+      |         round(avg(l_quantity), 6) AS mean_qty
+      |  FROM lineitem
+      |  GROUP BY 1, 2, 3
+      |) WHERE ship_year BETWEEN 1993 AND 1995
+      |  AND lat BETWEEN -45 AND 45
+      |  AND (lon >= 95 OR lon <= -95)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_netcdf_roundtrip" -> roundtripSql,
     "q_netcdf_archive" -> roundtripSql,
+    "q_netcdf4_roundtrip" -> roundtripSql,
+    "q_netcdf5_roundtrip" -> roundtripSql,
+    "q_netcdf4_pushdown" -> pushdownSql,
     "q_netcdf_pushdown" ->
       """SELECT * FROM (
         |  SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,

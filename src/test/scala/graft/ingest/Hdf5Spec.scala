@@ -1,0 +1,153 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class Hdf5Spec extends SparkSpec {
+  import NetCdf.{Dim, VarDef, NcDouble, NcFloat, NcShort, NcInt}
+
+  private def writeGrid(path: String, chunked: Boolean): Unit = {
+    val (nt, nlat, nlon) = (4, 3, 2)
+    val temps = Array.tabulate(nt * nlat * nlon)(i => 250.0 + i)
+    val packed = temps.map(t => (t - 200.0) / 0.5)
+    packed(5) = -32768.0
+    Hdf5.write(path,
+      dims = Seq(Dim("time", nt), Dim("lat", nlat), Dim("lon", nlon)),
+      vars = Seq(
+        (VarDef("time", Seq("time"), NcDouble,
+          Seq("units" -> "hours since 2021-06-01")), Array.tabulate(nt)(_ * 6.0)),
+        (VarDef("lat", Seq("lat"), NcDouble,
+          Seq("units" -> "degrees_north")), Array(-45.0, 0.0, 45.0)),
+        (VarDef("lon", Seq("lon"), NcDouble), Array(0.0, 90.0)),
+        (VarDef("t2m", Seq("time", "lat", "lon"), NcShort,
+          Seq("scale_factor" -> 0.5, "add_offset" -> 200.0,
+            "_FillValue" -> -32768.0)), packed),
+        (VarDef("count", Seq("time", "lat", "lon"), NcInt),
+          Array.tabulate(nt * nlat * nlon)(_.toDouble))),
+      gatts = Seq("Conventions" -> "CF-1.8", "title" -> "graft h5 test"),
+      chunked = chunked)
+  }
+
+  test("structure parse: signature, dim scales, DIMENSION_LIST, attrs") {
+    val path = tmpDir() + "/s.h5"
+    writeGrid(path, chunked = false)
+    assert(Hdf5.isHdf5(path, Map.empty))
+    val f = Hdf5.readStructure(path, Map.empty)
+    assert(f.datasets.map(_.name).sorted ==
+      IndexedSeq("count", "lat", "lon", "t2m", "time"))
+    val t2m = f.datasets.find(_.name == "t2m").get
+    assert(t2m.dims == IndexedSeq(4, 3, 2))
+    assert(t2m.dtype.cls == 0 && t2m.dtype.size == 2 && t2m.dtype.signed)
+    assert(t2m.attrNum("scale_factor").contains(0.5))
+    assert(t2m.attrNum("_FillValue").contains(-32768.0))
+    val lat = f.datasets.find(_.name == "lat").get
+    assert(lat.isDimScale)
+    assert(lat.attrStr("units").contains("degrees_north"))
+    // DIMENSION_LIST refs resolve to the dim-scale header addresses
+    val byAddr = f.datasets.map(d => d.addr -> d.name).toMap
+    assert(t2m.dimRefs.get.map(byAddr) == IndexedSeq("time", "lat", "lon"))
+  }
+
+  test("distributed read (contiguous): CF time, unpacking, fill -> null") {
+    val path = tmpDir() + "/c.h5"
+    writeGrid(path, chunked = false)
+    val df = Hdf5.read(spark, path, Seq("t2m", "count"))
+    assert(df.columns.toSeq == Seq("time", "lat", "lon", "t2m", "count"))
+    assert(df.count() == 24)
+    assert(df.schema("time").dataType.typeName == "timestamp")
+    val times = df.select(col("time")).distinct().orderBy("time")
+      .collect().map(_.getTimestamp(0).toString)
+    assert(times.head == "2021-06-01 00:00:00.0" && times(1) == "2021-06-01 06:00:00.0")
+    val row0 = df.where(col("count") === 0).head()
+    assert(row0.getDouble(row0.fieldIndex("t2m")) == 250.0)
+    assert(df.where(col("t2m").isNull).count() == 1)
+    assert(df.where(col("count") === 5).head().isNullAt(3))
+    // row-major unravel matches the classic reader's odometer
+    val at = df.where(col("time") === lit("2021-06-01 06:00:00").cast("timestamp") &&
+      col("lat") === 0.0 && col("lon") === 90.0).head()
+    val flat = ((1 * 3) + 1) * 2 + 1
+    assert(at.getDouble(at.fieldIndex("t2m")) == 250.0 + flat)
+  }
+
+  test("chunked-unfiltered layout reads identically to contiguous") {
+    val base = tmpDir()
+    writeGrid(base + "/a.h5", chunked = false)
+    writeGrid(base + "/b.h5", chunked = true)
+    val a = Hdf5.read(spark, base + "/a.h5", Seq("t2m", "count"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    val b = Hdf5.read(spark, base + "/b.h5", Seq("t2m", "count"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    assert(a == b)
+    // the chunk index really is a B-tree: structure sees one chunk/slice
+    val f = Hdf5.readStructure(base + "/b.h5", Map.empty)
+    f.datasets.find(_.name == "t2m").get.layout match {
+      case Hdf5.Chunked(cdims, chunks) =>
+        assert(cdims == IndexedSeq(1, 3, 2))
+        assert(chunks.length == 4)
+        assert(chunks.map(_.offsets.head).sorted == IndexedSeq(0L, 1L, 2L, 3L))
+      case other => fail(s"expected chunked layout, got $other")
+    }
+  }
+
+  test("pushdown: timeRange prunes slices, bbox masks cells") {
+    val path = tmpDir() + "/p.h5"
+    writeGrid(path, chunked = true)
+    val pushed = Hdf5.read(spark, path, Seq("count"),
+      timeRange = Some(("2021-06-01 05:00:00", "2021-06-01 13:00:00")), // hours 6, 12
+      bbox = Some((-10.0, -50.0, 100.0, 10.0))) // lat -45, 0; lon 0, 90
+    assert(pushed.count() == 2L * 2 * 2)
+    assert(pushed.rdd.getNumPartitions <= 2, "outer pruning is physical")
+    val full = Hdf5.read(spark, path, Seq("count"))
+    val expected = full.where(
+      col("time").between(lit("2021-06-01 05:00:00").cast("timestamp"),
+        lit("2021-06-01 13:00:00").cast("timestamp")) &&
+        col("lat").between(-50.0, 10.0) && col("lon").between(-10.0, 100.0))
+    assert(pushed.orderBy("time", "lat", "lon").collect().toSeq ==
+      expected.orderBy("time", "lat", "lon").collect().toSeq)
+  }
+
+  test("NetCdf.read dispatches on the HDF5 signature transparently") {
+    val path = tmpDir() + "/d.nc" // .nc extension, HDF5 container — the
+    writeGrid(path, chunked = false) // netCDF-4 situation users actually hit
+    val df = NetCdf.read(spark, path, Seq("count"))
+    assert(df.count() == 24)
+    val inf = NetCdf.info(spark, path).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(inf("t2m") == "short" && inf("count") == "int" && inf("lat") == "double")
+  }
+
+  test("float32 data + unsigned types decode correctly") {
+    val path = tmpDir() + "/f.h5"
+    Hdf5.write(path,
+      dims = Seq(Dim("x", 3)),
+      vars = Seq(
+        (VarDef("x", Seq("x"), NcDouble), Array(1.0, 2.0, 3.0)),
+        (VarDef("f", Seq("x"), NcFloat), Array(1.5, -2.5, 3.25)),
+        (VarDef("u", Seq("x"), NetCdf.NcUShort), Array(65535.0, 0.0, 40000.0))))
+    val df = Hdf5.read(spark, path, Seq("f", "u")).orderBy("x")
+    val rows = df.collect()
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(1.5, -2.5, 3.25))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(65535.0, 0.0, 40000.0))
+  }
+
+  test("readDir unions a mixed classic + netCDF-4 archive") {
+    val base = tmpDir()
+    NetCdf.write(s"$base/y0.nc",
+      dims = Seq(Dim("time", 1), Dim("lat", 2)),
+      vars = Seq(
+        (VarDef("time", Seq("time"), NcDouble,
+          Seq("units" -> "days since 1996-01-01")), Array(0.0)),
+        (VarDef("lat", Seq("lat"), NcDouble), Array(-30.0, 30.0)),
+        (VarDef("x", Seq("time", "lat"), NcDouble), Array(1.0, 2.0))))
+    Hdf5.write(s"$base/y1.nc",
+      dims = Seq(Dim("time", 1), Dim("lat", 2)),
+      vars = Seq(
+        (VarDef("time", Seq("time"), NcDouble,
+          Seq("units" -> "days since 1996-01-01")), Array(31.0)),
+        (VarDef("lat", Seq("lat"), NcDouble), Array(-30.0, 30.0)),
+        (VarDef("x", Seq("time", "lat"), NcDouble), Array(3.0, 4.0))))
+    val df = NetCdf.readDir(spark, base, Seq("x"))
+    assert(df.count() == 4)
+    assert(df.agg(sum("x")).head().getDouble(0) == 10.0)
+  }
+}
