@@ -151,6 +151,105 @@ object DedupQ extends QueryPack {
   private val norm =
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
 
+  /** DuckDB replay of Spark's `xxhash64` (XXH64, seed 42) for inputs
+    * under 32 bytes, generated as chained per-row CTE stages — 64-bit
+    * wraparound arithmetic in HUGEINT (32×32 partial products mod 2^64),
+    * rotations as disjoint shift sums, xor through UBIGINT. xxhash64 is
+    * public arithmetic (Collet's XXH64), so the simhash oracle can
+    * recompute fingerprints from the corpus instead of pinning the
+    * engine's candidate list. Inputs ≥ 32 bytes would need the 4-lane
+    * stripe loop; the generated SQL raises via error() instead of
+    * returning a wrong hash (every corpus token here is ≤ 8 bytes).
+    */
+  private object XxSql {
+    private val M = "18446744073709551616::HUGEINT"
+    private val P1 = "11400714785074694791::HUGEINT"
+    private val P2 = "14029467366897019727::HUGEINT"
+    private val P3 = "1609587929392839161::HUGEINT"
+    private val P4 = "9650029242287828579::HUGEINT"
+    private val P5 = "2870177450012600261::HUGEINT"
+    private def p2(b: Int): String = (BigInt(1) << b).toString + "::HUGEINT"
+    private def mod64(x: String) = s"((($x) % $M + $M) % $M)"
+    // 64×64→64 wraparound product from 32-bit halves (each partial < 2^97)
+    private def mul64(a: String, b: String) = mod64(
+      s"($a % ${p2(32)}) * ($b % ${p2(32)}) + " +
+        mod64(s"(($a // ${p2(32)}) * ($b % ${p2(32)}) + " +
+          s"($a % ${p2(32)}) * ($b // ${p2(32)})) * ${p2(32)}"))
+    private def x64(a: String, b: String) =
+      s"CAST(xor(CAST($a AS UBIGINT), CAST($b AS UBIGINT)) AS HUGEINT)"
+    // rotation = disjoint (low<<r) + (high>>(64-r)) halves
+    private def rotl(x: String, r: Int) =
+      s"(${mod64(s"$x * ${p2(r)}")} + ($x // ${p2(64 - r)}))"
+    private def shr(x: String, r: Int) = s"($x // ${p2(r)})"
+    private def byteat(j: String) =
+      s"(CAST(strpos('123456789abcdef', substr(hx, CAST(2*($j) + 1 AS BIGINT), 1)) AS HUGEINT) * 16" +
+        s" + CAST(strpos('123456789abcdef', substr(hx, CAST(2*($j) + 2 AS BIGINT), 1)) AS HUGEINT))"
+    private def laneLE(off: String, bytes: Int): String =
+      (0 until bytes).map(j => s"${byteat(s"$off + $j")} * ${p2(8 * j)}").mkString(" + ")
+
+    /** Chained CTE stages computing column `hf` (the hash, HUGEINT) from
+      * columns `hx` (lowercase hex of the UTF-8 bytes) and `n` (byte
+      * count, HUGEINT) of CTE `src`.
+      */
+    def stages(src: String): String = {
+      val st = Seq.newBuilder[(String, String)]
+      st += "h0" -> mod64(s"42 + $P5 + n")
+      var h = "h0"
+      for (k <- 0 until 3) { // 8-byte rounds at offsets 0, 8, 16 (n < 32)
+        val cond = s"n >= ${8 * (k + 1)}"
+        st += s"ln$k" -> s"(${laneLE((8 * k).toString, 8)})"
+        st += s"a$k" -> mul64(s"ln$k", P2)
+        st += s"b$k" -> rotl(s"a$k", 31)
+        st += s"c$k" -> mul64(s"b$k", P1)
+        st += s"d$k" -> x64(h, s"c$k")
+        st += s"e$k" -> rotl(s"d$k", 27)
+        st += s"f$k" -> mul64(s"e$k", P1)
+        st += s"h8$k" -> s"CASE WHEN $cond THEN ${mod64(s"f$k + $P4")} ELSE $h END"
+        h = s"h8$k"
+      }
+      st += "p4" -> "(n // 8) * 8"
+      st += "c4" -> "CASE WHEN n - p4 >= 4 THEN 1 ELSE 0 END"
+      st += "ln4" -> s"(${laneLE("p4", 4)})"
+      st += "g1" -> mul64("ln4", P1)
+      st += "g2" -> x64(h, "g1")
+      st += "g3" -> rotl("g2", 23)
+      st += "g4" -> mul64("g3", P2)
+      st += "h4x" -> s"CASE WHEN c4 = 1 THEN ${mod64(s"g4 + $P3")} ELSE $h END"
+      st += "pb" -> "p4 + CASE WHEN c4 = 1 THEN 4 ELSE 0 END"
+      h = "h4x"
+      for (t <- 0 until 3) { // tail bytes
+        val cond = s"pb + $t < n"
+        st += s"by$t" -> byteat(s"pb + $t")
+        st += s"u$t" -> mul64(s"by$t", P5)
+        st += s"v$t" -> x64(h, s"u$t")
+        st += s"w$t" -> rotl(s"v$t", 11)
+        st += s"hb$t" -> s"CASE WHEN $cond THEN ${mul64(s"w$t", P1)} ELSE $h END"
+        h = s"hb$t"
+      }
+      st += "av1" -> x64(h, shr(h, 33))
+      st += "av2" -> mul64("av1", P2)
+      st += "av3" -> x64("av2", shr("av2", 29))
+      st += "av4" -> mul64("av3", P3)
+      st += "hf" -> x64("av4", shr("av4", 32))
+      st.result().zipWithIndex.map { case ((name, expr), i) =>
+        val from = if (i == 0) src else s"xs${i - 1}"
+        s"xs$i AS (SELECT *, $expr AS $name FROM $from)"
+      }.mkString(",\n")
+    }
+
+    def lastStage: String = "xs" + (stageCount - 1)
+    private def stageCount = 1 + 3 * 8 + 9 + 3 * 5 + 5
+
+    /** 64 per-bit vote sums (+1 set / −1 clear per token occurrence). */
+    def voteCols: String = (0 until 64).map(b =>
+      s"SUM(CASE WHEN (hf // ${p2(b)}) % 2 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+
+    /** Majority bits recombined into the UBIGINT fingerprint. */
+    def fingerprintExpr: String = "CAST(" + (0 until 64).map(b =>
+      s"(CASE WHEN v$b > 0 THEN ${p2(b)} ELSE 0::HUGEINT END)").mkString(" + ") +
+      " AS UBIGINT)"
+  }
+
   /** Shared SQL for exact word-3gram Jaccard pairs at a threshold.
     * `maxDocFreq` mirrors [[Dedup.ngramJaccardPairs]]: grams whose document
     * frequency exceeds the cap are excluded from intersection counts, while
@@ -299,15 +398,34 @@ object DedupQ extends QueryPack {
          |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
     "q_ngram_jaccard_capped" -> jaccardSql(0.2, maxDocFreq = Some(5)),
     "q_minhash_dedup" -> jaccardSql(0.5),
-    // Pinned candidate list = the deterministic simhash output at the
-    // sf0.01 gate (xxhash64 is a fixed pure function of the text); the
-    // jaccard column is recomputed from the corpus by DuckDB.
+    // FULL recompute, no pinned literals: DuckDB rebuilds every simhash
+    // fingerprint from the corpus — tokens → xxhash64 (XXH64 seed 42,
+    // replayed as unrolled HUGEINT arithmetic, see XxSql) → per-bit
+    // majority votes → 64-bit fingerprint — then takes ALL pairs at
+    // Hamming ≤ 3. That equals the engine's banded candidate set exactly
+    // (pigeonhole: distance ≤ 3 ⇒ some 16-bit band matches), and the
+    // jaccard column is recomputed from the corpus as before.
     "q_simhash_pairs" ->
-      s"""WITH pairs(id1, id2, hamming) AS (VALUES
-         |  (8,245,2),(45,413,3),(58,293,0),(61,185,0),(70,447,1),(76,102,2),
-         |  (98,290,2),(107,387,1),(120,332,3),(166,323,3),(251,473,3),
-         |  (267,413,2),(285,301,0),(326,457,2),(393,420,0),(435,486,3),
-         |  (458,462,2)),
+      s"""WITH tokrows AS (
+         |  SELECT doc_id, unnest(string_split(
+         |    $norm, ' ')) AS tok
+         |  FROM documents),
+         |tok_h AS (
+         |  SELECT doc_id, lower(hex(encode(tok))) AS hx,
+         |    CASE WHEN octet_length(encode(tok)) >= 32
+         |         THEN CAST(error('token >= 32 bytes: xxh64 oracle covers the short path only') AS HUGEINT)
+         |         ELSE CAST(octet_length(encode(tok)) AS HUGEINT) END AS n
+         |  FROM tokrows),
+         |${XxSql.stages("tok_h")},
+         |votes AS (
+         |  SELECT doc_id, ${XxSql.voteCols}
+         |  FROM ${XxSql.lastStage} GROUP BY doc_id),
+         |fp AS (SELECT doc_id, ${XxSql.fingerprintExpr} AS sh FROM votes),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |         CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
          |toks AS (
          |  SELECT doc_id, string_split(
          |    $norm, ' ') AS w
