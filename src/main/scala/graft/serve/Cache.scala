@@ -178,6 +178,197 @@ object Cache {
     def describe: String = s"file:$dir"
   }
 
+  /** Shared cache NODE: any [[CacheBackend]] served over TCP with a
+    * minimal line protocol — the multi-host slot the reference fills
+    * with Redis (`api/cache.py:28-177`). One process runs
+    * `new CacheServer(new LruBackend(...)).start()`; every serving host
+    * points a [[NetBackend]] at it (behind [[ResilientCache]], so a dead
+    * cache node degrades requests to compute, never fails them).
+    *
+    * Protocol (text line + optional length-prefixed body; keys are
+    * URL-encoded so they never contain spaces):
+    * {{{
+    *   GET <key>            → HIT <len>\n<bytes> | MISS
+    *   PUT <key> <ttl> <len>\n<bytes> → OK
+    *   DEL <key>            → DEL 1|0
+    *   CLEAR <prefix>       → CLEAR <n>
+    *   COUNT                → COUNT <n>
+    *   PING                 → PONG
+    * }}}
+    */
+  final class CacheServer(backend: CacheBackend, port: Int = 0,
+                          maxValueBytes: Int = 16 << 20) {
+    private val server = new java.net.ServerSocket(port)
+    server.setReuseAddress(true)
+    @volatile private var running = true
+    private val pool = java.util.concurrent.Executors.newCachedThreadPool()
+    // open client connections, closed on stop(): a blocking read is not
+    // interruptible, so shutdownNow alone would leave old connections
+    // silently serving a "stopped" node
+    private val live = java.util.concurrent.ConcurrentHashMap.newKeySet[java.net.Socket]()
+
+    def boundPort: Int = server.getLocalPort
+
+    def start(): CacheServer = {
+      pool.submit(new Runnable {
+        def run(): Unit = while (running) {
+          try {
+            val sock = server.accept()
+            live.add(sock)
+            pool.submit(new Runnable { def run(): Unit = serve(sock) })
+          } catch { case _: Throwable if !running => () case _: java.io.IOException => () }
+        }
+      })
+      this
+    }
+
+    private def serve(sock: java.net.Socket): Unit = {
+      try {
+        sock.setTcpNoDelay(true)
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(sock.getInputStream))
+        val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+        def readLine(): String = {
+          val sb = new StringBuilder
+          var c = in.read()
+          while (c != -1 && c != '\n') { sb.append(c.toChar); c = in.read() }
+          if (c == -1 && sb.isEmpty) null else sb.toString
+        }
+        def reply(s: String): Unit = { out.write(s.getBytes("UTF-8")); out.write('\n'); out.flush() }
+        var line = readLine()
+        while (line != null) {
+          val parts = line.split(" ")
+          try parts(0) match {
+            case "GET" => backend.get(dec(parts(1))) match {
+              case Some(v) =>
+                val bytes = v.getBytes("UTF-8")
+                reply(s"HIT ${bytes.length}"); out.write(bytes); out.flush()
+              case None => reply("MISS")
+            }
+            case "PUT" =>
+              val len = parts(3).toInt
+              require(len <= maxValueBytes, s"value of $len bytes exceeds cap")
+              val buf = new Array[Byte](len)
+              in.readFully(buf)
+              backend.put(dec(parts(1)), new String(buf, "UTF-8"), parts(2).toLong)
+              reply("OK")
+            case "DEL" => reply(s"DEL ${if (backend.delete(dec(parts(1)))) 1 else 0}")
+            case "CLEAR" => reply(s"CLEAR ${backend.clearPrefix(dec(parts(1)))}")
+            case "COUNT" => reply(s"COUNT ${backend.entryCount}")
+            case "PING" => reply("PONG")
+            case other => reply(s"ERR unknown command $other")
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              reply(s"ERR ${e.getMessage}")
+          }
+          line = readLine()
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+      finally { sock.close(); live.remove(sock) }
+    }
+
+    private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+    def stop(): Unit = {
+      running = false
+      server.close()
+      live.forEach(s => try s.close() catch { case _: Throwable => () })
+      pool.shutdownNow()
+    }
+  }
+
+  /** Client side of [[CacheServer]]'s protocol: a [[CacheBackend]] over
+    * one persistent TCP connection, re-dialed on error. Aggressive
+    * timeouts (500 ms connect, 2 s read) keep a hung cache node from
+    * stalling the serving path — [[ResilientCache]] sees the timeout as
+    * an error and degrades to compute.
+    */
+  final class NetBackend(host: String, port: Int,
+                         connectMillis: Int = 500, readMillis: Int = 2000)
+      extends CacheBackend {
+    private var sock: java.net.Socket = _
+    private var in: java.io.DataInputStream = _
+    private var out: java.io.BufferedOutputStream = _
+
+    private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+
+    private def ensure(): Unit =
+      if (sock == null || !sock.isConnected || sock.isClosed) {
+        val s = new java.net.Socket()
+        s.connect(new java.net.InetSocketAddress(host, port), connectMillis)
+        s.setSoTimeout(readMillis)
+        s.setTcpNoDelay(true)
+        sock = s
+        in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(s.getInputStream))
+        out = new java.io.BufferedOutputStream(s.getOutputStream)
+      }
+
+    private def readLine(): String = {
+      val sb = new StringBuilder
+      var c = in.read()
+      while (c != -1 && c != '\n') { sb.append(c.toChar); c = in.read() }
+      if (c == -1) throw new java.io.EOFException("cache node closed connection")
+      sb.toString
+    }
+
+    /** One request/response; on ANY failure the connection is torn down
+      * (so the next call re-dials) and the error propagates to
+      * [[ResilientCache]]'s degrade logic.
+      */
+    private def call[A](send: => Unit)(recv: String => A): A = synchronized {
+      try {
+        ensure()
+        send; out.flush()
+        val line = readLine()
+        if (line.startsWith("ERR")) sys.error(line)
+        recv(line)
+      } catch {
+        case e: Throwable =>
+          if (sock != null) { try sock.close() catch { case _: Throwable => () }; sock = null }
+          throw e
+      }
+    }
+
+    def get(key: String): Option[String] =
+      call(out.write(s"GET ${enc(key)}\n".getBytes("UTF-8"))) { line =>
+        if (line == "MISS") None
+        else {
+          val len = line.stripPrefix("HIT ").toInt
+          val buf = new Array[Byte](len)
+          in.readFully(buf)
+          Some(new String(buf, "UTF-8"))
+        }
+      }
+
+    def put(key: String, value: String, ttlSeconds: Long): Unit = {
+      val bytes = value.getBytes("UTF-8")
+      call {
+        out.write(s"PUT ${enc(key)} $ttlSeconds ${bytes.length}\n".getBytes("UTF-8"))
+        out.write(bytes)
+      } { line => require(line == "OK", s"unexpected PUT reply $line") }
+    }
+
+    def delete(key: String): Boolean =
+      call(out.write(s"DEL ${enc(key)}\n".getBytes("UTF-8")))(_ == "DEL 1")
+
+    def clearPrefix(prefix: String): Int =
+      call(out.write(s"CLEAR ${enc(prefix)}\n".getBytes("UTF-8")))(
+        _.stripPrefix("CLEAR ").toInt)
+
+    def entryCount: Int =
+      call(out.write("COUNT\n".getBytes("UTF-8")))(_.stripPrefix("COUNT ").toInt)
+
+    def ping(): Boolean =
+      call(out.write("PING\n".getBytes("UTF-8")))(_ == "PONG")
+
+    def close(): Unit = synchronized {
+      if (sock != null) { try sock.close() catch { case _: Throwable => () }; sock = null }
+    }
+
+    def describe: String = s"net:$host:$port"
+  }
+
   final case class ResilientStats(hits: Long, misses: Long, errors: Long,
                                   degraded: Boolean)
 

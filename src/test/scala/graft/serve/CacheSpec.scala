@@ -102,4 +102,68 @@ class CacheSpec extends AnyFunSuite {
     (1 to 5).foreach(_ => c.getOrCompute("k")(compute))
     assert(calls == callsAfter, "post-recovery hits do not recompute")
   }
+
+  test("network backend: full protocol roundtrip against a live cache node") {
+    val server = new CacheServer(new LruBackend(ttlSeconds = 100)).start()
+    try {
+      val net = new NetBackend("127.0.0.1", server.boundPort)
+      assert(net.ping())
+      assert(net.get("k1").isEmpty)
+      net.put("k1", "value one", 100)
+      net.put("k2", "value\ntwo with spaces and \u00fcnicode", 100)
+      net.put("other:x", "y", 100)
+      assert(net.get("k1").contains("value one"))
+      assert(net.get("k2").contains("value\ntwo with spaces and \u00fcnicode"))
+      assert(net.entryCount == 3)
+      assert(net.delete("k1"))
+      assert(!net.delete("k1"))
+      assert(net.get("k1").isEmpty)
+      // keys with spaces/newlines survive URL encoding on the wire
+      net.put("key with space\nand newline", "v", 100)
+      assert(net.get("key with space\nand newline").contains("v"))
+      assert(net.clearPrefix("other:") == 1)
+      assert(net.get("other:x").isEmpty)
+      net.close()
+    } finally server.stop()
+  }
+
+  test("network backend: TTL expiry is enforced by the cache node") {
+    var now = 1000L
+    val server = new CacheServer(new LruBackend(ttlSeconds = 100, clock = () => now)).start()
+    try {
+      val net = new NetBackend("127.0.0.1", server.boundPort)
+      net.put("k", "v", 50)
+      assert(net.get("k").contains("v"))
+      now += 51
+      assert(net.get("k").isEmpty, "expired on the node")
+      net.close()
+    } finally server.stop()
+  }
+
+  test("network backend behind ResilientCache: node death degrades to compute, restart recovers") {
+    val backing = new LruBackend(ttlSeconds = 100)
+    val server1 = new CacheServer(backing).start()
+    val port = server1.boundPort
+    val net = new NetBackend("127.0.0.1", port)
+    val c = new ResilientCache(net, maxErrors = 3)
+    var calls = 0
+    def compute = { calls += 1; s"r$calls" }
+    assert(c.getOrCompute("k")(compute) == "r1")
+    assert(c.getOrCompute("k")(compute) == "r1", "second lookup is a network hit")
+    assert(calls == 1)
+    server1.stop()
+    // node down: every request still succeeds, by recomputing
+    (1 to 5).foreach(_ => assert(c.getOrCompute("k")(compute).startsWith("r")))
+    assert(c.stats.degraded)
+    // node restarts on the SAME port (state lost — a fresh LRU, like a
+    // restarted Redis without persistence): probe reconnects and caching
+    // resumes
+    val server2 = new CacheServer(new LruBackend(ttlSeconds = 100), port = port).start()
+    try {
+      val results = (1 to 40).map(_ => c.getOrCompute("k")(compute))
+      assert(results.drop(20).distinct.size == 1, "reconnected and serving cached values")
+      assert(!c.stats.degraded)
+      net.close()
+    } finally server2.stop()
+  }
 }
