@@ -74,6 +74,51 @@ object EventsQ extends QueryPack {
     })
   }
 
+  /** Time-split staging for the restart query: `a.parquet` holds events
+    * before the median timestamp, `b.parquet` the rest PLUS one synthetic
+    * far-future `__flush__` event whose only job is to push the watermark
+    * past every real window in run 2 (its own window never finalizes, so
+    * it cannot appear in the sink). A TIME split — not the parity split —
+    * because run 1 finalizes windows ending below its watermark; only a
+    * time cut guarantees those windows already hold all their events
+    * while the boundary window stays open in state across the restart.
+    */
+  private def eventsTimeSplitDir(s: SparkSession, dir: String): String = {
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val key = s"$src@${java.nio.file.Files.getLastModifiedTime(src).toMillis}" +
+      s":${java.nio.file.Files.size(src)}:tsplit"
+    streamDirs.getOrElseUpdate(key, {
+      val d = java.nio.file.Files.createTempDirectory(ckptRoot, "events_tsplit")
+      val ev = Tables.events(s, dir)
+      val r = ev.agg(
+        expr("timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) AS BIGINT))"),
+        max(col("ts"))).head()
+      val (cutoff, maxTs) =
+        (r.getAs[java.sql.Timestamp](0), r.getAs[java.sql.Timestamp](1))
+      val flush = ev.limit(1).select(
+        lit(-1L).as("event_id"),
+        lit(new java.sql.Timestamp(maxTs.getTime + 86400L * 1000)).as("ts"),
+        lit(-1L).as("user_id"), lit("__flush__").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      Seq(("a", ev.where(col("ts") < cutoff)),
+          ("b", ev.where(col("ts") >= cutoff).unionByName(flush))).foreach {
+        case (nm, half) =>
+          val tmp = java.nio.file.Files.createTempDirectory(ckptRoot, s"t$nm")
+          half.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val listing = java.nio.file.Files.list(tmp)
+          val part = try {
+            val found = listing.filter(p => p.toString.endsWith(".parquet")).findFirst()
+            require(found.isPresent, s"no part file for time-half $nm")
+            found.get()
+          } finally listing.close()
+          try java.nio.file.Files.createLink(d.resolve(s"$nm.parquet"), part)
+          catch { case _: Exception =>
+            java.nio.file.Files.copy(part, d.resolve(s"$nm.parquet")) }
+      }
+      d.toString
+    })
+  }
+
   /** One streaming run per (session UUID, sfDir) — repeated invocations
     * (MetaSpec plan builds, Verify, repeated suites in one JVM) reuse the
     * first run's memory-sink table instead of launching a new streaming
@@ -224,6 +269,50 @@ object EventsQ extends QueryPack {
         Streams.incrementalStatsRead(s, stateDir, Seq("event_type"))
           .withColumn("n_batches", lit(nBatches)),
         "mean", "std")
+    }),
+    // Checkpoint RESTART: the windowed aggregation runs as two separate
+    // streaming queries sharing one checkpoint + append-mode parquet
+    // sink. Run 1 sees only the first time-half and is stopped (the
+    // "crash") after finalizing the early windows; run 2 is a NEW query
+    // over the same checkpoint that must restore the watermark and the
+    // open boundary-window state, absorb the second half, and finalize
+    // everything (a far-future __flush__ event closes the last real
+    // windows; its own window never finalizes). The union of both runs'
+    // sink output must equal the batch aggregate over the whole table —
+    // lost state under-counts the boundary windows, an ignored
+    // checkpoint double-writes the early ones; either hash-mismatches.
+    "q_stream_restart" -> ((s, dir) => {
+      val sink = streamRuns.getOrElseUpdate(
+        (graft.util.Sessions.id(s), s"$dir#restart"), {
+          val split = eventsTimeSplitDir(s, dir)
+          val srcDir = java.nio.file.Files.createTempDirectory(ckptRoot, "restart_src")
+          def stage(name: String): Unit = {
+            val from = java.nio.file.Paths.get(split, s"$name.parquet")
+            val to = srcDir.resolve(s"$name.parquet")
+            try java.nio.file.Files.createLink(to, from)
+            catch { case _: Exception => java.nio.file.Files.copy(from, to) }
+          }
+          stage("a")
+          val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "restart_ck").toString
+          val out = java.nio.file.Files.createTempDirectory(ckptRoot, "restart_out").toString
+          val schema = s.read.parquet(split).schema
+          def launch() = Streams.windowedStats(
+              s.readStream.schema(schema).parquet(srcDir.toString), evSpec, "5 minutes")
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").start()
+          val run1 = launch()
+          try { run1.processAllAvailable() } finally run1.stop()
+          val n1 = scala.util.Try(s.read.parquet(out).count()).getOrElse(0L)
+          require(n1 > 0, "run 1 must finalize some windows before the crash")
+          stage("b") // the rest of the data arrives while the query is down
+          val run2 = launch()
+          try { run2.processAllAvailable() } finally run2.stop()
+          require(s.read.parquet(out).count() > n1,
+            "run 2 must finalize the remaining windows from restored state")
+          out
+        })
+      round6(s.read.parquet(sink), "sum_value", "avg_value")
     })
   )
 
@@ -294,6 +383,16 @@ object EventsQ extends QueryPack {
     // identical to q_event_windows — the streaming run must land on the
     // batch answer
     "q_stream_windows" ->
+      """SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP)
+        |         AS bucket,
+        |       event_type, count(*) AS n,
+        |       round(sum(value), 6) AS sum_value,
+        |       round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // the crash-restart run must ALSO land exactly on the batch answer —
+    // same oracle as q_stream_windows (the __flush__ event's window never
+    // finalizes, so it is absent from the sink by construction)
+    "q_stream_restart" ->
       """SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP)
         |         AS bucket,
         |       event_type, count(*) AS n,

@@ -34,6 +34,54 @@ class StreamingSpec extends SparkSpec {
     assert(bSum == sSum) // same events land in same buckets
   }
 
+  test("checkpoint restart: a second query resumes window state and lands on the batch answer") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+    val r = ev.agg(
+      expr("timestamp_micros(CAST(percentile(unix_micros(ts), 0.5) AS BIGINT))"),
+      max(col("ts"))).head()
+    val (cutoff, maxTs) = (r.getTimestamp(0), r.getTimestamp(1))
+    val base = tmpDir()
+    val srcDir = base + "/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = base + s"/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part,
+        java.nio.file.Paths.get(srcDir, s"$name.parquet"))
+    }
+    stage("a", ev.where(col("ts") < cutoff))
+    val ckpt = base + "/ckpt"
+    val out = base + "/out"
+    def launch() = Streams.windowedStats(
+        Streams.parquetStream(spark, srcDir, ev.schema), evSpec, "5 minutes")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val run1 = launch()
+    try run1.processAllAvailable() finally run1.stop()
+    val n1 = scala.util.Try(spark.read.parquet(out).count()).getOrElse(0L)
+    assert(n1 > 0, "run 1 finalizes the early windows")
+    // crash window: data keeps arriving; the flush event closes all real
+    // windows once run 2 is up (its own window never finalizes)
+    val flush = ev.limit(1).select(lit(-1L).as("event_id"),
+      lit(new java.sql.Timestamp(maxTs.getTime + 86400L * 1000)).as("ts"),
+      lit(-1L).as("user_id"), lit("__flush__").as("event_type"),
+      lit(0.0).as("value"), lit("{}").as("props"))
+    stage("b", ev.where(col("ts") >= cutoff).unionByName(flush))
+    val run2 = launch()
+    try run2.processAllAvailable() finally run2.stop()
+    val got = spark.read.parquet(out)
+    assert(got.count() > n1, "run 2 finalized windows from restored state")
+    val batch = Streams.windowedStats(ev, evSpec, "5 minutes")
+    // exact row-set equality with the batch aggregate: lost state would
+    // under-count boundary windows, an ignored checkpoint double-writes
+    assert(got.orderBy("bucket", "event_type").collect().toSeq ==
+      batch.orderBy("bucket", "event_type").collect().toSeq)
+  }
+
   test("stateful sessionizeStream closes sessions on gap and timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
