@@ -82,6 +82,20 @@ object DedupQ extends QueryPack {
       Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           n = 3, threshold = 0.2, maxDocFreq = 15))),
+    // The DISTRIBUTED strategy through the same gate: driverMaxEdges = 0
+    // forces min-label propagation (the ≥4M-edge path a 100 TB corpus
+    // takes) instead of driver union-find; the result must hash-match the
+    // identical recursive-CTE oracle, and the in-query require turns a
+    // non-converged labeling into a hard failure rather than a silent
+    // partial clustering.
+    "q_dup_clusters_large" -> ((s, dir) => {
+      val (labels, converged) = Dedup.connectedComponentsWithStatus(
+        Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.2, maxDocFreq = 15),
+        driverMaxEdges = 0L)
+      require(converged, "distributed label propagation must converge")
+      labels
+    }),
     // Passage-level dedup over the planted near-dup corpus: at width 8 the
     // 25 planted pairs share multi-window passages, so detection AND
     // removal both bite (24 docs lose spans at sf0.01). The oracle replays
@@ -321,6 +335,17 @@ object DedupQ extends QueryPack {
        |LEFT JOIN rc ON d.doc_id = rc.doc_id
        |LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
 
+  private lazy val dupClustersSql: String =
+    s"""WITH RECURSIVE jac AS (
+         |${jaccardSql(0.2, maxDocFreq = Some(15))}),
+         |e AS (SELECT id1 AS a, id2 AS b FROM jac
+         |      UNION SELECT id2 AS a, id1 AS b FROM jac),
+         |reach(a, b) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+         |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_span_dedup" -> spanSql(8, Long.MaxValue),
     "q_span_dedup_capped" -> spanSql(8, 2L),
@@ -386,16 +411,8 @@ object DedupQ extends QueryPack {
          |       count(*) AS n_docs, min(doc_id) AS keep_id
          |FROM all_docs GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "q_ngram_jaccard" -> jaccardSql(0.2, maxDocFreq = Some(15)),
-    "q_dup_clusters" ->
-      s"""WITH RECURSIVE jac AS (
-         |${jaccardSql(0.2, maxDocFreq = Some(15))}),
-         |e AS (SELECT id1 AS a, id2 AS b FROM jac
-         |      UNION SELECT id2 AS a, id1 AS b FROM jac),
-         |reach(a, b) AS (
-         |  SELECT a, a FROM e
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
-         |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1""".stripMargin,
+    "q_dup_clusters_large" -> dupClustersSql,
+    "q_dup_clusters" -> dupClustersSql,
     "q_ngram_jaccard_capped" -> jaccardSql(0.2, maxDocFreq = Some(5)),
     "q_minhash_dedup" -> jaccardSql(0.5),
     // FULL recompute, no pinned literals: DuckDB rebuilds every simhash
