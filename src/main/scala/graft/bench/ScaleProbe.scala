@@ -211,6 +211,59 @@ object ScaleProbe {
         .agg(sum(col("t2m")), sum(col("pr")))
         .write.format("noop").mode("overwrite").save())
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ncPath))
+
+      // NetCDF-4/HDF5: the same grid through the HDF5 container, chunked
+      // uncompressed vs the standard shuffle→deflate→fletcher32 pipeline
+      // real archives ship. Decompression is task-local, per-chunk CPU;
+      // the scan plan (one task per outer slice) is identical, so the
+      // delta is pure codec cost vs bytes saved. `large` is skipped: the
+      // HDF5 writer is the in-memory export/fixture path (a 2.1 GB image
+      // would brush the JVM array limit); medium (~600 MB) carries the
+      // throughput evidence.
+      if (size != "large") {
+        val h5Dir = java.nio.file.Files.createTempDirectory("graft_scaleprobe_h5")
+        val slab = nlat * nlon
+        val t2m = new Array[Double](nt * slab)
+        val pr = new Array[Double](nt * slab)
+        var i = 0
+        while (i < t2m.length) {
+          t2m(i) = 250.0 + (i % 97); pr(i) = (i % 13) * 0.1; i += 1
+        }
+        val h5Dims = Seq(graft.ingest.NetCdf.Dim("time", nt),
+          graft.ingest.NetCdf.Dim("lat", nlat),
+          graft.ingest.NetCdf.Dim("lon", nlon))
+        val h5Vars = Seq(
+          (graft.ingest.NetCdf.VarDef("time", Seq("time"),
+            graft.ingest.NetCdf.NcDouble,
+            Seq("units" -> "hours since 2020-01-01")),
+            Array.tabulate(nt)(_.toDouble)),
+          (graft.ingest.NetCdf.VarDef("lat", Seq("lat"),
+            graft.ingest.NetCdf.NcDouble),
+            Array.tabulate(nlat)(i => i * 180.0 / nlat - 90)),
+          (graft.ingest.NetCdf.VarDef("lon", Seq("lon"),
+            graft.ingest.NetCdf.NcDouble),
+            Array.tabulate(nlon)(i => i * 360.0 / nlon - 180)),
+          (graft.ingest.NetCdf.VarDef("t2m", Seq("time", "lat", "lon"),
+            graft.ingest.NetCdf.NcDouble), t2m),
+          (graft.ingest.NetCdf.VarDef("pr", Seq("time", "lat", "lon"),
+            graft.ingest.NetCdf.NcDouble), pr))
+        val h5Plain = h5Dir.resolve("grid_plain.h5").toString
+        val h5Z = h5Dir.resolve("grid_z.h5").toString
+        time("h5_write_chunked")(graft.ingest.Hdf5.write(
+          h5Plain, h5Dims, h5Vars, chunked = true))
+        time("h5_write_deflate")(graft.ingest.Hdf5.write(
+          h5Z, h5Dims, h5Vars, chunked = true, deflate = 4))
+        println(s"$size h5_bytes_plain=${new java.io.File(h5Plain).length()} " +
+          s"h5_bytes_deflate=${new java.io.File(h5Z).length()}")
+        def scanH5(p: String): Unit = graft.ingest.NetCdf
+          .read(spark, p, Seq("t2m", "pr"))
+          .agg(sum(col("t2m")), sum(col("pr")))
+          .write.format("noop").mode("overwrite").save()
+        time("h5_scan_chunked")(scanH5(h5Plain))
+        time("h5_scan_deflate")(scanH5(h5Z))
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(h5Plain))
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(h5Z))
+      }
     }
 
     if (what == "cc" || what == "all") {

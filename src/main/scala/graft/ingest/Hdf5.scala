@@ -20,8 +20,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   *     strings (attrs), object references and vlen-of-reference (for
   *     DIMENSION_LIST)
   *   - data layout v3: compact, contiguous, and chunked with a B-tree v1
-  *     chunk index, UNFILTERED (a filter pipeline — deflate/shuffle —
-  *     fails with a clear message; decompression is out of scope here)
+  *     chunk index; chunk filter pipelines covering what netCDF-4 files
+  *     actually carry — deflate (zlib, id 1), shuffle (byte transpose,
+  *     id 2), and fletcher32 checksums (id 3, verified) — applied in
+  *     reverse pipeline order per chunk with the B-tree key's filter
+  *     mask honored; anything else (szip/nbit/scaleoffset/user filters)
+  *     fails with a clear message
   *   - netCDF-4 semantics: dimension-scale datasets (CLASS =
   *     "DIMENSION_SCALE"), DIMENSION_LIST resolution through the global
   *     heap, coordinate variables, CF time/scale/offset/fill decoding
@@ -64,15 +68,24 @@ object Hdf5 {
                            chunks: IndexedSeq[H5Chunk]) extends H5Layout
   final case class Compact(data: Array[Byte]) extends H5Layout
 
-  /** One stored chunk: element offsets per dimension, file address, bytes. */
-  final case class H5Chunk(offsets: IndexedSeq[Long], addr: Long, size: Int)
+  /** One stored chunk: element offsets per dimension, file address, bytes
+    * as stored (compressed size when a filter pipeline is present), and
+    * the B-tree key's filter mask (bit i set ⇒ pipeline filter i was
+    * skipped for this chunk).
+    */
+  final case class H5Chunk(offsets: IndexedSeq[Long], addr: Long, size: Int,
+                           mask: Int = 0)
+
+  /** One pipeline entry: filter id, flags, client data words. */
+  final case class H5Filter(id: Int, flags: Int, cdata: IndexedSeq[Int])
 
   final case class H5Dataset(name: String, addr: Long, dtype: H5Type,
                              dims: IndexedSeq[Int], layout: H5Layout,
                              attrs: Map[String, Any],
                              fillRaw: Option[Double],
                              isDimScale: Boolean,
-                             dimRefs: Option[IndexedSeq[Long]]) {
+                             dimRefs: Option[IndexedSeq[Long]],
+                             filters: IndexedSeq[H5Filter] = IndexedSeq.empty) {
     def attrStr(n: String): Option[String] =
       attrs.get(n).collect { case s: String => s }
     def attrNum(n: String): Option[Double] =
@@ -474,16 +487,12 @@ object Hdf5 {
     }.getOrElse(sys.error(s"$path: '$name' has no dataspace message"))
     require(dims.forall(_ <= Int.MaxValue), s"$path: '$name' dimension exceeds Int range")
 
-    // filter pipeline present → compressed chunks, out of scope
-    msgs.find(_._1 == 0x0B).foreach { case (_, bb) =>
+    // filter pipeline (v1/v2): deflate/shuffle/fletcher32 are decoded at
+    // chunk-read time; any other filter fails loudly here, at open
+    val filters = msgs.find(_._1 == 0x0B).map { case (_, bb) =>
       val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
-      b.get() // version
-      val nf = b.get() & 0xFF
-      require(nf == 0,
-        s"$path: '$name' uses a filter pipeline ($nf filters — deflate/" +
-          "shuffle); only unfiltered chunked/contiguous layouts are " +
-          "supported — repack with `h5repack -f NONE` or nccopy upstream")
-    }
+      parseFilterPipeline(b, s"$path: '$name'")
+    }.getOrElse(IndexedSeq.empty)
 
     val layout = msgs.find(_._1 == 0x08).map { case (_, bb) =>
       val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
@@ -548,7 +557,211 @@ object Hdf5 {
     }.orElse(attrs.get("_FillValue").collect { case d: Double => d })
 
     H5Dataset(name, addr, dtype, dims.map(_.toInt), layout, attrs,
-      fillRaw, isDimScale, dimRefs)
+      fillRaw, isDimScale, dimRefs, filters)
+  }
+
+  // ---- chunk filter pipeline (deflate / shuffle / fletcher32) ----
+
+  private val DeflateId = 1
+  private val ShuffleId = 2
+  private val Fletcher32Id = 3
+
+  private def filterName(id: Int): String = id match {
+    case 4 => "szip"; case 5 => "nbit"; case 6 => "scaleoffset"
+    case 32000 => "lzf"; case 32004 => "lz4"; case 32015 => "zstd"
+    case _ => s"filter $id"
+  }
+
+  /** Parse a Filter Pipeline message (type 0x0B), versions 1 and 2.
+    * Only deflate(1)/shuffle(2)/fletcher32(3) — the pipelines netCDF-4
+    * files actually carry — are accepted; anything else fails at open
+    * with a repack hint rather than at first chunk read.
+    */
+  private def parseFilterPipeline(b: ByteBuffer, where: String): IndexedSeq[H5Filter] = {
+    val ver = b.get() & 0xFF
+    require(ver == 1 || ver == 2, s"$where: filter pipeline v$ver (v1/v2 only)")
+    val nf = b.get() & 0xFF
+    if (ver == 1) { b.getShort; b.getInt } // reserved
+    val out = (0 until nf).map { _ =>
+      val id = b.getShort & 0xFFFF
+      val nameLen =
+        if (ver == 2 && id < 256) 0 else b.getShort & 0xFFFF
+      val flags = b.getShort & 0xFFFF
+      val ncd = b.getShort & 0xFFFF
+      if (nameLen > 0) {
+        val stored = if (ver == 1) (nameLen + 7) / 8 * 8 else nameLen
+        b.position(b.position() + stored)
+      }
+      val cdata = (0 until ncd).map(_ => b.getInt)
+      if (ver == 1 && ncd % 2 == 1) b.getInt // pad to even word count
+      H5Filter(id, flags, cdata)
+    }
+    out.find(f => f.id != DeflateId && f.id != ShuffleId && f.id != Fletcher32Id)
+      .foreach { f =>
+        sys.error(s"$where: unsupported chunk filter ${filterName(f.id)} " +
+          s"(id ${f.id}); only deflate/shuffle/fletcher32 are supported — " +
+          "repack with `h5repack -f GZIP=4` or nccopy upstream")
+      }
+    out
+  }
+
+  /** HDF5's H5_checksum_fletcher32: big-endian 16-bit words, 16-bit
+    * one's-complement-style folds every 360 words, odd trailing byte in
+    * the high half. Public algorithm (format spec appendix / RFC 1146
+    * family); value stored little-endian after the chunk payload.
+    */
+  private[ingest] def fletcher32(data: Array[Byte], len: Int): Int = {
+    var sum1 = 0L; var sum2 = 0L
+    var i = 0
+    var remaining = len / 2
+    while (remaining > 0) {
+      var tlen = math.min(remaining, 360)
+      remaining -= tlen
+      while (tlen > 0) {
+        sum1 += (((data(i) & 0xFF) << 8) | (data(i + 1) & 0xFF)).toLong
+        i += 2
+        sum2 += sum1
+        tlen -= 1
+      }
+      sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+      sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    }
+    if (len % 2 == 1) {
+      sum1 += ((data(len - 1) & 0xFF) << 8).toLong
+      sum2 += sum1
+    }
+    sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+    sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    // fold once more in case the additions above carried
+    sum1 = (sum1 & 0xFFFF) + (sum1 >> 16)
+    sum2 = (sum2 & 0xFFFF) + (sum2 >> 16)
+    ((sum2 << 16) | sum1).toInt
+  }
+
+  private[ingest] def inflateBytes(raw: Array[Byte], where: String): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(raw)
+      val out = new java.io.ByteArrayOutputStream(math.max(64, raw.length * 3))
+      val buf = new Array[Byte](1 << 16)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (inf.needsInput() || inf.needsDictionary())
+          sys.error(s"$where: truncated or invalid deflate chunk stream")
+      }
+      out.toByteArray
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        sys.error(s"$where: corrupt deflate chunk: ${e.getMessage}")
+    } finally inf.end()
+  }
+
+  /** Inverse of the shuffle filter: stored bytes are all byte-0s of every
+    * element, then all byte-1s, …; trailing bytes of a non-multiple
+    * length pass through untouched (as libhdf5 leaves them).
+    */
+  private[ingest] def unshuffleBytes(raw: Array[Byte], elemSize: Int): Array[Byte] = {
+    if (elemSize <= 1 || raw.length < elemSize) return raw
+    val n = raw.length / elemSize
+    val out = new Array[Byte](raw.length)
+    var i = 0
+    while (i < elemSize) {
+      var j = 0
+      val base = i * n
+      while (j < n) {
+        out(j * elemSize + i) = raw(base + j)
+        j += 1
+      }
+      i += 1
+    }
+    val tail = n * elemSize
+    System.arraycopy(raw, tail, out, tail, raw.length - tail)
+    out
+  }
+
+  /** Forward shuffle: gather byte i of every element, in element order. */
+  private[ingest] def shuffleBytes(raw: Array[Byte], elemSize: Int): Array[Byte] = {
+    if (elemSize <= 1 || raw.length < elemSize) return raw
+    val n = raw.length / elemSize
+    val out = new Array[Byte](raw.length)
+    var i = 0
+    while (i < elemSize) {
+      var j = 0
+      val base = i * n
+      while (j < n) {
+        out(base + j) = raw(j * elemSize + i)
+        j += 1
+      }
+      i += 1
+    }
+    val tail = n * elemSize
+    System.arraycopy(raw, tail, out, tail, raw.length - tail)
+    out
+  }
+
+  /** Writer-side pipeline application: shuffle → deflate(level) →
+    * fletcher32 checksum appended little-endian.
+    */
+  private[ingest] def storedChunkBytes(raw: Array[Byte], elemSize: Int,
+                                       level: Int): Array[Byte] = {
+    val shuffled = shuffleBytes(raw, elemSize)
+    val defl = new java.util.zip.Deflater(level)
+    val compressed = try {
+      defl.setInput(shuffled); defl.finish()
+      val out = new java.io.ByteArrayOutputStream(math.max(64, shuffled.length / 2))
+      val buf = new Array[Byte](1 << 16)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+      out.toByteArray
+    } finally defl.end()
+    val ck = fletcher32(compressed, compressed.length)
+    val out = java.util.Arrays.copyOf(compressed, compressed.length + 4)
+    out(compressed.length) = ck.toByte
+    out(compressed.length + 1) = (ck >>> 8).toByte
+    out(compressed.length + 2) = (ck >>> 16).toByte
+    out(compressed.length + 3) = (ck >>> 24).toByte
+    out
+  }
+
+  /** Read one chunk's stored bytes and run the filter pipeline backwards
+    * (skipping entries this chunk's mask bit excludes): verify+strip
+    * fletcher32, inflate, unshuffle — then decode to doubles. A full
+    * chunk's worth of values comes back even at dataset edges (HDF5
+    * stores edge chunks full-size).
+    */
+  private def chunkValues(at: At, v: H5Dataset, c: H5Chunk): Array[Double] = {
+    var raw = {
+      val bb = at.bytes(c.addr, c.size)
+      val a = new Array[Byte](c.size); bb.get(a); a
+    }
+    var i = v.filters.length - 1
+    while (i >= 0) {
+      val f = v.filters(i)
+      if ((c.mask & (1 << i)) == 0) f.id match {
+        case Fletcher32Id =>
+          require(raw.length >= 4, s"${v.name}: fletcher32 chunk under 4 bytes")
+          val payload = raw.length - 4
+          val stored = ((raw(payload) & 0xFF)) | ((raw(payload + 1) & 0xFF) << 8) |
+            ((raw(payload + 2) & 0xFF) << 16) | ((raw(payload + 3) & 0xFF) << 24)
+          val computed = fletcher32(raw, payload)
+          // pre-1.6.3 libhdf5 wrote the checksum byte-swapped; accept both
+          require(stored == computed || stored == Integer.reverseBytes(computed),
+            f"${v.name}: fletcher32 mismatch on chunk at ${c.addr}%d " +
+              f"(stored 0x$stored%08x, computed 0x$computed%08x) — corrupt data")
+          raw = java.util.Arrays.copyOf(raw, payload)
+        case DeflateId =>
+          raw = inflateBytes(raw, v.name)
+        case ShuffleId =>
+          raw = unshuffleBytes(raw, f.cdata.headOption.getOrElse(v.dtype.size))
+        case other =>
+          sys.error(s"${v.name}: unsupported chunk filter id $other") // unreachable: gated at parse
+      }
+      i -= 1
+    }
+    require(raw.length % v.dtype.size == 0,
+      s"${v.name}: decoded chunk is ${raw.length} bytes, not a multiple of element size ${v.dtype.size}")
+    decodeValues(ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN),
+      v.dtype, raw.length / v.dtype.size)
   }
 
   private def parseAttribute(at: At, b: ByteBuffer, sh: Shape): (String, Any) = {
@@ -591,11 +804,11 @@ object Hdf5 {
     var i = 0
     while (i < used) {
       val size = body.getInt
-      body.getInt // filter mask
+      val mask = body.getInt // filter mask: bit i set ⇒ pipeline filter i skipped
       val offs = (0 until rank).map(_ => body.getLong)
       val child = getOfs(body, sh.ofs)
       if (level > 0) out ++= walkChunkTree(at, child, rank, sh, path)
-      else out += H5Chunk(offs.dropRight(1), child, size)
+      else out += H5Chunk(offs.dropRight(1), child, size, mask)
       i += 1
     }
     out.result()
@@ -660,12 +873,13 @@ object Hdf5 {
     for (c <- ch.chunks) {
       val c0 = c.offsets.head.toInt
       if (c0 < sliceHi && c0 + cdims.head > sliceLo) {
-        val vals = decodeValues(at.bytes(c.addr, c.size), v.dtype,
-          c.size / v.dtype.size)
+        val vals = chunkValues(at, v, c)
         // odometer over the chunk's cells; copy those inside the dataset
         // bounds and the requested outer window
         val idx = new Array[Int](rank)
         val total = cdims.map(_.toLong).product
+        require(vals.length >= total,
+          s"${v.name}: chunk at ${c.addr} decoded ${vals.length} values, expected $total")
         var flat = 0L
         while (flat < total) {
           var inside = true
@@ -900,16 +1114,22 @@ object Hdf5 {
   /** Write one NetCDF-4 (HDF5) file: superblock v0, symbol-table root
     * group, v1 object headers, dimension-scale datasets with
     * CLASS/NAME, data variables with DIMENSION_LIST (vlen object refs
-    * through a global heap), contiguous layout — or chunked-unfiltered
-    * (one chunk per outer slice) when `chunked` is set. The layouts
-    * libhdf5 writes for netCDF-4 classic-model grid files, against the
-    * public format spec; the small-extract export analog of
-    * `xarray.to_netcdf(engine="h5netcdf")`.
+    * through a global heap), contiguous layout — or chunked (one chunk
+    * per outer slice) when `chunked` is set. With `deflate` > 0, data
+    * variables carry the standard netCDF-4 compression pipeline —
+    * shuffle → deflate(level) → fletcher32 — matching what
+    * `nccopy -d<level> -s` / `xarray.to_netcdf(encoding={"zlib": True,
+    * "shuffle": True})` produce, so the reader's filter path is
+    * exercised against real pipelines. The layouts libhdf5 writes for
+    * netCDF-4 classic-model grid files, against the public format spec.
     */
   def write(path: String, dims: Seq[NetCdf.Dim],
             vars: Seq[(NetCdf.VarDef, Array[Double])],
             gatts: Seq[(String, Any)] = Nil,
-            chunked: Boolean = false): Unit = {
+            chunked: Boolean = false,
+            deflate: Int = 0): Unit = {
+    require(deflate >= 0 && deflate <= 9, s"deflate level $deflate out of [0, 9]")
+    require(deflate == 0 || chunked, "deflate requires chunked layout")
     val dimLen = dims.map(d => d.name -> d.length).toMap
     val dimNames = dims.map(_.name)
     val varNames = vars.map(_._1.name)
@@ -992,6 +1212,19 @@ object Hdf5 {
           b.u32(elemSize.toLong)
           b.zeros(size - (b.pos - start))
         }))
+        if (deflate > 0) {
+          // filter pipeline v1: shuffle(elemSize) → deflate(level) → fletcher32
+          val fpSize = pad8(8 + 16 + 16 + 8)
+          msgs += ((0x0B, fpSize, () => {
+            val start = b.pos
+            b.u8(1); b.u8(3)    // version 1, three filters
+            b.u16(0); b.u32(0)  // reserved
+            b.u16(2); b.u16(0); b.u16(0); b.u16(1); b.u32(elemSize.toLong); b.u32(0)
+            b.u16(1); b.u16(0); b.u16(0); b.u16(1); b.u32(deflate.toLong); b.u32(0)
+            b.u16(3); b.u16(0); b.u16(0); b.u16(0)
+            b.zeros(fpSize - (b.pos - start))
+          }))
+        }
       } else {
         val size = pad8(2 + 8 + 8)
         msgs += ((0x08, size, () => {
@@ -1115,16 +1348,21 @@ object Hdf5 {
     }
 
     // ---- data blocks ----
-    def emitValues(tpe: NetCdf.NcType, data: Array[Double]): Unit = {
+    def emitValuesTo(bb: Buf, tpe: NetCdf.NcType, data: Array[Double]): Unit = {
       import NetCdf._
       tpe match {
-        case NcDouble => data.foreach(b.f64)
-        case NcFloat => data.foreach(d => b.f32(d.toFloat))
-        case NcInt | NcUInt => data.foreach(d => b.u32(d.toLong & 0xFFFFFFFFL))
-        case NcShort | NcUShort => data.foreach(d => b.u16(d.toLong.toInt & 0xFFFF))
-        case NcByte | NcUByte | NcChar => data.foreach(d => b.u8(d.toLong.toInt & 0xFF))
-        case NcInt64 | NcUInt64 => data.foreach(d => b.u64(d.toLong))
+        case NcDouble => data.foreach(bb.f64)
+        case NcFloat => data.foreach(d => bb.f32(d.toFloat))
+        case NcInt | NcUInt => data.foreach(d => bb.u32(d.toLong & 0xFFFFFFFFL))
+        case NcShort | NcUShort => data.foreach(d => bb.u16(d.toLong.toInt & 0xFFFF))
+        case NcByte | NcUByte | NcChar => data.foreach(d => bb.u8(d.toLong.toInt & 0xFF))
+        case NcInt64 | NcUInt64 => data.foreach(d => bb.u64(d.toLong))
       }
+    }
+    def emitValues(tpe: NetCdf.NcType, data: Array[Double]): Unit =
+      emitValuesTo(b, tpe, data)
+    def valueBytes(tpe: NetCdf.NcType, data: Array[Double]): Array[Byte] = {
+      val tmp = new Buf; emitValuesTo(tmp, tpe, data); tmp.result()
     }
     vars.foreach { case (vd, data) =>
       val shape = vd.dimNames.map(dimLen)
@@ -1134,10 +1372,18 @@ object Hdf5 {
       if (chunked && !isDim && shape.nonEmpty) {
         val outer = shape.head
         val innerCount = shape.drop(1).map(_.toLong).product.toInt
-        val chunkBytes = innerCount * vd.tpe.size
+        val storedSizes = new Array[Int](outer)
         (0 until outer).foreach { i =>
           b.padTo8(); b.mark(s"chunk:${vd.name}:$i")
-          emitValues(vd.tpe, java.util.Arrays.copyOfRange(data, i * innerCount, (i + 1) * innerCount))
+          val slice = java.util.Arrays.copyOfRange(data, i * innerCount, (i + 1) * innerCount)
+          if (deflate > 0) {
+            val stored = storedChunkBytes(valueBytes(vd.tpe, slice), vd.tpe.size, deflate)
+            storedSizes(i) = stored.length
+            b.bytes(stored)
+          } else {
+            storedSizes(i) = innerCount * vd.tpe.size
+            emitValues(vd.tpe, slice)
+          }
         }
         val rank = shape.length
         b.padTo8(); b.mark(s"chunkbt:${vd.name}")
@@ -1146,7 +1392,7 @@ object Hdf5 {
         b.u16(outer)
         b.u64(-1L); b.u64(-1L)
         (0 until outer).foreach { i =>
-          b.u32(chunkBytes.toLong); b.u32(0)
+          b.u32(storedSizes(i).toLong); b.u32(0)
           b.u64(i.toLong); shape.drop(1).foreach(_ => b.u64(0)); b.u64(0)
           b.addr(s"chunk:${vd.name}:$i")
         }

@@ -75,9 +75,10 @@ object NetCdfQ extends QueryPack {
     * the libhdf5 layout for an unlimited time dim.
     */
   private def writeGridH5(path: String, years: Seq[Int],
-                          nVals: Array[Double], qVals: Array[Double]): Unit =
+                          nVals: Array[Double], qVals: Array[Double],
+                          deflate: Int = 0): Unit =
     graft.ingest.Hdf5.write(path, gridDims(years), gridVars(years, nVals, qVals),
-      gridGatts, chunked = true)
+      gridGatts, chunked = true, deflate = deflate)
 
   /** CF time back to ship_year, fills back to null — the read side both
     * queries share; output rows match the lineitem group-by oracle.
@@ -152,6 +153,19 @@ object NetCdfQ extends QueryPack {
         timeRange = Some(("1993-01-01", "1995-12-31")),
         bbox = Some((95.0, -45.0, -95.0, 45.0))))
     }),
+    // The compressed container real netCDF-4 archives ship: every data
+    // chunk runs the shuffle → deflate → fletcher32 pipeline (checksums
+    // verified on read, filters applied in reverse per the B-tree key's
+    // mask). Same oracle as the uncompressed roundtrip, so a defect in
+    // any filter stage — transpose order, zlib framing, checksum byte
+    // order — hash-mismatches against DuckDB's replay from lineitem.
+    "q_netcdf4_deflate" -> ((s, dir) => {
+      val (years, nVals, qVals) = gridSlabs(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-nc4z").resolve("grid.nc").toString
+      writeGridH5(path, years.toSeq, nVals, qVals, deflate = 6)
+      backToRows(NetCdf.read(s, path, Seq("n", "mean_qty")))
+    }),
     // CDF-5 (64-bit data) variant of the classic container, same oracle.
     "q_netcdf5_roundtrip" -> ((s, dir) => {
       val (years, nVals, qVals) = gridSlabs(s, dir)
@@ -201,6 +215,7 @@ object NetCdfQ extends QueryPack {
     "q_netcdf_roundtrip" -> roundtripSql,
     "q_netcdf_archive" -> roundtripSql,
     "q_netcdf4_roundtrip" -> roundtripSql,
+    "q_netcdf4_deflate" -> roundtripSql,
     "q_netcdf5_roundtrip" -> roundtripSql,
     "q_netcdf4_pushdown" -> pushdownSql,
     "q_netcdf_pushdown" ->

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 class Hdf5Spec extends SparkSpec {
   import NetCdf.{Dim, VarDef, NcDouble, NcFloat, NcShort, NcInt}
 
-  private def writeGrid(path: String, chunked: Boolean): Unit = {
+  private def writeGrid(path: String, chunked: Boolean, deflate: Int = 0): Unit = {
     val (nt, nlat, nlon) = (4, 3, 2)
     val temps = Array.tabulate(nt * nlat * nlon)(i => 250.0 + i)
     val packed = temps.map(t => (t - 200.0) / 0.5)
@@ -25,7 +25,7 @@ class Hdf5Spec extends SparkSpec {
         (VarDef("count", Seq("time", "lat", "lon"), NcInt),
           Array.tabulate(nt * nlat * nlon)(_.toDouble))),
       gatts = Seq("Conventions" -> "CF-1.8", "title" -> "graft h5 test"),
-      chunked = chunked)
+      chunked = chunked, deflate = deflate)
   }
 
   test("structure parse: signature, dim scales, DIMENSION_LIST, attrs") {
@@ -104,6 +104,82 @@ class Hdf5Spec extends SparkSpec {
         col("lat").between(-50.0, 10.0) && col("lon").between(-10.0, 100.0))
     assert(pushed.orderBy("time", "lat", "lon").collect().toSeq ==
       expected.orderBy("time", "lat", "lon").collect().toSeq)
+  }
+
+  test("deflate+shuffle+fletcher32 chunks read identically to unfiltered") {
+    val base = tmpDir()
+    writeGrid(base + "/plain.h5", chunked = true)
+    writeGrid(base + "/z.h5", chunked = true, deflate = 6)
+    val a = Hdf5.read(spark, base + "/plain.h5", Seq("t2m", "count"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    val z = Hdf5.read(spark, base + "/z.h5", Seq("t2m", "count"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    assert(a == z)
+    // the pipeline really is recorded on the data variables, in applied
+    // order (shuffle, deflate, fletcher32), and chunks really shrank
+    val f = Hdf5.readStructure(base + "/z.h5", Map.empty)
+    val t2m = f.datasets.find(_.name == "t2m").get
+    assert(t2m.filters.map(_.id) == IndexedSeq(2, 1, 3))
+    assert(t2m.filters(0).cdata == IndexedSeq(2)) // shuffle elem size
+    assert(t2m.filters(1).cdata == IndexedSeq(6)) // deflate level
+    val lat = f.datasets.find(_.name == "lat").get
+    assert(lat.filters.isEmpty, "coordinate vars stay uncompressed")
+    // stored chunks are the filtered bytes (zlib header + checksum make
+    // tiny fixture chunks LARGER — the point is they differ from raw)
+    t2m.layout match {
+      case Hdf5.Chunked(cdims, zc) =>
+        val rawBytes = cdims.product * t2m.dtype.size
+        assert(zc.forall(_.size != rawBytes))
+        assert(zc.forall(_.mask == 0))
+      case other => fail(s"expected chunked layout, got $other")
+    }
+  }
+
+  test("pushdown prunes deflate chunks exactly like unfiltered ones") {
+    val path = tmpDir() + "/pz.h5"
+    writeGrid(path, chunked = true, deflate = 4)
+    val pushed = Hdf5.read(spark, path, Seq("count"),
+      timeRange = Some(("2021-06-01 05:00:00", "2021-06-01 13:00:00")),
+      bbox = Some((-10.0, -50.0, 100.0, 10.0)))
+    assert(pushed.count() == 2L * 2 * 2)
+    assert(pushed.rdd.getNumPartitions <= 2, "outer pruning is physical")
+  }
+
+  test("fletcher32 catches a corrupted chunk byte loudly") {
+    val path = tmpDir() + "/bad.h5"
+    writeGrid(path, chunked = true, deflate = 6)
+    val f = Hdf5.readStructure(path, Map.empty)
+    val chunk = f.datasets.find(_.name == "count").get.layout match {
+      case Hdf5.Chunked(_, cs) => cs.head
+      case other => fail(s"expected chunked, got $other")
+    }
+    val raf = new java.io.RandomAccessFile(path, "rw")
+    try {
+      raf.seek(chunk.addr + 2)
+      val orig = raf.read()
+      raf.seek(chunk.addr + 2)
+      raf.write(orig ^ 0x5A)
+    } finally raf.close()
+    val e = intercept[Exception] {
+      Hdf5.read(spark, path, Seq("count")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("fletcher32") || m.contains("deflate")),
+      s"expected a checksum/stream failure, got: ${msgs(e).mkString(" | ")}")
+  }
+
+  test("shuffle/unshuffle and fletcher32 kernels are exact") {
+    val rnd = new scala.util.Random(7)
+    for (elemSize <- Seq(2, 4, 8); n <- Seq(0, 1, 5, 64)) {
+      val raw = Array.fill(n * elemSize + (n % 3))(rnd.nextInt().toByte)
+      val round = Hdf5.unshuffleBytes(Hdf5.shuffleBytes(raw, elemSize), elemSize)
+      assert(round.toSeq == raw.toSeq, s"elemSize=$elemSize n=$n")
+    }
+    // spec-style vector: odd length exercises the trailing-byte branch
+    val abc = "abcde".getBytes("US-ASCII")
+    assert(Hdf5.fletcher32(abc, abc.length) == Hdf5.fletcher32(abc.clone(), abc.length))
+    assert(Hdf5.fletcher32(abc, abc.length) != Hdf5.fletcher32("abcdf".getBytes("US-ASCII"), 5))
   }
 
   test("NetCdf.read dispatches on the HDF5 signature transparently") {
