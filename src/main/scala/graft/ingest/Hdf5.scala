@@ -647,7 +647,7 @@ object Hdf5 {
       while (!inf.finished()) {
         val n = inf.inflate(buf)
         if (n > 0) out.write(buf, 0, n)
-        else if (inf.needsInput() || inf.needsDictionary())
+        else if (!inf.finished() && (inf.needsInput() || inf.needsDictionary()))
           sys.error(s"$where: truncated or invalid deflate chunk stream")
       }
       out.toByteArray
