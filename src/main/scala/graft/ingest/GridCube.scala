@@ -126,6 +126,61 @@ private[ingest] object GridCube {
            numPartitions: Int,
            timeRange: Option[(String, String)],
            bbox: Option[(Double, Double, Double, Double)]): DataFrame = {
+    val p = plan(pathLabel, axes, varNames, unpacks, timeRange, bbox)
+    val parts = if (numPartitions > 0) numPartitions
+      else math.max(1,
+        math.min(p.selected.length, spark.sparkContext.defaultParallelism))
+    val axesB = axes // captured in the closure (names + coord values + cf)
+    val unpacksB = unpacks.toIndexedSeq
+    val masksB = p.innerMasks
+    val anyInnerB = p.anyInnerFilter
+    val rowsRdd = spark.sparkContext
+      .parallelize(p.selected.map(_.toLong), math.max(parts, 1))
+      .mapPartitions(slices =>
+        rowsFor(axesB, unpacksB, mkReader(), slices.map(_.toInt),
+          masksB, anyInnerB))
+    spark.createDataFrame(rowsRdd, p.schema)
+  }
+
+  /** Decode a whole grid file in THIS JVM (driver or inside one task) —
+    * the same plan, pushdown validation, and row semantics as [[read]],
+    * minus the slice fan-out. This is the per-file unit the streaming
+    * archive source runs inside `flatMap`: a micro-batch of F new files
+    * becomes F parallel single-file decodes. Whole-file single-task decode
+    * is the right grain there (archive files are slab-sized); a huge
+    * standalone file still goes through [[read]]'s outer-slice fan-out.
+    */
+  def localRows(pathLabel: String,
+                axes: IndexedSeq[Axis],
+                varNames: Seq[String],
+                unpacks: Seq[Unpack],
+                mkReader: () => SlabReader,
+                timeRange: Option[(String, String)],
+                bbox: Option[(Double, Double, Double, Double)]): (StructType, Iterator[Row]) = {
+    val p = plan(pathLabel, axes, varNames, unpacks, timeRange, bbox)
+    (p.schema, rowsFor(axes, unpacks.toIndexedSeq, mkReader(),
+      p.selected.iterator, p.innerMasks, p.anyInnerFilter))
+  }
+
+  /** The long-form schema [[read]]/[[localRows]] produce for these axes and
+    * variables — static, so a streaming source can declare it up front.
+    */
+  def schemaOf(axes: IndexedSeq[Axis], varNames: Seq[String]): StructType =
+    StructType(
+      axes.map {
+        case Axis(dn, _, _, Some(_)) => StructField(dn, TimestampType, nullable = false)
+        case Axis(dn, _, Some(_), None) => StructField(dn, DoubleType, nullable = false)
+        case Axis(dn, _, None, None) => StructField(dn, LongType, nullable = false)
+      } ++ varNames.map(v => StructField(v, DoubleType, nullable = true)))
+
+  private final case class Plan(schema: StructType, selected: IndexedSeq[Int],
+                                innerMasks: IndexedSeq[Array[Boolean]],
+                                anyInnerFilter: Boolean)
+
+  private def plan(pathLabel: String, axes: IndexedSeq[Axis],
+                   varNames: Seq[String], unpacks: Seq[Unpack],
+                   timeRange: Option[(String, String)],
+                   bbox: Option[(Double, Double, Double, Double)]): Plan = {
     require(axes.nonEmpty, "scalar variables have no grid to unravel")
     require(varNames.length == unpacks.length, "one Unpack per variable")
     val dimLens = axes.map(_.len).toArray
@@ -178,100 +233,93 @@ private[ingest] object GridCube {
         s" — recognized names are ${(LatNames ++ LonNames).mkString("/")}; " +
         s"dims are ${dimNames.mkString(", ")}")
 
-    val schema = StructType(
-      axes.map {
-        case Axis(dn, _, _, Some(_)) => StructField(dn, TimestampType, nullable = false)
-        case Axis(dn, _, Some(_), None) => StructField(dn, DoubleType, nullable = false)
-        case Axis(dn, _, None, None) => StructField(dn, LongType, nullable = false)
-      } ++ varNames.map(v => StructField(v, DoubleType, nullable = true)))
-
-    val nVars = varNames.length
-    val innerLens = dimLens.drop(1)
-    val innerCount = innerLens.map(_.toLong).product
+    val innerCount = dimLens.drop(1).map(_.toLong).product
     require(innerCount < Int.MaxValue, "inner slab too large for one task")
     // outer-dimension pruning: unselected slices never become tasks and
     // their byte ranges are never read
     val selected = (0 until dimLens(0)).filter(dimMasks(0))
     val innerMasks = dimMasks.drop(1)
-    val anyInnerFilter = innerMasks.exists(_.exists(k => !k))
-    val parts = if (numPartitions > 0) numPartitions
-      else math.max(1,
-        math.min(selected.length, spark.sparkContext.defaultParallelism))
-    val axesB = axes // captured in the closure (names + coord values + cf)
-    val unpacksB = unpacks.toIndexedSeq
+    Plan(schemaOf(axes, varNames), selected, innerMasks,
+      innerMasks.exists(_.exists(k => !k)))
+  }
 
-    val rowsRdd = spark.sparkContext
-      .parallelize(selected.map(_.toLong), math.max(parts, 1))
-      .mapPartitions { slices =>
-        val ch = mkReader()
-        // close on task completion, not only on iterator drain: limit/take/
-        // show terminate the iterator early and would otherwise leak the
-        // file handle for the task's lifetime
-        var closed = false
-        def closeOnce(): Unit = if (!closed) { closed = true; ch.close() }
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
-        val slabs = new Array[Array[Double]](nVars)
-        new Iterator[Row] {
-          private var rem: Iterator[Row] = Iterator.empty
-          override def hasNext: Boolean = {
-            while (!rem.hasNext && slices.hasNext) rem = sliceRows(slices.next().toInt)
-            if (!rem.hasNext && !slices.hasNext) { closeOnce(); false } else true
-          }
-          override def next(): Row = rem.next()
-          private def sliceRows(i0: Int): Iterator[Row] = {
-            var vi = 0
-            while (vi < nVars) { slabs(vi) = ch.slab(vi, i0); vi += 1 }
-            val idx = new Array[Int](innerLens.length)
-            var flat = 0
-            Iterator.continually {
-              // inner-coordinate pushdown: masked positions skip row
-              // construction entirely (index lookups, no allocation)
-              var keep = true
-              if (anyInnerFilter) {
-                var m = 0
-                while (keep && m < idx.length) {
-                  keep = innerMasks(m)(idx(m)); m += 1
-                }
-              }
-              val row: Row = if (!keep) null
-              else {
-                val fields = new Array[Any](axesB.length + nVars)
-                var d = 0
-                while (d < axesB.length) {
-                  val pos = if (d == 0) i0 else idx(d - 1)
-                  fields(d) = axesB(d) match {
-                    case Axis(_, _, Some(vals), Some((perSec, epochMicros))) =>
-                      val micros = epochMicros + math.round(vals(pos) * perSec * 1e6)
-                      java.time.Instant.ofEpochSecond(
-                        Math.floorDiv(micros, 1000000L),
-                        Math.floorMod(micros, 1000000L) * 1000L)
-                    case Axis(_, _, Some(vals), None) => vals(pos)
-                    case Axis(_, _, None, _) => pos.toLong
-                  }
-                  d += 1
-                }
-                var vj = 0
-                while (vj < nVars) {
-                  fields(axesB.length + vj) = unpacksB(vj)(slabs(vj)(flat))
-                  vj += 1
-                }
-                Row.fromSeq(fields.toIndexedSeq)
-              }
-              // increment the inner odometer
-              flat += 1
-              var k = idx.length - 1
-              var carry = true
-              while (k >= 0 && carry) {
-                idx(k) += 1
-                if (idx(k) == innerLens(k)) idx(k) = 0 else carry = false
-                k -= 1
-              }
-              row
-            }.take(innerCount.toInt).filter(_ != null)
-          }
-        }
+  /** Decode the given outer slices through `reader` as long-form rows —
+    * runs inside each [[read]] task and inside [[localRows]]. Owns the
+    * reader: closes it on drain AND on task completion (limit/take/show
+    * terminate iterators early and would otherwise leak the handle).
+    */
+  private def rowsFor(axes: IndexedSeq[Axis],
+                      unpacks: IndexedSeq[Unpack],
+                      reader: SlabReader,
+                      slices: Iterator[Int],
+                      innerMasks: IndexedSeq[Array[Boolean]],
+                      anyInnerFilter: Boolean): Iterator[Row] = {
+    val nVars = unpacks.length
+    val innerLens = axes.drop(1).map(_.len).toArray
+    val innerCount = innerLens.map(_.toLong).product
+    var closed = false
+    def closeOnce(): Unit = if (!closed) { closed = true; reader.close() }
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+    val slabs = new Array[Array[Double]](nVars)
+    new Iterator[Row] {
+      private var rem: Iterator[Row] = Iterator.empty
+      override def hasNext: Boolean = {
+        while (!rem.hasNext && slices.hasNext) rem = sliceRows(slices.next())
+        if (!rem.hasNext && !slices.hasNext) { closeOnce(); false } else true
       }
-    spark.createDataFrame(rowsRdd, schema)
+      override def next(): Row = rem.next()
+      private def sliceRows(i0: Int): Iterator[Row] = {
+        var vi = 0
+        while (vi < nVars) { slabs(vi) = reader.slab(vi, i0); vi += 1 }
+        val idx = new Array[Int](innerLens.length)
+        var flat = 0
+        Iterator.continually {
+          // inner-coordinate pushdown: masked positions skip row
+          // construction entirely (index lookups, no allocation)
+          var keep = true
+          if (anyInnerFilter) {
+            var m = 0
+            while (keep && m < idx.length) {
+              keep = innerMasks(m)(idx(m)); m += 1
+            }
+          }
+          val row: Row = if (!keep) null
+          else {
+            val fields = new Array[Any](axes.length + nVars)
+            var d = 0
+            while (d < axes.length) {
+              val pos = if (d == 0) i0 else idx(d - 1)
+              fields(d) = axes(d) match {
+                case Axis(_, _, Some(vals), Some((perSec, epochMicros))) =>
+                  val micros = epochMicros + math.round(vals(pos) * perSec * 1e6)
+                  java.time.Instant.ofEpochSecond(
+                    Math.floorDiv(micros, 1000000L),
+                    Math.floorMod(micros, 1000000L) * 1000L)
+                case Axis(_, _, Some(vals), None) => vals(pos)
+                case Axis(_, _, None, _) => pos.toLong
+              }
+              d += 1
+            }
+            var vj = 0
+            while (vj < nVars) {
+              fields(axes.length + vj) = unpacks(vj)(slabs(vj)(flat))
+              vj += 1
+            }
+            Row.fromSeq(fields.toIndexedSeq)
+          }
+          // increment the inner odometer
+          flat += 1
+          var k = idx.length - 1
+          var carry = true
+          while (k >= 0 && carry) {
+            idx(k) += 1
+            if (idx(k) == innerLens(k)) idx(k) = 0 else carry = false
+            k -= 1
+          }
+          row
+        }.take(innerCount.toInt).filter(_ != null)
+      }
+    }
   }
 }

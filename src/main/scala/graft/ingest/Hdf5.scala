@@ -19,8 +19,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   *   - datatypes: fixed-point (signed/unsigned, LE/BE), IEEE float,
   *     strings (attrs), object references and vlen-of-reference (for
   *     DIMENSION_LIST)
-  *   - data layout v3: compact, contiguous, and chunked with a B-tree v1
-  *     chunk index; chunk filter pipelines covering what netCDF-4 files
+  *   - data layout v3 (compact, contiguous, chunked with a B-tree v1
+  *     chunk index) and v4 — the HDF5 1.10+ "latest" format — with the
+  *     Single Chunk, Implicit, and Fixed Array chunk indexes
+  *     (paged or unpaged, lookup3 checksums verified); extensible-array /
+  *     v2-B-tree indexes (latest-format unlimited dims) fail with a
+  *     repack hint; chunk filter pipelines covering what netCDF-4 files
   *     actually carry — deflate (zlib, id 1), shuffle (byte transpose,
   *     id 2), and fletcher32 checksums (id 3, verified) — applied in
   *     reverse pipeline order per chunk with the B-tree key's filter
@@ -497,16 +501,16 @@ object Hdf5 {
     val layout = msgs.find(_._1 == 0x08).map { case (_, bb) =>
       val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
       val ver = b.get() & 0xFF
-      require(ver == 3, s"$path: '$name' data layout v$ver (v3 only)")
+      require(ver == 3 || ver == 4, s"$path: '$name' data layout v$ver (v3/v4 only)")
       (b.get() & 0xFF) match {
-        case 0 =>
+        case 0 => // compact: identical properties in v3 and v4
           val size = b.getShort & 0xFFFF
           val d = new Array[Byte](size); b.get(d)
           Compact(d)
-        case 1 =>
+        case 1 => // contiguous: identical properties in v3 and v4
           val a = getOfs(b, sh.ofs); val size = getOfs(b, sh.len)
           Contiguous(a, size)
-        case 2 =>
+        case 2 if ver == 3 =>
           val rank = b.get() & 0xFF // ndims + 1
           val btree = getOfs(b, sh.ofs)
           val cdims = (0 until rank).map(_ => b.getInt)
@@ -515,6 +519,9 @@ object Hdf5 {
             if (btree == Undef) IndexedSeq.empty[H5Chunk]
             else walkChunkTree(at, btree, rank, sh, path)
           Chunked(chunkDims, chunks)
+        case 2 => // v4 chunked: the "latest"-format chunk indexes
+          parseLayoutV4Chunked(at, b, sh, dims.map(_.toInt), dtype,
+            filters.nonEmpty, s"$path: '$name'")
         case c => sys.error(s"$path: '$name' layout class $c not supported")
       }
     }.getOrElse(sys.error(s"$path: '$name' has no layout message"))
@@ -814,6 +821,226 @@ object Hdf5 {
     out.result()
   }
 
+  // ---- version-4 data layout ("latest" file format chunk indexes) ----
+
+  /** Jenkins lookup3 `hashlittle` — HDF5's metadata checksum
+    * (H5_checksum_metadata), trailing every latest-format structure.
+    * Public-domain algorithm; little-endian word reads.
+    */
+  private[ingest] def lookup3(data: Array[Byte], off0: Int, len0: Int,
+                              init: Int): Int = {
+    var a = 0xdeadbeef + len0 + init
+    var b = a; var c = a
+    var off = off0; var len = len0
+    def word(i: Int, n: Int): Int = {
+      var v = 0; var k = 0
+      while (k < n) { v |= (data(i + k) & 0xFF) << (8 * k); k += 1 }
+      v
+    }
+    while (len > 12) {
+      a += word(off, 4); b += word(off + 4, 4); c += word(off + 8, 4)
+      a -= c; a ^= Integer.rotateLeft(c, 4); c += b
+      b -= a; b ^= Integer.rotateLeft(a, 6); a += c
+      c -= b; c ^= Integer.rotateLeft(b, 8); b += a
+      a -= c; a ^= Integer.rotateLeft(c, 16); c += b
+      b -= a; b ^= Integer.rotateLeft(a, 19); a += c
+      c -= b; c ^= Integer.rotateLeft(b, 4); b += a
+      off += 12; len -= 12
+    }
+    if (len > 0) {
+      a += word(off, math.min(len, 4))
+      if (len > 4) b += word(off + 4, math.min(len - 4, 4))
+      if (len > 8) c += word(off + 8, math.min(len - 8, 4))
+      c ^= b; c -= Integer.rotateLeft(b, 14)
+      a ^= c; a -= Integer.rotateLeft(c, 11)
+      b ^= a; b -= Integer.rotateLeft(a, 25)
+      c ^= b; c -= Integer.rotateLeft(b, 16)
+      a ^= c; a -= Integer.rotateLeft(c, 4)
+      b ^= a; b -= Integer.rotateLeft(a, 14)
+      c ^= b; c -= Integer.rotateLeft(b, 24)
+    }
+    c
+  }
+
+  /** Chunk-grid decomposition: linear chunk index → element offsets, in
+    * the canonical row-major chunk order latest-format indexes use.
+    */
+  private def chunkOffsetsOf(idx: Long, dims: IndexedSeq[Int],
+                             cdims: IndexedSeq[Int]): IndexedSeq[Long] = {
+    val nPer = dims.indices.map(d => (dims(d).toLong + cdims(d) - 1) / cdims(d))
+    var rem = idx
+    val out = new Array[Long](dims.length)
+    var d = dims.length - 1
+    while (d >= 0) {
+      out(d) = (rem % nPer(d)) * cdims(d)
+      rem /= nPer(d)
+      d -= 1
+    }
+    out.toIndexedSeq
+  }
+
+  /** Version-4 chunked layout (the HDF5 1.10+ "latest" format h5py's
+    * `libver='latest'` writes): Single Chunk, Implicit, and Fixed Array
+    * chunk indexes. Extensible Array / v2 B-tree (unlimited-dimension
+    * datasets) fail loudly with a repack hint.
+    *
+    * Defensive on the dimensionality field: libhdf5 historically carries
+    * the element-size pseudo-dimension alongside the dataset rank, so a
+    * rank-N or rank-N+1 encoding both resolve (the trailing element-size
+    * entry is dropped when present).
+    */
+  private def parseLayoutV4Chunked(at: At, b: ByteBuffer, sh: Shape,
+                                   dims: IndexedSeq[Int], dtype: H5Type,
+                                   filtered: Boolean, where: String): H5Layout = {
+    val flags = b.get() & 0xFF
+    val nd = b.get() & 0xFF
+    val encLen = b.get() & 0xFF
+    def dimVal(): Long = encLen match {
+      case 1 => (b.get() & 0xFF).toLong
+      case 2 => (b.getShort & 0xFFFF).toLong
+      case 4 => b.getInt.toLong & 0xFFFFFFFFL
+      case 8 => b.getLong
+      case n => sys.error(s"$where: v4 layout dim-size width $n")
+    }
+    val rawDims = (0 until nd).map(_ => dimVal())
+    val cdims: IndexedSeq[Int] =
+      if (nd == dims.length) rawDims.map(_.toInt)
+      else if (nd == dims.length + 1) rawDims.dropRight(1).map(_.toInt)
+      else sys.error(s"$where: v4 chunk rank $nd vs dataset rank ${dims.length}")
+    val elemBytes = cdims.map(_.toLong).product * dtype.size
+    require(elemBytes <= Int.MaxValue, s"$where: chunk over 2 GiB")
+    val nChunks = dims.indices
+      .map(d => (dims(d).toLong + cdims(d) - 1) / cdims(d)).product
+    (b.get() & 0xFF) match {
+      case 1 => // Single Chunk
+        val (size, mask) =
+          if ((flags & 0x02) != 0) (getOfs(b, sh.len).toInt, b.getInt)
+          else (elemBytes.toInt, 0)
+        val addr = getOfs(b, sh.ofs)
+        val chunks =
+          if (addr == Undef) IndexedSeq.empty[H5Chunk]
+          else IndexedSeq(H5Chunk(IndexedSeq.fill(dims.length)(0L), addr, size, mask))
+        Chunked(cdims, chunks)
+      case 2 => // Implicit: early-allocated contiguous chunk array, no filters
+        require(!filtered, s"$where: implicit chunk index cannot carry filters")
+        val addr = getOfs(b, sh.ofs)
+        val chunks =
+          if (addr == Undef) IndexedSeq.empty[H5Chunk]
+          else (0L until nChunks).map(i => H5Chunk(chunkOffsetsOf(i, dims, cdims),
+            addr + i * elemBytes, elemBytes.toInt))
+        Chunked(cdims, chunks)
+      case 3 => // Fixed Array
+        b.get() // page bits (the header repeats them authoritatively)
+        val addr = getOfs(b, sh.ofs)
+        val chunks =
+          if (addr == Undef) IndexedSeq.empty[H5Chunk]
+          else readFixedArrayChunks(at, addr, sh, dims, cdims,
+            elemBytes.toInt, where)
+        Chunked(cdims, chunks)
+      case 4 => sys.error(s"$where: extensible-array chunk index " +
+        "(latest-format unlimited dimension) is not supported — repack " +
+        "with `h5repack` (default format) upstream")
+      case 5 => sys.error(s"$where: v2 B-tree chunk index is not " +
+        "supported — repack with `h5repack` (default format) upstream")
+      case t => sys.error(s"$where: unknown v4 chunk index type $t")
+    }
+  }
+
+  /** Read every allocated chunk out of a Fixed Array index: "FAHD"
+    * header → "FADB" data block, unpaged or paged (page bitmap + per-page
+    * checksummed element pages). All checksums verified (lookup3).
+    * Elements: client 0 = address; client 1 (filtered) = address +
+    * chunk-size (entrySize − offsetSize − 4 bytes) + filter mask.
+    */
+  private def readFixedArrayChunks(at: At, hdrAddr: Long, sh: Shape,
+                                   dims: IndexedSeq[Int], cdims: IndexedSeq[Int],
+                                   rawChunkBytes: Int,
+                                   where: String): IndexedSeq[H5Chunk] = {
+    val hdrLen = 4 + 1 + 1 + 1 + 1 + sh.len + sh.ofs + 4
+    val hraw = new Array[Byte](hdrLen)
+    at.bytes(hdrAddr, hdrLen).get(hraw)
+    val hb = ByteBuffer.wrap(hraw).order(ByteOrder.LITTLE_ENDIAN)
+    val sig = new Array[Byte](4); hb.get(sig)
+    require(sig.sameElements("FAHD".getBytes("US-ASCII")),
+      s"$where: bad fixed-array header signature")
+    val ver = hb.get() & 0xFF
+    require(ver == 0, s"$where: fixed-array header v$ver")
+    val clientId = hb.get() & 0xFF
+    require(clientId == 0 || clientId == 1,
+      s"$where: fixed-array client $clientId (chunks expected)")
+    val entrySize = hb.get() & 0xFF
+    val pageBits = hb.get() & 0xFF
+    val nelems = getOfs(hb, sh.len)
+    val dbAddr = getOfs(hb, sh.ofs)
+    val hck = hb.getInt
+    require(hck == lookup3(hraw, 0, hdrLen - 4, 0),
+      s"$where: fixed-array header checksum mismatch — corrupt file")
+    if (dbAddr == Undef || nelems == 0) return IndexedSeq.empty
+
+    val pageElems = 1L << pageBits
+    val paged = nelems > pageElems
+    val npages = if (paged) ((nelems + pageElems - 1) / pageElems).toInt else 0
+    val bitmapBytes = if (paged) (npages + 7) / 8 else 0
+    val prefixLen = 4 + 1 + 1 + sh.ofs
+    val blockLen = prefixLen + bitmapBytes +
+      (if (paged) 0 else (nelems * entrySize).toInt) + 4
+    val braw = new Array[Byte](blockLen)
+    at.bytes(dbAddr, blockLen).get(braw)
+    val db = ByteBuffer.wrap(braw).order(ByteOrder.LITTLE_ENDIAN)
+    val bsig = new Array[Byte](4); db.get(bsig)
+    require(bsig.sameElements("FADB".getBytes("US-ASCII")),
+      s"$where: bad fixed-array data block signature")
+    require((db.get() & 0xFF) == 0, s"$where: fixed-array data block version")
+    require((db.get() & 0xFF) == clientId, s"$where: fixed-array client mismatch")
+    require(getOfs(db, sh.ofs) == hdrAddr, s"$where: fixed-array back-pointer")
+    db.position(blockLen - 4)
+    require(db.getInt == lookup3(braw, 0, blockLen - 4, 0),
+      s"$where: fixed-array data block checksum mismatch — corrupt file")
+
+    val out = IndexedSeq.newBuilder[H5Chunk]
+    def readElems(eb: ByteBuffer, first: Long, count: Int): Unit = {
+      var i = 0
+      while (i < count) {
+        val addr = getOfs(eb, sh.ofs)
+        val (size, mask) =
+          if (clientId == 1) {
+            val szBytes = entrySize - sh.ofs - 4
+            var sz = 0L; var k = 0
+            while (k < szBytes) { sz |= (eb.get() & 0xFFL) << (8 * k); k += 1 }
+            (sz.toInt, eb.getInt)
+          } else (rawChunkBytes, 0)
+        if (addr != Undef)
+          out += H5Chunk(chunkOffsetsOf(first + i, dims, cdims), addr, size, mask)
+        i += 1
+      }
+    }
+    if (!paged) {
+      db.position(prefixLen)
+      readElems(db, 0L, nelems.toInt)
+    } else {
+      val bitmap = java.util.Arrays.copyOfRange(braw, prefixLen, prefixLen + bitmapBytes)
+      var pagesOff = dbAddr + blockLen
+      var p = 0
+      while (p < npages) {
+        val count = math.min(pageElems, nelems - p * pageElems).toInt
+        val pageLen = count * entrySize + 4
+        if ((bitmap(p / 8) & (1 << (p % 8))) != 0) {
+          val praw = new Array[Byte](pageLen)
+          at.bytes(pagesOff, pageLen).get(praw)
+          val pb = ByteBuffer.wrap(praw).order(ByteOrder.LITTLE_ENDIAN)
+          pb.position(pageLen - 4)
+          require(pb.getInt == lookup3(praw, 0, pageLen - 4, 0),
+            s"$where: fixed-array page $p checksum mismatch — corrupt file")
+          pb.position(0)
+          readElems(pb, p.toLong * pageElems, count)
+        }
+        pagesOff += pageLen
+        p += 1
+      }
+    }
+    out.result()
+  }
+
   // ---- netCDF-4 semantic mapping + read ----
 
   /** Dimension resolution for a data variable: DIMENSION_LIST references
@@ -951,7 +1178,20 @@ object Hdf5 {
            numPartitions: Int = 0,
            timeRange: Option[(String, String)] = None,
            bbox: Option[(Double, Double, Double, Double)] = None): DataFrame = {
-    val props = NetCdf.fsProps(spark)
+    val (axes, unpacks, mkReader) =
+      gridInputs(path, NetCdf.fsProps(spark), varNames)
+    GridCube.read(spark, path, axes, varNames, unpacks, mkReader,
+      numPartitions, timeRange, bbox)
+  }
+
+  /** HDF5 metadata → the shared grid-read inputs (see
+    * [[NetCdf.gridInputs]] for the classic analog): axes from dimension
+    * scales, CF unpacks, and a slab-reader factory over
+    * compact/contiguous/chunked (filtered or not) layouts.
+    */
+  private[ingest] def gridInputs(path: String, props: Map[String, String],
+                                 varNames: Seq[String]): (IndexedSeq[GridCube.Axis],
+      Seq[GridCube.Unpack], () => GridCube.SlabReader) = {
     val f = readStructure(path, props)
     def ds(n: String) = f.datasets.find(_.name == n)
       .getOrElse(sys.error(s"$path: no dataset '$n' " +
@@ -1013,8 +1253,7 @@ object Hdf5 {
       }
       def close(): Unit = ch.close()
     }
-    GridCube.read(spark, path, axes.toIndexedSeq, varNames, unpacks, mkReader,
-      numPartitions, timeRange, bbox)
+    (axes.toIndexedSeq, unpacks, mkReader)
   }
 
   // ---- writer (export / test fixtures) ----
@@ -1045,6 +1284,7 @@ object Hdf5 {
     def zeros(n: Int): Unit = { ensure(n); len += n }
     def padTo8(): Unit = zeros((8 - len % 8) % 8)
     def mark(label: String): Unit = labels(label) = len.toLong
+    def define(label: String, v: Long): Unit = labels(label) = v
     def addr(label: String): Unit = { patches += ((len, label)); u64(0) }
     def result(): Array[Byte] = {
       patches.foreach { case (p, l) =>
@@ -1127,9 +1367,19 @@ object Hdf5 {
             vars: Seq[(NetCdf.VarDef, Array[Double])],
             gatts: Seq[(String, Any)] = Nil,
             chunked: Boolean = false,
-            deflate: Int = 0): Unit = {
+            deflate: Int = 0,
+            layoutVersion: Int = 3,
+            faPageBits: Int = 0): Unit = {
     require(deflate >= 0 && deflate <= 9, s"deflate level $deflate out of [0, 9]")
     require(deflate == 0 || chunked, "deflate requires chunked layout")
+    require(layoutVersion == 3 || layoutVersion == 4,
+      s"layoutVersion $layoutVersion (3 = v1-B-tree index, 4 = latest-format indexes)")
+    // fixed-array page size: explicit for tests (small values force the
+    // paged data-block form), else the smallest power of two that keeps
+    // the element list unpaged (libhdf5's default 10 as the floor)
+    def pageBitsFor(nelems: Int): Int =
+      if (faPageBits > 0) faPageBits
+      else { var p = 10; while ((1L << p) < nelems) p += 1; p }
     val dimLen = dims.map(d => d.name -> d.length).toMap
     val dimNames = dims.map(_.name)
     val varNames = vars.map(_._1.name)
@@ -1201,17 +1451,49 @@ object Hdf5 {
       msgs += ((0x03, pad8(dtB.length), () => { b.bytes(dtB); b.zeros(pad8(dtB.length) - dtB.length) }))
       if (chunked && !isDim && shape.nonEmpty) {
         val rank = shape.length
-        val size = pad8(2 + 1 + 8 + 4 * (rank + 1))
-        msgs += ((0x08, size, () => {
-          val start = b.pos
-          b.u8(3); b.u8(2) // v3, chunked
-          b.u8(rank + 1)
-          b.addr(s"chunkbt:${vd.name}")
-          b.u32(1) // chunk outer extent = one slice
-          shape.drop(1).foreach(d => b.u32(d))
-          b.u32(elemSize.toLong)
-          b.zeros(size - (b.pos - start))
-        }))
+        if (layoutVersion == 4) {
+          // v4 chunked: Single Chunk when the dataset is one chunk
+          // (libhdf5's choice there), else a Fixed Array index. Chunk
+          // dims exclude the element-size pseudo-dimension per the v4
+          // spec text (the reader accepts both encodings).
+          val outer = shape.head.toInt
+          val single = outer == 1
+          val filtered = deflate > 0
+          val idxInfo = if (single) (if (filtered) 12 else 0) else 1
+          val size = pad8(2 + 3 + 8 * rank + 1 + idxInfo + 8)
+          msgs += ((0x08, size, () => {
+            val start = b.pos
+            b.u8(4); b.u8(2) // v4, chunked
+            b.u8(if (single && filtered) 0x02 else 0x00) // single-index-with-filter flag
+            b.u8(rank); b.u8(8) // dimensionality, 8-byte dim encoding
+            b.u64(1); shape.drop(1).foreach(d => b.u64(d.toLong))
+            if (single) {
+              b.u8(1) // Single Chunk index
+              if (filtered) {
+                b.addr(s"chunksz:${vd.name}") // stored size, defined at emit
+                b.u32(0) // filter mask: all filters applied
+              }
+              b.addr(s"chunk:${vd.name}:0")
+            } else {
+              b.u8(3) // Fixed Array index
+              b.u8(pageBitsFor(outer))
+              b.addr(s"fahd:${vd.name}")
+            }
+            b.zeros(size - (b.pos - start))
+          }))
+        } else {
+          val size = pad8(2 + 1 + 8 + 4 * (rank + 1))
+          msgs += ((0x08, size, () => {
+            val start = b.pos
+            b.u8(3); b.u8(2) // v3, chunked
+            b.u8(rank + 1)
+            b.addr(s"chunkbt:${vd.name}")
+            b.u32(1) // chunk outer extent = one slice
+            shape.drop(1).foreach(d => b.u32(d))
+            b.u32(elemSize.toLong)
+            b.zeros(size - (b.pos - start))
+          }))
+        }
         if (deflate > 0) {
           // filter pipeline v1: shuffle(elemSize) → deflate(level) → fletcher32
           val fpSize = pad8(8 + 16 + 16 + 8)
@@ -1364,6 +1646,67 @@ object Hdf5 {
     def valueBytes(tpe: NetCdf.NcType, data: Array[Double]): Array[Byte] = {
       val tmp = new Buf; emitValuesTo(tmp, tpe, data); tmp.result()
     }
+    // Fixed Array chunk index (latest format): "FAHD" header + "FADB"
+    // data block (+ element pages when paged), lookup3-checksummed.
+    // Emitted AFTER the chunks so every address inside is final and the
+    // checksums cover the real bytes — no patch sites.
+    def emitFixedArray(name: String, addrs: Array[Long], sizes: Array[Int],
+                       filtered: Boolean): Unit = {
+      val client = if (filtered) 1 else 0
+      val entrySize = if (filtered) 16 else 8 // addr (+ u32 size + u32 mask)
+      val nelems = addrs.length
+      val pageBits = pageBitsFor(nelems)
+      val pageElems = 1L << pageBits
+      val paged = nelems > pageElems
+      val npages = if (paged) ((nelems + pageElems - 1) / pageElems).toInt else 0
+      b.padTo8()
+      val fahdPos = b.pos.toLong
+      val hdrLen = 4 + 1 + 1 + 1 + 1 + 8 + 8 + 4
+      val h = ByteBuffer.allocate(hdrLen).order(ByteOrder.LITTLE_ENDIAN)
+      h.put("FAHD".getBytes("US-ASCII")); h.put(0.toByte); h.put(client.toByte)
+      h.put(entrySize.toByte); h.put(pageBits.toByte)
+      h.putLong(nelems.toLong); h.putLong(fahdPos + hdrLen)
+      h.putInt(lookup3(h.array(), 0, hdrLen - 4, 0))
+      b.mark(s"fahd:$name"); b.bytes(h.array())
+      def putElems(eb: ByteBuffer, from: Int, count: Int): Unit = {
+        var i = 0
+        while (i < count) {
+          eb.putLong(addrs(from + i))
+          if (filtered) { eb.putInt(sizes(from + i)); eb.putInt(0) }
+          i += 1
+        }
+      }
+      val prefixLen = 4 + 1 + 1 + 8
+      val bitmapBytes = if (paged) (npages + 7) / 8 else 0
+      val blockLen = prefixLen + bitmapBytes +
+        (if (paged) 0 else nelems * entrySize) + 4
+      val d = ByteBuffer.allocate(blockLen).order(ByteOrder.LITTLE_ENDIAN)
+      d.put("FADB".getBytes("US-ASCII")); d.put(0.toByte); d.put(client.toByte)
+      d.putLong(fahdPos)
+      if (paged) {
+        var p = 0
+        while (p < npages) { // every page initialized by this writer
+          d.put(prefixLen + p / 8, (d.get(prefixLen + p / 8) | (1 << (p % 8))).toByte)
+          p += 1
+        }
+      } else putElems(d, 0, nelems)
+      d.position(blockLen - 4)
+      d.putInt(lookup3(d.array(), 0, blockLen - 4, 0))
+      b.bytes(d.array())
+      if (paged) {
+        var p = 0
+        while (p < npages) {
+          val count = math.min(pageElems, nelems.toLong - p * pageElems).toInt
+          val plen = count * entrySize + 4
+          val pb = ByteBuffer.allocate(plen).order(ByteOrder.LITTLE_ENDIAN)
+          putElems(pb, (p * pageElems).toInt, count)
+          pb.position(plen - 4)
+          pb.putInt(lookup3(pb.array(), 0, plen - 4, 0))
+          b.bytes(pb.array())
+          p += 1
+        }
+      }
+    }
     vars.foreach { case (vd, data) =>
       val shape = vd.dimNames.map(dimLen)
       val nVals = shape.map(_.toLong).product
@@ -1373,8 +1716,10 @@ object Hdf5 {
         val outer = shape.head
         val innerCount = shape.drop(1).map(_.toLong).product.toInt
         val storedSizes = new Array[Int](outer)
+        val storedAddrs = new Array[Long](outer)
         (0 until outer).foreach { i =>
           b.padTo8(); b.mark(s"chunk:${vd.name}:$i")
+          storedAddrs(i) = b.pos.toLong
           val slice = java.util.Arrays.copyOfRange(data, i * innerCount, (i + 1) * innerCount)
           if (deflate > 0) {
             val stored = storedChunkBytes(valueBytes(vd.tpe, slice), vd.tpe.size, deflate)
@@ -1385,21 +1730,31 @@ object Hdf5 {
             emitValues(vd.tpe, slice)
           }
         }
-        val rank = shape.length
-        b.padTo8(); b.mark(s"chunkbt:${vd.name}")
-        b.bytes("TREE".getBytes("US-ASCII"))
-        b.u8(1); b.u8(0) // node type 1 (chunk), level 0
-        b.u16(outer)
-        b.u64(-1L); b.u64(-1L)
-        (0 until outer).foreach { i =>
-          b.u32(storedSizes(i).toLong); b.u32(0)
-          b.u64(i.toLong); shape.drop(1).foreach(_ => b.u64(0)); b.u64(0)
-          b.addr(s"chunk:${vd.name}:$i")
+        if (layoutVersion == 4) {
+          if (outer == 1) {
+            // Single Chunk index: the layout message points straight at
+            // the chunk; only the filtered stored-size needs resolving
+            if (deflate > 0) b.define(s"chunksz:${vd.name}", storedSizes(0).toLong)
+          } else {
+            emitFixedArray(vd.name, storedAddrs, storedSizes, deflate > 0)
+          }
+        } else {
+          val rank = shape.length
+          b.padTo8(); b.mark(s"chunkbt:${vd.name}")
+          b.bytes("TREE".getBytes("US-ASCII"))
+          b.u8(1); b.u8(0) // node type 1 (chunk), level 0
+          b.u16(outer)
+          b.u64(-1L); b.u64(-1L)
+          (0 until outer).foreach { i =>
+            b.u32(storedSizes(i).toLong); b.u32(0)
+            b.u64(i.toLong); shape.drop(1).foreach(_ => b.u64(0)); b.u64(0)
+            b.addr(s"chunk:${vd.name}:$i")
+          }
+          // final (upper bound) key
+          b.u32(0); b.u32(0)
+          b.u64(outer.toLong); shape.drop(1).foreach(d => b.u64(d.toLong)); b.u64(0)
+          val _ = rank
         }
-        // final (upper bound) key
-        b.u32(0); b.u32(0)
-        b.u64(outer.toLong); shape.drop(1).foreach(d => b.u64(d.toLong)); b.u64(0)
-        val _ = rank
       } else {
         b.padTo8(); b.mark(s"data:${vd.name}")
         emitValues(vd.tpe, data)

@@ -377,6 +377,20 @@ object NetCdf {
     val props = fsProps(spark)
     if (Hdf5.isHdf5(path, props))
       return Hdf5.read(spark, path, varNames, numPartitions, timeRange, bbox)
+    val (axes, unpacks, mkReader) = gridInputs(path, props, varNames)
+    GridCube.read(spark, path, axes, varNames, unpacks, mkReader,
+      numPartitions, timeRange, bbox)
+  }
+
+  /** Classic-format metadata → the shared grid-read inputs: axes (CF
+    * decode included), per-variable unpacks, and the slab-reader factory.
+    * Header and coordinate vars are parsed in the CALLING JVM (driver for
+    * [[read]], the task for [[localRows]]); bulk data only ever moves
+    * through the returned reader.
+    */
+  private def gridInputs(path: String, props: Map[String, String],
+                         varNames: Seq[String]): (IndexedSeq[GridCube.Axis],
+      Seq[GridCube.Unpack], () => GridCube.SlabReader) = {
     val h = readHeader(path, props)
     val vs = varNames.map(h.variable)
     val dimIds = vs.head.dimIds
@@ -410,8 +424,111 @@ object NetCdf {
       }
       def close(): Unit = ch.close()
     }
-    GridCube.read(spark, path, axes, varNames, unpacks, mkReader,
-      numPartitions, timeRange, bbox)
+    (axes, unpacks, mkReader)
+  }
+
+  /** Decode a whole .nc file in this JVM (classic or HDF5 container, by
+    * signature) — one file = one sequential decode, the per-file unit
+    * [[readStream]] fans out across tasks. Returns the long-form schema
+    * and a row iterator that owns (and closes) its file handle.
+    */
+  private[ingest] def localRows(path: String, props: Map[String, String],
+      varNames: Seq[String],
+      timeRange: Option[(String, String)],
+      bbox: Option[(Double, Double, Double, Double)]): (org.apache.spark.sql.types.StructType, Iterator[org.apache.spark.sql.Row]) = {
+    val (axes, unpacks, mkReader) =
+      if (Hdf5.isHdf5(path, props)) Hdf5.gridInputs(path, props, varNames)
+      else gridInputs(path, props, varNames)
+    GridCube.localRows(path, axes, varNames, unpacks, mkReader, timeRange, bbox)
+  }
+
+  /** The archive schema [[readStream]] declares, probed from one file. */
+  def streamSchema(spark: SparkSession, samplePath: String,
+                   varNames: Seq[String]): org.apache.spark.sql.types.StructType = {
+    val props = fsProps(spark)
+    val (axes, _, _) =
+      if (Hdf5.isHdf5(samplePath, props)) Hdf5.gridInputs(samplePath, props, varNames)
+      else gridInputs(samplePath, props, varNames)
+    GridCube.schemaOf(axes, varNames)
+  }
+
+  /** Streaming archive ingest: watch `dir` for new NetCDF files (classic,
+    * CDF-5, or NetCDF-4/HDF5 — dispatched per file by signature) and emit
+    * their grids as long-form rows, incrementally, exactly once per file.
+    *
+    * Built on the file-stream source (`binaryFile` listing with its
+    * checkpointed file log, so restarts never re-emit a processed file)
+    * with the decode in `flatMap`: a micro-batch of F newly-landed files
+    * becomes F parallel single-file decode tasks — file-grain parallelism,
+    * which is the archive shape (one file per year/month/tile). Only the
+    * `path` column is read from the source, so file BYTES move once, in
+    * the decode task, not through the listing. The result unions with the
+    * batch operators: the same windowed/climatology aggregations run on
+    * this stream with a watermark (q_stream_netcdf oracle-checks the
+    * composition against batch [[readDir]]'s plan over the same files).
+    *
+    * `sampleFile` (default: first `.nc` under `dir` at start) pins the
+    * static schema streams require; a later file with a different grid
+    * fails loudly in its task rather than silently mis-binding columns.
+    */
+  def readStream(spark: SparkSession, dir: String, varNames: Seq[String],
+                 timeRange: Option[(String, String)] = None,
+                 bbox: Option[(Double, Double, Double, Double)] = None,
+                 sampleFile: Option[String] = None,
+                 maxFilesPerTrigger: Int = 0): DataFrame = {
+    val props = fsProps(spark)
+    val sample = sampleFile.getOrElse {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      props.foreach { case (k, v) => conf.set(k, v) }
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".nc"))
+        .map(_.getPath.toString).sorted.headOption
+        .getOrElse(sys.error(
+          s"readStream: no .nc file under $dir to probe the schema — " +
+            "pass sampleFile explicitly for an initially-empty archive"))
+    }
+    val schema = streamSchema(spark, sample, varNames)
+    val varsB = varNames
+    val trB = timeRange
+    val bboxB = bbox
+    // file-stream sources demand an explicit schema; binaryFile's is fixed
+    val binSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType, nullable = true),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType, nullable = true)))
+    val reader0 = spark.readStream.format("binaryFile").schema(binSchema)
+      .option("pathGlobFilter", "*.nc")
+    val reader = if (maxFilesPerTrigger > 0)
+      reader0.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    else reader0
+    // the Row ENCODER (unlike createDataFrame) expects java.sql.Timestamp
+    // for TimestampType; grid rows carry java.time.Instant
+    val tsIdx = schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == org.apache.spark.sql.types.TimestampType => i
+    }
+    import org.apache.spark.sql.functions.col
+    reader.load(dir).select(col("path"))
+      .as(org.apache.spark.sql.Encoders.STRING)
+      .flatMap { p =>
+        val (sch, it) = localRows(p, props, varsB, trB, bboxB)
+        require(sch == schema,
+          s"$p: grid schema $sch differs from the archive schema $schema " +
+            "pinned at stream start")
+        if (tsIdx.isEmpty) it
+        else it.map { r =>
+          val arr = r.toSeq.toArray
+          tsIdx.foreach(i => arr(i) = java.sql.Timestamp.from(
+            arr(i).asInstanceOf[java.time.Instant]))
+          org.apache.spark.sql.Row.fromSeq(arr.toIndexedSeq)
+        }
+      }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** The offline conversion utility the reference's users would run once:

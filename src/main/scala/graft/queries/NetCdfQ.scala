@@ -63,6 +63,8 @@ object NetCdfQ extends QueryPack {
   private val gridGatts = Seq(
     "Conventions" -> "CF-1.8", "source" -> "graft lineitem grid")
 
+  private val ncStreamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Write `years.length` time steps of the slabs to one .nc file. */
   private def writeGrid(path: String, years: Seq[Int],
                         nVals: Array[Double], qVals: Array[Double],
@@ -113,6 +115,36 @@ object NetCdfQ extends QueryPack {
           qVals.slice(i * slab, (i + 1) * slab))
       }
       backToRows(NetCdf.readDir(s, base.toString, Seq("n", "mean_qty")))
+    }),
+    // STREAMING archive ingest: the same one-file-per-year archive but
+    // with MIXED containers (classic / CDF-5 / NetCDF-4+deflate cycling
+    // per year), consumed by NetCdf.readStream — checkpointed file-source
+    // discovery + per-file flatMap decode, dispatched by signature — into
+    // a memory sink, then re-aggregated. Same oracle as the batch
+    // roundtrip: the stream must deliver every file exactly once with
+    // batch-identical decode, whatever the container format.
+    "q_stream_netcdf" -> ((s, dir) => {
+      val (years, nVals, qVals) = gridSlabs(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft-nc-stream")
+      val slab = 18 * 36
+      years.zipWithIndex.foreach { case (y, i) =>
+        val p = base.resolve(f"y$y%04d.nc").toString
+        val n1 = nVals.slice(i * slab, (i + 1) * slab)
+        val q1 = qVals.slice(i * slab, (i + 1) * slab)
+        i % 3 match {
+          case 0 => writeGrid(p, Seq(y), n1, q1)
+          case 1 => writeGrid(p, Seq(y), n1, q1, version = 5)
+          case _ => writeGridH5(p, Seq(y), n1, q1, deflate = 6)
+        }
+      }
+      val name = s"graft_stream_nc_${ncStreamSeq.incrementAndGet()}"
+      val sq = NetCdf.readStream(s, base.toString, Seq("n", "mean_qty"))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft-nc-stream-ck").toString)
+        .start()
+      try sq.processAllAvailable() finally sq.stop()
+      backToRows(s.table(name))
     }),
     // The reference's LAZY open with pushdown (S2/S5): timeRange prunes
     // whole outer slices before any data byte is read, bbox masks cells —
@@ -217,6 +249,7 @@ object NetCdfQ extends QueryPack {
     "q_netcdf4_roundtrip" -> roundtripSql,
     "q_netcdf4_deflate" -> roundtripSql,
     "q_netcdf5_roundtrip" -> roundtripSql,
+    "q_stream_netcdf" -> roundtripSql,
     "q_netcdf4_pushdown" -> pushdownSql,
     "q_netcdf_pushdown" ->
       """SELECT * FROM (

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 class Hdf5Spec extends SparkSpec {
   import NetCdf.{Dim, VarDef, NcDouble, NcFloat, NcShort, NcInt}
 
-  private def writeGrid(path: String, chunked: Boolean, deflate: Int = 0): Unit = {
+  private def writeGrid(path: String, chunked: Boolean, deflate: Int = 0,
+                        layoutVersion: Int = 3, faPageBits: Int = 0): Unit = {
     val (nt, nlat, nlon) = (4, 3, 2)
     val temps = Array.tabulate(nt * nlat * nlon)(i => 250.0 + i)
     val packed = temps.map(t => (t - 200.0) / 0.5)
@@ -25,7 +26,8 @@ class Hdf5Spec extends SparkSpec {
         (VarDef("count", Seq("time", "lat", "lon"), NcInt),
           Array.tabulate(nt * nlat * nlon)(_.toDouble))),
       gatts = Seq("Conventions" -> "CF-1.8", "title" -> "graft h5 test"),
-      chunked = chunked, deflate = deflate)
+      chunked = chunked, deflate = deflate,
+      layoutVersion = layoutVersion, faPageBits = faPageBits)
   }
 
   test("structure parse: signature, dim scales, DIMENSION_LIST, attrs") {
@@ -180,6 +182,92 @@ class Hdf5Spec extends SparkSpec {
     val abc = "abcde".getBytes("US-ASCII")
     assert(Hdf5.fletcher32(abc, abc.length) == Hdf5.fletcher32(abc.clone(), abc.length))
     assert(Hdf5.fletcher32(abc, abc.length) != Hdf5.fletcher32("abcdf".getBytes("US-ASCII"), 5))
+  }
+
+  test("lookup3 matches the published hashlittle vectors") {
+    // Bob Jenkins' lookup3.c self-test values — interop anchor for
+    // reading real latest-format files (libhdf5's H5_checksum_metadata)
+    assert(Hdf5.lookup3(Array.empty[Byte], 0, 0, 0) == 0xdeadbeef)
+    val four = "Four score and seven years ago".getBytes("US-ASCII")
+    assert(Hdf5.lookup3(four, 0, four.length, 0) == 0x17770551)
+    assert(Hdf5.lookup3(four, 0, four.length, 1) == 0xcd628161)
+  }
+
+  test("v4 layouts (Fixed Array / Single Chunk) read identically to v1 B-tree") {
+    val base = tmpDir()
+    writeGrid(base + "/v3.h5", chunked = true)
+    val expected = Hdf5.read(spark, base + "/v3.h5", Seq("t2m", "count"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    for ((nameSuffix, deflate) <- Seq(("plain", 0), ("z", 6))) {
+      val p = s"$base/v4_$nameSuffix.h5"
+      writeGrid(p, chunked = true, deflate = deflate, layoutVersion = 4)
+      val got = Hdf5.read(spark, p, Seq("t2m", "count"))
+        .orderBy("time", "lat", "lon").collect().toSeq
+      assert(got == expected, s"v4 $nameSuffix mismatch")
+      // the index really is a v4 Fixed Array (outer dim 4 > 1 chunk)
+      val f = Hdf5.readStructure(p, Map.empty)
+      f.datasets.find(_.name == "t2m").get.layout match {
+        case Hdf5.Chunked(cdims, cs) =>
+          assert(cdims == IndexedSeq(1, 3, 2) && cs.length == 4)
+          assert(cs.map(_.offsets.head).sorted == IndexedSeq(0L, 1L, 2L, 3L))
+        case other => fail(s"expected chunked, got $other")
+      }
+    }
+  }
+
+  test("v4 paged Fixed Array data block (page bitmap + per-page checksums)") {
+    val path = tmpDir() + "/paged.h5"
+    // pageBits=1 → pages of 2 elements; 4 outer chunks → 2 pages
+    writeGrid(path, chunked = true, deflate = 4, layoutVersion = 4)
+    val expected = Hdf5.read(spark, path, Seq("t2m", "count"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    val paged = tmpDir() + "/paged2.h5"
+    writeGrid(paged, chunked = true, deflate = 4, layoutVersion = 4, faPageBits = 1)
+    val got = Hdf5.read(spark, paged, Seq("t2m", "count"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    assert(got == expected)
+  }
+
+  test("v4 single-chunk dataset (incl. filtered) reads via the Single Chunk index") {
+    val path = tmpDir() + "/single.h5"
+    // one outer step ⇒ one chunk ⇒ Single Chunk index in the layout msg
+    val (nlat, nlon) = (3, 2)
+    Hdf5.write(path,
+      Seq(Dim("time", 1), Dim("lat", nlat), Dim("lon", nlon)),
+      Seq(
+        (VarDef("time", Seq("time"), NcDouble,
+          Seq("units" -> "hours since 2021-06-01")), Array(0.0)),
+        (VarDef("lat", Seq("lat"), NcDouble), Array(-60.0, 0.0, 60.0)),
+        (VarDef("lon", Seq("lon"), NcDouble), Array(-90.0, 90.0)),
+        (VarDef("t2m", Seq("time", "lat", "lon"), NcDouble),
+          Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))),
+      chunked = true, deflate = 6, layoutVersion = 4)
+    val rows = Hdf5.read(spark, path, Seq("t2m")).orderBy("lat", "lon").collect()
+    assert(rows.map(_.getDouble(3)).toSeq == Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
+    val f = Hdf5.readStructure(path, Map.empty)
+    f.datasets.find(_.name == "t2m").get.layout match {
+      case Hdf5.Chunked(cdims, cs) =>
+        assert(cdims == IndexedSeq(1, 3, 2) && cs.length == 1)
+        assert(cs.head.offsets.forall(_ == 0L))
+      case other => fail(s"expected chunked, got $other")
+    }
+  }
+
+  test("v4 corrupt fixed-array checksum fails loudly") {
+    val path = tmpDir() + "/badfa.h5"
+    writeGrid(path, chunked = true, layoutVersion = 4)
+    // find FAHD in the raw bytes and flip one byte of its payload
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val sig = "FAHD".getBytes("US-ASCII")
+    val pos = bytes.indexOfSlice(sig)
+    assert(pos > 0, "fixture contains a fixed-array header")
+    bytes(pos + 8) = (bytes(pos + 8) ^ 0x5A).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    val e = intercept[Exception] { Hdf5.read(spark, path, Seq("t2m")).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("checksum mismatch")),
+      s"expected checksum failure, got: ${msgs(e).mkString(" | ")}")
   }
 
   test("NetCdf.read dispatches on the HDF5 signature transparently") {
