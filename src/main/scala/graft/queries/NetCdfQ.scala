@@ -78,9 +78,10 @@ object NetCdfQ extends QueryPack {
     */
   private def writeGridH5(path: String, years: Seq[Int],
                           nVals: Array[Double], qVals: Array[Double],
-                          deflate: Int = 0): Unit =
+                          deflate: Int = 0, layoutVersion: Int = 3): Unit =
     graft.ingest.Hdf5.write(path, gridDims(years), gridVars(years, nVals, qVals),
-      gridGatts, chunked = true, deflate = deflate)
+      gridGatts, chunked = true, deflate = deflate,
+      layoutVersion = layoutVersion)
 
   /** CF time back to ship_year, fills back to null — the read side both
     * queries share; output rows match the lineitem group-by oracle.
@@ -198,6 +199,17 @@ object NetCdfQ extends QueryPack {
       writeGridH5(path, years.toSeq, nVals, qVals, deflate = 6)
       backToRows(NetCdf.read(s, path, Seq("n", "mean_qty")))
     }),
+    // The HDF5 1.10+ "latest" file format (h5py libver='latest'): version-4
+    // data layout with a Fixed Array chunk index, compressed chunks, and
+    // lookup3-checksummed index structures — same oracle again, so a v4
+    // index-walk or checksum defect hash-mismatches.
+    "q_netcdf4_latest" -> ((s, dir) => {
+      val (years, nVals, qVals) = gridSlabs(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-nc4l").resolve("grid.nc").toString
+      writeGridH5(path, years.toSeq, nVals, qVals, deflate = 6, layoutVersion = 4)
+      backToRows(NetCdf.read(s, path, Seq("n", "mean_qty")))
+    }),
     // CDF-5 (64-bit data) variant of the classic container, same oracle.
     "q_netcdf5_roundtrip" -> ((s, dir) => {
       val (years, nVals, qVals) = gridSlabs(s, dir)
@@ -248,6 +260,7 @@ object NetCdfQ extends QueryPack {
     "q_netcdf_archive" -> roundtripSql,
     "q_netcdf4_roundtrip" -> roundtripSql,
     "q_netcdf4_deflate" -> roundtripSql,
+    "q_netcdf4_latest" -> roundtripSql,
     "q_netcdf5_roundtrip" -> roundtripSql,
     "q_stream_netcdf" -> roundtripSql,
     "q_netcdf4_pushdown" -> pushdownSql,
