@@ -273,6 +273,49 @@ object ScaleProbe {
         time("h5_scan_deflate")(scanH5(h5Z))
         java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(h5Plain))
         java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(h5Z))
+
+        // Streaming archive ingest vs batch readDir over the same files:
+        // one file per outer slice, so the stream's unit of parallelism
+        // (file-per-task flatMap decode) matches the batch scan's
+        // (slice-per-task slab read) and the delta is pure discovery +
+        // micro-batch machinery.
+        if (wanted("ncstream")) {
+          val archDir = java.nio.file.Files.createTempDirectory("graft_scaleprobe_arch")
+          val perFile = slab
+          (0 until nt).foreach { i =>
+            graft.ingest.NetCdf.write(archDir.resolve(f"t$i%05d.nc").toString,
+              dims = Seq(graft.ingest.NetCdf.Dim("time", 1),
+                graft.ingest.NetCdf.Dim("lat", nlat),
+                graft.ingest.NetCdf.Dim("lon", nlon)),
+              vars = Seq(
+                (graft.ingest.NetCdf.VarDef("time", Seq("time"),
+                  graft.ingest.NetCdf.NcDouble,
+                  Seq("units" -> "hours since 2020-01-01")), Array(i.toDouble)),
+                (graft.ingest.NetCdf.VarDef("lat", Seq("lat"),
+                  graft.ingest.NetCdf.NcDouble),
+                  Array.tabulate(nlat)(j => j * 180.0 / nlat - 90)),
+                (graft.ingest.NetCdf.VarDef("lon", Seq("lon"),
+                  graft.ingest.NetCdf.NcDouble),
+                  Array.tabulate(nlon)(j => j * 360.0 / nlon - 180)),
+                (graft.ingest.NetCdf.VarDef("t2m", Seq("time", "lat", "lon"),
+                  graft.ingest.NetCdf.NcDouble),
+                  java.util.Arrays.copyOfRange(t2m, i * perFile, (i + 1) * perFile))))
+          }
+          println(s"$size ncstream_files=$nt")
+          time("ncstream_batch")(graft.ingest.NetCdf
+            .readDir(spark, archDir.toString, Seq("t2m"))
+            .agg(sum(col("t2m")))
+            .write.format("noop").mode("overwrite").save())
+          time("ncstream_stream") {
+            val sq = graft.ingest.NetCdf
+              .readStream(spark, archDir.toString, Seq("t2m"))
+              .writeStream.format("noop")
+              .option("checkpointLocation", java.nio.file.Files
+                .createTempDirectory("graft_scaleprobe_ck").toString)
+              .start()
+            try sq.processAllAvailable() finally sq.stop()
+          }
+        }
       }
     }
 

@@ -937,9 +937,16 @@ object Hdf5 {
           else readFixedArrayChunks(at, addr, sh, dims, cdims,
             elemBytes.toInt, where)
         Chunked(cdims, chunks)
-      case 4 => sys.error(s"$where: extensible-array chunk index " +
-        "(latest-format unlimited dimension) is not supported — repack " +
-        "with `h5repack` (default format) upstream")
+      case 4 => // Extensible Array (latest-format unlimited dimension)
+        // 5×1-byte creation params (max-bits, index-elmts, min-ptrs,
+        // min-elmts, page-bits) repeated here; the header is authoritative
+        b.position(b.position() + 5)
+        val addr = getOfs(b, sh.ofs)
+        val chunks =
+          if (addr == Undef) IndexedSeq.empty[H5Chunk]
+          else readExtensibleArrayChunks(at, addr, sh, dims, cdims,
+            elemBytes.toInt, where)
+        Chunked(cdims, chunks)
       case 5 => sys.error(s"$where: v2 B-tree chunk index is not " +
         "supported — repack with `h5repack` (default format) upstream")
       case t => sys.error(s"$where: unknown v4 chunk index type $t")
@@ -1036,6 +1043,215 @@ object Hdf5 {
         }
         pagesOff += pageLen
         p += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Extensible-array geometry (shared by reader and fixture writer):
+    * super block `u` has `2^(u/2)` data blocks of `2^((u+1)/2) ×
+    * dataBlkMinElmts` elements; the index block stores the first
+    * `idxBlkElmts` elements inline plus the data-block pointers of the
+    * first `2·log2(supBlkMinDataPtrs)` super blocks.
+    */
+  private[ingest] final case class EaParams(maxNelmtsBits: Int = 32,
+                                            idxBlkElmts: Int = 4,
+                                            dataBlkMinElmts: Int = 16,
+                                            supBlkMinDataPtrs: Int = 4,
+                                            maxDblkPageNelmtsBits: Int = 10) {
+    require(Integer.bitCount(dataBlkMinElmts) == 1 &&
+      Integer.bitCount(supBlkMinDataPtrs) == 1, "EA params are powers of two")
+    val nsblksTotal: Int =
+      1 + (maxNelmtsBits - Integer.numberOfTrailingZeros(dataBlkMinElmts)) / 2
+    /** (ndblks, dblkNelmts, startIdx, startDblk) per super block. */
+    val sblkInfo: IndexedSeq[(Int, Long, Long, Long)] = {
+      var startIdx = 0L; var startDblk = 0L
+      (0 until nsblksTotal).map { u =>
+        val nd = 1 << (u / 2)
+        val ne = (1L << ((u + 1) / 2)) * dataBlkMinElmts
+        val r = (nd, ne, startIdx, startDblk)
+        startIdx += nd * ne; startDblk += nd
+        r
+      }
+    }
+    val iblockNsblks: Int =
+      math.min(nsblksTotal,
+        2 * Integer.numberOfTrailingZeros(supBlkMinDataPtrs))
+    val ndblkAddrs: Int =
+      (0 until iblockNsblks).map(sblkInfo(_)._1).sum
+    val nsblkAddrs: Int = nsblksTotal - iblockNsblks
+    val pageNelmts: Long = 1L << maxDblkPageNelmtsBits
+    val arrOffSize: Int = (maxNelmtsBits + 7) / 8
+    /** Super block owning data block `j` of the direct (index-block) zone. */
+    def directOwner(j: Long): Int = {
+      var u = 0
+      while (u < iblockNsblks - 1 &&
+        j >= sblkInfo(u)._4 + sblkInfo(u)._1) u += 1
+      u
+    }
+  }
+
+  /** Read every allocated chunk out of an Extensible Array index — the
+    * latest-format index libhdf5 uses for chunked datasets with ONE
+    * unlimited dimension (the netCDF-4 time-unlimited case): "EAHD"
+    * header → "EAIB" index block (inline elements + direct data-block
+    * pointers) → "EASB" super blocks → "EADB" data blocks, paged or not.
+    * All lookup3 checksums verified; unallocated blocks/pages (undef
+    * address, zero bitmap bit) are unwritten chunks → fill.
+    */
+  private def readExtensibleArrayChunks(at: At, hdrAddr: Long, sh: Shape,
+                                        dims: IndexedSeq[Int], cdims: IndexedSeq[Int],
+                                        rawChunkBytes: Int,
+                                        where: String): IndexedSeq[H5Chunk] = {
+    val hdrLen = 4 + 1 + 1 + 6 + 6 * sh.len + sh.ofs + 4
+    val hraw = new Array[Byte](hdrLen)
+    at.bytes(hdrAddr, hdrLen).get(hraw)
+    val hb = ByteBuffer.wrap(hraw).order(ByteOrder.LITTLE_ENDIAN)
+    val sig = new Array[Byte](4); hb.get(sig)
+    require(sig.sameElements("EAHD".getBytes("US-ASCII")),
+      s"$where: bad extensible-array header signature")
+    require((hb.get() & 0xFF) == 0, s"$where: extensible-array header version")
+    val clientId = hb.get() & 0xFF
+    require(clientId == 0 || clientId == 1,
+      s"$where: extensible-array client $clientId (chunks expected)")
+    val entrySize = hb.get() & 0xFF
+    val p = EaParams(hb.get() & 0xFF, hb.get() & 0xFF, hb.get() & 0xFF,
+      hb.get() & 0xFF, hb.get() & 0xFF)
+    hb.position(hb.position() + 4 * sh.len) // block-count/size statistics
+    val maxIdxSet = getOfs(hb, sh.len)
+    getOfs(hb, sh.len) // realized-element count
+    val ibAddr = getOfs(hb, sh.ofs)
+    require(hb.getInt == lookup3(hraw, 0, hdrLen - 4, 0),
+      s"$where: extensible-array header checksum mismatch — corrupt file")
+    if (ibAddr == Undef || maxIdxSet == 0) return IndexedSeq.empty
+
+    val nChunksTotal = dims.indices
+      .map(d => (dims(d).toLong + cdims(d) - 1) / cdims(d)).product
+    val out = IndexedSeq.newBuilder[H5Chunk]
+    def readElem(eb: ByteBuffer, globalIdx: Long): Unit = {
+      val addr = getOfs(eb, sh.ofs)
+      val (size, mask) =
+        if (clientId == 1) {
+          val szBytes = entrySize - sh.ofs - 4
+          var sz = 0L; var k = 0
+          while (k < szBytes) { sz |= (eb.get() & 0xFFL) << (8 * k); k += 1 }
+          (sz.toInt, eb.getInt)
+        } else (rawChunkBytes, 0)
+      if (addr != Undef && globalIdx < nChunksTotal)
+        out += H5Chunk(chunkOffsetsOf(globalIdx, dims, cdims), addr, size, mask)
+    }
+
+    // one data block: unpaged = prefix + elements + checksum; paged =
+    // prefix + checksum, then pages (elements + checksum) back-to-back
+    def readDataBlock(addr: Long, nelmts: Long, elemStart: Long,
+                      npages: Int, pageInit: Int => Boolean): Unit = {
+      if (addr == Undef) return
+      val prefixLen = 4 + 1 + 1 + sh.ofs + p.arrOffSize
+      val blockLen = prefixLen + (if (npages == 0) (nelmts * entrySize).toInt else 0) + 4
+      val braw = new Array[Byte](blockLen)
+      at.bytes(addr, blockLen).get(braw)
+      val db = ByteBuffer.wrap(braw).order(ByteOrder.LITTLE_ENDIAN)
+      val s4 = new Array[Byte](4); db.get(s4)
+      require(s4.sameElements("EADB".getBytes("US-ASCII")),
+        s"$where: bad extensible-array data block signature")
+      require((db.get() & 0xFF) == 0 && (db.get() & 0xFF) == clientId,
+        s"$where: extensible-array data block version/client")
+      require(getOfs(db, sh.ofs) == hdrAddr, s"$where: data block back-pointer")
+      db.position(blockLen - 4)
+      require(db.getInt == lookup3(braw, 0, blockLen - 4, 0),
+        s"$where: extensible-array data block checksum mismatch — corrupt file")
+      if (npages == 0) {
+        db.position(prefixLen)
+        var i = 0L
+        while (i < nelmts) { readElem(db, elemStart + i); i += 1 }
+      } else {
+        var pagesOff = addr + blockLen
+        val pageLen = (p.pageNelmts * entrySize).toInt + 4
+        var pg = 0
+        while (pg < npages) {
+          if (pageInit(pg)) {
+            val praw = new Array[Byte](pageLen)
+            at.bytes(pagesOff, pageLen).get(praw)
+            val pb = ByteBuffer.wrap(praw).order(ByteOrder.LITTLE_ENDIAN)
+            pb.position(pageLen - 4)
+            require(pb.getInt == lookup3(praw, 0, pageLen - 4, 0),
+              s"$where: extensible-array page checksum mismatch — corrupt file")
+            pb.position(0)
+            var i = 0L
+            while (i < p.pageNelmts) { readElem(pb, elemStart + pg * p.pageNelmts + i); i += 1 }
+          }
+          pagesOff += pageLen
+          pg += 1
+        }
+      }
+    }
+
+    // index block: inline elements, direct data-block ptrs, super-block ptrs
+    val ibLen = 4 + 1 + 1 + sh.ofs + p.idxBlkElmts * entrySize +
+      (p.ndblkAddrs + p.nsblkAddrs) * sh.ofs + 4
+    val braw = new Array[Byte](ibLen)
+    at.bytes(ibAddr, ibLen).get(braw)
+    val ib = ByteBuffer.wrap(braw).order(ByteOrder.LITTLE_ENDIAN)
+    val is4 = new Array[Byte](4); ib.get(is4)
+    require(is4.sameElements("EAIB".getBytes("US-ASCII")),
+      s"$where: bad extensible-array index block signature")
+    require((ib.get() & 0xFF) == 0 && (ib.get() & 0xFF) == clientId,
+      s"$where: extensible-array index block version/client")
+    require(getOfs(ib, sh.ofs) == hdrAddr, s"$where: index block back-pointer")
+    ib.position(ibLen - 4)
+    require(ib.getInt == lookup3(braw, 0, ibLen - 4, 0),
+      s"$where: extensible-array index block checksum mismatch — corrupt file")
+    ib.position(4 + 1 + 1 + sh.ofs)
+    var i = 0
+    while (i < p.idxBlkElmts) { readElem(ib, i.toLong); i += 1 }
+    val dblkAddrs = (0 until p.ndblkAddrs).map(_ => getOfs(ib, sh.ofs))
+    val sblkAddrs = (0 until p.nsblkAddrs).map(_ => getOfs(ib, sh.ofs))
+
+    // direct data blocks (super blocks folded into the index block) —
+    // these are below the paging threshold in every libhdf5 layout
+    dblkAddrs.zipWithIndex.foreach { case (a, j) =>
+      val u = p.directOwner(j.toLong)
+      val (_, dblkNe, startIdx, startDblk) = p.sblkInfo(u)
+      require(dblkNe <= p.pageNelmts,
+        s"$where: paged data block pointed from the index block (non-libhdf5 geometry)")
+      readDataBlock(a, dblkNe,
+        p.idxBlkElmts + startIdx + (j - startDblk) * dblkNe, 0, _ => false)
+    }
+
+    // super blocks: block offset, page-init bitmap for paged data blocks,
+    // then the data-block pointers
+    sblkAddrs.zipWithIndex.foreach { case (sa, t) =>
+      if (sa != Undef) {
+        val u = p.iblockNsblks + t
+        val (ndblks, dblkNe, startIdx, _) = p.sblkInfo(u)
+        val npagesPer = if (dblkNe > p.pageNelmts) (dblkNe / p.pageNelmts).toInt else 0
+        val bitmapBytes = if (npagesPer > 0) (ndblks * npagesPer + 7) / 8 else 0
+        val sbLen = 4 + 1 + 1 + sh.ofs + p.arrOffSize + bitmapBytes +
+          ndblks * sh.ofs + 4
+        val sraw = new Array[Byte](sbLen)
+        at.bytes(sa, sbLen).get(sraw)
+        val sb = ByteBuffer.wrap(sraw).order(ByteOrder.LITTLE_ENDIAN)
+        val ss4 = new Array[Byte](4); sb.get(ss4)
+        require(ss4.sameElements("EASB".getBytes("US-ASCII")),
+          s"$where: bad extensible-array super block signature")
+        require((sb.get() & 0xFF) == 0 && (sb.get() & 0xFF) == clientId,
+          s"$where: extensible-array super block version/client")
+        require(getOfs(sb, sh.ofs) == hdrAddr, s"$where: super block back-pointer")
+        sb.position(sb.position() + p.arrOffSize) // block offset (derived below)
+        sb.position(sbLen - 4)
+        require(sb.getInt == lookup3(sraw, 0, sbLen - 4, 0),
+          s"$where: extensible-array super block checksum mismatch — corrupt file")
+        val bitmapOff = 4 + 1 + 1 + sh.ofs + p.arrOffSize
+        sb.position(bitmapOff + bitmapBytes)
+        var d = 0
+        while (d < ndblks) {
+          val da = getOfs(sb, sh.ofs)
+          val base = d * npagesPer
+          readDataBlock(da, dblkNe,
+            p.idxBlkElmts + startIdx + d.toLong * dblkNe, npagesPer,
+            pg => (sraw(bitmapOff + (base + pg) / 8) & (1 << ((base + pg) % 8))) != 0)
+          d += 1
+        }
       }
     }
     out.result()
@@ -1369,7 +1585,10 @@ object Hdf5 {
             chunked: Boolean = false,
             deflate: Int = 0,
             layoutVersion: Int = 3,
-            faPageBits: Int = 0): Unit = {
+            faPageBits: Int = 0,
+            eaIndex: Boolean = false,
+            eaParams: EaParams = EaParams()): Unit = {
+    require(!eaIndex || layoutVersion == 4, "eaIndex requires layoutVersion 4")
     require(deflate >= 0 && deflate <= 9, s"deflate level $deflate out of [0, 9]")
     require(deflate == 0 || chunked, "deflate requires chunked layout")
     require(layoutVersion == 3 || layoutVersion == 4,
@@ -1452,14 +1671,16 @@ object Hdf5 {
       if (chunked && !isDim && shape.nonEmpty) {
         val rank = shape.length
         if (layoutVersion == 4) {
-          // v4 chunked: Single Chunk when the dataset is one chunk
-          // (libhdf5's choice there), else a Fixed Array index. Chunk
-          // dims exclude the element-size pseudo-dimension per the v4
-          // spec text (the reader accepts both encodings).
+          // v4 chunked: Extensible Array when requested (the unlimited-dim
+          // layout), Single Chunk when the dataset is one chunk (libhdf5's
+          // choice there), else a Fixed Array index. Chunk dims exclude
+          // the element-size pseudo-dimension per the v4 spec text (the
+          // reader accepts both encodings).
           val outer = shape.head.toInt
-          val single = outer == 1
+          val single = !eaIndex && outer == 1
           val filtered = deflate > 0
-          val idxInfo = if (single) (if (filtered) 12 else 0) else 1
+          val idxInfo =
+            if (eaIndex) 5 else if (single) (if (filtered) 12 else 0) else 1
           val size = pad8(2 + 3 + 8 * rank + 1 + idxInfo + 8)
           msgs += ((0x08, size, () => {
             val start = b.pos
@@ -1467,7 +1688,15 @@ object Hdf5 {
             b.u8(if (single && filtered) 0x02 else 0x00) // single-index-with-filter flag
             b.u8(rank); b.u8(8) // dimensionality, 8-byte dim encoding
             b.u64(1); shape.drop(1).foreach(d => b.u64(d.toLong))
-            if (single) {
+            if (eaIndex) {
+              b.u8(4) // Extensible Array index
+              // message cparam order per the spec: max-bits, index-elmts,
+              // min-ptrs, min-elmts, page-bits
+              b.u8(eaParams.maxNelmtsBits); b.u8(eaParams.idxBlkElmts)
+              b.u8(eaParams.supBlkMinDataPtrs); b.u8(eaParams.dataBlkMinElmts)
+              b.u8(eaParams.maxDblkPageNelmtsBits)
+              b.addr(s"eahd:${vd.name}")
+            } else if (single) {
               b.u8(1) // Single Chunk index
               if (filtered) {
                 b.addr(s"chunksz:${vd.name}") // stored size, defined at emit
@@ -1646,6 +1875,194 @@ object Hdf5 {
     def valueBytes(tpe: NetCdf.NcType, data: Array[Double]): Array[Byte] = {
       val tmp = new Buf; emitValuesTo(tmp, tpe, data); tmp.result()
     }
+    // Extensible Array chunk index (latest format, unlimited-dim shape):
+    // EAHD header, EAIB index block (inline elements + direct data-block
+    // pointers), EASB super blocks (with page-init bitmaps when their
+    // data blocks page), EADB data blocks. Sizes are all computable up
+    // front, so positions are assigned first and every structure is
+    // emitted with its final addresses inside — checksums cover the real
+    // bytes, no patch sites.
+    def emitExtensibleArray(name: String, addrs: Array[Long], sizes: Array[Int],
+                            filtered: Boolean): Unit = {
+      val pEa = eaParams
+      val client = if (filtered) 1 else 0
+      val entrySize = if (filtered) 16 else 8
+      val n = addrs.length
+      require(n <= (1L << pEa.maxNelmtsBits), s"$name: too many chunks for EA params")
+      b.padTo8()
+      val base = b.pos.toLong
+      val hdrLen = 4 + 1 + 1 + 6 + 6 * 8 + 8 + 4
+      val ibLen = 4 + 1 + 1 + 8 + pEa.idxBlkElmts * entrySize +
+        (pEa.ndblkAddrs + pEa.nsblkAddrs) * 8 + 4
+      val arrOff = pEa.arrOffSize
+      val sblkSpace = math.max(0L, n.toLong - pEa.idxBlkElmts)
+      def dblkLen(ne: Long): Int = {
+        val npages = if (ne > pEa.pageNelmts) (ne / pEa.pageNelmts).toInt else 0
+        val prefix = 4 + 1 + 1 + 8 + arrOff
+        if (npages == 0) prefix + (ne * entrySize).toInt + 4
+        else prefix + 4 + npages * ((pEa.pageNelmts * entrySize).toInt + 4)
+      }
+      // which direct data blocks / super blocks hold any real element?
+      val directNeeded = (0 until pEa.ndblkAddrs).map { j =>
+        val u = pEa.directOwner(j.toLong)
+        val (_, ne, startIdx, startDblk) = pEa.sblkInfo(u)
+        require(ne <= pEa.pageNelmts,
+          s"$name: EA params page an index-block data block (pick a larger page)")
+        startIdx + (j - startDblk) * ne < sblkSpace
+      }
+      val sblkNeeded = (0 until pEa.nsblkAddrs).map { t =>
+        pEa.sblkInfo(pEa.iblockNsblks + t)._3 < sblkSpace
+      }
+      def sblkLen(u: Int): Int = {
+        val (ndblks, ne, _, _) = pEa.sblkInfo(u)
+        val npagesPer = if (ne > pEa.pageNelmts) (ne / pEa.pageNelmts).toInt else 0
+        val bitmapBytes = if (npagesPer > 0) (ndblks * npagesPer + 7) / 8 else 0
+        4 + 1 + 1 + 8 + arrOff + bitmapBytes + ndblks * 8 + 4
+      }
+      // position assignment: EAHD, EAIB, needed direct dblocks, then per
+      // needed super block its EASB followed by its needed dblocks
+      var cursor = base + hdrLen + ibLen
+      val directAddrs = (0 until pEa.ndblkAddrs).map { j =>
+        if (!directNeeded(j)) Undef
+        else {
+          val u = pEa.directOwner(j.toLong)
+          val a = cursor; cursor += dblkLen(pEa.sblkInfo(u)._2); a
+        }
+      }
+      // per super block: its EASB, then its data blocks — the emission order
+      val sblkAddrs = new Array[Long](pEa.nsblkAddrs)
+      val sblkDblkAddrs = new Array[IndexedSeq[Long]](pEa.nsblkAddrs)
+      (0 until pEa.nsblkAddrs).foreach { t =>
+        val u = pEa.iblockNsblks + t
+        val (ndblks, ne, startIdx, _) = pEa.sblkInfo(u)
+        if (!sblkNeeded(t)) {
+          sblkAddrs(t) = Undef
+          sblkDblkAddrs(t) = IndexedSeq.fill(ndblks)(Undef)
+        } else {
+          sblkAddrs(t) = cursor; cursor += sblkLen(u)
+          sblkDblkAddrs(t) = (0 until ndblks).map { d =>
+            if (startIdx + d.toLong * ne >= sblkSpace) Undef
+            else { val a = cursor; cursor += dblkLen(ne); a }
+          }
+        }
+      }
+      def putElem(bb: ByteBuffer, g: Long): Unit =
+        if (g < n) {
+          bb.putLong(addrs(g.toInt))
+          if (filtered) { bb.putInt(sizes(g.toInt)); bb.putInt(0) }
+        } else {
+          bb.putLong(-1L)
+          if (filtered) { bb.putInt(0); bb.putInt(0) }
+        }
+      // EAHD
+      val h = ByteBuffer.allocate(hdrLen).order(ByteOrder.LITTLE_ENDIAN)
+      h.put("EAHD".getBytes("US-ASCII")); h.put(0.toByte); h.put(client.toByte)
+      h.put(entrySize.toByte); h.put(pEa.maxNelmtsBits.toByte)
+      h.put(pEa.idxBlkElmts.toByte); h.put(pEa.dataBlkMinElmts.toByte)
+      h.put(pEa.supBlkMinDataPtrs.toByte); h.put(pEa.maxDblkPageNelmtsBits.toByte)
+      h.putLong(sblkNeeded.count(identity).toLong)          // super blocks
+      h.putLong(sblkAddrs.indices.filter(sblkNeeded).map(t =>
+        sblkLen(pEa.iblockNsblks + t).toLong).sum)          // super block bytes
+      val nDblksUsed = directNeeded.count(identity) +
+        sblkDblkAddrs.map(_.count(_ != Undef)).sum
+      h.putLong(nDblksUsed.toLong)                          // data blocks
+      h.putLong((cursor - base - hdrLen - ibLen) -
+        sblkAddrs.indices.filter(sblkNeeded).map(t =>
+          sblkLen(pEa.iblockNsblks + t).toLong).sum)        // data block bytes
+      h.putLong(n.toLong)                                   // max index set
+      h.putLong(n.toLong)                                   // realized elements
+      h.putLong(base + hdrLen)                              // index block addr
+      h.putInt(lookup3(h.array(), 0, hdrLen - 4, 0))
+      b.mark(s"eahd:$name"); b.bytes(h.array())
+      require(b.pos.toLong == base + hdrLen)
+      // EAIB
+      val ibb = ByteBuffer.allocate(ibLen).order(ByteOrder.LITTLE_ENDIAN)
+      ibb.put("EAIB".getBytes("US-ASCII")); ibb.put(0.toByte); ibb.put(client.toByte)
+      ibb.putLong(base)
+      (0 until pEa.idxBlkElmts).foreach(i => putElem(ibb, i.toLong))
+      directAddrs.foreach(ibb.putLong)
+      sblkAddrs.foreach(ibb.putLong)
+      ibb.putInt(lookup3(ibb.array(), 0, ibLen - 4, 0))
+      b.bytes(ibb.array())
+      def emitDblock(addr: Long, ne: Long, elemStart: Long, blockOff: Long): Unit = {
+        val npages = if (ne > pEa.pageNelmts) (ne / pEa.pageNelmts).toInt else 0
+        val len = dblkLen(ne)
+        require(b.pos.toLong == addr, s"$name: EA data block position drift")
+        val prefix = 4 + 1 + 1 + 8 + arrOff
+        val coreLen = prefix + (if (npages == 0) (ne * entrySize).toInt else 0) + 4
+        val dbb = ByteBuffer.allocate(coreLen).order(ByteOrder.LITTLE_ENDIAN)
+        dbb.put("EADB".getBytes("US-ASCII")); dbb.put(0.toByte); dbb.put(client.toByte)
+        dbb.putLong(base)
+        var k = 0 // block offset, arrOffSize bytes little-endian
+        while (k < arrOff) { dbb.put(((blockOff >> (8 * k)) & 0xFF).toByte); k += 1 }
+        if (npages == 0) (0L until ne).foreach(i => putElem(dbb, elemStart + i))
+        dbb.putInt(lookup3(dbb.array(), 0, coreLen - 4, 0))
+        b.bytes(dbb.array())
+        if (npages > 0) {
+          val pageLen = (pEa.pageNelmts * entrySize).toInt + 4
+          var pg = 0
+          while (pg < npages) {
+            val pb = ByteBuffer.allocate(pageLen).order(ByteOrder.LITTLE_ENDIAN)
+            (0L until pEa.pageNelmts).foreach(i =>
+              putElem(pb, elemStart + pg * pEa.pageNelmts + i))
+            pb.putInt(lookup3(pb.array(), 0, pageLen - 4, 0))
+            b.bytes(pb.array())
+            pg += 1
+          }
+        }
+        val _ = len
+      }
+      directAddrs.zipWithIndex.foreach { case (a, j) =>
+        if (a != Undef) {
+          val u = pEa.directOwner(j.toLong)
+          val (_, ne, startIdx, startDblk) = pEa.sblkInfo(u)
+          val elemStart = pEa.idxBlkElmts + startIdx + (j - startDblk) * ne
+          emitDblock(a, ne, elemStart, elemStart)
+        }
+      }
+      sblkAddrs.zipWithIndex.foreach { case (sa, t) =>
+        if (sa != Undef) {
+          val u = pEa.iblockNsblks + t
+          val (ndblks, ne, startIdx, _) = pEa.sblkInfo(u)
+          val npagesPer = if (ne > pEa.pageNelmts) (ne / pEa.pageNelmts).toInt else 0
+          val bitmapBytes = if (npagesPer > 0) (ndblks * npagesPer + 7) / 8 else 0
+          val len = sblkLen(u)
+          require(b.pos.toLong == sa, s"$name: EA super block position drift")
+          val sbb = ByteBuffer.allocate(len).order(ByteOrder.LITTLE_ENDIAN)
+          sbb.put("EASB".getBytes("US-ASCII")); sbb.put(0.toByte); sbb.put(client.toByte)
+          sbb.putLong(base)
+          val blockOff = pEa.idxBlkElmts + startIdx
+          var k = 0
+          while (k < arrOff) { sbb.put(((blockOff >> (8 * k)) & 0xFF).toByte); k += 1 }
+          if (npagesPer > 0) {
+            // page-init bitmap: a page is initialized iff it holds any
+            // real element (chunks are the contiguous prefix 0..n-1)
+            var bit = 0
+            while (bit < ndblks * npagesPer) {
+              val d = bit / npagesPer; val pg = bit % npagesPer
+              val pageStart = pEa.idxBlkElmts + startIdx + d.toLong * ne +
+                pg * pEa.pageNelmts
+              if (pageStart < n && sblkDblkAddrs(t)(d) != Undef)
+                sbb.put(14 + arrOff + bit / 8,
+                  (sbb.get(14 + arrOff + bit / 8) | (1 << (bit % 8))).toByte)
+              bit += 1
+            }
+            sbb.position(14 + arrOff + bitmapBytes)
+          }
+          sblkDblkAddrs(t).foreach(sbb.putLong)
+          sbb.position(len - 4)
+          sbb.putInt(lookup3(sbb.array(), 0, len - 4, 0))
+          b.bytes(sbb.array())
+          sblkDblkAddrs(t).zipWithIndex.foreach { case (da, d) =>
+            if (da != Undef) {
+              val elemStart = pEa.idxBlkElmts + startIdx + d.toLong * ne
+              emitDblock(da, ne, elemStart, elemStart)
+            }
+          }
+        }
+      }
+      require(b.pos.toLong == cursor, s"$name: EA layout size accounting drift")
+    }
     // Fixed Array chunk index (latest format): "FAHD" header + "FADB"
     // data block (+ element pages when paged), lookup3-checksummed.
     // Emitted AFTER the chunks so every address inside is final and the
@@ -1731,7 +2148,9 @@ object Hdf5 {
           }
         }
         if (layoutVersion == 4) {
-          if (outer == 1) {
+          if (eaIndex) {
+            emitExtensibleArray(vd.name, storedAddrs, storedSizes, deflate > 0)
+          } else if (outer == 1) {
             // Single Chunk index: the layout message points straight at
             // the chunk; only the filtered stored-size needs resolving
             if (deflate > 0) b.define(s"chunksz:${vd.name}", storedSizes(0).toLong)

@@ -78,10 +78,11 @@ object NetCdfQ extends QueryPack {
     */
   private def writeGridH5(path: String, years: Seq[Int],
                           nVals: Array[Double], qVals: Array[Double],
-                          deflate: Int = 0, layoutVersion: Int = 3): Unit =
+                          deflate: Int = 0, layoutVersion: Int = 3,
+                          eaIndex: Boolean = false): Unit =
     graft.ingest.Hdf5.write(path, gridDims(years), gridVars(years, nVals, qVals),
       gridGatts, chunked = true, deflate = deflate,
-      layoutVersion = layoutVersion)
+      layoutVersion = layoutVersion, eaIndex = eaIndex)
 
   /** CF time back to ship_year, fills back to null — the read side both
     * queries share; output rows match the lineitem group-by oracle.
@@ -210,6 +211,18 @@ object NetCdfQ extends QueryPack {
       writeGridH5(path, years.toSeq, nVals, qVals, deflate = 6, layoutVersion = 4)
       backToRows(NetCdf.read(s, path, Seq("n", "mean_qty")))
     }),
+    // The latest-format UNLIMITED-dimension shape: version-4 layout with
+    // an Extensible Array chunk index (what libhdf5 1.10+ writes for the
+    // netCDF-4 time-unlimited case), compressed chunks, every EA
+    // structure lookup3-checksummed — same oracle once more.
+    "q_netcdf4_unlimited" -> ((s, dir) => {
+      val (years, nVals, qVals) = gridSlabs(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-nc4u").resolve("grid.nc").toString
+      writeGridH5(path, years.toSeq, nVals, qVals, deflate = 6,
+        layoutVersion = 4, eaIndex = true)
+      backToRows(NetCdf.read(s, path, Seq("n", "mean_qty")))
+    }),
     // CDF-5 (64-bit data) variant of the classic container, same oracle.
     "q_netcdf5_roundtrip" -> ((s, dir) => {
       val (years, nVals, qVals) = gridSlabs(s, dir)
@@ -261,6 +274,7 @@ object NetCdfQ extends QueryPack {
     "q_netcdf4_roundtrip" -> roundtripSql,
     "q_netcdf4_deflate" -> roundtripSql,
     "q_netcdf4_latest" -> roundtripSql,
+    "q_netcdf4_unlimited" -> roundtripSql,
     "q_netcdf5_roundtrip" -> roundtripSql,
     "q_stream_netcdf" -> roundtripSql,
     "q_netcdf4_pushdown" -> pushdownSql,

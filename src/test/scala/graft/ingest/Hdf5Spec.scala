@@ -7,7 +7,8 @@ class Hdf5Spec extends SparkSpec {
   import NetCdf.{Dim, VarDef, NcDouble, NcFloat, NcShort, NcInt}
 
   private def writeGrid(path: String, chunked: Boolean, deflate: Int = 0,
-                        layoutVersion: Int = 3, faPageBits: Int = 0): Unit = {
+                        layoutVersion: Int = 3, faPageBits: Int = 0,
+                        eaIndex: Boolean = false): Unit = {
     val (nt, nlat, nlon) = (4, 3, 2)
     val temps = Array.tabulate(nt * nlat * nlon)(i => 250.0 + i)
     val packed = temps.map(t => (t - 200.0) / 0.5)
@@ -27,7 +28,8 @@ class Hdf5Spec extends SparkSpec {
           Array.tabulate(nt * nlat * nlon)(_.toDouble))),
       gatts = Seq("Conventions" -> "CF-1.8", "title" -> "graft h5 test"),
       chunked = chunked, deflate = deflate,
-      layoutVersion = layoutVersion, faPageBits = faPageBits)
+      layoutVersion = layoutVersion, faPageBits = faPageBits,
+      eaIndex = eaIndex)
   }
 
   test("structure parse: signature, dim scales, DIMENSION_LIST, attrs") {
@@ -251,6 +253,74 @@ class Hdf5Spec extends SparkSpec {
         assert(cs.head.offsets.forall(_ == 0L))
       case other => fail(s"expected chunked, got $other")
     }
+  }
+
+  test("v4 extensible array (default params) reads identically to v1 B-tree") {
+    // 4 outer chunks + default idxBlkElmts=4 → all elements inline in the
+    // EAIB; with deflate the filtered-element encoding is exercised too
+    val base = tmpDir()
+    writeGrid(base + "/v3.h5", chunked = true)
+    val expected = Hdf5.read(spark, base + "/v3.h5", Seq("t2m", "count"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    for ((sfx, dz) <- Seq(("plain", 0), ("z", 6))) {
+      val p = s"$base/ea_$sfx.h5"
+      writeGrid(p, chunked = true, deflate = dz, layoutVersion = 4, eaIndex = true)
+      val got = Hdf5.read(spark, p, Seq("t2m", "count"))
+        .orderBy("time", "lat", "lon").collect().toSeq
+      assert(got == expected, s"ea $sfx mismatch")
+    }
+  }
+
+  test("v4 extensible array: super blocks and paged data blocks") {
+    // params chosen so 25 chunks span every EA zone: 1 inline element,
+    // direct data blocks (2+4), one unpaged super block (2×4), then a
+    // paged super block (2×8 in pages of 4)
+    val ea = Hdf5.EaParams(maxNelmtsBits = 16, idxBlkElmts = 1,
+      dataBlkMinElmts = 2, supBlkMinDataPtrs = 2, maxDblkPageNelmtsBits = 2)
+    val (nt, nlat, nlon) = (25, 2, 1)
+    val vals = Array.tabulate(nt * nlat * nlon)(i => 100.0 + i)
+    def dims = Seq(Dim("time", nt), Dim("lat", nlat), Dim("lon", nlon))
+    def vars = Seq(
+      (VarDef("time", Seq("time"), NcDouble,
+        Seq("units" -> "hours since 2022-01-01")), Array.tabulate(nt)(_.toDouble)),
+      (VarDef("lat", Seq("lat"), NcDouble), Array(-45.0, 45.0)),
+      (VarDef("lon", Seq("lon"), NcDouble), Array(0.0)),
+      (VarDef("t2m", Seq("time", "lat", "lon"), NcDouble), vals))
+    val base = tmpDir()
+    Hdf5.write(s"$base/v3.h5", dims, vars, chunked = true)
+    val expected = Hdf5.read(spark, s"$base/v3.h5", Seq("t2m"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    for ((sfx, dz) <- Seq(("plain", 0), ("z", 4))) {
+      val p = s"$base/ea_$sfx.h5"
+      Hdf5.write(p, dims, vars, chunked = true, deflate = dz,
+        layoutVersion = 4, eaIndex = true, eaParams = ea)
+      val got = Hdf5.read(spark, p, Seq("t2m"))
+        .orderBy("time", "lat", "lon").collect().toSeq
+      assert(got == expected, s"ea-deep $sfx mismatch")
+      val f = Hdf5.readStructure(p, Map.empty)
+      f.datasets.find(_.name == "t2m").get.layout match {
+        case Hdf5.Chunked(cdims, cs) =>
+          assert(cdims == IndexedSeq(1, 2, 1) && cs.length == nt)
+          assert(cs.map(_.offsets.head).sorted == (0 until nt).map(_.toLong))
+        case other => fail(s"expected chunked, got $other")
+      }
+    }
+  }
+
+  test("v4 corrupt extensible-array structure fails loudly") {
+    val path = tmpDir() + "/badea.h5"
+    writeGrid(path, chunked = true, deflate = 4, layoutVersion = 4, eaIndex = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val pos = bytes.indexOfSlice("EAIB".getBytes("US-ASCII"))
+    assert(pos > 0, "fixture contains an EA index block")
+    // flip inside the element region (past sig/version/client/back-pointer)
+    bytes(pos + 20) = (bytes(pos + 20) ^ 0x3C).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    val e = intercept[Exception] { Hdf5.read(spark, path, Seq("t2m")).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("checksum mismatch")),
+      s"expected checksum failure, got: ${msgs(e).mkString(" | ")}")
   }
 
   test("v4 corrupt fixed-array checksum fails loudly") {
