@@ -255,24 +255,26 @@ object ScaleProbe {
             graft.ingest.NetCdf.NcDouble), t2m),
           (graft.ingest.NetCdf.VarDef("pr", Seq("time", "lat", "lon"),
             graft.ingest.NetCdf.NcDouble), pr))
-        val h5Plain = h5Dir.resolve("grid_plain.h5").toString
-        val h5Z = h5Dir.resolve("grid_z.h5").toString
-        time("h5_write_chunked")(graft.ingest.Hdf5.write(
-          h5Plain, h5Dims, h5Vars, chunked = true))
-        time("h5_write_deflate")(graft.ingest.Hdf5.write(
-          h5Z, h5Dims, h5Vars, chunked = true, deflate = 4))
-        println(s"$size h5_bytes_plain=${new java.io.File(h5Plain).length()} " +
-          s"h5_bytes_deflate=${new java.io.File(h5Z).length()}")
-        def scanH5(p: String): Unit = graft.ingest.NetCdf
-          .read(spark, p, Seq("t2m", "pr"))
-          .agg(sum(col("t2m")), sum(col("pr")))
-          .write.format("noop").mode("overwrite").save()
-        scanH5(h5Plain) // untimed warmup: codegen + page cache, so the
-        scanH5(h5Z)     // two timed scans differ only in codec work
-        time("h5_scan_chunked")(scanH5(h5Plain))
-        time("h5_scan_deflate")(scanH5(h5Z))
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(h5Plain))
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(h5Z))
+        if (wanted("h5_")) {
+          val h5Plain = h5Dir.resolve("grid_plain.h5").toString
+          val h5Z = h5Dir.resolve("grid_z.h5").toString
+          time("h5_write_chunked")(graft.ingest.Hdf5.write(
+            h5Plain, h5Dims, h5Vars, chunked = true))
+          time("h5_write_deflate")(graft.ingest.Hdf5.write(
+            h5Z, h5Dims, h5Vars, chunked = true, deflate = 4))
+          println(s"$size h5_bytes_plain=${new java.io.File(h5Plain).length()} " +
+            s"h5_bytes_deflate=${new java.io.File(h5Z).length()}")
+          def scanH5(p: String): Unit = graft.ingest.NetCdf
+            .read(spark, p, Seq("t2m", "pr"))
+            .agg(sum(col("t2m")), sum(col("pr")))
+            .write.format("noop").mode("overwrite").save()
+          scanH5(h5Plain) // untimed warmup: codegen + page cache, so the
+          scanH5(h5Z)     // two timed scans differ only in codec work
+          time("h5_scan_chunked")(scanH5(h5Plain))
+          time("h5_scan_deflate")(scanH5(h5Z))
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(h5Plain))
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(h5Z))
+        }
 
         // Streaming archive ingest vs batch readDir over the same files:
         // one file per outer slice, so the stream's unit of parallelism
@@ -302,10 +304,13 @@ object ScaleProbe {
                   java.util.Arrays.copyOfRange(t2m, i * perFile, (i + 1) * perFile))))
           }
           println(s"$size ncstream_files=$nt")
-          time("ncstream_batch")(graft.ingest.NetCdf
-            .readDir(spark, archDir.toString, Seq("t2m"))
+          def scanDir(threshold: Int): Unit = graft.ingest.NetCdf
+            .readDir(spark, archDir.toString, Seq("t2m"),
+              fileGrainThreshold = threshold)
             .agg(sum(col("t2m")))
-            .write.format("noop").mode("overwrite").save())
+            .write.format("noop").mode("overwrite").save()
+          time("ncdir_union")(scanDir(Int.MaxValue))
+          time("ncdir_filegrain")(scanDir(1))
           time("ncstream_stream") {
             val sq = graft.ingest.NetCdf
               .readStream(spark, archDir.toString, Seq("t2m"))

@@ -199,6 +199,17 @@ class NetCdfSpec extends SparkSpec {
       readDir(spark, empty, Seq("x"))
     }.getMessage
     assert(err.contains("no .nc files"))
+    // the many-file FILE-GRAIN path (one decode task per file) returns the
+    // identical row set as the per-file union plan — with and without
+    // pushdown, which file-grain applies inside each task
+    def rows(threshold: Int, tr: Option[(String, String)]) =
+      readDir(spark, base, Seq("x"), timeRange = tr,
+        fileGrainThreshold = threshold)
+        .orderBy("time", "lat").collect().toSeq
+    assert(rows(1, None) == rows(Int.MaxValue, None))
+    val tr = Some(("1996-01-30", "1996-03-05"))
+    assert(rows(1, tr) == rows(Int.MaxValue, tr))
+    assert(rows(1, tr).nonEmpty)
   }
 
   test("CDF-5 roundtrip: 64-bit header fields, unsigned and 64-bit types") {
