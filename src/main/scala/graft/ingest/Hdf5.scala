@@ -1587,8 +1587,11 @@ object Hdf5 {
             layoutVersion: Int = 3,
             faPageBits: Int = 0,
             eaIndex: Boolean = false,
-            eaParams: EaParams = EaParams()): Unit = {
+            eaParams: EaParams = EaParams(),
+            implicitIndex: Boolean = false): Unit = {
     require(!eaIndex || layoutVersion == 4, "eaIndex requires layoutVersion 4")
+    require(!implicitIndex || (layoutVersion == 4 && deflate == 0 && !eaIndex),
+      "implicitIndex requires layoutVersion 4 and no filters")
     require(deflate >= 0 && deflate <= 9, s"deflate level $deflate out of [0, 9]")
     require(deflate == 0 || chunked, "deflate requires chunked layout")
     require(layoutVersion == 3 || layoutVersion == 4,
@@ -1680,7 +1683,10 @@ object Hdf5 {
           val single = !eaIndex && outer == 1
           val filtered = deflate > 0
           val idxInfo =
-            if (eaIndex) 5 else if (single) (if (filtered) 12 else 0) else 1
+            if (eaIndex) 5
+            else if (implicitIndex) 0
+            else if (single) (if (filtered) 12 else 0)
+            else 1
           val size = pad8(2 + 3 + 8 * rank + 1 + idxInfo + 8)
           msgs += ((0x08, size, () => {
             val start = b.pos
@@ -1696,6 +1702,9 @@ object Hdf5 {
               b.u8(eaParams.supBlkMinDataPtrs); b.u8(eaParams.dataBlkMinElmts)
               b.u8(eaParams.maxDblkPageNelmtsBits)
               b.addr(s"eahd:${vd.name}")
+            } else if (implicitIndex) {
+              b.u8(2) // Implicit index: early-allocated contiguous chunks
+              b.addr(s"chunk:${vd.name}:0")
             } else if (single) {
               b.u8(1) // Single Chunk index
               if (filtered) {
@@ -2150,6 +2159,14 @@ object Hdf5 {
         if (layoutVersion == 4) {
           if (eaIndex) {
             emitExtensibleArray(vd.name, storedAddrs, storedSizes, deflate > 0)
+          } else if (implicitIndex) {
+            // Implicit index: the chunks ARE the index — address of chunk 0,
+            // stride = chunk bytes. padTo8 between chunks must be a no-op.
+            require((innerCount.toLong * vd.tpe.size) % 8 == 0,
+              s"${vd.name}: implicit index fixture needs 8-aligned chunks")
+            require(storedAddrs.zipWithIndex.forall { case (a, i) =>
+              a == storedAddrs(0) + i.toLong * innerCount * vd.tpe.size },
+              s"${vd.name}: implicit chunks not contiguous")
           } else if (outer == 1) {
             // Single Chunk index: the layout message points straight at
             // the chunk; only the filtered stored-size needs resolving

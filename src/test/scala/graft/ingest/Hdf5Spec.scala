@@ -8,7 +8,8 @@ class Hdf5Spec extends SparkSpec {
 
   private def writeGrid(path: String, chunked: Boolean, deflate: Int = 0,
                         layoutVersion: Int = 3, faPageBits: Int = 0,
-                        eaIndex: Boolean = false): Unit = {
+                        eaIndex: Boolean = false,
+                        implicitIndex: Boolean = false): Unit = {
     val (nt, nlat, nlon) = (4, 3, 2)
     val temps = Array.tabulate(nt * nlat * nlon)(i => 250.0 + i)
     val packed = temps.map(t => (t - 200.0) / 0.5)
@@ -29,7 +30,7 @@ class Hdf5Spec extends SparkSpec {
       gatts = Seq("Conventions" -> "CF-1.8", "title" -> "graft h5 test"),
       chunked = chunked, deflate = deflate,
       layoutVersion = layoutVersion, faPageBits = faPageBits,
-      eaIndex = eaIndex)
+      eaIndex = eaIndex, implicitIndex = implicitIndex)
   }
 
   test("structure parse: signature, dim scales, DIMENSION_LIST, attrs") {
@@ -304,6 +305,40 @@ class Hdf5Spec extends SparkSpec {
           assert(cs.map(_.offsets.head).sorted == (0 until nt).map(_.toLong))
         case other => fail(s"expected chunked, got $other")
       }
+    }
+  }
+
+  test("v4 implicit chunk index (early-allocated contiguous chunks)") {
+    // 8-aligned (double) chunks — the implicit index stores no per-chunk
+    // records at all: address = base + linear-chunk-index × chunk bytes
+    val (nt, nlat, nlon) = (4, 3, 2)
+    def dims = Seq(Dim("time", nt), Dim("lat", nlat), Dim("lon", nlon))
+    def vars = Seq(
+      (VarDef("time", Seq("time"), NcDouble,
+        Seq("units" -> "hours since 2021-06-01")), Array.tabulate(nt)(_ * 6.0)),
+      (VarDef("lat", Seq("lat"), NcDouble), Array(-45.0, 0.0, 45.0)),
+      (VarDef("lon", Seq("lon"), NcDouble), Array(0.0, 90.0)),
+      (VarDef("t2m", Seq("time", "lat", "lon"), NcDouble),
+        Array.tabulate(nt * nlat * nlon)(i => 250.0 + i)))
+    val base = tmpDir()
+    Hdf5.write(s"$base/v3.h5", dims, vars, chunked = true)
+    val expected = Hdf5.read(spark, s"$base/v3.h5", Seq("t2m"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    val p = s"$base/impl.h5"
+    Hdf5.write(p, dims, vars, chunked = true, layoutVersion = 4,
+      implicitIndex = true)
+    val got = Hdf5.read(spark, p, Seq("t2m"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    assert(got == expected)
+    val f = Hdf5.readStructure(p, Map.empty)
+    f.datasets.find(_.name == "t2m").get.layout match {
+      case Hdf5.Chunked(cdims, cs) =>
+        assert(cdims == IndexedSeq(1, 3, 2) && cs.length == 4)
+        // implicit: addresses stride by exactly the chunk byte size
+        val stride = cdims.product * 8
+        assert(cs.sortBy(_.offsets.head).map(_.addr).sliding(2).forall {
+          case Seq(a, b2) => b2 - a == stride; case _ => true })
+      case other => fail(s"expected chunked, got $other")
     }
   }
 
