@@ -63,10 +63,13 @@ object TrendQ extends QueryPack {
          |      / regr_sxx(l_quantity, $yearsX)), 6) AS std_err,
          |  CAST(regr_count(l_quantity, $yearsX) AS BIGINT) AS n
          |FROM lineitem GROUP BY 1""".stripMargin,
-    // t values: org.apache.commons.math3 TDistribution(df).icdf(0.975) —
-    // the exact kernel behind StatsFns.tQuantile — printed at full double
-    // precision for the three df = n−2 observed at the sf0.01 gate. A df
-    // the table lacks drops the row → count mismatch → loud failure.
+    // t-quantile derived IN SQL for any group size: the Cornish-Fisher /
+    // Peiser expansion of t_{0.975,ν} around the normal quantile z,
+    //   t = z + (z³+z)/4ν + (5z⁵+16z³+3z)/96ν² + (3z⁷+19z⁵+17z³−15z)/384ν³,
+    // whose truncation error is O(ν⁻⁴) — ~1e-13 at this query's ν≈2·10⁴
+    // and <1e-7 for any ν ≥ 100, orders below the round(·,6) grid after
+    // multiplying by std_err. z = Φ⁻¹(0.975) is the same universal
+    // constant q_mann_kendall already uses; no data-dependent literals.
     "q_trend_ci" ->
       s"""WITH base AS (
          |  SELECT l_returnflag,
@@ -78,15 +81,22 @@ object TrendQ extends QueryPack {
          |        / regr_sxx(l_quantity, $yearsX)) AS std_err,
          |    regr_count(l_quantity, $yearsX) AS n
          |  FROM lineitem GROUP BY 1),
-         |tq AS (SELECT * FROM (VALUES
-         |  (19924, 1.9600830571817720),
-         |  (20026, 1.9600824506615182),
-         |  (20044, 1.9600823442689164)) AS t(df, t975))
+         |tq AS (
+         |  SELECT l_returnflag, trend, std_err,
+         |    1.9599639845400545 AS z, CAST(n - 2 AS DOUBLE) AS df
+         |  FROM base),
+         |tt AS (
+         |  SELECT l_returnflag, trend, std_err,
+         |    z + (pow(z, 3) + z) / (4 * df)
+         |      + (5 * pow(z, 5) + 16 * pow(z, 3) + 3 * z) / (96 * df * df)
+         |      + (3 * pow(z, 7) + 19 * pow(z, 5) + 17 * pow(z, 3) - 15 * z)
+         |        / (384 * df * df * df) AS t975
+         |  FROM tq)
          |SELECT l_returnflag,
          |  round(trend, 6) AS trend,
          |  round(trend - t975 * std_err, 6) AS trend_lower,
          |  round(trend + t975 * std_err, 6) AS trend_upper
-         |FROM base JOIN tq ON base.n - 2 = tq.df""".stripMargin,
+         |FROM tt""".stripMargin,
     "q_mann_kendall" ->
       """WITH ser AS (
         |  SELECT l_returnflag AS k, date_trunc('month', l_shipdate) AS t,
