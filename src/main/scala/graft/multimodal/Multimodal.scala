@@ -501,4 +501,195 @@ object Multimodal {
     val n = img.getWidth.toDouble * img.getHeight
     Some((r / n, g / n, b / n))
   }
+
+  // ---- ISO-BMFF (MP4/MOV/M4A) container metadata — from-spec box walk
+  // (public ISO/IEC 14496-12 layout; no media library). Header parse
+  // only: O(header bytes) per blob regardless of mdat size, the same
+  // cost shape as [[audioMeta]]'s javax.sound header probe. ----
+
+  final case class VideoMeta(media_id: Long, major_brand: String,
+                             duration_s: Double, n_tracks: Int,
+                             video_codec: String, width: Int, height: Int,
+                             n_samples: Long, frame_rate: Double)
+
+  /** Parse one ISO-BMFF blob's metadata: `ftyp` major brand, `mvhd`
+    * movie duration, per-track `tkhd`/`mdhd`/`hdlr`/`stsd`/`stts` —
+    * versions 0 AND 1 (64-bit times) of the timed boxes, 64-bit
+    * `largesize` and to-EOF (`size == 0`) boxes included. Returns None
+    * when the bytes are not a BMFF container (no `ftyp`/`moov`), keeping
+    * [[videoMeta]] total over mixed media.
+    */
+  private[multimodal] def parseBmff(id: Long, bytes: Array[Byte]): Option[VideoMeta] = {
+    if (bytes == null || bytes.length < 16) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+    def fourcc(i: Int): String =
+      new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // walk the box sequence in [from, to); invoke f(type, bodyFrom, bodyTo)
+    def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        val size32 = bb.getInt(p).toLong & 0xFFFFFFFFL
+        val typ = fourcc(p + 4)
+        val (body, end) =
+          if (size32 == 1L) {
+            val large = bb.getLong(p + 8)
+            (p + 16, p + large)
+          } else if (size32 == 0L) (p + 8, to.toLong) // box extends to EOF
+          else (p + 8, p + size32)
+        if (end < body || end > to) return // malformed length: stop loudly-silent
+        f(typ, body, end.toInt)
+        p = end.toInt
+      }
+    }
+    var brand: String = null
+    var movieDur = 0.0
+    var nTracks = 0
+    var vCodec = ""; var vW = 0; var vH = 0
+    var vSamples = 0L; var vRate = 0.0
+    def parseTrak(from: Int, to: Int): Unit = {
+      nTracks += 1
+      var handler = ""
+      var w = 0; var h = 0
+      var mediaTs = 0L
+      var codec = ""; var samples = 0L; var sampleDur = 0L
+      def parseStbl(f2: Int, t2: Int): Unit = walk(f2, t2) {
+        case ("stsd", b2, _) =>
+          if (bb.getInt(b2 + 4) > 0) codec = fourcc(b2 + 12)
+        case ("stts", b2, _) =>
+          val n = bb.getInt(b2 + 4)
+          var i = 0
+          while (i < n) {
+            val c = bb.getInt(b2 + 8 + i * 8).toLong & 0xFFFFFFFFL
+            val d = bb.getInt(b2 + 12 + i * 8).toLong & 0xFFFFFFFFL
+            samples += c; sampleDur += c * d
+            i += 1
+          }
+        case _ => ()
+      }
+      walk(from, to) {
+        case ("tkhd", b2, _) =>
+          val v = bytes(b2) & 0xFF
+          val o = b2 + (if (v == 1) 4 + 8 + 8 + 4 + 4 + 8 else 4 + 4 + 4 + 4 + 4 + 4)
+          // reserved(8) layer(2) alt(2) volume(2) reserved(2) matrix(36)
+          val wh = o + 8 + 2 + 2 + 2 + 2 + 36
+          w = bb.getInt(wh) >>> 16 // 16.16 fixed point
+          h = bb.getInt(wh + 4) >>> 16
+        case ("mdia", b2, t2) => walk(b2, t2) {
+          case ("mdhd", b3, _) =>
+            val v = bytes(b3) & 0xFF
+            mediaTs =
+              if (v == 1) bb.getInt(b3 + 4 + 8 + 8).toLong & 0xFFFFFFFFL
+              else bb.getInt(b3 + 4 + 4 + 4).toLong & 0xFFFFFFFFL
+          case ("hdlr", b3, _) => handler = fourcc(b3 + 8)
+          case ("minf", b3, t3) => walk(b3, t3) {
+            case ("stbl", b4, t4) => parseStbl(b4, t4)
+            case _ => ()
+          }
+          case _ => ()
+        }
+        case _ => ()
+      }
+      if (handler == "vide" && vCodec.isEmpty) {
+        vCodec = codec; vW = w; vH = h; vSamples = samples
+        if (sampleDur > 0 && mediaTs > 0)
+          vRate = samples.toDouble * mediaTs / sampleDur
+      }
+    }
+    walk(0, bytes.length) {
+      case ("ftyp", b2, _) => brand = fourcc(b2)
+      case ("moov", b2, t2) => walk(b2, t2) {
+        case ("mvhd", b3, _) =>
+          val v = bytes(b3) & 0xFF
+          val (ts, dur) =
+            if (v == 1) (bb.getInt(b3 + 4 + 8 + 8).toLong & 0xFFFFFFFFL,
+              bb.getLong(b3 + 4 + 8 + 8 + 4))
+            else (bb.getInt(b3 + 4 + 4 + 4).toLong & 0xFFFFFFFFL,
+              bb.getInt(b3 + 4 + 4 + 4 + 4).toLong & 0xFFFFFFFFL)
+          if (ts > 0) movieDur = dur.toDouble / ts
+        case ("trak", b3, t3) => parseTrak(b3, t3)
+        case _ => ()
+      }
+      case _ => ()
+    }
+    if (brand == null || nTracks == 0) None
+    else Some(VideoMeta(id, brand, movieDur, nTracks, vCodec, vW, vH,
+      vSamples, vRate))
+  }
+
+  /** Distributed BMFF metadata extraction over a (media_id, content)
+    * frame — per-partition like [[audioMeta]]; emits no row for non-BMFF
+    * bytes.
+    */
+  def videoMeta(df: DataFrame): Dataset[VideoMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        try parseBmff(id, bytes)
+        catch { case scala.util.control.NonFatal(_) => None }
+      })
+  }
+
+  /** Minimal spec-conformant MP4: `ftyp` + `mdat` + `moov` with one video
+    * track (`mvhd`/`tkhd`/`mdhd`/`hdlr`/`vmhd`/`dref`/full sample table),
+    * movie timescale = `fps` so `duration_s = nFrames/fps` is exact IEEE
+    * division on any replayer. The [[wavFromPcm]] analog for video: the
+    * payload is synthetic (no codec-config child, so not decodable), the
+    * CONTAINER and its parse are real.
+    */
+  def mp4(width: Int, height: Int, nFrames: Int, fps: Int,
+          codec: String = "avc1", sampleBytes: Int = 16): Array[Byte] = {
+    require(nFrames > 0 && fps > 0 && codec.length == 4)
+    def box(typ: String, body: Array[Byte]*): Array[Byte] = {
+      val len = 8 + body.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len).order(java.nio.ByteOrder.BIG_ENDIAN)
+      bb.putInt(len).put(typ.getBytes("US-ASCII"))
+      body.foreach(bb.put)
+      bb.array()
+    }
+    def be(vs: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(vs.length * 4)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      vs.foreach(bb.putInt)
+      bb.array()
+    }
+    val matrix = be(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be(0x200),
+      "isommp41".getBytes("US-ASCII"))
+    val mdat = box("mdat", Array.tabulate(nFrames * sampleBytes)(i => (i % 251).toByte))
+    val mvhd = box("mvhd", be(0, 0, 0, fps, nFrames, 0x10000),
+      Array[Byte](1, 0, 0, 0), be(0, 0), matrix, be(0, 0, 0, 0, 0, 0), be(2))
+    val tkhd = box("tkhd", be(7, 0, 0, 1, 0, nFrames), be(0, 0),
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 0), matrix,
+      be(width << 16, height << 16))
+    val mdhd = box("mdhd", be(0, 0, 0, fps, nFrames),
+      Array[Byte](0x55, 0xC4.toByte, 0, 0))
+    val hdlr = box("hdlr", be(0, 0), "vide".getBytes("US-ASCII"),
+      be(0, 0, 0), "VideoHandler".getBytes("US-ASCII"), Array[Byte](0))
+    val vmhd = box("vmhd", be(1), Array[Byte](0, 0, 0, 0, 0, 0, 0, 0))
+    val dref = box("dinf", box("dref", be(0, 1), box("url ", be(1))))
+    val sampleEntry = {
+      val bb = java.nio.ByteBuffer.allocate(86).order(java.nio.ByteOrder.BIG_ENDIAN)
+      bb.putInt(86).put(codec.getBytes("US-ASCII"))
+      bb.put(new Array[Byte](6)).putShort(1) // reserved, data-ref index
+      bb.putShort(0).putShort(0).put(new Array[Byte](12)) // pre_defined/reserved
+      bb.putShort(width.toShort).putShort(height.toShort)
+      bb.putInt(0x00480000).putInt(0x00480000).putInt(0) // 72 dpi, reserved
+      bb.putShort(1).put(new Array[Byte](32)) // frame count, compressor name
+      bb.putShort(0x18).putShort(-1) // depth, pre_defined
+      bb.array()
+    }
+    val stbl = box("stbl",
+      box("stsd", be(0, 1), sampleEntry),
+      box("stts", be(0, 1, nFrames, 1)),
+      box("stsc", be(0, 1, 1, nFrames, 1)),
+      box("stsz", be(0, sampleBytes, nFrames)),
+      box("stco", be(0, 1, ftyp.length + 8)))
+    val minf = box("minf", vmhd, dref, stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", tkhd, mdia)
+    val moov = box("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
 }

@@ -200,6 +200,24 @@ object PipelineQ extends QueryPack {
         .map { case (id, pcm) => (id, Multimodal.wavFromPcm(pcm)) }
         .toDF("media_id", "content")
       round6(Multimodal.audioMeta(wavs).toDF(), "duration_s")
+    }),
+    // Multimodal video: per-document ISO-BMFF (MP4) containers built with
+    // doc-id-derived geometry/timing, then parsed BACK by the from-spec
+    // box walk — builder and parser are independent codepaths over the
+    // public 14496-12 layout, and DuckDB replays the parameter
+    // arithmetic, so an offset error in either side hash-mismatches.
+    "q_video_meta" -> ((s, dir) => {
+      import s.implicits._
+      val vids = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          (id, Multimodal.mp4(
+            width = (160 + (id * 13) % 320).toInt,
+            height = (120 + (id * 29) % 240).toInt,
+            nFrames = (8 + id % 57).toInt,
+            fps = (1 + id % 29).toInt))
+        }.toDF("media_id", "content")
+      round6(Multimodal.videoMeta(vids).toDF(), "duration_s", "frame_rate")
     })
   )
 
@@ -295,6 +313,18 @@ object PipelineQ extends QueryPack {
         |       8000 AS sample_rate, 1 AS channels,
         |       octet_length(encode(text)) AS n_frames,
         |       round(octet_length(encode(text)) / 8000.0, 6) AS duration_s
+        |FROM documents""".stripMargin,
+    // movie duration = frames/fps (movie timescale = fps in the builder)
+    // and frame rate = samples·timescale/total-delta — both exact IEEE
+    // divisions of the same integers on both engines
+    "q_video_meta" ->
+      """SELECT doc_id AS media_id, 'isom' AS major_brand,
+        |  round(CAST(8 + doc_id % 57 AS DOUBLE) / (1 + doc_id % 29), 6) AS duration_s,
+        |  1 AS n_tracks, 'avc1' AS video_codec,
+        |  CAST(160 + (doc_id * 13) % 320 AS INTEGER) AS width,
+        |  CAST(120 + (doc_id * 29) % 240 AS INTEGER) AS height,
+        |  CAST(8 + doc_id % 57 AS BIGINT) AS n_samples,
+        |  round(CAST(1 + doc_id % 29 AS DOUBLE), 6) AS frame_rate
         |FROM documents""".stripMargin
   )
 }

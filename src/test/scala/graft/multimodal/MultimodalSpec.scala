@@ -205,4 +205,74 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
     assert(pairs.toSeq == Seq((0L, 100L, 0), (2L, 102L, 0), (4L, 104L, 0), (6L, 106L, 0)))
   }
+
+  test("BMFF: built MP4 parses back with exact geometry/timing") {
+    import spark.implicits._
+    val vids = Seq(
+      (1L, Multimodal.mp4(320, 240, 48, 24)),
+      (2L, Multimodal.mp4(1920, 1080, 30, 25, codec = "hev1")),
+      (3L, "not a video at all".getBytes("US-ASCII")))
+      .toDF("media_id", "content")
+    val got = Multimodal.videoMeta(vids).collect().sortBy(_.media_id)
+    assert(got.length == 2, "non-BMFF bytes emit no row")
+    val a = got(0)
+    assert(a.major_brand == "isom" && a.video_codec == "avc1")
+    assert(a.width == 320 && a.height == 240)
+    assert(a.n_samples == 48 && a.frame_rate == 24.0 && a.duration_s == 2.0)
+    assert(a.n_tracks == 1)
+    val b = got(1)
+    assert(b.video_codec == "hev1" && b.width == 1920 && b.height == 1080)
+    assert(b.duration_s == 30.0 / 25)
+  }
+
+  test("BMFF: version-1 timed boxes and 64-bit largesize parse") {
+    // rewrite the builder's v0 mvhd into a v1 (64-bit times) equivalent
+    // and wrap mdat in a largesize box — the shapes real >4 GiB or
+    // post-2038 files carry
+    val base = Multimodal.mp4(640, 360, 10, 5)
+    val bb = java.nio.ByteBuffer.wrap(base).order(java.nio.ByteOrder.BIG_ENDIAN)
+    def find(typ: String, from: Int, to: Int): Int = {
+      var p = from
+      while (p + 8 <= to) {
+        val sz = bb.getInt(p)
+        if (new String(base, p + 4, 4, "US-ASCII") == typ) return p
+        p += sz
+      }
+      -1
+    }
+    val moov = find("moov", 0, base.length)
+    val mvhd = find("mvhd", moov + 8, base.length)
+    val oldLen = bb.getInt(mvhd)
+    // v1 mvhd: +12 bytes (three 32→64-bit time fields)
+    val v1 = java.nio.ByteBuffer.allocate(oldLen + 12)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    v1.putInt(oldLen + 12).put("mvhd".getBytes("US-ASCII"))
+    v1.putInt(0x01000000) // version 1
+    v1.putLong(0L).putLong(0L) // creation/modification
+    v1.putInt(bb.getInt(mvhd + 8 + 4 + 4 + 4)) // timescale
+    v1.putLong(bb.getInt(mvhd + 8 + 4 + 4 + 4 + 4).toLong) // duration as u64
+    v1.put(java.util.Arrays.copyOfRange(base, mvhd + 8 + 4 + 16 + 4, mvhd + oldLen))
+    val out = java.nio.ByteBuffer
+      .allocate(base.length + 12 + 8) // +12 mvhd growth, +8 mdat largesize
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    val mdat = find("mdat", 0, base.length)
+    val mdatLen = bb.getInt(mdat)
+    out.put(base, 0, mdat) // ftyp
+    out.putInt(1).put("mdat".getBytes("US-ASCII")).putLong(mdatLen.toLong + 8)
+    out.put(base, mdat + 8, mdatLen - 8)
+    out.put(base, moov, mvhd - moov) // moov header(resized below)+pre-mvhd
+    out.put(v1.array())
+    out.put(base, mvhd + oldLen, base.length - mvhd - oldLen)
+    val patched = out.array()
+    // fix the moov box length for the larger mvhd
+    val moovAt = mdat + 8 + mdatLen // moov moved by mdat's +8 largesize
+    val newMoovAt = moovAt
+    java.nio.ByteBuffer.wrap(patched).order(java.nio.ByteOrder.BIG_ENDIAN)
+      .putInt(newMoovAt, bb.getInt(moov) + 12)
+    val meta = Multimodal.parseBmff(9L, patched)
+    assert(meta.isDefined, "v1/largesize container parses")
+    val m = meta.get
+    assert(m.width == 640 && m.height == 360 && m.n_samples == 10 &&
+      m.duration_s == 2.0 && m.frame_rate == 5.0)
+  }
 }
