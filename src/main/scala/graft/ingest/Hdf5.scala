@@ -572,12 +572,17 @@ object Hdf5 {
   private val DeflateId = 1
   private val ShuffleId = 2
   private val Fletcher32Id = 3
+  private val Lz4Id = 32004  // HDF5 registered filter (hdf5plugin's lz4)
+  private val ZstdId = 32015 // HDF5 registered filter (hdf5plugin's zstd)
 
   private def filterName(id: Int): String = id match {
     case 4 => "szip"; case 5 => "nbit"; case 6 => "scaleoffset"
     case 32000 => "lzf"; case 32004 => "lz4"; case 32015 => "zstd"
     case _ => s"filter $id"
   }
+
+  private val SupportedFilters =
+    Set(DeflateId, ShuffleId, Fletcher32Id, Lz4Id, ZstdId)
 
   /** Parse a Filter Pipeline message (type 0x0B), versions 1 and 2.
     * Only deflate(1)/shuffle(2)/fletcher32(3) — the pipelines netCDF-4
@@ -603,11 +608,11 @@ object Hdf5 {
       if (ver == 1 && ncd % 2 == 1) b.getInt // pad to even word count
       H5Filter(id, flags, cdata)
     }
-    out.find(f => f.id != DeflateId && f.id != ShuffleId && f.id != Fletcher32Id)
+    out.find(f => !SupportedFilters(f.id))
       .foreach { f =>
         sys.error(s"$where: unsupported chunk filter ${filterName(f.id)} " +
-          s"(id ${f.id}); only deflate/shuffle/fletcher32 are supported — " +
-          "repack with `h5repack -f GZIP=4` or nccopy upstream")
+          s"(id ${f.id}); deflate/shuffle/fletcher32/lz4/zstd are " +
+          "supported — repack with `h5repack -f GZIP=4` or nccopy upstream")
       }
     out
   }
@@ -664,6 +669,75 @@ object Hdf5 {
     } finally inf.end()
   }
 
+  /** HDF5 lz4 plugin framing (registered filter 32004, public layout):
+    * 8-byte BE total decompressed size, 4-byte BE block size, then per
+    * block a 4-byte BE stored length + payload — LZ4 *block* format, or
+    * raw bytes when the stored length equals the uncompressed block
+    * length (the plugin's incompressible-block escape).
+    */
+  private[ingest] def lz4DecodeChunk(raw: Array[Byte], where: String): Array[Byte] = {
+    require(raw.length >= 12, s"$where: truncated lz4 chunk header")
+    val bb = ByteBuffer.wrap(raw).order(ByteOrder.BIG_ENDIAN)
+    val total = bb.getLong
+    val blockSize = bb.getInt
+    require(total >= 0 && total <= Int.MaxValue && blockSize > 0,
+      s"$where: implausible lz4 chunk framing (total=$total block=$blockSize)")
+    val out = new Array[Byte](total.toInt)
+    val dec = net.jpountz.lz4.LZ4Factory.fastestInstance().fastDecompressor()
+    var off = 0
+    while (off < total) {
+      val n = math.min(blockSize.toLong, total - off).toInt
+      val stored = bb.getInt
+      if (stored == n) { bb.get(out, off, n) } // incompressible escape
+      else {
+        val src = new Array[Byte](stored); bb.get(src)
+        dec.decompress(src, 0, out, off, n)
+      }
+      off += n
+    }
+    out
+  }
+
+  private[ingest] def lz4EncodeChunk(raw: Array[Byte], blockSize0: Int = 1 << 20): Array[Byte] = {
+    val blockSize = math.max(1, math.min(blockSize0, math.max(raw.length, 1)))
+    val comp = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+    val outBuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val hdr = ByteBuffer.allocate(12).order(ByteOrder.BIG_ENDIAN)
+    hdr.putLong(raw.length.toLong).putInt(blockSize)
+    outBuf.write(hdr.array())
+    var off = 0
+    while (off < raw.length) {
+      val n = math.min(blockSize, raw.length - off)
+      val dst = new Array[Byte](comp.maxCompressedLength(n))
+      val m = comp.compress(raw, off, n, dst, 0, dst.length)
+      val len = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+      if (m >= n) { // incompressible: store raw, per the plugin's escape
+        len.putInt(n); outBuf.write(len.array()); outBuf.write(raw, off, n)
+      } else {
+        len.putInt(m); outBuf.write(len.array()); outBuf.write(dst, 0, m)
+      }
+      off += n
+    }
+    outBuf.toByteArray
+  }
+
+  private[ingest] def zstdDecodeChunk(raw: Array[Byte], where: String): Array[Byte] = {
+    val sz = com.github.luben.zstd.Zstd.getFrameContentSize(raw)
+    if (sz >= 0 && sz <= Int.MaxValue)
+      com.github.luben.zstd.Zstd.decompress(raw, sz.toInt)
+    else { // frame without a recorded content size: stream it
+      val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+        new java.io.ByteArrayInputStream(raw))
+      try {
+        val out = new java.io.ByteArrayOutputStream(math.max(64, raw.length * 3))
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      } finally in.close()
+    }
+  }
+
   /** Inverse of the shuffle filter: stored bytes are all byte-0s of every
     * element, then all byte-1s, …; trailing bytes of a non-multiple
     * length pass through untouched (as libhdf5 leaves them).
@@ -707,20 +781,28 @@ object Hdf5 {
     out
   }
 
-  /** Writer-side pipeline application: shuffle → deflate(level) →
-    * fletcher32 checksum appended little-endian.
+  /** Writer-side pipeline application: shuffle → codec(level) →
+    * fletcher32 checksum appended little-endian. `codec` is "zlib"
+    * (deflate), "lz4" (HDF5 plugin framing), or "zstd".
     */
   private[ingest] def storedChunkBytes(raw: Array[Byte], elemSize: Int,
-                                       level: Int): Array[Byte] = {
+                                       level: Int,
+                                       codec: String = "zlib"): Array[Byte] = {
     val shuffled = shuffleBytes(raw, elemSize)
-    val defl = new java.util.zip.Deflater(level)
-    val compressed = try {
-      defl.setInput(shuffled); defl.finish()
-      val out = new java.io.ByteArrayOutputStream(math.max(64, shuffled.length / 2))
-      val buf = new Array[Byte](1 << 16)
-      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
-      out.toByteArray
-    } finally defl.end()
+    val compressed = codec match {
+      case "zlib" =>
+        val defl = new java.util.zip.Deflater(level)
+        try {
+          defl.setInput(shuffled); defl.finish()
+          val out = new java.io.ByteArrayOutputStream(math.max(64, shuffled.length / 2))
+          val buf = new Array[Byte](1 << 16)
+          while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+          out.toByteArray
+        } finally defl.end()
+      case "lz4" => lz4EncodeChunk(shuffled)
+      case "zstd" => com.github.luben.zstd.Zstd.compress(shuffled, level)
+      case c => sys.error(s"unknown chunk codec '$c' (zlib/lz4/zstd)")
+    }
     val ck = fletcher32(compressed, compressed.length)
     val out = java.util.Arrays.copyOf(compressed, compressed.length + 4)
     out(compressed.length) = ck.toByte
@@ -758,6 +840,10 @@ object Hdf5 {
           raw = java.util.Arrays.copyOf(raw, payload)
         case DeflateId =>
           raw = inflateBytes(raw, v.name)
+        case Lz4Id =>
+          raw = lz4DecodeChunk(raw, v.name)
+        case ZstdId =>
+          raw = zstdDecodeChunk(raw, v.name)
         case ShuffleId =>
           raw = unshuffleBytes(raw, f.cdata.headOption.getOrElse(v.dtype.size))
         case other =>
@@ -1588,7 +1674,10 @@ object Hdf5 {
             faPageBits: Int = 0,
             eaIndex: Boolean = false,
             eaParams: EaParams = EaParams(),
-            implicitIndex: Boolean = false): Unit = {
+            implicitIndex: Boolean = false,
+            chunkCodec: String = "zlib"): Unit = {
+    require(Set("zlib", "lz4", "zstd")(chunkCodec),
+      s"chunkCodec '$chunkCodec' (zlib/lz4/zstd)")
     require(!eaIndex || layoutVersion == 4, "eaIndex requires layoutVersion 4")
     require(!implicitIndex || (layoutVersion == 4 && deflate == 0 && !eaIndex),
       "implicitIndex requires layoutVersion 4 and no filters")
@@ -1733,14 +1822,19 @@ object Hdf5 {
           }))
         }
         if (deflate > 0) {
-          // filter pipeline v1: shuffle(elemSize) → deflate(level) → fletcher32
+          // filter pipeline v1: shuffle(elemSize) → codec(level) → fletcher32
+          val (codecId, codecCd) = chunkCodec match {
+            case "lz4" => (32004L, (1L << 20)) // block size
+            case "zstd" => (32015L, deflate.toLong)
+            case _ => (1L, deflate.toLong)
+          }
           val fpSize = pad8(8 + 16 + 16 + 8)
           msgs += ((0x0B, fpSize, () => {
             val start = b.pos
             b.u8(1); b.u8(3)    // version 1, three filters
             b.u16(0); b.u32(0)  // reserved
             b.u16(2); b.u16(0); b.u16(0); b.u16(1); b.u32(elemSize.toLong); b.u32(0)
-            b.u16(1); b.u16(0); b.u16(0); b.u16(1); b.u32(deflate.toLong); b.u32(0)
+            b.u16(codecId.toInt); b.u16(0); b.u16(0); b.u16(1); b.u32(codecCd); b.u32(0)
             b.u16(3); b.u16(0); b.u16(0); b.u16(0)
             b.zeros(fpSize - (b.pos - start))
           }))
@@ -2148,7 +2242,8 @@ object Hdf5 {
           storedAddrs(i) = b.pos.toLong
           val slice = java.util.Arrays.copyOfRange(data, i * innerCount, (i + 1) * innerCount)
           if (deflate > 0) {
-            val stored = storedChunkBytes(valueBytes(vd.tpe, slice), vd.tpe.size, deflate)
+            val stored = storedChunkBytes(valueBytes(vd.tpe, slice),
+              vd.tpe.size, deflate, chunkCodec)
             storedSizes(i) = stored.length
             b.bytes(stored)
           } else {

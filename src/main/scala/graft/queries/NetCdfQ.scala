@@ -79,10 +79,12 @@ object NetCdfQ extends QueryPack {
   private def writeGridH5(path: String, years: Seq[Int],
                           nVals: Array[Double], qVals: Array[Double],
                           deflate: Int = 0, layoutVersion: Int = 3,
-                          eaIndex: Boolean = false): Unit =
+                          eaIndex: Boolean = false,
+                          chunkCodec: String = "zlib"): Unit =
     graft.ingest.Hdf5.write(path, gridDims(years), gridVars(years, nVals, qVals),
       gridGatts, chunked = true, deflate = deflate,
-      layoutVersion = layoutVersion, eaIndex = eaIndex)
+      layoutVersion = layoutVersion, eaIndex = eaIndex,
+      chunkCodec = chunkCodec)
 
   /** CF time back to ship_year, fills back to null — the read side both
     * queries share; output rows match the lineitem group-by oracle.
@@ -211,6 +213,17 @@ object NetCdfQ extends QueryPack {
       writeGridH5(path, years.toSeq, nVals, qVals, deflate = 6, layoutVersion = 4)
       backToRows(NetCdf.read(s, path, Seq("n", "mean_qty")))
     }),
+    // The hdf5plugin-era codec real modern archives adopt: every chunk
+    // shuffle -> ZSTD -> fletcher32 (registered filter 32015), decoded
+    // through zstd-jni off Spark's own classpath. Same oracle again.
+    "q_netcdf4_zstd" -> ((s, dir) => {
+      val (years, nVals, qVals) = gridSlabs(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-nc4zs").resolve("grid.nc").toString
+      writeGridH5(path, years.toSeq, nVals, qVals, deflate = 3,
+        chunkCodec = "zstd")
+      backToRows(NetCdf.read(s, path, Seq("n", "mean_qty")))
+    }),
     // The latest-format UNLIMITED-dimension shape: version-4 layout with
     // an Extensible Array chunk index (what libhdf5 1.10+ writes for the
     // netCDF-4 time-unlimited case), compressed chunks, every EA
@@ -275,6 +288,7 @@ object NetCdfQ extends QueryPack {
     "q_netcdf4_deflate" -> roundtripSql,
     "q_netcdf4_latest" -> roundtripSql,
     "q_netcdf4_unlimited" -> roundtripSql,
+    "q_netcdf4_zstd" -> roundtripSql,
     "q_netcdf5_roundtrip" -> roundtripSql,
     "q_stream_netcdf" -> roundtripSql,
     "q_netcdf4_pushdown" -> pushdownSql,

@@ -9,7 +9,8 @@ class Hdf5Spec extends SparkSpec {
   private def writeGrid(path: String, chunked: Boolean, deflate: Int = 0,
                         layoutVersion: Int = 3, faPageBits: Int = 0,
                         eaIndex: Boolean = false,
-                        implicitIndex: Boolean = false): Unit = {
+                        implicitIndex: Boolean = false,
+                        chunkCodec: String = "zlib"): Unit = {
     val (nt, nlat, nlon) = (4, 3, 2)
     val temps = Array.tabulate(nt * nlat * nlon)(i => 250.0 + i)
     val packed = temps.map(t => (t - 200.0) / 0.5)
@@ -30,7 +31,8 @@ class Hdf5Spec extends SparkSpec {
       gatts = Seq("Conventions" -> "CF-1.8", "title" -> "graft h5 test"),
       chunked = chunked, deflate = deflate,
       layoutVersion = layoutVersion, faPageBits = faPageBits,
-      eaIndex = eaIndex, implicitIndex = implicitIndex)
+      eaIndex = eaIndex, implicitIndex = implicitIndex,
+      chunkCodec = chunkCodec)
   }
 
   test("structure parse: signature, dim scales, DIMENSION_LIST, attrs") {
@@ -137,6 +139,34 @@ class Hdf5Spec extends SparkSpec {
         assert(zc.forall(_.size != rawBytes))
         assert(zc.forall(_.mask == 0))
       case other => fail(s"expected chunked layout, got $other")
+    }
+  }
+
+  test("lz4 and zstd chunk codecs read identically to unfiltered") {
+    val base = tmpDir()
+    writeGrid(base + "/plain.h5", chunked = true)
+    val expected = Hdf5.read(spark, base + "/plain.h5", Seq("t2m", "count"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    for (codec <- Seq("lz4", "zstd")) {
+      val p = s"$base/$codec.h5"
+      writeGrid(p, chunked = true, deflate = 3, chunkCodec = codec)
+      val got = Hdf5.read(spark, p, Seq("t2m", "count"))
+        .orderBy("time", "lat", "lon").collect().toSeq
+      assert(got == expected, s"$codec mismatch")
+      val ids = Hdf5.readStructure(p, Map.empty)
+        .datasets.find(_.name == "t2m").get.filters.map(_.id)
+      assert(ids == IndexedSeq(2, if (codec == "lz4") 32004 else 32015, 3))
+    }
+    // lz4 plugin framing survives multi-block chunks incl. the
+    // incompressible-block escape
+    val rnd = new scala.util.Random(11)
+    for (n <- Seq(0, 5, 1000, 5000)) {
+      val compressible = Array.tabulate(n)(i => (i % 7).toByte)
+      val noise = Array.fill(n)(rnd.nextInt().toByte)
+      for (raw <- Seq(compressible, noise)) {
+        val enc = Hdf5.lz4EncodeChunk(raw, blockSize0 = 1024)
+        assert(Hdf5.lz4DecodeChunk(enc, "prop").toSeq == raw.toSeq)
+      }
     }
   }
 
