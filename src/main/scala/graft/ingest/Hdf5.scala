@@ -574,6 +574,7 @@ object Hdf5 {
   private val Fletcher32Id = 3
   private val Lz4Id = 32004  // HDF5 registered filter (hdf5plugin's lz4)
   private val ZstdId = 32015 // HDF5 registered filter (hdf5plugin's zstd)
+  private val LzfId = 32000  // HDF5 registered filter (h5py's default lzf)
 
   private def filterName(id: Int): String = id match {
     case 4 => "szip"; case 5 => "nbit"; case 6 => "scaleoffset"
@@ -582,7 +583,7 @@ object Hdf5 {
   }
 
   private val SupportedFilters =
-    Set(DeflateId, ShuffleId, Fletcher32Id, Lz4Id, ZstdId)
+    Set(DeflateId, ShuffleId, Fletcher32Id, Lz4Id, ZstdId, LzfId)
 
   /** Parse a Filter Pipeline message (type 0x0B), versions 1 and 2.
     * Only deflate(1)/shuffle(2)/fletcher32(3) — the pipelines netCDF-4
@@ -721,6 +722,84 @@ object Hdf5 {
     outBuf.toByteArray
   }
 
+  /** LZF decode (libLZF stream format, public domain — what h5py's
+    * default `compression='lzf'` stores): control byte < 32 → literal run
+    * of ctrl+1 bytes; else a back-reference of length (ctrl>>5)+2 (7 ⇒
+    * extended length byte) at distance ((ctrl&0x1f)<<8 | next)+1.
+    * Overlapping copies are byte-serial per the format.
+    */
+  private[ingest] def lzfDecompress(in: Array[Byte], outLen: Int,
+                                    where: String): Array[Byte] = {
+    val out = new Array[Byte](outLen)
+    var i = 0; var o = 0
+    while (i < in.length) {
+      val ctrl = in(i) & 0xFF; i += 1
+      if (ctrl < 32) {
+        val n = ctrl + 1
+        require(i + n <= in.length && o + n <= outLen,
+          s"$where: corrupt lzf literal run")
+        System.arraycopy(in, i, out, o, n); i += n; o += n
+      } else {
+        var len = ctrl >> 5
+        if (len == 7) {
+          require(i < in.length, s"$where: truncated lzf length"); len += in(i) & 0xFF; i += 1
+        }
+        len += 2
+        require(i < in.length, s"$where: truncated lzf reference")
+        val ref = o - (((ctrl & 0x1F) << 8) | (in(i) & 0xFF)) - 1; i += 1
+        require(ref >= 0 && o + len <= outLen,
+          s"$where: corrupt lzf back-reference")
+        var k = 0
+        while (k < len) { out(o + k) = out(ref + k); k += 1 }
+        o += len
+      }
+    }
+    require(o == outLen, s"$where: lzf stream decoded $o of $outLen bytes")
+    out
+  }
+
+  /** Greedy libLZF-style compressor (3-byte hash, max distance 8192, max
+    * match 264). Returns None when no gain — the h5py filter's behavior,
+    * which then stores the chunk with this filter's mask bit set.
+    */
+  private[ingest] def lzfCompress(in: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(in.length + in.length / 16 + 16)
+    val table = new Array[Int](1 << 14); java.util.Arrays.fill(table, -1)
+    def hash(p: Int): Int =
+      (((in(p) & 0xFF) << 16 | (in(p + 1) & 0xFF) << 8 | (in(p + 2) & 0xFF)) * 2654435761L >>> 18).toInt & (table.length - 1)
+    var litStart = 0
+    def flushLiterals(upTo: Int): Unit = {
+      var s = litStart
+      while (s < upTo) {
+        val n = math.min(32, upTo - s)
+        out.write(n - 1); out.write(in, s, n); s += n
+      }
+      litStart = upTo
+    }
+    var p = 0
+    while (p + 2 < in.length) {
+      val h = hash(p)
+      val cand = table(h); table(h) = p
+      val dist = p - cand
+      if (cand >= 0 && dist <= 8192 &&
+          in(cand) == in(p) && in(cand + 1) == in(p + 1) && in(cand + 2) == in(p + 2)) {
+        var len = 3
+        val maxLen = math.min(264, in.length - p)
+        while (len < maxLen && in(cand + len) == in(p + len)) len += 1
+        flushLiterals(p)
+        val lenCode = len - 2
+        val d = dist - 1
+        if (lenCode < 7) out.write((lenCode << 5) | (d >> 8))
+        else { out.write((7 << 5) | (d >> 8)); out.write(lenCode - 7) }
+        out.write(d & 0xFF)
+        p += len; litStart = p
+      } else p += 1
+    }
+    flushLiterals(in.length)
+    val res = out.toByteArray
+    if (res.length >= in.length && in.length > 0) None else Some(res)
+  }
+
   private[ingest] def zstdDecodeChunk(raw: Array[Byte], where: String): Array[Byte] = {
     val sz = com.github.luben.zstd.Zstd.getFrameContentSize(raw)
     if (sz >= 0 && sz <= Int.MaxValue)
@@ -783,26 +862,38 @@ object Hdf5 {
 
   /** Writer-side pipeline application: shuffle → codec(level) →
     * fletcher32 checksum appended little-endian. `codec` is "zlib"
-    * (deflate), "lz4" (HDF5 plugin framing), or "zstd".
+    * (deflate), "lz4" (HDF5 plugin framing), "zstd", or "lzf". Returns
+    * the stored bytes plus the chunk's filter MASK: lzf skips itself on
+    * incompressible chunks (mask bit 1 set — h5py's filter behavior),
+    * every other codec always applies.
     */
-  private[ingest] def storedChunkBytes(raw: Array[Byte], elemSize: Int,
-                                       level: Int,
-                                       codec: String = "zlib"): Array[Byte] = {
+  private[ingest] def storedChunkPipeline(raw: Array[Byte], elemSize: Int,
+                                          level: Int,
+                                          codec: String): (Array[Byte], Int) = {
     val shuffled = shuffleBytes(raw, elemSize)
-    val compressed = codec match {
+    val (compressed, mask) = codec match {
       case "zlib" =>
         val defl = new java.util.zip.Deflater(level)
-        try {
+        val c = try {
           defl.setInput(shuffled); defl.finish()
           val out = new java.io.ByteArrayOutputStream(math.max(64, shuffled.length / 2))
           val buf = new Array[Byte](1 << 16)
           while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
           out.toByteArray
         } finally defl.end()
-      case "lz4" => lz4EncodeChunk(shuffled)
-      case "zstd" => com.github.luben.zstd.Zstd.compress(shuffled, level)
-      case c => sys.error(s"unknown chunk codec '$c' (zlib/lz4/zstd)")
+        (c, 0)
+      case "lz4" => (lz4EncodeChunk(shuffled), 0)
+      case "zstd" => (com.github.luben.zstd.Zstd.compress(shuffled, level), 0)
+      case "lzf" => lzfCompress(shuffled) match {
+        case Some(c) => (c, 0)
+        case None => (shuffled, 2) // bit 1: pipeline filter [shuffle,LZF,fletcher]
+      }
+      case c => sys.error(s"unknown chunk codec '$c' (zlib/lz4/zstd/lzf)")
     }
+    (appendFletcher(compressed), mask)
+  }
+
+  private def appendFletcher(compressed: Array[Byte]): Array[Byte] = {
     val ck = fletcher32(compressed, compressed.length)
     val out = java.util.Arrays.copyOf(compressed, compressed.length + 4)
     out(compressed.length) = ck.toByte
@@ -811,6 +902,11 @@ object Hdf5 {
     out(compressed.length + 3) = (ck >>> 24).toByte
     out
   }
+
+  private[ingest] def storedChunkBytes(raw: Array[Byte], elemSize: Int,
+                                       level: Int,
+                                       codec: String = "zlib"): Array[Byte] =
+    storedChunkPipeline(raw, elemSize, level, codec)._1
 
   /** Read one chunk's stored bytes and run the filter pipeline backwards
     * (skipping entries this chunk's mask bit excludes): verify+strip
@@ -844,6 +940,15 @@ object Hdf5 {
           raw = lz4DecodeChunk(raw, v.name)
         case ZstdId =>
           raw = zstdDecodeChunk(raw, v.name)
+        case LzfId =>
+          // lzf streams carry no size header; the decompressed size is
+          // the full chunk byte count (HDF5 stores edge chunks full-size)
+          val full = v.layout match {
+            case Chunked(cdims, _) => cdims.map(_.toLong).product * v.dtype.size
+            case _ => sys.error(s"${v.name}: lzf filter outside a chunked layout")
+          }
+          require(full <= Int.MaxValue, s"${v.name}: lzf chunk over 2 GiB")
+          raw = lzfDecompress(raw, full.toInt, v.name)
         case ShuffleId =>
           raw = unshuffleBytes(raw, f.cdata.headOption.getOrElse(v.dtype.size))
         case other =>
@@ -1676,8 +1781,12 @@ object Hdf5 {
             eaParams: EaParams = EaParams(),
             implicitIndex: Boolean = false,
             chunkCodec: String = "zlib"): Unit = {
-    require(Set("zlib", "lz4", "zstd")(chunkCodec),
-      s"chunkCodec '$chunkCodec' (zlib/lz4/zstd)")
+    require(Set("zlib", "lz4", "zstd", "lzf")(chunkCodec),
+      s"chunkCodec '$chunkCodec' (zlib/lz4/zstd/lzf)")
+    // lzf is h5py's codec and h5py writes the earliest file format; the
+    // v3 B-tree path also carries the per-chunk skip masks lzf needs
+    require(chunkCodec != "lzf" || layoutVersion == 3,
+      "lzf fixtures use layoutVersion 3 (h5py writes the earliest format)")
     require(!eaIndex || layoutVersion == 4, "eaIndex requires layoutVersion 4")
     require(!implicitIndex || (layoutVersion == 4 && deflate == 0 && !eaIndex),
       "implicitIndex requires layoutVersion 4 and no filters")
@@ -1823,18 +1932,27 @@ object Hdf5 {
         }
         if (deflate > 0) {
           // filter pipeline v1: shuffle(elemSize) → codec(level) → fletcher32
+          // (lzf carries no client data and gets the OPTIONAL flag —
+          // h5py's registration — so skip-on-no-gain is spec-legal)
           val (codecId, codecCd) = chunkCodec match {
-            case "lz4" => (32004L, (1L << 20)) // block size
-            case "zstd" => (32015L, deflate.toLong)
-            case _ => (1L, deflate.toLong)
+            case "lz4" => (32004, Some(1L << 20)) // block size
+            case "zstd" => (32015, Some(deflate.toLong))
+            case "lzf" => (32000, None)
+            case _ => (1, Some(deflate.toLong))
           }
-          val fpSize = pad8(8 + 16 + 16 + 8)
+          val codecBlock = if (codecCd.isDefined) 16 else 8
+          val fpSize = pad8(8 + 16 + codecBlock + 8)
           msgs += ((0x0B, fpSize, () => {
             val start = b.pos
             b.u8(1); b.u8(3)    // version 1, three filters
             b.u16(0); b.u32(0)  // reserved
             b.u16(2); b.u16(0); b.u16(0); b.u16(1); b.u32(elemSize.toLong); b.u32(0)
-            b.u16(codecId.toInt); b.u16(0); b.u16(0); b.u16(1); b.u32(codecCd); b.u32(0)
+            codecCd match {
+              case Some(cd) =>
+                b.u16(codecId); b.u16(0); b.u16(0); b.u16(1); b.u32(cd); b.u32(0)
+              case None =>
+                b.u16(codecId); b.u16(0); b.u16(1); b.u16(0) // OPTIONAL flag
+            }
             b.u16(3); b.u16(0); b.u16(0); b.u16(0)
             b.zeros(fpSize - (b.pos - start))
           }))
@@ -2237,14 +2355,16 @@ object Hdf5 {
         val innerCount = shape.drop(1).map(_.toLong).product.toInt
         val storedSizes = new Array[Int](outer)
         val storedAddrs = new Array[Long](outer)
+        val storedMasks = new Array[Int](outer)
         (0 until outer).foreach { i =>
           b.padTo8(); b.mark(s"chunk:${vd.name}:$i")
           storedAddrs(i) = b.pos.toLong
           val slice = java.util.Arrays.copyOfRange(data, i * innerCount, (i + 1) * innerCount)
           if (deflate > 0) {
-            val stored = storedChunkBytes(valueBytes(vd.tpe, slice),
+            val (stored, mask) = storedChunkPipeline(valueBytes(vd.tpe, slice),
               vd.tpe.size, deflate, chunkCodec)
             storedSizes(i) = stored.length
+            storedMasks(i) = mask
             b.bytes(stored)
           } else {
             storedSizes(i) = innerCount * vd.tpe.size
@@ -2277,7 +2397,7 @@ object Hdf5 {
           b.u16(outer)
           b.u64(-1L); b.u64(-1L)
           (0 until outer).foreach { i =>
-            b.u32(storedSizes(i).toLong); b.u32(0)
+            b.u32(storedSizes(i).toLong); b.u32(storedMasks(i).toLong)
             b.u64(i.toLong); shape.drop(1).foreach(_ => b.u64(0)); b.u64(0)
             b.addr(s"chunk:${vd.name}:$i")
           }

@@ -170,6 +170,60 @@ class Hdf5Spec extends SparkSpec {
     }
   }
 
+  test("lzf codec (h5py default): compression, and the skip-mask on no gain") {
+    // big-enough chunks that lzf really compresses the smooth variable;
+    // the full-entropy variable gets NO gain → stored unfiltered with the
+    // lzf filter's mask bit set, exactly h5py's optional-filter behavior
+    val (nt, nlat, nlon) = (3, 16, 32)
+    val n = nt * nlat * nlon
+    val rnd = new scala.util.Random(5)
+    val smooth = Array.tabulate(n)(i => 300.0 + (i % 7))
+    val noise = Array.fill(n)(java.lang.Double.longBitsToDouble(
+      rnd.nextLong() & 0x7FEFFFFFFFFFFFFFL))
+    def dims = Seq(Dim("time", nt), Dim("lat", nlat), Dim("lon", nlon))
+    def vars = Seq(
+      (VarDef("time", Seq("time"), NcDouble,
+        Seq("units" -> "hours since 2023-01-01")), Array.tabulate(nt)(_.toDouble)),
+      (VarDef("lat", Seq("lat"), NcDouble),
+        Array.tabulate(nlat)(i => i * 10.0 - 75)),
+      (VarDef("lon", Seq("lon"), NcDouble),
+        Array.tabulate(nlon)(i => i * 10.0 - 175)),
+      (VarDef("smooth", Seq("time", "lat", "lon"), NcDouble), smooth),
+      (VarDef("noise", Seq("time", "lat", "lon"), NcDouble), noise))
+    val base = tmpDir()
+    Hdf5.write(s"$base/plain.h5", dims, vars, chunked = true)
+    Hdf5.write(s"$base/lzf.h5", dims, vars, chunked = true, deflate = 1,
+      chunkCodec = "lzf")
+    val a = Hdf5.read(spark, s"$base/plain.h5", Seq("smooth", "noise"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    val z = Hdf5.read(spark, s"$base/lzf.h5", Seq("smooth", "noise"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    assert(a == z)
+    val f = Hdf5.readStructure(s"$base/lzf.h5", Map.empty)
+    def chunksOf(nm: String) = f.datasets.find(_.name == nm).get.layout match {
+      case Hdf5.Chunked(_, cs) => cs
+      case other => fail(s"expected chunked, got $other")
+    }
+    assert(f.datasets.find(_.name == "smooth").get.filters.map(_.id) ==
+      IndexedSeq(2, 32000, 3))
+    assert(chunksOf("smooth").forall(_.mask == 0), "smooth chunks compressed")
+    assert(chunksOf("smooth").forall(_.size < nlat * nlon * 8), "lzf really shrank them")
+    assert(chunksOf("noise").forall(_.mask == 2), "noise chunks skipped lzf")
+    // kernel roundtrips: repetitive data exercises back-references (incl.
+    // the extended-length branch), random data the incompressible return
+    val rep = Array.tabulate(4000)(i => (i % 9).toByte)
+    val enc = Hdf5.lzfCompress(rep)
+    assert(enc.isDefined && enc.get.length < rep.length / 4)
+    assert(Hdf5.lzfDecompress(enc.get, rep.length, "t").toSeq == rep.toSeq)
+    val rnd2 = Array.fill(4000)(rnd.nextInt().toByte)
+    assert(Hdf5.lzfCompress(rnd2).isEmpty)
+    for (sz <- Seq(0, 1, 2, 3, 31, 33, 300)) {
+      val d = Array.tabulate(sz)(i => (i * 17 % 5).toByte)
+      Hdf5.lzfCompress(d).foreach(e =>
+        assert(Hdf5.lzfDecompress(e, sz, "t").toSeq == d.toSeq, s"sz=$sz"))
+    }
+  }
+
   test("pushdown prunes deflate chunks exactly like unfiltered ones") {
     val path = tmpDir() + "/pz.h5"
     writeGrid(path, chunked = true, deflate = 4)
