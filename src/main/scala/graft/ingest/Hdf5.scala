@@ -1173,6 +1173,14 @@ object Hdf5 {
     val hck = hb.getInt
     require(hck == lookup3(hraw, 0, hdrLen - 4, 0),
       s"$where: fixed-array header checksum mismatch — corrupt file")
+    // sanity-bound file-supplied geometry before any size arithmetic: a
+    // corrupt pageBits would shift out of Long range, a short filtered
+    // entry would make the chunk-size byte count negative
+    require(pageBits >= 1 && pageBits <= 31,
+      s"$where: implausible fixed-array page bits $pageBits")
+    require(entrySize >= sh.ofs + (if (clientId == 1) 5 else 0) &&
+      nelems * entrySize <= Int.MaxValue.toLong,
+      s"$where: implausible fixed-array entry size $entrySize × $nelems")
     if (dbAddr == Undef || nelems == 0) return IndexedSeq.empty
 
     val pageElems = 1L << pageBits
@@ -1314,6 +1322,12 @@ object Hdf5 {
     val ibAddr = getOfs(hb, sh.ofs)
     require(hb.getInt == lookup3(hraw, 0, hdrLen - 4, 0),
       s"$where: extensible-array header checksum mismatch — corrupt file")
+    // sanity-bound file-supplied geometry (see the fixed-array analog)
+    require(p.maxDblkPageNelmtsBits >= 1 && p.maxDblkPageNelmtsBits <= 31 &&
+      p.maxNelmtsBits >= 1 && p.maxNelmtsBits <= 63,
+      s"$where: implausible extensible-array bit parameters")
+    require(entrySize >= sh.ofs + (if (clientId == 1) 5 else 0),
+      s"$where: implausible extensible-array entry size $entrySize")
     if (ibAddr == Undef || maxIdxSet == 0) return IndexedSeq.empty
 
     val nChunksTotal = dims.indices
@@ -1337,6 +1351,8 @@ object Hdf5 {
     def readDataBlock(addr: Long, nelmts: Long, elemStart: Long,
                       npages: Int, pageInit: Int => Boolean): Unit = {
       if (addr == Undef) return
+      require(npages > 0 || nelmts * entrySize <= Int.MaxValue.toLong - 64,
+        s"$where: implausible unpaged data block of $nelmts elements")
       val prefixLen = 4 + 1 + 1 + sh.ofs + p.arrOffSize
       val blockLen = prefixLen + (if (npages == 0) (nelmts * entrySize).toInt else 0) + 4
       val braw = new Array[Byte](blockLen)
