@@ -268,12 +268,20 @@ object ScaleProbe {
             .read(spark, p, Seq("t2m", "pr"))
             .agg(sum(col("t2m")), sum(col("pr")))
             .write.format("noop").mode("overwrite").save()
+          val h5Zs = h5Dir.resolve("grid_zstd.h5").toString
+          time("h5_write_zstd")(graft.ingest.Hdf5.write(
+            h5Zs, h5Dims, h5Vars, chunked = true, deflate = 3,
+            chunkCodec = "zstd"))
+          println(s"$size h5_bytes_zstd=${new java.io.File(h5Zs).length()}")
           scanH5(h5Plain) // untimed warmup: codegen + page cache, so the
-          scanH5(h5Z)     // two timed scans differ only in codec work
+          scanH5(h5Z)     // timed scans differ only in codec work
+          scanH5(h5Zs)
           time("h5_scan_chunked")(scanH5(h5Plain))
           time("h5_scan_deflate")(scanH5(h5Z))
+          time("h5_scan_zstd")(scanH5(h5Zs))
           java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(h5Plain))
           java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(h5Z))
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(h5Zs))
         }
 
         // Streaming archive ingest vs batch readDir over the same files:
