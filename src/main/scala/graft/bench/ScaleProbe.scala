@@ -289,7 +289,7 @@ object ScaleProbe {
         // (file-per-task flatMap decode) matches the batch scan's
         // (slice-per-task slab read) and the delta is pure discovery +
         // micro-batch machinery.
-        if (wanted("ncstream")) {
+        if (wanted("ncstream") || wanted("ncdir")) {
           val archDir = java.nio.file.Files.createTempDirectory("graft_scaleprobe_arch")
           val perFile = slab
           (0 until nt).foreach { i =>

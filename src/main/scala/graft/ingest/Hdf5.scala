@@ -248,7 +248,10 @@ object Hdf5 {
       val (bOff, bLen, sigd) = blocks.head
       blocks = blocks.tail
       val start = if (sigd) bOff + 4 else bOff
-      val dataLen = (if (sigd) bLen - 8 else bLen - 4).toInt // minus checksum (+sig)
+      // chunk 0's declared size counts ONLY message data (its checksum sits
+      // outside, in the prefix's accounting); a continuation block's length
+      // covers the whole block — "OCHK" signature + data + checksum
+      val dataLen = (if (sigd) bLen - 8 else bLen).toInt
       val bb = at.bytes(start, dataLen)
       val msgHdrLen = if (trackOrder) 6 else 4
       while (bb.remaining() >= msgHdrLen) {
@@ -524,7 +527,14 @@ object Hdf5 {
             filters.nonEmpty, s"$path: '$name'")
         case c => sys.error(s"$path: '$name' layout class $c not supported")
       }
-    }.getOrElse(sys.error(s"$path: '$name' has no layout message"))
+    }.getOrElse(sys.error(s"$path: '$name' has no layout message")) match {
+      // every index emits outer-major order already (B-tree keys are
+      // sorted, FA/EA/implicit are linear); sort once at open as
+      // insurance so the per-slab binary search in copyChunksInto holds
+      // for any conforming file
+      case Chunked(cd, cs) => Chunked(cd, cs.sortBy(_.offsets.head))
+      case other => other
+    }
 
     // attributes (v1/v2/v3 compact storage; dense attr storage rejected).
     // Attributes whose datatype we don't model (REFERENCE_LIST is a
@@ -1520,7 +1530,22 @@ object Hdf5 {
     val cdims = ch.chunkDims
     require(cdims.length == rank, s"chunk rank ${cdims.length} != dataset rank $rank")
     val innerCount = dims.drop(1).map(_.toLong).product
-    for (c <- ch.chunks) {
+    // chunks are sorted by outer offset (asserted at parse): binary-search
+    // the first possibly-intersecting chunk, stop at the window's end —
+    // O(log C + hits) per slab instead of a full index scan, which at a
+    // 10k-chunk unlimited-time archive × 10k slab reads is the difference
+    // between 10^8 intersection tests and none
+    val chunks = ch.chunks
+    var lo = 0; var hi = chunks.length
+    val target = sliceLo - cdims.head + 1
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (chunks(mid).offsets.head < target) lo = mid + 1 else hi = mid
+    }
+    var ci = lo
+    while (ci < chunks.length && chunks(ci).offsets.head < sliceHi) {
+      val c = chunks(ci)
+      ci += 1
       val c0 = c.offsets.head.toInt
       if (c0 < sliceHi && c0 + cdims.head > sliceLo) {
         val vals = chunkValues(at, v, c)

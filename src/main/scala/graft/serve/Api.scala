@@ -38,38 +38,46 @@ object Api {
 
   final case class GridMeta(lat: AxisMeta, lon: AxisMeta)
 
-  /** ONE aggregate job probing both axes: each axis's distinct ladder
-    * (explode both coordinates into (axis, v) pairs, distinct with
-    * map-side combine — the shuffle carries per-partition ladders, not
-    * rows) reduced to count, extent, sum, and sum of squares. An evenly
-    * spaced ladder is fully determined by (n, min, max), so comparing the
-    * measured moments against the arithmetic-progression closed forms
-    * decides regularity without collecting the coordinate vector:
+  /** Probe both axes without ever collecting a coordinate vector. First
+    * aggregate: each axis's distinct ladder (explode both coordinates
+    * into (axis, v) pairs, distinct with map-side combine — the shuffle
+    * carries per-partition ladders, not rows) reduced to count, extent,
+    * sum, and sum of squares, compared against the arithmetic-progression
+    * closed forms
     *   sum   = n(min+max)/2
     *   sumSq = n·min² + min·res·n(n−1) + res²·(n−1)n(2n−1)/6
+    * as a FAST REJECT. Matching moments do NOT certify an AP (for n ≥ 5
+    * a one-parameter family of irregular ladders shares n/min/max/Σv/Σv²
+    * with the AP), so axes that pass get a second, certifying aggregate:
+    * max |v − nearest lattice point| must sit inside the snap tolerance
+    * and the rounded lattice indices must be distinct — that IS the
+    * definition of the ladder snap() assumes. Both jobs run once per
+    * registered dataset (cached); serving stays zero-job.
     * (The moments must be taken over DISTINCT LADDER VALUES — a
     * sum_distinct of v² would collapse symmetric ±v pairs.)
     */
   def gridMeta(df: DataFrame, latCol: String = "lat",
                lonCol: String = "lon"): GridMeta = {
     val v = col("p.v")
-    val byAxis = df
+    def ladder = df
       .select(explode(array(
         struct(lit(0).as("axis"), col(latCol).cast("double").as("v")),
         struct(lit(1).as("axis"), col(lonCol).cast("double").as("v")))).as("p"))
       .where(v.isNotNull)
       .groupBy(col("p.axis").as("axis"), v.as("v")).agg(count(lit(1)))
+    val byAxis = ladder
       .groupBy(col("axis"))
       .agg(count(lit(1)).as("n"), min(col("v")).as("mn"), max(col("v")).as("mx"),
         sum(col("v")).as("s"), sum(col("v") * col("v")).as("sq"))
       .collect().map(r => r.getInt(0) -> r).toMap
-    def axis(i: Int): AxisMeta = byAxis.get(i) match {
-      case None => AxisMeta(0, Double.NaN, Double.NaN, regular = false)
+    final case class Probe(n: Long, mn: Double, mx: Double, momentsOk: Boolean)
+    def probe(i: Int): Probe = byAxis.get(i) match {
+      case None => Probe(0, Double.NaN, Double.NaN, momentsOk = false)
       case Some(r) =>
         val n = r.getLong(1)
         val (mn, mx) = (r.getDouble(2), r.getDouble(3))
         val (s, sq) = (r.getDouble(4), r.getDouble(5))
-        val regular = n <= 2 || {
+        val ok = n <= 2 || {
           val res = (mx - mn) / (n - 1)
           val sAP = n * (mn + mx) / 2.0
           val sqAP = n * mn * mn + mn * res * n * (n - 1) +
@@ -77,9 +85,37 @@ object Api {
           math.abs(s - sAP) <= 1e-9 * math.max(1.0, math.abs(sAP)) &&
             math.abs(sq - sqAP) <= 1e-9 * math.max(1.0, math.abs(sqAP))
         }
-        AxisMeta(n, mn, mx, regular)
+        Probe(n, mn, mx, ok)
     }
-    GridMeta(axis(0), axis(1))
+    val p0 = probe(0); val p1 = probe(1)
+    // certification pass over the moment-matching axes with n > 2
+    val need = Seq(0 -> p0, 1 -> p1).filter { case (_, p) => p.momentsOk && p.n > 2 }
+    val certified: Map[Int, Boolean] =
+      if (need.isEmpty) Map.empty
+      else {
+        val mnC = need.map { case (i, p) => (i, p.mn) }.toMap
+        val resC = need.map { case (i, p) => (i, (p.mx - p.mn) / (p.n - 1)) }.toMap
+        def perAxis(c: Map[Int, Double]) =
+          when(col("axis") === 0, lit(c.getOrElse(0, Double.NaN)))
+            .otherwise(lit(c.getOrElse(1, Double.NaN)))
+        val idx = round((col("v") - perAxis(mnC)) / perAxis(resC))
+        val dev = abs(col("v") - (perAxis(mnC) + idx * perAxis(resC)))
+        ladder
+          .where(col("axis").isin(need.map(_._1): _*))
+          .select(col("axis"), col("v"), idx.as("idx"), dev.as("dev"))
+          .groupBy(col("axis"))
+          .agg(max(col("dev")).as("maxDev"),
+            countDistinct(col("idx")).as("nIdx"), count(lit(1)).as("n"))
+          .collect().map { r =>
+            val i = r.getInt(0)
+            val res = resC(i)
+            r.getInt(0) -> (r.getDouble(1) <= 1e-6 * math.abs(res) &&
+              r.getLong(2) == r.getLong(3))
+          }.toMap
+      }
+    def axis(i: Int, p: Probe): AxisMeta = AxisMeta(p.n, p.mn, p.mx,
+      regular = p.momentsOk && (p.n <= 2 || certified.getOrElse(i, false)))
+    GridMeta(axis(0, p0), axis(1, p1))
   }
 
   /** Per-JVM grid-geometry cache keyed by the CANONICALIZED logical plan

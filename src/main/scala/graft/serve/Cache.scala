@@ -247,11 +247,24 @@ object Cache {
             }
             case "PUT" =>
               val len = parts(3).toInt
-              require(len <= maxValueBytes, s"value of $len bytes exceeds cap")
-              val buf = new Array[Byte](len)
-              in.readFully(buf)
-              backend.put(dec(parts(1)), new String(buf, "UTF-8"), parts(2).toLong)
-              reply("OK")
+              if (len > maxValueBytes || len < 0) {
+                // the value body is already in flight: DRAIN it before the
+                // error reply, or its bytes would be parsed as commands and
+                // a value line starting with DEL/CLEAR would execute —
+                // protocol desync turned cache corruption
+                var rem = math.max(len.toLong, 0L)
+                val skip = new Array[Byte](64 << 10)
+                while (rem > 0) {
+                  val n = in.read(skip, 0, math.min(rem, skip.length.toLong).toInt)
+                  if (n < 0) rem = 0 else rem -= n
+                }
+                reply(s"ERR value of $len bytes exceeds cap")
+              } else {
+                val buf = new Array[Byte](len)
+                in.readFully(buf)
+                backend.put(dec(parts(1)), new String(buf, "UTF-8"), parts(2).toLong)
+                reply("OK")
+              }
             case "DEL" => reply(s"DEL ${if (backend.delete(dec(parts(1)))) 1 else 0}")
             case "CLEAR" => reply(s"CLEAR ${backend.clearPrefix(dec(parts(1)))}")
             case "COUNT" => reply(s"COUNT ${backend.entryCount}")

@@ -52,6 +52,29 @@ class ApiSpec extends SparkSpec {
     assert(meta.lat.snap(10.3).contains(15.0))
   }
 
+  test("gridMeta: moment-matching impostor ladder is NOT certified regular") {
+    // {0, x, 1.5, 3−x', 4} with x = 1.3486122…, x' chosen so Σv = 10 and
+    // Σv² = 30 — the exact first two moments of the AP {0,1,2,3,4}. The
+    // moment probe alone cannot tell them apart (a one-parameter family
+    // of such sets exists for n ≥ 5); the lattice-deviation certificate
+    // must reject it, or snap() would return coordinates that don't exist.
+    // x² + (4.5−x)² = 11.75 ⇒ 2x² − 9x + 8.5 = 0 ⇒ x = (9 − √13)/4
+    val x = (9.0 - math.sqrt(13.0)) / 4
+    val y = 4.5 - x
+    val lats = Seq(0.0, x, 1.5, y, 4.0)
+    val sq = lats.map(v => v * v).sum
+    // moments collide to machine precision, INSIDE the probe's 1e-9
+    // tolerance — only the lattice certificate can reject this ladder
+    assert(math.abs(lats.sum - 10.0) < 1e-12)
+    assert(math.abs(sq - 30.0) < 1e-12, s"fixture moment drift: $sq")
+    val rows = for (la <- lats; lo <- Seq(0.0, 10.0, 20.0)) yield (la, lo, 1.0)
+    val g = rows.toDF("lat", "lon", "v")
+    val meta = Api.gridMeta(g)
+    assert(!meta.lat.regular, "impostor ladder must not certify as regular")
+    assert(meta.lon.regular)
+    assert(Api.nearestCell(g, 1.0, 8.0) == ((x, 10.0)), "scan fallback finds the true cell")
+  }
+
   test("gridMeta: irregular axis detected; nearestCell falls back to the scan") {
     val rows = for {
       la <- Seq(-10.0, 0.0, 3.0, 50.0) // uneven spacing

@@ -127,6 +127,33 @@ class CacheSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("network backend: oversized PUT is drained, not parsed as commands") {
+    // an over-cap PUT's value body is already in flight when the node
+    // rejects it; the node must consume those bytes before replying ERR,
+    // or value lines like "DEL k" would execute against the backend
+    val backing = new LruBackend(ttlSeconds = 100)
+    val server = new CacheServer(backing, maxValueBytes = 64).start()
+    try {
+      backing.put("victim", "data", 100)
+      val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+      try {
+        val out = sock.getOutputStream
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+        val body = ("DEL victim\n" + "CLEAR \n" + ("x" * 80)).take(100)
+        out.write(s"PUT big 100 ${body.length}\n".getBytes("UTF-8"))
+        out.write(body.getBytes("UTF-8")); out.flush()
+        val r1 = in.readLine()
+        assert(r1 != null && r1.startsWith("ERR"), s"expected ERR, got $r1")
+        // the stream is still in sync: the next real command works and the
+        // embedded DEL line did NOT execute
+        out.write("GET victim\n".getBytes("UTF-8")); out.flush()
+        val r2 = in.readLine()
+        assert(r2 == "HIT 4", s"victim survived and protocol resynced, got $r2")
+      } finally sock.close()
+    } finally server.stop()
+  }
+
   test("network backend: TTL expiry is enforced by the cache node") {
     var now = 1000L
     val server = new CacheServer(new LruBackend(ttlSeconds = 100, clock = () => now)).start()
