@@ -248,10 +248,24 @@ object Hdf5 {
       val (bOff, bLen, sigd) = blocks.head
       blocks = blocks.tail
       val start = if (sigd) bOff + 4 else bOff
-      // chunk 0's declared size counts ONLY message data (its checksum sits
-      // outside, in the prefix's accounting); a continuation block's length
-      // covers the whole block — "OCHK" signature + data + checksum
+      // chunk 0's declared size counts ONLY message data (+ any gap; its
+      // checksum sits outside, in the prefix's accounting); a continuation
+      // block's length covers the whole block — "OCHK" signature + data +
+      // checksum
       val dataLen = (if (sigd) bLen - 8 else bLen).toInt
+      // verify the block's trailing lookup3 checksum (chunk 0's covers the
+      // whole header from the OHDR signature)
+      locally {
+        val (from, len) =
+          if (sigd) (bOff, bLen.toInt)
+          else (addr, (bOff - addr + bLen).toInt + 4)
+        val whole = new Array[Byte](len)
+        at.bytes(from, len).get(whole)
+        val stored = ByteBuffer.wrap(whole, len - 4, 4)
+          .order(ByteOrder.LITTLE_ENDIAN).getInt
+        require(stored == lookup3(whole, 0, len - 4, 0),
+          "v2 object header checksum mismatch — corrupt file")
+      }
       val bb = at.bytes(start, dataLen)
       val msgHdrLen = if (trackOrder) 6 else 4
       while (bb.remaining() >= msgHdrLen) {
@@ -1734,10 +1748,21 @@ object Hdf5 {
     def mark(label: String): Unit = labels(label) = len.toLong
     def define(label: String, v: Long): Unit = labels(label) = v
     def addr(label: String): Unit = { patches += ((len, label)); u64(0) }
+    private val ckPatches = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+    /** Register a lookup3 checksum at `ckPos` over `[from, to)`, computed
+      * AFTER address patches resolve — so checksummed structures may
+      * contain forward references.
+      */
+    def checksumOver(ckPos: Int, from: Int, to: Int): Unit =
+      ckPatches += ((ckPos, from, to))
     def result(): Array[Byte] = {
       patches.foreach { case (p, l) =>
         val v = labels.getOrElse(l, sys.error(s"unresolved HDF5 label $l"))
         var i = 0; while (i < 8) { arr(p + i) = (v >> (8 * i)).toByte; i += 1 }
+      }
+      ckPatches.foreach { case (p, from, to) =>
+        val ck = lookup3(arr, from, to - from, 0)
+        var i = 0; while (i < 4) { arr(p + i) = (ck >> (8 * i)).toByte; i += 1 }
       }
       java.util.Arrays.copyOf(arr, len)
     }
@@ -1821,7 +1846,10 @@ object Hdf5 {
             eaIndex: Boolean = false,
             eaParams: EaParams = EaParams(),
             implicitIndex: Boolean = false,
-            chunkCodec: String = "zlib"): Unit = {
+            chunkCodec: String = "zlib",
+            headerVersion: Int = 1): Unit = {
+    require(headerVersion == 1 || headerVersion == 2,
+      s"headerVersion $headerVersion (1 = classic prefix, 2 = latest OHDR)")
     require(Set("zlib", "lz4", "zstd", "lzf")(chunkCodec),
       s"chunkCodec '$chunkCodec' (zlib/lz4/zstd/lzf)")
     // lzf is h5py's codec and h5py writes the earliest file format; the
@@ -1884,7 +1912,11 @@ object Hdf5 {
     }
 
     // ---- object headers ----
-    def objectHeader(label: String, msgs: Seq[(Int, Int, () => Unit)]): Unit = {
+    def objectHeader(label: String, msgs: Seq[(Int, Int, () => Unit)]): Unit =
+      if (headerVersion == 2) objectHeaderV2(label, msgs)
+      else objectHeaderV1(label, msgs)
+
+    def objectHeaderV1(label: String, msgs: Seq[(Int, Int, () => Unit)]): Unit = {
       // (type, paddedDataSize, emit) — emit must write exactly size bytes
       b.padTo8()
       b.mark(label)
@@ -1900,6 +1932,34 @@ object Hdf5 {
         emit()
         require(b.pos - start == size, s"message $t wrote ${b.pos - start}, declared $size")
       }
+    }
+
+    /** Version-2 object header (the latest-format prefix): "OHDR", packed
+      * 4-byte message framing (u8 type), chunk-0 size counting MESSAGE
+      * DATA ONLY per the spec, trailing lookup3 checksum over the whole
+      * header (computed post-patch so layout addresses inside messages
+      * resolve first). No gap is emitted, so the last message ends flush
+      * at the chunk boundary — the tightly-packed shape that regresses a
+      * chunk-0 size-accounting error.
+      */
+    def objectHeaderV2(label: String, msgs: Seq[(Int, Int, () => Unit)]): Unit = {
+      b.padTo8()
+      b.mark(label)
+      val start = b.pos
+      val chunk0 = msgs.map { case (_, s, _) => 4 + s }.sum
+      require(chunk0 <= 0xFFFF, s"v2 chunk 0 of $chunk0 bytes needs a wider size field")
+      b.bytes("OHDR".getBytes("US-ASCII"))
+      b.u8(2); b.u8(1) // version, flags: 2-byte chunk-0 size, no times
+      b.u16(chunk0)
+      msgs.foreach { case (t, size, emit) =>
+        b.u8(t); b.u16(size); b.u8(0)
+        val s0 = b.pos
+        emit()
+        require(b.pos - s0 == size, s"message $t wrote ${b.pos - s0}, declared $size")
+      }
+      val ckPos = b.pos
+      b.u32(0)
+      b.checksumOver(ckPos, start, ckPos)
     }
 
     def datasetHeader(vd: NetCdf.VarDef, isDim: Boolean): Unit = {

@@ -10,7 +10,8 @@ class Hdf5Spec extends SparkSpec {
                         layoutVersion: Int = 3, faPageBits: Int = 0,
                         eaIndex: Boolean = false,
                         implicitIndex: Boolean = false,
-                        chunkCodec: String = "zlib"): Unit = {
+                        chunkCodec: String = "zlib",
+                        headerVersion: Int = 1): Unit = {
     val (nt, nlat, nlon) = (4, 3, 2)
     val temps = Array.tabulate(nt * nlat * nlon)(i => 250.0 + i)
     val packed = temps.map(t => (t - 200.0) / 0.5)
@@ -32,7 +33,7 @@ class Hdf5Spec extends SparkSpec {
       chunked = chunked, deflate = deflate,
       layoutVersion = layoutVersion, faPageBits = faPageBits,
       eaIndex = eaIndex, implicitIndex = implicitIndex,
-      chunkCodec = chunkCodec)
+      chunkCodec = chunkCodec, headerVersion = headerVersion)
   }
 
   test("structure parse: signature, dim scales, DIMENSION_LIST, attrs") {
@@ -424,6 +425,41 @@ class Hdf5Spec extends SparkSpec {
           case Seq(a, b2) => b2 - a == stride; case _ => true })
       case other => fail(s"expected chunked, got $other")
     }
+  }
+
+  test("v2 object headers (latest prefix) parse, checksummed, incl. with v4 layouts") {
+    // the full h5py libver='latest' shape: v2 OHDR prefixes over v4
+    // chunked layouts. Messages are PACKED (no gap, last message flush at
+    // the chunk-0 boundary), which regresses the chunk-0 size accounting:
+    // trimming even one message byte loses the layout or an attribute.
+    val base = tmpDir()
+    writeGrid(base + "/v1h.h5", chunked = true)
+    val expected = Hdf5.read(spark, base + "/v1h.h5", Seq("t2m", "count"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    for ((sfx, lv, dz) <- Seq(("v3", 3, 0), ("v4z", 4, 6))) {
+      val p = s"$base/v2h_$sfx.h5"
+      writeGrid(p, chunked = true, deflate = dz, layoutVersion = lv,
+        headerVersion = 2)
+      val got = Hdf5.read(spark, p, Seq("t2m", "count"))
+        .orderBy("time", "lat", "lon").collect().toSeq
+      assert(got == expected, s"v2-header $sfx mismatch")
+      // attributes survived the packed parse (the LAST messages in the
+      // chunk are the ones a size-accounting bug would drop)
+      val f = Hdf5.readStructure(p, Map.empty)
+      assert(f.datasets.find(_.name == "t2m").get
+        .attrNum("scale_factor").contains(0.5))
+      assert(f.datasets.find(_.name == "lat").get.isDimScale)
+    }
+    // the header checksum is real: flip one byte inside OHDR → loud
+    val p2 = s"$base/v2h_bad.h5"
+    writeGrid(p2, chunked = true, headerVersion = 2)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p2))
+    val pos = bytes.indexOfSlice("OHDR".getBytes("US-ASCII"))
+    assert(pos > 0)
+    bytes(pos + 10) = (bytes(pos + 10) ^ 0x2A).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(p2), bytes)
+    val e = intercept[Exception] { Hdf5.readStructure(p2, Map.empty) }
+    assert(Option(e.getMessage).exists(_.contains("checksum mismatch")))
   }
 
   test("v4 corrupt extensible-array structure fails loudly") {
