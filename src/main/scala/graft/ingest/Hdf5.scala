@@ -20,11 +20,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   *     strings (attrs), object references and vlen-of-reference (for
   *     DIMENSION_LIST)
   *   - data layout v3 (compact, contiguous, chunked with a B-tree v1
-  *     chunk index) and v4 — the HDF5 1.10+ "latest" format — with the
-  *     Single Chunk, Implicit, and Fixed Array chunk indexes
-  *     (paged or unpaged, lookup3 checksums verified); extensible-array /
-  *     v2-B-tree indexes (latest-format unlimited dims) fail with a
-  *     repack hint; chunk filter pipelines covering what netCDF-4 files
+  *     chunk index) and v4 — the HDF5 1.10+ "latest" format — with all
+  *     five chunk indexes: Single Chunk, Implicit, Fixed Array (paged or
+  *     unpaged), Extensible Array (the one-unlimited-dim layout), and
+  *     Version 2 B-tree (the multi-unlimited-dim layout); every lookup3
+  *     checksum verified; chunk filter pipelines covering what netCDF-4 files
   *     actually carry — deflate (zlib, id 1), shuffle (byte transpose,
   *     id 2), and fletcher32 checksums (id 3, verified) — applied in
   *     reverse pipeline order per chunk with the B-tree key's filter
@@ -825,8 +825,11 @@ object Hdf5 {
   }
 
   private[ingest] def zstdDecodeChunk(raw: Array[Byte], where: String): Array[Byte] = {
+    // getFrameContentSize returns 0 both for a genuinely-empty frame and
+    // for a streaming-written frame with no recorded content size; a
+    // nonempty chunk claiming 0 decoded bytes is the latter → stream it
     val sz = com.github.luben.zstd.Zstd.getFrameContentSize(raw)
-    if (sz >= 0 && sz <= Int.MaxValue)
+    if (sz > 0 && sz <= Int.MaxValue)
       com.github.luben.zstd.Zstd.decompress(raw, sz.toInt)
     else { // frame without a recorded content size: stream it
       val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
@@ -1126,7 +1129,19 @@ object Hdf5 {
     require(elemBytes <= Int.MaxValue, s"$where: chunk over 2 GiB")
     val nChunks = dims.indices
       .map(d => (dims(d).toLong + cdims(d) - 1) / cdims(d)).product
-    (b.get() & 0xFF) match {
+    // flag bit 0 = H5D_CHUNK_DONT_FILTER_PARTIAL_BOUND_CHUNKS
+    // (H5Pset_chunk_opts): partial edge chunks are stored RAW with no
+    // filter-mask record in the index — mark them skip-all-filters here
+    // so the defilter path leaves their bytes untouched
+    val rawEdgeChunks = (flags & 0x01) != 0
+    def isEdge(c: H5Chunk): Boolean =
+      dims.indices.exists(d => c.offsets(d) + cdims(d) > dims(d))
+    def withEdgeMasks(l: H5Layout): H5Layout = l match {
+      case Chunked(cd, cs) if rawEdgeChunks && filtered =>
+        Chunked(cd, cs.map(c => if (isEdge(c)) c.copy(mask = -1) else c))
+      case other => other
+    }
+    withEdgeMasks((b.get() & 0xFF) match {
       case 1 => // Single Chunk
         val (size, mask) =
           if ((flags & 0x02) != 0) (getOfs(b, sh.len).toInt, b.getInt)
@@ -1162,10 +1177,17 @@ object Hdf5 {
           else readExtensibleArrayChunks(at, addr, sh, dims, cdims,
             elemBytes.toInt, where)
         Chunked(cdims, chunks)
-      case 5 => sys.error(s"$where: v2 B-tree chunk index is not " +
-        "supported — repack with `h5repack` (default format) upstream")
+      case 5 => // Version 2 B-tree (multi-unlimited-dimension datasets)
+        b.getInt // node size (the header repeats it authoritatively)
+        b.get(); b.get() // split / merge percents
+        val addr = getOfs(b, sh.ofs)
+        val chunks =
+          if (addr == Undef) IndexedSeq.empty[H5Chunk]
+          else readBTree2Chunks(at, addr, sh, dims, cdims,
+            elemBytes.toInt, filtered, where)
+        Chunked(cdims, chunks)
       case t => sys.error(s"$where: unknown v4 chunk index type $t")
-    }
+    })
   }
 
   /** Read every allocated chunk out of a Fixed Array index: "FAHD"
@@ -1485,6 +1507,189 @@ object Hdf5 {
         }
       }
     }
+    out.result()
+  }
+
+  /** libhdf5's H5VM_limit_enc_size: bytes needed to encode values up to
+    * `n` — `floor(log2 n)/8 + 1` (1 for n = 0). Governs the width of the
+    * variable-size record-count fields inside v2-B-tree child pointers.
+    */
+  private[ingest] def limitEncSize(n: Long): Int =
+    if (n <= 0) 1 else (63 - java.lang.Long.numberOfLeadingZeros(n)) / 8 + 1
+
+  /** Variable-size chunk-size field width for filtered v2-B-tree chunk
+    * records: one spare byte over what the unfiltered chunk needs (a
+    * filter may grow the chunk), capped at 8 — libhdf5's
+    * H5D__bt2_idx_create computation.
+    */
+  private[ingest] def bt2ChunkSizeLen(rawChunkBytes: Long): Int =
+    math.min(8, 1 + ((63 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1L, rawChunkBytes))) + 8) / 8)
+
+  /** Per-level v2-B-tree geometry: max records a node holds at each
+    * depth and the cumulative-subtree maxima that size the pointer
+    * fields. Mirrors libhdf5's header init (node_info) exactly — the
+    * on-disk variable-width integers are unreadable without it.
+    * Level 0 is the leaf; `ptrSize(d)` is the byte width of one child
+    * pointer inside a depth-`d` internal node.
+    */
+  private[ingest] final case class Bt2Geometry(nodeSize: Int, recordSize: Int,
+                                               ofsSize: Int, depth: Int) {
+    val maxLeafRec: Int = (nodeSize - 10) / recordSize // 10 = sig+ver+type+checksum
+    require(maxLeafRec >= 1, s"v2-B-tree node size $nodeSize below one record")
+    val maxNrecSize: Int = limitEncSize(maxLeafRec.toLong)
+    /** (maxRec, cumMaxRec, cumMaxRecSize) per level 0..depth. */
+    val info: IndexedSeq[(Long, Long, Int)] = {
+      val out = IndexedSeq.newBuilder[(Long, Long, Int)]
+      var prev = (maxLeafRec.toLong, maxLeafRec.toLong, 0)
+      out += prev
+      var u = 1
+      while (u <= depth) {
+        val ptr = ofsSize + maxNrecSize + prev._3
+        val maxRec = (nodeSize - (10 + ptr)).toLong / (recordSize + ptr)
+        require(maxRec >= 1, s"v2-B-tree node size $nodeSize below one internal record")
+        val cum = (maxRec + 1) * prev._2 + maxRec
+        prev = (maxRec, cum, limitEncSize(cum))
+        out += prev
+        u += 1
+      }
+      out.result()
+    }
+    def ptrSize(d: Int): Int = ofsSize + maxNrecSize + info(d - 1)._3
+  }
+
+  /** Read every chunk out of a Version 2 B-tree index — the latest-format
+    * index libhdf5 uses for chunked datasets with MORE THAN ONE unlimited
+    * dimension (and the one h5py emits for some libver='latest'
+    * unlimited-dim layouts): "BTHD" header → "BTIN" internal nodes →
+    * "BTLF" leaves, record type 10 (non-filtered: address + scaled
+    * offsets) or 11 (filtered: + variable-width chunk size + filter
+    * mask). In-order traversal yields row-major chunk order. All lookup3
+    * checksums verified over each node's used prefix.
+    */
+  private def readBTree2Chunks(at: At, hdrAddr: Long, sh: Shape,
+                               dims: IndexedSeq[Int], cdims: IndexedSeq[Int],
+                               rawChunkBytes: Int, filtered: Boolean,
+                               where: String): IndexedSeq[H5Chunk] = {
+    val rank = cdims.length
+    val hdrLen = 4 + 1 + 1 + 4 + 2 + 2 + 1 + 1 + sh.ofs + 2 + sh.len + 4
+    val hraw = new Array[Byte](hdrLen)
+    at.bytes(hdrAddr, hdrLen).get(hraw)
+    val hb = ByteBuffer.wrap(hraw).order(ByteOrder.LITTLE_ENDIAN)
+    val sig = new Array[Byte](4); hb.get(sig)
+    require(sig.sameElements("BTHD".getBytes("US-ASCII")),
+      s"$where: bad v2-B-tree header signature")
+    require((hb.get() & 0xFF) == 0, s"$where: v2-B-tree header version")
+    val recType = hb.get() & 0xFF
+    require(recType == (if (filtered) 11 else 10),
+      s"$where: v2-B-tree record type $recType " +
+        s"(expected ${if (filtered) 11 else 10} for ${if (filtered) "" else "non-"}filtered chunks)")
+    val nodeSize = hb.getInt
+    val recordSize = hb.getShort & 0xFFFF
+    val depth = hb.getShort & 0xFFFF
+    hb.get(); hb.get() // split / merge percents
+    val rootAddr = getOfs(hb, sh.ofs)
+    val rootNrec = hb.getShort & 0xFFFF
+    val totalNrec = getOfs(hb, sh.len)
+    require(hb.getInt == lookup3(hraw, 0, hdrLen - 4, 0),
+      s"$where: v2-B-tree header checksum mismatch — corrupt file")
+    require(nodeSize >= 64 && nodeSize <= (1 << 26),
+      s"$where: implausible v2-B-tree node size $nodeSize")
+    val csl = recordSize - sh.ofs - 4 - 8 * rank // filtered chunk-size width
+    require(if (filtered) csl >= 1 && csl <= 8
+            else recordSize == sh.ofs + 8 * rank,
+      s"$where: v2-B-tree record size $recordSize does not fit " +
+        s"rank-$rank ${if (filtered) "filtered" else "non-filtered"} chunk records")
+    if (rootAddr == Undef || totalNrec == 0) return IndexedSeq.empty
+    require(depth <= 16, s"$where: implausible v2-B-tree depth $depth")
+    val geo = Bt2Geometry(nodeSize, recordSize, sh.ofs, depth)
+
+    val out = IndexedSeq.newBuilder[H5Chunk]
+    def readRecord(eb: ByteBuffer): Unit = {
+      val addr = getOfs(eb, sh.ofs)
+      val (size, mask) =
+        if (filtered) {
+          var sz = 0L; var k = 0
+          while (k < csl) { sz |= (eb.get() & 0xFFL) << (8 * k); k += 1 }
+          require(sz > 0 && sz <= Int.MaxValue,
+            s"$where: implausible stored chunk size $sz in v2-B-tree record")
+          (sz.toInt, eb.getInt)
+        } else (rawChunkBytes, 0)
+      val scaled = (0 until rank).map(_ => eb.getLong)
+      out += H5Chunk(scaled.indices.map(d => scaled(d) * cdims(d)), addr, size, mask)
+    }
+    def readVarInt(eb: ByteBuffer, width: Int): Long = {
+      var v = 0L; var k = 0
+      while (k < width) { v |= (eb.get() & 0xFFL) << (8 * k); k += 1 }
+      v
+    }
+    def walk(addr: Long, nrec: Int, d: Int): Long = {
+      require(addr != Undef, s"$where: undefined v2-B-tree node address at depth $d")
+      require(nrec >= 1 && nrec <= geo.info(d)._1,
+        s"$where: v2-B-tree node holds $nrec records, depth-$d max ${geo.info(d)._1}")
+      if (d == 0) {
+        val len = 6 + nrec * recordSize + 4
+        val raw = new Array[Byte](len)
+        at.bytes(addr, len).get(raw)
+        val nb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        val s4 = new Array[Byte](4); nb.get(s4)
+        require(s4.sameElements("BTLF".getBytes("US-ASCII")),
+          s"$where: bad v2-B-tree leaf signature")
+        require((nb.get() & 0xFF) == 0 && (nb.get() & 0xFF) == recType,
+          s"$where: v2-B-tree leaf version/type")
+        nb.position(len - 4)
+        require(nb.getInt == lookup3(raw, 0, len - 4, 0),
+          s"$where: v2-B-tree leaf checksum mismatch — corrupt file")
+        nb.position(6)
+        var i = 0
+        while (i < nrec) { readRecord(nb); i += 1 }
+        nrec.toLong
+      } else {
+        val ptr = geo.ptrSize(d)
+        val len = 6 + nrec * recordSize + (nrec + 1) * ptr + 4
+        val raw = new Array[Byte](len)
+        at.bytes(addr, len).get(raw)
+        val nb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        val s4 = new Array[Byte](4); nb.get(s4)
+        require(s4.sameElements("BTIN".getBytes("US-ASCII")),
+          s"$where: bad v2-B-tree internal node signature")
+        require((nb.get() & 0xFF) == 0 && (nb.get() & 0xFF) == recType,
+          s"$where: v2-B-tree internal node version/type")
+        nb.position(len - 4)
+        require(nb.getInt == lookup3(raw, 0, len - 4, 0),
+          s"$where: v2-B-tree internal node checksum mismatch — corrupt file")
+        // records first, then the child pointers; replay in order so the
+        // collected chunks come out sorted by (row-major) offset
+        val recStart = 6
+        val ptrStart = 6 + nrec * recordSize
+        val children = (0 to nrec).map { i =>
+          nb.position(ptrStart + i * ptr)
+          val ca = getOfs(nb, sh.ofs)
+          val cn = readVarInt(nb, geo.maxNrecSize)
+          val ct = if (d > 1) readVarInt(nb, geo.info(d - 1)._3) else cn
+          (ca, cn, ct)
+        }
+        var visited = 0L
+        var i = 0
+        while (i < nrec) {
+          val (ca, cn, ct) = children(i)
+          val got = walk(ca, cn.toInt, d - 1)
+          require(got == ct, s"$where: v2-B-tree subtree record count $got != declared $ct")
+          visited += got
+          nb.position(recStart + i * recordSize)
+          readRecord(nb)
+          visited += 1
+          i += 1
+        }
+        val (ca, cn, ct) = children(nrec)
+        val got = walk(ca, cn.toInt, d - 1)
+        require(got == ct, s"$where: v2-B-tree subtree record count $got != declared $ct")
+        visited + got
+      }
+    }
+    val seen = walk(rootAddr, rootNrec, depth)
+    require(seen == totalNrec,
+      s"$where: v2-B-tree walked $seen records, header declares $totalNrec")
     out.result()
   }
 
@@ -1846,6 +2051,10 @@ object Hdf5 {
             eaIndex: Boolean = false,
             eaParams: EaParams = EaParams(),
             implicitIndex: Boolean = false,
+            bt2Index: Boolean = false,
+            bt2NodeSize: Int = 2048,
+            chunkOuter: Int = 1,
+            dontFilterEdge: Boolean = false,
             chunkCodec: String = "zlib",
             headerVersion: Int = 1): Unit = {
     require(headerVersion == 1 || headerVersion == 2,
@@ -1859,6 +2068,11 @@ object Hdf5 {
     require(!eaIndex || layoutVersion == 4, "eaIndex requires layoutVersion 4")
     require(!implicitIndex || (layoutVersion == 4 && deflate == 0 && !eaIndex),
       "implicitIndex requires layoutVersion 4 and no filters")
+    require(!bt2Index || (layoutVersion == 4 && !eaIndex && !implicitIndex),
+      "bt2Index requires layoutVersion 4 and excludes the other indexes")
+    require(chunkOuter >= 1, s"chunkOuter $chunkOuter")
+    require(!dontFilterEdge || (layoutVersion == 4 && deflate > 0),
+      "dontFilterEdge (H5Pset_chunk_opts) requires a filtered v4 layout")
     require(deflate >= 0 && deflate <= 9, s"deflate level $deflate out of [0, 9]")
     require(deflate == 0 || chunked, "deflate requires chunked layout")
     require(layoutVersion == 3 || layoutVersion == 4,
@@ -1979,10 +2193,12 @@ object Hdf5 {
           // the element-size pseudo-dimension per the v4 spec text (the
           // reader accepts both encodings).
           val outer = shape.head.toInt
-          val single = !eaIndex && outer == 1
+          val nChunksOf = (outer + chunkOuter - 1) / chunkOuter
+          val single = !eaIndex && !bt2Index && nChunksOf == 1
           val filtered = deflate > 0
           val idxInfo =
-            if (eaIndex) 5
+            if (bt2Index) 6
+            else if (eaIndex) 5
             else if (implicitIndex) 0
             else if (single) (if (filtered) 12 else 0)
             else 1
@@ -1990,10 +2206,16 @@ object Hdf5 {
           msgs += ((0x08, size, () => {
             val start = b.pos
             b.u8(4); b.u8(2) // v4, chunked
-            b.u8(if (single && filtered) 0x02 else 0x00) // single-index-with-filter flag
+            b.u8((if (single && filtered) 0x02 else 0x00) |
+              (if (dontFilterEdge) 0x01 else 0x00)) // single-w/filter, raw-edge flags
             b.u8(rank); b.u8(8) // dimensionality, 8-byte dim encoding
-            b.u64(1); shape.drop(1).foreach(d => b.u64(d.toLong))
-            if (eaIndex) {
+            b.u64(chunkOuter.toLong); shape.drop(1).foreach(d => b.u64(d.toLong))
+            if (bt2Index) {
+              b.u8(5) // Version 2 B-tree index
+              b.u32(bt2NodeSize.toLong)
+              b.u8(100); b.u8(40) // libhdf5's default split/merge percents
+              b.addr(s"bt2hd:${vd.name}")
+            } else if (eaIndex) {
               b.u8(4) // Extensible Array index
               // message cparam order per the spec: max-bits, index-elmts,
               // min-ptrs, min-elmts, page-bits
@@ -2013,7 +2235,7 @@ object Hdf5 {
               b.addr(s"chunk:${vd.name}:0")
             } else {
               b.u8(3) // Fixed Array index
-              b.u8(pageBitsFor(outer))
+              b.u8(pageBitsFor(nChunksOf))
               b.addr(s"fahd:${vd.name}")
             }
             b.zeros(size - (b.pos - start))
@@ -2025,7 +2247,7 @@ object Hdf5 {
             b.u8(3); b.u8(2) // v3, chunked
             b.u8(rank + 1)
             b.addr(s"chunkbt:${vd.name}")
-            b.u32(1) // chunk outer extent = one slice
+            b.u32(chunkOuter.toLong)
             shape.drop(1).foreach(d => b.u32(d))
             b.u32(elemSize.toLong)
             b.zeros(size - (b.pos - start))
@@ -2385,6 +2607,102 @@ object Hdf5 {
       }
       require(b.pos.toLong == cursor, s"$name: EA layout size accounting drift")
     }
+    // Version 2 B-tree chunk index (latest format, the multi-unlimited-dim
+    // shape): "BTHD" header → "BTIN" internal nodes → "BTLF" leaves, with
+    // libhdf5's exact per-level geometry so the variable-width pointer
+    // fields round-trip. Records are split evenly across the minimum-depth
+    // tree; node addresses are forward labels (checksums resolve after
+    // patching). Chunk i is the writer's outer slice i → scaled offsets
+    // (i, 0, …).
+    def emitBTree2(name: String, addrs: Array[Long], sizes: Array[Int],
+                   filtered: Boolean, rank: Int, rawChunkBytes: Long): Unit = {
+      val n = addrs.length
+      val csl = bt2ChunkSizeLen(rawChunkBytes)
+      val recordSize = 8 + (if (filtered) csl + 4 else 0) + 8 * rank
+      val recType = if (filtered) 11 else 10
+      var depth = 0
+      var geo = Bt2Geometry(bt2NodeSize, recordSize, 8, 0)
+      while (geo.info(depth)._2 < n) {
+        depth += 1
+        geo = Bt2Geometry(bt2NodeSize, recordSize, 8, depth)
+      }
+      require(geo.maxLeafRec >= 2 && n <= 65535,
+        s"$name: b-tree fixture needs ≥2 records per leaf and ≤65535 chunks " +
+          s"(node size $bt2NodeSize, record size $recordSize, $n chunks)")
+      final case class Node(records: IndexedSeq[Int], children: IndexedSeq[Node]) {
+        def total: Long = records.length + children.map(_.total).sum
+      }
+      def plan(lo: Int, hi: Int, d: Int): Node =
+        if (d == 0) Node((lo until hi).toIndexedSeq, IndexedSeq.empty)
+        else {
+          val count = hi - lo
+          val childCap = geo.info(d - 1)._2
+          val c = ((count + 1).toLong + childCap) / (childCap + 1) // ceil
+          require(c >= 2 && c - 1 <= geo.info(d)._1,
+            s"$name: b-tree plan drift (depth $d, $count records, $c children)")
+          val inChildren = count - (c - 1).toInt
+          val base = inChildren / c.toInt
+          val extra = inChildren % c.toInt
+          var pos = lo
+          val seps = IndexedSeq.newBuilder[Int]
+          val kids = IndexedSeq.newBuilder[Node]
+          (0 until c.toInt).foreach { i =>
+            val len = base + (if (i < extra) 1 else 0)
+            kids += plan(pos, pos + len, d - 1)
+            pos += len
+            if (i < c - 1) { seps += pos; pos += 1 }
+          }
+          require(pos == hi, s"$name: b-tree plan accounting drift")
+          Node(seps.result(), kids.result())
+        }
+      val root = plan(0, n, depth)
+      def emitRecord(i: Int): Unit = {
+        b.u64(addrs(i))
+        if (filtered) {
+          var k = 0
+          while (k < csl) { b.u8(((sizes(i).toLong >> (8 * k)) & 0xFF).toInt); k += 1 }
+          b.u32(0) // filter mask: all filters applied
+        }
+        b.u64(i.toLong)
+        (1 until rank).foreach(_ => b.u64(0L))
+      }
+      def emitVarInt(v: Long, w: Int): Unit = {
+        var k = 0
+        while (k < w) { b.u8(((v >> (8 * k)) & 0xFF).toInt); k += 1 }
+      }
+      var nodeId = 0
+      def emitNode(node: Node, d: Int): String = {
+        val label = s"bt2nd:$name:$nodeId"; nodeId += 1
+        // children first (pre-assigning ids depth-first keeps labels stable)
+        val childLabels = node.children.map(emitNode(_, d - 1))
+        b.padTo8(); b.mark(label)
+        val start = b.pos
+        if (d == 0) {
+          b.bytes("BTLF".getBytes("US-ASCII")); b.u8(0); b.u8(recType)
+          node.records.foreach(emitRecord)
+        } else {
+          b.bytes("BTIN".getBytes("US-ASCII")); b.u8(0); b.u8(recType)
+          node.records.foreach(emitRecord)
+          node.children.zip(childLabels).foreach { case (child, cl) =>
+            b.addr(cl)
+            emitVarInt(child.records.length.toLong, geo.maxNrecSize)
+            if (d > 1) emitVarInt(child.total, geo.info(d - 1)._3)
+          }
+        }
+        val ck = b.pos; b.u32(0); b.checksumOver(ck, start, ck)
+        label
+      }
+      val rootLabel = emitNode(root, depth)
+      b.padTo8(); b.mark(s"bt2hd:$name")
+      val start = b.pos
+      b.bytes("BTHD".getBytes("US-ASCII")); b.u8(0); b.u8(recType)
+      b.u32(bt2NodeSize.toLong); b.u16(recordSize); b.u16(depth)
+      b.u8(100); b.u8(40)
+      b.addr(rootLabel)
+      b.u16(root.records.length)
+      b.u64(n.toLong)
+      val ck = b.pos; b.u32(0); b.checksumOver(ck, start, ck)
+    }
     // Fixed Array chunk index (latest format): "FAHD" header + "FADB"
     // data block (+ element pages when paged), lookup3-checksummed.
     // Emitted AFTER the chunks so every address inside is final and the
@@ -2454,36 +2772,46 @@ object Hdf5 {
       if (chunked && !isDim && shape.nonEmpty) {
         val outer = shape.head
         val innerCount = shape.drop(1).map(_.toLong).product.toInt
-        val storedSizes = new Array[Int](outer)
-        val storedAddrs = new Array[Long](outer)
-        val storedMasks = new Array[Int](outer)
-        (0 until outer).foreach { i =>
+        val nChunks = (outer + chunkOuter - 1) / chunkOuter
+        val chunkVals = chunkOuter * innerCount
+        val storedSizes = new Array[Int](nChunks)
+        val storedAddrs = new Array[Long](nChunks)
+        val storedMasks = new Array[Int](nChunks)
+        (0 until nChunks).foreach { i =>
           b.padTo8(); b.mark(s"chunk:${vd.name}:$i")
           storedAddrs(i) = b.pos.toLong
-          val slice = java.util.Arrays.copyOfRange(data, i * innerCount, (i + 1) * innerCount)
-          if (deflate > 0) {
+          val lo = i * chunkOuter
+          val hi = math.min(outer, lo + chunkOuter)
+          // edge chunks are stored full-size (HDF5 semantics): pad with 0
+          val slice = new Array[Double](chunkVals)
+          System.arraycopy(data, lo * innerCount, slice, 0, (hi - lo) * innerCount)
+          val isEdge = hi - lo < chunkOuter
+          if (deflate > 0 && !(dontFilterEdge && isEdge)) {
             val (stored, mask) = storedChunkPipeline(valueBytes(vd.tpe, slice),
               vd.tpe.size, deflate, chunkCodec)
             storedSizes(i) = stored.length
             storedMasks(i) = mask
             b.bytes(stored)
           } else {
-            storedSizes(i) = innerCount * vd.tpe.size
+            storedSizes(i) = chunkVals * vd.tpe.size
             emitValues(vd.tpe, slice)
           }
         }
         if (layoutVersion == 4) {
-          if (eaIndex) {
+          if (bt2Index) {
+            emitBTree2(vd.name, storedAddrs, storedSizes, deflate > 0,
+              shape.length, chunkVals.toLong * vd.tpe.size)
+          } else if (eaIndex) {
             emitExtensibleArray(vd.name, storedAddrs, storedSizes, deflate > 0)
           } else if (implicitIndex) {
             // Implicit index: the chunks ARE the index — address of chunk 0,
             // stride = chunk bytes. padTo8 between chunks must be a no-op.
-            require((innerCount.toLong * vd.tpe.size) % 8 == 0,
+            require((chunkVals.toLong * vd.tpe.size) % 8 == 0,
               s"${vd.name}: implicit index fixture needs 8-aligned chunks")
             require(storedAddrs.zipWithIndex.forall { case (a, i) =>
-              a == storedAddrs(0) + i.toLong * innerCount * vd.tpe.size },
+              a == storedAddrs(0) + i.toLong * chunkVals * vd.tpe.size },
               s"${vd.name}: implicit chunks not contiguous")
-          } else if (outer == 1) {
+          } else if (nChunks == 1) {
             // Single Chunk index: the layout message points straight at
             // the chunk; only the filtered stored-size needs resolving
             if (deflate > 0) b.define(s"chunksz:${vd.name}", storedSizes(0).toLong)
@@ -2495,16 +2823,17 @@ object Hdf5 {
           b.padTo8(); b.mark(s"chunkbt:${vd.name}")
           b.bytes("TREE".getBytes("US-ASCII"))
           b.u8(1); b.u8(0) // node type 1 (chunk), level 0
-          b.u16(outer)
+          b.u16(nChunks)
           b.u64(-1L); b.u64(-1L)
-          (0 until outer).foreach { i =>
+          (0 until nChunks).foreach { i =>
             b.u32(storedSizes(i).toLong); b.u32(storedMasks(i).toLong)
-            b.u64(i.toLong); shape.drop(1).foreach(_ => b.u64(0)); b.u64(0)
+            b.u64(i.toLong * chunkOuter); shape.drop(1).foreach(_ => b.u64(0)); b.u64(0)
             b.addr(s"chunk:${vd.name}:$i")
           }
           // final (upper bound) key
           b.u32(0); b.u32(0)
-          b.u64(outer.toLong); shape.drop(1).foreach(d => b.u64(d.toLong)); b.u64(0)
+          b.u64(nChunks.toLong * chunkOuter)
+          shape.drop(1).foreach(d => b.u64(d.toLong)); b.u64(0)
           val _ = rank
         }
       } else {

@@ -80,10 +80,12 @@ object NetCdfQ extends QueryPack {
                           nVals: Array[Double], qVals: Array[Double],
                           deflate: Int = 0, layoutVersion: Int = 3,
                           eaIndex: Boolean = false,
+                          bt2Index: Boolean = false, bt2NodeSize: Int = 2048,
                           chunkCodec: String = "zlib"): Unit =
     graft.ingest.Hdf5.write(path, gridDims(years), gridVars(years, nVals, qVals),
       gridGatts, chunked = true, deflate = deflate,
       layoutVersion = layoutVersion, eaIndex = eaIndex,
+      bt2Index = bt2Index, bt2NodeSize = bt2NodeSize,
       chunkCodec = chunkCodec)
 
   /** CF time back to ship_year, fills back to null — the read side both
@@ -236,6 +238,21 @@ object NetCdfQ extends QueryPack {
         layoutVersion = 4, eaIndex = true)
       backToRows(NetCdf.read(s, path, Seq("n", "mean_qty")))
     }),
+    // The v2-B-tree chunk index — the remaining latest-format index
+    // (libhdf5's choice for >1 unlimited dim, and what some
+    // h5py libver='latest' settings emit). A 128-byte node size forces a
+    // real multi-level tree over the ~7 per-year chunks, so BTIN child
+    // pointers and their variable-width record counts are on the read
+    // path, not just a single-leaf root. Oracle identical to every other
+    // container roundtrip: DuckDB replays the grid from lineitem.
+    "q_netcdf4_btree2" -> ((s, dir) => {
+      val (years, nVals, qVals) = gridSlabs(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-nc4b").resolve("grid.nc").toString
+      writeGridH5(path, years.toSeq, nVals, qVals, deflate = 6,
+        layoutVersion = 4, bt2Index = true, bt2NodeSize = 128)
+      backToRows(NetCdf.read(s, path, Seq("n", "mean_qty")))
+    }),
     // CDF-5 (64-bit data) variant of the classic container, same oracle.
     "q_netcdf5_roundtrip" -> ((s, dir) => {
       val (years, nVals, qVals) = gridSlabs(s, dir)
@@ -288,6 +305,7 @@ object NetCdfQ extends QueryPack {
     "q_netcdf4_deflate" -> roundtripSql,
     "q_netcdf4_latest" -> roundtripSql,
     "q_netcdf4_unlimited" -> roundtripSql,
+    "q_netcdf4_btree2" -> roundtripSql,
     "q_netcdf4_zstd" -> roundtripSql,
     "q_netcdf5_roundtrip" -> roundtripSql,
     "q_stream_netcdf" -> roundtripSql,

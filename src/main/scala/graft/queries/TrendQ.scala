@@ -28,11 +28,11 @@ object TrendQ extends QueryPack {
         Trends.trendWithConfidence(Tables.lineitem(s, dir), liSeries)
           .select(col("l_returnflag"), col("trend"), col("std_err"), col("n")),
         "trend", "std_err")),
-    // CI bounds need a t-quantile DuckDB lacks → the oracle joins a literal
-    // (df → t_{0.975,df}) table with values from the same commons-math
-    // kernel the engine uses, pinned at the sf0.01 gate group sizes. The
-    // t factor is the only non-SQL term; slope/stderr stay independently
-    // computed by DuckDB regr_* (and are cross-checked in q_trend_stderr).
+    // CI bounds need a t-quantile DuckDB lacks → the oracle DERIVES
+    // t_{0.975,ν} in SQL via the Cornish-Fisher expansion (accurate past
+    // the round-6 grid for ν ≥ 100, asserted in the SQL itself); nothing
+    // is pinned from the engine. Slope/stderr stay independently computed
+    // by DuckDB regr_* (cross-checked in q_trend_stderr).
     "q_trend_ci" -> ((s, dir) =>
       round6(
         Trends.trendWithConfidence(Tables.lineitem(s, dir), liSeries)
@@ -87,6 +87,10 @@ object TrendQ extends QueryPack {
          |  FROM base),
          |tt AS (
          |  SELECT l_returnflag, trend, std_err,
+         |    CASE WHEN df < 100 THEN CAST(error('q_trend_ci oracle: Cornish-Fisher '
+         |        || 't-quantile truncation is only sub-round-6 for df >= 100; '
+         |        || 'got df=' || df || ' — use an exact quantile at this scale') AS DOUBLE)
+         |    ELSE 0 END +
          |    z + (pow(z, 3) + z) / (4 * df)
          |      + (5 * pow(z, 5) + 16 * pow(z, 3) + 3 * z) / (96 * df * df)
          |      + (3 * pow(z, 7) + 19 * pow(z, 5) + 17 * pow(z, 3) - 15 * z)

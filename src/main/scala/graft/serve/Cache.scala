@@ -246,13 +246,25 @@ object Cache {
               case None => reply("MISS")
             }
             case "PUT" =>
-              val len = parts(3).toInt
+              // parse as Long: a declared length over Int.MaxValue must
+              // reach the drain path below, not throw out of it — the
+              // NonFatal catch would reply ERR *without* draining and the
+              // in-flight body would execute as commands (protocol
+              // desync). A non-numeric length is unrecoverable (there is
+              // no trustworthy body length to drain): close the
+              // connection instead.
+              val len = try parts(3).toLong catch {
+                case _: NumberFormatException =>
+                  // escapes the per-command NonFatal catch (ControlThrowable)
+                  // so the connection closes instead of replying ERR mid-desync
+                  throw new DesyncClose
+              }
               if (len > maxValueBytes || len < 0) {
                 // the value body is already in flight: DRAIN it before the
                 // error reply, or its bytes would be parsed as commands and
                 // a value line starting with DEL/CLEAR would execute —
                 // protocol desync turned cache corruption
-                var rem = math.max(len.toLong, 0L)
+                var rem = math.max(len, 0L)
                 val skip = new Array[Byte](64 << 10)
                 while (rem > 0) {
                   val n = in.read(skip, 0, math.min(rem, skip.length.toLong).toInt)
@@ -260,7 +272,7 @@ object Cache {
                 }
                 reply(s"ERR value of $len bytes exceeds cap")
               } else {
-                val buf = new Array[Byte](len)
+                val buf = new Array[Byte](len.toInt)
                 in.readFully(buf)
                 backend.put(dec(parts(1)), new String(buf, "UTF-8"), parts(2).toLong)
                 reply("OK")
@@ -276,9 +288,18 @@ object Cache {
           }
           line = readLine()
         }
-      } catch { case scala.util.control.NonFatal(_) => () }
+      } catch {
+        case _: DesyncClose => () // unparseable body length: drop the connection
+        case scala.util.control.NonFatal(_) => ()
+      }
       finally { sock.close(); live.remove(sock) }
     }
+
+    /** Signals an unrecoverable protocol desync (no trustworthy body
+      * length to drain); ControlThrowable so the per-command NonFatal
+      * catch cannot convert it into an ERR reply on a desynced stream.
+      */
+    private final class DesyncClose extends scala.util.control.ControlThrowable
 
     private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
 

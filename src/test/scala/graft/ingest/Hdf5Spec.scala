@@ -10,6 +10,8 @@ class Hdf5Spec extends SparkSpec {
                         layoutVersion: Int = 3, faPageBits: Int = 0,
                         eaIndex: Boolean = false,
                         implicitIndex: Boolean = false,
+                        bt2Index: Boolean = false,
+                        bt2NodeSize: Int = 2048,
                         chunkCodec: String = "zlib",
                         headerVersion: Int = 1): Unit = {
     val (nt, nlat, nlon) = (4, 3, 2)
@@ -33,6 +35,7 @@ class Hdf5Spec extends SparkSpec {
       chunked = chunked, deflate = deflate,
       layoutVersion = layoutVersion, faPageBits = faPageBits,
       eaIndex = eaIndex, implicitIndex = implicitIndex,
+      bt2Index = bt2Index, bt2NodeSize = bt2NodeSize,
       chunkCodec = chunkCodec, headerVersion = headerVersion)
   }
 
@@ -391,6 +394,138 @@ class Hdf5Spec extends SparkSpec {
         case other => fail(s"expected chunked, got $other")
       }
     }
+  }
+
+  test("v4 v2-B-tree chunk index (single leaf root) reads identically to v1 B-tree") {
+    // 4 chunks fit one leaf at the libhdf5-default 2048-byte node → the
+    // header's rootNrec/total path and type-10/11 record decode, both
+    // unfiltered and through the shuffle→deflate→fletcher32 pipeline
+    val base = tmpDir()
+    writeGrid(base + "/v3.h5", chunked = true)
+    val expected = Hdf5.read(spark, base + "/v3.h5", Seq("t2m", "count"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    for ((sfx, dz) <- Seq(("plain", 0), ("z", 6))) {
+      val p = s"$base/bt2_$sfx.h5"
+      writeGrid(p, chunked = true, deflate = dz, layoutVersion = 4, bt2Index = true)
+      val got = Hdf5.read(spark, p, Seq("t2m", "count"))
+        .orderBy("time", "lat", "lon").collect().toSeq
+      assert(got == expected, s"bt2 $sfx mismatch")
+      val f = Hdf5.readStructure(p, Map.empty)
+      f.datasets.find(_.name == "t2m").get.layout match {
+        case Hdf5.Chunked(cdims, cs) =>
+          assert(cdims == IndexedSeq(1, 3, 2) && cs.length == 4)
+          assert(cs.map(_.offsets.head) == IndexedSeq(0L, 1L, 2L, 3L),
+            "in-order walk yields row-major chunk order")
+        case other => fail(s"expected chunked, got $other")
+      }
+    }
+  }
+
+  test("v4 v2-B-tree: depth-2 tree (BTIN nodes, variable-width pointer fields)") {
+    // node size 128 with rank-3 records forces maxLeafRec=3 and two
+    // internal levels for 20 chunks — exercising child-pointer record
+    // counts AND the depth>1 cumulative-total fields libhdf5 sizes from
+    // its per-level geometry
+    val (nt, nlat, nlon) = (20, 2, 1)
+    val vals = Array.tabulate(nt * nlat * nlon)(i => 7.0 + i)
+    def dims = Seq(Dim("time", nt), Dim("lat", nlat), Dim("lon", nlon))
+    def vars = Seq(
+      (VarDef("time", Seq("time"), NcDouble,
+        Seq("units" -> "hours since 2024-03-01")), Array.tabulate(nt)(_.toDouble)),
+      (VarDef("lat", Seq("lat"), NcDouble), Array(-45.0, 45.0)),
+      (VarDef("lon", Seq("lon"), NcDouble), Array(0.0)),
+      (VarDef("t2m", Seq("time", "lat", "lon"), NcDouble), vals))
+    val base = tmpDir()
+    Hdf5.write(s"$base/v3.h5", dims, vars, chunked = true)
+    val expected = Hdf5.read(spark, s"$base/v3.h5", Seq("t2m"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    for ((sfx, dz) <- Seq(("plain", 0), ("z", 4))) {
+      val p = s"$base/bt2deep_$sfx.h5"
+      Hdf5.write(p, dims, vars, chunked = true, deflate = dz,
+        layoutVersion = 4, bt2Index = true, bt2NodeSize = 128)
+      val got = Hdf5.read(spark, p, Seq("t2m"))
+        .orderBy("time", "lat", "lon").collect().toSeq
+      assert(got == expected, s"bt2-deep $sfx mismatch")
+      val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      def countSlices(sig: String): Int = {
+        val s = sig.getBytes("US-ASCII")
+        (0 to raw.length - 4).count(i =>
+          raw(i) == s(0) && raw(i + 1) == s(1) && raw(i + 2) == s(2) && raw(i + 3) == s(3))
+      }
+      assert(countSlices("BTIN") >= 2, "fixture really has internal nodes")
+      assert(countSlices("BTLF") >= 4, "fixture really splits across leaves")
+      val f = Hdf5.readStructure(p, Map.empty)
+      f.datasets.find(_.name == "t2m").get.layout match {
+        case Hdf5.Chunked(cdims, cs) =>
+          assert(cdims == IndexedSeq(1, 2, 1) && cs.length == nt)
+          assert(cs.map(_.offsets.head) == (0 until nt).map(_.toLong))
+        case other => fail(s"expected chunked, got $other")
+      }
+    }
+  }
+
+  test("v4 corrupt v2-B-tree leaf checksum fails loudly") {
+    val path = tmpDir() + "/badbt2.h5"
+    writeGrid(path, chunked = true, deflate = 4, layoutVersion = 4, bt2Index = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val pos = bytes.indexOfSlice("BTLF".getBytes("US-ASCII"))
+    assert(pos > 0, "fixture contains a v2-B-tree leaf")
+    // flip inside the record region (past sig/version/type)
+    bytes(pos + 10) = (bytes(pos + 10) ^ 0x3C).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    val e = intercept[Exception] { Hdf5.read(spark, path, Seq("t2m")).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("checksum mismatch")),
+      s"expected checksum failure, got: ${msgs(e).mkString(" | ")}")
+  }
+
+  test("v4 unfiltered partial edge chunks (H5Pset_chunk_opts) read raw") {
+    // flag bit 0 in the v4 layout message: partial bound chunks are
+    // stored RAW with no filter-mask record in the index. 5 outer steps
+    // in chunks of 2 → the last chunk covers one slice only (a true edge
+    // chunk) and skips the shuffle→deflate→fletcher32 pipeline entirely;
+    // the reader must defilter the first two chunks and pass the third
+    // through untouched.
+    val (nt, nlat, nlon) = (5, 3, 2)
+    def dims = Seq(Dim("time", nt), Dim("lat", nlat), Dim("lon", nlon))
+    val vals = Array.tabulate(nt * nlat * nlon)(i => 250.0 + i)
+    def vars = Seq(
+      (VarDef("time", Seq("time"), NcDouble,
+        Seq("units" -> "hours since 2021-06-01")), Array.tabulate(nt)(_ * 6.0)),
+      (VarDef("lat", Seq("lat"), NcDouble), Array(-45.0, 0.0, 45.0)),
+      (VarDef("lon", Seq("lon"), NcDouble), Array(0.0, 90.0)),
+      (VarDef("t2m", Seq("time", "lat", "lon"), NcDouble), vals))
+    val base = tmpDir()
+    Hdf5.write(s"$base/plain.h5", dims, vars, chunked = true)
+    val expected = Hdf5.read(spark, s"$base/plain.h5", Seq("t2m"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    val p = s"$base/edge.h5"
+    Hdf5.write(p, dims, vars, chunked = true, deflate = 6, layoutVersion = 4,
+      chunkOuter = 2, dontFilterEdge = true)
+    val got = Hdf5.read(spark, p, Seq("t2m"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    assert(got == expected, "raw edge chunk + filtered interior chunks")
+    // the fixture really has the shape claimed: 3 chunks, edge stored at
+    // exactly the raw byte count (no checksum trailer, no deflate header)
+    val f = Hdf5.readStructure(p, Map.empty)
+    f.datasets.find(_.name == "t2m").get.layout match {
+      case Hdf5.Chunked(cdims, cs) =>
+        assert(cdims == IndexedSeq(2, 3, 2) && cs.length == 3)
+        val rawBytes = 2 * 3 * 2 * 8
+        assert(cs.last.size == rawBytes, "edge chunk stored raw, full-size")
+        assert(cs.last.mask == -1, "reader marks the edge chunk skip-all")
+        assert(cs.dropRight(1).forall(_.mask == 0), "interior chunks filtered")
+      case other => fail(s"expected chunked, got $other")
+    }
+    // and a multi-slice-chunk file WITHOUT the flag still round-trips
+    // (chunks spanning outer slices exercise the slab intersection path)
+    val p2 = s"$base/span.h5"
+    Hdf5.write(p2, dims, vars, chunked = true, deflate = 6, layoutVersion = 4,
+      chunkOuter = 2)
+    val got2 = Hdf5.read(spark, p2, Seq("t2m"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    assert(got2 == expected, "multi-slice filtered chunks")
   }
 
   test("v4 implicit chunk index (early-allocated contiguous chunks)") {
