@@ -33,8 +33,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   *   - netCDF-4 semantics: dimension-scale datasets (CLASS =
   *     "DIMENSION_SCALE"), DIMENSION_LIST resolution through the global
   *     heap, coordinate variables, CF time/scale/offset/fill decoding
-  *   - groups: the root group only (netCDF-4 classic-model files);
-  *     dense (fractal-heap) link storage is rejected loudly
+  *   - groups: the full group tree via recursive symbol-table /
+  *     link-message walk — grouped products surface datasets under
+  *     path-qualified names ("model/t2m"); dense (fractal-heap) link
+  *     storage is rejected loudly
   *
   * Scale shape mirrors [[NetCdf]]: all metadata (superblock, headers,
   * B-trees — KBs) parses on the driver; variable DATA is read by
@@ -168,12 +170,27 @@ object Hdf5 {
         case v => sys.error(s"$path: HDF5 superblock v$v not supported")
       }
       val _ = rootStEntry
-      val rootMsgs = readObjectHeader(at, rootAddr, sh)
-      val links = collectLinks(at, rootMsgs, sh, path)
-      val datasets = links.map { case (name, addr) =>
-        parseDataset(at, name, addr, sh, path)
+      // recursive group walk: grouped products get path-qualified dataset
+      // names ("model/t2m"). Symbol-table and compact link-message groups
+      // both recurse; dense (fractal-heap) link storage still rejects
+      // loudly inside collectLinks. A visited set breaks hard-link cycles.
+      val out = IndexedSeq.newBuilder[H5Dataset]
+      val visited = scala.collection.mutable.HashSet[Long](rootAddr)
+      def walkGroup(prefix: String, msgs: Seq[(Int, ByteBuffer)]): Unit = {
+        require(prefix.count(_ == '/') <= 64, s"$path: group nesting too deep")
+        collectLinks(at, msgs, sh, path).foreach { case (name, addr) =>
+          val full = prefix + name
+          val childMsgs = readObjectHeader(at, addr, sh)
+          val isDataset = childMsgs.exists(_._1 == 0x08) ||
+            (childMsgs.exists(_._1 == 0x03) && childMsgs.exists(_._1 == 0x01))
+          if (isDataset) out += parseDataset(at, full, addr, sh, path)
+          else if (childMsgs.exists(m => m._1 == 0x11 || m._1 == 0x02 || m._1 == 0x06)) {
+            if (visited.add(addr)) walkGroup(full + "/", childMsgs)
+          } else sys.error(s"$path: object '$full' is neither a dataset nor a group")
+        }
       }
-      H5File(datasets.toIndexedSeq)
+      walkGroup("", readObjectHeader(at, rootAddr, sh))
+      H5File(out.result())
     } finally ch.close()
   }
 
@@ -2335,53 +2352,74 @@ object Hdf5 {
     b.addr("hdr:/")
     b.u32(0); b.u32(0); b.zeros(16)
 
+    // one level of groups for fixtures/export: a "g/x" variable name
+    // places dataset x inside child group g (its own local heap + B-tree
+    // + SNOD, reached through a symbol-table message on the group header)
+    require(varNames.forall(_.count(_ == '/') <= 1),
+      "at most one group level in the fixture writer")
+    val groupsOf: Map[String, Seq[String]] =
+      varNames.filter(_.contains("/")).groupBy(_.takeWhile(_ != '/'))
+    require(!groupsOf.keySet.exists(varNames.contains),
+      "a group name cannot also be a dataset name")
+
+    /** Local heap + single-node group B-tree + SNOD for one group. */
+    def emitSymbolTable(tag: String, entries: Seq[(String, String)]): Unit = {
+      val sorted = entries.sortBy(_._1)
+      val nameOffsets = scala.collection.mutable.HashMap[String, Long]()
+      val heapData = {
+        val hb = new Buf
+        hb.zeros(8) // "" at offset 0
+        sorted.foreach { case (n, _) =>
+          nameOffsets(n) = hb.pos.toLong
+          hb.bytes(n.getBytes("UTF-8") :+ 0.toByte)
+          hb.padTo8()
+        }
+        hb.result()
+      }
+      b.padTo8(); b.mark(s"heap:$tag")
+      b.bytes("HEAP".getBytes("US-ASCII"))
+      b.u8(0); b.zeros(3)
+      b.u64(heapData.length.toLong)
+      b.u64(-1L) // no free list
+      b.addr(s"heapdata:$tag")
+      b.padTo8(); b.mark(s"heapdata:$tag")
+      b.bytes(heapData)
+      b.padTo8(); b.mark(s"btree:$tag")
+      b.bytes("TREE".getBytes("US-ASCII"))
+      b.u8(0); b.u8(0) // node type 0 (group), level 0
+      b.u16(1)
+      b.u64(-1L); b.u64(-1L) // siblings
+      b.u64(0) // key 0: ""
+      b.addr(s"snod:$tag")
+      b.u64(nameOffsets(sorted.last._1)) // key 1: largest name
+      b.padTo8(); b.mark(s"snod:$tag")
+      b.bytes("SNOD".getBytes("US-ASCII"))
+      b.u8(1); b.u8(0)
+      b.u16(sorted.length)
+      sorted.foreach { case (n, hdrLabel) =>
+        b.u64(nameOffsets(n))
+        b.addr(hdrLabel)
+        b.u32(0); b.u32(0); b.zeros(16)
+      }
+    }
+
     // ---- root group header: symbol table message + global attributes ----
     {
       val msgs = Seq.newBuilder[(Int, Int, () => Unit)]
-      msgs += ((0x11, 16, () => { b.addr("btree"); b.addr("heap") }))
+      msgs += ((0x11, 16, () => { b.addr("btree:/"); b.addr("heap:/") }))
       gatts.foreach { case (n, v) => msgs += scalarAttr(n, v) }
       objectHeader("hdr:/", msgs.result())
     }
+    val rootEntries =
+      varNames.filterNot(_.contains("/")).map(n => (n, s"hdr:$n")) ++
+        groupsOf.keys.map(g => (g, s"hdr:$g"))
+    emitSymbolTable("/", rootEntries)
 
-    // ---- local heap: "" at 0, then each dataset name ----
-    val sortedNames = varNames.sorted
-    val nameOffsets = scala.collection.mutable.HashMap[String, Long]()
-    val heapData = {
-      val hb = new Buf
-      hb.zeros(8) // "" at offset 0
-      sortedNames.foreach { n =>
-        nameOffsets(n) = hb.pos.toLong
-        hb.bytes(n.getBytes("UTF-8") :+ 0.toByte)
-        hb.padTo8()
-      }
-      hb.result()
-    }
-    b.padTo8(); b.mark("heap")
-    b.bytes("HEAP".getBytes("US-ASCII"))
-    b.u8(0); b.zeros(3)
-    b.u64(heapData.length.toLong)
-    b.u64(-1L) // no free list
-    b.addr("heapdata")
-    b.padTo8(); b.mark("heapdata")
-    b.bytes(heapData)
-
-    // ---- group B-tree (single level-0 node) + SNOD ----
-    b.padTo8(); b.mark("btree")
-    b.bytes("TREE".getBytes("US-ASCII"))
-    b.u8(0); b.u8(0) // node type 0 (group), level 0
-    b.u16(1)
-    b.u64(-1L); b.u64(-1L) // siblings
-    b.u64(0) // key 0: ""
-    b.addr("snod")
-    b.u64(nameOffsets(sortedNames.last)) // key 1: largest name
-    b.padTo8(); b.mark("snod")
-    b.bytes("SNOD".getBytes("US-ASCII"))
-    b.u8(1); b.u8(0)
-    b.u16(sortedNames.length)
-    sortedNames.foreach { n =>
-      b.u64(nameOffsets(n))
-      b.addr(s"hdr:$n")
-      b.u32(0); b.u32(0); b.zeros(16)
+    // ---- child group headers + their symbol tables ----
+    groupsOf.toSeq.sortBy(_._1).foreach { case (g, members) =>
+      objectHeader(s"hdr:$g", Seq(
+        (0x11, 16, () => { b.addr(s"btree:$g"); b.addr(s"heap:$g") })))
+      emitSymbolTable(g, members.map(m => (m.drop(g.length + 1), s"hdr:$m")))
     }
 
     // ---- dataset object headers ----

@@ -608,19 +608,31 @@ object NetCdf {
   final case class VarDef(name: String, dimNames: Seq[String], tpe: NcType,
                           attrs: Seq[(String, Any)] = Nil)
 
-  /** Write a CDF-1 (default) or CDF-5 (64-bit data, `version = 5`) file
-    * with fixed dimensions (no record dim — our own reader and any spec
-    * reader handle both). Data arrays are row-major in the declared dim
-    * order. This is the small-extract export path (xarray `to_netcdf`
-    * analog); bulk data at scale flows the other way (nc → parquet →
-    * engine). CDF-5 widens every NON_NEG header field to 8 bytes and
-    * admits the unsigned/64-bit value types.
+  /** Write a CDF-1 (default), NetCDF-4 (`version = 4`, HDF5 container),
+    * or CDF-5 (64-bit data, `version = 5`) file with fixed dimensions
+    * (no record dim — our own reader and any spec reader handle both).
+    * Data arrays are row-major in the declared dim order. This is the
+    * small-extract export path (xarray `to_netcdf` analog); bulk data at
+    * scale flows the other way (nc → parquet → engine). CDF-5 widens
+    * every NON_NEG header field to 8 bytes and admits the unsigned/
+    * 64-bit value types. `version = 4` delegates to [[Hdf5.write]] with
+    * the standard netCDF-4 encoding — dimension scales, DIMENSION_LIST,
+    * chunked data through shuffle→deflate(`deflate`)→fletcher32 (what
+    * `nccopy -d4 -s` / `to_netcdf(encoding={"zlib": True, "shuffle":
+    * True})` produce) — so a NetCDF-4 → engine → export round-trip keeps
+    * its container instead of downgrading to classic. `deflate` applies
+    * only to version 4 (0 = store chunks raw).
     */
   def write(path: String, dims: Seq[Dim],
             vars: Seq[(VarDef, Array[Double])],
             gatts: Seq[(String, Any)] = Nil,
-            version: Int = 1): Unit = {
-    require(version == 1 || version == 5, s"writer supports CDF-1/CDF-5, not CDF-$version")
+            version: Int = 1,
+            deflate: Int = 4): Unit = {
+    require(version == 1 || version == 4 || version == 5,
+      s"writer supports CDF-1/NetCDF-4/CDF-5, not CDF-$version")
+    if (version == 4)
+      return Hdf5.write(path, dims, vars, gatts,
+        chunked = true, deflate = deflate)
     val v5 = version == 5
     val szLen = if (v5) 8 else 4 // NON_NEG width
     val dimIndex = dims.map(_.name).zipWithIndex.toMap

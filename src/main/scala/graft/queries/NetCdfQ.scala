@@ -253,12 +253,47 @@ object NetCdfQ extends QueryPack {
         layoutVersion = 4, bt2Index = true, bt2NodeSize = 128)
       backToRows(NetCdf.read(s, path, Seq("n", "mean_qty")))
     }),
+    // GROUPED NetCDF-4: the data variables live in a child group
+    // ("stats/n", "stats/mean_qty") with root-level dimension scales —
+    // the multi-model/product archive shape. The reader's recursive
+    // symbol-table walk must surface path-qualified names and resolve
+    // DIMENSION_LIST across the group boundary; identical oracle to the
+    // flat roundtrip, so a walk or name-resolution bug hash-mismatches.
+    "q_netcdf4_groups" -> ((s, dir) => {
+      val (years, nVals, qVals) = gridSlabs(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-nc4g").resolve("grid.nc").toString
+      val grouped = gridVars(years.toSeq, nVals, qVals).map {
+        case (vd, data) if vd.dimNames.length == 3 =>
+          (vd.copy(name = s"stats/${vd.name}"), data)
+        case other => other
+      }
+      graft.ingest.Hdf5.write(path, gridDims(years.toSeq), grouped,
+        gridGatts, chunked = true, deflate = 6)
+      backToRows(NetCdf.read(s, path, Seq("stats/n", "stats/mean_qty"))
+        .withColumnsRenamed(Map("stats/n" -> "n", "stats/mean_qty" -> "mean_qty")))
+    }),
     // CDF-5 (64-bit data) variant of the classic container, same oracle.
     "q_netcdf5_roundtrip" -> ((s, dir) => {
       val (years, nVals, qVals) = gridSlabs(s, dir)
       val path = java.nio.file.Files
         .createTempDirectory("graft-nc5").resolve("grid.nc").toString
       writeGrid(path, years.toSeq, nVals, qVals, version = 5)
+      backToRows(NetCdf.read(s, path, Seq("n", "mean_qty")))
+    }),
+    // USER-FACING NetCDF-4 EXPORT: NetCdf.write(version = 4) — the same
+    // public entry point as CDF-1/CDF-5, delegating to the from-spec HDF5
+    // writer with the standard shuffle→deflate→fletcher32 encoding — then
+    // read back through the engine. Same oracle as every container
+    // roundtrip, so an export-side layout bug hash-mismatches.
+    "q_netcdf4_export" -> ((s, dir) => {
+      val (years, nVals, qVals) = gridSlabs(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-nc4e").resolve("grid.nc4").toString
+      NetCdf.write(path, gridDims(years.toSeq),
+        gridVars(years.toSeq, nVals, qVals), gridGatts, version = 4)
+      require(graft.ingest.Hdf5.isHdf5(path, Map.empty),
+        "version=4 export must produce an HDF5 container, not classic")
       backToRows(NetCdf.read(s, path, Seq("n", "mean_qty")))
     }),
     // S6 for .nc (dataset-info probe): variables, dtypes, dim tuples,
@@ -306,6 +341,8 @@ object NetCdfQ extends QueryPack {
     "q_netcdf4_latest" -> roundtripSql,
     "q_netcdf4_unlimited" -> roundtripSql,
     "q_netcdf4_btree2" -> roundtripSql,
+    "q_netcdf4_groups" -> roundtripSql,
+    "q_netcdf4_export" -> roundtripSql,
     "q_netcdf4_zstd" -> roundtripSql,
     "q_netcdf5_roundtrip" -> roundtripSql,
     "q_stream_netcdf" -> roundtripSql,

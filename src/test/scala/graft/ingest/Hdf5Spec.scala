@@ -630,6 +630,48 @@ class Hdf5Spec extends SparkSpec {
       s"expected checksum failure, got: ${msgs(e).mkString(" | ")}")
   }
 
+  test("non-root groups: symbol-table walk, path-qualified names") {
+    // grouped product shape (e.g. multi-model archives): shared root
+    // dimension scales, per-group data variables. The reader must list
+    // "m1/t2m" and "m2/t2m" and read each through the same distributed
+    // plan; DIMENSION_LIST references resolve across the group boundary.
+    val (nt, nlat, nlon) = (3, 2, 2)
+    val n = nt * nlat * nlon
+    val path = tmpDir() + "/g.h5"
+    Hdf5.write(path,
+      dims = Seq(Dim("time", nt), Dim("lat", nlat), Dim("lon", nlon)),
+      vars = Seq(
+        (VarDef("time", Seq("time"), NcDouble,
+          Seq("units" -> "hours since 2020-01-01")), Array.tabulate(nt)(_ * 6.0)),
+        (VarDef("lat", Seq("lat"), NcDouble), Array(-30.0, 30.0)),
+        (VarDef("lon", Seq("lon"), NcDouble), Array(0.0, 180.0)),
+        (VarDef("m1/t2m", Seq("time", "lat", "lon"), NcDouble,
+          Seq("units" -> "K")), Array.tabulate(n)(i => 270.0 + i)),
+        (VarDef("m2/t2m", Seq("time", "lat", "lon"), NcDouble),
+          Array.tabulate(n)(i => 280.0 + i)),
+        (VarDef("sfc", Seq("time", "lat", "lon"), NcDouble),
+          Array.tabulate(n)(i => 1000.0 + i))),
+      chunked = true, deflate = 4)
+    val f = Hdf5.readStructure(path, Map.empty)
+    assert(f.datasets.map(_.name).sorted ==
+      IndexedSeq("lat", "lon", "m1/t2m", "m2/t2m", "sfc", "time"))
+    assert(f.datasets.find(_.name == "m1/t2m").get.attrStr("units").contains("K"))
+    // distributed read of one grouped + one root variable together
+    val df = Hdf5.read(spark, path, Seq("m1/t2m", "sfc"))
+      .orderBy("time", "lat", "lon").collect()
+    assert(df.length == n)
+    assert(df.head.getDouble(3) == 270.0 && df.head.getDouble(4) == 1000.0)
+    assert(df.last.getDouble(3) == 270.0 + n - 1)
+    // the two groups really hold distinct data
+    val m2 = Hdf5.read(spark, path, Seq("m2/t2m")).orderBy("time", "lat", "lon")
+      .collect()
+    assert(m2.head.getDouble(3) == 280.0)
+    // info lists grouped variables with path-qualified names
+    val inf = NetCdf.info(spark, path).collect().map(_.getString(0)).toSet
+    assert(Set("m1/t2m", "m2/t2m", "sfc")(inf.intersect(Set("m1/t2m", "m2/t2m", "sfc")).head) &&
+      inf.contains("m1/t2m") && inf.contains("m2/t2m"))
+  }
+
   test("NetCdf.read dispatches on the HDF5 signature transparently") {
     val path = tmpDir() + "/d.nc" // .nc extension, HDF5 container — the
     writeGrid(path, chunked = false) // netCDF-4 situation users actually hit

@@ -267,6 +267,40 @@ class NetCdfSpec extends SparkSpec {
     assert(pushed.rdd.getNumPartitions <= 3)
   }
 
+  test("version=4 export writes a compressed HDF5 container, round-trips") {
+    // the public export entry point must not downgrade NetCDF-4 round
+    // trips to classic: version=4 delegates to the from-spec HDF5 writer
+    // with shuffle→deflate→fletcher32. Size parity: on a compressible
+    // grid the .nc4 comes out SMALLER than the CDF-5 flat layout.
+    val (nt, nlat, nlon) = (6, 12, 24)
+    val n = nt * nlat * nlon
+    val dims = Seq(Dim("time", nt), Dim("lat", nlat), Dim("lon", nlon))
+    val vars = Seq(
+      (VarDef("time", Seq("time"), NcDouble,
+        Seq("units" -> "days since 2000-01-01")), Array.tabulate(nt)(_.toDouble)),
+      (VarDef("lat", Seq("lat"), NcDouble), Array.tabulate(nlat)(i => i * 15.0 - 82.5)),
+      (VarDef("lon", Seq("lon"), NcDouble), Array.tabulate(nlon)(i => i * 15.0 - 172.5)),
+      (VarDef("t2m", Seq("time", "lat", "lon"), NcDouble,
+        Seq("units" -> "K")), Array.tabulate(n)(i => 270.0 + (i % 13))))
+    val base = tmpDir()
+    write(s"$base/flat.nc", dims, vars, version = 5)
+    write(s"$base/grid.nc4", dims, vars, version = 4)
+    assert(Hdf5.isHdf5(s"$base/grid.nc4", Map.empty), "HDF5 container")
+    assert(!Hdf5.isHdf5(s"$base/flat.nc", Map.empty))
+    val a = read(spark, s"$base/flat.nc", Seq("t2m"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    val b = read(spark, s"$base/grid.nc4", Seq("t2m"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    assert(a == b, "export round-trips through the same read plan")
+    val szFlat = new java.io.File(s"$base/flat.nc").length()
+    val sz4 = new java.io.File(s"$base/grid.nc4").length()
+    assert(sz4 < szFlat, s"deflate beats flat on a compressible grid ($sz4 vs $szFlat)")
+    // filters really recorded (not just a chunked-uncompressed container)
+    val f = Hdf5.readStructure(s"$base/grid.nc4", Map.empty)
+    assert(f.datasets.find(_.name == "t2m").get.filters.map(_.id) ==
+      IndexedSeq(2, 1, 3), "shuffle, deflate, fletcher32")
+  }
+
   test("a record-dimension file reads identically (spec interleaving)") {
     // hand-build a CDF-1 file with time as the RECORD dim and two record
     // vars, exercising the interleaved-record read path our writer does
