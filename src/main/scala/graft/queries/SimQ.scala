@@ -56,9 +56,12 @@ object SimQ extends QueryPack {
           "vec_id", "embedding", threshold = 0.45, dim = 64),
         "cosine")),
     // IVF coarse-quantizer ANN (k-means cells + probing): the query emits
-    // per-query recall@3 against the in-engine brute-force kNN — a number
-    // DuckDB can pin (seeded KMeans on the single-partition gate table is
-    // deterministic), instead of an unverifiable raw top-k list.
+    // per-query recall@3 against the in-engine brute-force kNN. The
+    // oracle REPLAYS the entire pipeline in DuckDB — the seeded init
+    // (Spark xxhash64 over the raw element bits, recomputed arithmetically),
+    // all 10 Lloyd's iterations, the L2² cell assignment, the cosine
+    // probe ranking, and the recall join — so nothing is pinned from the
+    // engine (see [[IvfKmeansSql]]).
     "q_ivf_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).where(col("vec_id") < 50)
       val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
@@ -453,30 +456,21 @@ object SimQ extends QueryPack {
     // the auto sizing's output at gate-table corpus sizes (2-bit floor)
     "q_lsh_auto_pairs" -> lshPairsOracleSql(dim = 64, bits = 12, bands = 6,
       threshold = 0.45),
-    // Deterministic recall@3 of the seeded IVF quantizer at the sf0.01
-    // gate (KMeans seed 42 over the single-partition gate table; exact-kNN
-    // reference recomputed by DuckDB would need the KMeans side too, so
-    // the recall vector is pinned from the engine's deterministic run).
-    "q_ivf_ann" ->
-      ("""SELECT CAST(id1 AS BIGINT) AS id1, CAST(recall AS DOUBLE) AS recall
-         |FROM (VALUES """.stripMargin +
-        "(0,1.0),(1,1.0),(2,1.0),(3,1.0),(4,0.666667),(5,1.0),(6,0.666667)," +
-        "(7,1.0),(8,1.0),(9,0.666667),(10,0.666667),(11,1.0),(12,1.0)," +
-        "(13,0.333333),(14,1.0),(15,1.0),(16,1.0),(17,1.0),(18,1.0)," +
-        "(19,0.666667),(20,1.0),(21,1.0),(22,1.0),(23,1.0),(24,1.0),(25,1.0)," +
-        "(26,0.666667),(27,1.0),(28,1.0),(29,0.666667),(30,1.0),(31,0.666667)," +
-        "(32,0.666667),(33,1.0),(34,0.333333),(35,0.666667),(36,0.666667)," +
-        "(37,1.0),(38,1.0),(39,1.0),(40,1.0),(41,1.0),(42,0.666667),(43,1.0)," +
-        "(44,1.0),(45,1.0),(46,1.0),(47,1.0),(48,0.666667),(49,1.0)" +
-        ") AS t(id1, recall)"),
+    // FULL DERIVATION of the IVF recall — nothing pinned: DuckDB replays
+    // the seeded Lloyd's fit (init hash, 10 iterations), both assignment
+    // metrics, the probe ranking, and the recall join from the raw
+    // embeddings table. See [[IvfKmeansSql]].
+    "q_ivf_ann" -> IvfKmeansSql.sql(dim = 64, nlist = 8, nprobe = 4,
+      k = 3, iters = 10),
     // Deterministic recall@10 of the seeded PQ quantizer (m=8 subspaces ×
     // 16 centroids, distributed Lloyd's fit with hash-sorted init and
-    // order-fixed partial merge) at the sf0.01 gate — pinned from the
-    // engine's deterministic run for the same reason as q_ivf_ann (the
-    // k-means codebooks can't be replayed in SQL); the independent
-    // evidence is DedupSpec's zero-quantization-error ADC-equals-cosine
-    // proof, the recall bound vs in-engine exact kNN, and the bit-exact
-    // refit reproducibility case.
+    // order-fixed partial merge) at the sf0.01 gate — still pinned from
+    // the engine's deterministic run (the q_ivf_ann SQL replay covers the
+    // m=1 fit; extending it to 8 subspaces × ADC table scoring is the
+    // stated next step); the independent evidence is DedupSpec's
+    // zero-quantization-error ADC-equals-cosine proof, the recall bound
+    // vs in-engine exact kNN, and the bit-exact refit reproducibility
+    // case.
     "q_pq_ann" ->
       ("""SELECT CAST(id1 AS BIGINT) AS id1, CAST(recall AS DOUBLE) AS recall
          |FROM (VALUES """.stripMargin +
@@ -615,5 +609,204 @@ object SimQ extends QueryPack {
        |  FROM sims)
        |SELECT id1, id2, round(cosine, 6) AS cosine, rank
        |FROM ranked WHERE rank <= $k""".stripMargin
+  }
+
+  /** DuckDB replay of the ENTIRE seeded IVF pipeline — the de-pinning of
+    * q_ivf_ann. Every stage the engine runs is re-derived in SQL from the
+    * raw embeddings table:
+    *
+    *   1. INIT: the fit seeds are the `nlist` rows with the smallest
+    *      Spark `xxhash64(u, 42)` (Similarity.kmeansSubspaces). The hash
+    *      is XXH64's 8-byte-lane fold over each element's IEEE-754 double
+    *      bit pattern, then the literal 42 — all recomputed here: bit
+    *      patterns via exponent/mantissa arithmetic (exact for the
+    *      float-sourced values), the per-element `hashLong` chain via a
+    *      recursive CTE with 64-bit wraparound arithmetic in HUGEINT
+    *      (the same mul64/rotl/xor staging as [[DedupQ]]'s XxSql).
+    *   2. FIT: `iters` unrolled Lloyd's iterations — argmin-L2² with
+    *      lowest-cell tie-break (the engine's strict `<` scan), per-cell
+    *      per-dimension mean, empty cells keeping their previous
+    *      centroid.
+    *   3. PROBE + RECALL: corpus cell assignment (L2², the
+    *      NearestCentroid kernel), per-query top-`nprobe` cells by cosine
+    *      (the NearestCentroids kernel ordering), candidate cosines,
+    *      top-`k` (cosine DESC, id ASC), recall vs the full exact kNN.
+    *
+    * CTEs are MATERIALIZED: each iteration references its predecessor
+    * twice, so DuckDB's default inlining would blow the plan up
+    * exponentially. FP note: DuckDB's mean accumulates in a different
+    * order than the engine's fixed partial merge; divergence is confined
+    * to the last ulp and only observable if it flips an argmin or top-k
+    * decision at an exact tie, which the recall grid (multiples of 1/k)
+    * makes vanishingly unlikely — and the gate would catch.
+    */
+  private object IvfKmeansSql {
+    private val M = "18446744073709551616::HUGEINT"
+    private val P1 = "11400714785074694791::HUGEINT"
+    private val P2 = "14029467366897019727::HUGEINT"
+    private val P3 = "1609587929392839161::HUGEINT"
+    private val P4 = "9650029242287828579::HUGEINT"
+    private val P5 = "2870177450012600261::HUGEINT"
+    private def p2(b: Int): String = (BigInt(1) << b).toString + "::HUGEINT"
+    private def mod64(x: String) = s"((($x) % $M + $M) % $M)"
+    private def mul64(a: String, b: String) = mod64(
+      s"($a % ${p2(32)}) * ($b % ${p2(32)}) + " +
+        mod64(s"(($a // ${p2(32)}) * ($b % ${p2(32)}) + " +
+          s"($a % ${p2(32)}) * ($b // ${p2(32)})) * ${p2(32)}"))
+    private def x64(a: String, b: String) =
+      s"CAST(xor(CAST($a AS UBIGINT), CAST($b AS UBIGINT)) AS HUGEINT)"
+    private def rotl(x: String, r: Int) =
+      s"(${mod64(s"$x * ${p2(r)}")} + ($x // ${p2(64 - r)}))"
+    private def shr(x: String, r: Int) = s"($x // ${p2(r)})"
+
+    /** Lateral-alias stages computing XXH64.hashLong(`l`, `seed`) into
+      * alias `<pfx>hout` — Spark's single-long shortcut (seed+P5+8,
+      * one 8-byte round, fmix).
+      */
+    private def hashLongStages(l: String, seed: String, pfx: String): String = {
+      val s = Seq.newBuilder[(String, String)]
+      s += s"${pfx}h0" -> mod64(s"$seed + $P5 + 8::HUGEINT")
+      s += s"${pfx}m1" -> mul64(l, P2)
+      s += s"${pfx}r1" -> rotl(s"${pfx}m1", 31)
+      s += s"${pfx}m2" -> mul64(s"${pfx}r1", P1)
+      s += s"${pfx}x1" -> x64(s"${pfx}h0", s"${pfx}m2")
+      s += s"${pfx}r2" -> rotl(s"${pfx}x1", 27)
+      s += s"${pfx}a3" -> mul64(s"${pfx}r2", P1)
+      s += s"${pfx}h1" -> mod64(s"${pfx}a3 + $P4")
+      s += s"${pfx}f1" -> x64(s"${pfx}h1", shr(s"${pfx}h1", 33))
+      s += s"${pfx}f2" -> mul64(s"${pfx}f1", P2)
+      s += s"${pfx}f3" -> x64(s"${pfx}f2", shr(s"${pfx}f2", 29))
+      s += s"${pfx}f4" -> mul64(s"${pfx}f3", P3)
+      s += s"${pfx}hout" -> x64(s"${pfx}f4", shr(s"${pfx}f4", 32))
+      s.result().map { case (n, e) => s"$e AS $n" }.mkString(",\n      ")
+    }
+
+    private val T52 = "4503599627370496" // 2^52
+
+    def sql(dim: Int, nlist: Int, nprobe: Int, k: Int, iters: Int): String = {
+      def d2(u: String, c: String) =
+        s"list_sum(list_transform(range(1, ${dim + 1}), j -> ($u[j] - $c[j]) * ($u[j] - $c[j])))"
+      def dot(u: String, c: String) =
+        s"list_sum(list_transform(range(1, ${dim + 1}), j -> $u[j] * $c[j]))"
+      def nrm(u: String) = s"sqrt(list_sum(list_transform($u, x -> x * x)))"
+      def cos(u: String, c: String) = s"(${dot(u, c)} / (${nrm(u)} * ${nrm(c)}))"
+
+      val parts = Seq.newBuilder[String]
+      parts += s"""emb AS MATERIALIZED (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS u
+  FROM embeddings WHERE vec_id < 50
+)"""
+      parts += s"""elems AS MATERIALIZED (
+  SELECT e.id, CAST(t.i AS BIGINT) AS idx, e.u[CAST(t.i AS BIGINT) + 1] AS val
+  FROM emb e CROSS JOIN (SELECT UNNEST(range(0, $dim)) AS i) t
+)"""
+      // IEEE-754 double bit pattern per element (doubleToLongBits):
+      // corrected floor(log2) exponent + exact mantissa (float-sourced
+      // values have ≤ 24 significant bits, so a/2^ex · 2^52 is an integer)
+      parts += s"""bits AS MATERIALIZED (
+  SELECT id, idx,
+    CASE WHEN val = 0 OR isnan(val) THEN
+      CASE WHEN isnan(val) THEN 9221120237041090560::HUGEINT ELSE 0::HUGEINT END
+    ELSE (CASE WHEN val < 0 THEN ${p2(63)} ELSE 0::HUGEINT END)
+       + CAST(ex + 1023 AS HUGEINT) * $T52::HUGEINT
+       + (CAST(round(a / pow(2.0, ex) * $T52.0) AS HUGEINT) - $T52::HUGEINT)
+    END AS b
+  FROM (
+    SELECT id, idx, val,
+      CASE WHEN val = 0 OR isnan(val) THEN 1.0 ELSE abs(val) END AS a,
+      CAST(floor(log2(a)) AS BIGINT) AS e0,
+      e0 + CASE WHEN pow(2.0, e0 + 1) <= a THEN 1
+                WHEN pow(2.0, e0) > a THEN -1 ELSE 0 END AS ex
+    FROM elems)
+)"""
+      parts += s"""fold AS (
+  SELECT id, CAST(-1 AS BIGINT) AS idx, 42::HUGEINT AS h FROM emb
+  UNION ALL
+  SELECT q.id, q.idx, q.fhout AS h FROM (
+    SELECT f.id, f.idx + 1 AS idx, b.b AS l, f.h AS hprev,
+      ${hashLongStages("l", "hprev", "f")}
+    FROM fold f JOIN bits b ON b.id = f.id AND b.idx = f.idx + 1
+    WHERE f.idx < ${dim - 1}
+  ) q
+)"""
+      parts += s"""hfin AS MATERIALIZED (
+  SELECT id, ghout AS h FROM (
+    SELECT id, h AS hprev,
+      ${hashLongStages("42::HUGEINT", "hprev", "g")}
+    FROM fold WHERE idx = ${dim - 1})
+)"""
+      parts += s"""cents0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY x.hs ASC, x.u ASC) - 1 AS BIGINT) AS cell, x.u
+  FROM (
+    SELECT e.u,
+      CASE WHEN f.h >= ${p2(63)} THEN f.h - $M ELSE f.h END AS hs
+    FROM hfin f JOIN emb e USING (id)
+    ORDER BY hs ASC, u ASC LIMIT $nlist) x
+)"""
+      var prev = "cents0"
+      (1 to iters).foreach { i =>
+        parts += s"""asg$i AS MATERIALIZED (
+  SELECT id, u, cell FROM (
+    SELECT d.id, d.u, d.cell,
+           row_number() OVER (PARTITION BY d.id ORDER BY d.d2 ASC, d.cell ASC) AS rn
+    FROM (
+      SELECT a.id, a.u, c.cell, ${d2("a.u", "c.u")} AS d2
+      FROM emb a CROSS JOIN $prev c) d
+  ) WHERE rn = 1
+)"""
+        parts += s"""cents$i AS MATERIALIZED (
+  SELECT c.cell, COALESCE(m.mu, c.u) AS u
+  FROM $prev c LEFT JOIN (
+    SELECT cell, list(s ORDER BY j) AS mu FROM (
+      SELECT cell, t.j AS j, sum(u[t.j]) / count(*) AS s
+      FROM asg$i CROSS JOIN (SELECT UNNEST(range(1, ${dim + 1})) AS j) t
+      GROUP BY cell, t.j
+    ) GROUP BY cell
+  ) m ON m.cell = c.cell
+)"""
+        prev = s"cents$i"
+      }
+      parts += s"""asgF AS MATERIALIZED (
+  SELECT id, u, cell FROM (
+    SELECT d.id, d.u, d.cell,
+           row_number() OVER (PARTITION BY d.id ORDER BY d.d2 ASC, d.cell ASC) AS rn
+    FROM (
+      SELECT a.id, a.u, c.cell, ${d2("a.u", "c.u")} AS d2
+      FROM emb a CROSS JOIN $prev c) d
+  ) WHERE rn = 1
+)"""
+      parts += s"""probes AS MATERIALIZED (
+  SELECT id AS qid, u AS qu, cell FROM (
+    SELECT d.id, d.u, d.cell,
+           row_number() OVER (PARTITION BY d.id ORDER BY d.cos DESC, d.cell ASC) AS rn
+    FROM (
+      SELECT e.id, e.u, c.cell, ${cos("e.u", "c.u")} AS cos
+      FROM emb e CROSS JOIN $prev c) d
+  ) WHERE rn <= $nprobe
+)"""
+      parts += s"""cands AS MATERIALIZED (
+  SELECT DISTINCT p.qid AS id1, a.id AS id2, ${cos("p.qu", "a.u")} AS cos
+  FROM probes p JOIN asgF a ON a.cell = p.cell AND a.id <> p.qid
+)"""
+      parts += s"""ivf AS MATERIALIZED (
+  SELECT id1, id2 FROM (
+    SELECT id1, id2, row_number() OVER (PARTITION BY id1 ORDER BY cos DESC, id2 ASC) AS rn
+    FROM cands) WHERE rn <= $k
+)"""
+      parts += s"""exact AS MATERIALIZED (
+  SELECT id1, id2 FROM (
+    SELECT x.id1, x.id2, row_number() OVER (PARTITION BY x.id1 ORDER BY x.cos DESC, x.id2 ASC) AS rn
+    FROM (
+      SELECT a.id AS id1, b.id AS id2, ${cos("a.u", "b.u")} AS cos
+      FROM emb a JOIN emb b ON a.id <> b.id) x
+  ) WHERE rn <= $k
+)"""
+      "WITH RECURSIVE\n" + parts.result().mkString(",\n") + s"""
+SELECT i.id1 AS id1,
+       round(SUM(CASE WHEN e.id2 IS NOT NULL THEN 1 ELSE 0 END) / $k.0, 6) AS recall
+FROM ivf i LEFT JOIN exact e ON e.id1 = i.id1 AND e.id2 = i.id2
+GROUP BY 1"""
+    }
   }
 }

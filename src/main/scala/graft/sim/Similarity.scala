@@ -50,9 +50,14 @@ object Similarity {
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `nlist` cells; a query only scans its `nprobe` nearest
-    * cells. The standard FAISS-style recall/cost dial, built on MLlib
-    * KMeans (seeded → deterministic). Returns top-k per query vector for
-    * queries drawn from the same table.
+    * cells. The standard FAISS-style recall/cost dial, built on the
+    * engine's own distributed Lloyd's fit ([[pqCodebooks]] with m = 1 —
+    * hash-sorted seeded init, order-fixed partial merge), which is
+    * DETERMINISTIC down to the last double and replayable step-for-step
+    * by the DuckDB oracle (q_ivf_ann derives the fit, the probe ranking,
+    * and the recall entirely in SQL — nothing pinned from the engine).
+    * Returns top-k per query vector for queries drawn from the same
+    * table.
     *
     * Scale shape: centroids are tiny (nlist × dim, broadcast); the
     * candidate join matches each vector only against its probed cells —
@@ -65,14 +70,16 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      seed: Long = 42L
+      seed: Long = 42L,
+      iters: Int = 10
   ): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(v.withColumn("features", array_to_vector(col("v"))))
-    val centroids = model.clusterCenters.map(_.toArray.toSeq).zipWithIndex
+    val dim = v.select(size(col("v"))).head().getInt(0)
+    // raw-vector fit (no L2 pre-normalization), matching the raw-vector
+    // L2² cell assignment below — one consistent quantizer geometry
+    val cents = pqCodebooks(df, vecCol, dim, m = 1, codebookSize = nlist,
+      seed = seed, iters = iters, normalizeInput = false).head
+    val centroids = cents.zipWithIndex
     // cell assignment for corpus vectors: fused codegen argmin over the
     // inlined centroids — the full-corpus scan never detours through an
     // MLlib Vector conversion (only the bounded fit input does)
