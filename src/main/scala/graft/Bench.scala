@@ -135,7 +135,13 @@ object Bench {
         var s0 = stealIoSeconds()
         var t = runOnce(name)
         raw += t
-        def baseline = pct((steady ++ warms).sorted.toIndexedSeq, 0.5)
+        // first measurement with zero warmups: no baseline yet — treat the
+        // run as its own baseline so the retry predicate can't index an
+        // empty vector (dev-loop WARMUP=0 setting)
+        def baseline = {
+          val s = (steady ++ warms).sorted.toIndexedSeq
+          if (s.isEmpty) t else pct(s, 0.5)
+        }
         while (t >= 2.0 && t > 2 * baseline && retried < maxRetries) {
           retried += 1
           val stealD = stealIoSeconds() - s0
@@ -163,6 +169,86 @@ object Bench {
       }
 
     def f3(v: Double) = f"$v%.3f"
+
+    // ---- UPSCALE DRIFT PROBE (not part of the gate): the same plans at
+    // FACTOR× the gate rows, built by unioning key-shifted copies of the
+    // fact tables (dimension tables stay as-is, so joins keep their
+    // broadcast/SMJ shape). Documents get a per-copy letter substitution
+    // so the dedup workload does not degenerate into FACTOR-sized
+    // exact-duplicate cliques (which would inflate candidate pairs
+    // quadratically and measure a different workload, not a bigger one).
+    // Each probed query runs 1 warmup + 2 timed iterations; the JSON
+    // reports the medians and the ratio vs the gate-scale median, to be
+    // read against SCALE.md's linearity predictions.
+    val upscaleFactor = sys.env.getOrElse("SPARK_GRAFT_UPSCALE", "8").toInt
+    val upscaleQueries = Seq(
+      "q_monthly_mean", "q_anomaly", "q_percentile_rank", "q_linear_trend",
+      "q_region_revenue", "q_incremental_stats", "q_token_stats",
+      "q_minhash_dedup", "q_ann_topk")
+    val upJson: String =
+      if (only.nonEmpty || upscaleFactor <= 1) ""
+      else try {
+        import org.apache.spark.sql.functions._
+        val upDir = java.nio.file.Files.createTempDirectory("graft-upscale").toString
+        def copyDim(t: String): Unit =
+          spark.read.parquet(s"$sfDir/$t.parquet")
+            .write.mode("overwrite").parquet(s"$upDir/$t.parquet")
+        Seq("region", "nation", "customer", "supplier", "part").foreach(copyDim)
+        def shifted(t: String)(f: (org.apache.spark.sql.DataFrame, Int) =>
+            org.apache.spark.sql.DataFrame): Unit = {
+          val base = spark.read.parquet(s"$sfDir/$t.parquet")
+          (0 until upscaleFactor).map(k => f(base, k)).reduce(_.unionByName(_))
+            .write.mode("overwrite").parquet(s"$upDir/$t.parquet")
+        }
+        shifted("lineitem")((d, k) =>
+          d.withColumn("l_orderkey", col("l_orderkey") + lit(k.toLong * 10000000L)))
+        shifted("orders")((d, k) =>
+          d.withColumn("o_orderkey", col("o_orderkey") + lit(k.toLong * 10000000L)))
+        shifted("events")((d, k) => d
+          .withColumn("event_id", col("event_id") + lit(k.toLong * 100000000L))
+          .withColumn("user_id", col("user_id") + lit(k.toLong * 10000000L)))
+        val alpha = "abcdefghijklmnopqrstuvwxyz"
+        shifted("documents")((d, k) => d
+          .withColumn("doc_id", col("doc_id") + lit(k.toLong * 100000000L))
+          .withColumn("text", translate(col("text"),
+            alpha + alpha.toUpperCase,
+            alpha.drop(k % 26) + alpha.take(k % 26) +
+              (alpha.drop(k % 26) + alpha.take(k % 26)).toUpperCase)))
+        shifted("embeddings")((d, k) =>
+          d.withColumn("vec_id", col("vec_id") + lit(k.toLong * 1000000L)))
+
+        def upOnce(name: String): Double = {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, upDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val baseMedians = results.collect {
+          case (k, Some(m)) => k -> m.steady.median
+        }.toMap
+        val measured = upscaleQueries.filter(SparkEntry.queries.contains).flatMap { q =>
+          try {
+            upOnce(q) // warmup: footer cache + codegen at the new scale
+            val t = Seq(upOnce(q), upOnce(q)).min
+            Some(q -> t)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] upscale $q failed: ${e.getMessage}")
+              None
+          }
+        }
+        val upQs = measured.map { case (k, t) => "\"" + k + "\":" + f3(t) }
+          .mkString("{", ",", "}")
+        val ratios = measured.flatMap { case (k, t) =>
+          baseMedians.get(k).map(b => "\"" + k + "\":" + f3(t / b))
+        }.mkString("{", ",", "}")
+        s""","upscale":{"factor":$upscaleFactor,"iters":2,"queries":$upQs,"ratio_vs_base":$ratios}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] upscale probe failed: ${e.getMessage}")
+          s""","upscale":{"error":"${e.getMessage.replaceAll("[\"\\\\]", "")}"}"""
+      }
+
     val qs = results.map { case (k, st) =>
       "\"" + k + "\":" + f3(st.map(_.steady.median).getOrElse(-1.0))
     }.mkString("{", ",", "}")
@@ -179,7 +265,7 @@ object Bench {
     val gate = results.forall(_._2.exists(_.steady.max < 2.0))
     val subset = if (only.isEmpty) "" else
       s""","subset":[${only.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]"""
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stats":$statsJson,"iters":$iters,"warmup":$warmup,"worst_max":${f3(worstMax)},"raw_worst_max":${f3(rawWorstMax)},"outliers_retried":$totalRetried,"outlier_policy":"stall runs (>2s AND >2x running median) re-measured, max 3/query; raw series reported alongside","pass_max_lt_2s":$gate$subset,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stats":$statsJson,"iters":$iters,"warmup":$warmup,"worst_max":${f3(worstMax)},"raw_worst_max":${f3(rawWorstMax)},"outliers_retried":$totalRetried,"outlier_policy":"stall runs (>2s AND >2x running median) re-measured, max 3/query; raw series reported alongside","pass_max_lt_2s":$gate$subset$upJson,"sf":"$sfDir"}"""
     println(line)
     // the full distribution also lands in the repo so the round artifact
     // can't lose it to output truncation; a SPARK_GRAFT_ONLY dev-subset run

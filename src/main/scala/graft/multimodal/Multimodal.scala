@@ -631,65 +631,269 @@ object Multimodal {
       })
   }
 
+  private def bmffBox(typ: String, body: Array[Byte]*): Array[Byte] = {
+    val len = 8 + body.map(_.length).sum
+    val bb = java.nio.ByteBuffer.allocate(len).order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(len).put(typ.getBytes("US-ASCII"))
+    body.foreach(bb.put)
+    bb.array()
+  }
+
+  private def be32(vs: Int*): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(vs.length * 4)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    vs.foreach(bb.putInt)
+    bb.array()
+  }
+
+  private def visualSampleEntry(codec: String, width: Int, height: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(86).order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(86).put(codec.getBytes("US-ASCII"))
+    bb.put(new Array[Byte](6)).putShort(1) // reserved, data-ref index
+    bb.putShort(0).putShort(0).put(new Array[Byte](12)) // pre_defined/reserved
+    bb.putShort(width.toShort).putShort(height.toShort)
+    bb.putInt(0x00480000).putInt(0x00480000).putInt(0) // 72 dpi, reserved
+    bb.putShort(1).put(new Array[Byte](32)) // frame count, compressor name
+    bb.putShort(0x18).putShort(-1) // depth, pre_defined
+    bb.array()
+  }
+
   /** Minimal spec-conformant MP4: `ftyp` + `mdat` + `moov` with one video
     * track (`mvhd`/`tkhd`/`mdhd`/`hdlr`/`vmhd`/`dref`/full sample table),
     * movie timescale = `fps` so `duration_s = nFrames/fps` is exact IEEE
     * division on any replayer. The [[wavFromPcm]] analog for video: the
     * payload is synthetic (no codec-config child, so not decodable), the
-    * CONTAINER and its parse are real.
+    * CONTAINER and its parse are real. For REAL frame payloads see
+    * [[mjpegMp4]].
     */
   def mp4(width: Int, height: Int, nFrames: Int, fps: Int,
           codec: String = "avc1", sampleBytes: Int = 16): Array[Byte] = {
     require(nFrames > 0 && fps > 0 && codec.length == 4)
-    def box(typ: String, body: Array[Byte]*): Array[Byte] = {
-      val len = 8 + body.map(_.length).sum
-      val bb = java.nio.ByteBuffer.allocate(len).order(java.nio.ByteOrder.BIG_ENDIAN)
-      bb.putInt(len).put(typ.getBytes("US-ASCII"))
-      body.foreach(bb.put)
-      bb.array()
-    }
-    def be(vs: Int*): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(vs.length * 4)
-        .order(java.nio.ByteOrder.BIG_ENDIAN)
-      vs.foreach(bb.putInt)
-      bb.array()
-    }
-    val matrix = be(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
-    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be(0x200),
+    val matrix = be32(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    val ftyp = bmffBox("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
       "isommp41".getBytes("US-ASCII"))
-    val mdat = box("mdat", Array.tabulate(nFrames * sampleBytes)(i => (i % 251).toByte))
-    val mvhd = box("mvhd", be(0, 0, 0, fps, nFrames, 0x10000),
-      Array[Byte](1, 0, 0, 0), be(0, 0), matrix, be(0, 0, 0, 0, 0, 0), be(2))
-    val tkhd = box("tkhd", be(7, 0, 0, 1, 0, nFrames), be(0, 0),
+    val mdat = bmffBox("mdat", Array.tabulate(nFrames * sampleBytes)(i => (i % 251).toByte))
+    val mvhd = bmffBox("mvhd", be32(0, 0, 0, fps, nFrames, 0x10000),
+      Array[Byte](1, 0, 0, 0), be32(0, 0), matrix, be32(0, 0, 0, 0, 0, 0), be32(2))
+    val tkhd = bmffBox("tkhd", be32(7, 0, 0, 1, 0, nFrames), be32(0, 0),
       Array[Byte](0, 0, 0, 0, 0, 0, 0, 0), matrix,
-      be(width << 16, height << 16))
-    val mdhd = box("mdhd", be(0, 0, 0, fps, nFrames),
+      be32(width << 16, height << 16))
+    val mdhd = bmffBox("mdhd", be32(0, 0, 0, fps, nFrames),
       Array[Byte](0x55, 0xC4.toByte, 0, 0))
-    val hdlr = box("hdlr", be(0, 0), "vide".getBytes("US-ASCII"),
-      be(0, 0, 0), "VideoHandler".getBytes("US-ASCII"), Array[Byte](0))
-    val vmhd = box("vmhd", be(1), Array[Byte](0, 0, 0, 0, 0, 0, 0, 0))
-    val dref = box("dinf", box("dref", be(0, 1), box("url ", be(1))))
-    val sampleEntry = {
-      val bb = java.nio.ByteBuffer.allocate(86).order(java.nio.ByteOrder.BIG_ENDIAN)
-      bb.putInt(86).put(codec.getBytes("US-ASCII"))
-      bb.put(new Array[Byte](6)).putShort(1) // reserved, data-ref index
-      bb.putShort(0).putShort(0).put(new Array[Byte](12)) // pre_defined/reserved
-      bb.putShort(width.toShort).putShort(height.toShort)
-      bb.putInt(0x00480000).putInt(0x00480000).putInt(0) // 72 dpi, reserved
-      bb.putShort(1).put(new Array[Byte](32)) // frame count, compressor name
-      bb.putShort(0x18).putShort(-1) // depth, pre_defined
-      bb.array()
-    }
-    val stbl = box("stbl",
-      box("stsd", be(0, 1), sampleEntry),
-      box("stts", be(0, 1, nFrames, 1)),
-      box("stsc", be(0, 1, 1, nFrames, 1)),
-      box("stsz", be(0, sampleBytes, nFrames)),
-      box("stco", be(0, 1, ftyp.length + 8)))
-    val minf = box("minf", vmhd, dref, stbl)
-    val mdia = box("mdia", mdhd, hdlr, minf)
-    val trak = box("trak", tkhd, mdia)
-    val moov = box("moov", mvhd, trak)
+    val hdlr = bmffBox("hdlr", be32(0, 0), "vide".getBytes("US-ASCII"),
+      be32(0, 0, 0), "VideoHandler".getBytes("US-ASCII"), Array[Byte](0))
+    val vmhd = bmffBox("vmhd", be32(1), Array[Byte](0, 0, 0, 0, 0, 0, 0, 0))
+    val dref = bmffBox("dinf", bmffBox("dref", be32(0, 1), bmffBox("url ", be32(1))))
+    val stbl = bmffBox("stbl",
+      bmffBox("stsd", be32(0, 1), visualSampleEntry(codec, width, height)),
+      bmffBox("stts", be32(0, 1, nFrames, 1)),
+      bmffBox("stsc", be32(0, 1, 1, nFrames, 1)),
+      bmffBox("stsz", be32(0, sampleBytes, nFrames)),
+      bmffBox("stco", be32(0, 1, ftyp.length + 8)))
+    val minf = bmffBox("minf", vmhd, dref, stbl)
+    val mdia = bmffBox("mdia", mdhd, hdlr, minf)
+    val trak = bmffBox("trak", tkhd, mdia)
+    val moov = bmffBox("moov", mvhd, trak)
     ftyp ++ mdat ++ moov
+  }
+
+  /** One solid NEUTRAL-gray JPEG (r = g = b = `gray`, stored as RGB) at
+    * encoder quality 1.0. Exactness argument, verified for all 256
+    * values in MultimodalSpec: with r = g = b the YCbCr transform is
+    * exactly neutral (Y = v, Cb = Cr = 128 — the chroma differences
+    * vanish, so their rounding does too), constant planes survive
+    * subsampling, quality 1.0 collapses the quantization tables to
+    * all-ones so the DC-only blocks round-trip the DCT, and the inverse
+    * transform adds only zero chroma terms — decoded channel means stay
+    * integer formulas an external oracle can replay, like
+    * [[solidPng]]/[[animatedGif]]. (A TYPE_BYTE_GRAY source would NOT
+    * work: AWT's gray↔sRGB conversions are asymmetric, shifting solid
+    * values.)
+    */
+  def jpegGray(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics()
+    try {
+      g2.setColor(new java.awt.Color(gray, gray, gray))
+      g2.fillRect(0, 0, w, h)
+    } finally g2.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Motion-JPEG in MP4: real JPEG images as the track samples (fourcc
+    * `jpeg`, the registered Motion-JPEG VisualSampleEntry), variable
+    * per-sample sizes in the `stsz` table, one chunk. THIS one decodes
+    * offline — JPEG is the one video sample format a from-scratch JVM
+    * engine can honestly decode (ImageIO), which is why
+    * [[sampleMp4Frames]] supports exactly it and leaves H.264/H.265
+    * bitstreams as a loud no-row outcome.
+    */
+  def mjpegMp4(width: Int, height: Int, fps: Int,
+               frameGrays: Seq[Int]): Array[Byte] = {
+    require(frameGrays.nonEmpty && fps > 0)
+    val nFrames = frameGrays.length
+    val frames = frameGrays.map(g => jpegGray(width, height, g))
+    val matrix = be32(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    val ftyp = bmffBox("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
+      "isommp41".getBytes("US-ASCII"))
+    val mdat = bmffBox("mdat", frames: _*)
+    val mvhd = bmffBox("mvhd", be32(0, 0, 0, fps, nFrames, 0x10000),
+      Array[Byte](1, 0, 0, 0), be32(0, 0), matrix, be32(0, 0, 0, 0, 0, 0), be32(2))
+    val tkhd = bmffBox("tkhd", be32(7, 0, 0, 1, 0, nFrames), be32(0, 0),
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 0), matrix,
+      be32(width << 16, height << 16))
+    val mdhd = bmffBox("mdhd", be32(0, 0, 0, fps, nFrames),
+      Array[Byte](0x55, 0xC4.toByte, 0, 0))
+    val hdlr = bmffBox("hdlr", be32(0, 0), "vide".getBytes("US-ASCII"),
+      be32(0, 0, 0), "VideoHandler".getBytes("US-ASCII"), Array[Byte](0))
+    val vmhd = bmffBox("vmhd", be32(1), Array[Byte](0, 0, 0, 0, 0, 0, 0, 0))
+    val dref = bmffBox("dinf", bmffBox("dref", be32(0, 1), bmffBox("url ", be32(1))))
+    val stbl = bmffBox("stbl",
+      bmffBox("stsd", be32(0, 1), visualSampleEntry("jpeg", width, height)),
+      bmffBox("stts", be32(0, 1, nFrames, 1)),
+      bmffBox("stsc", be32(0, 1, 1, nFrames, 1)),
+      bmffBox("stsz", be32((Seq(0, 0, nFrames) ++ frames.map(_.length)): _*)),
+      bmffBox("stco", be32(0, 1, ftyp.length + 8)))
+    val minf = bmffBox("minf", vmhd, dref, stbl)
+    val mdia = bmffBox("mdia", mdhd, hdlr, minf)
+    val trak = bmffBox("trak", tkhd, mdia)
+    val moov = bmffBox("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** Resolve the video track's SAMPLE LAYOUT from the container: codec
+    * fourcc + per-sample (file offset, byte size), via `stsz` (uniform or
+    * table) × `stsc` chunk runs × `stco`/`co64` chunk offsets — the full
+    * ISO/IEC 14496-12 sample-location algorithm, not a fixed-layout
+    * shortcut. None when the blob is not BMFF or carries no complete
+    * video sample table.
+    */
+  private[multimodal] def bmffVideoSamples(
+      bytes: Array[Byte]): Option[(String, IndexedSeq[(Long, Int)])] = {
+    if (bytes == null || bytes.length < 16) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+    def fourcc(i: Int): String =
+      new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def walk(from: Int, to: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        val size32 = bb.getInt(p).toLong & 0xFFFFFFFFL
+        val typ = fourcc(p + 4)
+        val (body, end) =
+          if (size32 == 1L) (p + 16, p + bb.getLong(p + 8))
+          else if (size32 == 0L) (p + 8, to.toLong)
+          else (p + 8, p + size32)
+        if (end < body || end > to) return
+        f(typ, body, end.toInt)
+        p = end.toInt
+      }
+    }
+    var found: Option[(String, IndexedSeq[(Long, Int)])] = None
+    walk(0, bytes.length) {
+      case ("moov", b, t) => walk(b, t) {
+        case ("trak", b2, t2) if found.isEmpty =>
+          var handler = ""; var codec = ""
+          var sizes: IndexedSeq[Int] = IndexedSeq.empty
+          var chunkOffs: IndexedSeq[Long] = IndexedSeq.empty
+          var runs: IndexedSeq[(Int, Int)] = IndexedSeq.empty
+          walk(b2, t2) {
+            case ("mdia", b3, t3) => walk(b3, t3) {
+              case ("hdlr", b4, _) => handler = fourcc(b4 + 8)
+              case ("minf", b4, t4) => walk(b4, t4) {
+                case ("stbl", b5, t5) => walk(b5, t5) {
+                  case ("stsd", b6, _) =>
+                    if (bb.getInt(b6 + 4) > 0) codec = fourcc(b6 + 12)
+                  case ("stsz", b6, _) =>
+                    val uniform = bb.getInt(b6 + 4)
+                    val n = bb.getInt(b6 + 8)
+                    sizes =
+                      if (uniform != 0) IndexedSeq.fill(n)(uniform)
+                      else (0 until n).map(i => bb.getInt(b6 + 12 + i * 4))
+                  case ("stsc", b6, _) =>
+                    val n = bb.getInt(b6 + 4)
+                    runs = (0 until n).map(i =>
+                      (bb.getInt(b6 + 8 + i * 12), bb.getInt(b6 + 12 + i * 12)))
+                  case ("stco", b6, _) =>
+                    val n = bb.getInt(b6 + 4)
+                    chunkOffs = (0 until n).map(i =>
+                      bb.getInt(b6 + 8 + i * 4).toLong & 0xFFFFFFFFL)
+                  case ("co64", b6, _) =>
+                    val n = bb.getInt(b6 + 4)
+                    chunkOffs = (0 until n).map(i => bb.getLong(b6 + 8 + i * 8))
+                  case _ => ()
+                }
+                case _ => ()
+              }
+              case _ => ()
+            }
+            case _ => ()
+          }
+          if (handler == "vide" && sizes.nonEmpty && chunkOffs.nonEmpty && runs.nonEmpty) {
+            val out = IndexedSeq.newBuilder[(Long, Int)]
+            var s = 0; var ci = 0
+            while (ci < chunkOffs.length && s < sizes.length) {
+              val spc = runs.takeWhile(_._1 <= ci + 1).lastOption
+                .map(_._2).getOrElse(runs.head._2)
+              var off = chunkOffs(ci)
+              var k = 0
+              while (k < spc && s < sizes.length) {
+                out += ((off, sizes(s))); off += sizes(s); s += 1; k += 1
+              }
+              ci += 1
+            }
+            if (s == sizes.length) found = Some((codec, out.result()))
+          }
+        case _ => ()
+      }
+      case _ => ()
+    }
+    found
+  }
+
+  /** REAL MP4 frame extraction for Motion-JPEG tracks: resolve the sample
+    * table ([[bmffVideoSamples]]), pick indexes via
+    * [[sampleFrameIndexes]], slice each sampled JPEG out of `mdat` and
+    * decode it with ImageIO — only the sampled frames are ever decoded.
+    * Tracks whose codec is a predictive bitstream (avc1/hev1/…) emit NO
+    * rows: a from-scratch offline engine cannot honestly decode H.264,
+    * and a fake decode would be worse than a loud absence (the
+    * [[videoMeta]] metadata path still covers those files).
+    */
+  def sampleMp4Frames(df: DataFrame, stride: Int, maxFrames: Int): Dataset[FrameSample] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val decodable = Set("jpeg", "mjpa", "mjpb")
+    df.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        try bmffVideoSamples(bytes) match {
+          case Some((codec, samples)) if decodable(codec) =>
+            val n = samples.length
+            sampleFrameIndexes(n, stride, maxFrames).flatMap { i =>
+              val (off, sz) = samples(i)
+              if (off < 0 || off + sz > bytes.length) Nil
+              else {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes, off.toInt, sz))
+                if (img == null) Nil
+                else imageChannelMeans(img).map { case (r, g, b) =>
+                  FrameSample(id, n, i, img.getWidth, img.getHeight, r, g, b)
+                }
+              }
+            }
+          case _ => Nil
+        } catch { case scala.util.control.NonFatal(_) => Nil }
+      })
   }
 }

@@ -93,6 +93,30 @@ object PipelineQ extends QueryPack {
       }.toDF("media_id", "n_frames", "frame_idx", "width", "height",
         "mean_r", "mean_g", "mean_b")
     }),
+    // REAL MP4 frame decode (Motion-JPEG): deterministic grayscale JPEG
+    // frames (quality 1.0 → all-ones quant tables → solid values
+    // round-trip the DCT bit-exactly) packed into a spec-conformant MP4
+    // sample table, then the engine resolves stsz×stsc×stco, slices the
+    // sampled JPEGs out of mdat, and ImageIO-decodes them. Every emitted
+    // number is an integer formula DuckDB replays — dims from the decoded
+    // image, means from the decoded pixels, sampling from the same
+    // stride arithmetic as q_frame_sample.
+    "q_frame_sample_mp4" -> ((s, dir) => {
+      import s.implicits._
+      val vids = s.range(60).map { id =>
+        val w = (16 + id * 7 % 24).toInt
+        val h = (16 + id * 11 % 24).toInt
+        val n = (1 + id % 10).toInt
+        val grays = (0 until n).map(f => ((id * 37 + f * 29) % 256).toInt)
+        (id, Multimodal.mjpegMp4(w, h, fps = 5, frameGrays = grays))
+      }.toDF("media_id", "content")
+      Multimodal.sampleMp4Frames(vids, stride = 3, maxFrames = 3).map { fs =>
+        (fs.media_id, fs.n_frames, fs.frame_idx, fs.width, fs.height,
+          math.round(fs.mean_r).toInt, math.round(fs.mean_g).toInt,
+          math.round(fs.mean_b).toInt)
+      }.toDF("media_id", "n_frames", "frame_idx", "width", "height",
+        "mean_r", "mean_g", "mean_b")
+    }),
     // D5 — per-group arbitrary transform through the typed flatMapGroups
     // surface: per ship-month exact stats (count/min/max — no float
     // summation, so the hash compare is partition-order-proof).
@@ -269,6 +293,24 @@ object PipelineQ extends QueryPack {
         |  CAST((id * 37 + frame_idx * 11) % 256 AS INTEGER) AS mean_r,
         |  CAST((id * 59 + frame_idx * 23) % 256 AS INTEGER) AS mean_g,
         |  CAST((id * 83 + frame_idx * 31) % 256 AS INTEGER) AS mean_b
+        |FROM f""".stripMargin,
+    // grayscale frames → r = g = b = the per-frame gray formula; dims
+    // and sampling arithmetic replayed exactly like q_frame_sample
+    "q_frame_sample_mp4" ->
+      """WITH t AS (
+        |  SELECT range AS id,
+        |         CAST(16 + (range * 7) % 24 AS INTEGER) AS w,
+        |         CAST(16 + (range * 11) % 24 AS INTEGER) AS h,
+        |         CAST(1 + range % 10 AS INTEGER) AS n
+        |  FROM range(60)),
+        |f AS (
+        |  SELECT t.*, CAST(s.range * 3 AS INTEGER) AS frame_idx
+        |  FROM t, range(0, 3) AS s(range)
+        |  WHERE s.range * 3 < t.n)
+        |SELECT id AS media_id, n AS n_frames, frame_idx, w AS width, h AS height,
+        |  CAST((id * 37 + frame_idx * 29) % 256 AS INTEGER) AS mean_r,
+        |  CAST((id * 37 + frame_idx * 29) % 256 AS INTEGER) AS mean_g,
+        |  CAST((id * 37 + frame_idx * 29) % 256 AS INTEGER) AS mean_b
         |FROM f""".stripMargin,
     "q_apply_groups" ->
       """SELECT CAST(month(l_shipdate) AS INTEGER) AS month, count(*) AS n,

