@@ -131,6 +131,76 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     } finally { a.stop(); b.stop() }
   }
 
+  test("concurrent soak: parallel clients over a live cache node, no bleed") {
+    // N parallel HTTP clients hammering point/stats/metric routes against
+    // a server whose response cache is a LIVE CacheServer over TCP — the
+    // full serving stack under concurrency. Every response must be
+    // byte-identical to its single-threaded reference for ITS parameters
+    // (a cross-request bleed — wrong cache key, shared mutable state in a
+    // handler, protocol desync on the cache wire — shows up as one
+    // client's body under another's params), and the cache must actually
+    // serve repeats (hit rate > 0). Three full rounds guard against
+    // order-dependent flakes.
+    val node = new Cache.CacheServer(new Cache.LruBackend(ttlSeconds = 600)).start()
+    val s2 = Server.start(spark, registry,
+      cacheBackend = Some(new Cache.NetBackend("127.0.0.1", node.boundPort)))
+    try {
+      val paths = Vector(
+        "/api/v1/data/datasets/era5_sample/point?lat=10.0&lon=20.0",
+        "/api/v1/data/datasets/era5_sample/point?lat=-40.0&lon=150.0",
+        "/api/v1/data/datasets/era5_sample/point?lat=62.0&lon=-110.0",
+        "/api/v1/data/datasets/era5_sample/stats" +
+          "?min_lon=0&min_lat=0&max_lon=90&max_lat=45",
+        "/api/v1/data/datasets/era5_sample/stats",
+        "/api/v1/metrics/temporal/era5_sample?metric=monthly&lat=12&lon=33",
+        "/api/v1/metrics/trend/era5_sample",
+        "/api/v1/data/datasets/era5_sample")
+      def on(path: String): HttpResponse[String] = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:${s2.port}$path")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      // single-threaded reference bodies (also primes the cache)
+      val expected = paths.map(p => p -> on(p).body()).toMap
+      (1 to 3).foreach { round =>
+        val nClients = 8
+        val perClient = 12
+        val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(nClients)
+        try {
+          val futures = (0 until nClients).map { c =>
+            pool.submit(new Runnable {
+              def run(): Unit = {
+                val rnd = new scala.util.Random(round * 1000 + c)
+                val cl = HttpClient.newHttpClient()
+                (0 until perClient).foreach { _ =>
+                  val p = paths(rnd.nextInt(paths.length))
+                  try {
+                    val resp = cl.send(
+                      HttpRequest.newBuilder(
+                        URI.create(s"http://127.0.0.1:${s2.port}$p")).build(),
+                      HttpResponse.BodyHandlers.ofString())
+                    if (resp.statusCode() != 200)
+                      errors.add(s"$p -> ${resp.statusCode()}")
+                    else if (resp.body() != expected(p))
+                      errors.add(s"$p -> body drift (cross-request bleed?)")
+                  } catch {
+                    case e: Exception => errors.add(s"$p -> ${e.getMessage}")
+                  }
+                }
+              }
+            })
+          }
+          futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+        } finally pool.shutdownNow()
+        assert(errors.isEmpty,
+          s"round $round: ${errors.size} failures, first: ${errors.peek()}")
+      }
+      val st = s2.cacheStats()
+      assert(st.hits > 0, s"repeats must hit the cache node, got $st")
+      assert(!st.degraded, "the TCP backend must stay healthy under load")
+    } finally { s2.stop(); node.stop() }
+  }
+
   test("unknown path 404s; non-GET is a 405") {
     assert(get("/api/v2/whatever").statusCode() == 404)
     val post = client.send(
