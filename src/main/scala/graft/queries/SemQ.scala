@@ -7,14 +7,14 @@ import graft.sim.Similarity
 /** SemDeDup (semantic dedup over embedding clusters) and the persisted
   * IVF-PQ index staleness signal as driver queries.
   *
-  * Both oracles are FULL SQL replays downstream of a pinned seeded fit:
-  * the k-means centroids are inlined as literals (the deterministic
-  * distributed Lloyd's fit / seeded MLlib fit make them stable at the
-  * gate — same class of pin as q_lsh_ann's hyperplane draw), and DuckDB
-  * recomputes normalization, cell assignment, in-cell cosine pairs,
-  * connected components, and the drift arithmetic from scratch.
-  * Re-pin via `graft.bench.CentroidProbe` whenever a seeded fit or the
-  * gate table changes (the pinned-recall re-pin rule).
+  * Both oracles are FULL SQL derivations — nothing pinned: the seeded
+  * k-means fits themselves are replayed by DuckDB (the
+  * [[SimQ.XxhashSql]] machinery: xxhash64-seeded init over the raw
+  * element bits, unrolled Lloyd's iterations with bit-exact ordered
+  * means), then normalization, cell assignment, in-cell cosine pairs,
+  * connected components, and the drift arithmetic are recomputed from
+  * scratch. The former CentroidProbe-pinned literals are gone, which
+  * also makes these oracles scale-factor-agnostic.
   *
   * Reference analog: the reference's dedup/cluster layer has no direct
   * SemDeDup twin; this follows Abbas et al. 2023 (arXiv:2303.09540) —
@@ -32,9 +32,9 @@ object SemQ extends QueryPack {
     // centroids are passed to every later call — semanticDedup's documented
     // fit-once/compare-many path, and the deployment shape at 100 TB (the
     // cluster map is model state, refreshed on drift, not refit per query).
-    // The oracle replays assignment → pairs → components from the SAME
-    // pinned centroids, so correctness still covers the fit (CentroidProbe
-    // pins them from a live fit at gate time).
+    // The oracle DERIVES the same fit from scratch (seeded-hash init +
+    // unrolled Lloyd's in SQL), then replays assignment → pairs →
+    // components — correctness covers the fit itself, at any scale.
     "q_semantic_dedup" -> ((s, dir) =>
       Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id",
         "embedding", dim = 64, nlist = 8, threshold = 0.45,
@@ -59,45 +59,29 @@ object SemQ extends QueryPack {
       Similarity.semanticCentroids(Tables.embeddings(s, dir), "embedding",
         dim = 64, nlist = 8))
 
-  /** Spherical k-means centroids of the L2-normalized sf0.01 embeddings
-    * (nlist=8, seed=42, iters=10) — `Similarity.semanticCentroids`, pinned
-    * by CentroidProbe.
-    */
-  private val semanticCentroidValues =
-    """(0, [-0.0073437257456270884, 0.011496506183532387, 0.01593063166268534, -0.04506660756324829, -0.09225420286709632, -0.03769237239419893, 0.0019455312738979904, -0.05150864189567635, -0.02054019377544733, -0.05680642346954335, -0.01809921622793616, -0.05035387282128525, 0.014852581982863834, -0.032350051655920024, -0.00517678468962041, -0.05273611196623, -0.040260208039970914, -0.02826392271753618, 0.029262113611982964, 0.037692797754727454, 0.021605161817283405, 0.026666678232356553, -0.01102918332143777, 0.011348152651800999, 0.056096402880577254, -0.017213961465595, -0.021081055301868722, -0.0073868013876379375, 0.014122247198835518, 0.0035810407387421223, -0.027385989456080572, 0.01489260158430499, 0.02336335812705647, -0.02150814799158044, 0.02835409609176302, -0.0016742793440126485, 0.02243158010600715, -0.06700568649219357, 0.01873735091183592, -0.03463022890409902, 0.04674391557672331, -0.01970324257666558, 0.0813972838006371, -0.009871964874153894, -0.04329793501058388, 0.06025865744109185, 0.0056667534318716505, -0.04037689927839285, 0.006805531472690111, 0.023563545037425457, -0.005637782391891982, 0.010648360565390235, 0.026794084416375805, -0.028760333241565, 0.01849619059214695, -0.0033093827770158124, 0.03275911101458635, 0.009684414095589905, -0.01378968633613651, -0.025684134293552766, 0.028595539156848565, 0.03423401675663687, 0.0258628591751589, 0.0434773840100045]::DOUBLE[]),
-(1, [0.049342577839257336, -0.022400582191811846, 0.03856723039245966, -0.06608093961874671, 0.05543078673063335, -0.009237611886498258, -0.03967553053600667, 0.012629540919287386, 0.02226826062912764, -0.057685012757520464, 0.022863016601551486, -0.09866343936804003, -0.0315925476865908, -0.005835944003996472, -0.019382121405735246, 0.06011379117237149, 0.027328332345128388, 0.023867430362407703, 0.0654138847504546, 0.04321909274175149, -0.02090244638772947, -2.3767967167291152E-4, 0.014243139537193866, 0.011686813540655972, -0.04556269603569271, 0.04706947494541412, 0.03802256347392958, 0.0015653821736272228, 0.04561793616438813, 0.025372258995330847, 0.01582473351476608, -0.006595093520018783, -0.022318915459743873, -0.017144899959259913, 0.04743148145920936, -0.07908467826384144, -0.055445500659142395, 0.005688542553852756, 0.009766411452542888, 0.041635499635416934, -0.027341910018499192, -0.013406882263664526, 0.013963552229747942, 0.018426568150682953, -0.00802892494956354, 0.010895699345245672, -0.020393469166812898, -0.001785891489083358, 0.012713746869086905, 0.019712384473579172, 0.006668879595234015, -0.026729299385662902, 0.061155068289422625, -0.053547314096319513, 0.01715882755823584, -0.03538699444678191, 0.020208632857710525, -0.003922409891995732, 0.025199143533288008, 0.0070793210525215726, -0.06409830255631034, -0.0050946948675009715, 0.004149264611188836, -0.029044129432290462]::DOUBLE[]),
-(2, [-0.0177765570137618, -0.08635680388564325, -0.002295441513058337, 0.03143222923182585, -0.001570461059540574, 0.03340300101238299, -0.041232770353835047, 0.053452523304512244, -2.0974312809610352E-4, -0.015278732817700468, 0.014797991228438591, 0.03591903058231161, 8.518156539931502E-5, 0.05046719171203725, -0.00915327776976104, -0.02143333614024986, -0.08209163233755416, -0.074700299268087, -0.08168780115142688, -0.04869971139381156, 0.006408916220722046, 0.03769087412554995, 0.025683391230020895, -0.03826273243173046, -0.015834942486532756, 0.04096010821485605, 0.011232497695976087, -0.03889498686601412, -0.010772788157142561, -0.02831727941950023, 0.02154445518035825, 0.01961144979847377, 0.007111496246658837, -7.022824192082674E-4, 0.046086912569960455, 0.05697324966158515, -0.02394617399891551, 0.026899948067523775, -0.012714704847327705, -0.031172019159906306, -0.04649527713944698, -0.05503812703508692, 0.002008306541584644, 8.384664186767268E-4, 0.029920383293341634, -0.02087433669845358, -0.0049772359288619405, 0.05143129576652578, -0.009670231677668383, -0.019434089619065974, -0.0015901736353467284, -0.009099543672734836, -0.011306860952563464, 0.023254340207647443, -0.030439694473427214, 0.01569155091958654, -0.047745174551395965, -0.0396919367659985, -0.01829837190181681, -5.590580811043857E-4, -0.02588806111863221, -0.010699202801612868, -0.020007379364350514, -0.048723822512700736]::DOUBLE[]),
-(3, [-0.006524085347143447, -0.019461765851014792, 0.053099999663696086, 0.008054754369817145, 0.0668961997101712, -0.05412911648077532, -0.03188296124138477, 0.08398133311879288, -0.027850657041876052, 0.07711968718031163, -0.021777488976445082, 0.008115445030474951, 0.02465815645893259, 0.026583590860359517, 0.02902604862813364, 0.015888049011330733, 0.006227910275494826, -0.035769282124512296, -0.027895500522225905, 0.05399051455049231, 0.010755502747030823, -0.0631420339928968, 0.009009314490539676, 0.03541334932823365, 0.03290207096694994, 0.00275459792851362, -0.07271407762069876, 0.032540955037560375, -0.03922193778665677, 0.05105590662062174, 0.0259993626200858, -0.027477989640988135, 0.017848412195696342, 0.025920675631880892, -0.004528406643769059, -0.0046449666402962105, -0.0010517917278542572, -0.002941182361227466, -0.055982746227830414, 0.005339758566578059, 0.004402040154805821, 0.03248330861344389, 0.02870370333413765, 0.04627391363656329, -0.049348873285811536, -0.0366810696614748, -0.03329944413947412, -0.04976156553528805, -0.008208386408579169, 0.015424561290891427, 0.05152258916700202, 0.07320047398311243, -0.010141484520251027, 0.052290845846886584, 0.013200451882388756, -0.039750254222217285, 0.006071608350370643, -0.002068414168316109, -0.004669709912405716, 0.02201283536973377, -0.009153249368332884, 0.001041185065838532, -0.005385681584633772, 0.0051017262733201296]::DOUBLE[]),
-(4, [-0.08847772280076358, 0.026005197951604286, -0.03977516346485846, 0.04281406168825404, -0.017526652773996076, 0.04293799041351807, -0.006240009184457768, 0.017249291991953398, -0.013478385093093665, -0.0011564889550634435, 0.026827540888219023, 0.00789911417341323, -0.01864959384002052, -0.016069022199092876, -4.914122553528808E-4, -0.020473133504461862, 0.035483234727073036, 0.023281652440801496, 0.001196328643173716, -0.031862145116679425, 0.016303205624700348, -0.004997271493017104, 0.03022618586392228, -0.011357810324190771, 0.005662843425879572, 0.046999201074918465, -0.009261740258853486, -0.0022369525132073654, -0.014084708432693802, -0.015535767241757453, -0.04072309353687579, 0.025921981595222916, 0.040878126520521786, -0.04123365426708264, -0.050090243364559923, 0.011475862910712042, 0.04457302855947733, 0.0335050985555709, 0.02217944795826074, -0.01659505905676128, -9.055496811739613E-4, 0.04452742365044871, -0.08278509319978289, -0.04002648904479258, -0.03340466900634031, -0.03235580193526194, -7.830503137376588E-4, 0.004399531643126851, 0.0247990891963181, -0.08396565566158695, 0.010807078118654237, -0.022625211416435344, 0.005613371447542057, -0.007315613540326892, -0.005432928129457297, -0.03649648065585541, -0.02272947010220097, 0.05998698626435114, 0.020796790256806787, -0.017144181634899548, -0.013459698818010582, 0.040816652769034734, -0.044888361659122626, 0.02214351692444231]::DOUBLE[]),
-(5, [0.040212514852228196, 0.03270204866116572, 0.02607439721858297, -0.015815151280035022, 0.023341786358928345, 0.07560348655152759, -0.06569996111062634, -0.027236829285972416, 0.011296366129638481, -9.572489507620243E-4, -0.006305557780545, 0.08570186427909018, 0.03279621362242654, -0.028747458574938177, 0.04963243174372868, 0.01679800299861272, 0.009973038108856776, 0.003450769499205278, 0.022934243566278805, 0.013157344958940007, -0.008436585007087338, -0.03078662310679428, -0.027005771846977958, -0.007932553385391321, 0.04827152811349926, 0.03028383001080894, 0.073275460014837, 0.05304128237184812, -0.008107597958585325, 0.014045346401481907, -0.03280571964143982, 0.00583772874662815, 0.04669908145171107, 0.008377381747352532, -0.013810866954189307, 0.009487684099780805, -0.04074281926042704, 0.046486735340825126, 0.03127200979916625, -0.011745878932133825, -0.026772509268505114, -0.06692600183052701, -0.0065688600357824735, -0.004904779907791682, 0.014487935891966654, 0.008648319638080321, 0.02092163065816272, -0.04241697934046192, -0.017232692300348528, -0.010067509135079675, 0.008866295341669527, -0.030877992243389277, -0.02044909131583104, -0.024163273992769355, -0.029412358265500246, 0.022977733359912433, 0.05805448360165613, -0.00944632433839286, -0.02238677234846871, -0.015693558452527675, 0.08075098169598427, 0.010345723757587095, 0.0018132305342996283, -0.011328247833684696]::DOUBLE[]),
-(6, [0.003433894087783835, -7.494450710047485E-4, -0.02902372399046951, 0.020190414424222463, 0.04537258987724235, 0.022366572651397413, -0.003927001562291282, -0.07290684043760239, -0.011102181639773353, 0.03895529202005917, -0.01837949451356181, 0.05220728661130682, -0.04304145418984252, 0.024097865989348138, -0.05020198984242869, -0.008256245157935637, 0.03500359383331356, 0.016915148669946655, 0.0055489151454937, -0.04138730311207369, -0.0141817986107082, 0.037978442435456, -0.015663309499016204, -0.05395002074928234, -0.024395297128989257, -0.0012197887051228927, -0.03842761700739767, 0.047383910897714245, 0.007704709143530153, -0.03295604766037289, 0.02851534734601657, -0.057356172455549324, -0.07770816548736514, -0.009682613786966597, 0.025709889498673765, -0.038875131947823036, -0.0033161119595603544, -0.01694718988217681, -0.01983364182422303, 0.026090526195561035, 0.02386063403752665, 0.04920583627684795, 0.013704557332211872, -0.025058758756640546, 0.011508179479685536, 0.029088630554154456, 0.005880739008397752, 0.06415160845739856, -0.031383915833239795, 0.016148324198910415, -0.016247485061562077, 1.0086548741212718E-4, 0.03374513446545323, 0.009553755132760917, 0.013397679448599292, 0.04829293412018325, 0.015631420405079272, 0.0034169648543932126, -0.02574763370394382, -0.002515465416654107, -7.743666900166266E-4, 0.034913699760968024, 0.014126671779514287, -0.02336821182602493]::DOUBLE[]),
-(7, [0.0502648264745029, 0.014039979293034936, -0.020081519029050632, -0.02142329926860123, -0.005657134464760782, -0.021781199619103454, 0.03718602015708011, 0.06349247603825484, 0.01865944460388617, 0.00604657527893793, 0.04721177372381163, -0.021497938866966916, 0.006676188811560753, -1.2349446897729258E-4, 0.007618584228490672, 0.05419906713875379, 0.020650937662164057, 0.10320127386098614, -0.02168759419904692, -0.0059663794827619675, -0.0392351331572102, 0.013863426392190254, 0.007000784509694752, -0.005195554545362537, -0.06441419984900879, -0.049707942769480276, 0.004225914036102219, -0.005467623596793014, -0.004590961381744285, -0.00825670717081764, 0.05536357763512382, -0.018527022306416892, 0.034232675570902614, 0.006710239664646159, -0.028551950795593948, 0.05804656561219296, 0.010619895167031108, -0.044513832757917635, -0.0043033156718092, 0.007548730146557607, 0.012385609113491697, -0.07476338641254318, -0.030512978823215547, 0.017325180230196066, -0.016048283054824006, 0.014696356210211195, 0.019416283344714402, 0.05202168710770928, -0.008108044400461499, -0.03304663203054552, 0.022418175591817437, 4.219399298996428E-4, -0.023880580952199533, -0.0010892689706774705, 0.04037628884466474, -0.0023675058468151412, -0.022045856887407365, -0.044579119369644975, -0.0022343069932273373, -0.035329789802108345, 0.0025670818590537957, -0.0682953134662419, 0.019121847520598725, -0.062272425685536696]::DOUBLE[])"""
-
-  /** Coarse-quantizer centroids of the q_ivfpq_append store (seeded MLlib
-    * KMeans over the raw doubles of vec_id < 40, nlist=8, seed=42) —
-    * pinned by CentroidProbe from the store's `centroids` table.
-    */
-  private val storeCentroidValues =
-    """(0, [0.1702364101074636, -0.027898251079022884, -0.07953270990401506, 0.006408743094652891, -0.04836644139140844, 0.02392213512212038, -0.032193535822443664, -0.12745320703834295, -0.06343908561393619, -0.04848576243966818, 0.07081716187531129, 0.07707405486144125, 0.004206063691526651, -0.011060386430472136, -0.0660888273268938, -0.10956419445574284, 0.05385978368576616, 0.011825722642242908, -0.040072164963930845, -0.017296822741627693, -0.12677332013845444, 0.0484747514128685, -0.012096340768039227, 0.0064993915148079395, 0.0709930844604969, -0.019748220220208168, -0.08339532965328544, 0.07660527899861336, -0.009978788904845715, -0.011714856373146176, -0.028921812772750854, -0.11526337265968323, -0.03989730216562748, -0.056286875857040286, 0.008072045166045427, -0.033347802236676216, 0.06399169587530196, -0.013183315517380834, -0.028988108620978892, 0.02404917124658823, 0.05924623680766672, -0.08717298926785588, -0.11149846523767337, -0.0844556950032711, 0.04302231676410884, -0.05348334740847349, -0.08269462245516479, 0.03329053707420826, 0.06430385517887771, 0.12307826825417578, -0.07114219944924116, -0.1390336249023676, 0.08821002813056111, 0.030453800223767757, 0.0491305326577276, 0.04658752819523215, 0.10632823640480638, 0.058643225755076855, 0.07363973371684551, 0.048354820581153035, 0.0856575551779315, 0.14738305658102036, 0.026403775438666344, 0.05044606328010559]::DOUBLE[]),
-(1, [0.06530986279249192, -0.046216199174523354, 0.09103873596759514, -0.02442016713321209, 0.04745722897350788, 0.05933582000434399, -0.10066487938165665, 0.021678051725029946, 0.0262742567807436, -0.04573464542627335, -0.11657581124454737, -0.06046525412239134, 0.05624930560588837, -0.03008773154579103, 0.06780340187251568, 0.09715322609990835, 0.014596724323928357, -0.07751787919551134, 0.0021062891930341723, 0.012928388454020024, -0.013481415994465352, -0.014137363247573377, 0.10164222270250321, 0.07162884175777436, -0.06944293752312661, 0.12991411685943605, -0.039827937632799154, 0.02149613620713353, 0.048716927692294125, 0.06643076315522194, 0.059755921363830566, 0.13979094922542573, 0.05751827107742429, 0.07042228356003762, 0.0625255047227256, 0.022104334831237794, 0.051977635361254215, -0.023629654943943024, 0.13726831525564195, -0.036404807865619664, -0.05906145330518484, 0.008024946600198746, 0.08125116303563118, -0.043634687550365925, -0.10211473349481821, -0.09352213889360428, 0.00670858919620514, -0.01134214736521244, 0.012510750629007817, 0.04045360237360001, 0.007391364802606404, 0.012080609425902368, -0.026094051450490954, 0.014638022426515818, 0.02272438704967499, -0.11582451909780503, 0.15820783078670503, 0.015566647052764893, 0.032186812534928326, 0.008418625406920911, -0.05835198238492012, -0.01569764269515872, 0.08892540540546179, 0.1000132329761982]::DOUBLE[]),
-(2, [-0.02436661469982937, -0.0529562053270638, -0.03982119262218475, 0.07876079471316189, -0.08077424205839634, 0.06118374038487673, -0.058029364328831434, -0.04472343111410737, -0.010777384042739868, -0.05969158932566643, -0.05501312855631113, 0.011370543390512466, -0.0715891644358635, 0.00589728495106101, -0.060556596145033836, -0.1049991175532341, -0.10613827407360077, 0.05708861327730119, -0.017338590696454048, -0.0689721368253231, 0.010373328812420368, 0.005397108383476734, 0.07933155354112387, 0.04508579149842262, -0.05232223030179739, 0.1585622187703848, -0.12484573572874069, 0.028840128681622446, -0.08902982959989458, -0.055139120668172836, 0.0877512525767088, -0.08702929166611284, 0.06167022022418678, 0.0780206611379981, 0.06251581758260727, -0.054741395637393, -0.14863421523477882, -0.14930614316836, -0.006652062060311437, 0.11770795210031793, 0.028793265111744404, 0.11811356607358903, 0.005857521668076515, 0.08718402683734894, -0.09598471713252366, 0.018782266415655613, -0.008229807019233704, -0.01295841671526432, 0.049546848982572556, 0.07603679224848747, -0.026209680683678016, -0.015221202978864312, -0.027347030118107796, -0.015134555287659168, 0.007747716503217816, -0.017121920362114906, 0.08632162702269852, -0.0038184779696166515, 0.0650088214315474, -0.014596844092011452, 0.033457846380770206, 0.012933352030813694, -0.020893454551696777, -0.06007324764505029]::DOUBLE[]),
-(3, [-0.0035796132870018482, -0.07866538933012635, 0.010637805331498384, 0.07310581032652408, 0.008330916054546833, -0.034015070530585945, 0.021908387076109648, 0.11176371126202866, -0.05742443937560893, 0.05566224968060851, 0.10303084668703377, 0.047972965985536575, -0.02710309624671936, -0.005549505236558616, -0.012639073189347982, -0.02868006518110633, -0.014579630573280156, -0.024148309021256864, -0.039256344083696604, -0.055074719712138176, 0.01938811130821705, -0.0623092295427341, -0.03357001033145934, 0.07625369145534933, 0.011260407394729555, 5.523075815290213E-4, -0.03198213782161474, -0.03096979157999158, 0.03880838374607265, 0.04472046624869108, 0.03279894054867327, -0.027878230437636375, 0.024476753664202988, -0.12146972864866257, -0.008220527321100235, 0.023966887849383056, -0.01713034074055031, 0.08277817990165204, -0.05478117585880682, 3.972377744503319E-4, -0.0599317776504904, -0.015391601249575615, -0.0030218567699193954, 0.09252219111658633, -0.013905035331845284, -0.029405481414869428, 0.026382728246971965, -0.004292030585929751, 0.03777459263801575, -0.004107358166947961, 0.056556461378932, 0.06069007603218779, -0.012516325688920915, -0.009481362998485565, -0.01867987564764917, -0.016326930664945394, -0.001507018692791462, -0.11327145108953118, -0.030254822677306947, -0.010498073883354664, -0.022118558175861835, 0.0568941303063184, 0.03157638316042721, 0.16123128309845924]::DOUBLE[]),
-(4, [0.03797190946837266, 0.10537639011939366, -0.022328156046569347, -0.143250140051047, -0.023749767492214836, 0.004511712725313069, -0.03064492257544771, 0.08392615787064035, 0.03300608787685633, 0.0603550545250376, -0.008665456048523385, -0.05326446169055998, -0.1045961690445741, -0.001858888038744529, -0.06974656817813714, -0.08171506427849332, 0.005655057728290558, 0.053266161431868866, -0.07880614162422717, 0.03520474831263224, -0.015924488582337894, -0.014954060316085815, 0.10150114260613918, -0.02898751323421796, 0.05294176936149597, 0.05990254878997803, -0.009088511966789762, -0.0065425182692706585, -0.038137732073664665, 0.07674721690515676, 0.07403482962399721, 0.0702410830805699, -0.04549928133686383, -0.15910650044679642, 0.0015679238519320884, 0.013253754625717798, 0.09199107360715666, -0.024243393602470555, 0.002008638499925534, 0.08521483559161425, 0.03333881932000319, -0.04494104518865545, 0.031166841586430866, -0.024721570468197264, 0.07357998215593398, 0.10867184773087502, 0.07816261431435123, 0.00367639089624087, 0.04318756703287363, -0.06992552825249732, -0.06037073551366726, 0.06969941197894514, 0.04278608931538959, -0.050894055515527725, -0.0424450480689605, 0.0312604911159724, -0.0058240982859085, 0.06525028062363465, -0.1873889739314715, -0.12450594439481695, 0.0014613935103019078, 0.019626399967819452, 0.028021172309915222, -0.02429640277599295]::DOUBLE[]),
-(5, [-0.10600785166025162, 0.002277502091601491, 0.18398085236549377, -0.2606862783432007, 0.1778150051832199, -0.21112927794456482, -0.14281201362609863, 0.0589049831032753, -0.08489049226045609, 0.012630251236259937, -0.059194810688495636, 0.14958278834819794, 0.1523386687040329, -0.019695747643709183, 0.06576269865036011, 0.02591741271317005, -0.01704358495771885, 0.2261936515569687, -0.10878852754831314, 0.052004046738147736, -0.01985098421573639, 0.10891015827655792, 0.050007034093141556, 0.00356887374073267, 0.017242567613720894, 0.014040996320545673, -0.1323562115430832, -0.012351389974355698, -0.16679130494594574, 0.16819067299365997, -0.1995360255241394, -0.027808887884020805, 0.12501610815525055, 0.021634263917803764, -0.09971120953559875, 0.1543571799993515, -0.01975729875266552, 0.00641636410728097, 0.1322087198495865, 0.007101118098944426, 0.0940488651394844, -0.05795232579112053, 0.17188838124275208, 0.2796759009361267, -0.07692234218120575, 0.2844792306423187, -0.04118214547634125, -0.09017562866210938, 0.002341007348150015, -0.07480639219284058, 0.2100723385810852, 0.03463194519281387, -0.005899464711546898, 0.01908275857567787, -0.055585674941539764, -0.0034910584799945354, 0.07526145130395889, -0.18711744248867035, -0.05141977593302727, -0.09944657981395721, -0.29667043685913086, 0.16516909003257751, -0.07229359447956085, -0.12962093949317932]::DOUBLE[]),
-(6, [-0.053156930421079905, -0.04477442069245236, -0.018021163605486175, 0.08419460024950759, 0.016493696087439145, -0.022849536633917263, -0.1375723640833582, -0.0408787801861763, 0.030850745271891356, 0.04037381362702165, 0.10987133279974971, -0.037221060533608706, 0.04152982096586908, -0.0731727901313986, 0.08116482224847589, -0.0016636992139475685, 0.045418810698070695, 0.06350788134815437, 0.05142113659530878, -0.0882460248789617, -0.013981255569628306, -0.015205293794029524, 0.029618090018630028, -0.07707003344382558, 0.06056194326707295, 0.07727186594690595, -0.004453742610556738, 0.03668838593044451, -0.06353718202028956, 0.0973505973815918, -0.09452019738299505, 0.012404113941426787, 0.06439178849437406, -0.015247224164860589, -0.03591804738555635, 0.02874639450705477, 0.0031195793833051406, 0.04911207913288048, -0.0533134216176612, -0.08872608414718082, -0.008801271307415195, 0.04280762693711689, 0.04660048083003078, -0.03919705278739067, -0.007870896586350032, -0.028912058366196494, -0.13879762017833333, -0.041140670222895484, 0.026161208748817444, -0.09945005391325269, -0.046548761427402496, -0.02634669028754745, 0.04086377571469971, 0.10053612957043306, -0.015540850382032139, 0.025755786968927295, 0.0070241279900074005, 0.021020187331097465, -0.03777885636580842, -0.028402561454900672, 0.1012803523668221, -0.025463007523545196, -0.06597462509359632, 0.05663755988436085]::DOUBLE[]),
-(7, [-0.10565550904721022, -0.02317444309592247, 0.05185511885210872, 0.128144421428442, 0.015837564319372176, -0.06398166604340076, 0.03240073844790459, 0.00772751197218895, -0.04899639040231705, -0.04043640196323395, -0.1290822207927704, 0.19328034818172457, 0.08747864505276085, 0.12561848536133766, 0.082155304774642, 0.034733404591679576, -0.012836345843970776, -0.028431076556444168, 0.014673823490738869, -0.030660730600357056, 0.0669696893543005, -0.09440324753522873, 0.013668329641222955, 0.028194154193624855, -0.08954230546951295, 0.09607886821031571, -0.06244346043094993, -0.01156155988574028, -0.051144107803702356, -0.07853102125227451, -0.004945331811904908, -0.12667561620473863, 0.009625129774212838, -0.030007920996285978, -0.04669539332389832, 0.002793519198894501, 0.0725640743970871, 0.028326531872153282, -0.00824125760118477, -0.0822293020784855, -0.01153697818517685, -0.04046377614140511, -0.14673832170665266, 0.04449241869151593, -0.004027724266052246, 0.025591062754392626, 0.017898069322109224, -0.043337633833289146, -0.05085684359073639, -0.13445487394928932, 0.050420188903808595, 0.043278027139604096, 0.033184257382527, 0.02304813670925796, -0.014079212467186153, -0.07338697984814645, 0.05442876787856221, 0.03086667619645596, 0.005024658143520356, 0.02538372874259949, -0.013084032572805882, -0.10662009865045548, 0.04104481730610132, -0.03679557237774134]::DOUBLE[])"""
-
   def oracles: Map[String, String] = Map(
-    "q_semantic_dedup" ->
-      ("WITH RECURSIVE cents(cell, c) AS (VALUES\n" + semanticCentroidValues + "),\n" +
-        """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    // SemDeDup with the spherical-k-means fit DERIVED by DuckDB: the
+    // normalized full-table vectors are hashed (xxhash64 replay) for the
+    // seeded init, the 10 Lloyd's iterations run as unrolled CTEs with
+    // bit-exact ordered means, then assignment / in-cell cosine pairs /
+    // connected components replay as before — nothing pinned, and the
+    // oracle now holds at ANY scale factor (the former literal centroids
+    // were only valid at sf0.01).
+    "q_semantic_dedup" -> {
+      val (fitCtes, cents) =
+        SimQ.XxhashSql.coarseKmeansCtes("n", "u", dim = 64, k = 8, iters = 10)
+      "WITH RECURSIVE\n" +
+        ("""v AS MATERIALIZED (
+          |  SELECT CAST(vec_id AS BIGINT) AS id,
+          |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
           |  FROM embeddings),
-          |n AS (SELECT vec_id,
-          |  list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u FROM v),
-          |d AS (SELECT vec_id, cell,
+          |n AS MATERIALIZED (SELECT id,
+          |  list_transform(e, x -> x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS u
+          |  FROM v)""".stripMargin +: fitCtes).mkString(",\n") + ",\n" +
+        s"""d AS (SELECT nn.id AS vec_id, c.cell,
           |    list_sum(list_transform(range(1, 65),
-          |      i -> (u[i] - c[i]) * (u[i] - c[i]))) AS dist
-          |  FROM n, cents),
+          |      i -> (nn.u[i] - c.u[i]) * (nn.u[i] - c.u[i]))) AS dist
+          |  FROM n nn CROSS JOIN $cents c),
           |asg AS (SELECT vec_id, cell FROM
           |    (SELECT vec_id, cell,
           |       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
@@ -105,27 +89,38 @@ object SemQ extends QueryPack {
           |  WHERE rn = 1),
           |pr AS (SELECT x.vec_id AS id1, y.vec_id AS id2
           |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
-          |  JOIN n a ON a.vec_id = x.vec_id
-          |  JOIN n b ON b.vec_id = y.vec_id
+          |  JOIN n a ON a.id = x.vec_id
+          |  JOIN n b ON b.id = y.vec_id
           |  WHERE list_dot_product(a.u, b.u)
           |      / (sqrt(list_dot_product(a.u, a.u)) * sqrt(list_dot_product(b.u, b.u)))
           |    >= 0.45),
-          |e AS (SELECT id1 AS a, id2 AS b FROM pr UNION SELECT id2, id1 FROM pr),
+          |ed AS (SELECT id1 AS a, id2 AS b FROM pr UNION SELECT id2, id1 FROM pr),
           |reach(a, b) AS (
-          |  SELECT a, a FROM e
+          |  SELECT a, a FROM ed
           |  UNION
-          |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+          |  SELECT r.a, ed.b FROM reach r JOIN ed ON r.b = ed.a),
           |comp AS (SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY 1)
-          |SELECT asg.vec_id, asg.cell, coalesce(comp.cluster_id = asg.vec_id, TRUE) AS keep
-          |FROM asg LEFT JOIN comp ON asg.vec_id = comp.vec_id""".stripMargin),
-    "q_ivfpq_drift" ->
-      ("WITH cents(cell, c) AS (VALUES\n" + storeCentroidValues + "),\n" +
-        """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          |SELECT asg.vec_id, CAST(asg.cell AS INTEGER) AS cell, coalesce(comp.cluster_id = asg.vec_id, TRUE) AS keep
+          |FROM asg LEFT JOIN comp ON asg.vec_id = comp.vec_id""".stripMargin
+    },
+    // Drift arithmetic downstream of the DERIVED fit-40 coarse quantizer
+    // (raw vectors, the q_ivfpq_append store's model): occupancy of the
+    // fit rows vs the live 50 per cell — the former CentroidProbe-pinned
+    // centroid literals are gone.
+    "q_ivfpq_drift" -> {
+      val (fitCtes, cents) =
+        SimQ.XxhashSql.coarseKmeansCtes("fitr", "v", dim = 64, k = 8, iters = 10)
+      "WITH RECURSIVE\n" +
+        ("""corp AS MATERIALIZED (
+          |  SELECT CAST(vec_id AS BIGINT) AS id,
+          |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           |  FROM embeddings WHERE vec_id < 50),
-          |d AS (SELECT vec_id, cell,
+          |fitr AS MATERIALIZED (SELECT id, v FROM corp WHERE id < 40)""".stripMargin
+          +: fitCtes).mkString(",\n") + ",\n" +
+        s"""d AS (SELECT a.id AS vec_id, c.cell,
           |    list_sum(list_transform(range(1, 65),
-          |      i -> (e[i] - c[i]) * (e[i] - c[i]))) AS dist
-          |  FROM v, cents),
+          |      i -> (a.v[i] - c.u[i]) * (a.v[i] - c.u[i]))) AS dist
+          |  FROM corp a CROSS JOIN $cents c),
           |asg AS (SELECT vec_id, cell FROM
           |    (SELECT vec_id, cell,
           |       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
@@ -133,11 +128,12 @@ object SemQ extends QueryPack {
           |  WHERE rn = 1),
           |fit AS (SELECT cell, count(*) AS n_fit FROM asg WHERE vec_id < 40 GROUP BY 1),
           |nw AS (SELECT cell, count(*) AS n_now FROM asg GROUP BY 1)
-          |SELECT coalesce(fit.cell, nw.cell) AS cell,
+          |SELECT CAST(coalesce(fit.cell, nw.cell) AS INTEGER) AS cell,
           |  coalesce(fit.n_fit, 0) AS n_fit, coalesce(nw.n_now, 0) AS n_now,
           |  round(CAST(coalesce(nw.n_now, 0) - coalesce(fit.n_fit, 0) AS DOUBLE)
           |    / greatest(coalesce(fit.n_fit, 0), 1), 6) AS growth
           |FROM fit FULL JOIN nw ON fit.cell = nw.cell
-          |ORDER BY cell""".stripMargin)
+          |ORDER BY cell""".stripMargin
+    }
   )
 }

@@ -87,7 +87,8 @@ object SimQ extends QueryPack {
         .agg(round(sum(coalesce(col("hit"), lit(0))) / 10.0, 6).as("recall"))
     }),
     // IVF-PQ composition: coarse cells prune candidates, ADC scores them
-    // — both scale dials engaged; recall@10 pinned as above.
+    // — both scale dials engaged; the oracle derives the whole pipeline
+    // in SQL (see IvfPqKmeansSql).
     "q_ivfpq_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).where(col("vec_id") < 50)
       val ivfpq = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
@@ -100,9 +101,9 @@ object SimQ extends QueryPack {
     })
     ,
     // FAISS-style residual IVF-PQ: codes quantize u − centroid(cell), the
-    // score adds the ⟨q, centroid⟩ term per probed cell; recall@10 pinned
-    // like the other quantizer queries (DedupSpec holds the independent
-    // residual ≥ raw recall evidence).
+    // score adds the ⟨q, centroid⟩ term per probed cell; the oracle
+    // derives the full residual pipeline in SQL (DedupSpec holds the
+    // independent residual ≥ raw recall evidence).
     "q_ivfpq_residual" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).where(col("vec_id") < 50)
       val ivfpq = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
@@ -120,8 +121,8 @@ object SimQ extends QueryPack {
     // corpus re-encode, no in-memory state from the build session. The
     // result must be bit-identical to the direct ivfPqTopK run, asserted
     // per query by matches_direct (null-safe over a full outer join, so a
-    // missing or extra row also fails) and pinned in the oracle alongside
-    // q_ivfpq_ann's recall vector.
+    // missing or extra row also fails); the oracle derives the direct
+    // path's full pipeline in SQL, sharing q_ivfpq_ann's derivation.
     "q_ivfpq_served" -> ((s, dir) => {
       val idxDir = servedIndexDir(s, dir)
       // the whole comparison runs on ONE fresh session: the point is that
@@ -253,8 +254,8 @@ object SimQ extends QueryPack {
     // bit-identical to a fresh fit on today's corpus with the same seed,
     // so serving it must match servedIndexDir's pinned full-fit twin
     // row-for-row (matches_full_fit, null-safe full-outer) and its
-    // recall@10 must equal q_ivfpq_served's pinned vector exactly —
-    // which is the oracle.
+    // recall@10 must equal the full-corpus derivation — which is the
+    // oracle (IvfPqKmeansSql).
     "q_ivfpq_refit" -> ((s, dir) => {
       val rDir = refitIndexDir(s, dir)
       val pinDir = servedIndexDir(s, dir)
@@ -383,43 +384,6 @@ object SimQ extends QueryPack {
     """list_dot_product(a.e, b.e)
       |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))""".stripMargin
 
-  /** Pinned recall@10 of the seeded IVF-PQ run at the sf0.01 gate — shared
-    * by the direct query and the served-from-store query, which must agree.
-    */
-  private val ivfPqRecallValues =
-    "(0,0.6),(1,0.6),(2,0.7),(3,0.5),(4,0.5),(5,0.7),(6,0.6),(7,0.7)," +
-      "(8,0.4),(9,0.5),(10,0.8),(11,0.7),(12,0.5),(13,0.3),(14,0.7)," +
-      "(15,0.4),(16,0.7),(17,0.6),(18,0.7),(19,0.8),(20,0.7),(21,0.5)," +
-      "(22,0.4),(23,0.8),(24,0.8),(25,0.5),(26,0.7),(27,0.7),(28,0.7)," +
-      "(29,0.5),(30,0.7),(31,0.8),(32,0.6),(33,0.7),(34,0.7),(35,0.6)," +
-      "(36,0.6),(37,0.6),(38,0.8),(39,0.6),(40,0.7),(41,0.6),(42,0.7)," +
-      "(43,0.7),(44,0.7),(45,0.7),(46,0.5),(47,0.6),(48,0.7),(49,0.5)"
-
-  /** Pinned recall@10 of serving the grown (fit-40 + append-10) store at
-    * the sf0.01 gate — re-pin from a fresh Verify run whenever the
-    * seeded fit changes (see the re-pin rule in the repo memory).
-    */
-  private val ivfPqAppendRecallValues =
-    "(0,0.6),(1,0.5),(2,0.4),(3,0.5),(4,0.2),(5,0.8),(6,0.7),(7,0.6)," +
-      "(8,0.5),(9,0.6),(10,0.8),(11,0.7),(12,0.7),(13,0.4),(14,0.7)," +
-      "(15,0.5),(16,0.7),(17,0.7),(18,0.7),(19,0.7),(20,0.7),(21,0.4)," +
-      "(22,0.4),(23,0.6),(24,0.6),(25,0.4),(26,0.8),(27,0.5),(28,0.5)," +
-      "(29,0.4),(30,0.8),(31,0.6),(32,0.5),(33,0.8),(34,0.4),(35,0.6)," +
-      "(36,0.7),(37,0.5),(38,0.7),(39,0.5),(40,0.6),(41,0.4),(42,0.8)," +
-      "(43,0.7),(44,0.5),(45,0.5),(46,0.7),(47,0.6),(48,0.6),(49,0.6)"
-
-  /** Pinned recall@10 of serving the tombstoned (fit-50 − 7 deletes)
-    * store at the sf0.01 gate — re-pin from a fresh Verify run whenever
-    * the seeded fit changes (see the re-pin rule in the repo memory).
-    */
-  private val ivfPqDeleteRecallValues =
-    "(0,0.7),(1,0.6),(2,0.8),(4,0.5),(5,0.7),(6,0.5),(7,0.6),(8,0.4)," +
-      "(9,0.6),(11,0.4),(12,0.6),(13,0.4),(14,0.7),(15,0.5),(16,0.7)," +
-      "(18,0.7),(19,0.8),(20,0.7),(21,0.4),(22,0.5),(23,0.7),(25,0.5)," +
-      "(26,0.6),(27,0.8),(28,0.7),(29,0.5),(30,0.7),(32,0.7),(33,0.8)," +
-      "(34,0.6),(35,0.7),(36,0.6),(37,0.6),(39,0.4),(40,0.7),(41,0.6)," +
-      "(42,0.8),(43,0.7),(44,0.8),(46,0.6),(47,0.6),(48,0.6),(49,0.5)"
-
   def oracles: Map[String, String] = Map(
     "q_ann_topk" ->
       s"""WITH v AS (
@@ -462,73 +426,48 @@ object SimQ extends QueryPack {
     // embeddings table. See [[IvfKmeansSql]].
     "q_ivf_ann" -> IvfKmeansSql.sql(dim = 64, nlist = 8, nprobe = 4,
       k = 3, iters = 10),
-    // Deterministic recall@10 of the seeded PQ quantizer (m=8 subspaces ×
-    // 16 centroids, distributed Lloyd's fit with hash-sorted init and
-    // order-fixed partial merge) at the sf0.01 gate — still pinned from
-    // the engine's deterministic run (the q_ivf_ann SQL replay covers the
-    // m=1 fit; extending it to 8 subspaces × ADC table scoring is the
-    // stated next step); the independent evidence is DedupSpec's
-    // zero-quantization-error ADC-equals-cosine proof, the recall bound
-    // vs in-engine exact kNN, and the bit-exact refit reproducibility
-    // case.
-    "q_pq_ann" ->
-      ("""SELECT CAST(id1 AS BIGINT) AS id1, CAST(recall AS DOUBLE) AS recall
-         |FROM (VALUES """.stripMargin +
-        "(0,0.5),(1,0.6),(2,0.6),(3,0.5),(4,0.6),(5,0.7),(6,0.7),(7,0.7)," +
-        "(8,0.5),(9,0.5),(10,0.8),(11,0.7),(12,0.5),(13,0.4),(14,0.6)," +
-        "(15,0.5),(16,0.8),(17,0.7),(18,0.6),(19,0.8),(20,0.7),(21,0.5)," +
-        "(22,0.5),(23,0.8),(24,0.7),(25,0.3),(26,0.7),(27,0.7),(28,0.7)," +
-        "(29,0.7),(30,0.9),(31,0.8),(32,0.6),(33,0.6),(34,0.8),(35,0.7)," +
-        "(36,0.6),(37,0.5),(38,0.8),(39,0.6),(40,0.8),(41,0.7),(42,0.8)," +
-        "(43,0.6),(44,0.8),(45,0.7),(46,0.6),(47,0.6),(48,0.8),(49,0.5)" +
-        ") AS t(id1, recall)"),
-    // same pinned style for the IVF-PQ composition (cells + codes)
-    "q_ivfpq_ann" ->
-      ("""SELECT CAST(id1 AS BIGINT) AS id1, CAST(recall AS DOUBLE) AS recall
-         |FROM (VALUES """.stripMargin + ivfPqRecallValues + ") AS t(id1, recall)"),
-    // the served path must reproduce the direct path exactly: same recall
-    // vector, and the engine-side bit-exact comparison pinned true
-    "q_ivfpq_served" ->
-      ("""SELECT CAST(id1 AS BIGINT) AS id1, TRUE AS matches_direct,
-         |  CAST(recall AS DOUBLE) AS recall
-         |FROM (VALUES """.stripMargin + ivfPqRecallValues + ") AS t(id1, recall)"),
+    // FULL DERIVATION of the PQ recall — nothing pinned: DuckDB replays
+    // the L2 normalization, the seeded init over the normalized arrays,
+    // all 8 subspace Lloyd's fits, the PqEncode argmin, the per-query
+    // ADC lookup tables, the subspace-ordered score fold, and the recall
+    // join from the raw embeddings table. See [[PqKmeansSql]].
+    "q_pq_ann" -> PqKmeansSql.sql(dim = 64, m = 8, codebookSize = 16,
+      k = 10, iters = 10),
+    // FULL DERIVATION of the IVF-PQ composition — nothing pinned: DuckDB
+    // replays the coarse Lloyd's fit (raw vectors), the PQ subspace fit
+    // (normalized), the stored-model cell assignment + encoding, the
+    // probe ranking, the ADC scoring, and the recall join. See
+    // [[IvfPqKmeansSql]].
+    "q_ivfpq_ann" -> IvfPqKmeansSql.sql(dim = 64, nlist = 8, nprobe = 4,
+      m = 8, codebookSize = 16, k = 10, iters = 10),
+    // the served path must reproduce the direct path exactly: the SAME
+    // derivation, with the engine-side bit-parity flag derived TRUE (the
+    // derivation IS the direct path's definition)
+    "q_ivfpq_served" -> IvfPqKmeansSql.sql(dim = 64, nlist = 8, nprobe = 4,
+      m = 8, codebookSize = 16, k = 10, iters = 10,
+      extraCols = ", TRUE AS matches_direct"),
     // a refit store is bit-identical to the fresh full fit, so its serve
-    // replays q_ivfpq_served's pinned recall vector verbatim
-    "q_ivfpq_refit" ->
-      ("""SELECT CAST(id1 AS BIGINT) AS id1, TRUE AS matches_full_fit,
-         |  CAST(recall AS DOUBLE) AS recall
-         |FROM (VALUES """.stripMargin + ivfPqRecallValues + ") AS t(id1, recall)"),
-    // pinned recall@10 of serving the GROWN store (fit on 40, append 10,
-    // same seeded fit); matches_rebuild is the engine-side bit-parity
-    // gate against re-encoding the full corpus with the stored model
-    "q_ivfpq_append" ->
-      ("""SELECT CAST(id1 AS BIGINT) AS id1, TRUE AS matches_rebuild,
-         |  CAST(recall AS DOUBLE) AS recall
-         |FROM (VALUES """.stripMargin + ivfPqAppendRecallValues + ") AS t(id1, recall)"),
-    // pinned recall@10 of serving the SHRUNK store (fit on 50, tombstone
-    // 7, same seeded fit) against exact kNN over the 43 survivors;
-    // matches_filtered / matches_compacted are the engine-side bit-parity
-    // gates (tombstoned serve ≡ survivor re-encode; compacted ≡ tombstoned)
-    "q_ivfpq_delete" ->
-      ("""SELECT CAST(id1 AS BIGINT) AS id1, CAST(recall AS DOUBLE) AS recall,
-         |  TRUE AS matches_filtered, TRUE AS matches_compacted
-         |FROM (VALUES """.stripMargin + ivfPqDeleteRecallValues + ") AS t(id1, recall)"),
-    // pinned recall@10 of the seeded RESIDUAL quantizer — mean 0.672 vs
-    // the raw-code path's 0.632 on the same gate table, the expected
-    // FAISS-style precision win (independent evidence: DedupSpec's
-    // residual ≥ raw recall case)
-    "q_ivfpq_residual" ->
-      ("""SELECT CAST(id1 AS BIGINT) AS id1, CAST(recall AS DOUBLE) AS recall
-         |FROM (VALUES """.stripMargin +
-        "(0,0.6),(1,0.7),(2,0.8),(3,0.6),(4,0.6),(5,0.6),(6,0.5)," +
-        "(7,0.8),(8,0.6),(9,0.5),(10,0.8),(11,0.7),(12,0.7),(13,0.5)," +
-        "(14,0.7),(15,0.8),(16,0.6),(17,0.7),(18,0.9),(19,0.8),(20,0.6)," +
-        "(21,0.7),(22,0.4),(23,0.7),(24,0.9),(25,0.7),(26,0.7),(27,0.8)," +
-        "(28,0.7),(29,0.6),(30,0.7),(31,0.8),(32,0.6),(33,0.8),(34,0.6)," +
-        "(35,0.7),(36,0.5),(37,0.7),(38,0.6),(39,0.7),(40,0.7),(41,0.7)," +
-        "(42,0.5),(43,0.8),(44,0.7),(45,0.7),(46,0.5),(47,0.7),(48,0.6)," +
-        "(49,0.7)" +
-        ") AS t(id1, recall)")
+    // derives from the same full-corpus replay
+    "q_ivfpq_refit" -> IvfPqKmeansSql.sql(dim = 64, nlist = 8, nprobe = 4,
+      m = 8, codebookSize = 16, k = 10, iters = 10,
+      extraCols = ", TRUE AS matches_full_fit"),
+    // GROWN store: fit on vec_id < 40, serve all 50 encoded with the
+    // stored model — the fit/corpus split is the derivation's parameter;
+    // matches_rebuild stays the engine-side bit-parity gate
+    "q_ivfpq_append" -> IvfPqKmeansSql.sql(dim = 64, nlist = 8, nprobe = 4,
+      m = 8, codebookSize = 16, k = 10, iters = 10,
+      fitWhere = "vec_id < 40",
+      extraCols = ", TRUE AS matches_rebuild"),
+    // SHRUNK store: fit on 50, serve the 43 survivors; recall vs exact
+    // kNN over the survivors — all derived
+    "q_ivfpq_delete" -> IvfPqKmeansSql.sql(dim = 64, nlist = 8, nprobe = 4,
+      m = 8, codebookSize = 16, k = 10, iters = 10,
+      corpusWhere = "vec_id < 50 AND vec_id % 7 <> 3",
+      extraCols = ", TRUE AS matches_filtered, TRUE AS matches_compacted"),
+    // RESIDUAL path: coarse fit on normalized vectors, codebooks fit on
+    // derived-and-hashed residuals, ⟨q, cent⟩ + ADC scoring — all derived
+    "q_ivfpq_residual" -> IvfPqKmeansSql.sql(dim = 64, nlist = 8, nprobe = 4,
+      m = 8, codebookSize = 16, k = 10, iters = 10, residual = true)
   )
 
   /** DuckDB SQL replaying the LSH pair pipeline (buckets → candidate pairs
@@ -640,30 +579,38 @@ object SimQ extends QueryPack {
     * decision at an exact tie, which the recall grid (multiples of 1/k)
     * makes vanishingly unlikely — and the gate would catch.
     */
-  private object IvfKmeansSql {
-    private val M = "18446744073709551616::HUGEINT"
-    private val P1 = "11400714785074694791::HUGEINT"
-    private val P2 = "14029467366897019727::HUGEINT"
-    private val P3 = "1609587929392839161::HUGEINT"
-    private val P4 = "9650029242287828579::HUGEINT"
-    private val P5 = "2870177450012600261::HUGEINT"
-    private def p2(b: Int): String = (BigInt(1) << b).toString + "::HUGEINT"
-    private def mod64(x: String) = s"((($x) % $M + $M) % $M)"
-    private def mul64(a: String, b: String) = mod64(
+  /** Shared HUGEINT wraparound arithmetic for replaying Spark's xxhash64
+    * in DuckDB (the same staging as [[DedupQ]]'s XxSql, plus the
+    * array-of-doubles fold every k-means oracle needs): 64-bit mul from
+    * 32-bit halves, rotations as disjoint shift sums, xor through
+    * UBIGINT, and the IEEE-754 double→bits decomposition. Package-shared:
+    * [[SemQ]] derives its spherical-k-means and drift oracles from the
+    * same pieces.
+    */
+  private[queries] object XxhashSql {
+    val M = "18446744073709551616::HUGEINT"
+    val P1 = "11400714785074694791::HUGEINT"
+    val P2 = "14029467366897019727::HUGEINT"
+    val P3 = "1609587929392839161::HUGEINT"
+    val P4 = "9650029242287828579::HUGEINT"
+    val P5 = "2870177450012600261::HUGEINT"
+    def p2(b: Int): String = (BigInt(1) << b).toString + "::HUGEINT"
+    def mod64(x: String) = s"((($x) % $M + $M) % $M)"
+    def mul64(a: String, b: String) = mod64(
       s"($a % ${p2(32)}) * ($b % ${p2(32)}) + " +
         mod64(s"(($a // ${p2(32)}) * ($b % ${p2(32)}) + " +
           s"($a % ${p2(32)}) * ($b // ${p2(32)})) * ${p2(32)}"))
-    private def x64(a: String, b: String) =
+    def x64(a: String, b: String) =
       s"CAST(xor(CAST($a AS UBIGINT), CAST($b AS UBIGINT)) AS HUGEINT)"
-    private def rotl(x: String, r: Int) =
+    def rotl(x: String, r: Int) =
       s"(${mod64(s"$x * ${p2(r)}")} + ($x // ${p2(64 - r)}))"
-    private def shr(x: String, r: Int) = s"($x // ${p2(r)})"
+    def shr(x: String, r: Int) = s"($x // ${p2(r)})"
 
     /** Lateral-alias stages computing XXH64.hashLong(`l`, `seed`) into
       * alias `<pfx>hout` — Spark's single-long shortcut (seed+P5+8,
       * one 8-byte round, fmix).
       */
-    private def hashLongStages(l: String, seed: String, pfx: String): String = {
+    def hashLongStages(l: String, seed: String, pfx: String): String = {
       val s = Seq.newBuilder[(String, String)]
       s += s"${pfx}h0" -> mod64(s"$seed + $P5 + 8::HUGEINT")
       s += s"${pfx}m1" -> mul64(l, P2)
@@ -681,7 +628,106 @@ object SimQ extends QueryPack {
       s.result().map { case (n, e) => s"$e AS $n" }.mkString(",\n      ")
     }
 
-    private val T52 = "4503599627370496" // 2^52
+    val T52 = "4503599627370496" // 2^52
+
+    /** CTEs `<p>elems`→`<p>bits`→`<p>fold`→`<p>hfin` computing per-row
+      * Spark `xxhash64(<hashCol>, 42)` over a `dim`-element double-array
+      * column of CTE `src(id, <hashCol>)`: IEEE-754 bits per element
+      * (exponent via corrected floor(log2), mantissa exact — every
+      * finite double's significand fits the 2^52 scaling), then the
+      * per-element hashLong chain through a recursive CTE, then the
+      * trailing literal-42 fold. The `p` prefix lets one query carry
+      * several independent folds (the IVF-PQ oracle hashes both the raw
+      * and the normalized arrays).
+      */
+    def hashFoldCtes(src: String, hashCol: String, dim: Int,
+                     p: String = ""): Seq[String] = Seq(
+      s"""${p}elems AS MATERIALIZED (
+  SELECT e.id, CAST(t.i AS BIGINT) AS idx, e.$hashCol[CAST(t.i AS BIGINT) + 1] AS val
+  FROM $src e CROSS JOIN (SELECT UNNEST(range(0, $dim)) AS i) t
+)""",
+      s"""${p}bits AS MATERIALIZED (
+  SELECT id, idx,
+    CASE WHEN val = 0 OR isnan(val) THEN
+      CASE WHEN isnan(val) THEN 9221120237041090560::HUGEINT ELSE 0::HUGEINT END
+    ELSE (CASE WHEN val < 0 THEN ${p2(63)} ELSE 0::HUGEINT END)
+       + CAST(ex + 1023 AS HUGEINT) * $T52::HUGEINT
+       + (CAST(round(a / pow(2.0, ex) * $T52.0) AS HUGEINT) - $T52::HUGEINT)
+    END AS b
+  FROM (
+    SELECT id, idx, val,
+      CASE WHEN val = 0 OR isnan(val) THEN 1.0 ELSE abs(val) END AS a,
+      CAST(floor(log2(a)) AS BIGINT) AS e0,
+      e0 + CASE WHEN pow(2.0, e0 + 1) <= a THEN 1
+                WHEN pow(2.0, e0) > a THEN -1 ELSE 0 END AS ex
+    FROM ${p}elems)
+)""",
+      s"""${p}fold AS (
+  SELECT id, CAST(-1 AS BIGINT) AS idx, 42::HUGEINT AS h FROM $src
+  UNION ALL
+  SELECT q.id, q.idx, q.fhout AS h FROM (
+    SELECT f.id, f.idx + 1 AS idx, b.b AS l, f.h AS hprev,
+      ${hashLongStages("l", "hprev", "f")}
+    FROM ${p}fold f JOIN ${p}bits b ON b.id = f.id AND b.idx = f.idx + 1
+    WHERE f.idx < ${dim - 1}
+  ) q
+)""",
+      s"""${p}hfin AS MATERIALIZED (
+  SELECT id, ghout AS h FROM (
+    SELECT id, h AS hprev,
+      ${hashLongStages("42::HUGEINT", "hprev", "g")}
+    FROM ${p}fold WHERE idx = ${dim - 1})
+)""")
+
+    /** Full single-(sub)space k-means fit as CTEs over `src(id, <col>)`:
+      * the `cv`-prefixed hash fold, seeded init (`ccents0` = the `k`
+      * rows with the smallest hash), and `iters` unrolled Lloyd's
+      * iterations (`casg<i>`/`ccents<i>`) with BIT-exact means
+      * (ordered-list folds in ascending-id order — the engine's
+      * single-partition accumulation). Returns (ctes, finalCentsCte);
+      * the final CTE has columns (cell, u).
+      */
+    def coarseKmeansCtes(src: String, colName: String, dim: Int, k: Int,
+                         iters: Int): (Seq[String], String) = {
+      def d2(a: String, b: String) =
+        s"list_sum(list_transform(range(1, ${dim + 1}), t -> ($a[t] - $b[t]) * ($a[t] - $b[t])))"
+      val parts = Seq.newBuilder[String]
+      parts ++= hashFoldCtes(src, colName, dim, p = "cv")
+      parts += s"""ccents0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY x.hs ASC, x.cu ASC) - 1 AS BIGINT) AS cell, x.cu AS u
+  FROM (
+    SELECT e.$colName AS cu, CASE WHEN f.h >= ${p2(63)} THEN f.h - $M ELSE f.h END AS hs
+    FROM cvhfin f JOIN $src e USING (id)
+    ORDER BY hs ASC, cu ASC LIMIT $k) x
+)"""
+      var prev = "ccents0"
+      (1 to iters).foreach { i =>
+        parts += s"""casg$i AS MATERIALIZED (
+  SELECT id, u, cell FROM (
+    SELECT d.id, d.u, d.cell,
+           row_number() OVER (PARTITION BY d.id ORDER BY d.d2 ASC, d.cell ASC) AS rn
+    FROM (SELECT a.id, a.$colName AS u, c.cell, ${d2(s"a.$colName", "c.u")} AS d2
+          FROM $src a CROSS JOIN $prev c) d
+  ) WHERE rn = 1
+)"""
+        parts += s"""ccents$i AS MATERIALIZED (
+  SELECT c.cell, COALESCE(mm.mu, c.u) AS u
+  FROM $prev c LEFT JOIN (
+    SELECT cell, list(s ORDER BY t) AS mu FROM (
+      SELECT cell, t.t AS t, list_sum(list(u[t.t] ORDER BY id)) / count(*) AS s
+      FROM casg$i CROSS JOIN (SELECT UNNEST(range(1, ${dim + 1})) AS t) t
+      GROUP BY cell, t.t
+    ) GROUP BY cell
+  ) mm ON mm.cell = c.cell
+)"""
+        prev = s"ccents$i"
+      }
+      (parts.result(), prev)
+    }
+  }
+
+  private object IvfKmeansSql {
+    import XxhashSql._
 
     def sql(dim: Int, nlist: Int, nprobe: Int, k: Int, iters: Int): String = {
       def d2(u: String, c: String) =
@@ -697,45 +743,7 @@ object SimQ extends QueryPack {
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS u
   FROM embeddings WHERE vec_id < 50
 )"""
-      parts += s"""elems AS MATERIALIZED (
-  SELECT e.id, CAST(t.i AS BIGINT) AS idx, e.u[CAST(t.i AS BIGINT) + 1] AS val
-  FROM emb e CROSS JOIN (SELECT UNNEST(range(0, $dim)) AS i) t
-)"""
-      // IEEE-754 double bit pattern per element (doubleToLongBits):
-      // corrected floor(log2) exponent + exact mantissa (float-sourced
-      // values have ≤ 24 significant bits, so a/2^ex · 2^52 is an integer)
-      parts += s"""bits AS MATERIALIZED (
-  SELECT id, idx,
-    CASE WHEN val = 0 OR isnan(val) THEN
-      CASE WHEN isnan(val) THEN 9221120237041090560::HUGEINT ELSE 0::HUGEINT END
-    ELSE (CASE WHEN val < 0 THEN ${p2(63)} ELSE 0::HUGEINT END)
-       + CAST(ex + 1023 AS HUGEINT) * $T52::HUGEINT
-       + (CAST(round(a / pow(2.0, ex) * $T52.0) AS HUGEINT) - $T52::HUGEINT)
-    END AS b
-  FROM (
-    SELECT id, idx, val,
-      CASE WHEN val = 0 OR isnan(val) THEN 1.0 ELSE abs(val) END AS a,
-      CAST(floor(log2(a)) AS BIGINT) AS e0,
-      e0 + CASE WHEN pow(2.0, e0 + 1) <= a THEN 1
-                WHEN pow(2.0, e0) > a THEN -1 ELSE 0 END AS ex
-    FROM elems)
-)"""
-      parts += s"""fold AS (
-  SELECT id, CAST(-1 AS BIGINT) AS idx, 42::HUGEINT AS h FROM emb
-  UNION ALL
-  SELECT q.id, q.idx, q.fhout AS h FROM (
-    SELECT f.id, f.idx + 1 AS idx, b.b AS l, f.h AS hprev,
-      ${hashLongStages("l", "hprev", "f")}
-    FROM fold f JOIN bits b ON b.id = f.id AND b.idx = f.idx + 1
-    WHERE f.idx < ${dim - 1}
-  ) q
-)"""
-      parts += s"""hfin AS MATERIALIZED (
-  SELECT id, ghout AS h FROM (
-    SELECT id, h AS hprev,
-      ${hashLongStages("42::HUGEINT", "hprev", "g")}
-    FROM fold WHERE idx = ${dim - 1})
-)"""
+      parts ++= hashFoldCtes("emb", "u", dim)
       parts += s"""cents0 AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY x.hs ASC, x.u ASC) - 1 AS BIGINT) AS cell, x.u
   FROM (
@@ -759,7 +767,7 @@ object SimQ extends QueryPack {
   SELECT c.cell, COALESCE(m.mu, c.u) AS u
   FROM $prev c LEFT JOIN (
     SELECT cell, list(s ORDER BY j) AS mu FROM (
-      SELECT cell, t.j AS j, sum(u[t.j]) / count(*) AS s
+      SELECT cell, t.j AS j, list_sum(list(u[t.j] ORDER BY id)) / count(*) AS s
       FROM asg$i CROSS JOIN (SELECT UNNEST(range(1, ${dim + 1})) AS j) t
       GROUP BY cell, t.j
     ) GROUP BY cell
@@ -806,6 +814,358 @@ object SimQ extends QueryPack {
 SELECT i.id1 AS id1,
        round(SUM(CASE WHEN e.id2 IS NOT NULL THEN 1 ELSE 0 END) / $k.0, 6) AS recall
 FROM ivf i LEFT JOIN exact e ON e.id1 = i.id1 AND e.id2 = i.id2
+GROUP BY 1"""
+    }
+  }
+
+  /** DuckDB replay of the ENTIRE seeded PQ pipeline — the de-pinning of
+    * q_pq_ann, extending [[IvfKmeansSql]]'s technique from the m = 1 fit
+    * to all `m` subspaces plus ADC scoring:
+    *
+    *   1. NORMALIZE: the PQ fit and the query LUTs run on L2-normalized
+    *      vectors — replayed as x / sqrt(Σx²) with the same sequential
+    *      sum the engine's L2Normalize kernel uses.
+    *   2. INIT: the `codebookSize` seed rows with the smallest Spark
+    *      `xxhash64(u, 42)` — over the NORMALIZED arrays this time, so
+    *      the bit-pattern decomposition covers full-precision doubles
+    *      (exact regardless: a/2^ex·2^52 is an integer for every finite
+    *      double). Each subspace's codebook starts from the seed rows'
+    *      subvectors, exactly kmeansSubspaces' init.
+    *   3. FIT: `iters` unrolled Lloyd's iterations over (id, subspace)
+    *      rows — per-subspace argmin-L2² with lowest-cell tie-break,
+    *      per-(subspace, cell) means, empty cells carrying forward.
+    *   4. ENCODE + ADC: codes = the same argmin against the final
+    *      codebooks (the PqEncode kernel); per-query LUTs
+    *      `⟨q_j, codebook[j][c]⟩`; score = Σ_j lut[j][code_j] summed in
+    *      subspace order (list(… ORDER BY j) → list_sum, matching the
+    *      PqAdc left-to-right fold); top-k by (score DESC, id ASC);
+    *      recall vs exact raw-vector cosine kNN.
+    */
+  private object PqKmeansSql {
+    import XxhashSql._
+
+    def sql(dim: Int, m: Int, codebookSize: Int, k: Int, iters: Int): String = {
+      val sub = dim / m
+      require(sub * m == dim, s"dim $dim not divisible by m $m")
+      def d2(a: String, b: String) =
+        s"list_sum(list_transform(range(1, ${sub + 1}), t -> ($a[t] - $b[t]) * ($a[t] - $b[t])))"
+      def cosRaw(a: String, b: String) = {
+        def dot = s"list_sum(list_transform(range(1, ${dim + 1}), j -> $a[j] * $b[j]))"
+        def nrm(u: String) = s"sqrt(list_sum(list_transform($u, x -> x * x)))"
+        s"($dot / (${nrm(a)} * ${nrm(b)}))"
+      }
+      val parts = Seq.newBuilder[String]
+      parts += s"""raw AS MATERIALIZED (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 50
+)"""
+      parts += s"""emb AS MATERIALIZED (
+  SELECT id, v,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+  FROM raw
+)"""
+      parts ++= hashFoldCtes("emb", "u", dim)
+      parts += s"""seeds AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY x.hs ASC, x.u ASC) - 1 AS BIGINT) AS cell, x.u
+  FROM (
+    SELECT e.u,
+      CASE WHEN f.h >= ${p2(63)} THEN f.h - $M ELSE f.h END AS hs
+    FROM hfin f JOIN emb e USING (id)
+    ORDER BY hs ASC, u ASC LIMIT $codebookSize) x
+)"""
+      parts += s"""subs AS MATERIALIZED (
+  SELECT n.id, CAST(j.j AS BIGINT) AS j,
+         list_transform(range(1, ${sub + 1}),
+           t -> n.u[CAST(j.j AS BIGINT) * $sub + t]) AS su
+  FROM emb n CROSS JOIN (SELECT UNNEST(range(0, $m)) AS j) j
+)"""
+      parts += s"""cents0 AS MATERIALIZED (
+  SELECT CAST(j.j AS BIGINT) AS j, s.cell,
+         list_transform(range(1, ${sub + 1}),
+           t -> s.u[CAST(j.j AS BIGINT) * $sub + t]) AS cu
+  FROM seeds s CROSS JOIN (SELECT UNNEST(range(0, $m)) AS j) j
+)"""
+      var prev = "cents0"
+      (1 to iters).foreach { i =>
+        parts += s"""asg$i AS MATERIALIZED (
+  SELECT id, j, su, cell FROM (
+    SELECT d.id, d.j, d.su, d.cell,
+           row_number() OVER (PARTITION BY d.id, d.j ORDER BY d.d2 ASC, d.cell ASC) AS rn
+    FROM (
+      SELECT s.id, s.j, s.su, c.cell, ${d2("s.su", "c.cu")} AS d2
+      FROM subs s JOIN $prev c ON c.j = s.j) d
+  ) WHERE rn = 1
+)"""
+        parts += s"""cents$i AS MATERIALIZED (
+  SELECT c.j, c.cell, COALESCE(mm.mu, c.cu) AS cu
+  FROM $prev c LEFT JOIN (
+    SELECT j, cell, list(s ORDER BY t) AS mu FROM (
+      SELECT j, cell, t.t AS t, list_sum(list(su[t.t] ORDER BY id)) / count(*) AS s
+      FROM asg$i CROSS JOIN (SELECT UNNEST(range(1, ${sub + 1})) AS t) t
+      GROUP BY j, cell, t.t
+    ) GROUP BY j, cell
+  ) mm ON mm.j = c.j AND mm.cell = c.cell
+)"""
+        prev = s"cents$i"
+      }
+      parts += s"""codes AS MATERIALIZED (
+  SELECT id, j, cell AS code FROM (
+    SELECT d.id, d.j, d.cell,
+           row_number() OVER (PARTITION BY d.id, d.j ORDER BY d.d2 ASC, d.cell ASC) AS rn
+    FROM (
+      SELECT s.id, s.j, c.cell, ${d2("s.su", "c.cu")} AS d2
+      FROM subs s JOIN $prev c ON c.j = s.j) d
+  ) WHERE rn = 1
+)"""
+      parts += s"""luts AS MATERIALIZED (
+  SELECT s.id AS qid, s.j, c.cell,
+         list_sum(list_transform(range(1, ${sub + 1}), t -> s.su[t] * c.cu[t])) AS lut
+  FROM subs s JOIN $prev c ON c.j = s.j
+)"""
+      parts += s"""scores AS MATERIALIZED (
+  SELECT l.qid AS id1, co.id AS id2,
+         list_sum(list(l.lut ORDER BY l.j)) AS score
+  FROM codes co JOIN luts l ON l.j = co.j AND l.cell = co.code
+  WHERE l.qid <> co.id
+  GROUP BY l.qid, co.id
+)"""
+      parts += s"""pq AS MATERIALIZED (
+  SELECT id1, id2 FROM (
+    SELECT id1, id2, row_number() OVER (PARTITION BY id1 ORDER BY score DESC, id2 ASC) AS rn
+    FROM scores) WHERE rn <= $k
+)"""
+      parts += s"""exact AS MATERIALIZED (
+  SELECT id1, id2 FROM (
+    SELECT x.id1, x.id2, row_number() OVER (PARTITION BY x.id1 ORDER BY x.cos DESC, x.id2 ASC) AS rn
+    FROM (
+      SELECT a.id AS id1, b.id AS id2, ${cosRaw("a.v", "b.v")} AS cos
+      FROM raw a JOIN raw b ON a.id <> b.id) x
+  ) WHERE rn <= $k
+)"""
+      "WITH RECURSIVE\n" + parts.result().mkString(",\n") + s"""
+SELECT p.id1 AS id1,
+       round(SUM(CASE WHEN e.id2 IS NOT NULL THEN 1 ELSE 0 END) / $k.0, 6) AS recall
+FROM pq p LEFT JOIN exact e ON e.id1 = p.id1 AND e.id2 = p.id2
+GROUP BY 1"""
+    }
+  }
+
+  /** DuckDB replay of the ENTIRE IVF-PQ lifecycle family — the
+    * de-pinning of q_ivfpq_ann/served/refit/append/delete/residual in
+    * one parameterized generator composing [[IvfKmeansSql]]'s coarse fit
+    * with [[PqKmeansSql]]'s subspace fit:
+    *
+    *   - `fitWhere` / `corpusWhere` split the FIT rows from the
+    *     ENCODED+QUERIED rows: the append oracle fits on `vec_id < 40`
+    *     and serves 50 (stored-model growth), the delete oracle fits on
+    *     50 and serves the 43 survivors.
+    *   - `residual = true` replays the FAISS-style path: the coarse fit
+    *     runs on NORMALIZED vectors, fit-row residuals `u − cent(cell)`
+    *     are derived in SQL and HASHED for the codebook init (a third
+    *     xxhash fold — over computed doubles, which is why every k-means
+    *     mean below is an ORDERED list fold: DuckDB's unordered SUM
+    *     drifts in the last ulp and a hashed residual amplifies one ulp
+    *     into a different seed order), the codebooks fit residual
+    *     subvectors, and the score adds the ⟨q, cent(cell)⟩ term before
+    *     the ADC fold exactly as the engine does.
+    *   - `extraCols` appends the engine-side bit-parity flags
+    *     (matches_direct / matches_rebuild / …) that the serve queries
+    *     emit — derived TRUE here because the derivation IS the direct
+    *     path's definition.
+    *
+    * Every k-means mean is `list_sum(list(x ORDER BY id))` — the
+    * engine's single-partition accumulation order (ascending vec_id, the
+    * table's physical order) — so centroids are BIT-exact, which the
+    * residual hash requires and every argmin tie benefits from.
+    */
+  private object IvfPqKmeansSql {
+    import XxhashSql._
+
+    def sql(dim: Int, nlist: Int, nprobe: Int, m: Int, codebookSize: Int,
+            k: Int, iters: Int,
+            fitWhere: String = "vec_id < 50",
+            corpusWhere: String = "vec_id < 50",
+            residual: Boolean = false,
+            extraCols: String = ""): String = {
+      val sub = dim / m
+      require(sub * m == dim, s"dim $dim not divisible by m $m")
+      def d2full(a: String, b: String) =
+        s"list_sum(list_transform(range(1, ${dim + 1}), t -> ($a[t] - $b[t]) * ($a[t] - $b[t])))"
+      def d2sub(a: String, b: String) =
+        s"list_sum(list_transform(range(1, ${sub + 1}), t -> ($a[t] - $b[t]) * ($a[t] - $b[t])))"
+      def cosl(a: String, b: String) = {
+        val dot = s"list_sum(list_transform(range(1, ${dim + 1}), j -> $a[j] * $b[j]))"
+        def nrm(u: String) = s"sqrt(list_sum(list_transform($u, x -> x * x)))"
+        s"($dot / (${nrm(a)} * ${nrm(b)}))"
+      }
+      val parts = Seq.newBuilder[String]
+      parts += s"""corp AS MATERIALIZED (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE $corpusWhere
+)"""
+      parts += s"""corpn AS MATERIALIZED (
+  SELECT id, v,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+  FROM corp
+)"""
+      parts += s"""fitr AS MATERIALIZED (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE $fitWhere
+)"""
+      parts += s"""fitn AS MATERIALIZED (
+  SELECT id, v,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y * y)))) AS u
+  FROM fitr
+)"""
+      // coarse fit: raw vectors (raw path) / normalized (residual path)
+      val (ccol, csrc) = if (residual) ("u", "fitn") else ("v", "fitr")
+      val (coarseCtes, coarse) = coarseKmeansCtes(csrc, ccol, dim, nlist, iters)
+      parts ++= coarseCtes
+      var prev = coarse
+      // PQ fit input: normalized fit rows (raw) / fit-row residuals
+      val (pqcol, pqsrc) =
+        if (residual) {
+          parts += s"""fcell AS MATERIALIZED (
+  SELECT id, u, cell FROM (
+    SELECT d.id, d.u, d.cell,
+           row_number() OVER (PARTITION BY d.id ORDER BY d.d2 ASC, d.cell ASC) AS rn
+    FROM (SELECT a.id, a.u, c.cell, ${d2full("a.u", "c.u")} AS d2
+          FROM fitn a CROSS JOIN $coarse c) d
+  ) WHERE rn = 1
+)"""
+          parts += s"""fres AS MATERIALIZED (
+  SELECT f.id, list_transform(range(1, ${dim + 1}), t -> f.u[t] - c.u[t]) AS r
+  FROM fcell f JOIN $coarse c ON c.cell = f.cell
+)"""
+          ("r", "fres")
+        } else ("u", "fitn")
+      parts ++= hashFoldCtes(pqsrc, pqcol, dim, p = "pv")
+      parts += s"""pseeds AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY x.hs ASC, x.pu ASC) - 1 AS BIGINT) AS cell, x.pu AS u
+  FROM (
+    SELECT e.$pqcol AS pu, CASE WHEN f.h >= ${p2(63)} THEN f.h - $M ELSE f.h END AS hs
+    FROM pvhfin f JOIN $pqsrc e USING (id)
+    ORDER BY hs ASC, pu ASC LIMIT $codebookSize) x
+)"""
+      parts += s"""fsubs AS MATERIALIZED (
+  SELECT n.id, CAST(j.j AS BIGINT) AS j,
+         list_transform(range(1, ${sub + 1}), t -> n.$pqcol[CAST(j.j AS BIGINT) * $sub + t]) AS su
+  FROM $pqsrc n CROSS JOIN (SELECT UNNEST(range(0, $m)) AS j) j
+)"""
+      parts += s"""pcents0 AS MATERIALIZED (
+  SELECT CAST(j.j AS BIGINT) AS j, s.cell,
+         list_transform(range(1, ${sub + 1}), t -> s.u[CAST(j.j AS BIGINT) * $sub + t]) AS cu
+  FROM pseeds s CROSS JOIN (SELECT UNNEST(range(0, $m)) AS j) j
+)"""
+      prev = "pcents0"
+      (1 to iters).foreach { i =>
+        parts += s"""pasg$i AS MATERIALIZED (
+  SELECT id, j, su, cell FROM (
+    SELECT d.id, d.j, d.su, d.cell,
+           row_number() OVER (PARTITION BY d.id, d.j ORDER BY d.d2 ASC, d.cell ASC) AS rn
+    FROM (SELECT s.id, s.j, s.su, c.cell, ${d2sub("s.su", "c.cu")} AS d2
+          FROM fsubs s JOIN $prev c ON c.j = s.j) d
+  ) WHERE rn = 1
+)"""
+        parts += s"""pcents$i AS MATERIALIZED (
+  SELECT c.j, c.cell, COALESCE(mm.mu, c.cu) AS cu
+  FROM $prev c LEFT JOIN (
+    SELECT j, cell, list(s ORDER BY t) AS mu FROM (
+      SELECT j, cell, t.t AS t, list_sum(list(su[t.t] ORDER BY id)) / count(*) AS s
+      FROM pasg$i CROSS JOIN (SELECT UNNEST(range(1, ${sub + 1})) AS t) t
+      GROUP BY j, cell, t.t
+    ) GROUP BY j, cell
+  ) mm ON mm.j = c.j AND mm.cell = c.cell
+)"""
+        prev = s"pcents$i"
+      }
+      val books = prev
+      // corpus cell assignment (raw v / normalized u), stored-model encode
+      val acol = if (residual) "u" else "v"
+      parts += s"""cellsF AS MATERIALIZED (
+  SELECT id, cell FROM (
+    SELECT d.id, d.cell, row_number() OVER (PARTITION BY d.id ORDER BY d.d2 ASC, d.cell ASC) AS rn
+    FROM (SELECT a.id, c.cell, ${d2full(s"a.$acol", "c.u")} AS d2
+          FROM corpn a CROSS JOIN $coarse c) d
+  ) WHERE rn = 1
+)"""
+      val (encsrc, enccol) =
+        if (residual) {
+          parts += s"""cres AS MATERIALIZED (
+  SELECT n.id, list_transform(range(1, ${dim + 1}), t -> n.u[t] - c.u[t]) AS enc
+  FROM (SELECT cn.id, cn.u, cf.cell FROM corpn cn JOIN cellsF cf ON cf.id = cn.id) n
+  JOIN $coarse c ON c.cell = n.cell
+)"""
+          ("cres", "enc")
+        } else ("corpn", "u")
+      parts += s"""csubs AS MATERIALIZED (
+  SELECT n.id, CAST(j.j AS BIGINT) AS j,
+         list_transform(range(1, ${sub + 1}), t -> n.$enccol[CAST(j.j AS BIGINT) * $sub + t]) AS su
+  FROM $encsrc n CROSS JOIN (SELECT UNNEST(range(0, $m)) AS j) j
+)"""
+      parts += s"""qsubs AS MATERIALIZED (
+  SELECT n.id, CAST(j.j AS BIGINT) AS j,
+         list_transform(range(1, ${sub + 1}), t -> n.u[CAST(j.j AS BIGINT) * $sub + t]) AS su
+  FROM corpn n CROSS JOIN (SELECT UNNEST(range(0, $m)) AS j) j
+)"""
+      parts += s"""codes AS MATERIALIZED (
+  SELECT id, j, cell AS code FROM (
+    SELECT d.id, d.j, d.cell, row_number() OVER (PARTITION BY d.id, d.j ORDER BY d.d2 ASC, d.cell ASC) AS rn
+    FROM (SELECT s.id, s.j, c.cell, ${d2sub("s.su", "c.cu")} AS d2
+          FROM csubs s JOIN $books c ON c.j = s.j) d
+  ) WHERE rn = 1
+)"""
+      parts += s"""probes AS MATERIALIZED (
+  SELECT id AS qid, cell FROM (
+    SELECT d.id, d.cell, row_number() OVER (PARTITION BY d.id ORDER BY d.cos DESC, d.cell ASC) AS rn
+    FROM (SELECT e.id, c.cell, ${cosl("e.u", "c.u")} AS cos
+          FROM corpn e CROSS JOIN $coarse c) d
+  ) WHERE rn <= $nprobe
+)"""
+      parts += s"""luts AS MATERIALIZED (
+  SELECT s.id AS qid, s.j, c.cell,
+         list_sum(list_transform(range(1, ${sub + 1}), t -> s.su[t] * c.cu[t])) AS lut
+  FROM qsubs s JOIN $books c ON c.j = s.j
+)"""
+      if (residual)
+        parts += s"""qcs AS MATERIALIZED (
+  SELECT e.id AS qid, c.cell,
+         list_sum(list_transform(range(1, ${dim + 1}), t -> e.u[t] * c.u[t])) AS qc
+  FROM corpn e CROSS JOIN $coarse c
+)"""
+      val qcTerm = if (residual) "any_value(qc.qc) + " else ""
+      val qcJoin =
+        if (residual) "\n  JOIN qcs qc ON qc.qid = p.qid AND qc.cell = cf.cell"
+        else ""
+      parts += s"""scores AS MATERIALIZED (
+  SELECT l.qid AS id1, co.id AS id2,
+         ${qcTerm}list_sum(list(l.lut ORDER BY l.j)) AS score
+  FROM codes co
+  JOIN cellsF cf ON cf.id = co.id
+  JOIN probes p ON p.cell = cf.cell$qcJoin
+  JOIN luts l ON l.qid = p.qid AND l.j = co.j AND l.cell = co.code
+  WHERE p.qid <> co.id
+  GROUP BY l.qid, co.id
+)"""
+      parts += s"""pq AS MATERIALIZED (
+  SELECT id1, id2 FROM (
+    SELECT id1, id2, row_number() OVER (PARTITION BY id1 ORDER BY score DESC, id2 ASC) AS rn
+    FROM scores) WHERE rn <= $k
+)"""
+      parts += s"""exact AS MATERIALIZED (
+  SELECT id1, id2 FROM (
+    SELECT x.id1, x.id2, row_number() OVER (PARTITION BY x.id1 ORDER BY x.cos DESC, x.id2 ASC) AS rn
+    FROM (SELECT a.id AS id1, b.id AS id2, ${cosl("a.v", "b.v")} AS cos
+          FROM corp a JOIN corp b ON a.id <> b.id) x
+  ) WHERE rn <= $k
+)"""
+      "WITH RECURSIVE\n" + parts.result().mkString(",\n") + s"""
+SELECT p.id1 AS id1,
+       round(SUM(CASE WHEN e.id2 IS NOT NULL THEN 1 ELSE 0 END) / $k.0, 6) AS recall$extraCols
+FROM pq p LEFT JOIN exact e ON e.id1 = p.id1 AND e.id2 = p.id2
 GROUP BY 1"""
     }
   }

@@ -81,8 +81,8 @@ object Similarity {
       seed = seed, iters = iters, normalizeInput = false).head
     val centroids = cents.zipWithIndex
     // cell assignment for corpus vectors: fused codegen argmin over the
-    // inlined centroids — the full-corpus scan never detours through an
-    // MLlib Vector conversion (only the bounded fit input does)
+    // inlined centroids — the full-corpus scan stays inside whole-stage
+    // codegen, no per-row object conversion
     val assigned = v.withColumn("cell",
       graft.plans.Expressions.nearest_centroid(col("v"), centroids.map(_._1).toSeq))
       .select(col(idCol), col("v"), col("cell"))
@@ -585,8 +585,6 @@ object Similarity {
       coarseSampleFraction: Option[Double] = None,
       residual: Boolean = false
   ): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val sub = dim / m
     if (residual)
@@ -598,17 +596,17 @@ object Similarity {
         s"does not match m=$m, dim/m=$sub")
     val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
     // coarse quantizer trained distributed over the full corpus (matching
-    // [[ivfTopK]]) or a seeded fraction of it — quantizer quality carries
-    // no absolute-row cap; MLlib's fit aggregates per-cluster state, it
-    // never collects rows to the driver
+    // [[ivfTopK]]) or a seeded fraction of it — the engine's own
+    // deterministic Lloyd's fit (one aggregation pass per iteration, no
+    // row ever collected beyond the nlist seeds), so the entire IVF-PQ
+    // pipeline is replayable by the SQL oracle
     val fitInput = coarseSampleFraction
       .map(f => v.sample(withReplacement = false, f, seed)).getOrElse(v)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(fitInput.withColumn("features", array_to_vector(col("v"))))
-    val cents = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    val cents = pqCodebooks(fitInput, "v", dim, m = 1, codebookSize = nlist,
+      seed = seed, normalizeInput = false).head
     // corpus side: one cell id + m-byte code vector per row — the only
-    // thing the candidate scan ever reads; assignment is the fused codegen
-    // argmin (no MLlib Vector conversion on the corpus scan)
+    // thing the candidate scan ever reads; assignment is the fused
+    // codegen argmin
     val assigned = v.select(col(idCol).as("cid"),
       pqEncode(col("v"), books).as("codes"),
       graft.plans.Expressions.nearest_centroid(col("v"), cents).as("cell"))
@@ -692,15 +690,12 @@ object Similarity {
       nlist: Int, nprobe: Int, m: Int, codebookSize: Int, seed: Long,
       queries: Option[DataFrame], codebooks: Option[Seq[Seq[Seq[Double]]]],
       coarseSampleFraction: Option[Double]): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val sub = dim / m
     val un = df.select(col(idCol), l2normalize(asDouble(col(vecCol))).as("u0"))
     val fitInput = coarseSampleFraction
       .map(f => un.sample(withReplacement = false, f, seed)).getOrElse(un)
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(fitInput.withColumn("features", array_to_vector(col("u0"))))
-    val cents = model.clusterCenters.map(_.toArray.toSeq).toSeq
+    val cents = pqCodebooks(fitInput, "u0", dim, m = 1, codebookSize = nlist,
+      seed = seed, normalizeInput = false).head
     val centsLit = typedLit(cents)
     val resid = un
       .withColumn("cell", graft.plans.Expressions.nearest_centroid(col("u0"), cents))
@@ -743,9 +738,10 @@ object Similarity {
     * `meta` (one row of params), `centroids` (nlist rows), `codebooks`
     * (m·k rows), and `codes` — one `(cid, codes)` row per corpus vector,
     * partitioned by `cell`. The fit is exactly [[ivfPqTopK]]'s (same
-    * seeded coarse KMeans on the same input column, same [[pqCodebooks]]
-    * distributed Lloyd's, same fused assignment expressions), so serving
-    * from the store reproduces the direct path bit-for-bit.
+    * seeded deterministic coarse Lloyd's on the same input column, same
+    * [[pqCodebooks]] distributed fit, same fused assignment
+    * expressions), so serving from the store reproduces the direct path
+    * bit-for-bit.
     */
   def writeIvfPqIndex(
       df: DataFrame,
@@ -760,8 +756,6 @@ object Similarity {
       residual: Boolean = false,
       coarseSampleFraction: Option[Double] = None
   ): Unit = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val spark = df.sparkSession
     import spark.implicits._
@@ -769,21 +763,21 @@ object Similarity {
       if (!residual) {
         val books = pqCodebooks(df, vecCol, dim, m, codebookSize, seed)
         val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
-        val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-          .fit(coarseSampleFraction
-            .map(f => v.sample(withReplacement = false, f, seed)).getOrElse(v)
-            .withColumn("features", array_to_vector(col("v"))))
-        val cents = model.clusterCenters.map(_.toArray.toSeq).toSeq
+        val cents = pqCodebooks(
+          coarseSampleFraction
+            .map(f => v.sample(withReplacement = false, f, seed)).getOrElse(v),
+          "v", dim, m = 1, codebookSize = nlist, seed = seed,
+          normalizeInput = false).head
         (cents, books, v.select(col(idCol).as("cid"),
           pqEncode(col("v"), books).as("codes"),
           graft.plans.Expressions.nearest_centroid(col("v"), cents).as("cell")))
       } else {
         val un = df.select(col(idCol), l2normalize(asDouble(col(vecCol))).as("u0"))
-        val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-          .fit(coarseSampleFraction
-            .map(f => un.sample(withReplacement = false, f, seed)).getOrElse(un)
-            .withColumn("features", array_to_vector(col("u0"))))
-        val cents = model.clusterCenters.map(_.toArray.toSeq).toSeq
+        val cents = pqCodebooks(
+          coarseSampleFraction
+            .map(f => un.sample(withReplacement = false, f, seed)).getOrElse(un),
+          "u0", dim, m = 1, codebookSize = nlist, seed = seed,
+          normalizeInput = false).head
         val resid = un
           .withColumn("cell",
             graft.plans.Expressions.nearest_centroid(col("u0"), cents))
