@@ -50,6 +50,69 @@ object Hdf5Props extends Properties("hdf5-filters") {
       Hdf5.fletcher32(bad, bad.length) != Hdf5.fletcher32(raw, raw.length)
     }
 
+  property("v2-B-tree geometry: pointer widths from libhdf5's per-level maxima") =
+    forAll(Gen.chooseNum(64, 1 << 16), Gen.chooseNum(16, 64),
+      Gen.chooseNum(0, 4)) { (nodeSize, recordSize, depth) =>
+      (nodeSize - 10) / recordSize < 1 || (try {
+        val g = Hdf5.Bt2Geometry(nodeSize, recordSize, 8, depth)
+        // cumMax grows strictly per level; every enc width covers its max
+        g.info.map(_._2).sliding(2).forall {
+          case Seq(a, b) => b > a; case _ => true
+        } &&
+        g.info.zipWithIndex.forall { case ((_, cum, w), lvl) =>
+          if (lvl == 0) w == 0 // leaf pointers carry no subtree-total field
+          else w >= 1 && w <= 8 && BigInt(cum) < (BigInt(1) << (8 * w)) } &&
+        Hdf5.limitEncSize(g.maxLeafRec.toLong) == g.maxNrecSize
+      } catch {
+        // a node too small to hold one internal record is a LOUD reject
+        // (same require the reader applies to on-disk geometry) — that
+        // rejection is itself the correct behavior for the combo
+        case e: IllegalArgumentException =>
+          e.getMessage.contains("below one internal record")
+      })
+    }
+
+  property("limitEncSize is the minimal byte width for its argument") =
+    forAll(Gen.chooseNum(0L, Long.MaxValue)) { n =>
+      val w = Hdf5.limitEncSize(n)
+      w >= 1 && w <= 8 &&
+        (BigInt(n) < (BigInt(1) << (8 * w))) &&
+        (w == 1 || BigInt(n) >= (BigInt(1) << (8 * (w - 1))))
+    }
+
+  property("v2-B-tree chunk index round-trips any grid/node-size/filter combo") =
+    forAll(Gen.chooseNum(1, 30), Gen.oneOf(128, 160, 256, 512),
+      Gen.oneOf(0, 4)) { (nt, nodeSize, deflate) =>
+      // end-to-end: writer plans a minimum-depth tree for nt chunks at
+      // this node size, reader walks it back — values and chunk layout
+      // must survive any (count, geometry, filtered?) combination
+      val dir = java.nio.file.Files.createTempDirectory("graft-bt2-prop")
+      try {
+        val path = dir.resolve("g.h5").toString
+        val vals = Array.tabulate(nt * 2)(i => 3.0 + i)
+        Hdf5.write(path,
+          dims = Seq(NetCdf.Dim("time", nt), NetCdf.Dim("lat", 2)),
+          vars = Seq(
+            (NetCdf.VarDef("time", Seq("time"), NetCdf.NcDouble),
+              Array.tabulate(nt)(_.toDouble)),
+            (NetCdf.VarDef("lat", Seq("lat"), NetCdf.NcDouble), Array(-1.0, 1.0)),
+            (NetCdf.VarDef("x", Seq("time", "lat"), NetCdf.NcDouble), vals)),
+          chunked = true, deflate = deflate, layoutVersion = 4,
+          bt2Index = true, bt2NodeSize = nodeSize)
+        val f = Hdf5.readStructure(path, Map.empty)
+        val layoutOk = f.datasets.find(_.name == "x").get.layout match {
+          case Hdf5.Chunked(cdims, cs) =>
+            cdims == IndexedSeq(1, 2) && cs.length == nt &&
+              cs.map(_.offsets.head) == (0 until nt).map(_.toLong)
+          case _ => false
+        }
+        layoutOk && Hdf5.readVarDriver(path, Map.empty, "x").toSeq == vals.toSeq
+      } finally {
+        java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+
   property("fletcher32 matches across fold boundaries (>=360-word blocks)") =
     forAll(Gen.chooseNum(700, 740), Gen.chooseNum(-128, 127).map(_.toByte)) {
       (nWords, fill) =>
