@@ -33,10 +33,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   *   - netCDF-4 semantics: dimension-scale datasets (CLASS =
   *     "DIMENSION_SCALE"), DIMENSION_LIST resolution through the global
   *     heap, coordinate variables, CF time/scale/offset/fill decoding
-  *   - groups: the full group tree via recursive symbol-table /
-  *     link-message walk — grouped products surface datasets under
-  *     path-qualified names ("model/t2m"); dense (fractal-heap) link
-  *     storage is rejected loudly
+  *   - groups: the full group tree via recursive walk over ALL THREE
+  *     link storages — symbol-table (old style), compact link messages,
+  *     and DENSE storage (link messages as fractal-heap managed objects
+  *     behind a type-5 name-index v2 B-tree, the layout libhdf5 switches
+  *     to past ~8 links); grouped products surface datasets under
+  *     path-qualified names ("model/t2m")
   *
   * Scale shape mirrors [[NetCdf]]: all metadata (superblock, headers,
   * B-trees — KBs) parses on the driver; variable DATA is read by
@@ -171,9 +173,9 @@ object Hdf5 {
       }
       val _ = rootStEntry
       // recursive group walk: grouped products get path-qualified dataset
-      // names ("model/t2m"). Symbol-table and compact link-message groups
-      // both recurse; dense (fractal-heap) link storage still rejects
-      // loudly inside collectLinks. A visited set breaks hard-link cycles.
+      // names ("model/t2m"). Symbol-table, compact link-message, and
+      // dense (fractal-heap) groups all recurse through collectLinks.
+      // A visited set breaks hard-link cycles.
       val out = IndexedSeq.newBuilder[H5Dataset]
       val visited = scala.collection.mutable.HashSet[Long](rootAddr)
       def walkGroup(prefix: String, msgs: Seq[(Int, ByteBuffer)]): Unit = {
@@ -364,36 +366,228 @@ object Hdf5 {
         walk(btree)
       case None =>
         val links = msgs.filter(_._1 == 0x06).map { case (_, bb) =>
-          val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
-          val ver = b.get() & 0xFF
-          require(ver == 1, s"link message v$ver")
-          val flags = b.get() & 0xFF
-          val linkType = if ((flags & 0x08) != 0) b.get() & 0xFF else 0
-          if ((flags & 0x04) != 0) b.getLong // creation order
-          if ((flags & 0x10) != 0) b.get()   // charset
-          val nameLen = (flags & 0x3) match {
-            case 0 => b.get().toLong & 0xFF
-            case 1 => b.getShort.toLong & 0xFFFF
-            case 2 => b.getInt.toLong & 0xFFFFFFFFL
-            case 3 => b.getLong
-          }
-          val nameBytes = new Array[Byte](nameLen.toInt); b.get(nameBytes)
-          require(linkType == 0, s"$path: non-hard link '${new String(nameBytes)}'")
-          (new String(nameBytes, "UTF-8"), getOfs(b, sh.ofs))
+          parseLinkMessage(bb.duplicate().order(ByteOrder.LITTLE_ENDIAN), sh, path)
         }
         if (links.nonEmpty) links
-        else if (msgs.exists(m => m._1 == 0x02)) // link info without links
-          msgs.find(_._1 == 0x02).map { case (_, bb) =>
+        else msgs.find(_._1 == 0x02) // Link Info: compact-empty or DENSE
+          .map { case (_, bb) =>
             val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
             b.get(); val f = b.get() & 0xFF
-            if ((f & 1) != 0) b.getLong
+            if ((f & 1) != 0) b.getLong // max creation index
             val fheap = getOfs(b, sh.ofs)
-            require(fheap == Undef,
-              s"$path: dense (fractal-heap) group link storage not supported")
-            Seq.empty[(String, Long)]
+            val nameBt = getOfs(b, sh.ofs)
+            if (fheap == Undef) Seq.empty[(String, Long)]
+            else denseLinks(at, sh, fheap, nameBt, path)
           }.getOrElse(Nil)
-        else Nil
     }
+  }
+
+  /** One Link message (type 0x06) body → (name, object header address).
+    * Hard links only; soft/external links fail loudly.
+    */
+  private def parseLinkMessage(b: ByteBuffer, sh: Shape,
+                               path: String): (String, Long) = {
+    val ver = b.get() & 0xFF
+    require(ver == 1, s"link message v$ver")
+    val flags = b.get() & 0xFF
+    val linkType = if ((flags & 0x08) != 0) b.get() & 0xFF else 0
+    if ((flags & 0x04) != 0) b.getLong // creation order
+    if ((flags & 0x10) != 0) b.get()   // charset
+    val nameLen = (flags & 0x3) match {
+      case 0 => b.get().toLong & 0xFF
+      case 1 => b.getShort.toLong & 0xFFFF
+      case 2 => b.getInt.toLong & 0xFFFFFFFFL
+      case 3 => b.getLong
+    }
+    val nameBytes = new Array[Byte](nameLen.toInt); b.get(nameBytes)
+    require(linkType == 0, s"$path: non-hard link '${new String(nameBytes)}'")
+    (new String(nameBytes, "UTF-8"), getOfs(b, sh.ofs))
+  }
+
+  /** DENSE group link storage (what libhdf5 switches to past the compact
+    * threshold, default 8 links): the link messages live as managed
+    * objects in a FRACTAL HEAP, located through the name-index v2 B-tree
+    * (record type 5: lookup3 hash of the name + managed heap ID). The
+    * walk enumerates every record, resolves each heap ID through the
+    * heap's doubling-table direct blocks, and parses the stored link
+    * message — iteration only, no by-name lookup needed.
+    */
+  private def denseLinks(at: At, sh: Shape, fheapAddr: Long, nameBtAddr: Long,
+                         path: String): Seq[(String, Long)] = {
+    require(nameBtAddr != Undef, s"$path: dense link storage without a name index")
+    val heap = parseFractalHeap(at, sh, fheapAddr, path)
+    val h = readBt2Header(at, nameBtAddr, sh, path)
+    require(h.recType == 5,
+      s"$path: name-index v2-B-tree record type ${h.recType} (expected 5)")
+    require(h.recordSize == 4 + heap.idLen,
+      s"$path: name-index record size ${h.recordSize} != 4 + heap-id ${heap.idLen}")
+    val out = Seq.newBuilder[(String, Long)]
+    walkBTree2(at, h, sh, path) { eb =>
+      eb.getInt // lookup3 hash of the name (enumeration does not need it)
+      val msg = heap.readObject(eb, path)
+      out += parseLinkMessage(msg, sh, path)
+    }
+    out.result()
+  }
+
+  /** A parsed fractal heap (managed objects, direct blocks): the direct
+    * blocks' (heap offset, size, file address) inventory plus the ID
+    * field widths. Filtered heaps, huge/tiny IDs, and nested indirect
+    * blocks are rejected loudly — link messages are small managed
+    * objects in every libhdf5 layout.
+    */
+  private final class FractalHeapView(blocks: IndexedSeq[(Long, Long, Long)],
+                                      offSize: Int, lenSize: Int,
+                                      val idLen: Int,
+                                      readInto: (Array[Byte], Long) => Unit) {
+    /** Resolve one managed heap ID read from `eb` → the object's bytes. */
+    def readObject(eb: ByteBuffer, where: String): ByteBuffer = {
+      val vt = eb.get() & 0xFF
+      require((vt & 0xC0) == 0, s"$where: fractal-heap ID version ${(vt >> 6) & 3}")
+      require(((vt >> 4) & 0x3) == 0,
+        s"$where: non-managed fractal-heap object (huge/tiny IDs not supported)")
+      var off = 0L; var k = 0
+      while (k < offSize) { off |= (eb.get() & 0xFFL) << (8 * k); k += 1 }
+      var len = 0L; k = 0
+      while (k < lenSize) { len |= (eb.get() & 0xFFL) << (8 * k); k += 1 }
+      require(len > 0 && len <= Int.MaxValue,
+        s"$where: implausible fractal-heap object length $len")
+      val bi = blocks.indexWhere(b => off >= b._1 && off + len <= b._1 + b._2)
+      require(bi >= 0,
+        s"$where: fractal-heap object at offset $off is outside every direct block")
+      val (bOff, _, bAddr) = blocks(bi)
+      // heap offsets INCLUDE the direct-block header bytes (libhdf5's
+      // managed space covers whole blocks), so file position is a plain
+      // delta from the block's start
+      val raw = new Array[Byte](len.toInt)
+      readInto(raw, bAddr + (off - bOff))
+      ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    }
+  }
+
+  /** Parse a fractal heap header ("FRHP") + its direct-block inventory:
+    * root direct block, or one root indirect block ("FHIB") whose rows
+    * are all DIRECT rows (the shapes dense link storage produces —
+    * nested indirect blocks reject loudly). Direct-block checksums
+    * verified when the heap flags them (stored in-header with the field
+    * zeroed during computation, libhdf5's convention).
+    */
+  private def parseFractalHeap(at: At, sh: Shape, hdrAddr: Long,
+                               where: String): FractalHeapView = {
+    val hdrLen = 4 + 1 + 2 + 2 + 1 + 4 + sh.len + sh.ofs + sh.len + sh.ofs +
+      8 * sh.len + // managed-space/object + huge + tiny statistics
+      2 + sh.len + sh.len + 2 + 2 + sh.ofs + 2 + 4
+    val hraw = new Array[Byte](hdrLen)
+    at.bytes(hdrAddr, hdrLen).get(hraw)
+    val hb = ByteBuffer.wrap(hraw).order(ByteOrder.LITTLE_ENDIAN)
+    val sig = new Array[Byte](4); hb.get(sig)
+    require(sig.sameElements("FRHP".getBytes("US-ASCII")),
+      s"$where: bad fractal-heap header signature")
+    require((hb.get() & 0xFF) == 0, s"$where: fractal-heap header version")
+    val idLen = hb.getShort & 0xFFFF
+    val filterLen = hb.getShort & 0xFFFF
+    require(filterLen == 0,
+      s"$where: filtered fractal heap not supported (link storage is never filtered)")
+    val flags = hb.get() & 0xFF
+    val maxManObj = hb.getInt.toLong & 0xFFFFFFFFL
+    getOfs(hb, sh.len); getOfs(hb, sh.ofs) // next huge id, huge v2-btree
+    getOfs(hb, sh.len); getOfs(hb, sh.ofs) // free space amount, fs manager
+    getOfs(hb, sh.len); getOfs(hb, sh.len) // managed space, allocated space
+    getOfs(hb, sh.len); getOfs(hb, sh.len) // iterator offset, managed objects
+    getOfs(hb, sh.len); getOfs(hb, sh.len) // huge size, huge count
+    getOfs(hb, sh.len); getOfs(hb, sh.len) // tiny size, tiny count
+    val tableWidth = hb.getShort & 0xFFFF
+    val startBlockSize = getOfs(hb, sh.len)
+    val maxDirectSize = getOfs(hb, sh.len)
+    val maxHeapBits = hb.getShort & 0xFFFF
+    hb.getShort // starting rows in root indirect block
+    val rootAddr = getOfs(hb, sh.ofs)
+    val curRows = hb.getShort & 0xFFFF
+    require(hb.getInt == lookup3(hraw, 0, hdrLen - 4, 0),
+      s"$where: fractal-heap header checksum mismatch — corrupt file")
+    require(tableWidth >= 1 && startBlockSize >= 32 &&
+      maxDirectSize >= startBlockSize && maxHeapBits >= 1 && maxHeapBits <= 64,
+      s"$where: implausible fractal-heap doubling-table geometry")
+    val offSize = (maxHeapBits + 7) / 8
+    val lenSize = math.min(
+      (63 - java.lang.Long.numberOfLeadingZeros(maxDirectSize) + 7) / 8,
+      limitEncSize(maxManObj))
+    require(idLen == 1 + offSize + lenSize,
+      s"$where: fractal-heap ID length $idLen != 1 + $offSize + $lenSize")
+    val checksummed = (flags & 0x02) != 0
+    val dblockHdr = 4 + 1 + sh.ofs + offSize + (if (checksummed) 4 else 0)
+
+    def rowBlockSize(row: Int): Long =
+      if (row <= 1) startBlockSize else startBlockSize << (row - 1)
+    val maxDirectRows =
+      (63 - java.lang.Long.numberOfLeadingZeros(maxDirectSize)) -
+        (63 - java.lang.Long.numberOfLeadingZeros(startBlockSize)) + 2
+
+    def verifyDirect(addr: Long, expOff: Long, size: Long): Unit = {
+      val head = new Array[Byte](dblockHdr)
+      at.bytes(addr, dblockHdr).get(head)
+      val db = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
+      val s4 = new Array[Byte](4); db.get(s4)
+      require(s4.sameElements("FHDB".getBytes("US-ASCII")),
+        s"$where: bad fractal-heap direct block signature")
+      require((db.get() & 0xFF) == 0, s"$where: fractal-heap direct block version")
+      require(getOfs(db, sh.ofs) == hdrAddr, s"$where: direct block back-pointer")
+      var boff = 0L; var k = 0
+      while (k < offSize) { boff |= (db.get() & 0xFFL) << (8 * k); k += 1 }
+      require(boff == expOff,
+        s"$where: direct block offset $boff != expected $expOff")
+      if (checksummed) {
+        val stored = db.getInt
+        val whole = new Array[Byte](size.toInt)
+        at.bytes(addr, size.toInt).get(whole)
+        // checksum computed with its own field zeroed (libhdf5 convention)
+        java.util.Arrays.fill(whole, dblockHdr - 4, dblockHdr, 0.toByte)
+        require(stored == lookup3(whole, 0, size.toInt, 0),
+          s"$where: fractal-heap direct block checksum mismatch — corrupt file")
+      }
+    }
+
+    val blocks = IndexedSeq.newBuilder[(Long, Long, Long)]
+    if (rootAddr != Undef) {
+      if (curRows == 0) {
+        // root IS a direct block of the starting size at heap offset 0
+        verifyDirect(rootAddr, 0L, startBlockSize)
+        blocks += ((0L, startBlockSize, rootAddr))
+      } else {
+        require(curRows <= maxDirectRows,
+          s"$where: fractal heap with indirect-block rows beyond the direct " +
+            "region is not supported (far larger than any link storage)")
+        val nEntries = curRows * tableWidth
+        val ibLen = 4 + 1 + sh.ofs + offSize + nEntries * sh.ofs + 4
+        val iraw = new Array[Byte](ibLen)
+        at.bytes(rootAddr, ibLen).get(iraw)
+        val ib = ByteBuffer.wrap(iraw).order(ByteOrder.LITTLE_ENDIAN)
+        val s4 = new Array[Byte](4); ib.get(s4)
+        require(s4.sameElements("FHIB".getBytes("US-ASCII")),
+          s"$where: bad fractal-heap indirect block signature")
+        require((ib.get() & 0xFF) == 0, s"$where: fractal-heap indirect block version")
+        require(getOfs(ib, sh.ofs) == hdrAddr, s"$where: indirect block back-pointer")
+        ib.position(ib.position() + offSize) // block offset (root: 0)
+        ib.position(ibLen - 4)
+        require(ib.getInt == lookup3(iraw, 0, ibLen - 4, 0),
+          s"$where: fractal-heap indirect block checksum mismatch — corrupt file")
+        ib.position(4 + 1 + sh.ofs + offSize)
+        var off = 0L
+        (0 until curRows).foreach { row =>
+          val size = rowBlockSize(row)
+          (0 until tableWidth).foreach { _ =>
+            val a = getOfs(ib, sh.ofs)
+            if (a != Undef) {
+              verifyDirect(a, off, size)
+              blocks += ((off, size, a))
+            }
+            off += size
+          }
+        }
+      }
+    }
+    new FractalHeapView(blocks.result(), offSize, lenSize, idLen,
+      (buf, pos) => at.bytes(pos, buf.length).get(buf))
   }
 
   private def parseDatatype(bb: ByteBuffer): H5Type = {
@@ -567,18 +761,48 @@ object Hdf5 {
       case other => other
     }
 
-    // attributes (v1/v2/v3 compact storage; dense attr storage rejected).
+    // attributes: compact (v1/v2/v3 message storage) plus DENSE storage
+    // (Attribute Info message 0x15 → attribute bodies as fractal-heap
+    // managed objects behind a type-8 name-index v2-B-tree — the layout
+    // libhdf5 switches to past ~8 attributes under the latest format).
     // Attributes whose datatype we don't model (REFERENCE_LIST is a
     // compound, for instance — real netCDF-4 dim scales carry it) are
     // skipped rather than failing the whole dataset: none of them feed
     // the CF grid semantics.
-    require(!msgs.exists(_._1 == 0x15),
-      s"$path: '$name' uses dense attribute storage (not supported)")
-    val attrs = msgs.filter(_._1 == 0x0C).flatMap { case (_, bb) =>
+    val denseAttrs: Seq[(String, Any)] =
+      msgs.find(_._1 == 0x15).toSeq.flatMap { case (_, bb) =>
+        val b = bb.duplicate().order(ByteOrder.LITTLE_ENDIAN)
+        require((b.get() & 0xFF) == 0, s"$path: '$name' attribute-info version")
+        val f = b.get() & 0xFF
+        if ((f & 1) != 0) b.getShort // max creation index
+        val fheap = getOfs(b, sh.ofs)
+        val nameBt = getOfs(b, sh.ofs)
+        if (fheap == Undef) Nil
+        else {
+          val heap = parseFractalHeap(at, sh, fheap, path)
+          val h = readBt2Header(at, nameBt, sh, path)
+          require(h.recType == 8,
+            s"$path: '$name' attribute name-index record type ${h.recType} (expected 8)")
+          val out = Seq.newBuilder[(String, Any)]
+          walkBTree2(at, h, sh, path) { eb =>
+            val start = eb.position()
+            val obj = heap.readObject(eb, path)
+            eb.position(start + 8) // heap-ID field is 8 bytes, ID may be shorter
+            val mflags = eb.get() & 0xFF
+            require((mflags & 0x02) == 0,
+              s"$path: '$name' shared dense attribute message (not supported)")
+            // creation order (4) + name hash (4) follow; the walk
+            // repositions per record, so no need to consume them
+            scala.util.Try(parseAttribute(at, obj, sh)).toOption.foreach(out += _)
+          }
+          out.result()
+        }
+      }
+    val attrs = (msgs.filter(_._1 == 0x0C).flatMap { case (_, bb) =>
       scala.util.Try(
         parseAttribute(at, bb.duplicate().order(ByteOrder.LITTLE_ENDIAN), sh)
       ).toOption
-    }.toMap
+    } ++ denseAttrs).toMap
 
     val isDimScale = attrs.get("CLASS").exists {
       case s: String => s == "DIMENSION_SCALE"; case _ => false }
@@ -1584,11 +1808,14 @@ object Hdf5 {
     * mask). In-order traversal yields row-major chunk order. All lookup3
     * checksums verified over each node's used prefix.
     */
-  private def readBTree2Chunks(at: At, hdrAddr: Long, sh: Shape,
-                               dims: IndexedSeq[Int], cdims: IndexedSeq[Int],
-                               rawChunkBytes: Int, filtered: Boolean,
-                               where: String): IndexedSeq[H5Chunk] = {
-    val rank = cdims.length
+  /** Parsed v2-B-tree header: record type/size + tree shape. */
+  private final case class Bt2Header(recType: Int, nodeSize: Int,
+                                     recordSize: Int, depth: Int,
+                                     rootAddr: Long, rootNrec: Int,
+                                     totalNrec: Long)
+
+  private def readBt2Header(at: At, hdrAddr: Long, sh: Shape,
+                            where: String): Bt2Header = {
     val hdrLen = 4 + 1 + 1 + 4 + 2 + 2 + 1 + 1 + sh.ofs + 2 + sh.len + 4
     val hraw = new Array[Byte](hdrLen)
     at.bytes(hdrAddr, hdrLen).get(hraw)
@@ -1598,9 +1825,6 @@ object Hdf5 {
       s"$where: bad v2-B-tree header signature")
     require((hb.get() & 0xFF) == 0, s"$where: v2-B-tree header version")
     val recType = hb.get() & 0xFF
-    require(recType == (if (filtered) 11 else 10),
-      s"$where: v2-B-tree record type $recType " +
-        s"(expected ${if (filtered) 11 else 10} for ${if (filtered) "" else "non-"}filtered chunks)")
     val nodeSize = hb.getInt
     val recordSize = hb.getShort & 0xFFFF
     val depth = hb.getShort & 0xFFFF
@@ -1612,17 +1836,26 @@ object Hdf5 {
       s"$where: v2-B-tree header checksum mismatch — corrupt file")
     require(nodeSize >= 64 && nodeSize <= (1 << 26),
       s"$where: implausible v2-B-tree node size $nodeSize")
-    val csl = recordSize - sh.ofs - 4 - 8 * rank // filtered chunk-size width
-    require(if (filtered) csl >= 1 && csl <= 8
-            else recordSize == sh.ofs + 8 * rank,
-      s"$where: v2-B-tree record size $recordSize does not fit " +
-        s"rank-$rank ${if (filtered) "filtered" else "non-filtered"} chunk records")
-    if (rootAddr == Undef || totalNrec == 0) return IndexedSeq.empty
     require(depth <= 16, s"$where: implausible v2-B-tree depth $depth")
-    val geo = Bt2Geometry(nodeSize, recordSize, sh.ofs, depth)
+    Bt2Header(recType, nodeSize, recordSize, depth, rootAddr, rootNrec, totalNrec)
+  }
 
+  private def readBTree2Chunks(at: At, hdrAddr: Long, sh: Shape,
+                               dims: IndexedSeq[Int], cdims: IndexedSeq[Int],
+                               rawChunkBytes: Int, filtered: Boolean,
+                               where: String): IndexedSeq[H5Chunk] = {
+    val rank = cdims.length
+    val h = readBt2Header(at, hdrAddr, sh, where)
+    require(h.recType == (if (filtered) 11 else 10),
+      s"$where: v2-B-tree record type ${h.recType} " +
+        s"(expected ${if (filtered) 11 else 10} for ${if (filtered) "" else "non-"}filtered chunks)")
+    val csl = h.recordSize - sh.ofs - 4 - 8 * rank // filtered chunk-size width
+    require(if (filtered) csl >= 1 && csl <= 8
+            else h.recordSize == sh.ofs + 8 * rank,
+      s"$where: v2-B-tree record size ${h.recordSize} does not fit " +
+        s"rank-$rank ${if (filtered) "filtered" else "non-filtered"} chunk records")
     val out = IndexedSeq.newBuilder[H5Chunk]
-    def readRecord(eb: ByteBuffer): Unit = {
+    walkBTree2(at, h, sh, where) { eb =>
       val addr = getOfs(eb, sh.ofs)
       val (size, mask) =
         if (filtered) {
@@ -1635,6 +1868,23 @@ object Hdf5 {
       val scaled = (0 until rank).map(_ => eb.getLong)
       out += H5Chunk(scaled.indices.map(d => scaled(d) * cdims(d)), addr, size, mask)
     }
+    out.result()
+  }
+
+  /** Generic in-order v2-B-tree walk: BTIN/BTLF nodes, variable-width
+    * child-pointer fields sized by [[Bt2Geometry]], every lookup3
+    * checksum verified, subtree/total record counts cross-checked.
+    * `onRecord` receives the node buffer positioned at each record (the
+    * callback must consume exactly `recordSize` bytes or fewer —
+    * positioning is absolute per record). Shared by the chunk index and
+    * the dense-link name index.
+    */
+  private def walkBTree2(at: At, h: Bt2Header, sh: Shape, where: String)(
+      onRecord: ByteBuffer => Unit): Unit = {
+    if (h.rootAddr == Undef || h.totalNrec == 0) return
+    val recType = h.recType
+    val recordSize = h.recordSize
+    val geo = Bt2Geometry(h.nodeSize, recordSize, sh.ofs, h.depth)
     def readVarInt(eb: ByteBuffer, width: Int): Long = {
       var v = 0L; var k = 0
       while (k < width) { v |= (eb.get() & 0xFFL) << (8 * k); k += 1 }
@@ -1657,9 +1907,12 @@ object Hdf5 {
         nb.position(len - 4)
         require(nb.getInt == lookup3(raw, 0, len - 4, 0),
           s"$where: v2-B-tree leaf checksum mismatch — corrupt file")
-        nb.position(6)
         var i = 0
-        while (i < nrec) { readRecord(nb); i += 1 }
+        while (i < nrec) {
+          nb.position(6 + i * recordSize)
+          onRecord(nb)
+          i += 1
+        }
         nrec.toLong
       } else {
         val ptr = geo.ptrSize(d)
@@ -1694,7 +1947,7 @@ object Hdf5 {
           require(got == ct, s"$where: v2-B-tree subtree record count $got != declared $ct")
           visited += got
           nb.position(recStart + i * recordSize)
-          readRecord(nb)
+          onRecord(nb)
           visited += 1
           i += 1
         }
@@ -1704,10 +1957,9 @@ object Hdf5 {
         visited + got
       }
     }
-    val seen = walk(rootAddr, rootNrec, depth)
-    require(seen == totalNrec,
-      s"$where: v2-B-tree walked $seen records, header declares $totalNrec")
-    out.result()
+    val seen = walk(h.rootAddr, h.rootNrec, h.depth)
+    require(seen == h.totalNrec,
+      s"$where: v2-B-tree walked $seen records, header declares ${h.totalNrec}")
   }
 
   // ---- netCDF-4 semantic mapping + read ----
@@ -2072,6 +2324,8 @@ object Hdf5 {
             bt2NodeSize: Int = 2048,
             chunkOuter: Int = 1,
             dontFilterEdge: Boolean = false,
+            denseLinks: Boolean = false,
+            denseAttrs: Boolean = false,
             chunkCodec: String = "zlib",
             headerVersion: Int = 1): Unit = {
     require(headerVersion == 1 || headerVersion == 2,
@@ -2193,6 +2447,9 @@ object Hdf5 {
       b.checksumOver(ckPos, start, ckPos)
     }
 
+    val pendingDenseAttrs =
+      scala.collection.mutable.ArrayBuffer[(String, Seq[(String, (Int, Int, () => Unit))])]()
+
     def datasetHeader(vd: NetCdf.VarDef, isDim: Boolean): Unit = {
       val shape = vd.dimNames.map(dn => dimLen(dn).toLong)
       val elemSize = vd.tpe.size
@@ -2307,14 +2564,15 @@ object Hdf5 {
           b.zeros(size - (b.pos - start))
         }))
       }
+      val attrTriples = Seq.newBuilder[(String, (Int, Int, () => Unit))]
       if (isDim) {
-        msgs += scalarAttr("CLASS", "DIMENSION_SCALE")
-        msgs += scalarAttr("NAME", vd.name)
+        attrTriples += "CLASS" -> scalarAttr("CLASS", "DIMENSION_SCALE")
+        attrTriples += "NAME" -> scalarAttr("NAME", vd.name)
       } else if (vd.dimNames.nonEmpty) {
         // DIMENSION_LIST: vlen(objref)[ndims] resolved via the global heap
         val nd = vd.dimNames.length
-        msgs += attrMessage("DIMENSION_LIST", h5VlenRefTypeBytes,
-          dataspaceBytes(Seq(nd.toLong)), nd * 16) {
+        attrTriples += "DIMENSION_LIST" -> attrMessage("DIMENSION_LIST",
+          h5VlenRefTypeBytes, dataspaceBytes(Seq(nd.toLong)), nd * 16) {
           vd.dimNames.zipWithIndex.foreach { case (dn, i) =>
             b.u32(1) // one reference per dimension
             b.addr("gheap")
@@ -2322,8 +2580,105 @@ object Hdf5 {
           }
         }
       }
-      vd.attrs.foreach { case (n, v) => msgs += scalarAttr(n, v) }
+      vd.attrs.foreach { case (n, v) => attrTriples += n -> scalarAttr(n, v) }
+      val triples = attrTriples.result()
+      if (denseAttrs && triples.nonEmpty) {
+        val sz = pad8(2 + 2 * 8)
+        msgs += ((0x15, sz, () => {
+          val start = b.pos
+          b.u8(0); b.u8(0) // version, flags: no creation-order tracking
+          b.addr(s"fheapA:${vd.name}"); b.addr(s"namebtA:${vd.name}")
+          b.zeros(sz - (b.pos - start))
+        }))
+        pendingDenseAttrs += vd.name -> triples
+      } else triples.foreach(msgs += _._2)
       objectHeader(s"hdr:${vd.name}", msgs.result())
+    }
+
+    /** DENSE attribute storage for one dataset: attribute message bodies
+      * as fractal-heap managed objects (emitted via the same closures the
+      * compact path uses), indexed by a type-8 name v2-B-tree (8-byte
+      * heap-ID field padded past the 7-byte managed ID, message flags,
+      * creation order, lookup3 name hash).
+      */
+    def emitDenseAttrs(name: String,
+                       attrs: Seq[(String, (Int, Int, () => Unit))]): Unit = {
+      val offSize = 4
+      val lenSize = 2
+      val idLen = 1 + offSize + lenSize
+      val dblockHdrLen = 4 + 1 + 8 + offSize + 4
+      val needed = dblockHdrLen + attrs.map(_._2._2).sum
+      var blockSize = 512
+      while (blockSize < needed) blockSize <<= 1
+      require(blockSize <= (1 << 16), s"$name: dense-attr fixture heap over 64K")
+      b.padTo8(); b.mark(s"fheapA:$name")
+      val hStart = b.pos
+      b.bytes("FRHP".getBytes("US-ASCII")); b.u8(0)
+      b.u16(idLen); b.u16(0)
+      b.u8(0x02)
+      b.u32(4096L)
+      b.u64(0L); b.u64(-1L)
+      b.u64(blockSize.toLong - needed); b.u64(-1L)
+      b.u64(blockSize.toLong); b.u64(blockSize.toLong)
+      b.u64(blockSize.toLong)
+      b.u64(attrs.length.toLong)
+      b.u64(0L); b.u64(0L); b.u64(0L); b.u64(0L)
+      b.u16(4)
+      b.u64(blockSize.toLong)
+      b.u64(1L << 16)
+      b.u16(32)
+      b.u16(1)
+      b.addr(s"fhdbA:$name")
+      b.u16(0)
+      val hCk = b.pos; b.u32(0); b.checksumOver(hCk, hStart, hCk)
+      b.padTo8(); b.mark(s"fhdbA:$name")
+      val dStart = b.pos
+      b.bytes("FHDB".getBytes("US-ASCII")); b.u8(0)
+      b.addr(s"fheapA:$name")
+      (0 until offSize).foreach(_ => b.u8(0))
+      val dCk = b.pos; b.u32(0)
+      val heapOffs = attrs.map { case (_, (_, declared, emit)) =>
+        val off = b.pos - dStart
+        val before = b.pos
+        emit()
+        require(b.pos - before == declared,
+          s"$name: dense attr wrote ${b.pos - before}, declared $declared")
+        off
+      }
+      b.zeros(blockSize - (b.pos - dStart))
+      b.checksumOver(dCk, dStart, dStart + blockSize)
+      val recordSize = 8 + 1 + 4 + 4 // heap id, msg flags, corder, hash
+      val nodeSize = 512
+      require(attrs.length <= (nodeSize - 10) / recordSize,
+        s"$name: dense-attr fixture over one leaf (${attrs.length} attrs)")
+      val hashes = attrs.map { case (an, _) =>
+        val nb = an.getBytes("UTF-8"); lookup3(nb, 0, nb.length, 0)
+      }
+      require(hashes.distinct.length == hashes.length,
+        s"$name: attr-name hash collision in fixture")
+      val order = attrs.indices.sortBy(i => hashes(i) & 0xFFFFFFFFL)
+      b.padTo8(); b.mark(s"btlfA:$name")
+      val lStart = b.pos
+      b.bytes("BTLF".getBytes("US-ASCII")); b.u8(0); b.u8(8)
+      order.foreach { i =>
+        b.u8(0) // managed id: version 0, type managed
+        b.u32(heapOffs(i).toLong)
+        b.u16(attrs(i)._2._2)  // object length = the stored message body
+        b.u8(0)                // pad the 8-byte heap-ID field
+        b.u8(0)                // message flags
+        b.u32(i.toLong)        // creation order
+        b.u32(hashes(i).toLong & 0xFFFFFFFFL)
+      }
+      val lCk = b.pos; b.u32(0); b.checksumOver(lCk, lStart, lCk)
+      b.padTo8(); b.mark(s"namebtA:$name")
+      val bStart = b.pos
+      b.bytes("BTHD".getBytes("US-ASCII")); b.u8(0); b.u8(8)
+      b.u32(nodeSize.toLong); b.u16(recordSize); b.u16(0)
+      b.u8(100); b.u8(40)
+      b.addr(s"btlfA:$name")
+      b.u16(attrs.length)
+      b.u64(attrs.length.toLong)
+      val bCk = b.pos; b.u32(0); b.checksumOver(bCk, bStart, bCk)
     }
 
     // global heap object index per (var, dim, position)
@@ -2361,6 +2716,96 @@ object Hdf5 {
       varNames.filter(_.contains("/")).groupBy(_.takeWhile(_ != '/'))
     require(!groupsOf.keySet.exists(varNames.contains),
       "a group name cannot also be a dataset name")
+
+    /** DENSE link storage for one group (the past-compact-threshold
+      * layout libhdf5 switches to): the link messages live as managed
+      * objects in a fractal heap (one root direct block, offsets
+      * covering the block header per libhdf5's managed-space
+      * convention, in-header checksum computed with its field zeroed),
+      * indexed by a name v2-B-tree (record type 5: lookup3 name hash +
+      * 7-byte managed heap ID; single leaf root — ample for fixtures).
+      */
+    def emitDenseLinks(tag: String, entries: Seq[(String, String)]): Unit = {
+      val names = entries.map(_._1.getBytes("UTF-8"))
+      val msgLens = names.map(n => 2 + 1 + n.length + 8)
+      val offSize = 4            // max heap size 32 bits
+      val lenSize = 2            // min(width(maxDirect=64K)=2, enc(maxManObj=4096)=2)
+      val idLen = 1 + offSize + lenSize
+      val dblockHdrLen = 4 + 1 + 8 + offSize + 4 // checksummed
+      val needed = dblockHdrLen + msgLens.sum
+      var blockSize = 512
+      while (blockSize < needed) blockSize <<= 1
+      require(blockSize <= (1 << 16), s"$tag: dense-link fixture heap over 64K")
+      // FRHP
+      b.padTo8(); b.mark(s"fheap:$tag")
+      val hStart = b.pos
+      b.bytes("FRHP".getBytes("US-ASCII")); b.u8(0)
+      b.u16(idLen); b.u16(0) // id length, no I/O filters
+      b.u8(0x02)             // flags: checksum direct blocks
+      b.u32(4096L)           // max managed object size
+      b.u64(0L); b.u64(-1L)  // next huge id, huge v2-btree
+      b.u64(blockSize.toLong - needed); b.u64(-1L) // free space, fs manager
+      b.u64(blockSize.toLong); b.u64(blockSize.toLong) // managed, allocated
+      b.u64(blockSize.toLong) // direct-block iterator offset
+      b.u64(entries.length.toLong) // managed objects
+      b.u64(0L); b.u64(0L); b.u64(0L); b.u64(0L) // huge/tiny size+count
+      b.u16(4)               // table width
+      b.u64(blockSize.toLong)      // starting block size
+      b.u64(1L << 16)        // maximum direct block size
+      b.u16(32)              // maximum heap size (bits)
+      b.u16(1)               // starting rows in root indirect block
+      b.addr(s"fhdb:$tag")
+      b.u16(0)               // current rows: 0 = root is a direct block
+      val hCk = b.pos; b.u32(0); b.checksumOver(hCk, hStart, hCk)
+      // FHDB root direct block (heap offset 0, length blockSize)
+      b.padTo8(); b.mark(s"fhdb:$tag")
+      val dStart = b.pos
+      b.bytes("FHDB".getBytes("US-ASCII")); b.u8(0)
+      b.addr(s"fheap:$tag")
+      (0 until offSize).foreach(_ => b.u8(0)) // block offset = 0
+      val dCk = b.pos; b.u32(0)
+      val heapOffs = entries.indices.map { i =>
+        val off = b.pos - dStart // managed offsets include the block header
+        val (_, hdrLabel) = entries(i)
+        b.u8(1); b.u8(0)                 // link msg v1, flags 0
+        b.u8(names(i).length)            // 1-byte name length
+        b.bytes(names(i))
+        b.addr(hdrLabel)
+        off
+      }
+      b.zeros(blockSize - (b.pos - dStart))
+      // in-header checksum over the WHOLE block with the field zeroed
+      b.checksumOver(dCk, dStart, dStart + blockSize)
+      // name-index v2-B-tree: single leaf with (hash, heap id) records
+      val recordSize = 4 + idLen
+      val nodeSize = 512
+      require(entries.length <= (nodeSize - 10) / recordSize,
+        s"$tag: dense-link fixture over one leaf (${entries.length} links)")
+      val hashes = names.map(n => lookup3(n, 0, n.length, 0))
+      require(hashes.distinct.length == hashes.length,
+        s"$tag: name-hash collision in fixture (pick different names)")
+      val order = entries.indices.sortBy(i => hashes(i) & 0xFFFFFFFFL)
+      b.padTo8(); b.mark(s"btlf:$tag")
+      val lStart = b.pos
+      b.bytes("BTLF".getBytes("US-ASCII")); b.u8(0); b.u8(5)
+      order.foreach { i =>
+        b.u32(hashes(i).toLong & 0xFFFFFFFFL)
+        b.u8(0) // managed id: version 0, type managed
+        b.u32(heapOffs(i).toLong)
+        b.u16(msgLens(i)) // object length = the stored link message
+      }
+      val lCk = b.pos; b.u32(0); b.checksumOver(lCk, lStart, lCk)
+      // BTHD (depth 0: the leaf IS the root)
+      b.padTo8(); b.mark(s"namebt:$tag")
+      val bStart = b.pos
+      b.bytes("BTHD".getBytes("US-ASCII")); b.u8(0); b.u8(5)
+      b.u32(nodeSize.toLong); b.u16(recordSize); b.u16(0)
+      b.u8(100); b.u8(40)
+      b.addr(s"btlf:$tag")
+      b.u16(entries.length)
+      b.u64(entries.length.toLong)
+      val bCk = b.pos; b.u32(0); b.checksumOver(bCk, bStart, bCk)
+    }
 
     /** Local heap + single-node group B-tree + SNOD for one group. */
     def emitSymbolTable(tag: String, entries: Seq[(String, String)]): Unit = {
@@ -2403,27 +2848,45 @@ object Hdf5 {
       }
     }
 
-    // ---- root group header: symbol table message + global attributes ----
-    {
+    // ---- root group header: symbol-table message (or Link Info for the
+    // dense layout) + global attributes ----
+    val linkInfoSize = pad8(2 + 2 * 8)
+    def linkInfoMsg(tag: String): (Int, Int, () => Unit) =
+      (0x02, linkInfoSize, () => {
+        val start = b.pos
+        b.u8(0); b.u8(0) // version, flags: no creation-order tracking
+        b.addr(s"fheap:$tag"); b.addr(s"namebt:$tag")
+        b.zeros(linkInfoSize - (b.pos - start))
+      })
+    locally {
       val msgs = Seq.newBuilder[(Int, Int, () => Unit)]
-      msgs += ((0x11, 16, () => { b.addr("btree:/"); b.addr("heap:/") }))
+      if (denseLinks) msgs += linkInfoMsg("/")
+      else msgs += ((0x11, 16, () => { b.addr("btree:/"); b.addr("heap:/") }))
       gatts.foreach { case (n, v) => msgs += scalarAttr(n, v) }
       objectHeader("hdr:/", msgs.result())
     }
     val rootEntries =
       varNames.filterNot(_.contains("/")).map(n => (n, s"hdr:$n")) ++
         groupsOf.keys.map(g => (g, s"hdr:$g"))
-    emitSymbolTable("/", rootEntries)
+    if (denseLinks) emitDenseLinks("/", rootEntries)
+    else emitSymbolTable("/", rootEntries)
 
-    // ---- child group headers + their symbol tables ----
+    // ---- child group headers + their link storage ----
     groupsOf.toSeq.sortBy(_._1).foreach { case (g, members) =>
-      objectHeader(s"hdr:$g", Seq(
-        (0x11, 16, () => { b.addr(s"btree:$g"); b.addr(s"heap:$g") })))
-      emitSymbolTable(g, members.map(m => (m.drop(g.length + 1), s"hdr:$m")))
+      val entries = members.map(m => (m.drop(g.length + 1), s"hdr:$m"))
+      if (denseLinks) {
+        objectHeader(s"hdr:$g", Seq(linkInfoMsg(g)))
+        emitDenseLinks(g, entries)
+      } else {
+        objectHeader(s"hdr:$g", Seq(
+          (0x11, 16, () => { b.addr(s"btree:$g"); b.addr(s"heap:$g") })))
+        emitSymbolTable(g, entries)
+      }
     }
 
-    // ---- dataset object headers ----
+    // ---- dataset object headers (+ their dense attribute heaps) ----
     vars.foreach { case (vd, _) => datasetHeader(vd, dimNames.contains(vd.name)) }
+    pendingDenseAttrs.foreach { case (nm, ats) => emitDenseAttrs(nm, ats) }
 
     // ---- global heap (DIMENSION_LIST payloads) ----
     if (gheapIndex.nonEmpty) {

@@ -253,6 +253,20 @@ object NetCdfQ extends QueryPack {
         layoutVersion = 4, bt2Index = true, bt2NodeSize = 128)
       backToRows(NetCdf.read(s, path, Seq("n", "mean_qty")))
     }),
+    // DENSE group link storage: the layout libhdf5 switches to past the
+    // compact threshold (>8 links per group) — link messages as fractal-
+    // heap managed objects behind a type-5 name-index v2-B-tree. The
+    // reader must resolve FRHP/FHDB blocks, managed heap IDs, and the
+    // hash-ordered record walk; identical oracle to the flat roundtrip.
+    "q_netcdf4_dense" -> ((s, dir) => {
+      val (years, nVals, qVals) = gridSlabs(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-nc4dl").resolve("grid.nc").toString
+      graft.ingest.Hdf5.write(path, gridDims(years.toSeq),
+        gridVars(years.toSeq, nVals, qVals), gridGatts,
+        chunked = true, deflate = 6, denseLinks = true)
+      backToRows(NetCdf.read(s, path, Seq("n", "mean_qty")))
+    }),
     // GROUPED NetCDF-4: the data variables live in a child group
     // ("stats/n", "stats/mean_qty") with root-level dimension scales —
     // the multi-model/product archive shape. The reader's recursive
@@ -342,6 +356,7 @@ object NetCdfQ extends QueryPack {
     "q_netcdf4_unlimited" -> roundtripSql,
     "q_netcdf4_btree2" -> roundtripSql,
     "q_netcdf4_groups" -> roundtripSql,
+    "q_netcdf4_dense" -> roundtripSql,
     "q_netcdf4_export" -> roundtripSql,
     "q_netcdf4_zstd" -> roundtripSql,
     "q_netcdf5_roundtrip" -> roundtripSql,

@@ -672,6 +672,97 @@ class Hdf5Spec extends SparkSpec {
       inf.contains("m1/t2m") && inf.contains("m2/t2m"))
   }
 
+  test("dense (fractal-heap) group links: many-variable files read fully") {
+    // the past-compact-threshold layout libhdf5 switches to (>8 links):
+    // link messages as fractal-heap managed objects behind a type-5
+    // name-index v2-B-tree. 14 root links + a dense child group drive
+    // FRHP/FHDB parsing, managed-ID resolution, the hash-ordered leaf
+    // walk, and cross-storage nesting (dense root -> dense child).
+    val nx = 4
+    val varDefs =
+      (0 until 10).map(i => (VarDef(f"v$i%02d", Seq("x"), NcDouble),
+        Array.tabulate(nx)(t => i * 100.0 + t))) ++
+      Seq((VarDef("grp/w", Seq("x"), NcDouble),
+        Array.tabulate(nx)(t => 7000.0 + t)),
+        (VarDef("grp/z", Seq("x"), NcDouble),
+          Array.tabulate(nx)(t => 8000.0 + t)))
+    val vars = Seq((VarDef("x", Seq("x"), NcDouble),
+      Array.tabulate(nx)(_.toDouble))) ++ varDefs
+    val base = tmpDir()
+    for ((sfx, hv) <- Seq(("v1", 1), ("v2", 2))) {
+      val p = s"$base/dense_$sfx.h5"
+      Hdf5.write(p, dims = Seq(Dim("x", nx)), vars = vars,
+        denseLinks = true, headerVersion = hv)
+      assert(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+        .indexOfSlice("FRHP".getBytes("US-ASCII")) > 0, "really dense storage")
+      val f = Hdf5.readStructure(p, Map.empty)
+      assert(f.datasets.map(_.name).sorted ==
+        ((0 until 10).map(i => f"v$i%02d") ++ Seq("grp/w", "grp/z", "x")).sorted,
+        s"$sfx: all dense links resolve, incl. the dense child group")
+      val df = Hdf5.read(spark, p, Seq("v03", "grp/w")).orderBy("x").collect()
+      assert(df.map(_.getDouble(1)).toSeq == Seq(300.0, 301.0, 302.0, 303.0))
+      assert(df.map(_.getDouble(2)).toSeq == Seq(7000.0, 7001.0, 7002.0, 7003.0))
+    }
+    // the direct-block checksum is real: flip one payload byte → loud
+    val p2 = s"$base/dense_bad.h5"
+    Hdf5.write(p2, dims = Seq(Dim("x", nx)), vars = vars, denseLinks = true)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p2))
+    val pos = bytes.indexOfSlice("FHDB".getBytes("US-ASCII"))
+    assert(pos > 0)
+    bytes(pos + 30) = (bytes(pos + 30) ^ 0x11).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(p2), bytes)
+    val e = intercept[Exception] { Hdf5.readStructure(p2, Map.empty) }
+    assert(Option(e.getMessage).exists(_.contains("checksum mismatch")))
+  }
+
+  test("dense (fractal-heap) attributes: CF semantics survive the move") {
+    // latest-format files push attributes into a fractal heap behind a
+    // type-8 name-index v2-B-tree once a dataset carries more than ~8 —
+    // and CF semantics (scale/offset/fill, DIMENSION_LIST, dim-scale
+    // CLASS) ride on attributes, so the dense path must feed the same
+    // grid decode, not just the metadata listing
+    val base = tmpDir()
+    writeGrid(base + "/compact.h5", chunked = true, deflate = 4)
+    val expected = Hdf5.read(spark, base + "/compact.h5", Seq("t2m", "count"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    val (nt, nlat, nlon) = (4, 3, 2)
+    val temps = Array.tabulate(nt * nlat * nlon)(i => 250.0 + i)
+    val packed = temps.map(t => (t - 200.0) / 0.5)
+    packed(5) = -32768.0
+    val manyAttrs = (0 until 9).map(i => s"extra_a$i" -> s"v$i")
+    val p = base + "/dense.h5"
+    Hdf5.write(p,
+      dims = Seq(Dim("time", nt), Dim("lat", nlat), Dim("lon", nlon)),
+      vars = Seq(
+        (VarDef("time", Seq("time"), NcDouble,
+          Seq("units" -> "hours since 2021-06-01")), Array.tabulate(nt)(_ * 6.0)),
+        (VarDef("lat", Seq("lat"), NcDouble,
+          Seq("units" -> "degrees_north")), Array(-45.0, 0.0, 45.0)),
+        (VarDef("lon", Seq("lon"), NcDouble), Array(0.0, 90.0)),
+        (VarDef("t2m", Seq("time", "lat", "lon"), NcShort,
+          Seq("scale_factor" -> 0.5, "add_offset" -> 200.0,
+            "_FillValue" -> -32768.0) ++ manyAttrs), packed),
+        (VarDef("count", Seq("time", "lat", "lon"), NcInt),
+          Array.tabulate(nt * nlat * nlon)(_.toDouble))),
+      gatts = Seq("Conventions" -> "CF-1.8", "title" -> "graft h5 test"),
+      chunked = true, deflate = 4, denseAttrs = true)
+    assert(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      .indexOfSlice("FRHP".getBytes("US-ASCII")) > 0, "really dense storage")
+    val f = Hdf5.readStructure(p, Map.empty)
+    val t2m = f.datasets.find(_.name == "t2m").get
+    assert(t2m.attrNum("scale_factor").contains(0.5))
+    assert(t2m.attrNum("_FillValue").contains(-32768.0))
+    assert(t2m.attrStr("extra_a7").contains("v7"))
+    assert(f.datasets.find(_.name == "lat").get.isDimScale,
+      "dim-scale CLASS survives dense storage")
+    val byAddr = f.datasets.map(d => d.addr -> d.name).toMap
+    assert(t2m.dimRefs.get.map(byAddr) == IndexedSeq("time", "lat", "lon"),
+      "DIMENSION_LIST resolves through the heap-stored message")
+    val got = Hdf5.read(spark, p, Seq("t2m", "count"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    assert(got == expected, "identical decode to the compact-attribute file")
+  }
+
   test("NetCdf.read dispatches on the HDF5 signature transparently") {
     val path = tmpDir() + "/d.nc" // .nc extension, HDF5 container — the
     writeGrid(path, chunked = false) // netCDF-4 situation users actually hit
