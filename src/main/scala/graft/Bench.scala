@@ -178,8 +178,9 @@ object Bench {
     // exact-duplicate cliques (which would inflate candidate pairs
     // quadratically and measure a different workload, not a bigger one).
     // Each probed query runs 1 warmup + 2 timed iterations; the JSON
-    // reports the medians and the ratio vs the gate-scale median, to be
-    // read against SCALE.md's linearity predictions.
+    // reports the MIN of the two (2 samples have no median — the field
+    // names say so) and its ratio vs the gate-scale median, to be read
+    // against SCALE.md's linearity predictions.
     val upscaleFactor = sys.env.getOrElse("SPARK_GRAFT_UPSCALE", "8").toInt
     val upscaleQueries = Seq(
       "q_monthly_mean", "q_anomaly", "q_percentile_rank", "q_linear_trend",
@@ -189,7 +190,9 @@ object Bench {
       if (only.nonEmpty || upscaleFactor <= 1) ""
       else try {
         import org.apache.spark.sql.functions._
-        val upDir = java.nio.file.Files.createTempDirectory("graft-upscale").toString
+        val upDirPath = java.nio.file.Files.createTempDirectory("graft-upscale")
+        val upDir = upDirPath.toString
+        try {
         def copyDim(t: String): Unit =
           spark.read.parquet(s"$sfDir/$t.parquet")
             .write.mode("overwrite").parquet(s"$upDir/$t.parquet")
@@ -229,6 +232,9 @@ object Bench {
         val measured = upscaleQueries.filter(SparkEntry.queries.contains).flatMap { q =>
           try {
             upOnce(q) // warmup: footer cache + codegen at the new scale
+            // the reported statistic is the MIN of the 2 timed iterations
+            // (best-case — stated as such in the JSON field name, not a
+            // median: 2 samples have none)
             val t = Seq(upOnce(q), upOnce(q)).min
             Some(q -> t)
           } catch {
@@ -242,11 +248,21 @@ object Bench {
         val ratios = measured.flatMap { case (k, t) =>
           baseMedians.get(k).map(b => "\"" + k + "\":" + f3(t / b))
         }.mkString("{", ",", "}")
-        s""","upscale":{"factor":$upscaleFactor,"iters":2,"queries":$upQs,"ratio_vs_base":$ratios}"""
+        s""","upscale":{"factor":$upscaleFactor,"iters":2,"stat":"min_of_2","queries_min":$upQs,"ratio_min_vs_base_median":$ratios}"""
+        } finally {
+          // 8× fact-table parquet is GBs at the gate scale — never leak it
+          java.nio.file.Files.walk(upDirPath)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        }
       } catch {
         case e: Throwable =>
-          System.err.println(s"[bench] upscale probe failed: ${e.getMessage}")
-          s""","upscale":{"error":"${e.getMessage.replaceAll("[\"\\\\]", "")}"}"""
+          // message may be null (plain NPE) and may carry JSON-hostile
+          // control characters — the gate JSON must still be printed
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\\p{Cntrl}]", " ")
+          System.err.println(s"[bench] upscale probe failed: $msg")
+          s""","upscale":{"error":"$msg"}"""
       }
 
     val qs = results.map { case (k, st) =>

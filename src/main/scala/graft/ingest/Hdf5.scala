@@ -175,23 +175,26 @@ object Hdf5 {
       // recursive group walk: grouped products get path-qualified dataset
       // names ("model/t2m"). Symbol-table, compact link-message, and
       // dense (fractal-heap) groups all recurse through collectLinks.
-      // A visited set breaks hard-link cycles.
+      // Cycle breaking is ANCESTOR-based, not visited-based: a group
+      // hard-linked under two paths legitimately appears under both (like
+      // hard-linked datasets do); only a link back to an ancestor — a
+      // true cycle — is skipped.
       val out = IndexedSeq.newBuilder[H5Dataset]
-      val visited = scala.collection.mutable.HashSet[Long](rootAddr)
-      def walkGroup(prefix: String, msgs: Seq[(Int, ByteBuffer)]): Unit = {
+      def walkGroup(prefix: String, msgs: Seq[(Int, ByteBuffer)],
+                    ancestors: Set[Long]): Unit = {
         require(prefix.count(_ == '/') <= 64, s"$path: group nesting too deep")
         collectLinks(at, msgs, sh, path).foreach { case (name, addr) =>
           val full = prefix + name
           val childMsgs = readObjectHeader(at, addr, sh)
           val isDataset = childMsgs.exists(_._1 == 0x08) ||
             (childMsgs.exists(_._1 == 0x03) && childMsgs.exists(_._1 == 0x01))
-          if (isDataset) out += parseDataset(at, full, addr, sh, path)
+          if (isDataset) out += parseDataset(at, full, addr, sh, path, childMsgs)
           else if (childMsgs.exists(m => m._1 == 0x11 || m._1 == 0x02 || m._1 == 0x06)) {
-            if (visited.add(addr)) walkGroup(full + "/", childMsgs)
+            if (!ancestors(addr)) walkGroup(full + "/", childMsgs, ancestors + addr)
           } else sys.error(s"$path: object '$full' is neither a dataset nor a group")
         }
       }
-      walkGroup("", readObjectHeader(at, rootAddr, sh))
+      walkGroup("", readObjectHeader(at, rootAddr, sh), Set(rootAddr))
       H5File(out.result())
     } finally ch.close()
   }
@@ -705,12 +708,17 @@ object Hdf5 {
     out
   }
 
+  /** `preParsed` lets the group walk hand over the header it already
+    * read for dataset-vs-group classification — one metadata read per
+    * object, not two.
+    */
   private def parseDataset(at: At, name: String, addr: Long, sh: Shape,
-                           path: String): H5Dataset = {
-    val msgs = readObjectHeader(at, addr, sh)
+                           path: String,
+                           preParsed: Seq[(Int, ByteBuffer)] = null): H5Dataset = {
+    val msgs = Option(preParsed).getOrElse(readObjectHeader(at, addr, sh))
     require(!msgs.exists(m => m._1 == 0x11 || m._1 == 0x06 || m._1 == 0x02),
-      s"$path: '$name' is a GROUP — only netCDF-4 classic-model files " +
-        "(all variables in the root group) are supported")
+      s"$path: '$name' carries group-link messages — route it through the " +
+        "group walk, not the dataset parser")
     val dtype = msgs.find(_._1 == 0x03).map { case (_, bb) =>
       parseDatatype(bb.duplicate().order(ByteOrder.LITTLE_ENDIAN))
     }.getOrElse(sys.error(s"$path: '$name' has no datatype message"))
@@ -779,6 +787,8 @@ object Hdf5 {
         val nameBt = getOfs(b, sh.ofs)
         if (fheap == Undef) Nil
         else {
+          require(nameBt != Undef,
+            s"$path: '$name' dense attribute storage without a name index")
           val heap = parseFractalHeap(at, sh, fheap, path)
           val h = readBt2Header(at, nameBt, sh, path)
           require(h.recType == 8,

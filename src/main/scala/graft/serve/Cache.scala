@@ -253,11 +253,14 @@ object Cache {
               // desync). A non-numeric length is unrecoverable (there is
               // no trustworthy body length to drain): close the
               // connection instead.
+              // any failure to obtain a length — non-numeric OR a short
+              // line with the body already in flight — is unrecoverable:
+              // escape the per-command NonFatal catch (ControlThrowable)
+              // so the connection closes instead of replying ERR on a
+              // desynced stream
+              if (parts.length < 4) throw new DesyncClose
               val len = try parts(3).toLong catch {
-                case _: NumberFormatException =>
-                  // escapes the per-command NonFatal catch (ControlThrowable)
-                  // so the connection closes instead of replying ERR mid-desync
-                  throw new DesyncClose
+                case _: NumberFormatException => throw new DesyncClose
               }
               if (len > maxValueBytes || len < 0) {
                 // the value body is already in flight: DRAIN it before the
