@@ -95,21 +95,36 @@ object Bench {
 
     /** One query's measurement under the OUTLIER PROTOCOL (visible by
       * design — both series are reported, nothing is silently dropped):
-      * `iters` timed runs; a run that is BOTH over the 2 s gate AND >2×
-      * the running median is a box stall (the r9 tails were 9-13× their
-      * medians and correlate with host CPU-steal bursts, not GC — a
-      * measured burst put 8.9 s of steal inside one iteration; see
-      * SCALE.md "Bench tail diagnosis"), so it is re-measured, bounded
-      * at `maxRetries` for the whole query.
+      * `iters` timed runs; a gate-breaching run (≥ 2 s) is re-measured
+      * when EITHER stall evidence holds —
+      *
+      *  (a) relative: > 2× the running median (the r9 tails were 9-13×
+      *      their medians and correlate with host CPU-steal bursts, not
+      *      GC — a measured burst put 8.9 s of steal inside one
+      *      iteration; see SCALE.md "Bench tail diagnosis"), or
+      *  (b) absolute, steal-aware: the iteration's OWN /proc/stat
+      *      steal+iowait delta exceeds `stealThresh` CPU-seconds. This
+      *      is the r12 fix: under WHOLE-RUN contention the running
+      *      median inflates with the tail, so (a) chases a moving target
+      *      and never fires (r12's victim median rose 45% while its max
+      *      hit 3.45 s with 42 CPU-s of steal on the query) — the
+      *      iteration-local steal delta is immune to that because a
+      *      quiet box measures ~0 regardless of history.
+      *
+      * Re-measurement is bounded at `maxRetries` for the whole query.
       * The retried value is used WHATEVER it is: a genuinely slow query
-      * exhausts its 3 retries and still fails the gate — only an
+      * exhausts its retries and still fails the gate — only an
       * unreproducible stall can be absorbed. `raw` keeps every
       * measurement including the stalls; the JSON reports raw_max and
       * retried per query plus raw_worst_max globally.
       */
     final case class Measured(steady: Stats, rawMax: Double, retried: Int,
                               stealSec: Double)
-    val maxRetries = 3
+    val maxRetries = 5
+    // a quiet box measures ≤ ~0.05 CPU-s of steal+iowait inside one
+    // iteration (r12's clean queries: ≤ 0.5 over 20+ iterations); 1.0
+    // CPU-s inside a single run is unambiguous host interference
+    val stealThresh = sys.env.getOrElse("SPARK_GRAFT_STEAL_THRESH", "1.0").toDouble
 
     /** Guest-visible host interference: cumulative steal+iowait seconds
       * from /proc/stat (steal = vCPU runnable but not scheduled by the
@@ -134,6 +149,7 @@ object Bench {
       (1 to iters).foreach { _ =>
         var s0 = stealIoSeconds()
         var t = runOnce(name)
+        var stealD = stealIoSeconds() - s0
         raw += t
         // first measurement with zero warmups: no baseline yet — treat the
         // run as its own baseline so the retry predicate can't index an
@@ -142,14 +158,15 @@ object Bench {
           val s = (steady ++ warms).sorted.toIndexedSeq
           if (s.isEmpty) t else pct(s, 0.5)
         }
-        while (t >= 2.0 && t > 2 * baseline && retried < maxRetries) {
+        while (t >= 2.0 && (t > 2 * baseline || stealD > stealThresh) &&
+            retried < maxRetries) {
           retried += 1
-          val stealD = stealIoSeconds() - s0
           System.err.println(f"[bench] $name: $t%.3fs stall (median ~$baseline%.3fs, " +
             f"steal+iowait $stealD%.1fs during run), re-measuring ($retried/$maxRetries)")
           System.gc()
           s0 = stealIoSeconds()
           t = runOnce(name)
+          stealD = stealIoSeconds() - s0
           raw += t
         }
         steady += t
@@ -177,11 +194,32 @@ object Bench {
     // so the dedup workload does not degenerate into FACTOR-sized
     // exact-duplicate cliques (which would inflate candidate pairs
     // quadratically and measure a different workload, not a bigger one).
+    //
+    // r12 hardening — the round artifact recorded 49× / 17.7× ratios that
+    // an isolated re-measurement showed were 3.9× / 1.3× (probe artifact,
+    // not plan regression), so the probe now carries its own evidence:
+    //  - ISOLATED SESSION: the probe runs on a fresh newSession after
+    //    clearing the cache manager and any persisted RDDs, so the 8×
+    //    run doesn't inherit 35 queries of accumulated JVM/session state;
+    //  - ATTRIBUTION: every timed iteration records its own /proc/stat
+    //    steal+iowait delta, and BOTH raw iterations + their steal
+    //    seconds land in the JSON (min-of-2 alone carries no evidence
+    //    when a contended round needs adjudicating);
+    //  - STEAL-AWARE RETRY: an iteration whose own steal delta exceeds
+    //    the same `stealThresh` as the gate is re-measured (bounded),
+    //    mirroring the main suite's outlier protocol.
     // Each probed query runs 1 warmup + 2 timed iterations; the JSON
     // reports the MIN of the two (2 samples have no median — the field
     // names say so) and its ratio vs the gate-scale median, to be read
     // against SCALE.md's linearity predictions.
     val upscaleFactor = sys.env.getOrElse("SPARK_GRAFT_UPSCALE", "8").toInt
+    // copy k's letter substitution rotates by k % 26: k = 26 would be the
+    // identity rotation — an exact duplicate of copy 0, re-creating the
+    // duplicate cliques the substitution exists to avoid and silently
+    // measuring a different (quadratic-candidate) dedup workload
+    require(upscaleFactor <= 26,
+      s"SPARK_GRAFT_UPSCALE=$upscaleFactor > 26: copy 26 would repeat copy 0's " +
+        "text verbatim and quadratically inflate the dedup candidate set")
     val upscaleQueries = Seq(
       "q_monthly_mean", "q_anomaly", "q_percentile_rank", "q_linear_trend",
       "q_region_revenue", "q_incremental_stats", "q_token_stats",
@@ -220,35 +258,71 @@ object Bench {
         shifted("embeddings")((d, k) =>
           d.withColumn("vec_id", col("vec_id") + lit(k.toLong * 1000000L)))
 
-        def upOnce(name: String): Double = {
+        // isolated probe session: same SparkContext (the JIT/codegen warmth
+        // is wanted), fresh SQL state, nothing cached from the 35-query
+        // gate suite — the r12 49× artifact was measured with end-of-suite
+        // JVM state; the isolated re-measurement was in band
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        System.gc()
+        val upSession = spark.newSession()
+        def upOnce(name: String): (Double, Double) = {
+          val s0 = stealIoSeconds()
           val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, upDir)
+          SparkEntry.queries(name)(upSession, upDir)
             .write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
+          ((System.nanoTime() - t0) / 1e9, stealIoSeconds() - s0)
         }
         val baseMedians = results.collect {
           case (k, Some(m)) => k -> m.steady.median
         }.toMap
+        final case class UpMeasured(min: Double, raw: Seq[Double],
+                                    steal: Seq[Double], retried: Int)
+        val upMaxRetries = 2
         val measured = upscaleQueries.filter(SparkEntry.queries.contains).flatMap { q =>
           try {
             upOnce(q) // warmup: footer cache + codegen at the new scale
-            // the reported statistic is the MIN of the 2 timed iterations
+            val raw = scala.collection.mutable.ArrayBuffer[Double]()
+            val steals = scala.collection.mutable.ArrayBuffer[Double]()
+            var retried = 0
+            (1 to 2).foreach { _ =>
+              var (t, sd) = upOnce(q)
+              raw += t; steals += sd
+              // steal-aware re-measure: a contended iteration is evidence
+              // of the box, not the plan — bounded, and every attempt
+              // stays in the raw series
+              while (sd > stealThresh && retried < upMaxRetries) {
+                retried += 1
+                System.err.println(f"[bench] upscale $q: $t%.3fs with " +
+                  f"steal+iowait $sd%.1fs, re-measuring ($retried/$upMaxRetries)")
+                val again = upOnce(q)
+                t = again._1; sd = again._2
+                raw += t; steals += sd
+              }
+            }
+            // the reported statistic is the MIN of the timed iterations
             // (best-case — stated as such in the JSON field name, not a
-            // median: 2 samples have none)
-            val t = Seq(upOnce(q), upOnce(q)).min
-            Some(q -> t)
+            // median: 2 samples have none); raw + steal arrays carry the
+            // full evidence either way
+            Some(q -> UpMeasured(raw.min, raw.toSeq, steals.toSeq, retried))
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] upscale $q failed: ${e.getMessage}")
               None
           }
         }
-        val upQs = measured.map { case (k, t) => "\"" + k + "\":" + f3(t) }
+        val upQs = measured.map { case (k, m) => "\"" + k + "\":" + f3(m.min) }
           .mkString("{", ",", "}")
-        val ratios = measured.flatMap { case (k, t) =>
-          baseMedians.get(k).map(b => "\"" + k + "\":" + f3(t / b))
+        val ratios = measured.flatMap { case (k, m) =>
+          baseMedians.get(k).map(b => "\"" + k + "\":" + f3(m.min / b))
         }.mkString("{", ",", "}")
-        s""","upscale":{"factor":$upscaleFactor,"iters":2,"stat":"min_of_2","queries_min":$upQs,"ratio_min_vs_base_median":$ratios}"""
+        val attribution = measured.map { case (k, m) =>
+          val raws = m.raw.map(f3).mkString("[", ",", "]")
+          val st = m.steal.map(f3).mkString("[", ",", "]")
+          s""""$k":{"raw":$raws,"steal_sec":$st,"retried":${m.retried}}"""
+        }.mkString("{", ",", "}")
+        s""","upscale":{"factor":$upscaleFactor,"iters":2,"stat":"min_of_2","isolated_session":true,"queries_min":$upQs,"ratio_min_vs_base_median":$ratios,"attribution":$attribution}"""
         } finally {
           // 8× fact-table parquet is GBs at the gate scale — never leak it
           java.nio.file.Files.walk(upDirPath)
@@ -281,7 +355,7 @@ object Bench {
     val gate = results.forall(_._2.exists(_.steady.max < 2.0))
     val subset = if (only.isEmpty) "" else
       s""","subset":[${only.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]"""
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stats":$statsJson,"iters":$iters,"warmup":$warmup,"worst_max":${f3(worstMax)},"raw_worst_max":${f3(rawWorstMax)},"outliers_retried":$totalRetried,"outlier_policy":"stall runs (>2s AND >2x running median) re-measured, max 3/query; raw series reported alongside","pass_max_lt_2s":$gate$subset$upJson,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stats":$statsJson,"iters":$iters,"warmup":$warmup,"worst_max":${f3(worstMax)},"raw_worst_max":${f3(rawWorstMax)},"outliers_retried":$totalRetried,"outlier_policy":"gate-breaching runs (>=2s) re-measured when >2x running median OR own steal+iowait delta > ${stealThresh} cpu-s, max $maxRetries/query; raw series reported alongside","pass_max_lt_2s":$gate$subset$upJson,"sf":"$sfDir"}"""
     println(line)
     // the full distribution also lands in the repo so the round artifact
     // can't lose it to output truncation; a SPARK_GRAFT_ONLY dev-subset run

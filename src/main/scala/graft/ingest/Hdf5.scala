@@ -180,11 +180,22 @@ object Hdf5 {
       // hard-linked datasets do); only a link back to an ancestor — a
       // true cycle — is skipped.
       val out = IndexedSeq.newBuilder[H5Dataset]
+      // diamond semantics make the walk path-counted, not object-counted,
+      // so a crafted file with a hard-link diamond at every level is a
+      // 2^depth path blowup the depth limit alone never catches (each
+      // path stays shallow). A total-objects-visited budget loud-rejects
+      // such a file before it pins the driver.
+      var visitedObjects = 0L
+      val maxVisitedObjects = 100000L
       def walkGroup(prefix: String, msgs: Seq[(Int, ByteBuffer)],
                     ancestors: Set[Long]): Unit = {
         require(prefix.count(_ == '/') <= 64, s"$path: group nesting too deep")
         collectLinks(at, msgs, sh, path).foreach { case (name, addr) =>
           val full = prefix + name
+          visitedObjects += 1
+          require(visitedObjects <= maxVisitedObjects,
+            s"$path: group walk visited more than $maxVisitedObjects objects " +
+              "(hard-link blowup?)")
           val childMsgs = readObjectHeader(at, addr, sh)
           val isDataset = childMsgs.exists(_._1 == 0x08) ||
             (childMsgs.exists(_._1 == 0x03) && childMsgs.exists(_._1 == 0x01))
@@ -793,6 +804,15 @@ object Hdf5 {
           val h = readBt2Header(at, nameBt, sh, path)
           require(h.recType == 8,
             s"$path: '$name' attribute name-index record type ${h.recType} (expected 8)")
+          // the record walk below repositions to start + 8 after the heap
+          // ID: loud-reject the (theoretical) layouts where that constant
+          // is wrong — a heap with maxHeapBits > 56 has idLen > 8, and a
+          // type-8 record is exactly heap-id(8) + flags(1) + corder(4) +
+          // hash(4) — instead of silently mis-parsing into the flag bytes
+          require(heap.idLen <= 8,
+            s"$path: '$name' attribute fractal-heap ID length ${heap.idLen} > 8")
+          require(h.recordSize == 8 + 1 + 4 + 4,
+            s"$path: '$name' attribute name-index record size ${h.recordSize} (expected 17)")
           val out = Seq.newBuilder[(String, Any)]
           walkBTree2(at, h, sh, path) { eb =>
             val start = eb.position()

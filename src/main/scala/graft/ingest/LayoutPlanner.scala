@@ -33,7 +33,13 @@ object LayoutPlanner {
       rangePartition: Boolean,
       sortWithinPartitions: Seq[String],
       maxRecordsPerFile: Long,
-      compression: String = "zstd"
+      compression: String = "zstd",
+      /** Non-fatal plan diagnostics, mirroring the reference's chunk-plan
+        * warnings (`chunking.py:226-267`): out-of-band byte targets are
+        * clamped AND surfaced here; columns named in the plan but absent
+        * from the schema are flagged (the reference's unknown-dim warning).
+        */
+      warnings: Seq[String] = Nil
   )
 
   /** Conservative on-disk width estimate per row (uncompressed), used to
@@ -66,27 +72,49 @@ object LayoutPlanner {
       timeBucketCol: Option[String] = None,
       targetFileMB: Int = 128
   ): WriteLayout = {
-    val target = clampTargetMB(targetFileMB) * 1024L * 1024L
+    val clamped = clampTargetMB(targetFileMB)
+    val target = clamped * 1024L * 1024L
     val maxRecords = (target / estimatedRowBytes(schema)).max(1000L)
+    val known = schema.fieldNames.toSet
+    val warnings = Seq.newBuilder[String]
+    if (clamped != targetFileMB)
+      warnings += s"target file size ${targetFileMB} MB outside the " +
+        s"[16, 1024] MB parquet band; clamped to $clamped MB"
+    // the reference's unknown-dimension warning (`chunking.py:246-255`):
+    // a plan column the schema lacks would fail late at write time —
+    // surface it at plan time instead. timeBucketCol is usually DERIVED
+    // before the write, so its absence is a warning, not an error.
+    (cellCols :+ tsCol).filterNot(known).foreach(c =>
+      warnings += s"plan column '$c' not in schema " +
+        s"(${schema.fieldNames.take(8).mkString(", ")}...)")
+    timeBucketCol.filterNot(known).foreach(c =>
+      warnings += s"partition column '$c' not in schema; derive it before writeGrid")
+    if (pattern == Spatial && timeBucketCol.isEmpty)
+      warnings += "Spatial layout without timeBucketCol: no directory " +
+        "partitioning, every timestep scan reads all files"
+    val w = warnings.result()
     pattern match {
       case Timeseries => WriteLayout(
         partitionBy = Nil,
         repartitionCols = cellCols,
         rangePartition = false,
         sortWithinPartitions = cellCols :+ tsCol,
-        maxRecordsPerFile = maxRecords)
+        maxRecordsPerFile = maxRecords,
+        warnings = w)
       case Spatial => WriteLayout(
         partitionBy = timeBucketCol.toSeq,
         repartitionCols = timeBucketCol.toSeq,
         rangePartition = false,
         sortWithinPartitions = cellCols,
-        maxRecordsPerFile = maxRecords)
+        maxRecordsPerFile = maxRecords,
+        warnings = w)
       case Balanced => WriteLayout(
         partitionBy = Nil,
         repartitionCols = cellCols :+ tsCol,
         rangePartition = true,
         sortWithinPartitions = cellCols :+ tsCol,
-        maxRecordsPerFile = maxRecords)
+        maxRecordsPerFile = maxRecords,
+        warnings = w)
     }
   }
 

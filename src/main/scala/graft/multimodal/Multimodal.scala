@@ -9,10 +9,14 @@ import org.apache.spark.sql.types._
   *
   * Media ride as opaque `binary` columns with typed metadata; decode /
   * feature-extract run per-partition in batches (the Scala analog of
-  * `mapInPandas`). The decode kernels are STUBS — the real image/audio
-  * libraries are not in this container — but the Spark-side contract
-  * (schema, batching, partition sizing, deterministic output shape) is
-  * real and tested, so swapping a JNI/FFI decoder in changes one function.
+  * `mapInPandas`). The decode kernels are REAL where the JVM can decode:
+  * JDK ImageIO for images (+ bilinear resize, dHash perceptual dedup),
+  * WAV/AIFF header+sample parsing for audio, a from-spec ISO-BMFF box
+  * walk for video metadata, animated-GIF and MJPEG-in-MP4 frame sampling.
+  * Codec-bearing payloads the JVM cannot decode offline (H.264/HEVC frame
+  * pixels) take the documented fallback contract instead: metadata is
+  * still parsed, decode emits a loud no-row rather than fake pixels —
+  * swapping a JNI/FFI decoder in changes that one function.
   */
 object Multimodal {
 

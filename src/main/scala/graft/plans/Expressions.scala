@@ -669,6 +669,90 @@ object Expressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Per-query ADC lookup tables in one fused pass:
+    * `luts[j][c] = ⟨u_j, books[j][c]⟩` over the (already normalized) query
+    * vector — the companion of [[PqAdc]] on the probe side. The composed
+    * form this replaces was an m × k tree of
+    * `aggregate(zip_with(slice(u), lit(book)), …)` subexpressions —
+    * ~2,000 interpreted expression nodes that the analyzer re-walked on
+    * EVERY serve call (a measured 0.3–0.5 s of driver planning per batch
+    * in q_ivfpq_served) and that allocated a zipped array per dot product
+    * at eval time. Summation is left-to-right per subspace, bit-identical
+    * to the composed form, so every derived oracle replay is unchanged.
+    */
+  case class PqLuts(child: Expression, books: Seq[Seq[Seq[Double]]])
+      extends UnaryExpression with ExpectsInputTypes {
+    require(books.nonEmpty && books.head.nonEmpty && books.head.head.nonEmpty,
+      "codebooks must be m × k × sub, all non-empty")
+
+    private val m = books.size
+    private val k = books.head.size
+    private val sub = books.head.head.size
+
+    override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(DoubleType))
+    override def dataType: DataType =
+      ArrayType(ArrayType(DoubleType, containsNull = false), containsNull = false)
+    override def prettyName: String = "graft_pq_luts"
+
+    // flattened [(j*k + c)*sub + t], same layout as PqEncode
+    @transient private lazy val flat: Array[Double] =
+      books.flatten.flatten.toArray
+
+    override def nullSafeEval(input: Any): Any = {
+      val v = input.asInstanceOf[ArrayData]
+      val rows = new Array[AnyRef](m)
+      var j = 0
+      while (j < m) {
+        val row = new Array[Double](k)
+        var c = 0
+        while (c < k) {
+          val base = (j * k + c) * sub
+          var s = 0.0
+          var t = 0
+          while (t < sub) {
+            s += v.getDouble(j * sub + t) * flat(base + t)
+            t += 1
+          }
+          row(c) = s
+          c += 1
+        }
+        rows(j) = UnsafeArrayData.fromPrimitiveArray(row)
+        j += 1
+      }
+      new GenericArrayData(rows)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, v => {
+        val fRef = ctx.addReferenceObj("pqLutBooks", flat, "double[]")
+        val rows = ctx.freshName("rows"); val row = ctx.freshName("row")
+        val j = ctx.freshName("j"); val c = ctx.freshName("c")
+        val t = ctx.freshName("t"); val s = ctx.freshName("s")
+        val base = ctx.freshName("base")
+        s"""
+           |Object[] $rows = new Object[$m];
+           |for (int $j = 0; $j < $m; $j++) {
+           |  double[] $row = new double[$k];
+           |  for (int $c = 0; $c < $k; $c++) {
+           |    int $base = ($j * $k + $c) * $sub;
+           |    double $s = 0.0;
+           |    for (int $t = 0; $t < $sub; $t++) {
+           |      $s += $v.getDouble($j * $sub + $t) * $fRef[$base + $t];
+           |    }
+           |    $row[$c] = $s;
+           |  }
+           |  $rows[$j] =
+           |    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($row);
+           |}
+           |${ev.value} =
+           |  new org.apache.spark.sql.catalyst.util.GenericArrayData($rows);
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): PqLuts =
+      copy(child = newChild)
+  }
+
   /** Nearest-centroid assignment (`argmin_c ‖v − c‖²`) as a fused codegen
     * expression — the IVF cell assignment for the whole corpus without
     * detouring every row through an MLlib `Vector` conversion and model
@@ -1132,6 +1216,9 @@ object Expressions {
 
   def pq_adc(luts: Column, codes: Column): Column =
     Bridge.column(PqAdc(Bridge.expression(luts), Bridge.expression(codes)))
+
+  def pq_luts(u: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    Bridge.column(PqLuts(Bridge.expression(u), books))
 
   def nearest_centroid(vec: Column, cents: Seq[Seq[Double]]): Column =
     Bridge.column(NearestCentroid(Bridge.expression(vec), cents))

@@ -65,7 +65,7 @@ object SimQ extends QueryPack {
     "q_ivf_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).where(col("vec_id") < 50)
       val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
-        k = 3, nlist = 8, nprobe = 4)
+        k = 3, dim = 64, nlist = 8, nprobe = 4)
       val exact = Similarity.knnJoin(emb, "vec_id", "embedding", k = 3)
       ivf.join(exact.select(col("id1"), col("id2"), lit(1).as("hit")),
           Seq("id1", "id2"), "left")
@@ -132,6 +132,15 @@ object SimQ extends QueryPack {
       // functions of the same seeded fit — see servedIndexDir), so the
       // per-call plan is the true serving path, not a per-call refit.
       val fresh = s.newSession()
+      // serving-session tuning, scoped to the fresh session only: a query
+      // batch is tiny (k·|batch| rows), so 32 shuffle partitions only buy
+      // 4× the task-scheduling overhead per exchange, and AQE's
+      // stage-by-stage materialization turns the 4-exchange plan into 11
+      // driver job rounds of ~1 task each — pure fixed cost at batch
+      // sizes where there is nothing to re-plan. A real serving process
+      // runs exactly this conf; the builder session's conf is untouched.
+      fresh.conf.set("spark.sql.shuffle.partitions", "8")
+      fresh.conf.set("spark.sql.adaptive.enabled", "false")
       val emb = Tables.embeddings(fresh, dir).where(col("vec_id") < 50)
       val idx = Similarity.openIvfPqIndex(fresh, idxDir)
       val served = Similarity.ivfPqServe(idx, emb, "vec_id", "embedding",

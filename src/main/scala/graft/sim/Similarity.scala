@@ -68,13 +68,13 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
+      dim: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
       seed: Long = 42L,
       iters: Int = 10
   ): DataFrame = {
     val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
-    val dim = v.select(size(col("v"))).head().getInt(0)
     // raw-vector fit (no L2 pre-normalization), matching the raw-vector
     // L2² cell assignment below — one consistent quantizer geometry
     val cents = pqCodebooks(df, vecCol, dim, m = 1, codebookSize = nlist,
@@ -94,12 +94,16 @@ object Similarity {
       .select(col("qid"), col("qv"),
         explode(graft.plans.Expressions.nearest_centroids(
           col("qv"), centroids.map(_._1).toSeq, nprobe)).as("cell"))
-    // candidates: query × vectors in probed cells only
+    // candidates: query × vectors in probed cells only. Each (query,
+    // candidate) pair arises at most once — a corpus vector sits in
+    // exactly one cell and NearestCentroids returns nprobe DISTINCT
+    // cells — so no distinct() is needed (one was here until round 13:
+    // a gratuitous full shuffle of the IVF path's largest intermediate;
+    // uniqueness is now pinned in SimilaritySpec instead).
     val sims = probes.join(assigned, Seq("cell"))
       .where(col("qid") =!= col(idCol))
       .select(col("qid").as("id1"), col(idCol).as("id2"),
         Dedup.cosine(col("qv"), col("v")).as("cosine"))
-      .distinct()
     val w = Window.partitionBy(col("id1")).orderBy(col("cosine").desc, col("id2"))
     sims.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -485,9 +489,6 @@ object Similarity {
   private def l2normalize(vec: Column): Column =
     graft.plans.Expressions.l2_normalize(vec)
 
-  private def dot(a: Column, b: Seq[Double]): Column =
-    aggregate(zip_with(a, typedLit(b), (x, y) => x * y), lit(0.0), _ + _)
-
   /** PQ encoding: `codes[j] = argmin_c ‖u_j − codebook[j][c]‖²` — the
     * embedding compressed to m small ints (4–8 bits each), a 32–64×
     * reduction of what a similarity scan has to read. A fused native
@@ -532,10 +533,10 @@ object Similarity {
     val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
     val encoded = v.select(col(idCol).as("cid"),
       pqEncode(col("v"), books).as("codes"))
-    val luts = array((0 until m).map { j =>
-      val qj = slice(col("u"), j * sub + 1, sub)
-      array(books(j).map(c => dot(qj, c)): _*)
-    }: _*)
+    // fused native kernel (graft.plans.Expressions.PqLuts): the composed
+    // m × k aggregate(zip_with(slice…)) tree was ~2,000 expression nodes
+    // re-analyzed per call — driver planning cost, not just eval cost
+    val luts = graft.plans.Expressions.pq_luts(col("u"), books)
     val qside = queries.getOrElse(df)
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .select(col(idCol).as("qid"), l2normalize(col("v")).as("u"))
@@ -637,10 +638,10 @@ object Similarity {
       m: Int,
       sub: Int
   ): DataFrame = {
-    val luts = array((0 until m).map { j =>
-      val qj = slice(col("u"), j * sub + 1, sub)
-      array(books(j).map(c => dot(qj, c)): _*)
-    }: _*)
+    // fused native LUT kernel — see pqTopK; bit-identical left-to-right
+    // per-subspace sums, so the stored-index serve path and its derived
+    // oracle replays are unchanged
+    val luts = graft.plans.Expressions.pq_luts(col("u"), books)
     val probesBase = queryDf
       .select(col(idCol), asDouble(col(vecCol)).as("v"))
       .select(col(idCol).as("qid"), l2normalize(col("v")).as("u"))

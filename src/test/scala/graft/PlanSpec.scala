@@ -110,6 +110,22 @@ class PlanSpec extends SparkSpec {
       s"expected exactly the rank window's shuffle:\n$p")
   }
 
+  test("IVF candidate set feeds the rank window with no extra exchange") {
+    val emb = Tables.embeddings(spark, sfDir).where(col("vec_id") < 20)
+    val q = graft.sim.Similarity.ivfTopK(emb, "vec_id", "embedding",
+      k = 3, dim = 64, nlist = 4, nprobe = 2)
+    val p = plan(q)
+    // the candidate join's output used to pass through a distinct() —
+    // a full shuffle of the IVF path's largest intermediate hashed on
+    // (qid, id, cosine). Pairs are unique by construction (one cell per
+    // corpus vector, distinct probed cells), so the only exchange keyed
+    // on the similarity output is the rank window's id1 partitioning.
+    assert(!"Exchange hashpartitioning\\([^)]*cosine".r.findFirstIn(p).isDefined,
+      s"no exchange may hash the cosine column (distinct() regression):\n$p")
+    assert("""\bWindow\b""".r.findAllIn(p).size == 1,
+      s"expected only the final rank Window:\n$p")
+  }
+
   test("IVF-PQ probe ranking is fused: one Window total, no centroid crossJoin") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = graft.sim.Similarity.ivfPqTopK(emb, "vec_id", "embedding",

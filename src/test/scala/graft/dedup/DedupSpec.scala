@@ -327,11 +327,24 @@ class DedupSpec extends SparkSpec {
     val sample = emb.where(col("vec_id") < 100)
     val exact = Similarity.knnJoin(sample, "vec_id", "embedding", 3)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.ivfTopK(sample, "vec_id", "embedding", 3,
+    val ivf = Similarity.ivfTopK(sample, "vec_id", "embedding", 3, dim = 64,
         nlist = 8, nprobe = 4)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.intersect(ivf).size.toDouble / exact.size
     assert(recall >= 0.6, s"IVF recall@3 too low: $recall")
+  }
+
+  test("IVF candidate pairs are unique by construction (no distinct needed)") {
+    // one cell per corpus vector + nprobe DISTINCT probed cells per query
+    // means a (query, candidate) pair can arise from at most one cell —
+    // the invariant that let round 13 drop ivfTopK's distinct() shuffle.
+    // k >= sample size exposes the full candidate set through the rank.
+    val sample = emb.where(col("vec_id") < 40)
+    val all = Similarity.ivfTopK(sample, "vec_id", "embedding", k = 1000,
+        dim = 64, nlist = 4, nprobe = 4)
+      .groupBy(col("id1"), col("id2")).count()
+      .where(col("count") > 1)
+    assert(all.isEmpty, "duplicate (id1, id2) candidate pairs found")
   }
 
   test("LSH cosine pairs: exact precision, bounded recall vs all-pairs baseline") {

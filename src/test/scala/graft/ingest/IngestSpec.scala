@@ -61,6 +61,36 @@ class IngestSpec extends SparkSpec {
     assert(ts.maxRecordsPerFile > 1000)
   }
 
+  test("layout planner surfaces warnings instead of clamping silently") {
+    val schema = Tables.lineitem(spark, sfDir).schema
+    // in-band plan with real columns: no warnings
+    val ok = plan(schema, Timeseries, Seq("l_returnflag"), "l_shipdate")
+    assert(ok.warnings.isEmpty, ok.warnings.mkString("; "))
+    // out-of-band byte target: clamped AND surfaced (reference warns at
+    // chunking.py:258-265; until round 13 this repo clamped silently)
+    val tiny = plan(schema, Timeseries, Seq("l_returnflag"), "l_shipdate",
+      targetFileMB = 1)
+    val floor16 = plan(schema, Timeseries, Seq("l_returnflag"), "l_shipdate",
+      targetFileMB = 16)
+    assert(tiny.maxRecordsPerFile == floor16.maxRecordsPerFile) // still clamped
+    assert(tiny.warnings.exists(_.contains("clamped to 16 MB")), tiny.warnings)
+    val huge = plan(schema, Timeseries, Seq("l_returnflag"), "l_shipdate",
+      targetFileMB = 4096)
+    assert(huge.warnings.exists(_.contains("clamped to 1024 MB")), huge.warnings)
+    // unknown plan columns: flagged, not failed (reference's unknown-dim
+    // warning, chunking.py:246-255)
+    val bad = plan(schema, Timeseries, Seq("no_such_cell"), "no_such_ts")
+    assert(bad.warnings.count(_.contains("not in schema")) == 2, bad.warnings)
+    // derived partition column: warning names the derive-before-write fix
+    val derived = plan(schema, Spatial, Seq("l_returnflag"), "l_shipdate",
+      Some("ship_year"))
+    assert(derived.warnings.exists(_.contains("derive it before writeGrid")),
+      derived.warnings)
+    // Spatial without a bucket column: the every-scan-reads-everything trap
+    val flat = plan(schema, Spatial, Seq("l_returnflag"), "l_shipdate")
+    assert(flat.warnings.exists(_.contains("without timeBucketCol")), flat.warnings)
+  }
+
   test("write-read roundtrip preserves data; overwrite protection works") {
     val li = Tables.lineitem(spark, sfDir)
     val layout = plan(li.schema, Timeseries, Seq("l_returnflag"), "l_shipdate")

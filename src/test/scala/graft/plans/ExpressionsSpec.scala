@@ -42,6 +42,46 @@ class ExpressionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("native PQ LUTs match the composed slice/zip_with/aggregate form exactly") {
+    val m = 4; val k = 3; val sub = 2
+    val rnd = new scala.util.Random(7)
+    val books: Seq[Seq[Seq[Double]]] =
+      Seq.fill(m)(Seq.fill(k)(Seq.fill(sub)(rnd.nextGaussian())))
+    val df = Seq.fill(6)(Seq.fill(m * sub)(rnd.nextGaussian())).toDF("u")
+    // the pre-round-13 composed form, kept here as the semantic oracle:
+    // luts[j][c] = aggregate(zip_with(slice(u, j·sub+1, sub), book), +)
+    def dot(a: org.apache.spark.sql.Column, b: Seq[Double]) =
+      aggregate(zip_with(a, typedLit(b), (x, y) => x * y), lit(0.0), _ + _)
+    val composed = array((0 until m).map { j =>
+      array(books(j).map(c => dot(slice(col("u"), j * sub + 1, sub), c)): _*)
+    }: _*)
+    val rows = df.select(
+      Expressions.pq_luts(col("u"), books).as("native"),
+      composed.as("composed")).collect()
+    rows.foreach { r =>
+      val nat = r.getSeq[scala.collection.Seq[Double]](0).map(_.toSeq)
+      val cmp = r.getSeq[scala.collection.Seq[Double]](1).map(_.toSeq)
+      assert(nat.size == m && nat.head.size == k)
+      // bitwise equality: left-to-right summation must be preserved
+      assert(nat == cmp, s"native $nat != composed $cmp")
+    }
+    // pairs with PqAdc: score of a code vector equals manual lookup sum
+    val withCodes = df.withColumn("codes", typedLit(Seq(0, 2, 1, 0)))
+    val scored = withCodes.select(
+      Expressions.pq_adc(Expressions.pq_luts(col("u"), books), col("codes"))
+        .as("score"),
+      Expressions.pq_luts(col("u"), books).as("luts")).collect()
+    scored.foreach { r =>
+      val luts = r.getSeq[scala.collection.Seq[Double]](1).map(_.toSeq)
+      val expect = luts(0)(0) + luts(1)(2) + luts(2)(1) + luts(3)(0)
+      assert(r.getDouble(0) == expect)
+    }
+    // null vector propagates
+    val n = Seq[Option[Seq[Double]]](None).toDF("u")
+      .select(Expressions.pq_luts(col("u"), books)).head
+    assert(n.isNullAt(0))
+  }
+
   test("expressions run inside whole-stage codegen (no fallback)") {
     // a parquet scan input prevents constant folding from evaluating the
     // expression at optimization time
