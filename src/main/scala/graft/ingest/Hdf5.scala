@@ -26,10 +26,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   *     Version 2 B-tree (the multi-unlimited-dim layout); every lookup3
   *     checksum verified; chunk filter pipelines covering what netCDF-4 files
   *     actually carry — deflate (zlib, id 1), shuffle (byte transpose,
-  *     id 2), and fletcher32 checksums (id 3, verified) — applied in
-  *     reverse pipeline order per chunk with the B-tree key's filter
-  *     mask honored; anything else (szip/nbit/scaleoffset/user filters)
-  *     fails with a clear message
+  *     id 2), fletcher32 checksums (id 3, verified), szip (id 4, the
+  *     from-spec CCSDS-121 coder in Szip.scala), plus the registered
+  *     lzf/lz4/zstd plugins — applied in reverse pipeline order per chunk
+  *     with the B-tree key's filter mask honored; anything else
+  *     (nbit/scaleoffset/user filters) fails with a clear message
   *   - netCDF-4 semantics: dimension-scale datasets (CLASS =
   *     "DIMENSION_SCALE"), DIMENSION_LIST resolution through the global
   *     heap, coordinate variables, CF time/scale/offset/fill decoding
@@ -867,6 +868,15 @@ object Hdf5 {
   private val DeflateId = 1
   private val ShuffleId = 2
   private val Fletcher32Id = 3
+  private val SzipId = 4     // CCSDS-121 extended-Rice (see Szip.scala)
+
+  /** Fixture-writer szip parameters (must match what the chunks were
+    * encoded with — the reader rebuilds Szip.Params from this client
+    * data): EC + NN + LSB + RAW over the shuffled byte stream as 8-bit
+    * samples, 32 pixels/block, 1024 pixels/scanline.
+    */
+  private[ingest] val SzipCdata: IndexedSeq[Int] = IndexedSeq(
+    Szip.Ec | Szip.Nn | Szip.Lsb | Szip.Raw, 8, 32, 1024)
   private val Lz4Id = 32004  // HDF5 registered filter (hdf5plugin's lz4)
   private val ZstdId = 32015 // HDF5 registered filter (hdf5plugin's zstd)
   private val LzfId = 32000  // HDF5 registered filter (h5py's default lzf)
@@ -878,7 +888,7 @@ object Hdf5 {
   }
 
   private val SupportedFilters =
-    Set(DeflateId, ShuffleId, Fletcher32Id, Lz4Id, ZstdId, LzfId)
+    Set(DeflateId, ShuffleId, Fletcher32Id, SzipId, Lz4Id, ZstdId, LzfId)
 
   /** Parse a Filter Pipeline message (type 0x0B), versions 1 and 2.
     * Only deflate(1)/shuffle(2)/fletcher32(3) — the pipelines netCDF-4
@@ -907,7 +917,7 @@ object Hdf5 {
     out.find(f => !SupportedFilters(f.id))
       .foreach { f =>
         sys.error(s"$where: unsupported chunk filter ${filterName(f.id)} " +
-          s"(id ${f.id}); deflate/shuffle/fletcher32/lz4/zstd are " +
+          s"(id ${f.id}); deflate/shuffle/fletcher32/szip/lz4/zstd/lzf are " +
           "supported — repack with `h5repack -f GZIP=4` or nccopy upstream")
       }
     out
@@ -1186,7 +1196,20 @@ object Hdf5 {
         case Some(c) => (c, 0)
         case None => (shuffled, 2) // bit 1: pipeline filter [shuffle,LZF,fletcher]
       }
-      case c => sys.error(s"unknown chunk codec '$c' (zlib/lz4/zstd/lzf)")
+      case "szip" =>
+        // H5Zszip framing: 4-byte LE original size, then the raw CCSDS
+        // bitstream; parameters must equal the pipeline message's cdata
+        // (SzipCdata — the reader rebuilds Params from there)
+        val body = Szip.encode(shuffled,
+          Szip.Params(SzipCdata(0), SzipCdata(1), SzipCdata(2), SzipCdata(3)))
+        val out = new Array[Byte](4 + body.length)
+        out(0) = shuffled.length.toByte
+        out(1) = (shuffled.length >>> 8).toByte
+        out(2) = (shuffled.length >>> 16).toByte
+        out(3) = (shuffled.length >>> 24).toByte
+        System.arraycopy(body, 0, out, 4, body.length)
+        (out, 0)
+      case c => sys.error(s"unknown chunk codec '$c' (zlib/lz4/zstd/lzf/szip)")
     }
     (appendFletcher(compressed), mask)
   }
@@ -1247,6 +1270,19 @@ object Hdf5 {
           }
           require(full <= Int.MaxValue, s"${v.name}: lzf chunk over 2 GiB")
           raw = lzfDecompress(raw, full.toInt, v.name)
+        case SzipId =>
+          // H5Zszip.c prepends the original byte count as 4 LE bytes,
+          // then the raw (headerless) CCSDS-121 bitstream; parameters
+          // ride in the filter's client data
+          require(f.cdata.length >= 4,
+            s"${v.name}: szip filter with ${f.cdata.length} client-data words (need 4)")
+          require(raw.length >= 4, s"${v.name}: szip chunk under 4 bytes")
+          val orig = ((raw(0) & 0xFF)) | ((raw(1) & 0xFF) << 8) |
+            ((raw(2) & 0xFF) << 16) | ((raw(3) & 0xFF) << 24)
+          require(orig >= 0, s"${v.name}: szip chunk claims negative size")
+          val p = Szip.Params(f.cdata(0), f.cdata(1), f.cdata(2), f.cdata(3))
+          raw = Szip.decode(
+            java.util.Arrays.copyOfRange(raw, 4, raw.length), orig, p, v.name)
         case ShuffleId =>
           raw = unshuffleBytes(raw, f.cdata.headOption.getOrElse(v.dtype.size))
         case other =>
@@ -2360,8 +2396,8 @@ object Hdf5 {
             headerVersion: Int = 1): Unit = {
     require(headerVersion == 1 || headerVersion == 2,
       s"headerVersion $headerVersion (1 = classic prefix, 2 = latest OHDR)")
-    require(Set("zlib", "lz4", "zstd", "lzf")(chunkCodec),
-      s"chunkCodec '$chunkCodec' (zlib/lz4/zstd/lzf)")
+    require(Set("zlib", "lz4", "zstd", "lzf", "szip")(chunkCodec),
+      s"chunkCodec '$chunkCodec' (zlib/lz4/zstd/lzf/szip)")
     // lzf is h5py's codec and h5py writes the earliest file format; the
     // v3 B-tree path also carries the per-chunk skip masks lzf needs
     require(chunkCodec != "lzf" || layoutVersion == 3,
@@ -2562,23 +2598,28 @@ object Hdf5 {
           // (lzf carries no client data and gets the OPTIONAL flag —
           // h5py's registration — so skip-on-no-gain is spec-legal)
           val (codecId, codecCd) = chunkCodec match {
-            case "lz4" => (32004, Some(1L << 20)) // block size
-            case "zstd" => (32015, Some(deflate.toLong))
-            case "lzf" => (32000, None)
-            case _ => (1, Some(deflate.toLong))
+            case "lz4" => (32004, Seq(1L << 20)) // block size
+            case "zstd" => (32015, Seq(deflate.toLong))
+            case "lzf" => (32000, Nil)
+            case "szip" => (4, SzipCdata.map(_.toLong))
+            case _ => (1, Seq(deflate.toLong))
           }
-          val codecBlock = if (codecCd.isDefined) 16 else 8
+          // v1 filter entry: 8-byte header + cdata padded to an even
+          // word count (lzf carries no client data and gets the OPTIONAL
+          // flag — h5py's registration — so skip-on-no-gain is spec-legal)
+          val codecBlock = 8 + (codecCd.length + 1) / 2 * 8
           val fpSize = pad8(8 + 16 + codecBlock + 8)
           msgs += ((0x0B, fpSize, () => {
             val start = b.pos
             b.u8(1); b.u8(3)    // version 1, three filters
             b.u16(0); b.u32(0)  // reserved
             b.u16(2); b.u16(0); b.u16(0); b.u16(1); b.u32(elemSize.toLong); b.u32(0)
-            codecCd match {
-              case Some(cd) =>
-                b.u16(codecId); b.u16(0); b.u16(0); b.u16(1); b.u32(cd); b.u32(0)
-              case None =>
-                b.u16(codecId); b.u16(0); b.u16(1); b.u16(0) // OPTIONAL flag
+            if (codecCd.isEmpty) {
+              b.u16(codecId); b.u16(0); b.u16(1); b.u16(0) // OPTIONAL flag
+            } else {
+              b.u16(codecId); b.u16(0); b.u16(0); b.u16(codecCd.length)
+              codecCd.foreach(b.u32)
+              if (codecCd.length % 2 == 1) b.u32(0) // pad to even words
             }
             b.u16(3); b.u16(0); b.u16(0); b.u16(0)
             b.zeros(fpSize - (b.pos - start))

@@ -77,8 +77,21 @@ object GridSchema {
   * `spark.read.parquet` so every query benefits from the same scan options.
   */
 object Tables {
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+  /** JVM-wide schema cache: the driver tables are immutable fixtures, so
+    * re-inferring the schema — a single-task footer-read Spark job — on
+    * every `spark.read.parquet` is a fixed per-query driver cost for zero
+    * information. Supplying the cached schema skips that job entirely
+    * (the first read per (path) still infers).
+    */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, StructType]
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.getOrElseUpdate(path,
+      spark.read.parquet(path).schema)
+    normalizeTs(spark.read.schema(schema).parquet(path))
+  }
 
   /** The events table stores TIMESTAMP(NANOS) which Spark reads as long
     * nanos under spark.sql.legacy.parquet.nanosAsLong; the generated values

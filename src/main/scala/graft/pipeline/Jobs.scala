@@ -13,8 +13,9 @@ import scala.concurrent.{ExecutionContext, Future}
   *
   * Celery + Redis collapse into Spark: a job is a Future wrapping an
   * action, grouped via `setJobGroup` so it is cancellable and attributable;
-  * status lives in a concurrent map (a SparkListener could stream stage
-  * progress the way Celery streamed task state).
+  * status lives in a concurrent map, and a SparkListener streams per-stage
+  * progress into it the way Celery streamed PROCESSING step/percent state
+  * (`celery_tasks.py:111-116,144`).
   */
 object Jobs {
 
@@ -63,22 +64,79 @@ object Jobs {
 
   // ---- D7/D9: job lifecycle
 
+  /** Live stage/task progress of a running job — the analog of Celery's
+    * PROCESSING meta with step/percent updates
+    * (`celery_tasks.py:111-116,144`), fed by a SparkListener keyed on the
+    * job group. `stagesTotal` grows as an action submits more Spark jobs
+    * (AQE materializes a query stage at a time), so `percent` is monotone
+    * per stage-set but may step back when a new job group member starts —
+    * the same way Celery's per-step percent resets between steps.
+    */
+  final case class Progress(stagesDone: Int, stagesTotal: Int,
+                            tasksDone: Int, tasksTotal: Int) {
+    def percent: Double =
+      if (stagesTotal == 0) 0.0 else 100.0 * stagesDone / stagesTotal
+  }
+
   sealed trait JobStatus
   case object Pending extends JobStatus
-  case object Running extends JobStatus
+  final case class Running(progress: Progress) extends JobStatus
   final case class Done(rows: Long) extends JobStatus
   final case class Failed(error: String) extends JobStatus
 
   final class JobManager(spark: SparkSession)(implicit ec: ExecutionContext) {
     private val statuses = new ConcurrentHashMap[String, JobStatus]()
+    private val progress = new ConcurrentHashMap[String, Progress]()
+    private val stageToJob = new ConcurrentHashMap[Int, String]()
+
+    /** Streams per-stage progress into `statuses` — the docstring promise
+      * at the top of this file, kept since round 13. Listener events are
+      * ordered per SparkContext; only jobs this manager submitted (group
+      * id present in `statuses`) are tracked.
+      */
+    private val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val gid = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+        gid.filter(statuses.containsKey).foreach { id =>
+          j.stageInfos.foreach(si => stageToJob.put(si.stageId, id))
+          val p = progress.merge(id,
+            Progress(0, j.stageInfos.size, 0, j.stageInfos.map(_.numTasks).sum),
+            (a, b) => Progress(a.stagesDone, a.stagesTotal + b.stagesTotal,
+              a.tasksDone, a.tasksTotal + b.tasksTotal))
+          markRunning(id, p)
+        }
+      }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        Option(stageToJob.get(s.stageInfo.stageId)).foreach { id =>
+          val p = progress.computeIfPresent(id, (_, p0) =>
+            Progress(p0.stagesDone + 1, p0.stagesTotal,
+              p0.tasksDone + s.stageInfo.numTasks, p0.tasksTotal))
+          if (p != null) markRunning(id, p)
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    /** Progress only overwrites a LIVE status — never a Done/Failed that
+      * the submitting future has already recorded (listener events arrive
+      * asynchronously after the action returns).
+      */
+    private def markRunning(id: String, p: Progress): Unit =
+      statuses.computeIfPresent(id, (_, cur) => cur match {
+        case Pending | Running(_) => Running(p)
+        case terminal => terminal
+      })
 
     /** Submit an action as a cancellable job; progress is attributable via
-      * the job group in the Spark UI/listeners.
+      * the job group and streamed into [[status]] per completed stage.
       */
     def submit(jobId: String, df: => DataFrame): Future[Long] = {
       statuses.put(jobId, Pending)
+      progress.put(jobId, Progress(0, 0, 0, 0))
       Future {
-        statuses.put(jobId, Running)
+        statuses.put(jobId, Running(progress.get(jobId)))
         spark.sparkContext.setJobGroup(jobId, s"graft job $jobId", interruptOnCancel = true)
         try {
           val n = df.count()
@@ -92,5 +150,10 @@ object Jobs {
 
     def status(jobId: String): Option[JobStatus] = Option(statuses.get(jobId))
     def cancel(jobId: String): Unit = spark.sparkContext.cancelJobGroup(jobId)
+
+    /** Detach the listener (a JobManager held for the session lifetime
+      * needs no close; short-lived managers should not leak listeners).
+      */
+    def close(): Unit = spark.sparkContext.removeSparkListener(listener)
   }
 }

@@ -226,6 +226,20 @@ object NetCdfQ extends QueryPack {
         chunkCodec = "zstd")
       backToRows(NetCdf.read(s, path, Seq("n", "mean_qty")))
     }),
+    // The H5Pset_szip pipeline ERA5-era archives actually carry: every
+    // chunk shuffle -> szip -> fletcher32 (filter id 4), decoded by the
+    // from-spec CCSDS-121 coder in Szip.scala (NN preprocessing + Rice
+    // entropy options, raw HDF5 framing). Same oracle once more, so a
+    // defect anywhere in the bit-level coder hash-mismatches against
+    // DuckDB's replay from lineitem.
+    "q_netcdf4_szip" -> ((s, dir) => {
+      val (years, nVals, qVals) = gridSlabs(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-nc4sz").resolve("grid.nc").toString
+      writeGridH5(path, years.toSeq, nVals, qVals, deflate = 1,
+        chunkCodec = "szip")
+      backToRows(NetCdf.read(s, path, Seq("n", "mean_qty")))
+    }),
     // The latest-format UNLIMITED-dimension shape: version-4 layout with
     // an Extensible Array chunk index (what libhdf5 1.10+ writes for the
     // netCDF-4 time-unlimited case), compressed chunks, every EA
@@ -359,6 +373,7 @@ object NetCdfQ extends QueryPack {
     "q_netcdf4_dense" -> roundtripSql,
     "q_netcdf4_export" -> roundtripSql,
     "q_netcdf4_zstd" -> roundtripSql,
+    "q_netcdf4_szip" -> roundtripSql,
     "q_netcdf5_roundtrip" -> roundtripSql,
     "q_stream_netcdf" -> roundtripSql,
     "q_netcdf4_pushdown" -> pushdownSql,

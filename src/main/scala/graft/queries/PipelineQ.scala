@@ -204,6 +204,7 @@ object PipelineQ extends QueryPack {
           fut, scala.concurrent.duration.Duration.Inf)
         require(jm.status("convert-orders").contains(Jobs.Done(n)),
           s"job status ${jm.status("convert-orders")}")
+        jm.close() // one-shot manager: detach its progress listener
         store
       }))
       round6(

@@ -145,8 +145,13 @@ object SimQ extends QueryPack {
       val idx = Similarity.openIvfPqIndex(fresh, idxDir)
       val served = Similarity.ivfPqServe(idx, emb, "vec_id", "embedding",
         k = 10, nprobe = 4)
-      val direct = fresh.read.parquet(s"$idxDir/expected/direct")
-      val exact = fresh.read.parquet(s"$idxDir/expected/exact")
+      // pinned fixtures have pinned schemas: supplying them skips the
+      // per-call single-task schema-inference job each read would run
+      val direct = fresh.read
+        .schema("id1 BIGINT, id2 BIGINT, score DOUBLE, rank INT")
+        .parquet(s"$idxDir/expected/direct")
+      val exact = fresh.read.schema("id1 BIGINT, id2 BIGINT")
+        .parquet(s"$idxDir/expected/exact")
       // both validations in ONE pass over the serve output: full-join the
       // pinned direct twin on (id1, rank), left-join the pinned exact hit
       // set on (id1, served id2), then a single groupBy computes the

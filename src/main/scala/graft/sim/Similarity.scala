@@ -893,8 +893,10 @@ object Similarity {
     * normal regime — compaction keeps it from growing unboundedly) and
     * degrades to a shuffled anti-join, never a scan-per-id, beyond that.
     */
-  private def liveCodes(spark: SparkSession, path: String): DataFrame = {
-    val codes = spark.read.parquet(s"$path/codes")
+  private def liveCodes(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+    val codes = reader.parquet(s"$path/codes")
     tombstonesOpt(spark, path)
       .map(t => codes.join(t, Seq("cid"), "left_anti")).getOrElse(codes)
   }
@@ -1010,7 +1012,8 @@ object Similarity {
     * cache.
     */
   private val indexModelCache = scala.collection.concurrent.TrieMap
-    .empty[String, (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], Int, Int, Boolean)]
+    .empty[String, (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], Int, Int, Boolean,
+      org.apache.spark.sql.types.StructType)]
 
   /** Drop the cached model for `path` — call after an out-of-process
     * model rewrite.
@@ -1025,7 +1028,7 @@ object Similarity {
     * [[deleteFromIvfPqIndex]] are already excluded.
     */
   def openIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex = {
-    val (cents, books, dim, m, residual) =
+    val (cents, books, dim, m, residual, codesSchema) =
       indexModelCache.getOrElseUpdate(path, {
         val meta = spark.read.parquet(s"$path/meta").head()
         val mm = meta.getAs[Int]("m")
@@ -1037,9 +1040,15 @@ object Similarity {
           .map(r => (r.getAs[Int]("j"), r.getSeq[Double](r.fieldIndex("vec"))))
         val bs = (0 until mm).map(j =>
           booksFlat.filter(_._1 == j).map(_._2).toSeq).toSeq
-        (cs, bs, meta.getAs[Int]("dim"), mm, meta.getAs[Boolean]("residual"))
+        // the codes schema rides in the model cache: append/delete/compact
+        // preserve it (same encoder, same partition layout), so later
+        // serves skip the per-open schema-inference job
+        val codesSchema = spark.read.parquet(s"$path/codes").schema
+        (cs, bs, meta.getAs[Int]("dim"), mm,
+          meta.getAs[Boolean]("residual"), codesSchema)
       })
-    IvfPqIndex(cents, books, dim, m, residual, liveCodes(spark, path))
+    IvfPqIndex(cents, books, dim, m, residual,
+      liveCodes(spark, path, Some(codesSchema)))
   }
 
   /** Answer a query batch from a persisted index — no codebook fit, no

@@ -174,6 +174,43 @@ class Hdf5Spec extends SparkSpec {
     }
   }
 
+  test("szip chunks (CCSDS-121) read identically to unfiltered; corrupt block rejects") {
+    val base = tmpDir()
+    writeGrid(base + "/plain.h5", chunked = true)
+    val expected = Hdf5.read(spark, base + "/plain.h5", Seq("t2m", "count"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    val p = s"$base/szip.h5"
+    writeGrid(p, chunked = true, deflate = 1, chunkCodec = "szip")
+    val got = Hdf5.read(spark, p, Seq("t2m", "count"))
+      .orderBy("time", "lat", "lon").collect().toSeq
+    assert(got == expected, "szip mismatch")
+    // pipeline recorded as shuffle → szip → fletcher32, with the four
+    // H5Pset_szip client-data words (mask, bits/pixel, px/block, px/scanline)
+    val t2m = Hdf5.readStructure(p, Map.empty).datasets.find(_.name == "t2m").get
+    assert(t2m.filters.map(_.id) == IndexedSeq(2, 4, 3))
+    assert(t2m.filters(1).cdata == Hdf5.SzipCdata)
+    // corrupt one byte inside the first chunk's szip payload (past the
+    // 4-byte size prefix, before the trailing fletcher32): the checksum
+    // catches it BEFORE the szip decoder ever runs — never a silent
+    // mis-decode
+    val chunk = t2m.layout match {
+      case Hdf5.Chunked(_, cs) => cs.minBy(_.addr)
+      case other => fail(s"expected chunked layout, got $other")
+    }
+    val raf = new java.io.RandomAccessFile(p, "rw")
+    try {
+      raf.seek(chunk.addr + 6)
+      val b = raf.read(); raf.seek(chunk.addr + 6); raf.write(b ^ 0x5A)
+    } finally raf.close()
+    val e = intercept[Exception] {
+      Hdf5.read(spark, p, Seq("t2m")).collect()
+    }
+    val messages = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(messages.exists(_.contains("fletcher32")),
+      s"corruption must be caught by the checksum, got: $messages")
+  }
+
   test("lzf codec (h5py default): compression, and the skip-mask on no gain") {
     // big-enough chunks that lzf really compresses the smooth variable;
     // the full-entropy variable gets NO gain → stored unfiltered with the

@@ -89,10 +89,44 @@ class PipelineSpec extends SparkSpec {
 
   test("job manager tracks lifecycle and counts") {
     val jm = new Jobs.JobManager(spark)
-    val f = jm.submit("job-1", li.where(col("l_quantity") > 10))
-    val n = Await.result(f, 2.minutes)
-    assert(n > 0)
-    assert(jm.status("job-1").contains(Jobs.Done(n)))
-    assert(jm.status("missing").isEmpty)
+    try {
+      val f = jm.submit("job-1", li.where(col("l_quantity") > 10))
+      val n = Await.result(f, 2.minutes)
+      assert(n > 0)
+      assert(jm.status("job-1").contains(Jobs.Done(n)))
+      assert(jm.status("missing").isEmpty)
+    } finally jm.close()
+  }
+
+  test("job manager streams per-stage progress into Running (Celery parity)") {
+    val jm = new Jobs.JobManager(spark)
+    try {
+      // two stages by construction: a shuffle, then a slow result stage
+      // (5 ms/row × 100 rows/partition ≈ 500 ms) — long enough that the
+      // poller observes Running AFTER the first stage completed, i.e. a
+      // listener-fed progress update mid-job (celery_tasks.py:111-116)
+      val slow = udf((x: Long) => { Thread.sleep(5); x })
+      val df = spark.range(0, 400, 1, 4).toDF("id")
+        .repartition(4, col("id"))
+        .select(slow(col("id")).as("id"))
+      val f = jm.submit("job-progress", df)
+      val seen = scala.collection.mutable.ArrayBuffer[Jobs.Progress]()
+      while (!f.isCompleted) {
+        jm.status("job-progress").foreach {
+          case Jobs.Running(p) => seen += p
+          case _ =>
+        }
+        Thread.sleep(5)
+      }
+      val n = Await.result(f, 2.minutes)
+      assert(jm.status("job-progress").contains(Jobs.Done(n)))
+      assert(seen.exists(_.stagesTotal >= 1),
+        s"mid-job Running must carry stage totals, saw: ${seen.distinct}")
+      assert(seen.exists(_.stagesDone >= 1),
+        s"a completed stage must stream into Running progress, saw: ${seen.distinct}")
+      val last = seen.last
+      assert(last.percent >= 0.0 && last.percent <= 100.0)
+      assert(last.tasksTotal >= 4, s"task totals must accumulate: $last")
+    } finally jm.close()
   }
 }
