@@ -68,6 +68,20 @@ object Catalog {
   private def iso(c: Column): Column =
     date_format(c, "yyyy-MM-dd'T'HH:mm:ss'Z'")
 
+  /** JSON string-escape for caller-supplied text (ids, descriptions,
+    * units, hrefs, keywords) interpolated into the documents — a quote
+    * in a unit string must not produce a malformed STAC document.
+    */
+  private def jstr(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   /** `cube:dimensions` JSON over (time, lat, lon): temporal extent +
     * mean step as an ISO-8601 duration in whole seconds, spatial extents
     * + mean step per axis. (Mean step, not modal: one agg pass; at 100 TB
@@ -104,7 +118,7 @@ object Catalog {
 
   private def varsJson(variables: Seq[(String, String)]): String =
     variables.map { case (name, unit) =>
-      s""""$name":{"type":"data","dimensions":["time","lat","lon"],"unit":"$unit"}"""
+      s""""${jstr(name)}":{"type":"data","dimensions":["time","lat","lon"],"unit":"${jstr(unit)}"}"""
     }.mkString(",")
 
   /** STAC Item for a spatio-temporal dataset (reference
@@ -129,19 +143,19 @@ object Catalog {
       lit("Item").as("kind"),
       lit(datasetId).as("id"),
       concat(
-        lit(s"""{"type":"Feature","stac_version":"1.0.0","id":"$datasetId","bbox":["""),
+        lit(s"""{"type":"Feature","stac_version":"1.0.0","id":"${jstr(datasetId)}","bbox":["""),
         w, lit(","), s, lit(","), e, lit(","), n,
         lit("""],"geometry":{"type":"Polygon","coordinates":[[["""),
         w, lit(","), s, lit("],["), e, lit(","), s, lit("],["),
         e, lit(","), n, lit("],["), w, lit(","), n, lit("],["),
         w, lit(","), s,
-        lit(s"""]]]},"properties":{"title":"ARCO dataset: $datasetId","start_datetime":""""),
+        lit(s"""]]]},"properties":{"title":"ARCO dataset: ${jstr(datasetId)}","start_datetime":""""),
         iso(col("ts_min")), lit("\",\"end_datetime\":\""), iso(col("ts_max")),
         lit("""","cube:dimensions":"""), cubeDimensions(),
         lit(s""","cube:variables":{${varsJson(variables)}},"graft:format":"parquet","graft:compression":"zstd"},"""),
-        lit(s""""assets":{"data":{"href":"$href","type":"application/x-parquet","roles":["data"]},"""),
-        lit(s""""metadata":{"href":"$href/_metadata","type":"application/json","roles":["metadata"]}},"""),
-        lit(s""""collection":"$collectionId"}""")).as("json"))
+        lit(s""""assets":{"data":{"href":"${jstr(href)}","type":"application/x-parquet","roles":["data"]},"""),
+        lit(s""""metadata":{"href":"${jstr(href)}/_metadata","type":"application/json","roles":["metadata"]}},"""),
+        lit(s""""collection":"${jstr(collectionId)}"}""")).as("json"))
   }
 
   /** STAC Collection (reference `stac_demo.py:82-189`): spatial bbox +
@@ -157,12 +171,12 @@ object Catalog {
       lonCol: String,
       keywords: Seq[String] = Seq("ARCO", "climate", "parquet")
   ): DataFrame = {
-    val kw = keywords.map(k => s""""$k"""").mkString(",")
+    val kw = keywords.map(k => "\"" + jstr(k) + "\"").mkString(",")
     extentAgg(df, tsCol, latCol, lonCol).select(
       lit("Collection").as("kind"),
       lit(collectionId).as("id"),
       concat(
-        lit(s"""{"type":"Collection","stac_version":"1.0.0","id":"$collectionId","description":"$description","license":"proprietary","extent":{"spatial":{"bbox":[["""),
+        lit(s"""{"type":"Collection","stac_version":"1.0.0","id":"${jstr(collectionId)}","description":"${jstr(description)}","license":"proprietary","extent":{"spatial":{"bbox":[["""),
         f6(col("lon_min")), lit(","), f6(col("lat_min")), lit(","),
         f6(col("lon_max")), lit(","), f6(col("lat_max")),
         lit("""]]},"temporal":{"interval":[["""),
@@ -181,10 +195,10 @@ object Catalog {
       collectionIds: Seq[String]
   ): DataFrame = {
     val links = collectionIds.map(c =>
-      s"""{"rel":"child","href":"collections/$c"}""").mkString(",")
+      s"""{"rel":"child","href":"collections/${jstr(c)}"}""").mkString(",")
     spark.range(1).select(
       lit("Catalog").as("kind"),
       lit(catalogId).as("id"),
-      lit(s"""{"type":"Catalog","stac_version":"1.0.0","id":"$catalogId","description":"$description","links":[$links]}""").as("json"))
+      lit(s"""{"type":"Catalog","stac_version":"1.0.0","id":"${jstr(catalogId)}","description":"${jstr(description)}","links":[$links]}""").as("json"))
   }
 }

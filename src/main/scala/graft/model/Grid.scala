@@ -81,14 +81,18 @@ object Tables {
     * re-inferring the schema — a single-task footer-read Spark job — on
     * every `spark.read.parquet` is a fixed per-query driver cost for zero
     * information. Supplying the cached schema skips that job entirely
-    * (the first read per (path) still infers).
+    * (the first read per (path, mtime) still infers). The directory's
+    * mtime rides in the key so a rewritten dataset at the same path
+    * (files added/replaced bump the dir mtime) re-infers instead of
+    * silently reading renamed columns as null.
     */
   private val schemaCache =
-    scala.collection.concurrent.TrieMap.empty[String, StructType]
+    scala.collection.concurrent.TrieMap.empty[(String, Long), StructType]
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    val schema = schemaCache.getOrElseUpdate(path,
+    val key = (path, new java.io.File(path).lastModified())
+    val schema = schemaCache.getOrElseUpdate(key,
       spark.read.parquet(path).schema)
     normalizeTs(spark.read.schema(schema).parquet(path))
   }

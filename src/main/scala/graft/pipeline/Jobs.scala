@@ -110,7 +110,12 @@ object Jobs {
       }
       override def onStageCompleted(
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        Option(stageToJob.get(s.stageInfo.stageId)).foreach { id =>
+        // remove-on-count: a stage retried after a fetch failure fires
+        // one completion event PER ATTEMPT — counting each would push
+        // percent past 100 and double tasksDone. (A stage Spark skips —
+        // reused shuffle output — never completes, so percent is a floor,
+        // not an exact gauge; Done is the authoritative terminal state.)
+        Option(stageToJob.remove(s.stageInfo.stageId)).foreach { id =>
           val p = progress.computeIfPresent(id, (_, p0) =>
             Progress(p0.stagesDone + 1, p0.stagesTotal,
               p0.tasksDone + s.stageInfo.numTasks, p0.tasksTotal))
@@ -135,6 +140,10 @@ object Jobs {
     def submit(jobId: String, df: => DataFrame): Future[Long] = {
       statuses.put(jobId, Pending)
       progress.put(jobId, Progress(0, 0, 0, 0))
+      // a REUSED jobId must not inherit the previous run's pending stage
+      // mappings: a late listener event for an old stage would otherwise
+      // overwrite the new run's Pending with stale progress
+      stageToJob.entrySet().removeIf(e => e.getValue == jobId)
       Future {
         statuses.put(jobId, Running(progress.get(jobId)))
         spark.sparkContext.setJobGroup(jobId, s"graft job $jobId", interruptOnCancel = true)

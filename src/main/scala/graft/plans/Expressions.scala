@@ -700,6 +700,12 @@ object Expressions {
 
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
+      // UnsafeArrayData.getDouble has no bounds check: a short vector
+      // would read adjacent row memory into garbage LUTs — reject loudly
+      if (v.numElements() != m * sub)
+        throw new IllegalArgumentException(
+          s"graft_pq_luts: vector of ${v.numElements()} dims, codebooks " +
+            s"expect ${m * sub}")
       val rows = new Array[AnyRef](m)
       var j = 0
       while (j < m) {
@@ -730,6 +736,11 @@ object Expressions {
         val t = ctx.freshName("t"); val s = ctx.freshName("s")
         val base = ctx.freshName("base")
         s"""
+           |if ($v.numElements() != ${m * sub}) {
+           |  throw new IllegalArgumentException(
+           |    "graft_pq_luts: vector of " + $v.numElements() +
+           |    " dims, codebooks expect ${m * sub}");
+           |}
            |Object[] $rows = new Object[$m];
            |for (int $j = 0; $j < $m; $j++) {
            |  double[] $row = new double[$k];

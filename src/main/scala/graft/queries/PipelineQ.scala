@@ -200,11 +200,12 @@ object PipelineQ extends QueryPack {
           GridSink.writeGrid(o, store, layout)
           GridSink.openStore(s, store) // read-back: count() verifies the write
         })
-        val n = scala.concurrent.Await.result(
-          fut, scala.concurrent.duration.Duration.Inf)
-        require(jm.status("convert-orders").contains(Jobs.Done(n)),
-          s"job status ${jm.status("convert-orders")}")
-        jm.close() // one-shot manager: detach its progress listener
+        try {
+          val n = scala.concurrent.Await.result(
+            fut, scala.concurrent.duration.Duration.Inf)
+          require(jm.status("convert-orders").contains(Jobs.Done(n)),
+            s"job status ${jm.status("convert-orders")}")
+        } finally jm.close() // one-shot manager: never leak its listener
         store
       }))
       round6(

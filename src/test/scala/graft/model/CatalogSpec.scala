@@ -60,6 +60,19 @@ class CatalogSpec extends SparkSpec {
     assert(ring.get(0) == ring.get(1), "polygon ring must close")
   }
 
+  test("STAC builders escape caller-supplied strings (quotes stay valid JSON)") {
+    val row = Catalog.stacItem(grid, """g"2\""", "ts", "lat", "lon",
+      Seq("q" -> """inch (")"""), href = "graft://x").head()
+    val json = row.getAs[String]("json")
+    import spark.implicits._
+    val parsed = spark.read.json(Seq(json).toDS)
+    assert(!parsed.columns.contains("_corrupt_record"),
+      s"quoted id/unit must stay valid JSON:\n$json")
+    assert(parsed.select(col("id")).head().getString(0) == """g"2\""")
+    assert(parsed.select(col("properties.`cube:variables`.q.unit")).head()
+      .getString(0) == """inch (")""")
+  }
+
   test("STAC collection + catalog chain links up") {
     val coll = Catalog.stacCollection(grid, "c1", "test grids", "ts", "lat", "lon")
       .head().getAs[String]("json")
