@@ -104,6 +104,28 @@ object HttpQ extends QueryPack {
           .agg(avg(col("l_quantity")).as("mean_value"), count(lit(1)).as("n")),
         "mean_value")
     }),
+    // The STAC discovery chain over the wire: landing Catalog, Collection
+    // with data-derived extent, items FeatureCollection — each document
+    // returned verbatim from the socket and re-derived byte-for-byte by
+    // the DuckDB oracle from the same lineitem grid (stac_demo.py's API
+    // surface: /, /collections/{id}, /collections/{id}/items).
+    "q_http_stac" -> ((s, dir) => withServer(s, dir) { (_, get) =>
+      def body(path: String): String = {
+        val r = get(path)
+        require(r.statusCode() == 200, s"$path: ${r.statusCode()} ${r.body()}")
+        r.body()
+      }
+      import s.implicits._
+      Seq(
+        ("catalog", body("/stac")),
+        ("collection", body("/stac/collections/lineitem_grid")),
+        ("items", jsonField(
+          body("/stac/collections/lineitem_grid/items"), "features")))
+        .toDF("doc", "json")
+        .withColumn("ver", when(col("doc") === "items",
+            get_json_object(col("json"), "$[0].stac_version"))
+          .otherwise(get_json_object(col("json"), "$.stac_version")))
+    }),
     // The FastAPI error contract over the wire: 404 unknown dataset, 422
     // validation (range, missing param, half-specified reference period),
     // health 200 — each probe row carries the status AND the detail body,
@@ -136,6 +158,66 @@ object HttpQ extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q_http_point_series" -> ApiQ.oracles("q_point_series"),
+    // every byte of the three wire documents rebuilt from lineitem: the
+    // HTTP grid's lat/lon derivation, the same %.6f / ISO-Z / floor-step
+    // formatting as model/Catalog, the same fixed field order
+    "q_http_stac" ->
+      """WITH g AS (
+        |  SELECT l_shipdate AS ts,
+        |         CAST(l_partkey % 18 * 10 - 85 AS DOUBLE) AS lat,
+        |         CAST(l_suppkey % 36 * 10 - 175 AS DOUBLE) AS lon
+        |  FROM lineitem),
+        |e AS (
+        |  SELECT min(ts) AS ts_min, max(ts) AS ts_max, count(DISTINCT ts) AS n_ts,
+        |         min(lat) AS lat_min, max(lat) AS lat_max, count(DISTINCT lat) AS n_lat,
+        |         min(lon) AS lon_min, max(lon) AS lon_max, count(DISTINCT lon) AS n_lon
+        |  FROM g),
+        |f AS (
+        |  SELECT printf('%.6f', round(lon_min, 6)) AS w,
+        |         printf('%.6f', round(lat_min, 6)) AS s,
+        |         printf('%.6f', round(lon_max, 6)) AS e2,
+        |         printf('%.6f', round(lat_max, 6)) AS n2,
+        |         strftime(ts_min, '%Y-%m-%dT%H:%M:%SZ') AS t0,
+        |         strftime(ts_max, '%Y-%m-%dT%H:%M:%SZ') AS t1,
+        |         CAST(floor((epoch(ts_max) - epoch(ts_min)) / greatest(n_ts - 1, 1)) AS BIGINT) AS step_s,
+        |         printf('%.6f', round((lat_max - lat_min) / greatest(n_lat - 1, 1), 6)) AS lat_step,
+        |         printf('%.6f', round((lon_max - lon_min) / greatest(n_lon - 1, 1), 6)) AS lon_step
+        |  FROM e),
+        |d AS (
+        |  SELECT *, '{"time":{"type":"temporal","extent":["' || t0 || '","' || t1
+        |    || '"],"step":"PT' || step_s || 'S"},"lat":{"type":"spatial","axis":"y","extent":['
+        |    || s || ',' || n2 || '],"step":' || lat_step
+        |    || ',"reference_system":"EPSG:4326"},"lon":{"type":"spatial","axis":"x","extent":['
+        |    || w || ',' || e2 || '],"step":' || lon_step
+        |    || ',"reference_system":"EPSG:4326"}}' AS dims
+        |  FROM f),
+        |docs AS (
+        |  SELECT 'catalog' AS doc,
+        |         '{"type":"Catalog","stac_version":"1.0.0","id":"graft-analytics","description":"graft-analytics STAC catalog","links":[{"rel":"child","href":"collections/lineitem_grid"}]}' AS json
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'collection',
+        |         '{"type":"Collection","stac_version":"1.0.0","id":"lineitem_grid","description":"graft-analytics dataset lineitem_grid","license":"proprietary","extent":{"spatial":{"bbox":[['
+        |         || w || ',' || s || ',' || e2 || ',' || n2
+        |         || ']]},"temporal":{"interval":[["' || t0 || '","' || t1
+        |         || '"]]}},"keywords":["ARCO","climate","parquet"],"cube:dimensions":' || dims || '}'
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'items',
+        |         '[{"type":"Feature","stac_version":"1.0.0","id":"lineitem_grid","bbox":['
+        |         || w || ',' || s || ',' || e2 || ',' || n2
+        |         || '],"geometry":{"type":"Polygon","coordinates":[[['
+        |         || w || ',' || s || '],[' || e2 || ',' || s || '],[' || e2 || ',' || n2
+        |         || '],[' || w || ',' || n2 || '],[' || w || ',' || s
+        |         || ']]]},"properties":{"title":"ARCO dataset: lineitem_grid","start_datetime":"'
+        |         || t0 || '","end_datetime":"' || t1 || '","cube:dimensions":' || dims
+        |         || ',"cube:variables":{"l_quantity":{"type":"data","dimensions":["time","lat","lon"],"unit":"1"}},"graft:format":"parquet","graft:compression":"zstd"},"assets":{"data":{"href":"graft://datasets/lineitem_grid","type":"application/x-parquet","roles":["data"]},"metadata":{"href":"graft://datasets/lineitem_grid/_metadata","type":"application/json","roles":["metadata"]}},"collection":"lineitem_grid"}]'
+        |  FROM d)
+        |SELECT doc, json,
+        |       CASE WHEN doc = 'items'
+        |            THEN json_extract_string(json, '$[0].stac_version')
+        |            ELSE json_extract_string(json, '$.stac_version') END AS ver
+        |FROM docs""".stripMargin,
     "q_http_contract" ->
       """SELECT * FROM (VALUES
         |  ('unknown_dataset', 404, 'Dataset not found: nope'),

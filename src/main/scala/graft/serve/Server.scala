@@ -181,6 +181,40 @@ object Server {
       cache.getOrCompute(Cache.cacheKey(
         ex.getRequestURI.getPath, queryParams(ex)))(body)
 
+    // STAC documents exist for the spatio-temporal datasets only
+    // (a grid = at least (lat, lon) key columns)
+    val stacIds: Seq[String] = registry.toSeq.sortBy(_._1)
+      .collect { case (id, (_, spec)) if spec.keyCols.length >= 2 => id }
+
+    def stacEntry(id: String): (DataFrame, SeriesSpec) = {
+      val (df, spec) = entryOr404(id)
+      require422(spec.keyCols.length >= 2,
+        s"Dataset '$id' has no (lat, lon) grid; no STAC collection exists for it")
+      (df, spec)
+    }
+
+    def unitsOf(df: DataFrame, spec: SeriesSpec): String =
+      df.schema.fields.find(_.name == spec.valueCol)
+        .filter(_.metadata.contains("units"))
+        .map(_.metadata.getString("units")).getOrElse("1")
+
+    def stacCollectionJson(id: String): String = {
+      val (df, spec) = stacEntry(id)
+      graft.model.Catalog.stacCollection(df, id,
+          s"$service dataset $id", spec.tsCol,
+          spec.keyCols.head, spec.keyCols(1))
+        .head().getAs[String]("json")
+    }
+
+    def stacItemJson(id: String): String = {
+      val (df, spec) = stacEntry(id)
+      graft.model.Catalog.stacItem(df, id, spec.tsCol,
+          spec.keyCols.head, spec.keyCols(1),
+          variables = Seq(spec.valueCol -> unitsOf(df, spec)),
+          href = s"graft://datasets/$id", collectionId = id)
+        .head().getAs[String]("json")
+    }
+
     def metricResponse(ex: HttpExchange, id: String, metric: String): String = {
       val params = queryParams(ex)
       val req = Routes.MetricRequest(id, metric,
@@ -308,6 +342,35 @@ object Server {
           200 -> metricResponse(ex, id, metric)
         case "api" :: "v1" :: "metrics" :: "anomaly" :: id :: Nil =>
           200 -> metricResponse(ex, id, "anomaly")
+
+        // ---- STAC discovery surface (reference stac_demo.py:279-340
+        // API spec: landing page, /collections, /collections/{id},
+        // /collections/{id}/items). One Collection + one Item per
+        // spatio-temporal dataset (>= 2 key columns = a lat/lon grid);
+        // documents are emitted by model/Catalog's deterministic
+        // builders, extents computed from the data, responses cached
+        // like every other data payload.
+        case "stac" :: Nil =>
+          200 -> cached(ex) {
+            graft.model.Catalog.stacCatalog(spark, service,
+              s"$service STAC catalog", stacIds).head().getAs[String]("json")
+          }
+        case "stac" :: "collections" :: Nil =>
+          200 -> cached(ex) {
+            jobj(
+              "collections" -> jarr(stacIds.map(stacCollectionJson)),
+              "count" -> stacIds.size.toString,
+              "timestamp" -> jstr(nowUtc))
+          }
+        case "stac" :: "collections" :: id :: Nil =>
+          200 -> cached(ex)(stacCollectionJson(id))
+        case "stac" :: "collections" :: id :: "items" :: Nil =>
+          200 -> cached(ex) {
+            jobj("type" -> jstr("FeatureCollection"),
+              "features" -> jarr(Seq(stacItemJson(id))),
+              "timestamp" -> jstr(nowUtc))
+          }
+
         case _ => throw HttpError(404, "Not found")
       }
     }

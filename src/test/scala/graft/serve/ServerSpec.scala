@@ -55,6 +55,28 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(missing.body() == "{\"detail\":\"Dataset not found: nope\"}")
   }
 
+  test("STAC chain: catalog links collections, collection carries extent, items wrap the feature") {
+    val root = get("/stac")
+    assert(root.statusCode() == 200)
+    assert(root.body().contains("\"type\":\"Catalog\"") &&
+      root.body().contains("\"href\":\"collections/era5_sample\""))
+    val list = get("/stac/collections")
+    assert(list.statusCode() == 200 && list.body().contains("\"count\":1"))
+    val coll = get("/stac/collections/era5_sample")
+    assert(coll.statusCode() == 200)
+    assert(coll.body().contains("\"type\":\"Collection\"") &&
+      coll.body().contains("\"cube:dimensions\"") &&
+      coll.body().contains("\"temporal\":{\"interval\""))
+    val items = get("/stac/collections/era5_sample/items")
+    assert(items.statusCode() == 200)
+    assert(items.body().contains("\"type\":\"FeatureCollection\"") &&
+      items.body().contains("\"stac_version\":\"1.0.0\"") &&
+      items.body().contains("\"cube:variables\"") &&
+      items.body().contains("\"collection\":\"era5_sample\""))
+    // a dataset without a lat/lon grid gets a 422, unknown id a 404
+    assert(get("/stac/collections/nope").statusCode() == 404)
+  }
+
   test("point route returns a capped ordered series; bad lat is a 422") {
     val ok = get("/api/v1/data/datasets/era5_sample/point?lat=12.0&lon=33.0")
     assert(ok.statusCode() == 200)
