@@ -85,4 +85,43 @@ object Packing {
         sum(col("n_tokens")).as("sum_tokens"),
         sum(col("straddles").cast("int")).as("n_straddling"),
         min(col("id")).as("first_id"))
+
+  /** The MATERIALIZED piece list a training loader actually reads: each
+    * document's token range cut into per-sequence spans — one row per
+    * (sequence, document piece) with the document-relative range
+    * [`doc_from`, `doc_to`) and where it lands inside the sequence
+    * (`seq_from`). A straddling document contributes one piece per
+    * sequence it crosses; within a sequence the pieces tile it exactly
+    * (every block starts at 0 and sums to `budget`, except each shard's
+    * last block).
+    *
+    * Scale shape: [[packAssignments]]'s single windowed cumsum plus a
+    * scan-local `sequence`/`explode` — the explode emits
+    * ceil(n_tokens / budget) + 1 rows per document at most, so output is
+    * O(docs + corpus_tokens / budget), never quadratic.
+    */
+  def blockSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Long,
+      shards: Int,
+      salt: String = "pack",
+      countOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextMetrics.tokenCount
+  ): DataFrame =
+    packAssignments(df, idCol, textCol, budget, shards, salt, countOf)
+      .where(col("n_tokens") > 0)
+      .drop("seq", "straddles")
+      .withColumn("seq", explode(sequence(
+        expr(s"cum_before DIV $budget"),
+        expr(s"(cum_before + n_tokens - 1) DIV $budget"))))
+      .withColumn("doc_from",
+        greatest(lit(0L), col("seq") * budget - col("cum_before")))
+      .withColumn("doc_to",
+        least(col("n_tokens"), (col("seq") + 1) * budget - col("cum_before")))
+      .withColumn("seq_from",
+        col("cum_before") + col("doc_from") - col("seq") * budget)
+      .select(col("shard"), col("seq"), col("id"),
+        col("doc_from"), col("doc_to"), col("seq_from"))
 }

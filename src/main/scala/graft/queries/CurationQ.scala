@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.dedup.Dedup
 import graft.model.Tables
+import graft.operators.Curation
 import graft.text.TextMetrics
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -34,6 +35,47 @@ object CurationQ extends QueryPack {
             sum(col("n_tokens")).as("total_tokens"))
           .withColumn("total_tokens", col("total_tokens").cast("long")),
         "avg_quality")
+    }),
+    // Provenance-side curation over deterministic MESSY synthetic URLs
+    // (mixed-case scheme/host, default + non-default ports, tracking
+    // params, fragments, trailing slashes — every rule normalizeUrl
+    // owns): normalize → blocklist → per-domain cap. The oracle derives
+    // the EXPECTED canonical URL from the clean construction parts — a
+    // first-principles check of the normalizer, not a regex replay — and
+    // the domain grouping from (source, suffix) directly, checking the
+    // label-arithmetic extraction against ground truth.
+    "q_url_curation" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // suffix keyed on doc_id DIV 20, NOT doc_id % 4: source is
+      // doc_id % 20, so a %4 suffix would be fully correlated with it
+      // (one domain per source — and the blocklist would match nothing)
+      val suffix = element_at(
+        typedLit(Seq("com", "co.uk", "org", "com.au")),
+        (expr("doc_id DIV 20") % 4 + 1).cast("int"))
+      val scheme = when(col("doc_id") % 3 === 0, lit("HTTPS")).otherwise(lit("http"))
+      val port = when(col("doc_id") % 7 === 0, lit(":8080"))
+        .when(col("doc_id") % 5 === 0,
+          when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit(":80")))
+        .otherwise(lit(""))
+      val path = concat(lit("/a/"), col("doc_id") % 13,
+        when(col("doc_id") % 2 === 1, lit("/")).otherwise(lit("")))
+      val query = when(col("doc_id") % 3 === 0,
+          concat(lit("?utm_source=x&id="), col("doc_id")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("?id="), col("doc_id"), lit("&utm_campaign=y&gclid=z")))
+        .otherwise(lit(""))
+      val frag = when(col("doc_id") % 4 === 0, lit("#Frag")).otherwise(lit(""))
+      val withUrls = docs.select(col("doc_id"),
+        concat(scheme, lit("://WWW"), col("doc_id") % 5, lit("."),
+          upper(col("source")), lit("."), suffix, port, path, query, frag)
+          .as("raw_url"))
+        .withColumn("url", Curation.normalizeUrl(col("raw_url")))
+      val blocked = Curation.blockDomains(withUrls, "url",
+        Seq("src3.com", "src7.co.uk"))
+      Curation.domainCap(blocked, "url", tieBreaker = "doc_id",
+          cap = 3, salt = "cap")
+        .select(col("domain"), col("domain_rank").cast("long").as("rank"),
+          col("doc_id"), col("url"))
     })
   )
 
@@ -79,6 +121,30 @@ object CurationQ extends QueryPack {
          |FROM scored
          |WHERE quality >= 0.5
          |  AND doc_id NOT IN (SELECT doc_id FROM dups)
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+    "q_url_curation" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'https' ELSE 'http' END AS scheme,
+        |    'www' || (doc_id % 5) || '.' || source || '.' ||
+        |      CASE (doc_id // 20) % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+        |                              WHEN 2 THEN 'org' ELSE 'com.au' END AS host,
+        |    CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END AS keptport,
+        |    '/a/' || (doc_id % 13) AS path,
+        |    CASE WHEN doc_id % 3 IN (0, 1) THEN '?id=' || doc_id ELSE '' END AS q,
+        |    source || '.' ||
+        |      CASE (doc_id // 20) % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+        |                              WHEN 2 THEN 'org' ELSE 'com.au' END AS domain
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, domain,
+        |         scheme || '://' || host || keptport || path || q AS url
+        |  FROM u
+        |  WHERE domain NOT IN ('src3.com', 'src7.co.uk')),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY domain
+        |             ORDER BY md5('cap:' || doc_id), doc_id) AS rank
+        |  FROM n)
+        |SELECT domain, rank, doc_id, url FROM r WHERE rank <= 3""".stripMargin
   )
 }

@@ -46,7 +46,23 @@ object SampleQ extends QueryPack {
     // DuckDB through the same md5 and integer-division arithmetic.
     "q_pack_sequences" -> ((s, dir) =>
       graft.operators.Packing.packSummary(Tables.documents(s, dir),
-        "doc_id", "text", budget = 512, shards = 4))
+        "doc_id", "text", budget = 512, shards = 4)),
+    // The materialized block manifest (one row per per-sequence document
+    // piece), rolled up per block with its tiling invariants exposed:
+    // min_seq_from must be 0 and seq_end must equal sum_span for every
+    // block — pieces tile each training sequence exactly. The oracle
+    // re-derives every span boundary from the same md5 + integer
+    // arithmetic via generate_series.
+    "q_block_spans" -> ((s, dir) =>
+      graft.operators.Packing.blockSpans(Tables.documents(s, dir),
+          "doc_id", "text", budget = 512, shards = 4)
+        .groupBy(col("shard"), col("seq"))
+        .agg(
+          count(lit(1)).as("n_pieces"),
+          sum(col("doc_to") - col("doc_from")).as("sum_span"),
+          min(col("seq_from")).as("min_seq_from"),
+          max(col("seq_from") + col("doc_to") - col("doc_from")).as("seq_end"),
+          min(col("id")).as("first_id")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -108,6 +124,37 @@ object SampleQ extends QueryPack {
         |    AND (cum_before + n_tokens - 1) // 512 > cum_before // 512
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
         |  min(doc_id) AS first_id
-        |FROM c GROUP BY 1, 2""".stripMargin
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "q_block_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x',
+        |      substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 4 AS shard,
+        |    md5('packo:' || CAST(doc_id AS VARCHAR)) AS okey,
+        |    CAST(CASE WHEN trim(text) = '' THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+        |    PARTITION BY shard ORDER BY okey, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cum_before
+        |  FROM t WHERE n_tokens > 0),
+        |p AS (
+        |  SELECT shard, doc_id, seq,
+        |    greatest(0, seq * 512 - cum_before) AS doc_from,
+        |    least(n_tokens, (seq + 1) * 512 - cum_before) AS doc_to,
+        |    cum_before + greatest(0, seq * 512 - cum_before) - seq * 512 AS seq_from
+        |  FROM c, unnest(generate_series(cum_before // 512,
+        |                 (cum_before + n_tokens - 1) // 512)) AS s(seq))
+        |SELECT shard, seq,
+        |  count(*) AS n_pieces,
+        |  CAST(sum(doc_to - doc_from) AS BIGINT) AS sum_span,
+        |  CAST(min(seq_from) AS BIGINT) AS min_seq_from,
+        |  CAST(max(seq_from + doc_to - doc_from) AS BIGINT) AS seq_end,
+        |  min(doc_id) AS first_id
+        |FROM p GROUP BY 1, 2""".stripMargin
   )
 }

@@ -48,6 +48,47 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("blockSpans pieces tile every sequence exactly and reconstruct the docs") {
+    // long docs (up to 3× the budget) force multi-sequence straddles
+    val docs = (0L until 25L).map(i => doc(i, 10 + (i % 7).toInt * 14))
+      .toDF("doc_id", "text")
+    val budget = 48L
+    val spans = Packing.blockSpans(docs, "doc_id", "text", budget, shards = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // 1. reconstruction: each doc's pieces cover [0, n_tokens) exactly once
+    val byDoc = spans.groupBy(_._3)
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n")).as[(Long, Long)]
+      .collect().foreach { case (id, n) =>
+        val pieces = byDoc(id).sortBy(_._4)
+        assert(pieces.head._4 == 0L && pieces.last._5 == n,
+          s"doc $id pieces don't span [0, $n)")
+        pieces.sliding(2).foreach {
+          case Array(a, b) => assert(a._5 == b._4, s"doc $id pieces gap/overlap")
+          case _ =>
+        }
+      }
+    // 2. tiling: within every (shard, seq) the pieces start at 0, are
+    //    contiguous, and fill the budget (except each shard's last block)
+    spans.groupBy(s => (s._1, s._2)).foreach { case ((shard, seq), ps) =>
+      val sorted = ps.sortBy(_._6)
+      assert(sorted.head._6 == 0L, s"block ($shard,$seq) doesn't start at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._6 + (a._5 - a._4) == b._6, s"block ($shard,$seq) gap")
+        case _ =>
+      }
+      val filled = sorted.map(p => p._5 - p._4).sum
+      val lastSeq = spans.filter(_._1 == shard).map(_._2).max
+      if (seq < lastSeq) assert(filled == budget,
+        s"non-final block ($shard,$seq) holds $filled of $budget tokens")
+    }
+    // 3. a doc longer than the budget really does produce 2+ pieces
+    assert(byDoc.values.exists(_.length >= 2), "no straddling pieces produced")
+  }
+
   test("packing is deterministic across runs") {
     val docs = (0L until 30L).map(i => doc(i, 4 + (i % 5).toInt)).toDF("doc_id", "text")
     def run() = Packing.packSummary(docs, "doc_id", "text", budget = 32, shards = 2)
