@@ -47,6 +47,19 @@ object SampleQ extends QueryPack {
     "q_pack_sequences" -> ((s, dir) =>
       graft.operators.Packing.packSummary(Tables.documents(s, dir),
         "doc_id", "text", budget = 512, shards = 4)),
+    // Temperature rebalancing at alpha = 0.5 over the lang column (the
+    // multilingual upsampling shape: rare languages keep a larger share).
+    // Thresholds are sqrt-chain + sorted-order-sum arithmetic, so the
+    // oracle derives them bit-for-bit from its own counts — nothing is
+    // pinned from the engine.
+    "q_temperature_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Sampling.temperatureMix(docs, "lang", "doc_id",
+          alpha = 0.5, targetFraction = 0.4)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+    }),
     // The materialized block manifest (one row per per-sequence document
     // piece), rolled up per block with its tiling invariants exposed:
     // min_seq_from must be 0 and seq_end must equal sum_span for every
@@ -125,6 +138,26 @@ object SampleQ extends QueryPack {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
         |  min(doc_id) AS first_id
         |FROM c GROUP BY 1, 2""".stripMargin,
+    // the exact threshold derivation: sqrt (IEEE correctly rounded in any
+    // engine), weight sum in sorted-source order (list_sum over ORDER BY),
+    // then the same md5 bucket arithmetic as the engine's scan
+    "q_temperature_mix" ->
+      """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM counts),
+        |w AS (SELECT lang, n, sqrt(n * 1.0 / ntot) AS w FROM counts, tot),
+        |sw AS (SELECT list_sum(list(w ORDER BY lang)) AS sumw FROM w),
+        |f AS (
+        |  SELECT lang, n,
+        |         CAST(floor(least(1.0, (0.4 * ntot) * (w / sumw) / n) * 1000000)
+        |           AS BIGINT) AS thresh
+        |  FROM w, sw, tot),
+        |k AS (
+        |  SELECT d.lang, d.doc_id
+        |  FROM documents d JOIN f USING (lang)
+        |  WHERE CAST(concat('0x', substr(md5('graft:' || d.lang || ':' ||
+        |          CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < thresh)
+        |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM k GROUP BY 1""".stripMargin,
     "q_block_spans" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -64,4 +64,37 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.weightedMix(Seq(("x", whole, 10)), "doc_id")) // has mix_source
   }
+
+  test("temperatureMix: alpha < 1 upsamples the small source's SHARE; deterministic") {
+    import org.apache.spark.sql.functions._
+    // 90/10 imbalance: alpha = 0.5 tempers the shares to 75/25
+    val df = spark.range(2000).select(col("id").as("doc_id"),
+      when(col("id") % 10 < 9, "big").otherwise("small").as("src"))
+    val kept = Sampling.temperatureMix(df, "src", "doc_id",
+      alpha = 0.5, targetFraction = 0.5)
+    val counts = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    // tempered shares: w = sqrt(0.9), sqrt(0.1) → q_big = 0.75, q_small = 0.25
+    val smallShare = counts("small").toDouble / total
+    assert(smallShare > 0.18 && smallShare < 0.32,
+      s"alpha=0.5 should temper the 10% source to ~25%, got $smallShare")
+    assert(total > 800 && total < 1200, s"target ~1000 rows, got $total")
+    // alpha = 1 keeps natural proportions (plain targetFraction sampling)
+    val nat = Sampling.temperatureMix(df, "src", "doc_id",
+      alpha = 1.0, targetFraction = 0.5)
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val natSmall = nat("small").toDouble / nat.values.sum
+    assert(natSmall > 0.05 && natSmall < 0.16,
+      s"alpha=1 should keep the natural ~10% share, got $natSmall")
+    // determinism under different partitioning
+    val again = Sampling.temperatureMix(df.repartition(17), "src", "doc_id",
+      alpha = 0.5, targetFraction = 0.5)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      again.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // non-dyadic alpha is an engine-replayability error, not silent pow
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMix(df, "src", "doc_id", 0.3, 0.5))
+  }
 }
