@@ -42,7 +42,12 @@ object Bench {
     // round-7..9 LLM-pipeline surface: semantic dedup, persisted-index
     // serve, span dedup, trained quality model — benched so a perf
     // regression in this axis trips the gate, not just correctness
-    "q_semantic_dedup", "q_ivfpq_served", "q_span_dedup", "q_quality_model")
+    "q_semantic_dedup", "q_ivfpq_served", "q_span_dedup", "q_quality_model",
+    // round-13 additions: STAC emission (multi-distinct extent agg), URL
+    // curation (normalize → blocklist → WindowGroupLimit domain cap),
+    // temperature rebalancing (count agg + driver thresholds + md5 scan),
+    // block spans (windowed cumsum + explode manifest)
+    "q_stac_item", "q_url_curation", "q_temperature_mix", "q_block_spans")
 
   final case class Stats(mean: Double, median: Double, p95: Double,
                          p99: Double, min: Double, max: Double)

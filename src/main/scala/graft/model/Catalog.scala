@@ -185,6 +185,66 @@ object Catalog {
         cubeDimensions(), lit("}")).as("json"))
   }
 
+  /** The full Catalog → Collection → Item chain for ONE dataset in ONE
+    * aggregate pass: [[stacItem]] and [[stacCollection]] each run their
+    * own extent aggregate, so emitting all three documents separately
+    * scans the data twice (the three-countDistinct Expand makes that the
+    * dominant cost); this computes the extent once and derives every
+    * document from the same row. Byte-identical output to the three
+    * separate builders.
+    */
+  def stacBundle(
+      df: DataFrame,
+      datasetId: String,
+      tsCol: String,
+      latCol: String,
+      lonCol: String,
+      variables: Seq[(String, String)],
+      href: String,
+      collectionId: String,
+      catalogId: String,
+      catalogDescription: String,
+      collectionDescription: String,
+      keywords: Seq[String] = Seq("ARCO", "climate", "parquet")
+  ): DataFrame = {
+    val catalogJson =
+      s"""{"type":"Catalog","stac_version":"1.0.0","id":"${jstr(catalogId)}","description":"${jstr(catalogDescription)}","links":[{"rel":"child","href":"collections/${jstr(collectionId)}"}]}"""
+    val kw = keywords.map(k => "\"" + jstr(k) + "\"").mkString(",")
+    val w = f6(col("lon_min")); val s = f6(col("lat_min"))
+    val e = f6(col("lon_max")); val n = f6(col("lat_max"))
+    val collectionJson = concat(
+      lit(s"""{"type":"Collection","stac_version":"1.0.0","id":"${jstr(collectionId)}","description":"${jstr(collectionDescription)}","license":"proprietary","extent":{"spatial":{"bbox":[["""),
+      w, lit(","), s, lit(","), e, lit(","), n,
+      lit("""]]},"temporal":{"interval":[["""),
+      lit("\""), iso(col("ts_min")), lit("\",\""), iso(col("ts_max")),
+      lit(s"""\"]]}},"keywords":[$kw],"cube:dimensions":"""),
+      cubeDimensions(), lit("}"))
+    val itemJson = concat(
+      lit(s"""{"type":"Feature","stac_version":"1.0.0","id":"${jstr(datasetId)}","bbox":["""),
+      w, lit(","), s, lit(","), e, lit(","), n,
+      lit("""],"geometry":{"type":"Polygon","coordinates":[[["""),
+      w, lit(","), s, lit("],["), e, lit(","), s, lit("],["),
+      e, lit(","), n, lit("],["), w, lit(","), n, lit("],["),
+      w, lit(","), s,
+      lit(s"""]]]},"properties":{"title":"ARCO dataset: ${jstr(datasetId)}","start_datetime":""""),
+      iso(col("ts_min")), lit("\",\"end_datetime\":\""), iso(col("ts_max")),
+      lit("""","cube:dimensions":"""), cubeDimensions(),
+      lit(s""","cube:variables":{${varsJson(variables)}},"graft:format":"parquet","graft:compression":"zstd"},"""),
+      lit(s""""assets":{"data":{"href":"${jstr(href)}","type":"application/x-parquet","roles":["data"]},"""),
+      lit(s""""metadata":{"href":"${jstr(href)}/_metadata","type":"application/json","roles":["metadata"]}},"""),
+      lit(s""""collection":"${jstr(collectionId)}"}"""))
+    extentAgg(df, tsCol, latCol, lonCol)
+      .select(explode(array(
+        struct(lit("Catalog").as("kind"), lit(catalogId).as("id"),
+          lit(catalogJson).as("json")),
+        struct(lit("Collection").as("kind"), lit(collectionId).as("id"),
+          collectionJson.as("json")),
+        struct(lit("Item").as("kind"), lit(datasetId).as("id"),
+          itemJson.as("json")))).as("doc"))
+      .select(col("doc.kind").as("kind"), col("doc.id").as("id"),
+        col("doc.json").as("json"))
+  }
+
   /** Root STAC Catalog document with child links per collection
     * (reference `stac_demo.py:55-79`). Pure metadata — no Spark job.
     */

@@ -56,13 +56,17 @@ object Curation {
     concat(scheme, lit("://"), host, noSlash)
   }
 
-  /** Host (without port) of an already-lowercased URL or host:port. */
+  /** Host (without port) of an already-lowercased URL or host:port.
+    * ONE regex that references its input ONCE: an optional scheme prefix,
+    * then everything up to the first `/ ? # :`. Column-composition
+    * discipline matters here — a when/contains form referenced the url
+    * subtree three times, and because Catalyst inlines projections, a
+    * composed pipeline (normalize → host → domain) multiplied those
+    * references into a >64 KB codegen method that silently fell back to
+    * interpreted eval (and paid a failed janino compile per stage).
+    */
   def hostOf(url: Column): Column =
-    regexp_replace(
-      when(url.contains("://"),
-        regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-        .otherwise(url),
-      ":[0-9]+$", "")
+    regexp_extract(url, "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#:]*)", 1)
 
   /** Multi-label public suffixes the label arithmetic must not split —
     * the common core; swap in the full public suffix list as a broadcast
@@ -76,11 +80,17 @@ object Curation {
   /** Registered domain (eTLD+1 analog): the last two host labels, or the
     * last three when the two-label tail is a known multi-label suffix.
     * A bare or single-label host passes through unchanged.
+    *
+    * One anchored regex whose alternation tries the multi-label suffixes
+    * before the generic label — the input is referenced ONCE (the
+    * substring_index/isin form referenced it three times; see [[hostOf]]
+    * for why that multiplies into a codegen blowup in composed plans),
+    * with a single extra reference for the no-dot passthrough.
     */
   def registeredDomain(host: Column): Column = {
-    val last2 = substring_index(host, ".", -2)
-    val last3 = substring_index(host, ".", -3)
-    when(last2.isin(MultiLabelSuffixes: _*), last3).otherwise(last2)
+    val suffixAlt = MultiLabelSuffixes.map(_.replace(".", "\\.")).mkString("|")
+    val ext = regexp_extract(host, s"([^.]+\\.(?:$suffixAlt|[^.]+))$$", 1)
+    when(ext === "", host).otherwise(ext)
   }
 
   /** Keep at most `cap` rows per registered domain, deterministically:

@@ -17,19 +17,21 @@ object CatalogQ extends QueryPack {
     // through a real JSON parser); the oracle re-derives every byte in
     // DuckDB and replays the extraction with json_extract_string.
     "q_stac_item" -> ((s, dir) => {
+      // the canonical 18×36 lineitem grid (same derivation as NetCdfQ /
+      // HttpQ): a uniform 10° raster, so the emitted cube:dimensions
+      // steps are the real grid spacing — and the extent aggregate's
+      // distinct counts stay tiny (36 lons, not 600k price-derived
+      // doubles)
       val grid = Tables.lineitem(s, dir).select(
         col("l_shipdate").as("ts"),
-        (col("l_partkey") % 180 - 89).cast("double").as("lat"),
-        graft.functions.TimeFns.normalizeLon(col("l_extendedprice")).as("lon"),
+        (col("l_partkey") % 18 * 10 - 85).cast("double").as("lat"),
+        (col("l_suppkey") % 36 * 10 - 175).cast("double").as("lon"),
         col("l_quantity"))
-      val item = Catalog.stacItem(grid, "lineitem_grid", "ts", "lat", "lon",
-        variables = Seq("l_quantity" -> "1"),
-        href = "graft://stores/lineitem_grid", collectionId = "graft-grids")
-      val collection = Catalog.stacCollection(grid, "graft-grids",
-        "Grid datasets derived from the driver tables", "ts", "lat", "lon")
-      val catalog = Catalog.stacCatalog(s, "graft",
-        "graft dataset catalog", Seq("graft-grids"))
-      catalog.unionByName(collection).unionByName(item)
+      Catalog.stacBundle(grid, "lineitem_grid", "ts", "lat", "lon",
+          variables = Seq("l_quantity" -> "1"),
+          href = "graft://stores/lineitem_grid", collectionId = "graft-grids",
+          catalogId = "graft", catalogDescription = "graft dataset catalog",
+          collectionDescription = "Grid datasets derived from the driver tables")
         .withColumn("ver", get_json_object(col("json"), "$.stac_version"))
     })
   )
@@ -67,8 +69,8 @@ object CatalogQ extends QueryPack {
     "q_stac_item" ->
       """WITH g AS (
         |  SELECT l_shipdate AS ts,
-        |         CAST(l_partkey % 180 - 89 AS DOUBLE) AS lat,
-        |         fmod(fmod(l_extendedprice + 180, 360) + 360, 360) - 180 AS lon
+        |         CAST(l_partkey % 18 * 10 - 85 AS DOUBLE) AS lat,
+        |         CAST(l_suppkey % 36 * 10 - 175 AS DOUBLE) AS lon
         |  FROM lineitem),
         |e AS (
         |  SELECT min(ts) AS ts_min, max(ts) AS ts_max, count(DISTINCT ts) AS n_ts,
