@@ -18,7 +18,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     TemporalQ, PercentileQ, AnomalyQ, TrendQ, IngestQ, JoinQ, EventsQ,
     TextQ, DedupQ, SimQ, PipelineQ, ApiQ, ApproxQ, AsOfQ, CatalogQ, CurationQ,
-    RangeQ, SampleQ, BpeQ, SemQ, HttpQ, NetCdfQ)
+    RangeQ, SampleQ, BpeQ, SemQ, HttpQ, NetCdfQ, WebQ)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's flagship "monthly mean at a point"

@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.ingest.Warc
+import graft.model.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Web-crawl front door: the documents table is rendered into REAL
+  * `.warc.gz` archives (per-record gzip members, HTTP response blocks —
+  * the CommonCrawl layout), read back distributed by [[graft.ingest.Warc]],
+  * and DuckDB replays the expected rows from the parquet table directly —
+  * so a defect anywhere in the WARC writer, the multi-member gunzip, the
+  * record/HTTP parsing, or the byte-range index shows up as a hash
+  * mismatch.
+  */
+object WebQ extends QueryPack {
+
+  private val Epoch = "2026-01-01T00:00:00Z"
+
+  /** One response record per document: URI carries (source, doc_id),
+    * WARC-Date = epoch + doc_id seconds, body = the document text.
+    */
+  private def docRecord(docId: Long, source: String, text: String): Warc.WarcRecord = {
+    val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    Warc.WarcRecord(
+      warcType = "response",
+      recordId = s"urn:graft:doc:$docId",
+      date = java.time.Instant.parse(Epoch).plusSeconds(docId).toString,
+      block = Warc.httpResponseBlock(200, "OK", "text/plain", body),
+      targetUri = Some(s"https://$source.example.com/doc/$docId"),
+      contentType = Some("application/http;msgtype=response"))
+  }
+
+  private def docsSorted(s: SparkSession, dir: String): Array[(Long, String, String)] =
+    Tables.documents(s, dir).select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Archive scan: 4 .warc.gz files (doc_id % 4), each opening with a
+    // warcinfo record the type filter must drop before a row is built.
+    // Row-level output (id, host, status, bytes, date, full text) makes
+    // the roundtrip airtight — any parse/decode defect lands in the hash.
+    "q_warc_ingest" -> ((s, dir) => {
+      val docs = docsSorted(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft-warc")
+      (0 until 4).foreach { k =>
+        val recs = Warc.WarcRecord("warcinfo", s"urn:graft:warcinfo:$k", Epoch,
+          s"software: graft\r\npartition: $k\r\n"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          contentType = Some("application/warc-fields")) +:
+          docs.filter(_._1 % 4 == k).toSeq
+            .map { case (id, src, text) => docRecord(id, src, text) }
+        Warc.write(base.resolve(f"part-$k%02d.warc.gz").toString, recs)
+      }
+      Warc.read(s, base.toString, types = Seq("response"))
+        .select(
+          regexp_extract(col("warc_target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          regexp_extract(col("warc_target_uri"), "^https://([^/]*)", 1).as("host"),
+          col("http_status").cast("int").as("status"),
+          col("content_length"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          col("warc_date"),
+          col("payload").cast("string").as("text"))
+    }),
+    // The cc-index path: ONE archive file + the writer's byte-range
+    // index; only doc_id % 7 == 0 slices are fetched, each task seek+
+    // inflating exactly one gzip member. Reading k records is O(k)
+    // however large the archive — the 100 TB point-lookup shape.
+    "q_warc_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val docs = docsSorted(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft-warc-idx")
+      val path = base.resolve("all.warc.gz").toString
+      val index = Warc.write(path,
+        docs.toSeq.map { case (id, src, text) => docRecord(id, src, text) })
+      val slices = docs.map(_._1).zip(index)
+        .collect { case (id, (off, len)) if id % 7 == 0 => (path, off, len) }
+        .toSeq.toDF("file", "offset", "length")
+      Warc.readIndexed(s, slices)
+        .select(
+          regexp_extract(col("warc_target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          col("warc_date"),
+          col("payload").cast("string").as("text"))
+    })
+  )
+
+  // HTTP head the fixture writes: status line + Content-Type + an exact
+  // Content-Length header + CRLF CRLF; the oracle recomputes its octet
+  // count so the parsed content_length column is independently derived.
+  private val httpHeadLen =
+    "17 + 26 + 18 + len(CAST(octet_length(encode(text)) AS VARCHAR)) + 2"
+
+  def oracles: Map[String, String] = Map(
+    "q_warc_ingest" ->
+      s"""SELECT doc_id, source || '.example.com' AS host, 200 AS status,
+         |  CAST($httpHeadLen + octet_length(encode(text)) AS BIGINT) AS content_length,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id) AS warc_date,
+         |  text
+         |FROM documents""".stripMargin,
+    "q_warc_indexed" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id) AS warc_date,
+        |  text
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin
+  )
+}

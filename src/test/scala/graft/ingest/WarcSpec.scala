@@ -1,0 +1,117 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class WarcSpec extends SparkSpec {
+
+  private def rec(i: Int, text: String) = Warc.WarcRecord(
+    warcType = "response",
+    recordId = s"urn:test:$i",
+    date = f"2026-02-0${i % 9 + 1}T00:00:00Z",
+    block = Warc.httpResponseBlock(200, "OK", "text/plain", text.getBytes(UTF_8)),
+    targetUri = Some(s"https://h$i.example.com/p/$i"),
+    contentType = Some("application/http;msgtype=response"))
+
+  test("write/read roundtrip: gz and plain, payload and fields survive") {
+    for (gz <- Seq(true, false)) {
+      val path = tmpDir() + (if (gz) "/a.warc.gz" else "/a.warc")
+      val recs = (0 until 20).map(i => rec(i, s"body number $i " * (i + 1)))
+      Warc.write(path, recs, gzipPerRecord = gz)
+      val df = Warc.read(spark, path).orderBy("record_seq")
+      assert(df.count() == 20)
+      val rows = df.collect()
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[String]("warc_type") == "response")
+        assert(r.getAs[String]("warc_target_uri") == s"https://h$i.example.com/p/$i")
+        assert(r.getAs[Int]("http_status") == 200)
+        assert(r.getAs[String]("http_content_type") == "text/plain")
+        assert(new String(r.getAs[Array[Byte]]("payload"), UTF_8) ==
+          s"body number $i " * (i + 1))
+      }
+    }
+  }
+
+  test("type filter drops non-matching records before rows are built") {
+    val path = tmpDir() + "/b.warc.gz"
+    val info = Warc.WarcRecord("warcinfo", "urn:test:info",
+      "2026-02-01T00:00:00Z", "software: graft\r\n".getBytes(UTF_8),
+      contentType = Some("application/warc-fields"))
+    Warc.write(path, info +: (0 until 5).map(i => rec(i, s"t$i")))
+    assert(Warc.read(spark, path).count() == 6)
+    assert(Warc.read(spark, path, types = Seq("response")).count() == 5)
+    assert(Warc.read(spark, path, types = Seq("warcinfo")).count() == 1)
+  }
+
+  test("directory read unions files; non-warc files ignored") {
+    val dir = tmpDir()
+    Warc.write(s"$dir/p0.warc.gz", (0 until 3).map(i => rec(i, "x")))
+    Warc.write(s"$dir/p1.warc.gz", (3 until 7).map(i => rec(i, "y")))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/README"),
+      "not a warc".getBytes(UTF_8))
+    assert(Warc.read(spark, dir).count() == 7)
+  }
+
+  test("indexed read inflates exactly one member per slice") {
+    import spark.implicits._
+    val path = tmpDir() + "/c.warc.gz"
+    val recs = (0 until 30).map(i => rec(i, s"payload $i " * 40))
+    val idx = Warc.write(path, recs)
+    assert(idx.length == 30)
+    // offsets are strictly increasing and contiguous
+    idx.sliding(2).foreach { case Seq((o1, l1), (o2, _)) => assert(o1 + l1 == o2) }
+    val picks = Seq(0, 7, 29)
+    val slices = picks.map(i => (path, idx(i)._1, idx(i)._2)).toDF("file", "offset", "length")
+    val got = Warc.readIndexed(spark, slices)
+      .select("warc_target_uri").as[String].collect().sorted
+    assert(got.toSeq == picks.map(i => s"https://h$i.example.com/p/$i").sorted)
+  }
+
+  private def chainMsg(t: Throwable): String = {
+    val sb = new StringBuilder
+    var c: Throwable = t
+    while (c != null) { sb.append(Option(c.getMessage).getOrElse("")); c = c.getCause }
+    sb.toString
+  }
+
+  test("malformed input rejects loudly") {
+    // bad magic
+    val p1 = tmpDir() + "/bad.warc"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p1),
+      "NOTWARC/1.1\r\nContent-Length: 0\r\n\r\n\r\n\r\n".getBytes(UTF_8))
+    val e1 = intercept[Exception] { Warc.read(spark, p1).count() }
+    assert(chainMsg(e1).contains("WARC version"))
+    // truncated block: Content-Length larger than remaining bytes
+    val p2 = tmpDir() + "/trunc.warc"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p2),
+      ("WARC/1.1\r\nWARC-Type: resource\r\nWARC-Record-ID: <urn:x>\r\n" +
+        "WARC-Date: 2026-02-01T00:00:00Z\r\nContent-Length: 99\r\n\r\nshort")
+        .getBytes(UTF_8))
+    val e2 = intercept[Exception] { Warc.read(spark, p2).count() }
+    assert(chainMsg(e2).contains("truncated"))
+    // missing mandatory field
+    val p3 = tmpDir() + "/nofield.warc"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p3),
+      "WARC/1.1\r\nContent-Length: 0\r\n\r\n\r\n\r\n".getBytes(UTF_8))
+    val e3 = intercept[Exception] { Warc.read(spark, p3).count() }
+    assert(chainMsg(e3).contains("mandatory"))
+  }
+
+  test("header folding and request records (no status line)") {
+    val p = tmpDir() + "/fold.warc"
+    val block = "GET /p HTTP/1.1\r\nHost: h\r\n\r\n".getBytes(UTF_8)
+    val recTxt = "WARC/1.1\r\nWARC-Type: request\r\nWARC-Record-ID: <urn:q>\r\n" +
+      "WARC-Date: 2026-02-01T00:00:00Z\r\n" +
+      "WARC-Target-URI: https://h\r\n\t/p\r\n" + // folded continuation
+      "Content-Type: application/http;msgtype=request\r\n" +
+      s"Content-Length: ${block.length}\r\n\r\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      recTxt.getBytes(UTF_8) ++ block ++ "\r\n\r\n".getBytes(UTF_8))
+    val r = Warc.read(spark, p).collect().head
+    assert(r.getAs[String]("warc_target_uri") == "https://h /p")
+    assert(r.getAs[Any]("http_status") == null) // request: no status line
+    assert(new String(r.getAs[Array[Byte]]("payload"), UTF_8).isEmpty)
+  }
+}
