@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.ingest.Warc
 import graft.model.Tables
+import graft.text.HtmlExtract
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -85,6 +86,34 @@ object WebQ extends QueryPack {
           length(col("payload")).cast("long").as("n_bytes"),
           col("warc_date"),
           col("payload").cast("string").as("text"))
+    }),
+    // Boilerplate removal against GROUND TRUTH (q_url_curation style):
+    // each document is wrapped into a full page — head/title/style,
+    // a link-dense <nav>, the prose in <p> (with an entity), a mixed
+    // text+link <div> above the density threshold, a second prose block,
+    // a <script> whose body contains a fake tag, and a link-only footer.
+    // The oracle states the EXPECTED extraction from first principles
+    // (the two prose blocks, entity decoded), not a regex replay — a
+    // segmentation, density, entity or strip defect all hash-mismatch.
+    "q_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><style>p{color:red}</style></head><body>"),
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About pages</a></nav>"),
+        lit("<p>"), col("text"), lit(" &amp; more</p>"),
+        lit("<div>"), substring(col("text"), 1, 40),
+        lit(" <a href=\"/m\">read much more here</a></div>"),
+        lit("<h2>"), reverse(col("text")), lit("</h2>"),
+        lit("<script>var x = 1 < 2; s = \"<p>not content</p>\";</script>"),
+        lit("<footer><a href=\"/c\">contact</a> | <a href=\"/t\">terms</a>") ,
+        lit("</footer></body></html>"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), html.as("html"))
+        .select(
+          col("doc_id"),
+          HtmlExtract.title(col("html")).as("title"),
+          HtmlExtract.mainContent(col("html")).as("main_text"),
+          size(HtmlExtract.contentBlocks(col("html"))).as("n_blocks"))
     })
   )
 
@@ -106,6 +135,11 @@ object WebQ extends QueryPack {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id) AS warc_date,
         |  text
-        |FROM documents WHERE doc_id % 7 = 0""".stripMargin
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+    "q_html_extract" ->
+      """SELECT doc_id, 'Doc ' || doc_id AS title,
+        |  text || ' & more' || chr(10) || reverse(text) AS main_text,
+        |  2 AS n_blocks
+        |FROM documents""".stripMargin
   )
 }

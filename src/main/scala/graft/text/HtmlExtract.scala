@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML → training text: main-content extraction (builder north-star
+  * scope; no counterpart in the reference) — the step between the WARC
+  * front door (`ingest/Warc`) and the text-curation operators, in the
+  * spirit of the public boilerplate-removal literature (jusText,
+  * Arc90/readability, trafilatura): segment the page into block-level
+  * chunks, score each by text length and LINK DENSITY (anchor-text chars
+  * / total chars), and keep the content-dense blocks. Navigation bars,
+  * footers, related-links boxes are short and anchor-heavy; body prose
+  * is long and anchor-light.
+  *
+  * Everything is pure `Column` expressions over one input reference —
+  * scan-local, zero shuffle, safe inside any composed curation plan.
+  * (Single-reference discipline per `operators/Curation.hostOf`: these
+  * feed pipelines that Catalyst inlines.)
+  *
+  * Documented limits (shared with every regex-level extractor): tags are
+  * recognized syntactically (no DOM), so an `<a>` span that crosses a
+  * block boundary counts its chars only in the segment holding the open
+  * tag's text, and attribute values containing `>` mis-split that tag.
+  * Malformed-markup pages degrade to keeping more text, never to
+  * crashing the scan.
+  */
+object HtmlExtract {
+
+  /** Block-level elements whose tags delimit candidate text segments. */
+  val BlockTags: String =
+    "p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|th|caption|" +
+      "section|article|main|header|footer|nav|aside|blockquote|pre|" +
+      "figure|figcaption|form|fieldset|hr|br"
+
+  private val blockSplit = s"(?i)</?(?:$BlockTags)\\b[^>]*>"
+
+  /** Remove the parts that are never content: comments, `<script>` and
+    * `<style>` elements INCLUDING their bodies. Each element has its own
+    * non-greedy pattern (no backreferences — replayable under RE2-class
+    * engines too). Unclosed script/style bodies fall through to tag
+    * stripping (degrade-to-more-text).
+    */
+  def dropNonContent(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript =
+      regexp_replace(noComment, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+  }
+
+  /** Decode the entities that matter for corpus text. `&amp;` is decoded
+    * LAST so `&amp;lt;` yields the literal `&lt;` (no double decode).
+    */
+  def decodeEntities(s: Column): Column = {
+    val e1 = regexp_replace(s, "&lt;", "<")
+    val e2 = regexp_replace(e1, "&gt;", ">")
+    val e3 = regexp_replace(e2, "&quot;", "\"")
+    val e4 = regexp_replace(e3, "&#39;", "'")
+    val e5 = regexp_replace(e4, "&nbsp;", " ")
+    regexp_replace(e5, "&amp;", "&")
+  }
+
+  /** Tags → nothing, entities decoded, whitespace collapsed, trimmed. */
+  def stripTags(fragment: Column): Column =
+    trim(regexp_replace(
+      decodeEntities(regexp_replace(fragment, "<[^>]*>", " ")),
+      "\\s+", " "))
+
+  /** Characters of anchor text within one segment (the link-density
+    * numerator): every `<a …>…</a>` span's tag-stripped, whitespace-
+    * collapsed length, summed.
+    */
+  def anchorChars(fragment: Column): Column =
+    aggregate(
+      regexp_extract_all(fragment, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
+      lit(0),
+      (acc, a) => acc + length(trim(regexp_replace(
+        regexp_replace(a, "<[^>]*>", " "), "\\s+", " "))))
+
+  /** `<title>` text, or empty string when absent. */
+  def title(html: Column): Column =
+    stripTags(regexp_extract(html, "(?is)<title\\b[^>]*>(.*?)</title>", 1))
+
+  /** The kept content blocks, in document order: segments with at least
+    * `minChars` of stripped text whose link density (anchor chars /
+    * text chars) is at most `maxLinkDensity`.
+    */
+  def contentBlocks(html: Column, minChars: Int = 25,
+                    maxLinkDensity: Double = 0.15): Column = {
+    val segs = split(dropNonContent(html), blockSplit)
+    val scored = transform(segs, seg =>
+      struct(stripTags(seg).as("txt"), anchorChars(seg).as("achars")))
+    val kept = filter(scored, b =>
+      length(b.getField("txt")) >= minChars &&
+        b.getField("achars").cast("double") <=
+          length(b.getField("txt")).cast("double") * maxLinkDensity)
+    transform(kept, _.getField("txt"))
+  }
+
+  /** Main content as one newline-joined string — the training-text
+    * column a curation pipeline feeds into langid/quality/dedup.
+    */
+  def mainContent(html: Column, minChars: Int = 25,
+                  maxLinkDensity: Double = 0.15): Column =
+    array_join(contentBlocks(html, minChars, maxLinkDensity), "\n")
+}

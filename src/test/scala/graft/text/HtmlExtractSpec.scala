@@ -1,0 +1,71 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class HtmlExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(html: String, minChars: Int = 25,
+                      maxLink: Double = 0.15): String =
+    Seq(html).toDF("h")
+      .select(HtmlExtract.mainContent(col("h"), minChars, maxLink))
+      .as[String].head()
+
+  private def titleOf(html: String): String =
+    Seq(html).toDF("h").select(HtmlExtract.title(col("h"))).as[String].head()
+
+  private val prose =
+    "The quick brown fox jumps over the lazy dog near the river bank today."
+
+  test("prose kept, nav/footer/script/style/comments dropped") {
+    val html =
+      s"""<html><head><title>T</title><style>p { color: red }</style></head>
+         |<body><!-- boilerplate notice -->
+         |<nav><a href="/">Home</a> <a href="/a">Archive</a></nav>
+         |<p>$prose</p>
+         |<script>var s = "<p>fake paragraph inside script</p>";</script>
+         |<footer><a href="/c">contact</a></footer></body></html>""".stripMargin
+    assert(extract(html) == prose)
+  }
+
+  test("link density drops a long but anchor-heavy related-links block") {
+    val links = (1 to 8).map(i => s"""<a href="/$i">related article $i</a>""")
+      .mkString("<div>", " ", "</div>")
+    val html = s"<body>$links<p>$prose</p></body>"
+    assert(extract(html) == prose)
+    // same block with the anchors unwrapped is kept (density 0)
+    val plain = (1 to 8).map(i => s"related article $i")
+      .mkString("<div>", " ", "</div>")
+    assert(extract(s"<body>$plain<p>$prose</p></body>")
+      == (1 to 8).map(i => s"related article $i").mkString(" ") + "\n" + prose)
+  }
+
+  test("minChars drops short fragments; blocks join in document order") {
+    val p2 = "A second paragraph with plenty of characters to clear the bar."
+    val html = s"<body><p>ok</p><p>$prose</p><h2>$p2</h2></body>"
+    assert(extract(html) == prose + "\n" + p2)
+  }
+
+  test("entities decode once, &amp; last") {
+    val html = s"<p>$prose Fish &amp; chips &amp;lt; tag &nbsp; &quot;q&quot; &#39;a&#39;</p>"
+    assert(extract(html) ==
+      s"""$prose Fish & chips &lt; tag "q" 'a'""")
+  }
+
+  test("title extraction; absent title is empty") {
+    assert(titleOf("<html><head><title> My  <b>Page</b> </title></head></html>")
+      == "My Page")
+    assert(titleOf("<html><body>no title</body></html>") == "")
+  }
+
+  test("unclosed anchor contributes zero anchor chars (degrades to keep)") {
+    val html = s"""<p>$prose <a href="/x">dangling link text</p>"""
+    assert(extract(html) == prose + " dangling link text")
+  }
+
+  test("whitespace collapses; attributes with tag names don't break strip") {
+    val html = s"""<p   class="a">  $prose\t\n more   words here  </p>"""
+    assert(extract(html) == prose + " more words here")
+  }
+}
