@@ -185,17 +185,26 @@ object Dedup {
         col("gs"), coeffs.map(_._1), coeffs.map(_._2), p).as("sig"))
   }
 
-  /** MinHash LSH candidate pairs: split signatures into `bands`, bucket on
-    * (band index, band hash), join within buckets. Probability a pair with
-    * Jaccard j becomes a candidate: 1 − (1 − j^rows)^bands.
+  /** Band buckets of a signature frame: one `(id, band, bucket)` row per
+    * (document, band), bucket = hash of the band's (position, minhash)
+    * pairs. Deterministic across sessions and partitionings (fixed-seed
+    * Murmur3 over position-sorted pairs), so buckets computed today join
+    * against buckets persisted last month ([[graft.dedup.DedupIndex]]).
     */
-  def minhashCandidates(sigs: DataFrame, idCol: String, bands: Int): DataFrame = {
-    val banded = sigs.select(col(idCol), posexplode(col("sig")).as(Seq("i", "m")))
+  def bandBuckets(sigs: DataFrame, idCol: String, bands: Int): DataFrame =
+    sigs.select(col(idCol), posexplode(col("sig")).as(Seq("i", "m")))
       .withColumn("band", col("i").mod(lit(bands)))
       .groupBy(col(idCol), col("band"))
       // sort by position before hashing: collect_list order is not
       // deterministic across shuffles
       .agg(hash(sort_array(collect_list(struct(col("i"), col("m"))))).as("bucket"))
+
+  /** MinHash LSH candidate pairs: split signatures into `bands`, bucket on
+    * (band index, band hash), join within buckets. Probability a pair with
+    * Jaccard j becomes a candidate: 1 − (1 − j^rows)^bands.
+    */
+  def minhashCandidates(sigs: DataFrame, idCol: String, bands: Int): DataFrame = {
+    val banded = bandBuckets(sigs, idCol, bands)
     val l = banded.select(col(idCol).as("id1"), col("band"), col("bucket"))
     val r = banded.select(col(idCol).as("id2"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket")).where(col("id1") < col("id2"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, DedupIndex}
 import graft.model.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -24,6 +24,49 @@ object DedupQ extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_exact_dedup" -> ((s, dir) =>
       Dedup.exactGroups(doubled(s, dir), "doc_id", "text")),
+    // Persisted-index incremental dedup (DedupIndex): fit on ⅔ of the
+    // corpus, query the arriving ⅓ against the store. Same 64/32 LSH
+    // operating point as q_minhash_dedup (recall ≈ 1 at j ≥ 0.5), so the
+    // oracle is the exact cross-set Jaccard — any postings/meta/verify
+    // defect in the store path hash-mismatches.
+    "q_dedup_index" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-mhidx").toString
+      DedupIndex.write(docs.where(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", path)
+      round6(
+        DedupIndex.query(docs.where(col("doc_id") % 3 === 0),
+          "doc_id", "text", path, threshold = 0.5),
+        "jaccard")
+    }),
+    // Append path: the batch joins the searchable set, then a probe wave
+    // (doc_id % 5 == 0 — docs already IN the grown index) queries it;
+    // excludeSelf must drop exactly the identity hits. Survivor filter
+    // (dedupBatch) rides along in q_dedup_ingest.
+    "q_dedup_index_append" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-mhidx-app").toString
+      DedupIndex.write(docs.where(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", path)
+      DedupIndex.append(docs.where(col("doc_id") % 3 === 0),
+        "doc_id", "text", path)
+      round6(
+        DedupIndex.query(docs.where(col("doc_id") % 5 === 0),
+          "doc_id", "text", path, threshold = 0.5),
+        "jaccard")
+    }),
+    "q_dedup_ingest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-mhidx-ing").toString
+      DedupIndex.write(docs.where(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", path)
+      DedupIndex.dedupBatch(docs.where(col("doc_id") % 3 === 0),
+        "doc_id", "text", path, threshold = 0.5)
+        .select(col("doc_id"))
+    }),
     // maxDocFreq=15 is the skew guard: it bounds every posting list (pair
     // cost Σ|postings|²) while keeping the full pair set at both gate and
     // bench scale (validated: identical pair-set at sf0.01 and sf0.1).
@@ -346,7 +389,44 @@ object DedupQ extends QueryPack {
          |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
          |SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY 1""".stripMargin
 
+  /** Exact cross-set Jaccard ≥ threshold between a query side and an
+    * index side (predicates over `a.doc_id` / `b.doc_id`) — the oracle of
+    * the persisted-index queries, mirroring [[jaccardSql]]'s gram model.
+    */
+  private def crossJaccardSql(qPred: String, iPred: String,
+                              threshold: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(
+       |    $norm, ' ') AS w
+       |  FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+       |  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+       |  WHERE len(w) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS query_id, b.doc_id AS index_id, count(*) AS i
+       |  FROM grams a JOIN grams b ON a.g = b.g
+       |  WHERE $qPred AND $iPred AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, index_id,
+       |  round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes s1 ON query_id = s1.doc_id
+       |JOIN sizes s2 ON index_id = s2.doc_id
+       |WHERE i * 1.0 / (s1.sz + s2.sz - i) >= $threshold""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q_dedup_index" ->
+      crossJaccardSql("a.doc_id % 3 = 0", "b.doc_id % 3 <> 0", 0.5),
+    "q_dedup_index_append" ->
+      crossJaccardSql("a.doc_id % 5 = 0", "TRUE", 0.5),
+    "q_dedup_ingest" ->
+      s"""WITH dups AS (
+         |  SELECT DISTINCT query_id FROM (
+         |    ${crossJaccardSql("a.doc_id % 3 = 0", "b.doc_id % 3 <> 0", 0.5)}))
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT query_id FROM dups)""".stripMargin,
     "q_span_dedup" -> spanSql(8, Long.MaxValue),
     "q_span_dedup_capped" -> spanSql(8, 2L),
     // identical literal-window replay: the verified mode's contract IS

@@ -1,0 +1,66 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // small corpus with engineered near-dups: 1↔11 and 2↔12 share most
+  // grams; 3 and 13 are unrelated
+  private def corpusDocs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "one two three four five six seven eight nine ten eleven twelve"),
+    (3L, "completely unrelated content about volcanoes and geology today")
+  ).toDF("doc_id", "text")
+
+  private def batchDocs = Seq(
+    (11L, "alpha beta gamma delta epsilon zeta eta theta iota NOPE"),
+    (12L, "one two three four five six seven eight nine ten eleven NOPE"),
+    (13L, "fresh novel text with no overlap to anything indexed before")
+  ).toDF("doc_id", "text")
+
+  test("fit/query: batch near-dups found against the store, survivors clean") {
+    val path = tmpDir() + "/idx"
+    DedupIndex.write(corpusDocs, "doc_id", "text", path)
+    val p = DedupIndex.params(spark, path)
+    assert(p == DedupIndex.Params(3, 64, 32, 42L))
+    val hits = DedupIndex.query(batchDocs, "doc_id", "text", path, 0.4)
+      .select("query_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((11L, 1L), (12L, 2L)))
+    val survivors = DedupIndex.dedupBatch(batchDocs, "doc_id", "text", path, 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(13L))
+  }
+
+  test("append extends the searchable set; excludeSelf drops identity hits") {
+    val path = tmpDir() + "/idx2"
+    DedupIndex.write(corpusDocs, "doc_id", "text", path)
+    DedupIndex.append(batchDocs, "doc_id", "text", path)
+    // re-query the batch itself: identity hits excluded, cross hits remain
+    val hits = DedupIndex.query(batchDocs, "doc_id", "text", path, 0.4)
+      .select("query_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((11L, 1L), (12L, 2L)))
+    val withSelf = DedupIndex.query(batchDocs, "doc_id", "text", path, 0.4,
+      excludeSelf = false)
+      .where(col("query_id") === col("index_id")).count()
+    assert(withSelf == 3L)
+  }
+
+  test("store equality across partitionings: bands written at 1 partition " +
+    "join bands computed at 7") {
+    val path = tmpDir() + "/idx3"
+    DedupIndex.write(corpusDocs.repartition(1), "doc_id", "text", path)
+    val hits = DedupIndex.query(batchDocs.repartition(7), "doc_id", "text",
+      path, 0.4).select("query_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((11L, 1L), (12L, 2L)))
+  }
+
+  test("query plan broadcasts the batch side (corpus bands never shuffle)") {
+    val path = tmpDir() + "/idx4"
+    DedupIndex.write(corpusDocs, "doc_id", "text", path)
+    val plan = DedupIndex.query(batchDocs, "doc_id", "text", path, 0.4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+}
