@@ -69,6 +69,52 @@ object Expressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Integer dot product of two int8 code arrays (scalar-quantized
+    * embeddings) in one fused loop — the scoring kernel of
+    * `sim/Similarity.sqTopK`. Long output: overflow-proof for any
+    * realistic dim (127² · dim). Null (top-level) → null.
+    */
+  case class Int8Dot(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[Bridge.AbstractType] =
+      Seq(ArrayType(ByteType), ArrayType(ByteType))
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_int8_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0L
+      var i = 0
+      while (i < n) {
+        dot += x.getByte(i).toLong * y.getByte(i).toLong
+        i += 1
+      }
+      dot
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $dot = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $dot += (long) $a.getByte($i) * (long) $b.getByte($i);
+           |}
+           |${ev.value} = $dot;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Int8Dot =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** F-UDF1 as a native expression: clamped piecewise-linear interpolation
     * of `value` against a sorted `thresholds` vector with matching `pcts`
     * levels (reference `metrics/anomalies.py:162-170`). NaN value or empty
@@ -1236,6 +1282,9 @@ object Expressions {
 
   def l2_normalize(vec: Column): Column =
     Bridge.column(L2Normalize(Bridge.expression(vec)))
+
+  def int8_dot(a: Column, b: Column): Column =
+    Bridge.column(Int8Dot(Bridge.expression(a), Bridge.expression(b)))
 
   def hyperplane_signature(vec: Column, planes: Seq[Seq[Double]]): Column =
     Bridge.column(HyperplaneSignature(Bridge.expression(vec), planes))

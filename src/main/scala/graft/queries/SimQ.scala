@@ -12,6 +12,18 @@ import org.apache.spark.sql.functions._
 object SimQ extends QueryPack {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // int8 scalar-quantized cosine top-k: integer scores are EXACT, so
+    // the oracle replays the whole thing (normalize → round(x·127) →
+    // integer dot → rank) value-for-value in SQL — any quantization or
+    // fused-kernel defect hash-mismatches.
+    "q_sq_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      round6(
+        Similarity.sqTopK(emb, emb.where(col("vec_id") % 97 === 0),
+            "vec_id", "embedding", k = 5)
+          .withColumn("rank", col("rank").cast("long")),
+        "approx_cos")
+    }),
     "q_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.where(col("vec_id") === 0)
@@ -399,6 +411,25 @@ object SimQ extends QueryPack {
       |    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_sq_ann" ->
+      s"""WITH v AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         |  FROM embeddings),
+         |c AS (
+         |  SELECT vec_id, list_transform(e,
+         |    x -> CAST(round(x / sqrt(list_dot_product(e, e)) * 127) AS DOUBLE)) AS q8
+         |  FROM v),
+         |pairs AS (
+         |  SELECT qc.vec_id AS query_id, cc.vec_id AS id,
+         |    CAST(list_dot_product(qc.q8, cc.q8) AS BIGINT) AS dot
+         |  FROM c qc JOIN c cc ON cc.vec_id <> qc.vec_id
+         |  WHERE qc.vec_id % 97 = 0),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |             ORDER BY dot DESC, id) AS rank
+         |  FROM pairs)
+         |SELECT query_id, id, dot, round(dot / 16129.0, 6) AS approx_cos, rank
+         |FROM r WHERE rank <= 5""".stripMargin,
     "q_ann_topk" ->
       s"""WITH v AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -144,6 +144,35 @@ class ExpressionsSpec extends SparkSpec {
       "nearest_centroid must codegen")
   }
 
+  test("int8 dot: fused kernel matches the composed form, codegens, handles nulls") {
+    val rnd = new scala.util.Random(11)
+    val data = Seq.fill(50)((
+      Seq.fill(16)((rnd.nextInt(255) - 127).toByte),
+      Seq.fill(16)((rnd.nextInt(255) - 127).toByte)))
+    val df = data.toDF("a", "b")
+    val rows = df.select(
+      Expressions.int8_dot(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("long") * y.cast("long")), lit(0L), _ + _).as("composed"))
+    rows.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // codegen check needs a real scan (a local Seq plans as LocalTableScan)
+    val scan = graft.model.Tables.embeddings(spark, sfDir)
+      .select(graft.sim.Similarity.sqEncode(col("embedding")).as("c8"))
+      .select(Expressions.int8_dot(col("c8"), col("c8")).as("d"))
+    scan.collect()
+    assert(scan.queryExecution.executedPlan.toString.contains("*("),
+      "int8_dot must codegen")
+    // extremes: (-127)·(-127)·16 and null propagation
+    val ext = Seq((Seq.fill(16)((-127).toByte), Seq.fill(16)((-127).toByte)))
+      .toDF("a", "b")
+      .select(Expressions.int8_dot(col("a"), col("b"))).head()
+    assert(ext.getLong(0) == 127L * 127L * 16L)
+    val n = Seq((Option.empty[Seq[Byte]], Option(Seq(1.toByte))))
+      .toDF("a", "b")
+      .select(Expressions.int8_dot(col("a"), col("b"))).head()
+    assert(n.isNullAt(0))
+  }
+
   test("SQL registration on a live session") {
     GraftExtensions.install(spark)
     val r = spark.sql(
