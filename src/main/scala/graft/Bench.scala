@@ -47,7 +47,12 @@ object Bench {
     // curation (normalize → blocklist → WindowGroupLimit domain cap),
     // temperature rebalancing (count agg + driver thresholds + md5 scan),
     // block spans (windowed cumsum + explode manifest)
-    "q_stac_item", "q_url_curation", "q_temperature_mix", "q_block_spans")
+    "q_stac_item", "q_url_curation", "q_temperature_mix", "q_block_spans",
+    // round-13 web-pipeline front end + serving-shape index paths: WARC
+    // archive scan (fixture amortized per JVM — the READ is the
+    // operator), HTML boilerplate removal, persisted-MinHash-index query,
+    // int8-quantized ANN
+    "q_warc_ingest", "q_html_extract", "q_dedup_index", "q_sq_ann")
 
   final case class Stats(mean: Double, median: Double, p95: Double,
                          p99: Double, min: Double, max: Double)

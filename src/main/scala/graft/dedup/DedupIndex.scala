@@ -70,7 +70,7 @@ object DedupIndex {
       grams.select(col(idCol).as("id"), col("gs"))
         .write.mode(mode).parquet(s"$path/grams")
       val sigs = Dedup.minhashSignatures(grams, idCol, p.numHashes, p.seed)
-      Dedup.bandBuckets(sigs, idCol, p.bands)
+      Dedup.bandBucketsLocal(sigs, idCol, p.bands)
         .select(col(idCol).as("id"), col("band"), col("bucket"))
         .write.mode(mode).parquet(s"$path/bands")
     } finally grams.unpersist()
@@ -90,7 +90,9 @@ object DedupIndex {
     val grams = Dedup.gramHashSets(batch, idCol, textCol, p.n)
       .select(col(idCol).as("query_id"), col("gs"))
     val sigs = Dedup.minhashSignatures(grams, "query_id", p.numHashes, p.seed)
-    val qBands = Dedup.bandBuckets(sigs, "query_id", p.bands)
+    // scan-local banding: the batch side feeds a broadcast, so there is no
+    // self-join exchange to reuse — zero shuffle before the candidate join
+    val qBands = Dedup.bandBucketsLocal(sigs, "query_id", p.bands)
     val ixBands = spark.read.parquet(s"$path/bands")
     // batch ≪ corpus: broadcast the batch postings — the persisted bands
     // scan stays shuffle-free, candidates are the only corpus rows moving

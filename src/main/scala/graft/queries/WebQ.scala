@@ -37,12 +37,17 @@ object WebQ extends QueryPack {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
       .sortBy(_._1)
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Archive scan: 4 .warc.gz files (doc_id % 4), each opening with a
-    // warcinfo record the type filter must drop before a row is built.
-    // Row-level output (id, host, status, bytes, date, full text) makes
-    // the roundtrip airtight — any parse/decode defect lands in the hash.
-    "q_warc_ingest" -> ((s, dir) => {
+  /** Archives are pure functions of (application, sfDir) — built once per
+    * JVM (the bench loop re-times the READ path, which is the operator),
+    * like SimQ.servedIndexDir. Value: (archive dir, single-file path, its
+    * byte-range index, doc ids in record order).
+    */
+  private val warcDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String, Seq[(Long, Long)], Seq[Long])]
+
+  private def warcFixture(s: SparkSession, dir: String)
+      : (String, String, Seq[(Long, Long)], Seq[Long]) =
+    warcDirs.getOrElseUpdate(s"${s.sparkContext.applicationId}:$dir", {
       val docs = docsSorted(s, dir)
       val base = java.nio.file.Files.createTempDirectory("graft-warc")
       (0 until 4).foreach { k =>
@@ -54,7 +59,24 @@ object WebQ extends QueryPack {
             .map { case (id, src, text) => docRecord(id, src, text) }
         Warc.write(base.resolve(f"part-$k%02d.warc.gz").toString, recs)
       }
-      Warc.read(s, base.toString, types = Seq("response"))
+      // the single indexed archive lives in a SIBLING subdir: the 4-file
+      // directory scan above must not see it (it repeats every record)
+      val idxDir = base.resolve("indexed")
+      java.nio.file.Files.createDirectories(idxDir)
+      val single = idxDir.resolve("all.warc.gz").toString
+      val index = Warc.write(single,
+        docs.toSeq.map { case (id, src, text) => docRecord(id, src, text) })
+      (base.toString, single, index, docs.map(_._1).toSeq)
+    })
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Archive scan: 4 .warc.gz files (doc_id % 4), each opening with a
+    // warcinfo record the type filter must drop before a row is built.
+    // Row-level output (id, host, status, bytes, date, full text) makes
+    // the roundtrip airtight — any parse/decode defect lands in the hash.
+    "q_warc_ingest" -> ((s, dir) => {
+      val (base, _, _, _) = warcFixture(s, dir)
+      Warc.read(s, base, types = Seq("response"))
         .select(
           regexp_extract(col("warc_target_uri"), "/doc/(\\d+)$", 1)
             .cast("long").as("doc_id"),
@@ -71,14 +93,10 @@ object WebQ extends QueryPack {
     // however large the archive — the 100 TB point-lookup shape.
     "q_warc_indexed" -> ((s, dir) => {
       import s.implicits._
-      val docs = docsSorted(s, dir)
-      val base = java.nio.file.Files.createTempDirectory("graft-warc-idx")
-      val path = base.resolve("all.warc.gz").toString
-      val index = Warc.write(path,
-        docs.toSeq.map { case (id, src, text) => docRecord(id, src, text) })
-      val slices = docs.map(_._1).zip(index)
+      val (_, path, index, ids) = warcFixture(s, dir)
+      val slices = ids.zip(index)
         .collect { case (id, (off, len)) if id % 7 == 0 => (path, off, len) }
-        .toSeq.toDF("file", "offset", "length")
+        .toDF("file", "offset", "length")
       Warc.readIndexed(s, slices)
         .select(
           regexp_extract(col("warc_target_uri"), "/doc/(\\d+)$", 1)

@@ -56,6 +56,30 @@ class DedupIndexSpec extends SparkSpec {
     assert(hits == Set((11L, 1L), (12L, 2L)))
   }
 
+  test("scan-local band buckets are value-identical to the historical " +
+    "aggregate form (bucket equality IS the persisted-index format)") {
+    val docs = graft.model.Tables.documents(spark, sfDir)
+    val grams = Dedup.gramHashSets(docs, "doc_id", "text", 3)
+    val sigs = Dedup.minhashSignatures(grams, "doc_id", 64, seed = 42L)
+      .persist()
+    try {
+      val bands = 32
+      val now = Dedup.bandBucketsLocal(sigs, "doc_id", bands)
+      val legacy = sigs
+        .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "m")))
+        .withColumn("band", col("i").mod(lit(bands)))
+        .groupBy(col("doc_id"), col("band"))
+        .agg(hash(sort_array(collect_list(struct(col("i"), col("m"))))).as("bucket"))
+      assert(now.count() == legacy.count())
+      assert(now.join(legacy, Seq("doc_id", "band", "bucket")).count()
+        == legacy.count())
+      // and the new form plans no aggregate exchange before the explode
+      val plan = now.queryExecution.executedPlan.toString
+      assert(!plan.contains("HashAggregate"),
+        s"banding must be scan-local, got:\n$plan")
+    } finally { sigs.unpersist(); () }
+  }
+
   test("query plan broadcasts the batch side (corpus bands never shuffle)") {
     val path = tmpDir() + "/idx4"
     DedupIndex.write(corpusDocs, "doc_id", "text", path)
