@@ -233,7 +233,11 @@ object Bench {
     val upscaleQueries = Seq(
       "q_monthly_mean", "q_anomaly", "q_percentile_rank", "q_linear_trend",
       "q_region_revenue", "q_incremental_stats", "q_token_stats",
-      "q_minhash_dedup", "q_ann_topk")
+      "q_minhash_dedup", "q_ann_topk",
+      // round-13 surfaces: persisted-index query (fixture refit once at
+      // the new scale via the per-(app,dir) memo), HTML extraction
+      // (scan-local), int8 ANN (corpus x queries both grow)
+      "q_dedup_index", "q_html_extract", "q_sq_ann")
     val upJson: String =
       if (only.nonEmpty || upscaleFactor <= 1) ""
       else try {

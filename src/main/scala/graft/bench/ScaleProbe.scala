@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * in SCALE.md. Run manually, not part of the driver contract.
   *
   * Usage: runMain graft.bench.ScaleProbe [small|medium|large]
-  *          [grid|corpus|text|asof|ann|stream|all]
+  *          [grid|corpus|text|asof|ann|web|stream|all]
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -330,6 +330,61 @@ object ScaleProbe {
           }
         }
       }
+    }
+
+    if (what == "web" || what == "all") {
+      val nDocs = size match {
+        case "small" => 20000L
+        case "medium" => 100000L
+        case "large" => 400000L
+        case other => throw new IllegalArgumentException(s"Unknown size: $other")
+      }
+      val docs = DataGen.corpus(spark, nDocs)
+      println(s"$size web_docs=${docs.count()}")
+      // persisted dedup index: FIT scales with the corpus; QUERY of a
+      // fixed 2k-doc batch must scale with the postings SCAN only (no
+      // corpus shuffle — the batch is broadcast), i.e. far sublinearly
+      // vs refitting or re-deduping the whole corpus
+      val idxDir = graft.util.Tmp.root("graft_probe_mhidx").toString
+      time("dedup_index_fit")(
+        graft.dedup.DedupIndex.write(docs, "id", "text", idxDir))
+      val batch = DataGen.corpus(spark, 2000, seed = 7L)
+      run("dedup_index_query2k", graft.dedup.DedupIndex.query(
+        batch, "id", "text", idxDir, threshold = 0.5))
+      // int8-quantized brute force: fixed 100 queries × N codes — linear
+      // in N with an 8×-smaller scan than the double-vector exact form
+      // (knn_exact_100q in the ann section is the counterfactual)
+      val emb = DataGen.vectors(spark, nDocs, 64)
+      run("sq_topk_100q", graft.sim.Similarity.sqTopK(
+        emb, emb.where(col("vec_id") < 100), "vec_id", "embedding", k = 10))
+      // HTML extraction: pure scan-local Column pipeline over N pages
+      run("html_extract", docs.select(col("id"),
+        length(graft.text.HtmlExtract.mainContent(concat(
+          lit("<html><head><title>t</title><style>p{}</style></head><body>" +
+            "<nav><a href=\"/\">Home</a> <a href=\"/a\">Archive page</a></nav><p>"),
+          col("text"),
+          lit("</p><div>tail <a href=\"/m\">read much more here</a></div>" +
+            "<script>var x=1;</script></body></html>")))).as("len")))
+      // WARC: write n/10 response records (driver-side fixture writer),
+      // then time the distributed read+parse — the operator under test
+      val wDocs = docs.where(col("id") % 10 === 0)
+        .select(col("id"), col("text")).collect()
+      val wDir = graft.util.Tmp.root("graft_probe_warc").toString
+      val parts = 8
+      time("warc_write")(
+        (0 until parts).foreach { k =>
+          val recs = wDocs.filter(r => (r.getLong(0) / 10) % parts == k).toSeq.map { r =>
+            graft.ingest.Warc.WarcRecord("response",
+              s"urn:probe:${r.getLong(0)}", "2026-01-01T00:00:00Z",
+              graft.ingest.Warc.httpResponseBlock(200, "OK", "text/plain",
+                r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+              targetUri = Some(s"https://h.example.com/p/${r.getLong(0)}"),
+              contentType = Some("application/http;msgtype=response"))
+          }
+          graft.ingest.Warc.write(s"$wDir/p$k.warc.gz", recs)
+        })
+      run("warc_read", graft.ingest.Warc.read(spark, wDir, Seq("response"))
+        .select(col("warc_target_uri"), length(col("payload")).as("n")))
     }
 
     if (what == "cc" || what == "all") {

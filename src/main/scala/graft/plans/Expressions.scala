@@ -115,6 +115,54 @@ object Expressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Fused int8 scalar quantization: l2-normalize a double array and
+    * round each dimension to `round(x·127)` (BigDecimal HALF_UP — the
+    * exact semantics of Spark's `round`, so codes match the composed
+    * `transform(l2_normalize(v), x -> round(x*127))` form bit-for-bit and
+    * stay replayable by the oracle) in ONE pass over the array — the
+    * composed form evaluates its lambda interpreted per element, which
+    * measured SLOWER than the exact double-vector scan it is meant to
+    * beat (16.1 s vs 6.8 s at 400k×100; see SCALE.md web section).
+    * Zero-norm input → all-zero codes (0/0 = NaN rounds to 0 in the
+    * composed form too). Null (top-level) → null.
+    */
+  case class Sq8Encode(child: Expression)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[Bridge.AbstractType] = Seq(ArrayType(DoubleType))
+    override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+    override def prettyName: String = "graft_sq8_encode"
+
+    protected def kernel(a: ArrayData): ArrayData = {
+      val n = a.numElements()
+      var ss = 0.0
+      var i = 0
+      while (i < n) { val v = a.getDouble(i); ss += v * v; i += 1 }
+      val norm = math.sqrt(ss)
+      val out = new Array[Byte](n)
+      i = 0
+      while (i < n) {
+        val u = a.getDouble(i) / norm * 127.0
+        out(i) =
+          if (java.lang.Double.isNaN(u)) 0.toByte
+          else java.math.BigDecimal.valueOf(u)
+            .setScale(0, java.math.RoundingMode.HALF_UP).byteValue()
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+    }
+
+    override def nullSafeEval(a: Any): Any = kernel(a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("sq8", this, classOf[Sq8Encode].getName)
+      defineCodeGen(ctx, ev, a => s"$self.kernel($a)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Sq8Encode =
+      copy(child = newChild)
+  }
+
   /** F-UDF1 as a native expression: clamped piecewise-linear interpolation
     * of `value` against a sorted `thresholds` vector with matching `pcts`
     * levels (reference `metrics/anomalies.py:162-170`). NaN value or empty
@@ -1285,6 +1333,9 @@ object Expressions {
 
   def int8_dot(a: Column, b: Column): Column =
     Bridge.column(Int8Dot(Bridge.expression(a), Bridge.expression(b)))
+
+  def sq8_encode(vec: Column): Column =
+    Bridge.column(Sq8Encode(Bridge.expression(vec)))
 
   def hyperplane_signature(vec: Column, planes: Seq[Seq[Double]]): Column =
     Bridge.column(HyperplaneSignature(Bridge.expression(vec), planes))

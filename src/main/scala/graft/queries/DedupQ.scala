@@ -31,8 +31,13 @@ object DedupQ extends QueryPack {
     // defect in the store path hash-mismatches.
     "q_dedup_index" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // batch PINNED to base-table ids (< 1e8): under the bench's 8x
+      // upscale (doc_id shifted by k*1e8 per copy) the INDEX grows 8x
+      // while the query batch stays fixed - the incremental-ingestion
+      // serving shape, and a linear upscale prediction
       round6(
-        DedupIndex.query(docs.where(col("doc_id") % 3 === 0),
+        DedupIndex.query(
+          docs.where(col("doc_id") % 3 === 0 && col("doc_id") < 100000000L),
           "doc_id", "text", mhIndexDir(s, dir, appended = false),
           threshold = 0.5),
         "jaccard")
@@ -428,7 +433,8 @@ object DedupQ extends QueryPack {
 
   def oracles: Map[String, String] = Map(
     "q_dedup_index" ->
-      crossJaccardSql("a.doc_id % 3 = 0", "b.doc_id % 3 <> 0", 0.5),
+      crossJaccardSql("a.doc_id % 3 = 0 AND a.doc_id < 100000000",
+        "b.doc_id % 3 <> 0", 0.5),
     "q_dedup_index_append" ->
       crossJaccardSql("a.doc_id % 5 = 0", "TRUE", 0.5),
     "q_dedup_ingest" ->

@@ -18,8 +18,13 @@ object SimQ extends QueryPack {
     // fused-kernel defect hash-mismatches.
     "q_sq_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
+      // the query batch is PINNED to base-table ids (< 1e6): under the
+      // bench's 8x upscale (ids shifted by k*1e6 per copy) the corpus
+      // grows 8x while the batch stays fixed - the serving shape, and a
+      // linear (not quadratic) upscale prediction
       round6(
-        Similarity.sqTopK(emb, emb.where(col("vec_id") % 97 === 0),
+        Similarity.sqTopK(emb,
+            emb.where(col("vec_id") % 97 === 0 && col("vec_id") < 1000000L),
             "vec_id", "embedding", k = 5)
           .withColumn("rank", col("rank").cast("long")),
         "approx_cos")
@@ -423,7 +428,7 @@ object SimQ extends QueryPack {
          |  SELECT qc.vec_id AS query_id, cc.vec_id AS id,
          |    CAST(list_dot_product(qc.q8, cc.q8) AS BIGINT) AS dot
          |  FROM c qc JOIN c cc ON cc.vec_id <> qc.vec_id
-         |  WHERE qc.vec_id % 97 = 0),
+         |  WHERE qc.vec_id % 97 = 0 AND qc.vec_id < 1000000),
          |r AS (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |             ORDER BY dot DESC, id) AS rank

@@ -57,9 +57,7 @@ object Similarity {
     * below PQ (which is ~dim/m× but needs a trained codebook).
     */
   def sqEncode(vecCol: Column): Column =
-    transform(
-      graft.plans.Expressions.l2_normalize(asDouble(vecCol)),
-      x => round(x * lit(127)).cast("byte"))
+    graft.plans.Expressions.sq8_encode(asDouble(vecCol))
 
   /** Top-k by quantized cosine: every (query, corpus) score is one fused
     * int8 dot ([[graft.plans.Expressions.Int8Dot]]); approx_cos =

@@ -162,6 +162,18 @@ class ExpressionsSpec extends SparkSpec {
     scan.collect()
     assert(scan.queryExecution.executedPlan.toString.contains("*("),
       "int8_dot must codegen")
+    // fused Sq8Encode ≡ composed l2_normalize → round(x·127) per element,
+    // byte-for-byte over real embeddings (+ a zero vector)
+    val v = transform(col("embedding"), _.cast("double"))
+    val parity = graft.model.Tables.embeddings(spark, sfDir)
+      .select(col("embedding"))
+      .unionByName(Seq(Seq.fill(64)(0f)).toDF("embedding"))
+      .select(
+        Expressions.sq8_encode(v).as("fused"),
+        transform(Expressions.l2_normalize(v),
+          x => round(x * lit(127)).cast("byte")).as("composed"))
+      .where(col("fused") =!= col("composed"))
+    assert(parity.count() == 0, "Sq8Encode must equal the composed form")
     // extremes: (-127)·(-127)·16 and null propagation
     val ext = Seq((Seq.fill(16)((-127).toByte), Seq.fill(16)((-127).toByte)))
       .toDF("a", "b")
