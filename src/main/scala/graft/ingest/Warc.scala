@@ -311,6 +311,45 @@ object Warc {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Streaming crawl ingest: watch `dir` for newly-landed WARC files and
+    * emit their records incrementally, exactly once per file — the live
+    * half of the crawl front door (a fetcher drops `.warc.gz` segments;
+    * this stream feeds extraction/curation/dedup as they land). Built on
+    * the file-stream source like `NetCdf.readStream`: the checkpointed
+    * file log makes restarts resume without re-emitting processed files,
+    * and a micro-batch of F new files becomes F parallel single-file
+    * parse tasks. Only the `path` column crosses the source — file bytes
+    * move once, inside the parse task.
+    */
+  def readStream(spark: SparkSession, dir: String,
+                 types: Seq[String] = Nil,
+                 maxFilesPerTrigger: Int = 0): DataFrame = {
+    val props = NetCdf.fsProps(spark)
+    val typesB = types.toSet
+    val binSchema = StructType(Seq(
+      StructField("path", StringType, nullable = true),
+      StructField("modificationTime", TimestampType, nullable = true),
+      StructField("length", LongType, nullable = true),
+      StructField("content", BinaryType, nullable = true)))
+    val reader0 = spark.readStream.format("binaryFile").schema(binSchema)
+      .option("pathGlobFilter", "*.{warc,warc.gz}")
+    val reader = if (maxFilesPerTrigger > 0)
+      reader0.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+    else reader0
+    import org.apache.spark.sql.functions.col
+    reader.load(dir).select(col("path"))
+      .as(org.apache.spark.sql.Encoders.STRING)
+      .flatMap { f =>
+        val c = new org.apache.hadoop.conf.Configuration()
+        props.foreach { case (k, v) => c.set(k, v) }
+        val fp = new org.apache.hadoop.fs.Path(f)
+        val in = openMaybeGz(new java.io.BufferedInputStream(
+          fp.getFileSystem(c).open(fp), 1 << 16), f)
+        parseStream(in, f, typesB).zipWithIndex
+          .map { case (rec, i) => toRow(f, i, rec) }
+      }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Record-grain random access — the cc-index path. `slices` has columns
     * `(file, offset, length)` (as produced by [[write]] or a crawl
     * index); each task seeks to its member, inflates ONLY those bytes,

@@ -18,6 +18,8 @@ object WebQ extends QueryPack {
 
   private val Epoch = "2026-01-01T00:00:00Z"
 
+  private val warcStreamSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** One response record per document: URI carries (source, doc_id),
     * WARC-Date = epoch + doc_id seconds, body = the document text.
     */
@@ -105,6 +107,27 @@ object WebQ extends QueryPack {
           col("warc_date"),
           col("payload").cast("string").as("text"))
     }),
+    // The LIVE crawl front door: the same 4-file archive lands in a
+    // watched directory and flows through a REAL Structured Streaming
+    // query (checkpointed file source, memory sink, processAllAvailable)
+    // — same projection, same oracle as the batch scan, so stream ≡
+    // batch is driver-checked, not just spec-checked.
+    "q_stream_warc" -> ((s, dir) => {
+      val (base, _, _, _) = warcFixture(s, dir)
+      val name = s"graft_stream_warc_${warcStreamSeq.incrementAndGet()}"
+      val sq = Warc.readStream(s, base, types = Seq("response"))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft-warc-ck").toString)
+        .start()
+      try sq.processAllAvailable() finally sq.stop()
+      s.table(name).select(
+        regexp_extract(col("warc_target_uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        col("warc_date"),
+        col("payload").cast("string").as("text"))
+    }),
     // Boilerplate removal against GROUND TRUTH (q_url_curation style):
     // each document is wrapped into a full page — head/title/style,
     // a link-dense <nav>, the prose in <p> (with an entity), a mixed
@@ -154,6 +177,11 @@ object WebQ extends QueryPack {
         |  TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id) AS warc_date,
         |  text
         |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+    "q_stream_warc" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id) AS warc_date,
+        |  text
+        |FROM documents""".stripMargin,
     "q_html_extract" ->
       """SELECT doc_id, 'Doc ' || doc_id AS title,
         |  text || ' & more' || chr(10) || reverse(text) AS main_text,

@@ -99,6 +99,27 @@ class WarcSpec extends SparkSpec {
     assert(chainMsg(e3).contains("mandatory"))
   }
 
+  test("readStream: incremental file discovery, exactly once per file") {
+    import spark.implicits._
+    val dir = tmpDir()
+    Warc.write(s"$dir/w0.warc.gz", (0 until 4).map(i => rec(i, s"first $i")))
+    val name = "warc_stream_spec"
+    val sq = Warc.readStream(spark, dir, types = Seq("response"))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try {
+      sq.processAllAvailable()
+      assert(spark.table(name).count() == 4)
+      // a new segment lands mid-stream: only ITS records are appended
+      Warc.write(s"$dir/w1.warc.gz", (4 until 9).map(i => rec(i, s"late $i")))
+      sq.processAllAvailable()
+      val got = spark.table(name)
+        .select("warc_record_id").as[String].collect().sorted
+      assert(got.toSeq == (0 until 9).map(i => s"urn:test:$i").sorted)
+    } finally sq.stop()
+  }
+
   test("header folding and request records (no status line)") {
     val p = tmpDir() + "/fold.warc"
     val block = "GET /p HTTP/1.1\r\nHost: h\r\n\r\n".getBytes(UTF_8)
