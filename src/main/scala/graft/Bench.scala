@@ -52,7 +52,10 @@ object Bench {
     // archive scan (fixture amortized per JVM — the READ is the
     // operator), HTML boilerplate removal, persisted-MinHash-index query,
     // int8-quantized ANN
-    "q_warc_ingest", "q_html_extract", "q_dedup_index", "q_sq_ann")
+    "q_warc_ingest", "q_html_extract", "q_dedup_index", "q_sq_ann",
+    // the end-to-end composition: crawl bytes -> extraction -> scoring ->
+    // near-dup removal -> rollup in one plan
+    "q_web_pipeline")
 
   final case class Stats(mean: Double, median: Double, p95: Double,
                          p99: Double, min: Double, max: Double)

@@ -163,6 +163,40 @@ object Expressions {
       copy(child = newChild)
   }
 
+  /** HTML main-content extraction as one fused kernel call — see
+    * `text/HtmlExtract` for the algorithm and the Column-algebra twin the
+    * spec compares against. The kernel walks the page once per row inside
+    * whole-stage codegen; the composed form paid an interpreted HOF
+    * lambda per block segment. Null → null.
+    */
+  case class HtmlMainContent(child: Expression, minChars: Int,
+                             maxLinkDensity: Double)
+      extends UnaryExpression with ExpectsInputTypes {
+
+    override def inputTypes: Seq[Bridge.AbstractType] = Seq(StringType)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_html_main_content"
+
+    /** Row kernel — public so generated code can call it. */
+    def kernel(html: org.apache.spark.unsafe.types.UTF8String)
+        : org.apache.spark.unsafe.types.UTF8String =
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        graft.text.HtmlExtract.mainContentKernel(
+          html.toString, minChars, maxLinkDensity))
+
+    override def nullSafeEval(a: Any): Any =
+      kernel(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("htmlMain", this,
+        classOf[HtmlMainContent].getName)
+      defineCodeGen(ctx, ev, a => s"$self.kernel($a)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): HtmlMainContent =
+      copy(child = newChild)
+  }
+
   /** F-UDF1 as a native expression: clamped piecewise-linear interpolation
     * of `value` against a sorted `thresholds` vector with matching `pcts`
     * levels (reference `metrics/anomalies.py:162-170`). NaN value or empty
@@ -1336,6 +1370,10 @@ object Expressions {
 
   def sq8_encode(vec: Column): Column =
     Bridge.column(Sq8Encode(Bridge.expression(vec)))
+
+  def html_main_content(html: Column, minChars: Int,
+                        maxLinkDensity: Double): Column =
+    Bridge.column(HtmlMainContent(Bridge.expression(html), minChars, maxLinkDensity))
 
   def hyperplane_signature(vec: Column, planes: Seq[Seq[Double]]): Column =
     Bridge.column(HyperplaneSignature(Bridge.expression(vec), planes))

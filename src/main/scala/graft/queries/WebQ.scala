@@ -71,7 +71,77 @@ object WebQ extends QueryPack {
       (base.toString, single, index, docs.map(_._1).toSeq)
     })
 
+  /** A second archive whose response bodies are full HTML pages (nav +
+    * prose + link-dense footer) with Content-Type text/html — the input
+    * shape of the end-to-end pipeline. Extraction must recover exactly
+    * the document text.
+    */
+  private val warcHtmlDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def warcHtmlFixture(s: SparkSession, dir: String): String =
+    warcHtmlDirs.getOrElseUpdate(s"${s.sparkContext.applicationId}:$dir", {
+      val docs = docsSorted(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft-warc-html")
+      (0 until 4).foreach { k =>
+        val recs = docs.filter(_._1 % 4 == k).toSeq.map { case (id, src, text) =>
+          val html =
+            s"""<html><head><title>Doc $id</title><style>p{margin:0}</style></head>
+               |<body><nav><a href="/">Home</a> <a href="/all">All docs</a></nav>
+               |<p>$text</p>
+               |<script>var x = "<p>not content</p>";</script>
+               |<footer><a href="/c">contact</a> | <a href="/t">terms</a></footer>
+               |</body></html>""".stripMargin
+          val body = html.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          Warc.WarcRecord("response", s"urn:graft:page:$id",
+            java.time.Instant.parse(Epoch).plusSeconds(id).toString,
+            Warc.httpResponseBlock(200, "OK", "text/html; charset=UTF-8", body),
+            targetUri = Some(s"https://$src.example.com/doc/$id"),
+            contentType = Some("application/http;msgtype=response"))
+        }
+        Warc.write(base.resolve(f"seg-$k%02d.warc.gz").toString, recs)
+      }
+      base.toString
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // END TO END: crawl bytes → training-corpus stats in ONE composed
+    // plan — WARC parse → HTML main-content extraction → quality/token
+    // scoring → near-dup removal → per-source rollup. Every stage is
+    // oracle-checked in isolation elsewhere; this query pins their
+    // composition from the wire format up. The oracle is
+    // q_curation_pipeline's SQL verbatim: extraction must recover the
+    // document text EXACTLY (any nav/footer/script residue shifts the
+    // token counts and quality scores and hash-mismatches), and the
+    // provenance (source) must survive the URI roundtrip.
+    "q_web_pipeline" -> ((s, dir) => {
+      // provenance (source) from the URI host, identity (doc_id) from the
+      // record id, text from extraction — everything the pipeline needs
+      // reconstructed from the wire format
+      val withIds = Warc.read(s, warcHtmlFixture(s, dir), types = Seq("response"))
+        .select(
+          regexp_extract(col("warc_record_id"), ":(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          regexp_extract(col("warc_target_uri"), "^https://([^.]*)", 1)
+            .as("source"),
+          graft.text.HtmlExtract.mainContent(col("payload").cast("string"))
+            .as("text"))
+      val dupIds = graft.dedup.Dedup
+        .ngramJaccardPairs(withIds, "doc_id", "text", 3, 0.5)
+        .select(col("id2").as("doc_id")).distinct()
+      val deduped = withIds
+        .withColumn("quality", graft.text.TextMetrics.qualityScore(col("text")))
+        .withColumn("n_tokens", graft.text.TextMetrics.tokenCount(col("text")))
+        .where(col("quality") >= 0.5)
+        .join(dupIds, Seq("doc_id"), "left_anti")
+      round6(
+        deduped.groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            avg(col("quality")).as("avg_quality"),
+            sum(col("n_tokens")).as("total_tokens"))
+          .withColumn("total_tokens", col("total_tokens").cast("long")),
+        "avg_quality")
+    }),
     // Archive scan: 4 .warc.gz files (doc_id % 4), each opening with a
     // warcinfo record the type filter must drop before a row is built.
     // Row-level output (id, host, status, bytes, date, full text) makes
@@ -153,8 +223,13 @@ object WebQ extends QueryPack {
         .select(
           col("doc_id"),
           HtmlExtract.title(col("html")).as("title"),
-          HtmlExtract.mainContent(col("html")).as("main_text"),
-          size(HtmlExtract.contentBlocks(col("html"))).as("n_blocks"))
+          HtmlExtract.mainContent(col("html")).as("main_text"))
+        // block texts never contain '\n' (stripTags collapses whitespace),
+        // so the joined string re-splits exactly; deriving the count from
+        // main_text keeps the query at ONE page walk
+        .withColumn("n_blocks",
+          when(col("main_text") === "", lit(0))
+            .otherwise(size(split(col("main_text"), "\n"))))
     })
   )
 
@@ -182,6 +257,10 @@ object WebQ extends QueryPack {
         |  TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id) AS warc_date,
         |  text
         |FROM documents""".stripMargin,
+    // the composition adds only derivation steps that must cancel out
+    // (text → HTML page → WARC body → parse → extract → text), so the
+    // expected rollup is the curation pipeline's, verbatim
+    "q_web_pipeline" -> CurationQ.oracles("q_curation_pipeline"),
     "q_html_extract" ->
       """SELECT doc_id, 'Doc ' || doc_id AS title,
         |  text || ' & more' || chr(10) || reverse(text) AS main_text,

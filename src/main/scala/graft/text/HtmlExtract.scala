@@ -99,8 +99,82 @@ object HtmlExtract {
 
   /** Main content as one newline-joined string — the training-text
     * column a curation pipeline feeds into langid/quality/dedup.
+    *
+    * Backed by the fused kernel ([[mainContentKernel]] via a native
+    * expression): the composed HOF form evaluates its density lambda
+    * interpreted per segment, which made the end-to-end pipeline breach
+    * the bench gate (q_web_pipeline max 2.17 s; the kernel form is the
+    * same page walk in one JVM pass). [[mainContentComposed]] keeps the
+    * Column-algebra twin; HtmlExtractSpec pins their equality on every
+    * adversarial case.
     */
   def mainContent(html: Column, minChars: Int = 25,
                   maxLinkDensity: Double = 0.15): Column =
+    graft.plans.Expressions.html_main_content(html, minChars, maxLinkDensity)
+
+  /** The pure-Column twin of [[mainContent]] — same semantics, built only
+    * from `functions._` (no custom expression); the parity reference.
+    */
+  def mainContentComposed(html: Column, minChars: Int = 25,
+                          maxLinkDensity: Double = 0.15): Column =
     array_join(contentBlocks(html, minChars, maxLinkDensity), "\n")
+
+  // ---- fused kernel (same regex engine, same pattern strings, same
+  // operation order as the Column forms above — the spec pins equality) --
+
+  private val PComment = java.util.regex.Pattern.compile("(?s)<!--.*?-->")
+  private val PScript =
+    java.util.regex.Pattern.compile("(?is)<script\\b[^>]*>.*?</script>")
+  private val PStyle =
+    java.util.regex.Pattern.compile("(?is)<style\\b[^>]*>.*?</style>")
+  private val PBlock = java.util.regex.Pattern.compile(blockSplit)
+  private val PTag = java.util.regex.Pattern.compile("<[^>]*>")
+  private val PWs = java.util.regex.Pattern.compile("\\s+")
+  private val PAnchor =
+    java.util.regex.Pattern.compile("(?is)<a\\b[^>]*>(.*?)</a>")
+
+  private def collapseKernel(s: String): String =
+    PWs.matcher(s).replaceAll(" ").trim
+
+  private def decodeKernel(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&#39;", "'").replace("&nbsp;", " ").replace("&amp;", "&")
+
+  /** stripTags as a JVM kernel: tags → space, entities, collapse, trim. */
+  def stripTagsKernel(fragment: String): String =
+    collapseKernel(decodeKernel(PTag.matcher(fragment).replaceAll(" ")))
+
+  private def anchorCharsKernel(fragment: String): Int = {
+    val m = PAnchor.matcher(fragment)
+    var n = 0
+    while (m.find()) {
+      n += collapseKernel(PTag.matcher(m.group(1)).replaceAll(" ")).length
+    }
+    n
+  }
+
+  /** [[mainContent]] as one JVM pass (public so generated code and specs
+    * can call it).
+    */
+  def mainContentKernel(html: String, minChars: Int,
+                        maxLinkDensity: Double): String = {
+    val cleaned = PStyle.matcher(
+      PScript.matcher(
+        PComment.matcher(html).replaceAll(" ")).replaceAll(" "))
+      .replaceAll(" ")
+    val segs = PBlock.split(cleaned, -1)
+    val out = new StringBuilder
+    var i = 0
+    while (i < segs.length) {
+      val txt = stripTagsKernel(segs(i))
+      if (txt.length >= minChars &&
+          anchorCharsKernel(segs(i)).toDouble <=
+            txt.length.toDouble * maxLinkDensity) {
+        if (out.nonEmpty) out.append('\n')
+        out.append(txt)
+      }
+      i += 1
+    }
+    out.toString
+  }
 }

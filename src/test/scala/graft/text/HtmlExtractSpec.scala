@@ -68,4 +68,34 @@ class HtmlExtractSpec extends SparkSpec {
     val html = s"""<p   class="a">  $prose\t\n more   words here  </p>"""
     assert(extract(html) == prose + " more words here")
   }
+
+  test("fused kernel ≡ composed Column form on every adversarial page " +
+    "and the real-document wrap") {
+    val pages = Seq(
+      s"<html><head><title>T</title><style>p{}</style></head><body>" +
+        s"<!-- c --><nav><a href='/'>Home</a></nav><p>$prose</p>" +
+        s"<script>var s = \"<p>fake</p>\";</script></body></html>",
+      (1 to 8).map(i => s"""<a href="/$i">related article $i</a>""")
+        .mkString("<div>", " ", "</div>") + s"<p>$prose</p>",
+      s"<p>$prose Fish &amp; chips &amp;lt; tag &nbsp; &quot;q&quot;</p>",
+      s"""<p>$prose <a href="/x">dangling link</p>""",
+      "", "no tags at all but long enough to clear the bar easily today",
+      s"<p>ok</p><p>$prose</p><h2>$prose</h2>")
+    val df = pages.toDF("h").unionByName(
+      graft.model.Tables.documents(spark, sfDir).select(
+        concat(lit("<body><nav><a href='/'>Home nav bar</a></nav><p>"),
+          col("text"), lit("</p><footer><a>c</a></footer></body>")).as("h")))
+    val diff = df.select(
+        HtmlExtract.mainContent(col("h")).as("fused"),
+        HtmlExtract.mainContentComposed(col("h")).as("composed"))
+      .where(col("fused") =!= col("composed"))
+    assert(diff.count() == 0)
+    // and the fused form stays inside whole-stage codegen over a scan
+    val scan = graft.model.Tables.documents(spark, sfDir)
+      .select(HtmlExtract.mainContent(concat(lit("<p>"), col("text"),
+        lit("</p>"))).as("t"))
+    scan.collect()
+    assert(scan.queryExecution.executedPlan.toString.contains("*("),
+      "html_main_content must codegen")
+  }
 }
