@@ -125,4 +125,33 @@ object DedupIndex {
       .select(col("query_id").as(idCol)).distinct()
     batch.join(dupIds, Seq(idCol), "left_anti")
   }
+
+  /** The LIVE ingestion loop: every arriving micro-batch is deduped
+    * against the store, survivors are APPENDED (so the next micro-batch
+    * sees them) and recorded to `survivorsPath` — the greedy keep-first
+    * semantics a 100 TB corpus accretes under, as a Structured Streaming
+    * sink. Survivors are MATERIALIZED (persist + count) before the
+    * append: their plan reads the same store files the append mutates,
+    * so laziness here would be a read-your-own-write race.
+    *
+    * Caller owns trigger/checkpoint via the returned writer; the result
+    * is order-dependent by design (greedy over micro-batch arrival —
+    * q_stream_ingest pins 4 deterministic batches against a 4-stage
+    * unrolled SQL oracle).
+    */
+  def ingestStream(batches: DataFrame, idCol: String, textCol: String,
+                   path: String, survivorsPath: String,
+                   threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    batches.writeStream.foreachBatch {
+      (df: DataFrame, _: Long) =>
+        val surv = dedupBatch(df, idCol, textCol, path, threshold)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          surv.count() // materialize BEFORE the store mutates
+          append(surv, idCol, textCol, path)
+          surv.select(col(idCol))
+            .write.mode("append").parquet(survivorsPath)
+        } finally { surv.unpersist(); () }
+    }
 }

@@ -54,6 +54,42 @@ object DedupQ extends QueryPack {
           threshold = 0.5),
         "jaccard")
     }),
+    // The live loop, driver-checked end to end: 4 single-file parquet
+    // batches (doc_id % 4, ascending mtimes + maxFilesPerTrigger=1 →
+    // DETERMINISTIC micro-batch order) stream through ingestStream over
+    // a FRESH store copy; each batch is deduped against base corpus +
+    // all earlier survivors, appended, recorded. The oracle unrolls the
+    // same greedy recursion as 4 SQL stages over the exact pair list.
+    "q_stream_ingest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-mhidx-live").toString
+      DedupIndex.write(docs.where(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", path)
+      val batchDir = java.nio.file.Files
+        .createTempDirectory("graft-ingest-batches")
+      (0 until 4).foreach { k =>
+        val f = batchDir.resolve(f"b$k%02d")
+        docs.where(col("doc_id") % 3 === 0 && col("doc_id") % 4 === k)
+          .coalesce(1).write.parquet(f.toString)
+        // distinct ascending mtimes pin the file-source processing order
+        java.nio.file.Files.walk(f).forEach(p =>
+          p.toFile.setLastModified(1700000000000L + k * 60000L))
+      }
+      val survOut = java.nio.file.Files
+        .createTempDirectory("graft-ingest-surv").toString + "/surv"
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(s"$batchDir/b*")
+      val sq = DedupIndex.ingestStream(stream, "doc_id", "text", path,
+          survOut, threshold = 0.5)
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft-ingest-ck").toString)
+        .start()
+      try sq.processAllAvailable() finally sq.stop()
+      s.read.parquet(survOut).select(col("doc_id"))
+    }),
     "q_dedup_ingest" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       DedupIndex.dedupBatch(docs.where(col("doc_id") % 3 === 0),
@@ -431,7 +467,58 @@ object DedupQ extends QueryPack {
        |JOIN sizes s2 ON index_id = s2.doc_id
        |WHERE i * 1.0 / (s1.sz + s2.sz - i) >= $threshold""".stripMargin
 
+  /** The greedy ingestion recursion, unrolled: batch k survives against
+    * base ∪ survivors of batches < k. Same gram/Jaccard model as
+    * [[crossJaccardSql]]; `dup` holds every exact near-dup pair once per
+    * direction.
+    */
+  private val streamIngestSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(
+       |    $norm, ' ') AS w
+       |  FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+       |  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+       |  WHERE len(w) >= 3),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS q, b.doc_id AS i, count(*) AS c
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2),
+       |dup AS (
+       |  SELECT q, i FROM inter
+       |  JOIN sizes s1 ON q = s1.doc_id JOIN sizes s2 ON i = s2.doc_id
+       |  WHERE c * 1.0 / (s1.sz + s2.sz - c) >= 0.5),
+       |base AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0),
+       |s0 AS (
+       |  SELECT doc_id FROM documents d
+       |  WHERE doc_id % 3 = 0 AND doc_id % 4 = 0 AND NOT EXISTS (
+       |    SELECT 1 FROM dup JOIN base ON dup.i = base.doc_id
+       |    WHERE dup.q = d.doc_id)),
+       |ix1 AS (SELECT doc_id FROM base UNION ALL SELECT doc_id FROM s0),
+       |s1 AS (
+       |  SELECT doc_id FROM documents d
+       |  WHERE doc_id % 3 = 0 AND doc_id % 4 = 1 AND NOT EXISTS (
+       |    SELECT 1 FROM dup JOIN ix1 ON dup.i = ix1.doc_id
+       |    WHERE dup.q = d.doc_id)),
+       |ix2 AS (SELECT doc_id FROM ix1 UNION ALL SELECT doc_id FROM s1),
+       |s2 AS (
+       |  SELECT doc_id FROM documents d
+       |  WHERE doc_id % 3 = 0 AND doc_id % 4 = 2 AND NOT EXISTS (
+       |    SELECT 1 FROM dup JOIN ix2 ON dup.i = ix2.doc_id
+       |    WHERE dup.q = d.doc_id)),
+       |ix3 AS (SELECT doc_id FROM ix2 UNION ALL SELECT doc_id FROM s2),
+       |s3 AS (
+       |  SELECT doc_id FROM documents d
+       |  WHERE doc_id % 3 = 0 AND doc_id % 4 = 3 AND NOT EXISTS (
+       |    SELECT 1 FROM dup JOIN ix3 ON dup.i = ix3.doc_id
+       |    WHERE dup.q = d.doc_id))
+       |SELECT doc_id FROM s0 UNION ALL SELECT doc_id FROM s1
+       |UNION ALL SELECT doc_id FROM s2 UNION ALL SELECT doc_id FROM s3""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q_stream_ingest" -> streamIngestSql,
     "q_dedup_index" ->
       crossJaccardSql("a.doc_id % 3 = 0 AND a.doc_id < 100000000",
         "b.doc_id % 3 <> 0", 0.5),

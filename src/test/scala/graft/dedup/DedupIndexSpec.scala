@@ -80,6 +80,40 @@ class DedupIndexSpec extends SparkSpec {
     } finally { sigs.unpersist(); () }
   }
 
+  test("ingestStream: a later micro-batch dedups against an earlier " +
+    "batch's survivors, not just the fitted base") {
+    val path = tmpDir() + "/live"
+    DedupIndex.write(corpusDocs, "doc_id", "text", path)
+    val batchDir = java.nio.file.Files.createTempDirectory("graft-live-b")
+    // batch 0: doc 21 (novel); batch 1: doc 31 = near-dup of 21, plus 32
+    Seq((21L, "completely fresh sentence about astronomy stars and comets tonight"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(batchDir.resolve("b00").toString)
+    Seq(
+      (31L, "completely fresh sentence about astronomy stars and comets NOPE"),
+      (32L, "yet another unrelated batch document with plenty new words"))
+      .toDF("doc_id", "text").coalesce(1)
+      .write.parquet(batchDir.resolve("b01").toString)
+    java.nio.file.Files.walk(batchDir.resolve("b00")).forEach(p =>
+      { p.toFile.setLastModified(1700000000000L); () })
+    java.nio.file.Files.walk(batchDir.resolve("b01")).forEach(p =>
+      { p.toFile.setLastModified(1700000060000L); () })
+    val survOut = tmpDir() + "/surv"
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$batchDir/b*")
+    val sq = DedupIndex.ingestStream(stream, "doc_id", "text", path,
+        survOut, threshold = 0.4)
+      .option("checkpointLocation", tmpDir())
+      .start()
+    try sq.processAllAvailable() finally sq.stop()
+    val surv = spark.read.parquet(survOut).as[Long].collect().toSet
+    // 21 survives (novel vs base); 31 is dropped ONLY because 21 was
+    // appended mid-stream; 32 survives
+    assert(surv == Set(21L, 32L))
+  }
+
   test("query plan broadcasts the batch side (corpus bands never shuffle)") {
     val path = tmpDir() + "/idx4"
     DedupIndex.write(corpusDocs, "doc_id", "text", path)
