@@ -211,16 +211,25 @@ object Dedup {
       // deterministic across shuffles
       .agg(hash(sort_array(collect_list(struct(col("i"), col("m"))))).as("bucket"))
 
-  /** Scan-local twin of [[bandBuckets]] — see the shared contract there. */
+  /** Scan-local twin of [[bandBuckets]] — see the shared contract there.
+    * Row-set parity with the aggregate form requires two guards the
+    * explode would otherwise break: a NULL signature (empty gram set —
+    * a <n-token document) must emit NO rows (posexplode of null emits
+    * none), and a band with no positions (bands > numHashes) must be
+    * omitted (the groupBy never saw it) — hence the isNotNull filter and
+    * the `least(bands, |sig|)` sequence bound.
+    */
   def bandBucketsLocal(sigs: DataFrame, idCol: String, bands: Int): DataFrame = {
-    val banded = transform(sequence(lit(0), lit(bands - 1)), b =>
+    val banded = transform(
+      sequence(lit(0), least(lit(bands - 1), size(col("sig")) - 1)), b =>
       struct(
         b.as("band"),
         hash(transform(
           filter(sequence(lit(0), size(col("sig")) - 1), i => i % bands === b),
           i => struct(i.as("i"), element_at(col("sig"), i + 1).as("m"))))
           .as("bucket")))
-    sigs.select(col(idCol), explode(banded).as("bb"))
+    sigs.where(col("sig").isNotNull)
+      .select(col(idCol), explode(banded).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 

@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
   *  - `bands`  — (id, band, bucket): the LSH postings, corpus × bands rows
   *  - `grams`  — (id, gs): per-doc n-gram xxhash64 sets, for exact-Jaccard
   *               verification of candidates
+  * `bands`/`grams` rows live in one SUBDIRECTORY PER WRITE (`base`, then
+  * one per append) and are read with `recursiveFileLookup`: a re-run
+  * append that names the same tag OVERWRITES its own directory instead of
+  * doubling rows — the idempotence [[ingestStream]] is built on.
   *
   * Determinism contract: signatures are fixed-seed universal hashes over
   * fixed-seed xxhash64 gram hashes, and buckets are fixed-seed Murmur3
@@ -43,8 +47,14 @@ object DedupIndex {
     Seq((n, numHashes, bands, seed))
       .toDF("n", "num_hashes", "bands", "seed")
       .write.mode("overwrite").parquet(s"$path/meta")
+    // wipe earlier append subdirs: a (re)fit defines the whole store
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("bands", "grams").foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true); ()
+    }
     writeRows(df, idCol, textCol, path, Params(n, numHashes, bands, seed),
-      mode = "overwrite")
+      tag = "base")
   }
 
   def params(spark: SparkSession, path: String): Params = {
@@ -55,26 +65,34 @@ object DedupIndex {
 
   /** Add a batch to the searchable set (postings + gram sets appended;
     * no driver-side model exists, so there is nothing to invalidate).
-    * Callers typically append the SURVIVORS of [[dedupBatch]].
+    * Callers typically append the SURVIVORS of [[dedupBatch]]. `tag`
+    * names the write's subdirectory: re-running an append WITH THE SAME
+    * TAG overwrites it (idempotent — what [[ingestStream]] relies on);
+    * the default draws a fresh tag per call (plain grow-the-store).
     */
   def append(df: DataFrame, idCol: String, textCol: String,
-             path: String): Unit =
-    writeRows(df, idCol, textCol, path, params(df.sparkSession, path),
-      mode = "append")
+             path: String, tag: String = ""): Unit = {
+    val t = if (tag.nonEmpty) tag
+      else s"a${java.util.UUID.randomUUID().toString.take(8)}"
+    writeRows(df, idCol, textCol, path, params(df.sparkSession, path), t)
+  }
 
   private def writeRows(df: DataFrame, idCol: String, textCol: String,
-                        path: String, p: Params, mode: String): Unit = {
+                        path: String, p: Params, tag: String): Unit = {
     val grams = Dedup.gramHashSets(df, idCol, textCol, p.n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       grams.select(col(idCol).as("id"), col("gs"))
-        .write.mode(mode).parquet(s"$path/grams")
+        .write.mode("overwrite").parquet(s"$path/grams/$tag")
       val sigs = Dedup.minhashSignatures(grams, idCol, p.numHashes, p.seed)
       Dedup.bandBucketsLocal(sigs, idCol, p.bands)
         .select(col(idCol).as("id"), col("band"), col("bucket"))
-        .write.mode(mode).parquet(s"$path/bands")
-    } finally grams.unpersist()
+        .write.mode("overwrite").parquet(s"$path/bands/$tag")
+    } finally { grams.unpersist(); () }
   }
+
+  private def readStore(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(dir)
 
   /** Near-dup pairs between a new batch and the indexed corpus:
     * `(query_id, index_id, jaccard)` for every batch document whose exact
@@ -84,7 +102,18 @@ object DedupIndex {
     * its own postings).
     */
   def query(batch: DataFrame, idCol: String, textCol: String, path: String,
-            threshold: Double = 0.5, excludeSelf: Boolean = true): DataFrame = {
+            threshold: Double = 0.5, excludeSelf: Boolean = true): DataFrame =
+    queryExcluding(batch, idCol, textCol, path, threshold, excludeSelf,
+      excludeIndexIds = None)
+
+  /** [[query]] with an index-side id blocklist — [[ingestStream]] passes
+    * the batch's OWN ids so a checkpoint replay (whose earlier attempt
+    * already appended this batch) reaches the same survivor set.
+    */
+  private def queryExcluding(batch: DataFrame, idCol: String, textCol: String,
+                             path: String, threshold: Double,
+                             excludeSelf: Boolean,
+                             excludeIndexIds: Option[DataFrame]): DataFrame = {
     val spark = batch.sparkSession
     val p = params(spark, path)
     val grams = Dedup.gramHashSets(batch, idCol, textCol, p.n)
@@ -93,14 +122,17 @@ object DedupIndex {
     // scan-local banding: the batch side feeds a broadcast, so there is no
     // self-join exchange to reuse — zero shuffle before the candidate join
     val qBands = Dedup.bandBucketsLocal(sigs, "query_id", p.bands)
-    val ixBands = spark.read.parquet(s"$path/bands")
+    val ixBands = readStore(spark, s"$path/bands")
     // batch ≪ corpus: broadcast the batch postings — the persisted bands
     // scan stays shuffle-free, candidates are the only corpus rows moving
-    val cands = ixBands
+    val cands0 = ixBands
       .join(broadcast(qBands), Seq("band", "bucket"))
       .select(col("query_id"), col("id").as("index_id"))
       .distinct()
-    val ixGrams = spark.read.parquet(s"$path/grams")
+    val cands = excludeIndexIds.fold(cands0)(ex =>
+      cands0.join(broadcast(ex.select(col("index_id")).distinct()),
+        Seq("index_id"), "left_anti"))
+    val ixGrams = readStore(spark, s"$path/grams")
       .select(col("id").as("index_id"), col("gs").as("gs2"))
     val verified = cands
       .join(broadcast(grams.select(col("query_id"), col("gs").as("gs1"))),
@@ -128,30 +160,45 @@ object DedupIndex {
 
   /** The LIVE ingestion loop: every arriving micro-batch is deduped
     * against the store, survivors are APPENDED (so the next micro-batch
-    * sees them) and recorded to `survivorsPath` — the greedy keep-first
-    * semantics a 100 TB corpus accretes under, as a Structured Streaming
-    * sink. Survivors are MATERIALIZED (persist + count) before the
-    * append: their plan reads the same store files the append mutates,
-    * so laziness here would be a read-your-own-write race.
+    * sees them) and recorded under `survivorsPath/b<batchId>` — the
+    * greedy keep-first semantics a 100 TB corpus accretes under, as a
+    * Structured Streaming sink.
     *
-    * Caller owns trigger/checkpoint via the returned writer; the result
-    * is order-dependent by design (greedy over micro-batch arrival —
-    * q_stream_ingest pins 4 deterministic batches against a 4-stage
-    * unrolled SQL oracle).
+    * IDEMPOTENT under at-least-once replay, by construction rather than
+    * by marker files:
+    *  - the dedup EXCLUDES the batch's own ids on the index side, so a
+    *    replay whose earlier attempt already appended this batch computes
+    *    the SAME survivor set (without this, two intra-batch near-dups
+    *    that both survived would eliminate each other on replay);
+    *  - the store append and the survivor record both write to
+    *    batch-tagged subdirectories with mode=overwrite, so a re-run
+    *    replaces its own output instead of doubling rows.
+    * Survivors are still materialized (persist + count) before the
+    * append — their plan reads the store the append mutates.
+    *
+    * Caller owns trigger/checkpoint via the returned writer; read results
+    * with `spark.read.option("recursiveFileLookup", "true")
+    * .parquet(survivorsPath)`. Batch order is owner-defined (greedy over
+    * arrival — q_stream_ingest pins 4 deterministic batches against a
+    * 4-stage unrolled SQL oracle).
     */
   def ingestStream(batches: DataFrame, idCol: String, textCol: String,
                    path: String, survivorsPath: String,
                    threshold: Double = 0.5)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     batches.writeStream.foreachBatch {
-      (df: DataFrame, _: Long) =>
-        val surv = dedupBatch(df, idCol, textCol, path, threshold)
+      (df: DataFrame, batchId: Long) =>
+        val own = df.select(col(idCol).as("index_id"))
+        val dupIds = queryExcluding(df, idCol, textCol, path, threshold,
+            excludeSelf = true, excludeIndexIds = Some(own))
+          .select(col("query_id").as(idCol)).distinct()
+        val surv = df.join(dupIds, Seq(idCol), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           surv.count() // materialize BEFORE the store mutates
-          append(surv, idCol, textCol, path)
+          append(surv, idCol, textCol, path, tag = s"b$batchId")
           surv.select(col(idCol))
-            .write.mode("append").parquet(survivorsPath)
+            .write.mode("overwrite").parquet(s"$survivorsPath/b$batchId")
         } finally { surv.unpersist(); () }
     }
 }

@@ -2,7 +2,7 @@ package graft.ingest
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, EOFException, InputStream}
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+import java.util.zip.GZIPOutputStream
 
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -238,9 +238,15 @@ object Warc {
     val body = java.util.Arrays.copyOfRange(block, sep + 4, block.length)
     val lines = head.split("\r\n")
     val status =
-      if (lines.head.startsWith("HTTP/"))
-        Some(lines.head.split(" ", 3)(1).toInt)
-      else None
+      if (lines.head.startsWith("HTTP/")) {
+        // status-line = HTTP-version SP 3-digit SP reason (RFC 9112 §4);
+        // malformed responses reject WITH file context like every other
+        // malformed-input path here, not with a bare parse exception
+        val parts = lines.head.split(" ", 3)
+        require(parts.length >= 2 && parts(1).matches("\\d{3}"),
+          s"$file: malformed HTTP status line '${lines.head}'")
+        Some(parts(1).toInt)
+      } else None
     val hct = lines.tail.collectFirst {
       case l if l.toLowerCase.startsWith("content-type:") =>
         l.substring(l.indexOf(':') + 1).trim
@@ -275,7 +281,10 @@ object Warc {
     p.payload)
 
   private def openMaybeGz(in: InputStream, name: String): InputStream =
-    if (name.endsWith(".gz")) new GZIPInputStream(in, 1 << 16) else in
+    // from-spec member reader, NOT GZIPInputStream: the JDK class reports
+    // a corrupt next-member header as clean EOF (silent truncation of a
+    // crawl segment); Gzip.memberStream verifies every header and trailer
+    if (name.endsWith(".gz")) Gzip.memberStream(in, name) else in
 
   /** Read a WARC file or a directory of them, one whole-file decode per
     * task ([[fileGrain]] note above). `types` non-empty keeps only those

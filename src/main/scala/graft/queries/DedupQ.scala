@@ -88,7 +88,8 @@ object DedupQ extends QueryPack {
           .createTempDirectory("graft-ingest-ck").toString)
         .start()
       try sq.processAllAvailable() finally sq.stop()
-      s.read.parquet(survOut).select(col("doc_id"))
+      s.read.option("recursiveFileLookup", "true").parquet(survOut)
+        .select(col("doc_id"))
     }),
     "q_dedup_ingest" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)

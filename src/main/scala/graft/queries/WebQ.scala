@@ -185,18 +185,34 @@ object WebQ extends QueryPack {
     "q_stream_warc" -> ((s, dir) => {
       val (base, _, _, _) = warcFixture(s, dir)
       val name = s"graft_stream_warc_${warcStreamSeq.incrementAndGet()}"
+      val ck = java.nio.file.Files.createTempDirectory("graft-warc-ck")
       val sq = Warc.readStream(s, base, types = Seq("response"))
         .writeStream.format("memory").queryName(name).outputMode("append")
-        .option("checkpointLocation", java.nio.file.Files
-          .createTempDirectory("graft-warc-ck").toString)
+        .option("checkpointLocation", ck.toString)
         .start()
-      try sq.processAllAvailable() finally sq.stop()
-      s.table(name).select(
-        regexp_extract(col("warc_target_uri"), "/doc/(\\d+)$", 1)
-          .cast("long").as("doc_id"),
-        length(col("payload")).cast("long").as("n_bytes"),
-        col("warc_date"),
-        col("payload").cast("string").as("text"))
+      // materialize off the memory sink, then RELEASE it: the sink holds
+      // every payload in driver memory, and repeated invocations (bench
+      // loops, re-verification) would otherwise accumulate one archive
+      // copy per run; the checkpoint temp dir goes with it
+      val out = try {
+        sq.processAllAvailable()
+        val rows = s.table(name).select(
+          regexp_extract(col("warc_target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          col("warc_date"),
+          col("payload").cast("string").as("text"))
+        val schema = rows.schema
+        s.createDataFrame(new java.util.ArrayList(
+          java.util.Arrays.asList(rows.collect(): _*)), schema)
+      } finally {
+        sq.stop()
+        s.catalog.dropTempView(name)
+        java.nio.file.Files.walk(ck)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      }
+      out
     }),
     // Boilerplate removal against GROUND TRUTH (q_url_curation style):
     // each document is wrapped into a full page — head/title/style,

@@ -56,28 +56,32 @@ class DedupIndexSpec extends SparkSpec {
     assert(hits == Set((11L, 1L), (12L, 2L)))
   }
 
-  test("scan-local band buckets are value-identical to the historical " +
-    "aggregate form (bucket equality IS the persisted-index format)") {
+  test("scan-local band buckets are value-identical to the LIVE aggregate " +
+    "form (bucket equality IS the persisted-index format) — incl. " +
+    "empty-gram docs and bands > numHashes") {
+    // real docs PLUS a <3-token doc (empty gram set → NULL signature):
+    // both forms must emit ZERO rows for it, not 32 constant-bucket rows
     val docs = graft.model.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+      .unionByName(Seq((999999L, "too short")).toDF("doc_id", "text"))
     val grams = Dedup.gramHashSets(docs, "doc_id", "text", 3)
-    val sigs = Dedup.minhashSignatures(grams, "doc_id", 64, seed = 42L)
-      .persist()
-    try {
-      val bands = 32
-      val now = Dedup.bandBucketsLocal(sigs, "doc_id", bands)
-      val legacy = sigs
-        .select(col("doc_id"), posexplode(col("sig")).as(Seq("i", "m")))
-        .withColumn("band", col("i").mod(lit(bands)))
-        .groupBy(col("doc_id"), col("band"))
-        .agg(hash(sort_array(collect_list(struct(col("i"), col("m"))))).as("bucket"))
-      assert(now.count() == legacy.count())
-      assert(now.join(legacy, Seq("doc_id", "band", "bucket")).count()
-        == legacy.count())
-      // and the new form plans no aggregate exchange before the explode
-      val plan = now.queryExecution.executedPlan.toString
-      assert(!plan.contains("HashAggregate"),
-        s"banding must be scan-local, got:\n$plan")
-    } finally { sigs.unpersist(); () }
+    for (numHashes <- Seq(64, 16)) { // 16 < 32 bands: empty bands omitted
+      val sigs = Dedup.minhashSignatures(grams, "doc_id", numHashes, seed = 42L)
+        .persist()
+      try {
+        val bands = 32
+        val now = Dedup.bandBucketsLocal(sigs, "doc_id", bands)
+        val legacy = Dedup.bandBuckets(sigs, "doc_id", bands)
+        assert(now.count() == legacy.count())
+        assert(now.join(legacy, Seq("doc_id", "band", "bucket")).count()
+          == legacy.count())
+        assert(now.where(col("doc_id") === 999999L).count() == 0)
+        // and the scan-local form plans no aggregate exchange
+        val plan = now.queryExecution.executedPlan.toString
+        assert(!plan.contains("HashAggregate"),
+          s"banding must be scan-local, got:\n$plan")
+      } finally { sigs.unpersist(); () }
+    }
   }
 
   test("ingestStream: a later micro-batch dedups against an earlier " +
@@ -108,7 +112,8 @@ class DedupIndexSpec extends SparkSpec {
       .option("checkpointLocation", tmpDir())
       .start()
     try sq.processAllAvailable() finally sq.stop()
-    val surv = spark.read.parquet(survOut).as[Long].collect().toSet
+    val surv = spark.read.option("recursiveFileLookup", "true")
+      .parquet(survOut).as[Long].collect().toSet
     // 21 survives (novel vs base); 31 is dropped ONLY because 21 was
     // appended mid-stream; 32 survives
     assert(surv == Set(21L, 32L))

@@ -99,6 +99,34 @@ class WarcSpec extends SparkSpec {
     assert(chainMsg(e3).contains("mandatory"))
   }
 
+  test("gzip hardening: trailing garbage, corrupt payload and truncation " +
+    "all reject loudly (GZIPInputStream would report clean EOF)") {
+    val dir = tmpDir()
+    val good = s"$dir/good.warc.gz"
+    Warc.write(good, (0 until 3).map(i => rec(i, s"content $i " * 10)))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(good))
+    // (a) trailing garbage after the last member: a writer died mid-member
+    val p1 = java.nio.file.Paths.get(s"$dir/garbage.warc.gz")
+    java.nio.file.Files.write(p1, bytes ++ "NOT A GZIP MEMBER".getBytes(UTF_8))
+    val e1 = intercept[Exception] { Warc.read(spark, p1.toString).count() }
+    assert(chainMsg(e1).contains("gzip member magic"))
+    // (b) one flipped byte mid-stream: CRC (or deflate) must catch it
+    val flipped = bytes.clone()
+    flipped(bytes.length / 2) = (flipped(bytes.length / 2) ^ 0x5a).toByte
+    val p2 = java.nio.file.Paths.get(s"$dir/flip.warc.gz")
+    java.nio.file.Files.write(p2, flipped)
+    val e2 = intercept[Exception] { Warc.read(spark, p2.toString).count() }
+    assert(chainMsg(e2).nonEmpty) // loud, whatever layer catches it first
+    // (c) truncated final member
+    val p3 = java.nio.file.Paths.get(s"$dir/trunc.warc.gz")
+    java.nio.file.Files.write(p3, bytes.dropRight(10))
+    val e3 = intercept[Exception] { Warc.read(spark, p3.toString).count() }
+    assert(chainMsg(e3).toLowerCase.contains("truncated") ||
+      chainMsg(e3).contains("gzip"))
+    // and the happy path still reads every record with verified CRCs
+    assert(Warc.read(spark, good).count() == 3)
+  }
+
   test("readStream: incremental file discovery, exactly once per file") {
     import spark.implicits._
     val dir = tmpDir()
