@@ -4,6 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, EOFException, Input
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.zip.GZIPOutputStream
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
@@ -78,20 +79,64 @@ object Warc {
     var offset = 0L
     try {
       records.foreach { r =>
-        val raw = recordBytes(r)
-        val member =
-          if (gzipPerRecord) {
-            val bos = new ByteArrayOutputStream(raw.length / 2 + 64)
-            val gz = new GZIPOutputStream(bos)
-            gz.write(raw); gz.finish(); gz.close()
-            bos.toByteArray
-          } else raw
+        val member = memberBytes(r, gzipPerRecord)
         out.write(member)
         index += ((offset, member.length.toLong))
         offset += member.length
       }
     } finally out.close()
     index.result()
+  }
+
+  /** DISTRIBUTED WARC sink — the write half of the crawl front door, and
+    * the shape of a WET export (CommonCrawl's extracted-text interchange:
+    * `conversion` records carrying the text a pipeline distilled from
+    * each page). One task writes one `.warc.gz` of per-record gzip
+    * members straight to Hadoop FS — records never gather on the driver,
+    * so emitting 100 TB of WET costs exactly one scan of the source
+    * frame. Partition the input first to choose segment count/size.
+    *
+    * Expected columns (the reader's own field names): `warc_type`,
+    * `warc_record_id`, `warc_date` (timestamp), `warc_target_uri`
+    * (nullable), `content_type` (nullable), `block` (binary). Empty
+    * partitions produce no file.
+    */
+  def writeDistributed(records: DataFrame, dir: String): Unit = {
+    val spark = records.sparkSession
+    val props = NetCdf.fsProps(spark)
+    records
+      .select(col("warc_type"), col("warc_record_id"), col("warc_date"),
+        col("warc_target_uri"), col("content_type"), col("block"))
+      .foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val c = new org.apache.hadoop.conf.Configuration()
+          props.foreach { case (k, v) => c.set(k, v) }
+          val fp = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.warc.gz")
+          val out = fp.getFileSystem(c).create(fp, true)
+          try it.foreach { r =>
+            val rec = WarcRecord(
+              warcType = r.getString(0),
+              recordId = r.getString(1),
+              date = r.getTimestamp(2).toInstant.toString,
+              block = r.getAs[Array[Byte]](5),
+              targetUri = Option(r.getString(3)),
+              contentType = Option(r.getString(4)))
+            out.write(memberBytes(rec, gzipPerRecord = true))
+          } finally out.close()
+        }
+      }
+  }
+
+  private def memberBytes(r: WarcRecord, gzipPerRecord: Boolean): Array[Byte] = {
+    val raw = recordBytes(r)
+    if (!gzipPerRecord) raw
+    else {
+      val bos = new ByteArrayOutputStream(raw.length / 2 + 64)
+      val gz = new GZIPOutputStream(bos)
+      gz.write(raw); gz.finish(); gz.close()
+      bos.toByteArray
+    }
   }
 
   private def recordBytes(r: WarcRecord): Array[Byte] = {

@@ -142,6 +142,35 @@ object WebQ extends QueryPack {
           .withColumn("total_tokens", col("total_tokens").cast("long")),
         "avg_quality")
     }),
+    // WET export roundtrip: the HTML archive is read, main content is
+    // extracted, and the distilled text is written BACK as WARC
+    // `conversion` records (CommonCrawl's WET interchange) through the
+    // DISTRIBUTED sink — one .warc.gz per task, records never on the
+    // driver — then re-read. The oracle re-derives every row from
+    // parquet: extraction must equal the document text and the whole
+    // write→read loop must be byte-faithful.
+    "q_wet_export" -> ((s, dir) => {
+      val pages = Warc.read(s, warcHtmlFixture(s, dir), types = Seq("response"))
+      val wet = pages.select(
+        lit("conversion").as("warc_type"),
+        regexp_replace(col("warc_record_id"), ":page:", ":wet:")
+          .as("warc_record_id"),
+        col("warc_date"),
+        col("warc_target_uri"),
+        lit("text/plain").as("content_type"),
+        HtmlExtract.mainContent(col("payload").cast("string"))
+          .cast("binary").as("block"))
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-wet").toString
+      Warc.writeDistributed(
+        wet.repartition(4, col("warc_record_id")), out)
+      Warc.read(s, out, types = Seq("conversion"))
+        .select(
+          regexp_extract(col("warc_record_id"), ":(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("warc_date"),
+          col("payload").cast("string").as("text"))
+    }),
     // Archive scan: 4 .warc.gz files (doc_id % 4), each opening with a
     // warcinfo record the type filter must drop before a row is built.
     // Row-level output (id, host, status, bytes, date, full text) makes
@@ -270,6 +299,11 @@ object WebQ extends QueryPack {
         |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
     "q_stream_warc" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id) AS warc_date,
+        |  text
+        |FROM documents""".stripMargin,
+    "q_wet_export" ->
+      """SELECT doc_id,
         |  TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id) AS warc_date,
         |  text
         |FROM documents""".stripMargin,

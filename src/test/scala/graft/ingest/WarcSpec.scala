@@ -99,6 +99,31 @@ class WarcSpec extends SparkSpec {
     assert(chainMsg(e3).contains("mandatory"))
   }
 
+  test("writeDistributed: one verified .warc.gz per non-empty partition, " +
+    "roundtrips through read") {
+    import spark.implicits._
+    val dir = tmpDir() + "/wet"
+    val df = (0 until 40).map(i => (
+        "conversion", s"urn:wet:$i",
+        java.sql.Timestamp.from(java.time.Instant.parse("2026-03-01T00:00:00Z")),
+        s"https://h/p/$i", "text/plain",
+        s"extracted text $i ".getBytes(UTF_8)))
+      .toDF("warc_type", "warc_record_id", "warc_date", "warc_target_uri",
+        "content_type", "block")
+    Warc.writeDistributed(df.repartition(6, col("warc_record_id")), dir)
+    // LocalFileSystem adds .crc checksum sidecars (hidden; HDFS keeps
+    // checksums server-side) — the reader's suffix filter skips them
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(files.forall(_.matches("part-\\d{5}\\.warc\\.gz")))
+    assert(files.length <= 6 && files.nonEmpty)
+    val back = Warc.read(spark, dir)
+    assert(back.count() == 40)
+    val r = back.where(col("warc_record_id") === "urn:wet:7").collect().head
+    assert(new String(r.getAs[Array[Byte]]("payload"), UTF_8) == "extracted text 7 ")
+    assert(r.getAs[String]("warc_type") == "conversion")
+  }
+
   test("gzip hardening: trailing garbage, corrupt payload and truncation " +
     "all reject loudly (GZIPInputStream would report clean EOF)") {
     val dir = tmpDir()
