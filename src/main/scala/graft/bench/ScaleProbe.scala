@@ -385,6 +385,24 @@ object ScaleProbe {
         })
       run("warc_read", graft.ingest.Warc.read(spark, wDir, Seq("response"))
         .select(col("warc_target_uri"), length(col("payload")).as("n")))
+      // distributed WET sink: n/10 conversion records, extraction text as
+      // the block, one .warc.gz per task — write cost is one scan, no
+      // driver gather (the write half of the crawl loop)
+      val wetDir = graft.util.Tmp.root("graft_probe_wet").toString
+      time("wet_write_distributed") {
+        graft.ingest.Warc.writeDistributed(
+          docs.where(col("id") % 10 === 0).select(
+            lit("conversion").as("warc_type"),
+            concat(lit("urn:probe:wet:"), col("id")).as("warc_record_id"),
+            lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+              .as("warc_date"),
+            concat(lit("https://h.example.com/p/"), col("id"))
+              .as("warc_target_uri"),
+            lit("text/plain").as("content_type"),
+            col("text").cast("binary").as("block"))
+            .repartition(32, col("warc_record_id")),
+          wetDir)
+      }
     }
 
     if (what == "cc" || what == "all") {
