@@ -404,6 +404,70 @@ object Warc {
       }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** One CDXJ index entry ([[writeCdxj]]). */
+  final case class CdxEntry(url: String, date: String, file: String,
+                            offset: Long, length: Long, status: Int,
+                            mime: String)
+
+  /** SURT (Sort-friendly URI Reordering Transform) key — the CDX sort
+    * key: lowercase, scheme dropped, host labels REVERSED comma-joined,
+    * `)` then the path. The common core (ports/queries pass through with
+    * the path) — enough to sort and range-scan a crawl index.
+    */
+  def surtKey(url: String): String = {
+    val u = url.toLowerCase
+    val noScheme = u.replaceFirst("^[a-z][a-z0-9+.-]*://", "")
+    val slash = noScheme.indexOf('/')
+    val (host, path) =
+      if (slash < 0) (noScheme, "/") else noScheme.splitAt(slash)
+    host.split('.').reverse.mkString(",") + ")" + path
+  }
+
+  /** Write a CDXJ sidecar (the pywb/CommonCrawl index line format:
+    * `<surt-urlkey> <14-digit-timestamp> <json>`) for an archive —
+    * typically from [[write]]'s returned byte-range index. Entries are
+    * emitted in SURT order, the format's sort contract.
+    */
+  def writeCdxj(entries: Seq[CdxEntry], path: String): Unit = {
+    require(entries.nonEmpty, s"refusing to write an empty CDXJ: $path")
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val lines = entries.map { e =>
+      val ts = java.time.Instant.parse(e.date)
+        .atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss"))
+      surtKey(e.url) + " " + ts + " " +
+        s"""{"url": "${esc(e.url)}", "filename": "${esc(e.file)}", """ +
+        s""""offset": "${e.offset}", "length": "${e.length}", """ +
+        s""""status": "${e.status}", "mime": "${esc(e.mime)}"}"""
+    }.sorted
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      lines.mkString("", "\n", "\n").getBytes(UTF_8))
+    ()
+  }
+
+  /** Parse CDXJ index files DISTRIBUTED (plain text scan + Column JSON
+    * extraction — fully codegen'd, no driver parsing): columns
+    * `(urlkey, cdx_ts, url, file, offset, length, status, mime)`. The
+    * output feeds [[readIndexed]] directly — the full cc-index loop:
+    * filter the (tiny) index by url/key/time, fetch ONLY those records.
+    */
+  def readCdxj(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.text(path)
+      .where(length(trim(col("value"))) > 0)
+      .select(
+        substring_index(col("value"), " ", 1).as("urlkey"),
+        element_at(split(col("value"), " ", 3), 2).as("cdx_ts"),
+        element_at(split(col("value"), " ", 3), 3).as("json"))
+      .select(col("urlkey"), col("cdx_ts"),
+        get_json_object(col("json"), "$.url").as("url"),
+        get_json_object(col("json"), "$.filename").as("file"),
+        get_json_object(col("json"), "$.offset").cast("long").as("offset"),
+        get_json_object(col("json"), "$.length").cast("long").as("length"),
+        get_json_object(col("json"), "$.status").cast("int").as("status"),
+        get_json_object(col("json"), "$.mime").as("mime"))
+  }
+
   /** Record-grain random access — the cc-index path. `slices` has columns
     * `(file, offset, length)` (as produced by [[write]] or a crawl
     * index); each task seeks to its member, inflates ONLY those bytes,

@@ -47,6 +47,10 @@ object WebQ extends QueryPack {
   private val warcDirs =
     scala.collection.concurrent.TrieMap.empty[String, (String, String, Seq[(Long, Long)], Seq[Long])]
 
+  /** CDXJ sidecar for the single-file archive — written at fixture-build
+    * time next to it (the crawl-time index production). */
+  private def cdxPath(single: String): String = single + ".cdxj"
+
   private def warcFixture(s: SparkSession, dir: String)
       : (String, String, Seq[(Long, Long)], Seq[Long]) =
     warcDirs.getOrElseUpdate(s"${s.sparkContext.applicationId}:$dir", {
@@ -68,6 +72,15 @@ object WebQ extends QueryPack {
       val single = idxDir.resolve("all.warc.gz").toString
       val index = Warc.write(single,
         docs.toSeq.map { case (id, src, text) => docRecord(id, src, text) })
+      Warc.writeCdxj(
+        docs.toSeq.zip(index).map { case ((id, src, _), (off, len)) =>
+          Warc.CdxEntry(
+            url = s"https://$src.example.com/doc/$id",
+            date = java.time.Instant.parse(Epoch).plusSeconds(id).toString,
+            file = single, offset = off, length = len,
+            status = 200, mime = "text/plain")
+        },
+        cdxPath(single))
       (base.toString, single, index, docs.map(_._1).toSeq)
     })
 
@@ -188,6 +201,31 @@ object WebQ extends QueryPack {
           col("warc_date"),
           col("payload").cast("string").as("text"))
     }),
+    // The REAL cc-index loop, wire format included: the CDXJ sidecar
+    // (surt-key + 14-digit timestamp + JSON line format) is parsed
+    // DISTRIBUTED, filtered by url down to doc_id % 7 == 0, and its
+    // byte ranges drive readIndexed — then each fetched record joins
+    // back to its index line. The oracle re-derives the SURT key, the
+    // formatted timestamp, and the payload from parquet: a defect in
+    // the key transform, the line format, the JSON extraction, or the
+    // offsets hash-mismatches.
+    "q_warc_cdx" -> ((s, dir) => {
+      val (_, single, _, _) = warcFixture(s, dir)
+      val cdx = Warc.readCdxj(s, cdxPath(single))
+        .where(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+          .cast("long") % 7 === 0)
+      val fetched = Warc.readIndexed(s,
+        cdx.select(col("file"), col("offset"), col("length")))
+        .select(col("warc_target_uri").as("url"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          col("payload").cast("string").as("text"))
+      cdx.join(fetched, Seq("url"))
+        .select(
+          regexp_extract(col("url"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("urlkey"), col("cdx_ts"), col("status"), col("mime"),
+          col("n_bytes"), col("text"))
+    }),
     // The cc-index path: ONE archive file + the writer's byte-range
     // index; only doc_id % 7 == 0 slices are fetched, each task seek+
     // inflating exactly one gzip member. Reading k records is O(k)
@@ -302,6 +340,15 @@ object WebQ extends QueryPack {
         |  TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id) AS warc_date,
         |  text
         |FROM documents""".stripMargin,
+    "q_warc_cdx" ->
+      """SELECT doc_id,
+        |  'com,example,' || source || ')/doc/' || doc_id AS urlkey,
+        |  strftime(TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id),
+        |           '%Y%m%d%H%M%S') AS cdx_ts,
+        |  200 AS status, 'text/plain' AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  text
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
     "q_wet_export" ->
       """SELECT doc_id,
         |  TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id) AS warc_date,

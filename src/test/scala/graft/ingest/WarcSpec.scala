@@ -99,6 +99,27 @@ class WarcSpec extends SparkSpec {
     assert(chainMsg(e3).contains("mandatory"))
   }
 
+  test("surt keys and CDXJ roundtrip (sorted lines, JSON escaping)") {
+    assert(Warc.surtKey("https://WWW.Example.COM/Doc/1?q=2")
+      == "com,example,www)/doc/1?q=2")
+    assert(Warc.surtKey("http://host") == "host)/")
+    assert(Warc.surtKey("https://a.b.co.uk/x") == "uk,co,b,a)/x")
+    val p = tmpDir() + "/idx.cdxj"
+    Warc.writeCdxj(Seq(
+      Warc.CdxEntry("https://zz.example.com/1", "2026-02-03T04:05:06Z",
+        "f1.warc.gz", 0L, 10L, 200, "text/plain"),
+      Warc.CdxEntry("https://aa.example.com/2\"quote", "2026-01-01T00:00:00Z",
+        "f2.warc.gz", 10L, 20L, 404, "text/html")), p)
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(p))
+    assert(lines.get(0).startsWith("com,example,aa)/2\"quote 20260101000000 "))
+    val df = Warc.readCdxj(spark, p).orderBy("urlkey").collect()
+    assert(df.length == 2)
+    assert(df(0).getAs[String]("url") == "https://aa.example.com/2\"quote")
+    assert(df(0).getAs[Long]("offset") == 10L && df(0).getAs[Int]("status") == 404)
+    assert(df(1).getAs[String]("cdx_ts") == "20260203040506")
+    assert(df(1).getAs[Long]("length") == 10L)
+  }
+
   test("writeDistributed: one verified .warc.gz per non-empty partition, " +
     "roundtrips through read") {
     import spark.implicits._
