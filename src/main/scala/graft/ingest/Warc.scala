@@ -98,23 +98,46 @@ object Warc {
     *
     * Expected columns (the reader's own field names): `warc_type`,
     * `warc_record_id`, `warc_date` (timestamp), `warc_target_uri`
-    * (nullable), `content_type` (nullable), `block` (binary). Empty
-    * partitions produce no file.
+    * (nullable), `content_type` (nullable), `block` (binary) — the three
+    * mandatory ones and `block` must be non-null (messaged reject per
+    * record, not a bare NPE). Empty partitions produce no file.
+    *
+    * Task-commit protocol: each attempt writes
+    * `_tmp/part-NNNNN-<attemptId>.warc.gz` and RENAMES into place on
+    * success — a speculated or retried attempt can never interleave
+    * bytes into the final file (first rename wins; losers delete their
+    * temp). The target directory must be empty or absent: silently
+    * mixing a new export with stale part files from an earlier layout
+    * would corrupt the corpus invisibly.
     */
   def writeDistributed(records: DataFrame, dir: String): Unit = {
     val spark = records.sparkSession
     val props = NetCdf.fsProps(spark)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val dfs = dirPath.getFileSystem(taskConf(props))
+    require(!dfs.exists(dirPath) || dfs.listStatus(dirPath).isEmpty,
+      s"refusing to export into non-empty $dir: stale part files from an " +
+        "earlier write would silently mix into the archive")
+    dfs.mkdirs(dirPath)
     records
       .select(col("warc_type"), col("warc_record_id"), col("warc_date"),
         col("warc_target_uri"), col("content_type"), col("block"))
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val c = new org.apache.hadoop.conf.Configuration()
-          props.foreach { case (k, v) => c.set(k, v) }
-          val fp = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.warc.gz")
-          val out = fp.getFileSystem(c).create(fp, true)
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
+          val fs = new org.apache.hadoop.fs.Path(dir)
+            .getFileSystem(taskConf(props))
+          val tmp = new org.apache.hadoop.fs.Path(
+            f"$dir/_tmp/part-$pid%05d-attempt${tc.taskAttemptId()}.warc.gz")
+          val fin = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.warc.gz")
+          val out = fs.create(tmp, true)
+          var i = 0L
           try it.foreach { r =>
+            require(!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) &&
+                !r.isNullAt(5),
+              s"record $i of partition $pid: warc_type, warc_record_id, " +
+                "warc_date and block must be non-null")
             val rec = WarcRecord(
               warcType = r.getString(0),
               recordId = r.getString(1),
@@ -123,9 +146,23 @@ object Warc {
               targetUri = Option(r.getString(3)),
               contentType = Option(r.getString(4)))
             out.write(memberBytes(rec, gzipPerRecord = true))
+            i += 1
           } finally out.close()
+          // commit: first attempt's rename wins; a racing attempt finds
+          // the final path taken and discards its temp
+          if (!fs.rename(tmp, fin)) { fs.delete(tmp, false); () }
         }
       }
+    // drop the (now empty or loser-only) attempt scratch dir
+    dfs.delete(new org.apache.hadoop.fs.Path(s"$dir/_tmp"), true)
+    ()
+  }
+
+  private def taskConf(props: Map[String, String])
+      : org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    props.foreach { case (k, v) => c.set(k, v) }
+    c
   }
 
   private def memberBytes(r: WarcRecord, gzipPerRecord: Boolean): Array[Byte] = {
@@ -339,8 +376,7 @@ object Warc {
   def read(spark: SparkSession, path: String,
            types: Seq[String] = Nil): DataFrame = {
     val props = NetCdf.fsProps(spark)
-    val conf = new org.apache.hadoop.conf.Configuration()
-    props.foreach { case (k, v) => conf.set(k, v) }
+    val conf = taskConf(props)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val files =
@@ -354,8 +390,7 @@ object Warc {
     val parts = math.min(files.length,
       math.max(1, spark.sparkContext.defaultParallelism))
     val rdd = spark.sparkContext.parallelize(files, parts).flatMap { f =>
-      val c = new org.apache.hadoop.conf.Configuration()
-      propsB.foreach { case (k, v) => c.set(k, v) }
+      val c = taskConf(propsB)
       val fp = new org.apache.hadoop.fs.Path(f)
       val in = openMaybeGz(
         new java.io.BufferedInputStream(fp.getFileSystem(c).open(fp), 1 << 16), f)
@@ -394,8 +429,7 @@ object Warc {
     reader.load(dir).select(col("path"))
       .as(org.apache.spark.sql.Encoders.STRING)
       .flatMap { f =>
-        val c = new org.apache.hadoop.conf.Configuration()
-        props.foreach { case (k, v) => c.set(k, v) }
+        val c = taskConf(props)
         val fp = new org.apache.hadoop.fs.Path(f)
         val in = openMaybeGz(new java.io.BufferedInputStream(
           fp.getFileSystem(c).open(fp), 1 << 16), f)
@@ -418,9 +452,16 @@ object Warc {
     val u = url.toLowerCase
     val noScheme = u.replaceFirst("^[a-z][a-z0-9+.-]*://", "")
     val slash = noScheme.indexOf('/')
-    val (host, path) =
+    val (hostPort, path) =
       if (slash < 0) (noScheme, "/") else noScheme.splitAt(slash)
-    host.split('.').reverse.mkString(",") + ")" + path
+    // port (and userinfo) must not ride on the last host label — SURT
+    // reverses LABELS, then re-appends :port, so example.com:8080 sorts
+    // adjacent to the other example.com entries
+    val host0 = hostPort.substring(hostPort.indexOf('@') + 1)
+    val colon = host0.indexOf(':')
+    val (host, port) =
+      if (colon < 0) (host0, "") else host0.splitAt(colon)
+    host.split('.').reverse.mkString(",") + port + ")" + path
   }
 
   /** Write a CDXJ sidecar (the pywb/CommonCrawl index line format:
@@ -453,19 +494,31 @@ object Warc {
     */
   def readCdxj(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.text(path)
+    val parsed = spark.read.text(path)
       .where(length(trim(col("value"))) > 0)
-      .select(
+      .select(col("value"),
         substring_index(col("value"), " ", 1).as("urlkey"),
         element_at(split(col("value"), " ", 3), 2).as("cdx_ts"),
         element_at(split(col("value"), " ", 3), 3).as("json"))
-      .select(col("urlkey"), col("cdx_ts"),
-        get_json_object(col("json"), "$.url").as("url"),
-        get_json_object(col("json"), "$.filename").as("file"),
-        get_json_object(col("json"), "$.offset").cast("long").as("offset"),
-        get_json_object(col("json"), "$.length").cast("long").as("length"),
-        get_json_object(col("json"), "$.status").cast("int").as("status"),
-        get_json_object(col("json"), "$.mime").as("mime"))
+    // a malformed line (missing JSON, non-numeric offset/length, absent
+    // mandatory field) REJECTS LOUDLY with the offending line — nulled-out
+    // fields would silently drop records from every index-driven fetch.
+    // The guard rides INSIDE the offset column (a separate check column
+    // would be pruned away with its side effect).
+    def jfield(name: String) = get_json_object(col("json"), s"$$.$name")
+    val offsetChecked = when(
+      jfield("url").isNull || jfield("filename").isNull ||
+        jfield("offset").cast("long").isNull ||
+        jfield("length").cast("long").isNull,
+      raise_error(concat(lit(s"$path: malformed CDXJ line: "), col("value"))))
+      .otherwise(jfield("offset").cast("long"))
+    parsed.select(col("urlkey"), col("cdx_ts"),
+      jfield("url").as("url"),
+      jfield("filename").as("file"),
+      offsetChecked.as("offset"),
+      jfield("length").cast("long").as("length"),
+      jfield("status").cast("int").as("status"),
+      jfield("mime").as("mime"))
   }
 
   /** Record-grain random access — the cc-index path. `slices` has columns
@@ -482,8 +535,7 @@ object Warc {
       val off = r.getLong(1)
       val len = r.getLong(2)
       require(len > 0 && len <= Int.MaxValue, s"bad slice length $len")
-      val c = new org.apache.hadoop.conf.Configuration()
-      props.foreach { case (k, v) => c.set(k, v) }
+      val c = taskConf(props)
       val fp = new org.apache.hadoop.fs.Path(f)
       val in = fp.getFileSystem(c).open(fp)
       val member = try {

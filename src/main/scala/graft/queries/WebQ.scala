@@ -173,8 +173,7 @@ object WebQ extends QueryPack {
         lit("text/plain").as("content_type"),
         HtmlExtract.mainContent(col("payload").cast("string"))
           .cast("binary").as("block"))
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-wet").toString
+      val out = graft.util.Tmp.root("graft_wet").toString
       Warc.writeDistributed(
         wet.repartition(4, col("warc_record_id")), out)
       Warc.read(s, out, types = Seq("conversion"))
@@ -210,16 +209,26 @@ object WebQ extends QueryPack {
     // the key transform, the line format, the JSON extraction, or the
     // offsets hash-mismatches.
     "q_warc_cdx" -> ((s, dir) => {
+      import s.implicits._
       val (_, single, _, _) = warcFixture(s, dir)
-      val cdx = Warc.readCdxj(s, cdxPath(single))
+      // the filtered index is tiny BY DESIGN (that is the point of an
+      // index) — collect it once instead of scanning the sidecar twice
+      // (once to build slices, once for the final join)
+      val cdxRows = Warc.readCdxj(s, cdxPath(single))
         .where(regexp_extract(col("url"), "/doc/(\\d+)$", 1)
           .cast("long") % 7 === 0)
+        .select("urlkey", "cdx_ts", "url", "file", "offset", "length",
+          "status", "mime")
+        .as[(String, String, String, String, Long, Long, Int, String)]
+        .collect()
+      val cdx = cdxRows.toSeq.toDF("urlkey", "cdx_ts", "url", "file",
+        "offset", "length", "status", "mime")
       val fetched = Warc.readIndexed(s,
         cdx.select(col("file"), col("offset"), col("length")))
         .select(col("warc_target_uri").as("url"),
           length(col("payload")).cast("long").as("n_bytes"),
           col("payload").cast("string").as("text"))
-      cdx.join(fetched, Seq("url"))
+      fetched.join(broadcast(cdx), Seq("url"))
         .select(
           regexp_extract(col("url"), "/doc/(\\d+)$", 1)
             .cast("long").as("doc_id"),

@@ -104,6 +104,11 @@ class WarcSpec extends SparkSpec {
       == "com,example,www)/doc/1?q=2")
     assert(Warc.surtKey("http://host") == "host)/")
     assert(Warc.surtKey("https://a.b.co.uk/x") == "uk,co,b,a)/x")
+    // port/userinfo must not ride on a host label: example.com:8080
+    // sorts adjacent to the other example.com entries
+    assert(Warc.surtKey("https://Example.COM:8080/x")
+      == "com,example:8080)/x")
+    assert(Warc.surtKey("https://user@example.com/x") == "com,example)/x")
     val p = tmpDir() + "/idx.cdxj"
     Warc.writeCdxj(Seq(
       Warc.CdxEntry("https://zz.example.com/1", "2026-02-03T04:05:06Z",
