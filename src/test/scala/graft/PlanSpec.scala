@@ -317,4 +317,31 @@ class PlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("sq top-k: WindowGroupLimit bounds per-query rows; codes broadcast") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val df = graft.sim.Similarity.sqTopK(emb,
+      emb.where(col("vec_id") % 31 === 0), "vec_id", "embedding", k = 5)
+    df.collect()
+    val p = plan(df)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query codes must broadcast to the corpus scan:\n$p")
+  }
+
+  test("dedup-index verify join: candidates broadcast to corpus grams " +
+    "(the corpus side never shuffles)") {
+    val docs = Tables.documents(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("graft-planspec-mh").toString
+    graft.dedup.DedupIndex.write(docs.where(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", path)
+    val df = graft.dedup.DedupIndex.query(docs.where(col("doc_id") % 3 === 0),
+      "doc_id", "text", path, threshold = 0.5)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"batch side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"persisted bands/grams scans must not shuffle:\n$p")
+  }
 }
