@@ -33,6 +33,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // second tails themselves are host CPU steal, not GC). The box has
   // 125 GiB; 24g keeps compressed oops and makes the hygiene GCs cheap.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 512m code cache (default 240m): the bench suite's ~1000 query
+  // executions generate thousands of codegen classes; a saturated
+  // segmented CodeCache silently disables JIT compilation and newly
+  // generated operators run interpreted (~20x) — r13's upscale-probe
+  // tail anomalies motivated instrumenting this (Bench records
+  // per-iteration code-cache occupancy), and headroom removes the
+  // failure class outright
+  "-XX:ReservedCodeCacheSize=512m",
   // SPARK_GRAFT_JAVA_OPTS: extra flags for forked run/test JVMs
   // (e.g. "-Xlog:gc*,safepoint:file=gc.log" when diagnosing latency tails)
 ) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq

@@ -284,6 +284,27 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         System.gc()
         val upSession = spark.newSession()
+        // r14 adjudication instrumentation: the r13 probe's two breaches
+        // (q_html_extract 23.8×, q_sq_ann 18.6×) did NOT reproduce in a
+        // fresh JVM (UpscaleAdjudicate: both ~1× wall at 8×), so the
+        // suspect is end-of-suite JVM state — specifically JIT code-cache
+        // exhaustion (codegen classes from ~1000 query executions fill the
+        // default 240 MB; a full CodeCache disables compilation and newly
+        // generated operators run INTERPRETED). Each iteration now records
+        // code-cache occupancy and the JIT compile-time delta so the JSON
+        // carries the distinguishing evidence either way.
+        val codeHeaps = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+          .stream.filter(p => p.getName.startsWith("CodeHeap") ||
+            p.getName == "Code Cache")
+          .collect(java.util.stream.Collectors.toList[java.lang.management.MemoryPoolMXBean])
+        def codeCacheMb: Double = {
+          var used = 0L
+          codeHeaps.forEach(p => used += p.getUsage.getUsed)
+          used / 1e6
+        }
+        val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+        def jitMs: Long = if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+          jitBean.getTotalCompilationTime else -1L
         def upOnce(name: String): (Double, Double) = {
           val s0 = stealIoSeconds()
           val t0 = System.nanoTime()
@@ -295,34 +316,46 @@ object Bench {
           case (k, Some(m)) => k -> m.steady.median
         }.toMap
         final case class UpMeasured(min: Double, raw: Seq[Double],
-                                    steal: Seq[Double], retried: Int)
+                                    steal: Seq[Double], retried: Int,
+                                    codeMb: Seq[Double], jit: Seq[Long])
         val upMaxRetries = 2
         val measured = upscaleQueries.filter(SparkEntry.queries.contains).flatMap { q =>
           try {
             upOnce(q) // warmup: footer cache + codegen at the new scale
             val raw = scala.collection.mutable.ArrayBuffer[Double]()
             val steals = scala.collection.mutable.ArrayBuffer[Double]()
+            val codeMbs = scala.collection.mutable.ArrayBuffer[Double]()
+            val jits = scala.collection.mutable.ArrayBuffer[Long]()
             var retried = 0
             (1 to 2).foreach { _ =>
+              val j0 = jitMs
               var (t, sd) = upOnce(q)
-              raw += t; steals += sd
+              raw += t; steals += sd; codeMbs += codeCacheMb; jits += (jitMs - j0)
               // steal-aware re-measure: a contended iteration is evidence
               // of the box, not the plan — bounded, and every attempt
-              // stays in the raw series
-              while (sd > stealThresh && retried < upMaxRetries) {
+              // stays in the raw series. The >2× leg mirrors the gate
+              // suite's (r13 verdict #4): a stall with CLEAN steal — the
+              // q_anomaly iteration-2 case, 11.9 s vs a 1.05 s partner —
+              // is still a stall; min-of-2 should not have to absorb it.
+              def stalled: Boolean =
+                sd > stealThresh || (raw.size > 1 && t > 2 * raw.min && t >= 2.0)
+              while (stalled && retried < upMaxRetries) {
                 retried += 1
-                System.err.println(f"[bench] upscale $q: $t%.3fs with " +
-                  f"steal+iowait $sd%.1fs, re-measuring ($retried/$upMaxRetries)")
+                System.err.println(f"[bench] upscale $q: $t%.3fs stall " +
+                  f"(steal+iowait $sd%.1fs, min so far ${raw.min}%.3fs), " +
+                  f"re-measuring ($retried/$upMaxRetries)")
+                val j1 = jitMs
                 val again = upOnce(q)
                 t = again._1; sd = again._2
-                raw += t; steals += sd
+                raw += t; steals += sd; codeMbs += codeCacheMb; jits += (jitMs - j1)
               }
             }
             // the reported statistic is the MIN of the timed iterations
             // (best-case — stated as such in the JSON field name, not a
             // median: 2 samples have none); raw + steal arrays carry the
             // full evidence either way
-            Some(q -> UpMeasured(raw.min, raw.toSeq, steals.toSeq, retried))
+            Some(q -> UpMeasured(raw.min, raw.toSeq, steals.toSeq, retried,
+              codeMbs.toSeq, jits.toSeq))
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] upscale $q failed: ${e.getMessage}")
@@ -337,7 +370,10 @@ object Bench {
         val attribution = measured.map { case (k, m) =>
           val raws = m.raw.map(f3).mkString("[", ",", "]")
           val st = m.steal.map(f3).mkString("[", ",", "]")
-          s""""$k":{"raw":$raws,"steal_sec":$st,"retried":${m.retried}}"""
+          val cc = m.codeMb.map(v => f"$v%.1f").mkString("[", ",", "]")
+          val jt = m.jit.mkString("[", ",", "]")
+          s""""$k":{"raw":$raws,"steal_sec":$st,"retried":${m.retried},""" +
+            s""""code_cache_mb":$cc,"jit_ms":$jt}"""
         }.mkString("{", ",", "}")
         s""","upscale":{"factor":$upscaleFactor,"iters":2,"stat":"min_of_2","isolated_session":true,"queries_min":$upQs,"ratio_min_vs_base_median":$ratios,"attribution":$attribution}"""
         } finally {

@@ -519,6 +519,14 @@ object ScaleProbe {
       // the scans below need codebooks even when the fit itself is filtered out
       if (books == null && (wanted("pq_topk_100q") || wanted("ivfpq_topk_100q")))
         books = graft.sim.Similarity.pqCodebooks(emb, "embedding", 64, 8, 16)
+      // SQ brute force vs SQ×IVF (r14): same int8 scoring, candidates n
+      // per query vs n·nprobe/nlist — the measured counterfactual for the
+      // q_sq_ivf_ann composition's sublinear scan claim
+      run("sq_topk_100q",
+        graft.sim.Similarity.sqTopK(emb, qs, "vec_id", "embedding", 10))
+      run("sq_ivf_topk_100q",
+        graft.sim.Similarity.sqIvfTopK(emb, qs, "vec_id", "embedding", 10,
+          dim = 64, nlist = 64, nprobe = 8))
       // PQ scan: encode full corpus + ADC-score 100 queries × n codes
       run("pq_topk_100q",
         graft.sim.Similarity.pqTopK(emb, "vec_id", "embedding", 10,

@@ -94,24 +94,31 @@ object Gzip {
     override def read(b: Array[Byte], off: Int, len: Int): Int = {
       if (done) return -1
       if (len == 0) return 0
-      if (inf == null && !readHeader()) { done = true; return -1 }
-      var n = inf.inflate(b, off, len)
-      while (n == 0 && !inf.finished()) {
-        if (inf.needsDictionary())
-          sys.error(s"$ctx: gzip deflate stream demands a preset dictionary")
-        if (inf.needsInput()) {
-          val k = in.read(feed)
-          if (k <= 0) throw new EOFException(
-            s"$ctx: truncated gzip member (EOF inside the deflate stream)")
-          feedLen = k
-          inf.setInput(feed, 0, k)
+      // loop, not recursion: a member can legally inflate to 0 bytes
+      // (RFC 1952 allows empty members, and crafted archives can chain
+      // thousands of them) — one stack frame per exhausted member would
+      // overflow on such input
+      while (true) {
+        if (inf == null && !readHeader()) { done = true; return -1 }
+        var n = inf.inflate(b, off, len)
+        while (n == 0 && !inf.finished()) {
+          if (inf.needsDictionary())
+            sys.error(s"$ctx: gzip deflate stream demands a preset dictionary")
+          if (inf.needsInput()) {
+            val k = in.read(feed)
+            if (k <= 0) throw new EOFException(
+              s"$ctx: truncated gzip member (EOF inside the deflate stream)")
+            feedLen = k
+            inf.setInput(feed, 0, k)
+          }
+          n = inf.inflate(b, off, len)
         }
-        n = inf.inflate(b, off, len)
+        if (n > 0) { crc.update(b, off, n); isize += n }
+        if (inf.finished()) finishMember()
+        if (n > 0) return n
+        // n == 0: member ended with no bytes for the caller — try the next
       }
-      if (n > 0) { crc.update(b, off, n); isize += n }
-      if (inf.finished()) finishMember()
-      if (n == 0) read(b, off, len) // member ended: next member or EOF
-      else n
+      -1 // unreachable
     }
 
     override def close(): Unit = {

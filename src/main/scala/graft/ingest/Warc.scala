@@ -6,7 +6,7 @@ import java.util.zip.GZIPOutputStream
 
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 
 /** WARC (Web ARChive, ISO 28500 / WARC 1.1) source — the container
   * CommonCrawl and every web-scale crawl ships, and therefore the front
@@ -451,17 +451,35 @@ object Warc {
   def surtKey(url: String): String = {
     val u = url.toLowerCase
     val noScheme = u.replaceFirst("^[a-z][a-z0-9+.-]*://", "")
-    val slash = noScheme.indexOf('/')
-    val (hostPort, path) =
-      if (slash < 0) (noScheme, "/") else noScheme.splitAt(slash)
+    // the host ends at the FIRST of '/', '?', '#': a query (or fragment)
+    // on a path-less URL (http://example.com?q=1) must not fold into the
+    // last host label — that would produce 'com?q=1,example)/' and sort
+    // the key away from its host's range
+    val cut = noScheme.indexWhere(c => c == '/' || c == '?' || c == '#')
+    val (hostPort, rest) =
+      if (cut < 0) (noScheme, "") else noScheme.splitAt(cut)
+    val path =
+      if (rest.isEmpty) "/"
+      else if (rest.startsWith("/")) rest
+      else "/" + rest // query/fragment with no path: root path carries it
     // port (and userinfo) must not ride on the last host label — SURT
     // reverses LABELS, then re-appends :port, so example.com:8080 sorts
     // adjacent to the other example.com entries
     val host0 = hostPort.substring(hostPort.indexOf('@') + 1)
-    val colon = host0.indexOf(':')
     val (host, port) =
-      if (colon < 0) (host0, "") else host0.splitAt(colon)
-    host.split('.').reverse.mkString(",") + port + ")" + path
+      if (host0.startsWith("[")) {
+        // IPv6 literal: colons are address syntax, the port (if any)
+        // follows the closing bracket — never split on the first ':'
+        val close = host0.indexOf(']')
+        if (close < 0) (host0, "") else host0.splitAt(close + 1)
+      } else {
+        val colon = host0.indexOf(':')
+        if (colon < 0) (host0, "") else host0.splitAt(colon)
+      }
+    val hostKey =
+      if (host.startsWith("[")) host // bracketed address: no labels to reverse
+      else host.split('.').reverse.mkString(",")
+    hostKey + port + ")" + path
   }
 
   /** Write a CDXJ sidecar (the pywb/CommonCrawl index line format:
@@ -503,20 +521,27 @@ object Warc {
     // a malformed line (missing JSON, non-numeric offset/length, absent
     // mandatory field) REJECTS LOUDLY with the offending line — nulled-out
     // fields would silently drop records from every index-driven fetch.
-    // The guard rides INSIDE the offset column (a separate check column
-    // would be pruned away with its side effect).
+    // The guard rides INSIDE columns (a separate check column would be
+    // pruned away with its side effect) — in BOTH fetch-critical columns
+    // (offset AND length), so a consumer projecting either still trips it;
+    // a projection keeping neither cannot drive a fetch in the first place.
     def jfield(name: String) = get_json_object(col("json"), s"$$.$name")
-    val offsetChecked = when(
+    // try_cast, not cast: under ANSI mode a plain cast on a non-numeric
+    // offset/length throws CAST_INVALID_INPUT before the guard can fire —
+    // loud, but without the offending line; try_cast turns it into the
+    // NULL the guard converts to the diagnostic raise_error
+    def jnum(name: String) =
+      expr(s"try_cast(get_json_object(json, '$$.$name') AS BIGINT)")
+    def checked(inner: Column) = when(
       jfield("url").isNull || jfield("filename").isNull ||
-        jfield("offset").cast("long").isNull ||
-        jfield("length").cast("long").isNull,
+        jnum("offset").isNull || jnum("length").isNull,
       raise_error(concat(lit(s"$path: malformed CDXJ line: "), col("value"))))
-      .otherwise(jfield("offset").cast("long"))
+      .otherwise(inner)
     parsed.select(col("urlkey"), col("cdx_ts"),
       jfield("url").as("url"),
       jfield("filename").as("file"),
-      offsetChecked.as("offset"),
-      jfield("length").cast("long").as("length"),
+      checked(jnum("offset")).as("offset"),
+      checked(jnum("length")).as("length"),
       jfield("status").cast("int").as("status"),
       jfield("mime").as("mime"))
   }

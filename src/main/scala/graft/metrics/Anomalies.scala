@@ -1,6 +1,6 @@
 package graft.metrics
 
-import graft.model.SeriesSpec
+import graft.model.{CfAttrs, SeriesSpec}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -40,9 +40,21 @@ object Anomalies {
       climatology: Option[DataFrame] = None
   ): DataFrame = {
     val clim = climatology.getOrElse(Temporal.climatology(df, spec, group, referencePeriod))
-    joinClim(df, spec, group, clim)
+    val out = joinClim(df, spec, group, clim)
       .withColumn("anomaly", col(spec.valueCol) - col("clim_mean"))
       .drop("clim_mean", "clim_std")
+    // reference `metrics/anomalies.py:56-63`: original attrs copied, then
+    // long_name/standard_name overridden (+reference_period when set)
+    val base = CfAttrs.of(df, spec.valueCol)
+    CfAttrs.stamp(out, "anomaly", base) { b =>
+      val longName =
+        if (base.contains("long_name")) base.getString("long_name")
+        else spec.valueCol
+      b.putString("long_name", s"$longName anomaly")
+      b.putString("standard_name", s"${spec.valueCol}_anomaly")
+      referencePeriod.foreach { case (s0, e0) =>
+        b.putString("reference_period", s"$s0 to $e0") }
+    }
   }
 
   /** Standardized anomaly (z-score): (value − mean) / std with the
@@ -57,11 +69,26 @@ object Anomalies {
       climatology: Option[DataFrame] = None
   ): DataFrame = {
     val clim = climatology.getOrElse(Temporal.climatology(df, spec, group, referencePeriod))
-    joinClim(df, spec, group, clim)
+    val out = joinClim(df, spec, group, clim)
       .withColumn("anomaly", col(spec.valueCol) - col("clim_mean"))
       .withColumn("zscore", zdiv(col("anomaly"), col("clim_std")))
       .drop("clim_mean", "clim_std")
+    stampZscore(out, spec, referencePeriod)
   }
+
+  /** reference `metrics/anomalies.py:128-133`: dimensionless z-score attrs
+    * — shared by all three standardized-anomaly forms (their result
+    * parity extends to provenance).
+    */
+  private def stampZscore(df: DataFrame, spec: SeriesSpec,
+                          referencePeriod: Option[(String, String)]): DataFrame =
+    CfAttrs.stamp(df, "zscore") { b =>
+      b.putString("long_name", s"Standardized ${spec.valueCol} anomaly")
+      b.putString("standard_name", s"${spec.valueCol}_standardized_anomaly")
+      b.putString("units", "1")
+      referencePeriod.foreach { case (s0, e0) =>
+        b.putString("reference_period", s"$s0 to $e0") }
+    }
 
   /** z = anomaly / std with numpy division semantics, not an ANSI
     * DIVIDE_BY_ZERO error: 0/0 → NaN, x/0 → ±inf (sign of x). The x/0 case
@@ -102,9 +129,12 @@ object Anomalies {
     spec.validate(df)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy((group.name +: spec.keyCols).map(col): _*)
-    df.withColumn(group.name, group.expr(col(spec.tsCol)))
-      .withColumn("anomaly", col(spec.valueCol) - avg(col(spec.valueCol)).over(w))
-      .withColumn("zscore", zdiv(col("anomaly"), stddev_pop(col(spec.valueCol)).over(w)))
+    stampZscore(
+      df.withColumn(group.name, group.expr(col(spec.tsCol)))
+        .withColumn("anomaly", col(spec.valueCol) - avg(col(spec.valueCol)).over(w))
+        .withColumn("zscore",
+          zdiv(col("anomaly"), stddev_pop(col(spec.valueCol)).over(w))),
+      spec, None)
   }
 
   /** Stats-driven plan selection between [[standardizedAnomaly]] (broadcast
@@ -157,11 +187,13 @@ object Anomalies {
     else {
       val clim = climatology.getOrElse(
         Temporal.climatology(df, spec, group, referencePeriod))
-      df.withColumn(group.name, group.expr(col(spec.tsCol)))
-        .join(clim, group.name +: spec.keyCols)
-        .withColumn("anomaly", col(spec.valueCol) - col("clim_mean"))
-        .withColumn("zscore", zdiv(col("anomaly"), col("clim_std")))
-        .drop("clim_mean", "clim_std")
+      stampZscore(
+        df.withColumn(group.name, group.expr(col(spec.tsCol)))
+          .join(clim, group.name +: spec.keyCols)
+          .withColumn("anomaly", col(spec.valueCol) - col("clim_mean"))
+          .withColumn("zscore", zdiv(col("anomaly"), col("clim_std")))
+          .drop("clim_mean", "clim_std"),
+        spec, referencePeriod)
     }
   }
 
@@ -206,7 +238,15 @@ object Anomalies {
       .cast("tinyint")
 
   def classifySeverity(df: DataFrame, zscoreCol: String = "zscore"): DataFrame =
-    df.withColumn("severity", severity(col(zscoreCol)))
+    // reference `metrics/anomalies.py:240-244`: flag semantics ride as attrs
+    CfAttrs.stamp(df.withColumn("severity", severity(col(zscoreCol))),
+        "severity") { b =>
+      b.putString("long_name", s"Anomaly severity of $zscoreCol")
+      b.putLongArray("flag_values", Array(-3L, -2L, -1L, 0L, 1L, 2L, 3L))
+      b.putString("flag_meanings",
+        "extremely_below severely_below moderately_below " +
+          "near_normal moderately_above severely_above extremely_above")
+    }
 
   /** J3/F-UDF1 — percentile rank of each value within its cell's historical
     * distribution (reference `metrics/anomalies.py:140-217`): clamped
@@ -222,10 +262,15 @@ object Anomalies {
   ): DataFrame = {
     val thr = Percentiles.thresholdVectors(df, spec, percentiles, Some(group), referencePeriod)
     val pcts = typedLit(percentiles.map(_.toDouble))
-    joinClim(df, spec, group, thr)
+    val out = joinClim(df, spec, group, thr)
       .withColumn("percentile_rank",
         graft.plans.Expressions.percentile_rank(
           col(spec.valueCol).cast("double"), col("vals"), pcts))
       .drop("vals")
+    // reference `metrics/anomalies.py:201-202`
+    CfAttrs.stamp(out, "percentile_rank") { b =>
+      b.putString("long_name", s"Percentile rank of ${spec.valueCol}")
+      b.putString("units", "%")
+    }
   }
 }

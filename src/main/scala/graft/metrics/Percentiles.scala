@@ -1,6 +1,6 @@
 package graft.metrics
 
-import graft.model.SeriesSpec
+import graft.model.{CfAttrs, SeriesSpec}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -40,12 +40,19 @@ object Percentiles {
       referencePeriod: Option[(String, String)] = None
   ): DataFrame = {
     require(percentiles.forall(p => p >= 0 && p <= 100), s"percentiles out of [0,100]: $percentiles")
-    thresholdVectors(df, spec, percentiles, group, referencePeriod)
+    val out = thresholdVectors(df, spec, percentiles, group, referencePeriod)
       .select(
         (group.map(g => col(g.name)).toSeq ++ spec.keyCols.map(col)) :+
           posexplode(col("vals")).as(Seq("pos", "value")): _*)
       .withColumn("percentile", element_at(typedLit(percentiles), col("pos") + 1))
       .drop("pos")
+    // reference `metrics/percentiles.py:72-75`
+    CfAttrs.stamp(out, "value") { b =>
+      b.putLongArray("percentiles", percentiles.map(_.toLong).toArray)
+      b.putString("groupby", group.map(_.name).getOrElse("all"))
+      referencePeriod.foreach { case (s0, e0) =>
+        b.putString("reference_period", s"$s0 to $e0") }
+    }
   }
 
   /** Thresholds kept as a sorted ArrayType column — the broadcastable shape
@@ -100,10 +107,15 @@ object Percentiles {
   ): DataFrame = {
     val thr = climatologicalPercentiles(df, spec, Seq(percentile), Some(group), referencePeriod)
       .withColumnRenamed("value", "thr").drop("percentile")
-    df.withColumn(group.name, group.expr(col(spec.tsCol)))
+    val out = df.withColumn(group.name, group.expr(col(spec.tsCol)))
       .join(broadcast(thr), group.name +: spec.keyCols)
       .groupBy(spec.keyCols.map(col): _*)
       .agg(avg((col(spec.valueCol) > col("thr")).cast("double")).as("exceedance_freq"))
+    // reference `metrics/percentiles.py:109-110`
+    CfAttrs.stamp(out, "exceedance_freq") { b =>
+      b.putString("long_name", s"Exceedance frequency above ${percentile}th percentile")
+      b.putString("units", "1")
+    }
   }
 
   /** Percentile-bin classification (reference `metrics/percentiles.py:118-151`):
@@ -120,7 +132,7 @@ object Percentiles {
   ): DataFrame = {
     val thr = thresholdVectors(df, spec, percentiles, Some(group), referencePeriod)
     val pcts = typedLit(percentiles)
-    df.withColumn(group.name, group.expr(col(spec.tsCol)))
+    val out = df.withColumn(group.name, group.expr(col(spec.tsCol)))
       .join(broadcast(thr), group.name +: spec.keyCols)
       .withColumn("percentile_bin",
         aggregate(
@@ -129,6 +141,11 @@ object Percentiles {
           lit(0),
           (acc, x) => greatest(acc, x)).cast("tinyint"))
       .drop("vals")
+    // reference `metrics/percentiles.py:146-147`
+    CfAttrs.stamp(out, "percentile_bin") { b =>
+      b.putString("long_name", "Percentile classification")
+      b.putLongArray("percentile_bins", percentiles.map(_.toLong).toArray)
+    }
   }
 
   /** A7 — return-period levels from annual maxima
@@ -145,12 +162,16 @@ object Percentiles {
     spec.validate(df)
     require(periods.forall(_ > 1), s"Return periods must be > 1 year, got: ${periods.mkString(", ")}")
     val probs = array(periods.map(t => lit(1.0 - 1.0 / t)): _*)
-    df.groupBy((year(col(spec.tsCol)).as("year") +: spec.keyCols.map(col)): _*)
+    val out = df
+      .groupBy((year(col(spec.tsCol)).as("year") +: spec.keyCols.map(col)): _*)
       .agg(max(col(spec.valueCol)).as("annual_max"))
       .groupBy(spec.keyCols.map(col): _*)
       .agg(percentile(col("annual_max"), probs).as("vals"))
       .select(spec.keyCols.map(col) :+ posexplode(col("vals")).as(Seq("pos", "level")): _*)
       .withColumn("return_period", element_at(typedLit(periods), col("pos") + 1))
       .drop("pos")
+    // reference `metrics/percentiles.py:184`
+    CfAttrs.stamp(out, "level")(
+      _.putString("long_name", "Return period values"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.metrics
 
-import graft.model.SeriesSpec
+import graft.model.{CfAttrs, SeriesSpec}
 import graft.functions.TimeFns
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -26,9 +26,14 @@ object Temporal {
     */
   def monthlyMean(df: DataFrame, spec: SeriesSpec): DataFrame = {
     spec.validate(df)
-    df.groupBy(keyed(spec, TimeFns.monthStart(col(spec.tsCol)))("month"): _*)
+    val out = df
+      .groupBy(keyed(spec, TimeFns.monthStart(col(spec.tsCol)))("month"): _*)
       .agg(avg(col(spec.valueCol)).as("mean_value"))
       .withColumn("month_end", last_day(col("month")))
+    // reference `metrics/temporal.py:42` stamps cell_methods on every
+    // resample output — CF provenance in StructField.metadata
+    CfAttrs.stamp(out, "mean_value")(
+      _.putString("cell_methods", s"${spec.tsCol}: mean (monthly)"))
   }
 
   /** A2 — seasonal mean with DJF year-rollover
@@ -36,17 +41,21 @@ object Temporal {
     */
   def seasonalMean(df: DataFrame, spec: SeriesSpec): DataFrame = {
     spec.validate(df)
-    df.groupBy(keyed(spec,
+    val out = df.groupBy(keyed(spec,
         TimeFns.seasonYear(col(spec.tsCol)),
         TimeFns.season(col(spec.tsCol)))("season_year", "season"): _*)
       .agg(avg(col(spec.valueCol)).as("mean_value"))
+    CfAttrs.stamp(out, "mean_value")(
+      _.putString("cell_methods", s"${spec.tsCol}: mean (seasonal)"))
   }
 
   /** A3 — annual mean (reference `metrics/temporal.py:91-117`). */
   def annualMean(df: DataFrame, spec: SeriesSpec): DataFrame = {
     spec.validate(df)
-    df.groupBy(keyed(spec, year(col(spec.tsCol)))("year"): _*)
+    val out = df.groupBy(keyed(spec, year(col(spec.tsCol)))("year"): _*)
       .agg(avg(col(spec.valueCol)).as("mean_value"))
+    CfAttrs.stamp(out, "mean_value")(
+      _.putString("cell_methods", s"${spec.tsCol}: mean (annual)"))
   }
 
   /** `cardinality` is the static upper bound on distinct group values —
@@ -85,9 +94,19 @@ object Temporal {
     val in = referencePeriod.fold(df) { case (s, e) =>
       df.where(col(spec.tsCol).between(lit(s).cast("timestamp"), lit(e).cast("timestamp")))
     }
-    in.groupBy(keyed(spec, group.expr(col(spec.tsCol)))(group.name): _*)
+    val out = in
+      .groupBy(keyed(spec, group.expr(col(spec.tsCol)))(group.name): _*)
       .agg(avg(col(spec.valueCol)).as("clim_mean"),
            stddev_pop(col(spec.valueCol)).as("clim_std"))
+    // reference `metrics/temporal.py:156-157`
+    val withMean = CfAttrs.stamp(out, "clim_mean") { b =>
+      b.putString("cell_methods", s"${spec.tsCol}: mean over years")
+      b.putString("climatology_groupby", group.name)
+    }
+    CfAttrs.stamp(withMean, "clim_std") { b =>
+      b.putString("cell_methods", s"${spec.tsCol}: standard_deviation over years")
+      b.putString("climatology_groupby", group.name)
+    }
   }
 
   /** W1 — rolling mean along time (reference `metrics/temporal.py:162-192`).
@@ -118,9 +137,12 @@ object Temporal {
     val order = (spec.tsCol +: orderCols).map(col)
     val w = Window.partitionBy(spec.keyCols.map(col): _*).orderBy(order: _*)
       .rowsBetween(lo, hi)
-    df.withColumn("rolling_mean",
+    val out = df.withColumn("rolling_mean",
       when(count(col(spec.valueCol)).over(w) >= minP,
            avg(col(spec.valueCol)).over(w)))
+    // reference `metrics/temporal.py:190`
+    CfAttrs.stamp(out, "rolling_mean")(
+      _.putString("cell_methods", s"${spec.tsCol}: mean (rolling window=$window)"))
   }
 
   /** A13 — generic reduction along the time axis

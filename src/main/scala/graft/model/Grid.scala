@@ -55,6 +55,32 @@ final case class VarAttrs(
   }
 }
 
+/** CF-style provenance stamping for metric outputs — the Spark analog of
+  * the reference's `out[var].attrs[...] = ...` on every resample/anomaly/
+  * percentile result (`metrics/temporal.py:42`, `metrics/anomalies.py:
+  * 56-63,128-133`, `metrics/percentiles.py:72-75,109-110`): attrs live in
+  * `StructField.metadata`, survive parquet roundtrips (Spark persists
+  * them in the footer schema), and never touch row values — so a CF-aware
+  * consumer keeps `cell_methods`/`units` provenance while the DuckDB
+  * value oracles are untouched.
+  */
+object CfAttrs {
+  /** Current metadata of a column (empty when absent) — the base an
+    * operator copies before overriding, like the reference's
+    * `original_attrs = ds[var].attrs.copy()`.
+    */
+  def of(df: DataFrame, name: String): Metadata =
+    df.schema.fields.find(_.name == name).map(_.metadata).getOrElse(Metadata.empty)
+
+  /** Stamp `colName` with `base` plus the builder's additions. */
+  def stamp(df: DataFrame, colName: String, base: Metadata = Metadata.empty)(
+      fn: MetadataBuilder => Unit): DataFrame = {
+    val b = new MetadataBuilder().withMetadata(base)
+    fn(b)
+    df.withMetadata(colName, b.build())
+  }
+}
+
 object GridSchema {
   /** Canonical dense-grid schema (SURVEY.md §1.4): the idiomatic Spark
     * translation of the reference's (time, lat, lon) data cube.

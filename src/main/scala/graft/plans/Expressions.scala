@@ -85,7 +85,11 @@ object Expressions {
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      // loud reject, not silent truncation: a dot over min(len) quietly
+      // mis-scores mixed-dimension codes (repo-wide loud-reject policy)
+      if (n != y.numElements()) throw new IllegalArgumentException(
+        s"graft_int8_dot: code dimension mismatch ($n vs ${y.numElements()})")
       var dot = 0L
       var i = 0
       while (i < n) {
@@ -101,7 +105,12 @@ object Expressions {
         val n = ctx.freshName("n")
         val dot = ctx.freshName("dot")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  throw new IllegalArgumentException(
+           |    "graft_int8_dot: code dimension mismatch (" + $n + " vs " +
+           |      $b.numElements() + ")");
+           |}
            |long $dot = 0L;
            |for (int $i = 0; $i < $n; $i++) {
            |  $dot += (long) $a.getByte($i) * (long) $b.getByte($i);

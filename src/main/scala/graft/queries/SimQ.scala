@@ -29,6 +29,21 @@ object SimQ extends QueryPack {
           .withColumn("rank", col("rank").cast("long")),
         "approx_cos")
     }),
+    // SQ×IVF composition (the r13-promised scale form of q_sq_ann): IVF
+    // cells prune candidates — each query scores only its nprobe probed
+    // cells' vectors — and int8 codes score them. Integer scores are
+    // exact, so the oracle replays the WHOLE pipeline value-for-value:
+    // the seeded coarse fit (IvfKmeansSql's derivation), the L2² cell
+    // assignment, the cosine probe ranking, the round(x/‖x‖·127) codes,
+    // and the integer-dot top-k.
+    "q_sq_ivf_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).where(col("vec_id") < 50)
+      round6(
+        Similarity.sqIvfTopK(emb, emb, "vec_id", "embedding",
+            k = 5, dim = 64, nlist = 8, nprobe = 4)
+          .withColumn("rank", col("rank").cast("long")),
+        "approx_cos")
+    }),
     "q_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.where(col("vec_id") === 0)
@@ -476,6 +491,11 @@ object SimQ extends QueryPack {
     // embeddings table. See [[IvfKmeansSql]].
     "q_ivf_ann" -> IvfKmeansSql.sql(dim = 64, nlist = 8, nprobe = 4,
       k = 3, iters = 10),
+    // FULL DERIVATION of the SQ×IVF ranking — the same derived IVF
+    // pipeline with q_sq_ann's derived int8 codes scoring the candidates;
+    // every output value (dot, approx_cos, rank) recomputed in SQL.
+    "q_sq_ivf_ann" -> IvfKmeansSql.sqSql(dim = 64, nlist = 8, nprobe = 4,
+      k = 5, iters = 10),
     // FULL DERIVATION of the PQ recall — nothing pinned: DuckDB replays
     // the L2 normalization, the seeded init over the normalized arrays,
     // all 8 subspace Lloyd's fits, the PqEncode argmin, the per-query
@@ -783,7 +803,13 @@ object SimQ extends QueryPack {
   private object IvfKmeansSql {
     import XxhashSql._
 
-    def sql(dim: Int, nlist: Int, nprobe: Int, k: Int, iters: Int): String = {
+    /** CTEs through the coarse fit, the final corpus cell assignment
+      * (`asgF(id, u, cell)`) and the per-query probe cells
+      * (`probes(qid, qu, cell)`) — the IVF pipeline both tails share:
+      * [[sql]] appends the cosine-recall tail (q_ivf_ann), [[sqSql]] the
+      * int8-ranking tail (q_sq_ivf_ann).
+      */
+    def pipelineCtes(dim: Int, nlist: Int, nprobe: Int, iters: Int): Seq[String] = {
       def d2(u: String, c: String) =
         s"list_sum(list_transform(range(1, ${dim + 1}), j -> ($u[j] - $c[j]) * ($u[j] - $c[j])))"
       def dot(u: String, c: String) =
@@ -847,6 +873,17 @@ object SimQ extends QueryPack {
       FROM emb e CROSS JOIN $prev c) d
   ) WHERE rn <= $nprobe
 )"""
+      parts.result()
+    }
+
+    def sql(dim: Int, nlist: Int, nprobe: Int, k: Int, iters: Int): String = {
+      def dot(u: String, c: String) =
+        s"list_sum(list_transform(range(1, ${dim + 1}), j -> $u[j] * $c[j]))"
+      def nrm(u: String) = s"sqrt(list_sum(list_transform($u, x -> x * x)))"
+      def cos(u: String, c: String) = s"(${dot(u, c)} / (${nrm(u)} * ${nrm(c)}))"
+
+      val parts = Seq.newBuilder[String]
+      parts ++= pipelineCtes(dim, nlist, nprobe, iters)
       parts += s"""cands AS MATERIALIZED (
   SELECT DISTINCT p.qid AS id1, a.id AS id2, ${cos("p.qu", "a.u")} AS cos
   FROM probes p JOIN asgF a ON a.cell = p.cell AND a.id <> p.qid
@@ -869,6 +906,37 @@ SELECT i.id1 AS id1,
        round(SUM(CASE WHEN e.id2 IS NOT NULL THEN 1 ELSE 0 END) / $k.0, 6) AS recall
 FROM ivf i LEFT JOIN exact e ON e.id1 = i.id1 AND e.id2 = i.id2
 GROUP BY 1"""
+    }
+
+    /** q_sq_ivf_ann: the SAME derived IVF pipeline (fit, cell assignment,
+      * probe cells), with candidates scored by the SQ int8 codes exactly
+      * as q_sq_ann's oracle derives them — round(x/‖x‖·127) per dimension
+      * and an integer dot. Value-for-value replay of
+      * `Similarity.sqIvfTopK`, nothing pinned from the engine.
+      */
+    def sqSql(dim: Int, nlist: Int, nprobe: Int, k: Int, iters: Int): String = {
+      val parts = Seq.newBuilder[String]
+      parts ++= pipelineCtes(dim, nlist, nprobe, iters)
+      parts += s"""codes AS MATERIALIZED (
+  SELECT id, list_transform(u,
+    x -> CAST(round(x / sqrt(list_dot_product(u, u)) * 127) AS DOUBLE)) AS q8
+  FROM emb
+)"""
+      parts += s"""pairs AS MATERIALIZED (
+  SELECT p.qid AS query_id, a.id AS id,
+    CAST(list_dot_product(qc.q8, cc.q8) AS BIGINT) AS dot
+  FROM probes p
+  JOIN asgF a ON a.cell = p.cell AND a.id <> p.qid
+  JOIN codes qc ON qc.id = p.qid
+  JOIN codes cc ON cc.id = a.id
+)"""
+      "WITH RECURSIVE\n" + parts.result().mkString(",\n") + s"""
+SELECT query_id, id, dot, round(dot / 16129.0, 6) AS approx_cos, rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+             ORDER BY dot DESC, id) AS rank
+  FROM pairs)
+WHERE rank <= $k"""
     }
   }
 

@@ -129,7 +129,17 @@ object WebQ extends QueryPack {
     "q_web_pipeline" -> ((s, dir) => {
       // provenance (source) from the URI host, identity (doc_id) from the
       // record id, text from extraction — everything the pipeline needs
-      // reconstructed from the wire format
+      // reconstructed from the wire format.
+      //
+      // localCheckpoint: BOTH downstream branches (the n-gram dedup pairs
+      // and the quality/token scoring + anti-join) consume this frame —
+      // without it the WARC parse + HTML extraction subtree executes
+      // TWICE (at crawl scale, a double parse of the archive; at gate
+      // scale it was the bench's thinnest margin). Eager local
+      // materialization runs the archive scan exactly once; the
+      // checkpointed blocks are dropped by the ContextCleaner when the
+      // returned plan is garbage-collected, so repeated bench iterations
+      // do not accumulate storage.
       val withIds = Warc.read(s, warcHtmlFixture(s, dir), types = Seq("response"))
         .select(
           regexp_extract(col("warc_record_id"), ":(\\d+)$", 1)
@@ -138,6 +148,7 @@ object WebQ extends QueryPack {
             .as("source"),
           graft.text.HtmlExtract.mainContent(col("payload").cast("string"))
             .as("text"))
+        .localCheckpoint()
       val dupIds = graft.dedup.Dedup
         .ngramJaccardPairs(withIds, "doc_id", "text", 3, 0.5)
         .select(col("id2").as("doc_id")).distinct()

@@ -82,6 +82,48 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** SQ×IVF composition — the scale form [[sqTopK]]'s own doc promises:
+    * IVF cells prune the candidate set (each query scores only the
+    * vectors in its `nprobe` probed cells — n·nprobe/nlist candidates
+    * instead of n), int8 codes score them (same fused integer dot, same
+    * fixed 1/127 scale, bit-identical scores to [[sqTopK]] on the pairs
+    * both consider). The coarse quantizer is [[ivfTopK]]'s: a raw-vector
+    * deterministic Lloyd's fit, argmin-L2² corpus assignment, cosine-
+    * ranked probe cells — so the q_sq_ivf_ann oracle replays the whole
+    * pipeline (fit + cells + codes + integer ranking) in SQL from the raw
+    * table, nothing pinned.
+    *
+    * Scale shape: centroids broadcast (nlist × dim doubles); the corpus
+    * is scanned once to (cell, code); candidates arise from a broadcast
+    * HASH join on cell (queries × nprobe rows on the build side), each
+    * (query, candidate) pair at most once — a corpus vector sits in
+    * exactly one cell and probed cells are distinct. Per-partition
+    * WindowGroupLimit caps what leaves each scan task at k rows/query.
+    */
+  def sqIvfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, dim: Int, nlist: Int = 16,
+                nprobe: Int = 4, seed: Long = 42L, iters: Int = 10): DataFrame = {
+    val cents = pqCodebooks(corpus, vecCol, dim, m = 1, codebookSize = nlist,
+      seed = seed, iters = iters, normalizeInput = false).head
+    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .select(col("id"),
+        graft.plans.Expressions.nearest_centroid(col("v"), cents).as("cell"),
+        graft.plans.Expressions.sq8_encode(col("v")).as("c8"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .select(col("query_id"),
+        graft.plans.Expressions.sq8_encode(col("qv")).as("q8"),
+        explode(graft.plans.Expressions.nearest_centroids(
+          col("qv"), cents, nprobe)).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        graft.plans.Expressions.int8_dot(col("q8"), col("c8")).as("dot"))
+      .withColumn("approx_cos", col("dot").cast("double") / lit(127.0 * 127.0))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
     * corpus into `nlist` cells; a query only scans its `nprobe` nearest
     * cells. The standard FAISS-style recall/cost dial, built on the

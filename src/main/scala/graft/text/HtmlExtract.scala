@@ -148,7 +148,12 @@ object HtmlExtract {
     val m = PAnchor.matcher(fragment)
     var n = 0
     while (m.find()) {
-      n += collapseKernel(PTag.matcher(m.group(1)).replaceAll(" ")).length
+      val a = collapseKernel(PTag.matcher(m.group(1)).replaceAll(" "))
+      // code points, not UTF-16 units: the Column twin counts via Spark's
+      // length() = UTF8String.numChars, and supplementary characters
+      // (emoji, CJK-ext) occupy two UTF-16 units — String.length would
+      // diverge from the pinned kernel==composed parity on such pages
+      n += a.codePointCount(0, a.length)
     }
     n
   }
@@ -167,9 +172,12 @@ object HtmlExtract {
     var i = 0
     while (i < segs.length) {
       val txt = stripTagsKernel(segs(i))
-      if (txt.length >= minChars &&
+      // code points (see anchorCharsKernel) — parity with the Column
+      // twin's length() on supplementary-character pages
+      val txtLen = txt.codePointCount(0, txt.length)
+      if (txtLen >= minChars &&
           anchorCharsKernel(segs(i)).toDouble <=
-            txt.length.toDouble * maxLinkDensity) {
+            txtLen.toDouble * maxLinkDensity) {
         if (out.nonEmpty) out.append('\n')
         out.append(txt)
       }

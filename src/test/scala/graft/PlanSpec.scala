@@ -330,6 +330,43 @@ class PlanSpec extends SparkSpec {
       s"query codes must broadcast to the corpus scan:\n$p")
   }
 
+  test("web pipeline parses the WARC archive once: both consumers read " +
+    "the checkpointed extraction, no parse subtree in the final plan") {
+    val df = graft.queries.WebQ.queries("q_web_pipeline")(spark, sfDir)
+    df.collect()
+    // the extraction frame is localCheckpoint()ed: the dedup branch and
+    // the scoring branch must both scan the SAME materialized RDD, and
+    // the WARC flatMap-parse (an object pipeline: SerializeFromObject /
+    // MapPartitions) must be ABSENT — it ran exactly once, at
+    // materialization, not per branch
+    val logical = df.queryExecution.optimizedPlan
+    val rddIds = logical.collectLeaves().collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+    assert(rddIds.size == 2, s"expected 2 checkpoint scans, got $rddIds")
+    assert(rddIds.distinct.size == 1,
+      s"both branches must share ONE materialized RDD: $rddIds")
+    val p = plan(df)
+    assert(!p.contains("SerializeFromObject") && !p.contains("MapPartitions"),
+      s"WARC parse subtree must not appear in the consuming plan:\n$p")
+  }
+
+  test("sq×ivf: candidates via broadcast HASH join on cell (not a " +
+    "nested-loop corpus×queries), WindowGroupLimit bounds per-query rows") {
+    val emb = Tables.embeddings(spark, sfDir).where(col("vec_id") < 200)
+    val df = graft.sim.Similarity.sqIvfTopK(emb,
+      emb.where(col("vec_id") % 29 === 0), "vec_id", "embedding", k = 5,
+      dim = 64, nlist = 8, nprobe = 2)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe side must broadcast-hash-join on cell:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"cell pruning must not degrade to a nested loop:\n$p")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"expected partial+final WindowGroupLimit:\n$p")
+  }
+
   test("dedup-index verify join: candidates broadcast to corpus grams " +
     "(the corpus side never shuffles)") {
     val docs = Tables.documents(spark, sfDir)

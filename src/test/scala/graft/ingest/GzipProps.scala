@@ -57,6 +57,19 @@ object GzipProps extends Properties("gzip-rfc1952") {
       readAll(bytes, chunk).sameElements(ps.foldLeft(Array.empty[Byte])(_ ++ _))
     }
 
+  property("tens of thousands of consecutive empty members decode " +
+    "without stack growth (loop, not one frame per member)") =
+    forAll(Gen.const(())) { _ =>
+      // 30k empty members would overflow the stack if read() recursed
+      // once per exhausted member (the pre-r14 implementation)
+      val empty = gzipMember(Array.empty[Byte])
+      val tail = gzipMember("end".getBytes)
+      val bos = new ByteArrayOutputStream()
+      (1 to 30000).foreach(_ => bos.write(empty))
+      bos.write(tail)
+      readAll(bos.toByteArray, 4096).sameElements("end".getBytes)
+    }
+
   property("truncation anywhere inside the stream throws (never silent EOF)") =
     forAll(payloads, Gen.chooseNum(0, Int.MaxValue)) { (ps, seed) =>
       val bytes = ps.map(gzipMember).foldLeft(Array.empty[Byte])(_ ++ _)

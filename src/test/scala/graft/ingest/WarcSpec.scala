@@ -109,6 +109,17 @@ class WarcSpec extends SparkSpec {
     assert(Warc.surtKey("https://Example.COM:8080/x")
       == "com,example:8080)/x")
     assert(Warc.surtKey("https://user@example.com/x") == "com,example)/x")
+    // query (or fragment) with NO path: must not fold into the last host
+    // label — the key stays in its host's sort range, rooted at '/'
+    assert(Warc.surtKey("http://example.com?q=1") == "com,example)/?q=1")
+    assert(Warc.surtKey("http://example.com#frag") == "com,example)/#frag")
+    assert(Warc.surtKey("http://example.com:8080?q=1")
+      == "com,example:8080)/?q=1")
+    // IPv6 literal: colons are address syntax — no label reversal, the
+    // port only after the closing bracket
+    assert(Warc.surtKey("http://[2001:db8::1]/x") == "[2001:db8::1])/x")
+    assert(Warc.surtKey("http://[2001:db8::1]:8080/x")
+      == "[2001:db8::1]:8080)/x")
     val p = tmpDir() + "/idx.cdxj"
     Warc.writeCdxj(Seq(
       Warc.CdxEntry("https://zz.example.com/1", "2026-02-03T04:05:06Z",
@@ -123,6 +134,23 @@ class WarcSpec extends SparkSpec {
     assert(df(0).getAs[Long]("offset") == 10L && df(0).getAs[Int]("status") == 404)
     assert(df(1).getAs[String]("cdx_ts") == "20260203040506")
     assert(df(1).getAs[Long]("length") == 10L)
+  }
+
+  test("malformed CDXJ line rejects even when only length (not offset) " +
+    "is projected — the guard rides in both fetch-critical columns") {
+    val p = tmpDir() + "/bad.cdxj"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      ("com,example)/ 20260101000000 {\"url\": \"https://example.com/\", " +
+        "\"filename\": \"f.warc.gz\", \"offset\": \"notanumber\", " +
+        "\"length\": \"10\"}\n").getBytes(UTF_8))
+    val e = intercept[Exception] {
+      Warc.readCdxj(spark, p).select("url", "length").collect()
+    }
+    assert(chainMsg(e).contains("malformed CDXJ"))
+    val e2 = intercept[Exception] {
+      Warc.readCdxj(spark, p).select("file", "offset").collect()
+    }
+    assert(chainMsg(e2).contains("malformed CDXJ"))
   }
 
   test("writeDistributed: one verified .warc.gz per non-empty partition, " +

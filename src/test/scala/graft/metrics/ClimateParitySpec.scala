@@ -171,4 +171,69 @@ class ClimateParitySpec extends SparkSpec {
     assert(mk.getAs[Double]("sen_slope") > 0)
     assert(mk.getAs[Long]("s") > base.getAs[Long]("s"))
   }
+
+  test("metric outputs carry CF provenance attrs in StructField.metadata " +
+    "(reference stamps cell_methods/units on every result)") {
+    def meta(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.schema(c).metadata
+    // temporal resamples: cell_methods (reference temporal.py:42,86,115)
+    assert(meta(Temporal.monthlyMean(grid, spec), "mean_value")
+      .getString("cell_methods") == "ts: mean (monthly)")
+    assert(meta(Temporal.seasonalMean(grid, spec), "mean_value")
+      .getString("cell_methods") == "ts: mean (seasonal)")
+    assert(meta(Temporal.annualMean(grid, spec), "mean_value")
+      .getString("cell_methods") == "ts: mean (annual)")
+    val clim = Temporal.climatology(grid, spec, Temporal.BySeason)
+    assert(meta(clim, "clim_mean").getString("cell_methods")
+      == "ts: mean over years")
+    assert(meta(clim, "clim_mean").getString("climatology_groupby") == "season")
+    assert(meta(clim, "clim_std").getString("climatology_groupby") == "season")
+    assert(meta(Temporal.rollingMean(grid, spec, 7), "rolling_mean")
+      .getString("cell_methods") == "ts: mean (rolling window=7)")
+    // anomaly copies input attrs, overrides names (anomalies.py:56-63)
+    val attributed = graft.model.GridSchema.withAttrs(grid, "temperature",
+      graft.model.VarAttrs(units = Some("K"), longName = Some("2m Temperature")))
+    val an = Anomalies.anomaly(attributed, spec,
+      referencePeriod = Some(("2020-01-01", "2020-12-31")))
+    assert(meta(an, "anomaly").getString("units") == "K")
+    assert(meta(an, "anomaly").getString("long_name") == "2m Temperature anomaly")
+    assert(meta(an, "anomaly").getString("standard_name") == "temperature_anomaly")
+    assert(meta(an, "anomaly").getString("reference_period")
+      == "2020-01-01 to 2020-12-31")
+    // z-score: dimensionless, same attrs on ALL THREE forms (parity
+    // extends to provenance)
+    Seq(Anomalies.standardizedAnomaly(grid, spec),
+        Anomalies.standardizedAnomalyWindowed(grid, spec),
+        Anomalies.standardizedAnomalyAuto(grid, spec)).foreach { z =>
+      assert(meta(z, "zscore").getString("units") == "1")
+      assert(meta(z, "zscore").getString("standard_name")
+        == "temperature_standardized_anomaly")
+    }
+    // severity flags (anomalies.py:240-244)
+    val sev = Anomalies.classifySeverity(
+      Anomalies.standardizedAnomaly(grid, spec))
+    assert(meta(sev, "severity").getLongArray("flag_values").toSeq
+      == Seq(-3L, -2L, -1L, 0L, 1L, 2L, 3L))
+    assert(meta(sev, "severity").getString("flag_meanings")
+      .startsWith("extremely_below"))
+    // percentile rank / thresholds / exceedance / bins / return periods
+    assert(meta(Anomalies.percentileRank(grid, spec), "percentile_rank")
+      .getString("units") == "%")
+    val cp = Percentiles.climatologicalPercentiles(grid, spec)
+    assert(meta(cp, "value").getLongArray("percentiles").toSeq
+      == Percentiles.DefaultPercentiles.map(_.toLong))
+    assert(meta(cp, "value").getString("groupby") == "month")
+    assert(meta(Percentiles.exceedanceFrequency(grid, spec), "exceedance_freq")
+      .getString("units") == "1")
+    assert(meta(Percentiles.classifyByPercentile(grid, spec), "percentile_bin")
+      .getLongArray("percentile_bins").nonEmpty)
+    assert(meta(Percentiles.returnPeriods(grid, spec), "level")
+      .getString("long_name") == "Return period values")
+    // attrs survive a parquet roundtrip (Spark persists field metadata
+    // in the footer schema) — the provenance is durable, not session-local
+    val out = graft.util.Tmp.root("graft_cfattrs").toString + "/m.parquet"
+    Temporal.monthlyMean(grid, spec).limit(10).write.mode("overwrite").parquet(out)
+    assert(spark.read.parquet(out).schema("mean_value").metadata
+      .getString("cell_methods") == "ts: mean (monthly)")
+  }
 }

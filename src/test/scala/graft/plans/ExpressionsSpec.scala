@@ -183,6 +183,24 @@ class ExpressionsSpec extends SparkSpec {
       .toDF("a", "b")
       .select(Expressions.int8_dot(col("a"), col("b"))).head()
     assert(n.isNullAt(0))
+    // dimension mismatch rejects LOUDLY (both the interpreted eval and
+    // the codegen'd loop) — truncating to min(len) would quietly
+    // mis-score mixed-dimension codes
+    val mm = intercept[Exception] {
+      Seq((Seq.fill(16)(1.toByte), Seq.fill(8)(1.toByte))).toDF("a", "b")
+        .select(Expressions.int8_dot(col("a"), col("b"))).collect()
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(mm).contains("dimension mismatch"))
+    val mmScan = intercept[Exception] {
+      graft.model.Tables.embeddings(spark, sfDir)
+        .select(graft.sim.Similarity.sqEncode(col("embedding")).as("c8"))
+        .select(Expressions.int8_dot(col("c8"), slice(col("c8"), 1, 8)))
+        .collect()
+    }
+    assert(chain(mmScan).contains("dimension mismatch"))
   }
 
   test("SQL registration on a live session") {

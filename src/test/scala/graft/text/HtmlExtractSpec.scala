@@ -98,4 +98,27 @@ class HtmlExtractSpec extends SparkSpec {
     assert(scan.queryExecution.executedPlan.toString.contains("*("),
       "html_main_content must codegen")
   }
+
+  test("fused kernel ≡ composed form on supplementary characters " +
+    "(code points, not UTF-16 units, drive minChars and link density)") {
+    // 13 emoji = 13 code points but 26 UTF-16 units: with minChars = 20
+    // a code-UNIT count keeps the block, a code-POINT count drops it —
+    // the two forms must agree (on the code-point side)
+    val emoji = "😀" * 13
+    val pages = Seq(
+      s"<p>$emoji</p>",
+      // anchor text with supplementary chars near the density threshold:
+      // 30 points of prose + a 5-point emoji link (density 5/35 ≈ 0.14 by
+      // points, 10/40 = 0.25 by units at the anchor) — forms must agree
+      s"<p>abcdefghijklmnopqrstuvwxyz1234 <a href='/x'>${"😀" * 5}</a></p>",
+      s"<p>$emoji abcdefghij</p>")
+    val rows = pages.toDF("h").select(
+        HtmlExtract.mainContent(col("h"), 20, 0.15).as("fused"),
+        HtmlExtract.mainContentComposed(col("h"), 20, 0.15).as("composed"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"kernel/composed divergence: '${r.getString(0)}' vs '${r.getString(1)}'"))
+    // and the decision itself is code-point-based: 13 points < 20 → drop
+    assert(extract(s"<p>$emoji</p>", minChars = 20) == "")
+  }
 }
