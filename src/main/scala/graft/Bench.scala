@@ -53,6 +53,8 @@ object Bench {
     // operator), HTML boilerplate removal, persisted-MinHash-index query,
     // int8-quantized ANN
     "q_warc_ingest", "q_html_extract", "q_dedup_index", "q_sq_ann",
+    // round-14: the SQ×IVF composition benched next to its brute twin
+    "q_sq_ivf_ann",
     // the end-to-end composition: crawl bytes -> extraction -> scoring ->
     // near-dup removal -> rollup in one plan
     "q_web_pipeline")

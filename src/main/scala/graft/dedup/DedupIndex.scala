@@ -85,8 +85,13 @@ object DedupIndex {
       grams.select(col(idCol).as("id"), col("gs"))
         .write.mode("overwrite").parquet(s"$path/grams/$tag")
       val sigs = Dedup.minhashSignatures(grams, idCol, p.numHashes, p.seed)
+      // postings sorted by bucket within each file: parquet row-group
+      // min/max stats on `bucket` then let [[query]]'s pushed IN-filter
+      // skip row groups — the point-lookup shape a small batch needs
+      // against a corpus-sized store
       Dedup.bandBucketsLocal(sigs, idCol, p.bands)
         .select(col(idCol).as("id"), col("band"), col("bucket"))
+        .sortWithinPartitions(col("bucket"))
         .write.mode("overwrite").parquet(s"$path/bands/$tag")
     } finally { grams.unpersist(); () }
   }
@@ -122,7 +127,23 @@ object DedupIndex {
     // scan-local banding: the batch side feeds a broadcast, so there is no
     // self-join exchange to reuse — zero shuffle before the candidate join
     val qBands = Dedup.bandBucketsLocal(sigs, "query_id", p.bands)
-    val ixBands = readStore(spark, s"$path/bands")
+    // PRUNE the store scan before it starts: the batch's bucket set is
+    // tiny (≤ batch_rows × bands 64-bit hashes) and driver-known, so a
+    // literal IN-predicate reaches the parquet scan (PushedFilters) and
+    // row-group bucket min/max stats (the store is written bucket-sorted)
+    // skip everything a point-ish batch can't match — the index reads
+    // O(candidates), not O(corpus). Bounded: a bulk batch past the cap
+    // would inline an unwieldy filter for no selectivity, so it falls
+    // back to the full postings scan + broadcast join (which bulk
+    // re-dedup wants anyway).
+    val maxPushdownBuckets = 8192
+    val qBuckets = qBands.select(col("bucket")).distinct()
+      .limit(maxPushdownBuckets + 1).collect().map(_.get(0))
+    val ixBands0 = readStore(spark, s"$path/bands")
+    val ixBands =
+      if (qBuckets.length <= maxPushdownBuckets)
+        ixBands0.where(col("bucket").isInCollection(qBuckets.toSeq))
+      else ixBands0
     // batch ≪ corpus: broadcast the batch postings — the persisted bands
     // scan stays shuffle-free, candidates are the only corpus rows moving
     val cands0 = ixBands

@@ -380,5 +380,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"batch side must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"persisted bands/grams scans must not shuffle:\n$p")
+    // the batch's bucket set is pushed INTO the postings scan — with the
+    // store written bucket-sorted, parquet row-group stats skip what a
+    // point-ish batch can't match (the index reads O(candidates), not
+    // O(corpus))
+    assert(p.contains("PushedFilters: [In(bucket"),
+      s"bucket IN-filter must reach the parquet postings scan:\n$p")
   }
 }
