@@ -68,7 +68,15 @@ object Hdf5 {
 
   /** cls: 0 fixed-point, 1 float, 3 string, 7 reference, 9 vlen. */
   final case class H5Type(cls: Int, size: Int, littleEndian: Boolean,
-                          signed: Boolean, base: Option[H5Type] = None)
+                          signed: Boolean, base: Option[H5Type] = None,
+                          // fixed-point bit layout (datatype message bytes
+                          // 8-11): the N-bit filter's authority for how many
+                          // significant bits each element stores
+                          bitOffset: Int = 0, bitPrecision: Int = 0) {
+    /** Stored significant bits: the message's precision, full width when
+      * the field is absent/zero. */
+    def precisionBits: Int = if (bitPrecision > 0) bitPrecision else size * 8
+  }
 
   sealed trait H5Layout extends Serializable
   final case class Contiguous(addr: Long, size: Long) extends H5Layout
@@ -613,8 +621,10 @@ object Hdf5 {
     val size = bb.getInt
     cls match {
       case 0 => // fixed-point: bit0 order, bit3 signed
-        bb.getShort; bb.getShort // bit offset + precision
-        H5Type(0, size, littleEndian = (bits0 & 1) == 0, signed = (bits0 & 0x08) != 0)
+        val bitOff = bb.getShort & 0xFFFF
+        val bitPrec = bb.getShort & 0xFFFF
+        H5Type(0, size, littleEndian = (bits0 & 1) == 0,
+          signed = (bits0 & 0x08) != 0, bitOffset = bitOff, bitPrecision = bitPrec)
       case 1 => // float (IEEE assumed from size)
         bb.getShort; bb.getShort; bb.get(); bb.get(); bb.get(); bb.get(); bb.getInt
         H5Type(1, size, littleEndian = (bits0 & 1) == 0, signed = true)
@@ -869,6 +879,8 @@ object Hdf5 {
   private val ShuffleId = 2
   private val Fletcher32Id = 3
   private val SzipId = 4     // CCSDS-121 extended-Rice (see Szip.scala)
+  private val NbitId = 5     // datatype-driven bit packing (NbitScaleOffset.scala)
+  private val ScaleOffsetId = 6 // min-subtract / D-scale packing (ditto)
 
   /** Fixture-writer szip parameters (must match what the chunks were
     * encoded with — the reader rebuilds Szip.Params from this client
@@ -877,6 +889,25 @@ object Hdf5 {
     */
   private[ingest] val SzipCdata: IndexedSeq[Int] = IndexedSeq(
     Szip.Ec | Szip.Nn | Szip.Lsb | Szip.Raw, 8, 32, 1024)
+  /** Fixture-writer n-bit precision: 16 significant bits of each 32-bit
+    * int (the classic nbit demo shape); offset 0. Rides in BOTH the
+    * datatype message (the authority) and the filter client data
+    * `[version, class, size, precision, offset, signed]` (cross-checked).
+    */
+  private[ingest] val NbitPrecision = 16
+  private[ingest] def nbitCdata(size: Int, signed: Boolean): IndexedSeq[Int] =
+    IndexedSeq(1, 0, size, NbitPrecision, 0, if (signed) 1 else 0)
+
+  /** Fixture-writer scale+offset: D-scale factor 6 for float data (exact
+    * for values pre-rounded to 6 decimals — the engine's round6 grid),
+    * auto-minbits int packing for fixed-point data. Client data:
+    * `[scaleType, scaleFactor]`.
+    */
+  private[ingest] val DScaleFactor = 6
+  private[ingest] def scaleOffsetCdata(isFloat: Boolean): IndexedSeq[Int] =
+    if (isFloat) IndexedSeq(ScaleOffset.FloatDScale, DScaleFactor)
+    else IndexedSeq(ScaleOffset.IntType, 0)
+
   private val Lz4Id = 32004  // HDF5 registered filter (hdf5plugin's lz4)
   private val ZstdId = 32015 // HDF5 registered filter (hdf5plugin's zstd)
   private val LzfId = 32000  // HDF5 registered filter (h5py's default lzf)
@@ -888,7 +919,8 @@ object Hdf5 {
   }
 
   private val SupportedFilters =
-    Set(DeflateId, ShuffleId, Fletcher32Id, SzipId, Lz4Id, ZstdId, LzfId)
+    Set(DeflateId, ShuffleId, Fletcher32Id, SzipId, NbitId, ScaleOffsetId,
+      Lz4Id, ZstdId, LzfId)
 
   /** Parse a Filter Pipeline message (type 0x0B), versions 1 and 2.
     * Only deflate(1)/shuffle(2)/fletcher32(3) — the pipelines netCDF-4
@@ -917,8 +949,9 @@ object Hdf5 {
     out.find(f => !SupportedFilters(f.id))
       .foreach { f =>
         sys.error(s"$where: unsupported chunk filter ${filterName(f.id)} " +
-          s"(id ${f.id}); deflate/shuffle/fletcher32/szip/lz4/zstd/lzf are " +
-          "supported — repack with `h5repack -f GZIP=4` or nccopy upstream")
+          s"(id ${f.id}); deflate/shuffle/fletcher32/szip/nbit/scaleoffset/" +
+          "lz4/zstd/lzf are supported — repack with `h5repack -f GZIP=4` " +
+          "or nccopy upstream")
       }
     out
   }
@@ -1177,8 +1210,15 @@ object Hdf5 {
     */
   private[ingest] def storedChunkPipeline(raw: Array[Byte], elemSize: Int,
                                           level: Int,
-                                          codec: String): (Array[Byte], Int) = {
-    val shuffled = shuffleBytes(raw, elemSize)
+                                          codec: String,
+                                          signed: Boolean = true,
+                                          isFloat: Boolean = false): (Array[Byte], Int) = {
+    // the datatype-aware filters pack whole elements — byte-shuffling
+    // first would destroy the bit layout they depend on, so their
+    // pipeline is [codec, fletcher32] with no shuffle stage
+    val shuffled =
+      if (codec == "nbit" || codec == "scaleoffset") raw
+      else shuffleBytes(raw, elemSize)
     val (compressed, mask) = codec match {
       case "zlib" =>
         val defl = new java.util.zip.Deflater(level)
@@ -1196,6 +1236,14 @@ object Hdf5 {
         case Some(c) => (c, 0)
         case None => (shuffled, 2) // bit 1: pipeline filter [shuffle,LZF,fletcher]
       }
+      case "nbit" =>
+        (Nbit.encode(shuffled, elemSize, NbitPrecision, 0, signed,
+          "nbit chunk"), 0)
+      case "scaleoffset" =>
+        val cd = scaleOffsetCdata(isFloat)
+        (ScaleOffset.encode(shuffled,
+          ScaleOffset.Params(cd(0), cd(1), elemSize, signed, isFloat),
+          "scaleoffset chunk"), 0)
       case "szip" =>
         // H5Zszip framing: 4-byte LE original size, then the raw CCSDS
         // bitstream; parameters must equal the pipeline message's cdata
@@ -1209,7 +1257,8 @@ object Hdf5 {
         out(3) = (shuffled.length >>> 24).toByte
         System.arraycopy(body, 0, out, 4, body.length)
         (out, 0)
-      case c => sys.error(s"unknown chunk codec '$c' (zlib/lz4/zstd/lzf/szip)")
+      case c => sys.error(
+        s"unknown chunk codec '$c' (zlib/lz4/zstd/lzf/szip/nbit/scaleoffset)")
     }
     (appendFletcher(compressed), mask)
   }
@@ -1235,6 +1284,19 @@ object Hdf5 {
     * chunk's worth of values comes back even at dataset edges (HDF5
     * stores edge chunks full-size).
     */
+  /** Elements of one (full-size) chunk — HDF5 stores edge chunks full-size,
+    * so every decode that cannot infer its output length (lzf, nbit,
+    * scaleoffset) reconstructs exactly this many elements.
+    */
+  private def fullChunkElems(v: H5Dataset): Int = v.layout match {
+    case Chunked(cdims, _) =>
+      val n = cdims.map(_.toLong).product
+      require(n > 0 && n <= Int.MaxValue / v.dtype.size,
+        s"${v.name}: chunk of $n elements out of range")
+      n.toInt
+    case _ => sys.error(s"${v.name}: sized filter outside a chunked layout")
+  }
+
   private def chunkValues(at: At, v: H5Dataset, c: H5Chunk): Array[Double] = {
     var raw = {
       val bb = at.bytes(c.addr, c.size)
@@ -1283,6 +1345,25 @@ object Hdf5 {
           val p = Szip.Params(f.cdata(0), f.cdata(1), f.cdata(2), f.cdata(3))
           raw = Szip.decode(
             java.util.Arrays.copyOfRange(raw, 4, raw.length), orig, p, v.name)
+        case NbitId =>
+          // the DATATYPE message is the authority for precision/offset
+          // (that is the filter's documented contract); the client data
+          // this writer stores is cross-checked when present
+          require(v.dtype.cls == 0,
+            s"${v.name}: nbit on a non-fixed-point datatype (class ${v.dtype.cls})")
+          val prec = v.dtype.precisionBits
+          if (f.cdata.length >= 6)
+            require(f.cdata(3) == prec && f.cdata(4) == v.dtype.bitOffset,
+              s"${v.name}: nbit client data (${f.cdata(3)}/${f.cdata(4)}) " +
+                s"contradicts the datatype ($prec/${v.dtype.bitOffset})")
+          raw = Nbit.decode(raw, fullChunkElems(v), v.dtype.size, prec,
+            v.dtype.bitOffset, v.dtype.signed, v.name)
+        case ScaleOffsetId =>
+          require(f.cdata.length >= 2,
+            s"${v.name}: scaleoffset filter with ${f.cdata.length} client-data words (need 2)")
+          val p = ScaleOffset.Params(f.cdata(0), f.cdata(1), v.dtype.size,
+            signed = v.dtype.signed, isFloat = v.dtype.cls == 1)
+          raw = ScaleOffset.decode(raw, fullChunkElems(v), p, v.name)
         case ShuffleId =>
           raw = unshuffleBytes(raw, f.cdata.headOption.getOrElse(v.dtype.size))
         case other =>
@@ -2308,7 +2389,7 @@ object Hdf5 {
     }
   }
 
-  private def h5TypeBytes(t: NetCdf.NcType): Array[Byte] = {
+  private def h5TypeBytes(t: NetCdf.NcType, fixedPrecision: Int = 0): Array[Byte] = {
     import NetCdf._
     val bb = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
     t match {
@@ -2330,7 +2411,10 @@ object Hdf5 {
         bb.put((if (signed) 0x08 else 0x00).toByte) // LE + signed bit
         bb.put(0.toByte).put(0.toByte)
         bb.putInt(t.size)
-        bb.putShort(0).putShort((t.size * 8).toShort)
+        // reduced precision (the N-bit filter's contract rides in the
+        // datatype message); 0 = full width
+        val prec = if (fixedPrecision > 0) fixedPrecision else t.size * 8
+        bb.putShort(0).putShort(prec.toShort)
     }
     java.util.Arrays.copyOf(bb.array(), bb.position())
   }
@@ -2396,8 +2480,15 @@ object Hdf5 {
             headerVersion: Int = 1): Unit = {
     require(headerVersion == 1 || headerVersion == 2,
       s"headerVersion $headerVersion (1 = classic prefix, 2 = latest OHDR)")
-    require(Set("zlib", "lz4", "zstd", "lzf", "szip")(chunkCodec),
-      s"chunkCodec '$chunkCodec' (zlib/lz4/zstd/lzf/szip)")
+    require(Set("zlib", "lz4", "zstd", "lzf", "szip", "nbit", "scaleoffset")(chunkCodec),
+      s"chunkCodec '$chunkCodec' (zlib/lz4/zstd/lzf/szip/nbit/scaleoffset)")
+    // nbit is datatype-driven: every filtered (chunked data) variable
+    // must be fixed-point so the reduced-precision datatype message and
+    // the packed stream agree
+    require(chunkCodec != "nbit" || vars.forall { case (vd, _) =>
+      dims.exists(_.name == vd.name) || vd.tpe == NetCdf.NcInt ||
+        vd.tpe == NetCdf.NcShort || vd.tpe == NetCdf.NcInt64
+    }, "chunkCodec 'nbit': all data variables must be fixed-point ints")
     // lzf is h5py's codec and h5py writes the earliest file format; the
     // v3 B-tree path also carries the per-chunk skip masks lzf needs
     require(chunkCodec != "lzf" || layoutVersion == 3,
@@ -2519,7 +2610,11 @@ object Hdf5 {
     def datasetHeader(vd: NetCdf.VarDef, isDim: Boolean): Unit = {
       val shape = vd.dimNames.map(dn => dimLen(dn).toLong)
       val elemSize = vd.tpe.size
-      val dtB = h5TypeBytes(vd.tpe)
+      // nbit's contract rides in the datatype: filtered data vars carry
+      // the reduced precision the packed chunks store
+      val nbitVar = chunkCodec == "nbit" && deflate > 0 && chunked &&
+        !isDim && shape.nonEmpty
+      val dtB = h5TypeBytes(vd.tpe, if (nbitVar) NbitPrecision else 0)
       val dsB = dataspaceBytes(shape)
       val msgs = Seq.newBuilder[(Int, Int, () => Unit)]
       msgs += ((0x01, pad8(dsB.length), () => { b.bytes(dsB); b.zeros(pad8(dsB.length) - dsB.length) }))
@@ -2596,24 +2691,37 @@ object Hdf5 {
         if (deflate > 0) {
           // filter pipeline v1: shuffle(elemSize) → codec(level) → fletcher32
           // (lzf carries no client data and gets the OPTIONAL flag —
-          // h5py's registration — so skip-on-no-gain is spec-legal)
+          // h5py's registration — so skip-on-no-gain is spec-legal).
+          // The datatype-aware codecs (nbit/scaleoffset) pack whole
+          // elements and run WITHOUT the shuffle stage: [codec, fletcher32].
+          val isFloatT = vd.tpe == NetCdf.NcFloat || vd.tpe == NetCdf.NcDouble
+          val signedT = vd.tpe match {
+            case NetCdf.NcUByte | NetCdf.NcUShort | NetCdf.NcUInt |
+                 NetCdf.NcUInt64 => false
+            case _ => true
+          }
           val (codecId, codecCd) = chunkCodec match {
             case "lz4" => (32004, Seq(1L << 20)) // block size
             case "zstd" => (32015, Seq(deflate.toLong))
             case "lzf" => (32000, Nil)
             case "szip" => (4, SzipCdata.map(_.toLong))
+            case "nbit" => (5, nbitCdata(elemSize, signedT).map(_.toLong))
+            case "scaleoffset" => (6, scaleOffsetCdata(isFloatT).map(_.toLong))
             case _ => (1, Seq(deflate.toLong))
           }
+          val withShuffle = chunkCodec != "nbit" && chunkCodec != "scaleoffset"
           // v1 filter entry: 8-byte header + cdata padded to an even
           // word count (lzf carries no client data and gets the OPTIONAL
           // flag — h5py's registration — so skip-on-no-gain is spec-legal)
           val codecBlock = 8 + (codecCd.length + 1) / 2 * 8
-          val fpSize = pad8(8 + 16 + codecBlock + 8)
+          val fpSize = pad8(8 + (if (withShuffle) 16 else 0) + codecBlock + 8)
           msgs += ((0x0B, fpSize, () => {
             val start = b.pos
-            b.u8(1); b.u8(3)    // version 1, three filters
+            b.u8(1); b.u8(if (withShuffle) 3 else 2) // version 1, filter count
             b.u16(0); b.u32(0)  // reserved
-            b.u16(2); b.u16(0); b.u16(0); b.u16(1); b.u32(elemSize.toLong); b.u32(0)
+            if (withShuffle) {
+              b.u16(2); b.u16(0); b.u16(0); b.u16(1); b.u32(elemSize.toLong); b.u32(0)
+            }
             if (codecCd.isEmpty) {
               b.u16(codecId); b.u16(0); b.u16(1); b.u16(0) // OPTIONAL flag
             } else {
@@ -3359,8 +3467,15 @@ object Hdf5 {
           System.arraycopy(data, lo * innerCount, slice, 0, (hi - lo) * innerCount)
           val isEdge = hi - lo < chunkOuter
           if (deflate > 0 && !(dontFilterEdge && isEdge)) {
+            val isFloatT = vd.tpe == NetCdf.NcFloat || vd.tpe == NetCdf.NcDouble
+            val signedT = vd.tpe match {
+              case NetCdf.NcUByte | NetCdf.NcUShort | NetCdf.NcUInt |
+                   NetCdf.NcUInt64 => false
+              case _ => true
+            }
             val (stored, mask) = storedChunkPipeline(valueBytes(vd.tpe, slice),
-              vd.tpe.size, deflate, chunkCodec)
+              vd.tpe.size, deflate, chunkCodec, signed = signedT,
+              isFloat = isFloatT)
             storedSizes(i) = stored.length
             storedMasks(i) = mask
             b.bytes(stored)

@@ -240,6 +240,43 @@ object NetCdfQ extends QueryPack {
         chunkCodec = "szip")
       backToRows(NetCdf.read(s, path, Seq("n", "mean_qty")))
     }),
+    // The N-BIT filter (id 5): data vars stored as 16 significant bits
+    // of each 32-bit int — counts plus a SIGNED derivative (n % 97 − 48,
+    // negatives included) so the decode-side sign extension is on the
+    // oracle path, not just spec-checked. Pipeline [nbit, fletcher32],
+    // reduced-precision datatype message carried and honored.
+    "q_netcdf4_nbit" -> ((s, dir) => {
+      val (years, nVals, qVals) = gridSlabs(s, dir)
+      val dqVals = nVals.map(v =>
+        if (v == Fill) Fill else (v.toLong % 97 - 48).toDouble)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-nc4nb").resolve("grid.nc").toString
+      val vars = gridVars(years.toSeq, nVals, qVals).take(3) ++ Seq(
+        (NetCdf.VarDef("n", Seq("time", "lat", "lon"), NetCdf.NcInt, Nil), nVals),
+        (NetCdf.VarDef("dq", Seq("time", "lat", "lon"), NetCdf.NcInt, Nil), dqVals))
+      graft.ingest.Hdf5.write(path, gridDims(years.toSeq), vars, gridGatts,
+        chunked = true, deflate = 1, chunkCodec = "nbit")
+      NetCdf.read(s, path, Seq("n", "dq"))
+        .where(col("n") =!= Fill)
+        .select(year(col("time")).as("ship_year"), col("lat"), col("lon"),
+          col("n").cast("long").as("n"), col("dq").cast("int").as("dq"))
+    }),
+    // The SCALE+OFFSET filter (id 6), float D-scale variant: every chunk
+    // stores round(v·10⁶) − min in the minimal per-chunk bit width. The
+    // grid is pre-rounded to 6 decimals (the engine's round6), making
+    // the lossy-by-design filter EXACT here — so the standard roundtrip
+    // oracle replays it value-for-value.
+    "q_netcdf4_scaleoffset" -> ((s, dir) => {
+      val (years, nVals, qVals) = gridSlabs(s, dir)
+      // java BigDecimal.valueOf + HALF_UP = Spark's round(col, 6)
+      val q6 = qVals.map(v => java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-nc4so").resolve("grid.nc").toString
+      writeGridH5(path, years.toSeq, nVals, q6, deflate = 1,
+        chunkCodec = "scaleoffset")
+      backToRows(NetCdf.read(s, path, Seq("n", "mean_qty")))
+    }),
     // The latest-format UNLIMITED-dimension shape: version-4 layout with
     // an Extensible Array chunk index (what libhdf5 1.10+ writes for the
     // netCDF-4 time-unlimited case), compressed chunks, every EA
@@ -374,6 +411,17 @@ object NetCdfQ extends QueryPack {
     "q_netcdf4_export" -> roundtripSql,
     "q_netcdf4_zstd" -> roundtripSql,
     "q_netcdf4_szip" -> roundtripSql,
+    // exactness by construction: values pre-rounded to the D-scale's 6
+    // decimals roundtrip bit-for-bit, so the shared replay applies
+    "q_netcdf4_scaleoffset" -> roundtripSql,
+    "q_netcdf4_nbit" ->
+      """SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+        |       CAST(l_partkey % 18 * 10 - 85 AS DOUBLE) AS lat,
+        |       CAST(l_suppkey % 36 * 10 - 175 AS DOUBLE) AS lon,
+        |       count(*) AS n,
+        |       CAST(count(*) % 97 - 48 AS INTEGER) AS dq
+        |FROM lineitem
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q_netcdf5_roundtrip" -> roundtripSql,
     "q_stream_netcdf" -> roundtripSql,
     "q_netcdf4_pushdown" -> pushdownSql,

@@ -121,4 +121,56 @@ object Hdf5Props extends Properties("hdf5-filters") {
         val raw = Array.fill(nWords * 2)(fill)
         Hdf5.fletcher32(raw, raw.length) == Hdf5.fletcher32(raw.clone(), raw.length)
     }
+
+  property("nbit packs/unpacks int32 exactly at any precision 2..32") =
+    forAll(Gen.chooseNum(2, 32), Gen.chooseNum(1, 200),
+      Gen.chooseNum(0, Int.MaxValue)) { (prec, n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // signed values that fit `prec` bits
+      val lo = if (prec >= 32) Int.MinValue.toLong else -(1L << (prec - 1))
+      val hi = if (prec >= 32) Int.MaxValue.toLong else (1L << (prec - 1)) - 1
+      val vals = Array.fill(n)(lo + (math.abs(rnd.nextLong()) % (hi - lo + 1)))
+      val raw = new Array[Byte](n * 4)
+      vals.zipWithIndex.foreach { case (v, i) => Nbit.writeLe(raw, i * 4, 4, v) }
+      val enc = Nbit.encode(raw, 4, prec, 0, signed = true, "prop")
+      val dec = Nbit.decode(enc, n, 4, prec, 0, signed = true, "prop")
+      enc.length <= raw.length &&
+        (0 until n).forall(i =>
+          ((Nbit.readLe(dec, i * 4, 4) << 32) >> 32) == vals(i))
+    }
+
+  property("scaleoffset int-type roundtrips any int32 multiset; header-" +
+    "only when constant") =
+    forAll(Gen.chooseNum(1, 200), Gen.chooseNum(0, Int.MaxValue),
+      Gen.oneOf(true, false)) { (n, seed, constant) =>
+      val rnd = new scala.util.Random(seed)
+      val vals =
+        if (constant) Array.fill(n)(rnd.nextInt().toLong)
+        else Array.fill(n)(rnd.nextInt().toLong)
+      if (constant) java.util.Arrays.fill(vals, vals(0))
+      val raw = new Array[Byte](n * 4)
+      vals.zipWithIndex.foreach { case (v, i) => Nbit.writeLe(raw, i * 4, 4, v) }
+      val p = ScaleOffset.Params(ScaleOffset.IntType, 0, 4, signed = true,
+        isFloat = false)
+      val enc = ScaleOffset.encode(raw, p, "prop")
+      val dec = ScaleOffset.decode(enc, n, p, "prop")
+      (!constant || enc.length == 13) && dec.toSeq == raw.toSeq
+    }
+
+  property("scaleoffset D-scale is exact on values pre-rounded to the " +
+    "factor's decimals") =
+    forAll(Gen.chooseNum(0, 6), Gen.chooseNum(1, 100),
+      Gen.chooseNum(0, Int.MaxValue)) { (d, n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val scale = math.pow(10.0, d)
+      val vals = Array.fill(n)((rnd.nextInt(2000001) - 1000000) / scale)
+      val raw = new Array[Byte](n * 8)
+      vals.zipWithIndex.foreach { case (v, i) =>
+        Nbit.writeLe(raw, i * 8, 8, java.lang.Double.doubleToLongBits(v)) }
+      val p = ScaleOffset.Params(ScaleOffset.FloatDScale, d, 8, signed = true,
+        isFloat = true)
+      val dec = ScaleOffset.decode(ScaleOffset.encode(raw, p, "prop"), n, p, "prop")
+      (0 until n).forall(i =>
+        java.lang.Double.longBitsToDouble(Nbit.readLe(dec, i * 8, 8)) == vals(i))
+    }
 }

@@ -6,6 +6,10 @@ import org.apache.spark.sql.functions._
 class Hdf5Spec extends SparkSpec {
   import NetCdf.{Dim, VarDef, NcDouble, NcFloat, NcShort, NcInt}
 
+  private def chainMsg(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+
   private def writeGrid(path: String, chunked: Boolean, deflate: Int = 0,
                         layoutVersion: Int = 3, faPageBits: Int = 0,
                         eaIndex: Boolean = false,
@@ -843,5 +847,109 @@ class Hdf5Spec extends SparkSpec {
     val df = NetCdf.readDir(spark, base, Seq("x"))
     assert(df.count() == 4)
     assert(df.agg(sum("x")).head().getDouble(0) == 10.0)
+  }
+
+  test("nbit filter (id 5): int roundtrip with negatives, reduced-" +
+    "precision datatype honored, out-of-precision write rejects") {
+    val path = tmpDir() + "/nbit.h5"
+    // values across the signed 16-bit precision range, incl. extremes
+    val vals = Array(-32768.0, -9999.0, -1.0, 0.0, 1.0, 12345.0, 32767.0,
+      -300.0, 42.0, 7.0, -42.0, 2.0)
+    Hdf5.write(path,
+      dims = Seq(Dim("time", 4), Dim("lat", 3)),
+      vars = Seq(
+        (VarDef("time", Seq("time"), NcDouble,
+          Seq("units" -> "days since 2020-01-01")), Array.tabulate(4)(_.toDouble)),
+        (VarDef("lat", Seq("lat"), NcDouble), Array(-10.0, 0.0, 10.0)),
+        (VarDef("v", Seq("time", "lat"), NcInt), vals)),
+      chunked = true, deflate = 1, chunkCodec = "nbit")
+    val got = NetCdf.read(spark, path, Seq("v"))
+      .orderBy("time", "lat").select("v").collect().map(_.getDouble(0))
+    assert(got.toSeq == vals.toSeq)
+    // a value needing more than 16 significant bits must reject at write
+    // (silently dropping significant bits would corrupt data)
+    val e = intercept[Exception] {
+      Hdf5.write(tmpDir() + "/nbit2.h5",
+        dims = Seq(Dim("t", 2)),
+        vars = Seq(
+          (VarDef("t", Seq("t"), NcDouble), Array(0.0, 1.0)),
+          (VarDef("v", Seq("t"), NcInt), Array(1.0, 40000.0))),
+        chunked = true, deflate = 1, chunkCodec = "nbit")
+    }
+    assert(chainMsg(e).contains("does not fit nbit precision"))
+    // and a float data var under nbit rejects up front (datatype-driven)
+    val e2 = intercept[Exception] {
+      Hdf5.write(tmpDir() + "/nbit3.h5",
+        dims = Seq(Dim("t", 1)),
+        vars = Seq(
+          (VarDef("t", Seq("t"), NcDouble), Array(0.0)),
+          (VarDef("v", Seq("t"), NcDouble), Array(1.5))),
+        chunked = true, deflate = 1, chunkCodec = "nbit")
+    }
+    assert(chainMsg(e2).contains("fixed-point"))
+  }
+
+  test("scaleoffset filter (id 6): int-type roundtrip with negatives; " +
+    "D-scale exact on 6-decimal data; corrupt streams reject") {
+    // INT scale type: min-subtract + minbits packing, negatives included
+    val path = tmpDir() + "/so-int.h5"
+    val ivals = Array(-500.0, -499.0, 0.0, 123.0, 9999.0, 9998.0)
+    Hdf5.write(path,
+      dims = Seq(Dim("time", 3), Dim("lat", 2)),
+      vars = Seq(
+        (VarDef("time", Seq("time"), NcDouble,
+          Seq("units" -> "days since 2020-01-01")), Array(0.0, 1.0, 2.0)),
+        (VarDef("lat", Seq("lat"), NcDouble), Array(-10.0, 10.0)),
+        (VarDef("v", Seq("time", "lat"), NcInt), ivals)),
+      chunked = true, deflate = 1, chunkCodec = "scaleoffset")
+    val got = NetCdf.read(spark, path, Seq("v"))
+      .orderBy("time", "lat").select("v").collect().map(_.getDouble(0))
+    assert(got.toSeq == ivals.toSeq)
+    // D-scale on doubles pre-rounded to 6 decimals is exact; a CONSTANT
+    // chunk exercises the minbits = 0 (header-only) path
+    val path2 = tmpDir() + "/so-f.h5"
+    val dvals = Array(1.234567, -2.5, 0.0, 99.000001, 1.234567, 7.0)
+    Hdf5.write(path2,
+      dims = Seq(Dim("time", 3), Dim("lat", 2)),
+      vars = Seq(
+        (VarDef("time", Seq("time"), NcDouble,
+          Seq("units" -> "days since 2020-01-01")), Array(0.0, 1.0, 2.0)),
+        (VarDef("lat", Seq("lat"), NcDouble), Array(-10.0, 10.0)),
+        (VarDef("v", Seq("time", "lat"), NcDouble), dvals),
+        (VarDef("flat", Seq("time", "lat"), NcDouble), Array.fill(6)(3.25))),
+      chunked = true, deflate = 1, chunkCodec = "scaleoffset")
+    val back = NetCdf.read(spark, path2, Seq("v", "flat"))
+      .orderBy("time", "lat").collect()
+    assert(back.map(_.getAs[Double]("v")).toSeq == dvals.toSeq)
+    assert(back.map(_.getAs[Double]("flat")).forall(_ == 3.25))
+    // corrupt negatives at the codec layer: truncated packed stream,
+    // impossible minbits, under-sized header — all loud
+    val p = ScaleOffset.Params(ScaleOffset.IntType, 0, 4, signed = true,
+      isFloat = false)
+    val enc = ScaleOffset.encode(
+      Array[Byte](1, 0, 0, 0, 9, 0, 0, 0, 5, 0, 0, 0), p, "t")
+    val trunc = intercept[Exception] {
+      ScaleOffset.decode(java.util.Arrays.copyOf(enc, enc.length - 1) match {
+        case a => a(0) = 40.toByte; a // claim 40 minbits over a short body
+      }, 3, p, "t")
+    }
+    assert(chainMsg(trunc).contains("truncated"))
+    val badBits = intercept[Exception] {
+      val a = enc.clone(); a(0) = 99.toByte
+      ScaleOffset.decode(a, 3, p, "t")
+    }
+    assert(chainMsg(badBits).contains("minbits"))
+    val short = intercept[Exception] {
+      ScaleOffset.decode(Array[Byte](1, 2, 3), 1, p, "t")
+    }
+    assert(chainMsg(short).contains("header"))
+    // nbit decode on a truncated stream is equally loud
+    val nb = Nbit.encode(Array[Byte](1, 0, 0, 0, 2, 0, 0, 0), 4, 16, 0,
+      signed = true, "t")
+    val nbErr = intercept[Exception] {
+      Nbit.decode(java.util.Arrays.copyOf(nb, nb.length - 1), 2, 4, 16, 0,
+        signed = true, "t")
+    }
+    assert(chainMsg(nbErr).contains("truncated"))
   }
 }
