@@ -102,19 +102,46 @@ object Similarity {
     */
   def sqIvfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, dim: Int, nlist: Int = 16,
-                nprobe: Int = 4, seed: Long = 42L, iters: Int = 10): DataFrame = {
-    val cents = pqCodebooks(corpus, vecCol, dim, m = 1, codebookSize = nlist,
-      seed = seed, iters = iters, normalizeInput = false).head
-    val c = corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+                nprobe: Int = 4, seed: Long = 42L, iters: Int = 10,
+                centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    // fit-once/serve-many: pass precomputed centroids to amortize the
+    // coarse fit across queries (the serving shape — the fit is the
+    // write-time cost, the pruned scan is the per-query cost)
+    val cents = centroids.getOrElse(
+      pqCodebooks(corpus, vecCol, dim, m = 1, codebookSize = nlist,
+        seed = seed, iters = iters, normalizeInput = false).head)
+    sqIvfServe(sqIvfEncode(corpus, idCol, vecCol, cents), queries, idCol,
+      vecCol, k, cents, nprobe)
+  }
+
+  /** The WRITE-time half of the SQ×IVF index: one scan assigning each
+    * vector to its nearest cell (fused argmin) and quantizing it to int8
+    * codes — `(id, cell, c8)`. Persist/write this once; the per-query
+    * cost is then only [[sqIvfServe]]'s pruned scan (the inline
+    * assignment is n·nlist·dim multiply-adds, which at corpus scale
+    * dwarfs any single batch's scoring — the same fit/serve split as the
+    * persisted IVF-PQ index).
+    */
+  def sqIvfEncode(corpus: DataFrame, idCol: String, vecCol: String,
+                  centroids: Seq[Seq[Double]]): DataFrame =
+    corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
       .select(col("id"),
-        graft.plans.Expressions.nearest_centroid(col("v"), cents).as("cell"),
+        graft.plans.Expressions.nearest_centroid(col("v"), centroids).as("cell"),
         graft.plans.Expressions.sq8_encode(col("v")).as("c8"))
+
+  /** The SERVE-time half: queries probe their `nprobe` nearest cells and
+    * integer-dot only those cells' codes — n·nprobe/nlist candidates per
+    * query, WindowGroupLimit-bounded output.
+    */
+  def sqIvfServe(encoded: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, centroids: Seq[Seq[Double]],
+                 nprobe: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
       .select(col("query_id"),
         graft.plans.Expressions.sq8_encode(col("qv")).as("q8"),
         explode(graft.plans.Expressions.nearest_centroids(
-          col("qv"), cents, nprobe)).as("cell"))
-    val scored = c.join(broadcast(q), Seq("cell"))
+          col("qv"), centroids, nprobe)).as("cell"))
+    val scored = encoded.join(broadcast(q), Seq("cell"))
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"),
         graft.plans.Expressions.int8_dot(col("q8"), col("c8")).as("dot"))
