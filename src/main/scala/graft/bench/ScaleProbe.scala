@@ -531,7 +531,8 @@ object ScaleProbe {
         sqCents = graft.sim.Similarity.pqCodebooks(emb, "embedding", 64,
           m = 1, codebookSize = 64, normalizeInput = false).head
       }
-      if (sqCents == null && wanted("sq_ivf_topk_100q"))
+      if (sqCents == null &&
+          (wanted("sq_ivf_topk_100q") || wanted("sq_ivf_serve_100q")))
         sqCents = graft.sim.Similarity.pqCodebooks(emb, "embedding", 64,
           m = 1, codebookSize = 64, normalizeInput = false).head
       run("sq_ivf_topk_100q",

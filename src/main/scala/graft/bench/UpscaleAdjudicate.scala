@@ -39,35 +39,10 @@ object UpscaleAdjudicate {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // ---- build the upscaled dir exactly as Bench.scala's probe does ----
+    // ---- build the upscaled dir: THE bench recipe (UpscaleTables) ----
     val upDirPath = java.nio.file.Files.createTempDirectory("graft-upscale-adj")
     val upDir = upDirPath.toString
-    def copyDim(t: String): Unit =
-      spark.read.parquet(s"$sfDir/$t.parquet")
-        .write.mode("overwrite").parquet(s"$upDir/$t.parquet")
-    Seq("region", "nation", "customer", "supplier", "part").foreach(copyDim)
-    def shifted(t: String)(f: (org.apache.spark.sql.DataFrame, Int) =>
-        org.apache.spark.sql.DataFrame): Unit = {
-      val base = spark.read.parquet(s"$sfDir/$t.parquet")
-      (0 until factor).map(k => f(base, k)).reduce(_.unionByName(_))
-        .write.mode("overwrite").parquet(s"$upDir/$t.parquet")
-    }
-    shifted("lineitem")((d, k) =>
-      d.withColumn("l_orderkey", col("l_orderkey") + lit(k.toLong * 10000000L)))
-    shifted("orders")((d, k) =>
-      d.withColumn("o_orderkey", col("o_orderkey") + lit(k.toLong * 10000000L)))
-    shifted("events")((d, k) => d
-      .withColumn("event_id", col("event_id") + lit(k.toLong * 100000000L))
-      .withColumn("user_id", col("user_id") + lit(k.toLong * 10000000L)))
-    val alpha = "abcdefghijklmnopqrstuvwxyz"
-    shifted("documents")((d, k) => d
-      .withColumn("doc_id", col("doc_id") + lit(k.toLong * 100000000L))
-      .withColumn("text", translate(col("text"),
-        alpha + alpha.toUpperCase,
-        alpha.drop(k % 26) + alpha.take(k % 26) +
-          (alpha.drop(k % 26) + alpha.take(k % 26)).toUpperCase)))
-    shifted("embeddings")((d, k) =>
-      d.withColumn("vec_id", col("vec_id") + lit(k.toLong * 1000000L)))
+    UpscaleTables.build(spark, sfDir, upDir, factor)
     println(s"[adj] upscaled tables at $upDir (factor $factor)")
     Seq("documents", "embeddings").foreach { t =>
       val files = java.nio.file.Files.list(

@@ -126,24 +126,29 @@ object DedupIndex {
     val sigs = Dedup.minhashSignatures(grams, "query_id", p.numHashes, p.seed)
     // scan-local banding: the batch side feeds a broadcast, so there is no
     // self-join exchange to reuse — zero shuffle before the candidate join
-    val qBands = Dedup.bandBucketsLocal(sigs, "query_id", p.bands)
+    val qBandsLazy = Dedup.bandBucketsLocal(sigs, "query_id", p.bands)
     // PRUNE the store scan before it starts: the batch's bucket set is
     // tiny (≤ batch_rows × bands 64-bit hashes) and driver-known, so a
     // literal IN-predicate reaches the parquet scan (PushedFilters) and
     // row-group bucket min/max stats (the store is written bucket-sorted)
     // skip everything a point-ish batch can't match — the index reads
-    // O(candidates), not O(corpus). Bounded: a bulk batch past the cap
-    // would inline an unwieldy filter for no selectivity, so it falls
-    // back to the full postings scan + broadcast join (which bulk
-    // re-dedup wants anyway).
-    val maxPushdownBuckets = 8192
-    val qBuckets = qBands.select(col("bucket")).distinct()
-      .limit(maxPushdownBuckets + 1).collect().map(_.get(0))
+    // O(candidates), not O(corpus). The probe collects the batch postings
+    // ONCE and rebuilds the (broadcast) join side from the collected rows,
+    // so the batch's gram→minhash→band pipeline is never evaluated twice.
+    // Bounded: a bulk batch past the cap would inline an unwieldy filter
+    // for no selectivity, so it falls back to the lazy postings frame and
+    // the full store scan (which bulk re-dedup wants anyway).
+    val maxPushdownPostings = 8192
+    val probe = qBandsLazy.limit(maxPushdownPostings + 1).collect()
     val ixBands0 = readStore(spark, s"$path/bands")
-    val ixBands =
-      if (qBuckets.length <= maxPushdownBuckets)
-        ixBands0.where(col("bucket").isInCollection(qBuckets.toSeq))
-      else ixBands0
+    val (qBands, ixBands) =
+      if (probe.length <= maxPushdownPostings) {
+        val local = spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(probe: _*)),
+          qBandsLazy.schema)
+        val buckets = probe.map(_.getAs[Any]("bucket")).distinct.toSeq
+        (local, ixBands0.where(col("bucket").isInCollection(buckets)))
+      } else (qBandsLazy, ixBands0)
     // batch ≪ corpus: broadcast the batch postings — the persisted bands
     // scan stays shuffle-free, candidates are the only corpus rows moving
     val cands0 = ixBands

@@ -2486,8 +2486,10 @@ object Hdf5 {
     // must be fixed-point so the reduced-precision datatype message and
     // the packed stream agree
     require(chunkCodec != "nbit" || vars.forall { case (vd, _) =>
-      dims.exists(_.name == vd.name) || vd.tpe == NetCdf.NcInt ||
-        vd.tpe == NetCdf.NcShort || vd.tpe == NetCdf.NcInt64
+      dims.exists(_.name == vd.name) || (vd.tpe match {
+        case NetCdf.NcFloat | NetCdf.NcDouble => false
+        case _ => true // any fixed-point type, signed or unsigned
+      })
     }, "chunkCodec 'nbit': all data variables must be fixed-point ints")
     // lzf is h5py's codec and h5py writes the earliest file format; the
     // v3 B-tree path also carries the per-chunk skip masks lzf needs

@@ -107,12 +107,23 @@ private[ingest] object Nbit {
 
   /** Restore `nelems` full little-endian elements; signed types
     * sign-extend from the precision bit.
+    *
+    * The exact-length check is the foreign-layout tripwire: this reader
+    * pins its own packed order (module doc), and a stream produced by a
+    * different nbit implementation (libhdf5 carries additional header
+    * bytes) will not measure exactly ceil(n·precision/8) — it must
+    * REJECT, never decode to plausible garbage.
     */
   def decode(packed: Array[Byte], nelems: Int, elemSize: Int, precision: Int,
              bitOffset: Int, signed: Boolean, ctx: String): Array[Byte] = {
     require(precision >= 1 && bitOffset >= 0 &&
       precision + bitOffset <= elemSize * 8,
       s"$ctx: nbit precision $precision + offset $bitOffset vs ${elemSize * 8} bits")
+    val expect = ((nelems.toLong * precision + 7) / 8).toInt
+    require(packed.length == expect,
+      s"$ctx: nbit stream is ${packed.length} bytes, this layout packs " +
+        s"$nelems × $precision bits into $expect — foreign nbit layouts " +
+        "(e.g. libhdf5's) are not readable here; repack with `h5repack -f GZIP=4`")
     val r = new PackedBits.Reader(packed, 0, ctx)
     val out = new Array[Byte](nelems * elemSize)
     var i = 0
@@ -235,6 +246,14 @@ private[ingest] object ScaleOffset {
     require(minWidth == 8,
       s"$ctx: scaleoffset minval width $minWidth (this layout writes 8)")
     val minV = Nbit.readLe(stored, 5, 8)
+    // exact-length tripwire (see Nbit.decode): a stream from a different
+    // scale+offset implementation must reject, not decode to garbage
+    val expect = 13 + (if (minbits == 0) 0
+                       else ((nelems.toLong * minbits + 7) / 8).toInt)
+    require(stored.length == expect,
+      s"$ctx: scaleoffset stream is ${stored.length} bytes, this layout " +
+        s"stores $expect for $nelems × $minbits bits — foreign layouts " +
+        "(e.g. libhdf5's) are not readable here; repack with `h5repack -f GZIP=4`")
     val out = new Array[Byte](nelems * p.elemSize)
     if (minbits == 0) {
       var i = 0

@@ -542,7 +542,9 @@ object Warc {
       jfield("filename").as("file"),
       checked(jnum("offset")).as("offset"),
       checked(jnum("length")).as("length"),
-      jfield("status").cast("int").as("status"),
+      // try_cast: status is not fetch-critical and classic CDX uses "-"
+      // as a placeholder — null, not an ANSI cast error
+      expr("try_cast(get_json_object(json, '$.status') AS INT)").as("status"),
       jfield("mime").as("mime"))
   }
 

@@ -933,7 +933,8 @@ class Hdf5Spec extends SparkSpec {
         case a => a(0) = 40.toByte; a // claim 40 minbits over a short body
       }, 3, p, "t")
     }
-    assert(chainMsg(trunc).contains("truncated"))
+    assert(chainMsg(trunc).contains("scaleoffset stream"),
+      s"got: ${chainMsg(trunc)}")
     val badBits = intercept[Exception] {
       val a = enc.clone(); a(0) = 99.toByte
       ScaleOffset.decode(a, 3, p, "t")
@@ -950,6 +951,8 @@ class Hdf5Spec extends SparkSpec {
       Nbit.decode(java.util.Arrays.copyOf(nb, nb.length - 1), 2, 4, 16, 0,
         signed = true, "t")
     }
-    assert(chainMsg(nbErr).contains("truncated"))
+    // the exact-length tripwire fires: a stream of the wrong size is a
+    // foreign/corrupt layout, rejected before any bits are read
+    assert(chainMsg(nbErr).contains("nbit stream"), s"got: ${chainMsg(nbErr)}")
   }
 }
