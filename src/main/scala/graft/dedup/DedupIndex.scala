@@ -38,6 +38,16 @@ object DedupIndex {
 
   final case class Params(n: Int, numHashes: Int, bands: Int, seed: Long)
 
+  /** Store size below which [[query]] skips the bucket-pushdown probe:
+    * the probe is one extra driver round-trip per query, which at an
+    * MB-scale store costs more than the full postings scan it would
+    * prune (measured: q_dedup_index median 0.63 → 1.23 s with the probe
+    * always on at the gate store). 64 MB ≈ where a pruned scan starts
+    * winning on this box; callers with known-large stores can pass 0 to
+    * force the pushdown.
+    */
+  val DefaultPushdownMinStoreBytes: Long = 64L << 20
+
   /** Fit the index over the existing corpus and persist it. */
   def write(df: DataFrame, idCol: String, textCol: String, path: String,
             n: Int = 3, numHashes: Int = 64, bands: Int = 32,
@@ -107,9 +117,10 @@ object DedupIndex {
     * its own postings).
     */
   def query(batch: DataFrame, idCol: String, textCol: String, path: String,
-            threshold: Double = 0.5, excludeSelf: Boolean = true): DataFrame =
+            threshold: Double = 0.5, excludeSelf: Boolean = true,
+            pushdownMinStoreBytes: Long = DefaultPushdownMinStoreBytes): DataFrame =
     queryExcluding(batch, idCol, textCol, path, threshold, excludeSelf,
-      excludeIndexIds = None)
+      excludeIndexIds = None, pushdownMinStoreBytes = pushdownMinStoreBytes)
 
   /** [[query]] with an index-side id blocklist — [[ingestStream]] passes
     * the batch's OWN ids so a checkpoint replay (whose earlier attempt
@@ -118,7 +129,9 @@ object DedupIndex {
   private def queryExcluding(batch: DataFrame, idCol: String, textCol: String,
                              path: String, threshold: Double,
                              excludeSelf: Boolean,
-                             excludeIndexIds: Option[DataFrame]): DataFrame = {
+                             excludeIndexIds: Option[DataFrame],
+                             pushdownMinStoreBytes: Long =
+                               DefaultPushdownMinStoreBytes): DataFrame = {
     val spark = batch.sparkSession
     val p = params(spark, path)
     val grams = Dedup.gramHashSets(batch, idCol, textCol, p.n)
@@ -127,28 +140,43 @@ object DedupIndex {
     // scan-local banding: the batch side feeds a broadcast, so there is no
     // self-join exchange to reuse — zero shuffle before the candidate join
     val qBandsLazy = Dedup.bandBucketsLocal(sigs, "query_id", p.bands)
-    // PRUNE the store scan before it starts: the batch's bucket set is
-    // tiny (≤ batch_rows × bands 64-bit hashes) and driver-known, so a
-    // literal IN-predicate reaches the parquet scan (PushedFilters) and
-    // row-group bucket min/max stats (the store is written bucket-sorted)
-    // skip everything a point-ish batch can't match — the index reads
+    // PRUNE the store scan before it starts — when the store is big
+    // enough to pay for the probe: the batch's bucket set is tiny
+    // (≤ batch_rows × bands 64-bit hashes) and driver-known, so a literal
+    // IN-predicate reaches the parquet scan (PushedFilters) and row-group
+    // bucket min/max stats (the store is written bucket-sorted) skip
+    // everything a point-ish batch can't match — the index reads
     // O(candidates), not O(corpus). The probe collects the batch postings
     // ONCE and rebuilds the (broadcast) join side from the collected rows,
     // so the batch's gram→minhash→band pipeline is never evaluated twice.
-    // Bounded: a bulk batch past the cap would inline an unwieldy filter
-    // for no selectivity, so it falls back to the lazy postings frame and
-    // the full store scan (which bulk re-dedup wants anyway).
+    //
+    // Size-aware (the standardizedAnomalyAuto decision style, measured:
+    // at the MB-scale gate store the probe's extra driver round-trip
+    // DOUBLED q_dedup_index's median, while the scan it prunes costs
+    // nothing — so below `minStoreBytes` the original single-job plan
+    // wins; past it the probe is noise and the pruning is the point):
+    //  - store under the threshold → lazy postings frame, full scan;
+    //  - batch past the postings cap → same fallback (an unwieldy IN
+    //    filter has no selectivity; bulk re-dedup wants the scan anyway).
     val maxPushdownPostings = 8192
-    val probe = qBandsLazy.limit(maxPushdownPostings + 1).collect()
+    val storeBytes = {
+      val bp = new org.apache.hadoop.fs.Path(s"$path/bands")
+      val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try fs.getContentSummary(bp).getLength catch { case _: Exception => 0L }
+    }
     val ixBands0 = readStore(spark, s"$path/bands")
     val (qBands, ixBands) =
-      if (probe.length <= maxPushdownPostings) {
-        val local = spark.createDataFrame(
-          new java.util.ArrayList(java.util.Arrays.asList(probe: _*)),
-          qBandsLazy.schema)
-        val buckets = probe.map(_.getAs[Any]("bucket")).distinct.toSeq
-        (local, ixBands0.where(col("bucket").isInCollection(buckets)))
-      } else (qBandsLazy, ixBands0)
+      if (storeBytes < pushdownMinStoreBytes) (qBandsLazy, ixBands0)
+      else {
+        val probe = qBandsLazy.limit(maxPushdownPostings + 1).collect()
+        if (probe.length <= maxPushdownPostings) {
+          val local = spark.createDataFrame(
+            new java.util.ArrayList(java.util.Arrays.asList(probe: _*)),
+            qBandsLazy.schema)
+          val buckets = probe.map(_.getAs[Any]("bucket")).distinct.toSeq
+          (local, ixBands0.where(col("bucket").isInCollection(buckets)))
+        } else (qBandsLazy, ixBands0)
+      }
     // batch ≪ corpus: broadcast the batch postings — the persisted bands
     // scan stays shuffle-free, candidates are the only corpus rows moving
     val cands0 = ixBands

@@ -380,11 +380,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"batch side must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"persisted bands/grams scans must not shuffle:\n$p")
-    // the batch's bucket set is pushed INTO the postings scan — with the
-    // store written bucket-sorted, parquet row-group stats skip what a
-    // point-ish batch can't match (the index reads O(candidates), not
-    // O(corpus))
-    assert(p.contains("PushedFilters: [In(bucket"),
-      s"bucket IN-filter must reach the parquet postings scan:\n$p")
+    // size-aware pushdown: at this tiny store the probe must NOT run
+    // (its driver round-trip costs more than the scan it would prune)…
+    assert(!p.contains("PushedFilters: [In(bucket"),
+      s"tiny store must keep the single-job plan, no pushdown probe:\n$p")
+    // …but past the store-size threshold (forced here) the batch's bucket
+    // set is pushed INTO the postings scan — with the store written
+    // bucket-sorted, parquet row-group stats skip what a point-ish batch
+    // can't match (the index reads O(candidates), not O(corpus))
+    val pushed = graft.dedup.DedupIndex.query(
+      docs.where(col("doc_id") % 3 === 0), "doc_id", "text", path,
+      threshold = 0.5, pushdownMinStoreBytes = 0L)
+    assert(pushed.collect().toSet == df.collect().toSet,
+      "pushdown must be result-neutral")
+    val pp = plan(pushed)
+    assert(pp.contains("PushedFilters: [In(bucket"),
+      s"bucket IN-filter must reach the parquet postings scan:\n$pp")
   }
 }
