@@ -242,7 +242,15 @@ object Bench {
       // round-13 surfaces: persisted-index query (fixture refit once at
       // the new scale via the per-(app,dir) memo), HTML extraction
       // (scan-local), int8 ANN (corpus x queries both grow)
-      "q_dedup_index", "q_html_extract", "q_sq_ann")
+      "q_dedup_index", "q_html_extract", "q_sq_ann",
+      // round-14: the end-to-end web pipeline (WARC parse → extraction →
+      // scoring → near-dup removal → rollup) — the heaviest honest
+      // composition; its 8× fixture rebuilds once in the warmup via the
+      // per-(app,dir) memo. Letter-substituted copies score low on
+      // quality and drop at the filter, but every stage upstream of the
+      // filter still processes them — the probe measures the WORK, the
+      // gate oracle pins the semantics.
+      "q_web_pipeline")
     val upJson: String =
       if (only.nonEmpty || upscaleFactor <= 1) ""
       else try {
