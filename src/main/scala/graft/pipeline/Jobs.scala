@@ -88,6 +88,33 @@ object Jobs {
     private val statuses = new ConcurrentHashMap[String, JobStatus]()
     private val progress = new ConcurrentHashMap[String, Progress]()
     private val stageToJob = new ConcurrentHashMap[Int, String]()
+    // bounded terminal retention: a session-lifetime manager fed fresh
+    // UUIDs forever must not grow without bound — the oldest Done/Failed
+    // entries (and their Progress and any skipped-stage mappings, which
+    // never fire onStageCompleted) are evicted past the cap. 1024 recent
+    // terminals is far more history than any status poller needs.
+    private val maxRetainedTerminal = 1024
+    private val terminalOrder =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+    private def markTerminal(id: String, st: JobStatus): Unit = {
+      statuses.put(id, st)
+      // a finished job's stage mappings are dead weight (skipped stages
+      // — reused shuffle output — never complete and would leak)
+      stageToJob.entrySet().removeIf(e => e.getValue == id)
+      terminalOrder.add(id)
+      while (terminalOrder.size > maxRetainedTerminal) {
+        val old = terminalOrder.poll()
+        if (old != null) {
+          // evict only if STILL terminal — a resubmitted id is live again
+          statuses.computeIfPresent(old, (_, cur) => cur match {
+            case Done(_) | Failed(_) => progress.remove(old); null
+            case live => live
+          })
+          ()
+        }
+      }
+    }
 
     /** Streams per-stage progress into `statuses` — the docstring promise
       * at the top of this file, kept since round 13. Listener events are
@@ -149,10 +176,10 @@ object Jobs {
         spark.sparkContext.setJobGroup(jobId, s"graft job $jobId", interruptOnCancel = true)
         try {
           val n = df.count()
-          statuses.put(jobId, Done(n))
+          markTerminal(jobId, Done(n))
           n
         } catch {
-          case e: Throwable => statuses.put(jobId, Failed(e.getMessage)); throw e
+          case e: Throwable => markTerminal(jobId, Failed(e.getMessage)); throw e
         } finally spark.sparkContext.clearJobGroup()
       }
     }

@@ -189,21 +189,34 @@ object Api {
       latCol: String = "lat",
       lonCol: String = "lon"
   ): DataFrame = {
+    val in = timeRange.fold(df) { case (s, e) =>
+      df.where(col(spec.tsCol).between(lit(s).cast("timestamp"), lit(e).cast("timestamp")))
+    }
+    in.where(cellFilter(df, lat, lon, latCol, lonCol))
+      .select(col(spec.tsCol), col(latCol), col(lonCol), col(spec.valueCol))
+      .orderBy(col(spec.tsCol))
+      .limit(MaxTimeSteps)
+  }
+
+  /** The snapped-cell predicate every point-scoped route shares: nearest
+    * cell per axis, matched with the ulp-scale tolerance on REGULAR axes
+    * (see [[pointSeries]]'s note — the arithmetic snap can differ from
+    * the stored double in the last bits on float32/accumulated ladders;
+    * an exact === there silently matches ZERO rows) and exact equality on
+    * irregular axes (the snap IS a stored value there). Range form, not
+    * abs(): plain comparisons push down to the scan.
+    */
+  def cellFilter(df: DataFrame, lat: Double, lon: Double,
+                 latCol: String = "lat", lonCol: String = "lon")
+      : org.apache.spark.sql.Column = {
     val meta = cachedMeta(df, latCol, lonCol)
     val (nlat, nlon) = nearestCell(df, lat, lon, latCol, lonCol)
     def cellMatch(c: String, snapped: Double, axis: AxisMeta) =
       if (axis.regular && axis.n > 1) {
-        // range form, not abs(): plain comparisons push down to the scan
         val tol = math.abs(axis.res) * 1e-6
         col(c) >= snapped - tol && col(c) <= snapped + tol
       } else col(c) === snapped
-    val in = timeRange.fold(df) { case (s, e) =>
-      df.where(col(spec.tsCol).between(lit(s).cast("timestamp"), lit(e).cast("timestamp")))
-    }
-    in.where(cellMatch(latCol, nlat, meta.lat) && cellMatch(lonCol, nlon, meta.lon))
-      .select(col(spec.tsCol), col(latCol), col(lonCol), col(spec.valueCol))
-      .orderBy(col(spec.tsCol))
-      .limit(MaxTimeSteps)
+    cellMatch(latCol, nlat, meta.lat) && cellMatch(lonCol, nlon, meta.lon)
   }
 
   /** A11 — global summary per value column: mean/std/min/max/p5/p95

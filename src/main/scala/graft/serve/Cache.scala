@@ -131,14 +131,19 @@ object Cache {
 
     def get(key: String): Option[String] = {
       val p = dir.resolve(enc(key))
-      if (!Files.exists(p)) None
-      else {
-        val body = new String(Files.readAllBytes(p), "UTF-8")
-        val nl = body.indexOf('\n')
-        val expiresAt = body.substring(0, math.max(nl, 0)).toLong
-        if (expiresAt < clock()) { Files.deleteIfExists(p); None }
-        else Some(body.substring(nl + 1))
+      // no exists() pre-check: another worker process (the multi-process
+      // design this backend serves) can delete the same expired entry
+      // between a check and the read — a vanished file is a MISS, and it
+      // must not count as a backend error (ResilientCache would trip into
+      // degraded bypass on three such benign races)
+      val bytes = try Files.readAllBytes(p) catch {
+        case _: java.nio.file.NoSuchFileException => return None
       }
+      val body = new String(bytes, "UTF-8")
+      val nl = body.indexOf('\n')
+      val expiresAt = body.substring(0, math.max(nl, 0)).toLong
+      if (expiresAt < clock()) { Files.deleteIfExists(p); None }
+      else Some(body.substring(nl + 1))
     }
 
     def put(key: String, value: String, ttlSeconds: Long): Unit = {
@@ -216,7 +221,14 @@ object Cache {
             val sock = server.accept()
             live.add(sock)
             pool.submit(new Runnable { def run(): Unit = serve(sock) })
-          } catch { case _: Throwable if !running => () case _: java.io.IOException => () }
+          } catch {
+            case _: Throwable if !running => ()
+            case _: java.io.IOException =>
+              // a persistent accept failure (EMFILE under fd exhaustion)
+              // must not busy-spin the accept thread at full CPU — brief
+              // backoff lets handlers release descriptors
+              try Thread.sleep(100) catch { case _: InterruptedException => () }
+          }
         }
       })
       this
@@ -229,9 +241,17 @@ object Cache {
           new java.io.BufferedInputStream(sock.getInputStream))
         val out = new java.io.BufferedOutputStream(sock.getOutputStream)
         def readLine(): String = {
+          // hard cap: a client streaming bytes with no newline must not
+          // grow the buffer until the shared cache node OOMs — commands
+          // are a verb + URL-encoded key + two numbers, never near 64 KiB
+          val maxLine = 64 * 1024
           val sb = new StringBuilder
           var c = in.read()
-          while (c != -1 && c != '\n') { sb.append(c.toChar); c = in.read() }
+          while (c != -1 && c != '\n') {
+            if (sb.length >= maxLine)
+              sys.error(s"command line over $maxLine bytes — dropping connection")
+            sb.append(c.toChar); c = in.read()
+          }
           if (c == -1 && sb.isEmpty) null else sb.toString
         }
         def reply(s: String): Unit = { out.write(s.getBytes("UTF-8")); out.write('\n'); out.flush() }

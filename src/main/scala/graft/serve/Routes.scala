@@ -36,8 +36,10 @@ object Routes {
     * work. Its result is therefore cached per-session for a TTL; the cheap
     * probes (isStopped, catalog) stay per-call.
     */
-  private val execProbe =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, (Long, Boolean)]()
+  // weak keys: a static map keyed on SparkSession must not keep stopped
+  // sessions (and their whole context graphs) reachable for the JVM's life
+  private val execProbe = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (Long, Boolean)]())
 
   private[serve] def executionCheck(spark: SparkSession, ttlMs: Long): Boolean = {
     val now = System.nanoTime() / 1000000L
@@ -108,6 +110,11 @@ object Routes {
         InvalidParam(s"lat must be in [-90, 90], got ${req.lat.get}"))
       _ <- Either.cond(req.lon.forall(l => l >= -180 && l <= 180), (),
         InvalidParam(s"lon must be in [-180, 180], got ${req.lon.get}"))
+      // a half-specified point is a validation error, not a silent
+      // whole-dataset metric presented as the point's answer (mirrors the
+      // ref_start/ref_end and start/end pair handling)
+      _ <- Either.cond(req.lat.isDefined == req.lon.isDefined, (),
+        InvalidParam("lat and lon must be given together"))
       _ <- Either.cond(
         req.lat.isEmpty && req.lon.isEmpty || entry._2.keyCols.length >= 2, (),
         InvalidParam(s"Dataset '${req.dataset}' has no (lat, lon) grid; " +
@@ -116,10 +123,12 @@ object Routes {
       val (df, spec) = entry
       val scoped = (req.lat, req.lon) match {
         case (Some(la), Some(lo)) =>
-          val (nlat, nlon) = Api.nearestCell(df, la, lo,
-            latCol = spec.keyCols.head, lonCol = spec.keyCols(1))
-          df.where(org.apache.spark.sql.functions.col(spec.keyCols.head) === nlat &&
-            org.apache.spark.sql.functions.col(spec.keyCols(1)) === nlon)
+          // the SHARED snapped-cell predicate (Api.cellFilter): regular
+          // axes match with the ulp-scale tolerance — an exact === here
+          // returned ZERO rows on certified-regular grids whose stored
+          // coordinates differ from the arithmetic snap in the last bits
+          df.where(Api.cellFilter(df, la, lo,
+            latCol = spec.keyCols.head, lonCol = spec.keyCols(1)))
         case _ => df
       }
       Jobs.computeMetric(scoped, spec, req.metric, req.referencePeriod)

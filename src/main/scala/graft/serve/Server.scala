@@ -227,13 +227,18 @@ object Server {
           case _ => throw HttpError(422,
             "ref_start and ref_end must be given together")
         })
-      Routes.metricRoute(spark, registry, req) match {
-        case Left(Routes.NotFound(m)) => throw HttpError(404, m)
-        case Left(Routes.InvalidParam(m)) => throw HttpError(422, m)
-        case Right(df) => cached(ex) {
-          jobj("dataset" -> jstr(id), "metric" -> jstr(metric),
-            "data" -> rowsJson(df, Api.MaxPointsPerRequest),
-            "timestamp" -> jstr(nowUtc))
+      // dispatch INSIDE the cache lookup: a cache hit must not pay the
+      // route's plan-building work (on irregular grids the point snap is
+      // two Spark jobs per request); errors throw before anything is
+      // stored, so 404/422s are never cached
+      cached(ex) {
+        Routes.metricRoute(spark, registry, req) match {
+          case Left(Routes.NotFound(m)) => throw HttpError(404, m)
+          case Left(Routes.InvalidParam(m)) => throw HttpError(422, m)
+          case Right(df) =>
+            jobj("dataset" -> jstr(id), "metric" -> jstr(metric),
+              "data" -> rowsJson(df, Api.MaxPointsPerRequest),
+              "timestamp" -> jstr(nowUtc))
         }
       }
     }
@@ -337,8 +342,15 @@ object Server {
         case "api" :: "v1" :: "metrics" :: "percentiles" :: id :: Nil =>
           200 -> metricResponse(ex, id, "percentiles")
         case "api" :: "v1" :: "metrics" :: "trend" :: id :: Nil =>
-          val metric = if (params.get("significance").contains("true"))
-            "trend_significance" else "trend"
+          // explicit parse: significance=True / =1 silently computing the
+          // PLAIN trend would hand the client the wrong statistic
+          val metric = params.get("significance") match {
+            case None => "trend"
+            case Some(v) if v.equalsIgnoreCase("true") => "trend_significance"
+            case Some(v) if v.equalsIgnoreCase("false") => "trend"
+            case Some(v) => throw HttpError(422,
+              s"significance must be true or false, got '$v'")
+          }
           200 -> metricResponse(ex, id, metric)
         case "api" :: "v1" :: "metrics" :: "anomaly" :: id :: Nil =>
           200 -> metricResponse(ex, id, "anomaly")

@@ -138,7 +138,14 @@ object Streams {
             sorted.foreach { e =>
               cur match {
                 case Some(s) if e.epochSec - s.last <= gapSeconds =>
-                  cur = Some(s.copy(last = e.epochSec, n = s.n + 1))
+                  // min/max, not assignment: a LATE event from a later
+                  // micro-batch (e.epochSec < s.last) must extend the
+                  // session's bounds monotonically — overwriting `last`
+                  // backwards made the next on-time event measure its gap
+                  // against the straggler and wrongly split a live
+                  // session (and could yield negative durations)
+                  cur = Some(s.copy(start = math.min(s.start, e.epochSec),
+                    last = math.max(s.last, e.epochSec), n = s.n + 1))
                 case Some(s) =>
                   closed ::= ClosedSession(userId, s.n, s.last - s.start)
                   cur = Some(SessionState(e.epochSec, e.epochSec, 1))

@@ -154,6 +154,32 @@ class CacheSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("network backend: a newline-free byte flood drops the connection " +
+    "at the line cap instead of buffering until OOM") {
+    val backing = new LruBackend(ttlSeconds = 100)
+    backing.put("k", "v", 100)
+    val server = new CacheServer(backing).start()
+    try {
+      val sock = new java.net.Socket("127.0.0.1", server.boundPort)
+      try {
+        val out = sock.getOutputStream
+        // stream >64 KiB with no newline: the node must cut the
+        // connection (bounded buffer), not accumulate forever
+        val chunk = ("y" * 8192).getBytes("UTF-8")
+        var dropped = false
+        try {
+          (0 until 64).foreach { _ => out.write(chunk); out.flush() }
+          // if the writes all succeeded, the read must see EOF
+          dropped = sock.getInputStream.read() == -1
+        } catch { case _: java.io.IOException => dropped = true }
+        assert(dropped, "node must drop a capless-line connection")
+      } finally sock.close()
+      // the node itself survives and serves other clients
+      val net = new NetBackend("127.0.0.1", server.boundPort)
+      assert(net.get("k").contains("v"))
+    } finally server.stop()
+  }
+
   test("network backend: TTL expiry is enforced by the cache node") {
     var now = 1000L
     val server = new CacheServer(new LruBackend(ttlSeconds = 100, clock = () => now)).start()

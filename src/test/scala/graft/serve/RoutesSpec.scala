@@ -41,6 +41,36 @@ class RoutesSpec extends SparkSpec {
     assert(out.toOption.get.select("lat").distinct().count() == 19)
   }
 
+  test("half-specified point (lat without lon) is an InvalidParam, " +
+    "not a silent whole-dataset metric") {
+    val out = Routes.metricRoute(spark, registry,
+      Routes.MetricRequest("era5_sample", "annual", lat = Some(12.0)))
+    assert(out.swap.toOption.get.isInstanceOf[Routes.InvalidParam])
+    assert(out.swap.toOption.get.message.contains("together"))
+    val out2 = Routes.metricRoute(spark, registry,
+      Routes.MetricRequest("era5_sample", "annual", lon = Some(33.0)))
+    assert(out2.swap.toOption.get.isInstanceOf[Routes.InvalidParam])
+  }
+
+  test("point metric matches certified-regular grids whose stored " +
+    "coordinates differ from the arithmetic snap in the last bits") {
+    import org.apache.spark.sql.functions._
+    // one rung of the lat ladder stored 1e-9 off the arithmetic lattice
+    // (the accumulated-step / float32-origin case): gridMeta still
+    // certifies the axis regular (dev ≪ 1e-6·res), but the arithmetic
+    // snap differs from the stored double — the exact case an === cell
+    // match silently matched zero rows on
+    val off = grid.withColumn("lat",
+      when(col("lat") === 10.0, lit(10.0 + 1e-9)).otherwise(col("lat")))
+    val reg = Map("off" -> (off, spec))
+    val out = Routes.metricRoute(spark, reg,
+      Routes.MetricRequest("off", "monthly", lat = Some(12.0), lon = Some(33.0)))
+    assert(out.isRight)
+    val df = out.toOption.get
+    assert(df.count() == 4, "snapped point must match its cell's rows")
+    assert(df.select("lat").distinct().count() == 1)
+  }
+
   test("health returns the service banner with an ISO-8601 UTC timestamp") {
     val h = Routes.healthRoute()
     assert(h.status == "healthy" && h.service == "graft-analytics")

@@ -111,6 +111,38 @@ class StreamingSpec extends SparkSpec {
     assert(closed.head.nEvents == 2 && closed.head.durationSec == 10.0)
   }
 
+  test("sessionizeStream: a late cross-batch event extends the session " +
+    "monotonically instead of splitting it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streams.SessionEvent]
+    val sessions = Streams.sessionizeStream(input.toDS(), gapSeconds = 60,
+      useTimeout = false)
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory").queryName("sess_late")
+      .start()
+    // batch 1: state (start=100, last=140) — 40 s apart, inside the gap
+    input.addData(Streams.SessionEvent(7L, 100.0), Streams.SessionEvent(7L, 140.0))
+    q.processAllAvailable()
+    // batch 2: a LATE event t=120 — within the session; `last` must stay
+    // 140 (max), not be dragged back to 120
+    input.addData(Streams.SessionEvent(7L, 120.0))
+    q.processAllAvailable()
+    // batch 3: t=190 is 50 s after the true last (140) → SAME session;
+    // the pre-fix state (last=120) would measure 70 s and wrongly split
+    input.addData(Streams.SessionEvent(7L, 190.0))
+    q.processAllAvailable()
+    // batch 4: far future event closes the session
+    input.addData(Streams.SessionEvent(7L, 9999.0))
+    q.processAllAvailable()
+    val closed = spark.table("sess_late").as[Streams.ClosedSession].collect()
+    q.stop()
+    assert(closed.length == 1, s"late event must not split: $closed")
+    assert(closed.head.nEvents == 4)
+    assert(closed.head.durationSec == 90.0) // 190 − 100, never negative
+  }
+
   test("stream-stream join pairs events within the time bound") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
