@@ -37,7 +37,12 @@ object StatsFns {
     * [[graft.plans.Expressions.percentile_rank]] (identical semantics).
     */
   def percentileRankKernel(value: Double, thresholds: Seq[Double], pcts: Seq[Double]): Option[Double] = {
-    if (value.isNaN || thresholds == null || thresholds.isEmpty) None
+    // the pcts vector is validated like thresholds: a null or shorter
+    // pcts would index out of bounds mid-walk (the production surface —
+    // Percentiles.thresholdVectors — always builds them in lockstep, so
+    // this is crash-proofing the reference kernel, not a reachable path)
+    if (value.isNaN || thresholds == null || thresholds.isEmpty ||
+        pcts == null || pcts.length < thresholds.length) None
     else if (value <= thresholds.head) Some(pcts.head)
     else if (value >= thresholds.last) Some(pcts.last)
     else {

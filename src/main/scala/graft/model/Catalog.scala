@@ -105,16 +105,34 @@ object Catalog {
     f6((col("lon_max") - col("lon_min")) / greatest(col("n_lon") - 1, lit(1L))),
     lit(""","reference_system":"EPSG:4326"}}"""))
 
-  /** One-pass extent aggregate shared by [[stacItem]]/[[stacCollection]]. */
+  /** One-pass extent aggregate shared by [[stacItem]]/[[stacCollection]].
+    * An EMPTY dataset rejects loudly in the same pass (the extra
+    * assert_true column costs nothing): NULL extents would otherwise ride
+    * through `concat` and emit a row whose whole json document is NULL —
+    * a STAC publisher would push a null document with no error anywhere.
+    */
   private def extentAgg(df: DataFrame, tsCol: String, latCol: String,
-                        lonCol: String): DataFrame =
-    df.agg(
+                        lonCol: String): DataFrame = {
+    val a = df.agg(
       min(col(tsCol)).as("ts_min"), max(col(tsCol)).as("ts_max"),
       countDistinct(col(tsCol)).as("n_ts"),
       min(col(latCol)).as("lat_min"), max(col(latCol)).as("lat_max"),
       countDistinct(col(latCol)).as("n_lat"),
       min(col(lonCol)).as("lon_min"), max(col(lonCol)).as("lon_max"),
-      countDistinct(col(lonCol)).as("n_lon"))
+      countDistinct(col(lonCol)).as("n_lon"),
+      count(lit(1)).as("n_rows"))
+    // the guard rides INSIDE every extent column (a separate check column
+    // would be pruned away with its side effect — the CDXJ lesson): any
+    // consumer that touches an extent trips it on empty input
+    def g(c: String) = coalesce(
+      assert_true(col("n_rows") > 0,
+        lit("STAC extent over an EMPTY dataset: no extent exists — " +
+          "publish nothing rather than a null document")),
+      col(c)).as(c)
+    a.select(g("ts_min"), g("ts_max"), col("n_ts"),
+      g("lat_min"), g("lat_max"), col("n_lat"),
+      g("lon_min"), g("lon_max"), col("n_lon"))
+  }
 
   private def varsJson(variables: Seq[(String, String)]): String =
     variables.map { case (name, unit) =>

@@ -43,6 +43,13 @@ object AsOfJoin {
     require(clashes.isEmpty,
       s"Right value columns clash with left columns: ${clashes.mkString(", ")} — alias them first")
     require(rightVals.nonEmpty, "rightVals must name at least one column to carry")
+    // the working/output names must not silently overwrite caller data
+    // (withColumn REPLACES an existing column without error)
+    val reserved = Seq("_ts", "_side", "_rrow", "_rlast", "asof_ts")
+    val taken = leftCols.filter(reserved.contains)
+    require(taken.isEmpty,
+      s"asofJoin reserves column names ${reserved.mkString(", ")}; " +
+        s"left columns ${taken.mkString(", ")} would be overwritten — alias them first")
     // side=0 sorts right rows BEFORE left rows at equal timestamps, so a
     // right row at exactly the left ts matches (ASOF >= semantics).
     // leftTs is carried ONLY as _ts (renamed back at the end) — carrying it
@@ -58,13 +65,29 @@ object AsOfJoin {
     // (plans/AsOfMerge.scala) row for row.
     val matchableRight = right.where(
       (on.map(col(_).isNotNull) :+ col(rightTs).isNotNull).reduce(_ && _))
+    // the right side is carried as ONE struct per row, not per-column:
+    // per-column last(..., ignoreNulls) mixed FIELDS from different right
+    // rows whenever the latest match carried a null value (the older
+    // row's non-null value rode along under the newer row's asof_ts) —
+    // "attach the latest right ROW" means the whole row or nothing, which
+    // is also what the native exec (plans/AsOfMerge holds heldRow) and
+    // DuckDB's ASOF JOIN do. A struct literal is non-null for every right
+    // row, so null fields inside can never un-carry it; left rows get a
+    // typed NULL struct so ignoreNulls skips them. One window aggregate
+    // total, instead of 1 + |rightVals| passes.
+    val rrowType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(
+        "_rts", right.schema(rightTs).dataType) +:
+        rightVals.map(c => org.apache.spark.sql.types.StructField(
+          s"_r_$c", right.schema(c).dataType)))
     val taggedRight = matchableRight.select(
-      (on.map(col) :+ col(rightTs).as("_ts") :+ lit(0).as("_side")) ++
-        rightVals.map(c => col(c).as(s"_r_$c")) ++
+      (on.map(col) :+ col(rightTs).as("_ts") :+ lit(0).as("_side") :+
+        struct(col(rightTs).as("_rts") +:
+          rightVals.map(c => col(c).as(s"_r_$c")): _*).as("_rrow")) ++
         carryLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left.select(
-      (on.map(col) :+ col(leftTs).as("_ts") :+ lit(1).as("_side")) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"_r_$c")) ++
+      (on.map(col) :+ col(leftTs).as("_ts") :+ lit(1).as("_side") :+
+        lit(null).cast(rrowType).as("_rrow")) ++
         carryLeft.map(col): _*)
 
     val w = Window.partitionBy(on.map(col): _*)
@@ -72,9 +95,11 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = taggedRight.unionByName(taggedLeft)
-      .withColumn("_asof_ts", last(when(col("_side") === 0, col("_ts")), ignoreNulls = true).over(w))
+      .withColumn("_rlast",
+        last(when(col("_side") === 0, col("_rrow")), ignoreNulls = true).over(w))
+      .withColumn("_asof_ts", col("_rlast._rts"))
     val withVals = rightVals.foldLeft(carried) { (d, c) =>
-      d.withColumn(c, last(when(col("_side") === 0, col(s"_r_$c")), ignoreNulls = true).over(w))
+      d.withColumn(c, col(s"_rlast._r_$c"))
     }
 
     val tolerant = tolerance.fold(withVals) { t =>
@@ -89,6 +114,6 @@ object AsOfJoin {
       .where(col("_side") === 1)
       .withColumnRenamed("_ts", leftTs)
       .withColumn("asof_ts", col("_asof_ts"))
-      .drop((rightVals.map(c => s"_r_$c") :+ "_side" :+ "_asof_ts"): _*)
+      .drop("_rrow", "_rlast", "_side", "_asof_ts")
   }
 }

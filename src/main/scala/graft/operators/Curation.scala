@@ -49,8 +49,13 @@ object Curation {
       .otherwise(hostport)
     // path+query with the fragment already excluded by the capture
     val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    // anchored at a separator via lookbehind: an unanchored name would
+    // also match the TAIL of innocent params ('href=foo' ends in 'ref=foo')
+    // and path segments ('/a/ref=x?b=1' — where [^&#]* even crosses the
+    // '?'), corrupting real queries; the lookbehind keeps the '?'/'&'
+    // intact so the separator tidies below see the canonical shape
     val noTrack = regexp_replace(rest,
-      "(?i)(utm_[a-z0-9_]+|fbclid|gclid|msclkid|ref)=[^&#]*&?", "")
+      "(?i)(?<=[?&])(?:utm_[a-z0-9_]+|fbclid|gclid|msclkid|ref)=[^&#]*&?", "")
     val tidied = regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]+$", "")
     val noSlash = regexp_replace(tidied, "/+(\\?|$)", "$1")
     concat(scheme, lit("://"), host, noSlash)
@@ -66,7 +71,14 @@ object Curation {
     * interpreted eval (and paid a failed janino compile per stage).
     */
   def hostOf(url: Column): Column =
-    regexp_extract(url, "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#:]*)", 1)
+    // the optional userinfo group ('user[:pw]@', RFC 3986 §3.2.1) is
+    // stripped BEFORE the host capture: without it 'http://foo@spam.com/'
+    // grouped under 'foo@spam.com' (blocklist bypass, cap evasion) and
+    // 'user:pw@host' truncated at the ':' to 'user'. The class excludes
+    // '/?#' so an '@' later in the path/query can never be mistaken for
+    // userinfo.
+    regexp_extract(url,
+      "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?(?:[^/?#@]*@)?([^/?#:]*)", 1)
 
   /** Multi-label public suffixes the label arithmetic must not split —
     * the common core; swap in the full public suffix list as a broadcast

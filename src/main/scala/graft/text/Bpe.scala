@@ -108,8 +108,9 @@ object Bpe {
         var i = 0
         while (i < s.length - 1) {
           val key = (s(i), s(i + 1))
-          val cur = pc.get(key)
-          pc.put(key, if (cur == 0L && !pc.containsKey(key)) c else cur + c)
+          // one lookup, no hidden null-unboxing: the get+containsKey form
+          // only worked because unboxing a null Long happens to yield 0
+          pc.merge(key, c, (a, b) => a + b)
           i += 1
         }
       }

@@ -63,13 +63,18 @@ object QualityModel {
       val z = featureCols.zip(w).map { case (c, wi) => col(c) * lit(wi) }
         .reduce(_ + _)
       val p = lit(1.0) / (lit(1.0) + exp(-z))
+      // DECIMAL(38,0) accumulator: each row contributes up to ~1e9 after
+      // the quantization, so a LongType sum wraps past ~9e18 — i.e. at
+      // the ~1e10-row corpora this module documents — silently flipping
+      // the gradient. (DuckDB's replay promotes BIGINT sums to HUGEINT;
+      // the decimal sum is the same exact integer.)
       val gs = featureCols.zipWithIndex.map { case (c, j) =>
         sum(floor((p - col(labelCol).cast("double")) * col(c) * lit(1e9)
-          + lit(0.5))).as(s"g$j")
+          + lit(0.5)).cast("decimal(38,0)")).as(s"g$j")
       }
       val row = df.agg(gs.head, gs.tail: _*).head()
       w = w.zipWithIndex.map { case (wi, j) =>
-        wi - lr * (row.getLong(j) / 1e9) / n
+        wi - lr * (BigDecimal(row.getDecimal(j)).toDouble / 1e9) / n
       }
       it += 1
     }

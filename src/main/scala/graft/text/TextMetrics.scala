@@ -215,7 +215,12 @@ object TextMetrics {
     * side of [[meanTokenLogProb]]. One explode + one shuffle.
     */
   def unigramCounts(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(tokens(lower(col(textCol)))).as("token"))
+    // blank-doc guard (the tokens() contract at the top of this file):
+    // split(trim(""), "\s+") yields [""], so an unguarded explode would
+    // inject a phantom "" token into the MODEL — inflating _total and
+    // shifting every real token's log-prob
+    df.where(!isBlank(col(textCol)))
+      .select(explode(tokens(lower(col(textCol)))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
 
   /** Per-document mean token log-probability under the corpus's own
@@ -235,7 +240,11 @@ object TextMetrics {
     val model = vocab.crossJoin(vocab.agg(sum(col("n")).as("_total")))
       .select(col("token"), log(col("n") / col("_total")).as("_logp"))
     val side = if (broadcastVocab) broadcast(model) else model
-    df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+    // blank docs are EXCLUDED, not scored: a whitespace-only page has no
+    // tokens, and the phantom "" token would otherwise give it n_tokens=1
+    // and a plausible mean_logprob — a perplexity filter must see no row
+    df.where(!isBlank(col(textCol)))
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
       .join(side, Seq("token"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), avg(col("_logp")).as("mean_logprob"))
@@ -290,6 +299,7 @@ object TextMetrics {
       .select(col("prev"), col("cur"), (col("n") / col("_np")).as("_pbi"))
     val (u, b) = if (broadcastModel) (broadcast(uniP), broadcast(bigP)) else (uniP, bigP)
     val tok = df
+      .where(!isBlank(col(textCol))) // same exclusion as meanTokenLogProb
       .select(col(idCol), tokens(lower(col(textCol))).as("w"))
       .select(col(idCol), explode(transform(sequence(lit(1), size(col("w"))),
         i => struct(element_at(col("w"), i).as("cur"),

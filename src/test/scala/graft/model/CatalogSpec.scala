@@ -60,6 +60,18 @@ class CatalogSpec extends SparkSpec {
     assert(ring.get(0) == ring.get(1), "polygon ring must close")
   }
 
+  test("STAC over an EMPTY dataset rejects loudly — never a null document") {
+    val empty = grid.where(org.apache.spark.sql.functions.lit(false))
+    val e = intercept[Exception] {
+      Catalog.stacItem(empty, "g1", "ts", "lat", "lon",
+        variables = Seq("value" -> "K"), href = "graft://x").collect()
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(e).contains("EMPTY dataset"), s"got: ${chain(e)}")
+  }
+
   test("STAC builders escape caller-supplied strings (quotes stay valid JSON)") {
     val row = Catalog.stacItem(grid, """g"2\""", "ts", "lat", "lon",
       Seq("q" -> """inch (")"""), href = "graft://x").head()

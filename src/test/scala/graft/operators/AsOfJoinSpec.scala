@@ -33,6 +33,32 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(5L).isEmpty)         // unseen key
   }
 
+  test("a null value on the LATEST right row is carried as null — fields " +
+    "from different right rows never mix") {
+    val q = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Option(100.0)),
+      (1L, ts("2024-01-01 10:05:00"), Option.empty[Double])
+    ).toDF("key", "ts", "price")
+    val t = Seq((1L, ts("2024-01-01 10:06:00"), 1L))
+      .toDF("key", "ts", "trade_id")
+    val row = AsOfJoin.asofJoin(t, q, Seq("key"), "ts", "ts", Seq("price"))
+      .select("asof_ts", "price").head()
+    // the latest right ROW (10:05, price=null) is attached whole: asof_ts
+    // says 10:05 and price is null — not 10:05 with the 10:00 row's 100.0
+    assert(row.getTimestamp(0) == ts("2024-01-01 10:05:00"))
+    assert(row.isNullAt(1),
+      "price must be the matched row's null, not an older row's value")
+  }
+
+  test("reserved working names reject loudly instead of overwriting") {
+    val t = Seq((1L, ts("2024-01-01 10:00:00"), 7L))
+      .toDF("key", "ts", "asof_ts")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(t, quotes, Seq("key"), "ts", "ts", Seq("price"))
+    }
+    assert(e.getMessage.contains("asof_ts"))
+  }
+
   test("tolerance nulls out stale matches") {
     val out = AsOfJoin.asofJoin(trades, quotes, Seq("key"), "ts", "ts",
       Seq("price"), tolerance = Some(600)) // 10 minutes

@@ -29,12 +29,40 @@ class CurationSpec extends SparkSpec {
       "http://a.com/x/" -> "http://a.com/x",
       "http://a.com/" -> "http://a.com",
       // all rules at once
-      "HTTPS://A.com:443/p/q/?utm_source=x&k=1#f" -> "https://a.com/p/q?k=1")
+      "HTTPS://A.com:443/p/q/?utm_source=x&k=1#f" -> "https://a.com/p/q?k=1",
+      // tracker names are ANCHORED at a separator: the tail of an
+      // innocent param ('href' ends in 'ref') and path segments must
+      // survive untouched
+      "http://a.com/p?href=foo" -> "http://a.com/p?href=foo",
+      "http://a.com/a/ref=x?b=1" -> "http://a.com/a/ref=x?b=1",
+      "http://a.com/p?ref=abc" -> "http://a.com/p",
+      "http://a.com/x?utm_a=1&utm_b=2&id=3" -> "http://a.com/x?id=3")
     val got = cases.map(_._1).toDF("u")
       .select(Curation.normalizeUrl(col("u"))).as[String].collect()
     cases.map(_._2).zip(got).foreach { case (want, is) =>
       assert(is == want, s"expected $want, got $is")
     }
+  }
+
+  test("hostOf strips userinfo: credentials cannot bypass blocklists " +
+    "or evade domain caps") {
+    import spark.implicits._
+    val cases = Seq(
+      "http://foo@spam.com/x" -> "spam.com",
+      "http://user:pw@spam.com/x" -> "spam.com",
+      "http://spam.com/x" -> "spam.com",
+      // an '@' later in the query is NOT userinfo
+      "http://a.com/p?u=a@b" -> "a.com")
+    val got = cases.map(_._1).toDF("u")
+      .select(Curation.hostOf(col("u"))).as[String].collect()
+    cases.map(_._2).zip(got).foreach { case (want, is) =>
+      assert(is == want, s"expected $want, got $is")
+    }
+    // end to end: the blocklist now catches the credentialed variant
+    val df = Seq("http://evil@spam.com/x", "http://ok.com/y").toDF("url")
+    val kept = Curation.blockDomains(df, "url", Seq("spam.com"))
+      .as[String].collect()
+    assert(kept.toSeq == Seq("http://ok.com/y"))
   }
 
   test("registeredDomain: plain and multi-label suffixes, bare hosts") {

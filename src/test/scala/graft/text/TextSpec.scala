@@ -128,6 +128,31 @@ class TextSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$p")
   }
 
+  test("blank documents neither pollute the unigram model nor get scored") {
+    // pre-fix: split(trim(""), "\\s+") = [""] injected a phantom "" token
+    // (shifting every real token's log-prob) and the blank doc came back
+    // with n_tokens=1 and a plausible score instead of being excluded
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "   "), (4L, ""))
+      .toDF("doc_id", "text")
+    val vocab = TextMetrics.unigramCounts(docs, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab == Map("a" -> 2L, "b" -> 2L, "c" -> 1L),
+      s"no phantom token, got $vocab")
+    val out = TextMetrics.meanTokenLogProb(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "blank docs are excluded, not scored")
+    // scores equal the blankless corpus's (the model is unpolluted)
+    val clean = TextMetrics.meanTokenLogProb(
+        docs.where(col("doc_id") <= 2), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    out.zip(clean).foreach { case (a, b) =>
+      assert(a.getAs[Double]("mean_logprob") == b.getAs[Double]("mean_logprob")) }
+    val interp = TextMetrics.interpolatedLogProb(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(interp == Set(1L, 2L))
+  }
+
   test("bigram LM: hand-computed interpolation, beats unigram on structure") {
     val docs = Seq((1L, "a b a b a b"), (2L, "b a b b a a")).toDF("doc_id", "text")
     // corpus unigrams: a:6, b:6 → p_uni = 0.5 each. Bigram transitions:
