@@ -180,6 +180,13 @@ object Dedup {
     val p = 2147483647L
     val coeffs = Seq.fill(numHashes)((1 + math.abs(rnd.nextLong()) % (p - 1),
                                       math.abs(rnd.nextLong()) % p))
+    // math.abs(Long.MinValue) is negative: a (fantastically unlikely,
+    // ~2^-57/draw) degenerate draw must reject loudly, not silently skew
+    // band-collision probabilities — the derivation itself stays as-is
+    // because these coefficients ARE the persisted-index signature format
+    require(coeffs.forall { case (a, b) => a > 0 && b >= 0 },
+      s"minhashSignatures: degenerate coefficient draw under seed $seed — " +
+        "choose a different seed")
     gramSets.select(col(idCol),
       graft.plans.Expressions.minhash_signature(
         col("gs"), coeffs.map(_._1), coeffs.map(_._2), p).as("sig"))
@@ -260,18 +267,19 @@ object Dedup {
       threshold: Double = 0.5,
       cacheGramSets: Boolean = false
   ): DataFrame = {
-    // ONE tokenize pass builds gram sets; signatures re-explode the
-    // (already distinct, already hashed) sets into codegen'd min-aggs.
     // gramSets feeds three consumers (signatures + both verification
-    // sides). With `cacheGramSets=false` (the library default) the three
-    // consumers share the aggregate's shuffle via ReuseExchange — identical
-    // canonicalized exchange subtrees are computed once per execution, and
-    // nothing outlives the query. `cacheGramSets=true` additionally persists
-    // the frame (MEMORY_AND_DISK) so REPEATED calls over the same input skip
-    // the tokenize entirely — callers who opt in own the lifecycle: the
-    // cache is keyed on the canonicalized plan (CacheManager dedups), and is
-    // released by `df.sparkSession.catalog.clearCache()` or an unpersist of
-    // the same plan. Default off: a library operator must not leak a
+    // sides). The gram-hash build is SCAN-LOCAL (one fused expression, no
+    // shuffle), which means there is no exchange for ReuseExchange to
+    // share: with `cacheGramSets=false` (the library default) each
+    // consumer re-tokenizes the corpus — three scans per call, nothing
+    // outliving the query. `cacheGramSets=true` persists the frame
+    // (MEMORY_AND_DISK): ONE tokenize pass per call (and repeated calls
+    // over the same input skip it entirely) — the right setting for any
+    // corpus where the scan dominates, i.e. the 100 TB design point.
+    // Callers who opt in own the lifecycle: the cache is keyed on the
+    // canonicalized plan (CacheManager dedups), released by
+    // `df.sparkSession.catalog.clearCache()` or an unpersist of the same
+    // plan. Default off: a library operator must not leak a
     // session-lifetime cache entry per distinct input.
     val raw = gramHashSets(df, idCol, textCol, n)
     val gramSets =
@@ -350,7 +358,17 @@ object Dedup {
       driverMaxEdges: Long = DefaultDriverMaxEdges
   ): (DataFrame, Boolean) = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col("id1").cast("long"), col("id2").cast("long"))
+    // loud reject, the ngramJaccardPairs convention: a null or
+    // non-integral id would otherwise cast to null, fail the =!= filter
+    // as SQL-null, and silently drop the EDGE — an all-string-id pair
+    // table would yield an empty labeling and keep every duplicate
+    def checkedId(c: String) = when(
+      col(c).isNull || expr(s"try_cast($c AS BIGINT)").isNull,
+      raise_error(concat(
+        lit(s"connectedComponents: $c is null or not integral: "),
+        col(c).cast("string"))))
+      .otherwise(expr(s"try_cast($c AS BIGINT)")).as(c)
+    val edges = pairs.select(checkedId("id1"), checkedId("id2"))
       .where(col("id1") =!= col("id2"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -390,44 +408,47 @@ object Dedup {
     }
     // Large-graph strategy: iterative min-label propagation, shuffle
     // width sized to the GRAPH, not the session — each round persists
-    // its output, which pins the session's full shuffle width onto every
-    // subsequent stage (AQE does not re-coalesce cached plans). ~2M edges
-    // per partition, so a billion-edge graph still fans out. The conf is
-    // saved/restored around the loop — plans compiled outside it are
-    // unaffected.
+    // its output, which pins the full shuffle width onto every subsequent
+    // stage (AQE does not re-coalesce cached plans). ~2M edges per
+    // partition, so a billion-edge graph still fans out. The override is
+    // scoped to a CLONED SparkSession (SQL confs are per-session; the
+    // context is shared): mutating the caller's session conf would
+    // compile any CONCURRENTLY planned query on this session with the
+    // graph's width — 3 partitions for a corpus-scale join, or thousands
+    // for a point lookup.
     val np = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
       nEdges / 2000000L + 1L)).toString
-    // both directions once, so one join propagates labels both ways
-    val und = edges.unionByName(
+    val loopSession = spark.newSession()
+    loopSession.conf.set("spark.sql.shuffle.partitions", np)
+    // both directions once, so one join propagates labels both ways;
+    // rebased onto the loop session via the (session-free) RDD
+    val und0 = edges.unionByName(
       edges.select(col("id2").as("id1"), col("id1").as("id2")))
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", np)
+    val und = loopSession.createDataFrame(und0.rdd, und0.schema)
     var labels = und.select(col("id1").as("id"))
       .distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var converged = false
     var i = 0
-    try {
-      while (!converged && i < maxIterations) {
-        // min over neighbors' labels, change-detection folded into the
-        // same pass (nbr < label) — one action per round, no extra join
-        val next = und
-          .join(labels.select(col("id").as("id2"), col("label").as("nlabel")),
-            Seq("id2"))
-          .groupBy(col("id1").as("id"))
-          .agg(min(col("nlabel")).as("nbr"))
-          .join(labels, Seq("id"))
-          .select(col("id"), least(col("label"), col("nbr")).as("label"),
-            (col("nbr") < col("label")).as("chg"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val changed = next.where(col("chg")).limit(1).count()
-        labels.unpersist()
-        labels = next
-        converged = changed == 0
-        i += 1
-      }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    while (!converged && i < maxIterations) {
+      // min over neighbors' labels, change-detection folded into the
+      // same pass (nbr < label) — one action per round, no extra join
+      val next = und
+        .join(labels.select(col("id").as("id2"), col("label").as("nlabel")),
+          Seq("id2"))
+        .groupBy(col("id1").as("id"))
+        .agg(min(col("nlabel")).as("nbr"))
+        .join(labels, Seq("id"))
+        .select(col("id"), least(col("label"), col("nbr")).as("label"),
+          (col("nbr") < col("label")).as("chg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.where(col("chg")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
     edges.unpersist()
     // truncate the iteration lineage: the result is a small (candidate-set
     // sized) frame; localCheckpoint materializes it once and its blocks are
@@ -592,14 +613,28 @@ object Dedup {
       width: Int = 8,
       minDocFreq: Int = 2,
       maxDocFreq: Int = Int.MaxValue,
-      exactVerify: Boolean = false
+      exactVerify: Boolean = false,
+      cacheGrams: Boolean = false
   ): DataFrame = {
     require(width >= 1, s"span width must be positive, got $width")
     require(minDocFreq >= 2,
       s"minDocFreq must be >= 2 (a span repeated in one doc is not cross-document), got $minDocFreq")
-    val grams = df.select(col(idCol).as("id"),
+    // `grams` feeds TWO consumers whose exchanges are keyed differently
+    // ((gh, id) for the stats, gh for the candidate join), so
+    // ReuseExchange cannot share them and the posexplode scan of every
+    // document runs twice per call. `cacheGrams=true` persists the
+    // posting frame for ONE scan — the right setting when the tokenize
+    // dominates (the 100 TB regime); same opt-in lifecycle contract as
+    // minhashDedup's cacheGramSets (CacheManager dedups by plan,
+    // clearCache releases). Default off: no session-lifetime cache entry
+    // per distinct input from a library operator.
+    val grams0 = df.select(col(idCol).as("id"),
       posexplode(graft.plans.Expressions.text_gram_hash_seq(col(textCol), width))
         .as(Seq("pos", "gh")))
+    val grams =
+      if (cacheGrams)
+        grams0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else grams0
     // distinct (gh, doc) first so the per-gram stats see document
     // frequency, not occurrence frequency; both levels partial-aggregate
     val stats = grams.groupBy(col("gh"), col("id")).agg(count(lit(1)).as("_occ"))
@@ -647,10 +682,11 @@ object Dedup {
       width: Int = 8,
       minDocFreq: Int = 2,
       maxDocFreq: Int = Int.MaxValue,
-      exactVerify: Boolean = false
+      exactVerify: Boolean = false,
+      cacheGrams: Boolean = false
   ): DataFrame = {
     val removals = spanRemovals(df, idCol, textCol, width, minDocFreq,
-      maxDocFreq, exactVerify)
+      maxDocFreq, exactVerify, cacheGrams)
     val starts = removals.groupBy(col("id"))
       .agg(collect_list(col("pos")).as("starts"))
     val toks = df.select(col(idCol).as("id"),

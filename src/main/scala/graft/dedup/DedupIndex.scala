@@ -67,11 +67,31 @@ object DedupIndex {
       tag = "base")
   }
 
-  def params(spark: SparkSession, path: String): Params = {
-    val m = spark.read.parquet(s"$path/meta").head()
-    Params(m.getAs[Int]("n"), m.getAs[Int]("num_hashes"),
-      m.getAs[Int]("bands"), m.getAs[Long]("seed"))
+  /** Per-JVM caches keyed on (path, directory mtime): [[query]] is a hot
+    * serving path, and re-reading the 1-row meta parquet plus re-walking
+    * the store per call adds two driver round-trips — the exact cost
+    * class the size-aware pushdown note below measures. A rewrite
+    * ([[write]]) or append bumps the directory mtime, so staleness
+    * self-invalidates; same pattern as `model.Tables.schemaCache` and
+    * Similarity's indexModelCache.
+    */
+  private val paramsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Params]
+  private val storeSizeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
+
+  private def dirMtime(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try fs.getFileStatus(p).getModificationTime catch { case _: Exception => -1L }
   }
+
+  def params(spark: SparkSession, path: String): Params =
+    paramsCache.getOrElseUpdate((path, dirMtime(spark, s"$path/meta")), {
+      val m = spark.read.parquet(s"$path/meta").head()
+      Params(m.getAs[Int]("n"), m.getAs[Int]("num_hashes"),
+        m.getAs[Int]("bands"), m.getAs[Long]("seed"))
+    })
 
   /** Add a batch to the searchable set (postings + gram sets appended;
     * no driver-side model exists, so there is nothing to invalidate).
@@ -159,11 +179,12 @@ object DedupIndex {
     //  - batch past the postings cap → same fallback (an unwieldy IN
     //    filter has no selectivity; bulk re-dedup wants the scan anyway).
     val maxPushdownPostings = 8192
-    val storeBytes = {
-      val bp = new org.apache.hadoop.fs.Path(s"$path/bands")
-      val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      try fs.getContentSummary(bp).getLength catch { case _: Exception => 0L }
-    }
+    val storeBytes = storeSizeCache.getOrElseUpdate(
+      (path, dirMtime(spark, s"$path/bands")), {
+        val bp = new org.apache.hadoop.fs.Path(s"$path/bands")
+        val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        try fs.getContentSummary(bp).getLength catch { case _: Exception => 0L }
+      })
     val ixBands0 = readStore(spark, s"$path/bands")
     val (qBands, ixBands) =
       if (storeBytes < pushdownMinStoreBytes) (qBandsLazy, ixBands0)

@@ -254,6 +254,11 @@ object Similarity {
       bands: Int = 8,
       seed: Long = 42L
   ): DataFrame = {
+    require(bands >= 1 && bits % bands == 0 && bits / bands >= 1,
+      s"bits=$bits must be a positive multiple of bands=$bands: " +
+        "bitsPerBand = 0 keys EVERY vector into one bucket per band (the " +
+        "silent all-pairs blowup), and a remainder silently ignores the " +
+        "top signature bits (recall below the configured operating point)")
     val bitsPerBand = bits / bands
     val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("sig", hyperplaneSignature(col("v"), dim, bits, seed))
@@ -863,7 +868,7 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val spark = df.sparkSession
     import spark.implicits._
-    val (cents, books, assigned) =
+    val (cents, books) =
       if (!residual) {
         val books = pqCodebooks(df, vecCol, dim, m, codebookSize, seed)
         val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
@@ -872,9 +877,7 @@ object Similarity {
             .map(f => v.sample(withReplacement = false, f, seed)).getOrElse(v),
           "v", dim, m = 1, codebookSize = nlist, seed = seed,
           normalizeInput = false).head
-        (cents, books, v.select(col(idCol).as("cid"),
-          pqEncode(col("v"), books).as("codes"),
-          graft.plans.Expressions.nearest_centroid(col("v"), cents).as("cell")))
+        (cents, books)
       } else {
         val un = df.select(col(idCol), l2normalize(asDouble(col(vecCol))).as("u0"))
         val cents = pqCodebooks(
@@ -889,11 +892,12 @@ object Similarity {
             element_at(typedLit(cents), col("cell") + 1), (a, b) => a - b))
         val books = pqCodebooks(resid, "res", dim, m, codebookSize, seed,
           normalizeInput = false)
-        (cents, books, resid.select(col(idCol).as("cid"),
-          graft.plans.Expressions.pq_encode(col("res"), books,
-            normalize = false).as("codes"),
-          col("cell")))
+        (cents, books)
       }
+    // the SAME encode expressions the serve-time grow path uses
+    // ([[encodeWith]] — single-sourced, so fit and append can never
+    // drift apart and break the pinned fit/append bit-equivalence)
+    val assigned = encodeWith(df, idCol, vecCol, cents, books, residual)
     Seq((dim, m, codebookSize, nlist, residual, seed))
       .toDF("dim", "m", "codebook_size", "nlist", "residual", "seed")
       .write.mode("overwrite").parquet(s"$path/meta")
@@ -904,6 +908,12 @@ object Similarity {
     }.toDF("j", "c", "vec")
       .write.mode("overwrite").parquet(s"$path/codebooks")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    // a (re)fit DEFINES the whole store: stale tombstones from an earlier
+    // generation would anti-join against the fresh codes and silently hide
+    // vectors that are legitimately present in the new fit
+    new org.apache.hadoop.fs.Path(s"$path/tombstones")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     // fit-time cell occupancy snapshot — the baseline the staleness
     // signal compares against ([[ivfPqCellDrift]]); derived from the
     // stored codes so it reflects exactly what the index holds
@@ -922,19 +932,29 @@ object Similarity {
     */
   def encodeForIndex(index: IvfPqIndex, df: DataFrame,
                      idCol: String, vecCol: String): DataFrame =
-    if (!index.residual) {
+    encodeWith(df, idCol, vecCol, index.cents, index.books, index.residual)
+
+  /** The ONE (cell, codes) construction both the fit ([[writeIvfPqIndex]])
+    * and the grow path ([[encodeForIndex]]) use — single-sourced so the
+    * two can never drift apart.
+    */
+  private def encodeWith(df: DataFrame, idCol: String, vecCol: String,
+                         cents: Seq[Seq[Double]],
+                         books: Seq[Seq[Seq[Double]]],
+                         residual: Boolean): DataFrame =
+    if (!residual) {
       df.select(col(idCol), asDouble(col(vecCol)).as("v"))
         .select(col(idCol).as("cid"),
-          pqEncode(col("v"), index.books).as("codes"),
-          graft.plans.Expressions.nearest_centroid(col("v"), index.cents).as("cell"))
+          pqEncode(col("v"), books).as("codes"),
+          graft.plans.Expressions.nearest_centroid(col("v"), cents).as("cell"))
     } else {
       df.select(col(idCol), l2normalize(asDouble(col(vecCol))).as("u0"))
         .withColumn("cell",
-          graft.plans.Expressions.nearest_centroid(col("u0"), index.cents))
+          graft.plans.Expressions.nearest_centroid(col("u0"), cents))
         .withColumn("res", zip_with(col("u0"),
-          element_at(typedLit(index.cents), col("cell") + 1), (a, b) => a - b))
+          element_at(typedLit(cents), col("cell") + 1), (a, b) => a - b))
         .select(col(idCol).as("cid"),
-          graft.plans.Expressions.pq_encode(col("res"), index.books,
+          graft.plans.Expressions.pq_encode(col("res"), books,
             normalize = false).as("codes"),
           col("cell"))
     }
@@ -1096,10 +1116,8 @@ object Similarity {
         codebookSize = meta.getAs[Int]("codebook_size"),
         seed = meta.getAs[Long]("seed"),
         residual = meta.getAs[Boolean]("residual"))
-      // the codes table was rewritten from source — tombstones are obsolete
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+      // (writeIvfPqIndex wipes the now-obsolete tombstones itself — a
+      // refit defines the whole store)
       true
     }
   }
@@ -1184,6 +1202,11 @@ object Similarity {
       bands: Int = 4,
       seed: Long = 42L
   ): DataFrame = {
+    require(bands >= 1 && bits % bands == 0 && bits / bands >= 1,
+      s"bits=$bits must be a positive multiple of bands=$bands: " +
+        "bitsPerBand = 0 keys EVERY vector into one bucket per band (the " +
+        "silent all-pairs blowup), and a remainder silently ignores the " +
+        "top signature bits (recall below the configured operating point)")
     val bitsPerBand = bits / bands
     val v = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .withColumn("sig", hyperplaneSignature(col("v"), dim, bits, seed))

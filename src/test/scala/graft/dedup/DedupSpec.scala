@@ -177,6 +177,43 @@ class DedupSpec extends SparkSpec {
     assert(kept == (1L to 25L).toSet -- Set(2L, 3L, 4L, 11L, 21L, 22L))
   }
 
+  test("connectedComponents rejects null and non-integral ids loudly " +
+    "(a silent cast-to-null dropped every edge and kept every duplicate)") {
+    import spark.implicits._
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val strIds = Seq(("doc_a", "doc_b")).toDF("id1", "id2")
+    val e = intercept[Exception] { Dedup.connectedComponents(strIds).collect() }
+    assert(chain(e).contains("not integral"), s"got: ${chain(e)}")
+    val nullIds = Seq((Option(1L), Option.empty[Long])).toDF("id1", "id2")
+    val e2 = intercept[Exception] { Dedup.connectedComponents(nullIds).collect() }
+    assert(chain(e2).contains("null"), s"got: ${chain(e2)}")
+    // numeric STRINGS are fine — the guard rejects garbage, not types
+    val numStr = Seq(("2", "1")).toDF("id1", "id2")
+    val cc = Dedup.connectedComponents(numStr).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("LSH banding rejects bands that don't divide the signature bits") {
+    import spark.implicits._
+    val emb = Seq((1L, Seq.fill(8)(0.5f)), (2L, Seq.fill(8)(0.4f)))
+      .toDF("vec_id", "embedding")
+    // bands > bits would make bitsPerBand = 0: every vector in ONE bucket
+    // per band — the silent all-pairs blowup
+    val e = intercept[IllegalArgumentException] {
+      graft.sim.Similarity.lshCosinePairs(emb, "vec_id", "embedding",
+        threshold = 0.5, dim = 8, bits = 16, bands = 32)
+    }
+    assert(e.getMessage.contains("bitsPerBand"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sim.Similarity.lshTopK(emb, "vec_id", "embedding", k = 1,
+        dim = 8, bits = 16, bands = 5) // remainder: top bit ignored
+    }
+    assert(e2.getMessage.contains("multiple"))
+  }
+
   test("connectedComponentsWithStatus reports non-convergence on deep chains") {
     import spark.implicits._
     // path graph of diameter 7: label 1 needs ~7 rounds to reach node 8.
