@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object Anomalies {
 
+  /** Alignment is an INNER equi-join on (group, cells): a fact row whose
+    * group/cell has NO climatology entry — possible only under a
+    * `referencePeriod` or a user-supplied climatology that does not cover
+    * the full fact domain — is DROPPED from the output, not null-scored.
+    * (xarray's groupby arithmetic errors on the missing key; the
+    * relational translation prunes instead. Callers needing the dropped
+    * rows surfaced should anti-join the output against the input.)
+    */
   private def joinClim(
       df: DataFrame,
       spec: SeriesSpec,
@@ -228,7 +236,12 @@ object Anomalies {
     * a single CaseWhen expression, int8 classes −3…3.
     */
   def severity(z: Column): Column =
-    when(z < -2, -3)
+    // null/NaN propagate as NULL (the NullHandlingSpec contract): both
+    // fail every comparison below, so without this branch a MISSING
+    // observation (or a 0/0 zero-variance NaN) fell through otherwise(3)
+    // and was classified "extremely above normal"
+    when(z.isNull || isnan(z), lit(null))
+      .when(z < -2, -3)
       .when(z < -1.5, -2)
       .when(z < -1, -1)
       .when(z <= 1, 0)

@@ -68,6 +68,12 @@ object Percentiles {
     spec.validate(df)
     require(percentiles.forall(p => p >= 0 && p <= 100),
       s"Percentile must be between 0 and 100, got: ${percentiles.mkString(", ")}")
+    // ascending is the INVARIANT the doc promises ("sorted ArrayType
+    // column"): the rank-interpolation kernel clamps on vals.head/last
+    // and walks the thresholds in order — unsorted input would silently
+    // clamp or mis-interpolate every value
+    require(percentiles == percentiles.sorted,
+      s"percentiles must be ascending, got: ${percentiles.mkString(", ")}")
     val probs = array(percentiles.map(p => lit(p / 100.0)): _*)
     restrict(df, spec, referencePeriod)
       .groupBy(groupCols(spec, group, col(spec.tsCol)): _*)
@@ -84,6 +90,11 @@ object Percentiles {
       group: Option[Temporal.ClimGroup] = Some(Temporal.ByMonth),
       accuracy: Int = 10000
   ): DataFrame = {
+    spec.validate(df)
+    require(percentiles.forall(p => p >= 0 && p <= 100),
+      s"Percentile must be between 0 and 100, got: ${percentiles.mkString(", ")}")
+    require(percentiles == percentiles.sorted,
+      s"percentiles must be ascending, got: ${percentiles.mkString(", ")}")
     val probs = array(percentiles.map(p => lit(p / 100.0)): _*)
     df.groupBy(groupCols(spec, group, col(spec.tsCol)): _*)
       .agg(approx_percentile(col(spec.valueCol), probs, lit(accuracy)).as("vals"))
@@ -97,6 +108,9 @@ object Percentiles {
     * percentile threshold (reference `metrics/percentiles.py:80-112`).
     * The threshold side is tiny (≤12 rows per cell) → broadcast hash join;
     * the fact side never shuffles before the final per-cell aggregate.
+    * Alignment is an inner join (see Anomalies.joinClim's note): under a
+    * `referencePeriod`, fact rows outside the covered groups are dropped
+    * — and therefore excluded from the frequency's denominator.
     */
   def exceedanceFrequency(
       df: DataFrame,
@@ -135,11 +149,15 @@ object Percentiles {
     val out = df.withColumn(group.name, group.expr(col(spec.tsCol)))
       .join(broadcast(thr), group.name +: spec.keyCols)
       .withColumn("percentile_bin",
-        aggregate(
-          zip_with(pcts, col("vals"),
-            (p, t) => when(col(spec.valueCol) >= t, p).otherwise(0)),
-          lit(0),
-          (acc, x) => greatest(acc, x)).cast("tinyint"))
+        // a NULL observation is a GAP, not "below every threshold": the
+        // zip_with/otherwise(0) would map it to bin 0 (NullHandlingSpec's
+        // null-propagation contract)
+        when(col(spec.valueCol).isNull, lit(null))
+          .otherwise(aggregate(
+            zip_with(pcts, col("vals"),
+              (p, t) => when(col(spec.valueCol) >= t, p).otherwise(0)),
+            lit(0),
+            (acc, x) => greatest(acc, x))).cast("tinyint"))
       .drop("vals")
     // reference `metrics/percentiles.py:146-147`
     CfAttrs.stamp(out, "percentile_bin") { b =>

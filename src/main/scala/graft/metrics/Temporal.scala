@@ -29,7 +29,7 @@ object Temporal {
     val out = df
       .groupBy(keyed(spec, TimeFns.monthStart(col(spec.tsCol)))("month"): _*)
       .agg(avg(col(spec.valueCol)).as("mean_value"))
-      .withColumn("month_end", last_day(col("month")))
+      .withColumn("month_end", TimeFns.monthEnd(col("month")))
     // reference `metrics/temporal.py:42` stamps cell_methods on every
     // resample output — CF provenance in StructField.metadata
     CfAttrs.stamp(out, "mean_value")(
@@ -149,6 +149,9 @@ object Temporal {
     * (reference `processing/dask_pipeline.py:164-192`): group by cell,
     * apply a caller-supplied aggregate column.
     */
-  def reduceOverTime(df: DataFrame, spec: SeriesSpec, aggs: Column*): DataFrame =
+  def reduceOverTime(df: DataFrame, spec: SeriesSpec, aggs: Column*): DataFrame = {
+    spec.validate(df)
+    require(aggs.nonEmpty, "reduceOverTime needs at least one aggregate column")
     df.groupBy(spec.keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

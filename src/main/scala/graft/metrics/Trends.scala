@@ -90,14 +90,30 @@ object Trends {
     def zero: Vector[(Double, Double)] = Vector.empty
 
     def reduce(b: Vector[(Double, Double)], a: MKInput): Vector[(Double, Double)] =
-      if (a.v.isNaN || b.length >= MannKendallAgg.MaxSeriesLength) b
+      if (a.v.isNaN) b
+      else if (b.length >= MannKendallAgg.MaxSeriesLength)
+        // LOUD, not a silent partition-order-dependent truncation: which
+        // points survive a take() depends on merge order, so S/p/slope
+        // would differ run to run on the same input
+        sys.error(s"mannKendall: series exceeds " +
+          s"${MannKendallAgg.MaxSeriesLength} points for one cell — " +
+          "aggregate to a coarser resolution first (the kernel is O(n²) pairs)")
       else b :+ ((a.t, a.v))
 
     def merge(b1: Vector[(Double, Double)], b2: Vector[(Double, Double)]): Vector[(Double, Double)] =
-      (b1 ++ b2).take(MannKendallAgg.MaxSeriesLength)
+      {
+      val m = b1 ++ b2
+      if (m.length > MannKendallAgg.MaxSeriesLength)
+        sys.error(s"mannKendall: series exceeds " +
+          s"${MannKendallAgg.MaxSeriesLength} points for one cell — " +
+          "aggregate to a coarser resolution first (the kernel is O(n²) pairs)")
+      m
+    }
 
     def finish(buf: Vector[(Double, Double)]): MKResult = {
-      val x = buf.sortBy(_._1).map(_._2).toArray
+      // total order (t, v): ties on t alone would leave the pair order —
+      // and therefore S on tied-timestamp data — partition-dependent
+      val x = buf.sortBy(p => (p._1, p._2)).map(_._2).toArray
       val n = x.length
       if (n < 4) return MKResult(0L, Double.NaN, Double.NaN, Double.NaN, Double.NaN, significant = false)
 
@@ -157,7 +173,12 @@ object Trends {
   def mannKendall(df: DataFrame, spec: SeriesSpec, alpha: Double = 0.05): DataFrame = {
     spec.validate(df)
     val mk = udaf(new MannKendallAgg(alpha))
-    df.groupBy(spec.keyCols.map(col): _*)
+    // null rows are GAPS and are skipped like the NaN path inside the
+    // aggregator — without this filter the typed MKInput(Double, Double)
+    // encoder rejects a null value/timestamp with an opaque
+    // "Null value appeared in non-nullable field" at runtime
+    df.where(col(spec.tsCol).isNotNull && col(spec.valueCol).isNotNull)
+      .groupBy(spec.keyCols.map(col): _*)
       .agg(mk(TimeFns.epochSeconds(col(spec.tsCol)), col(spec.valueCol).cast("double")).as("mk"))
       .select(spec.keyCols.map(col) :+ col("mk.*"): _*)
   }

@@ -74,7 +74,8 @@ object AnomalyQ extends QueryPack {
         |  JOIN clim c ON CAST(month(l.l_shipdate) AS INTEGER) = c.m
         |             AND l.l_returnflag = c.l_returnflag)
         |SELECT l_orderkey, l_linenumber, round(zraw, 6) AS zscore,
-        |       CAST(CASE WHEN zraw < -2 THEN -3
+        |       CAST(CASE WHEN zraw IS NULL OR isnan(zraw) THEN NULL
+        |                 WHEN zraw < -2 THEN -3
         |                 WHEN zraw < -1.5 THEN -2
         |                 WHEN zraw < -1 THEN -1
         |                 WHEN zraw <= 1 THEN 0

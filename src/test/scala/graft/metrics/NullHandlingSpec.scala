@@ -55,4 +55,38 @@ class NullHandlingSpec extends SparkSpec {
     // 5 valid monotone points: S = 10 pairs, all positive
     assert(mk.getAs[Long]("s") == 10L)
   }
+
+  test("Mann-Kendall skips NULL gaps instead of crashing the typed encoder") {
+    // pre-fix: a null value/timestamp hit MKInput's primitive-field
+    // encoder ("Null value appeared in non-nullable field") at runtime.
+    // 4 valid monotone points + one null gap (the kernel needs n >= 4)
+    val g = Seq(
+      (ts("2020-01-01 00:00:00"), "k", Some(1.0)),
+      (ts("2020-01-02 00:00:00"), "k", None),
+      (ts("2020-01-03 00:00:00"), "k", Some(2.0)),
+      (ts("2020-01-04 00:00:00"), "k", Some(3.0)),
+      (ts("2020-01-05 00:00:00"), "k", Some(4.0))
+    ).toDF("ts", "key", "v")
+    val mk = Trends.mannKendall(g, spec).head()
+    assert(mk.getAs[Long]("s") == 6L, s"S over 4 monotone points = 6: $mk")
+  }
+
+  test("severity and percentile bins propagate null/NaN as NULL, " +
+    "never as a real class") {
+    // severity: a gap (null z) or a 0/0 zero-variance NaN must NOT read
+    // as +3 "extremely above normal"
+    val z = Seq(Option(2.5), Option(0.0), None, Option(Double.NaN))
+      .toDF("zscore")
+    val sev = Anomalies.classifySeverity(z).select("severity").collect()
+    assert(sev(0).getByte(0) == 3 && sev(1).getByte(0) == 0)
+    assert(sev(2).isNullAt(0), "null z → null severity")
+    assert(sev(3).isNullAt(0), "NaN z → null severity")
+    // percentile bin: a null observation is a gap, not "below all
+    // thresholds" (bin 0)
+    val bins = Percentiles.classifyByPercentile(gappy, spec,
+        percentiles = Seq(50))
+      .orderBy("ts").select("percentile_bin").collect()
+    assert(bins(1).isNullAt(0), "null value → null bin")
+    assert(!bins(0).isNullAt(0))
+  }
 }

@@ -32,6 +32,28 @@ class ValidationSpec extends SparkSpec {
     }
   }
 
+  test("percentile vectors must be ascending; reduceOverTime needs aggs") {
+    import org.apache.spark.sql.functions._
+    val df = graft.bench.DataGen.sampleGrid(spark, days = 40)
+    val spec = graft.model.SeriesSpec("ts", Seq("lat", "lon"), "temperature")
+    // unsorted percentiles would silently clamp/mis-interpolate every
+    // rank downstream (the kernel assumes a sorted threshold vector)
+    val e = intercept[IllegalArgumentException] {
+      Percentiles.climatologicalPercentiles(df, spec,
+        percentiles = Seq(90, 10, 50))
+    }
+    assert(e.getMessage.contains("ascending"))
+    val e2 = intercept[IllegalArgumentException] {
+      Percentiles.approxClimatologicalPercentiles(df, spec,
+        percentiles = Seq(90, 10))
+    }
+    assert(e2.getMessage.contains("ascending"))
+    val e3 = intercept[IllegalArgumentException] {
+      Temporal.reduceOverTime(df, spec)
+    }
+    assert(e3.getMessage.contains("at least one aggregate"))
+  }
+
   test("parameter validation mirrors the reference's bounds") {
     val spec = graft.queries.TemporalQ.liSeries
     assert(intercept[IllegalArgumentException](
