@@ -419,6 +419,14 @@ object Dedup {
     val np = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
       nEdges / 2000000L + 1L)).toString
     val loopSession = spark.newSession()
+    // newSession() initializes SQL confs from the base SparkConf, not the
+    // caller's session — copy the caller's RUNTIME confs (timezone, ANSI,
+    // AQE toggles) first so the clone differs ONLY in shuffle width
+    spark.conf.getAll.foreach { case (k, v) =>
+      // static/core confs reject runtime set — they are session-invariant
+      // anyway, so skipping them is exactly right
+      scala.util.Try(loopSession.conf.set(k, v)); ()
+    }
     loopSession.conf.set("spark.sql.shuffle.partitions", np)
     // both directions once, so one join propagates labels both ways;
     // rebased onto the loop session via the (session-free) RDD

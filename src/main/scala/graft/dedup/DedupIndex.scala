@@ -65,20 +65,39 @@ object DedupIndex {
     }
     writeRows(df, idCol, textCol, path, Params(n, numHashes, bands, seed),
       tag = "base")
+    invalidateCaches(path)
   }
 
-  /** Per-JVM caches keyed on (path, directory mtime): [[query]] is a hot
-    * serving path, and re-reading the 1-row meta parquet plus re-walking
-    * the store per call adds two driver round-trips — the exact cost
-    * class the size-aware pushdown note below measures. A rewrite
-    * ([[write]]) or append bumps the directory mtime, so staleness
-    * self-invalidates; same pattern as `model.Tables.schemaCache` and
-    * Similarity's indexModelCache.
+  /** Per-JVM caches keyed on PATH, with the directory mtime observed at
+    * load stamped on the value: [[query]] is a hot serving path, and
+    * re-reading the 1-row meta parquet plus re-walking the store per call
+    * adds two driver round-trips — the exact cost class the size-aware
+    * pushdown note below measures. Mutations through THIS JVM
+    * ([[write]]/[[append]]) invalidate directly; cross-JVM mutations are
+    * caught by the mtime check — and when the filesystem cannot produce a
+    * trustworthy mtime (errors → -1; object stores report 0 or a constant
+    * for directories) the cache is BYPASSED rather than trusted, so a
+    * refit with different n/numHashes/bands/seed can never serve stale
+    * Params. One entry per path (not per (path, generation)), so the maps
+    * stay bounded at the number of distinct stores this JVM touches.
     */
   private val paramsCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), Params]
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Params)]
   private val storeSizeCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), Long]
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+
+  private def invalidateCaches(path: String): Unit = {
+    paramsCache.remove(path); storeSizeCache.remove(path); ()
+  }
+
+  private def cachedByMtime[V](
+      cache: scala.collection.concurrent.TrieMap[String, (Long, V)],
+      path: String, mtime: Long)(load: => V): V =
+    if (mtime <= 0L) load // untrustworthy mtime: never cache
+    else cache.get(path) match {
+      case Some((m, v)) if m == mtime => v
+      case _ => val v = load; cache.put(path, (mtime, v)); v
+    }
 
   private def dirMtime(spark: SparkSession, dir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -87,11 +106,11 @@ object DedupIndex {
   }
 
   def params(spark: SparkSession, path: String): Params =
-    paramsCache.getOrElseUpdate((path, dirMtime(spark, s"$path/meta")), {
+    cachedByMtime(paramsCache, path, dirMtime(spark, s"$path/meta")) {
       val m = spark.read.parquet(s"$path/meta").head()
       Params(m.getAs[Int]("n"), m.getAs[Int]("num_hashes"),
         m.getAs[Int]("bands"), m.getAs[Long]("seed"))
-    })
+    }
 
   /** Add a batch to the searchable set (postings + gram sets appended;
     * no driver-side model exists, so there is nothing to invalidate).
@@ -105,6 +124,7 @@ object DedupIndex {
     val t = if (tag.nonEmpty) tag
       else s"a${java.util.UUID.randomUUID().toString.take(8)}"
     writeRows(df, idCol, textCol, path, params(df.sparkSession, path), t)
+    invalidateCaches(path)
   }
 
   private def writeRows(df: DataFrame, idCol: String, textCol: String,
@@ -179,12 +199,12 @@ object DedupIndex {
     //  - batch past the postings cap → same fallback (an unwieldy IN
     //    filter has no selectivity; bulk re-dedup wants the scan anyway).
     val maxPushdownPostings = 8192
-    val storeBytes = storeSizeCache.getOrElseUpdate(
-      (path, dirMtime(spark, s"$path/bands")), {
+    val storeBytes = cachedByMtime(
+      storeSizeCache, path, dirMtime(spark, s"$path/bands")) {
         val bp = new org.apache.hadoop.fs.Path(s"$path/bands")
         val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         try fs.getContentSummary(bp).getLength catch { case _: Exception => 0L }
-      })
+      }
     val ixBands0 = readStore(spark, s"$path/bands")
     val (qBands, ixBands) =
       if (storeBytes < pushdownMinStoreBytes) (qBandsLazy, ixBands0)

@@ -170,6 +170,11 @@ private[ingest] object ScaleOffset {
     require(isFloat || scaleType == IntType, "integer data requires the int type")
     require(scaleFactor >= 0 && scaleFactor <= 15,
       s"D-scale factor $scaleFactor out of [0, 15]")
+    // toFixed/fromFixed address float buffers at 4/8-byte strides only;
+    // a 2-byte float (HDF5 cls 1, size 2) must reject loudly here rather
+    // than corrupt strides or overrun the element buffer downstream
+    require(!isFloat || elemSize == 4 || elemSize == 8,
+      s"scaleoffset D-scale supports 4/8-byte floats, got $elemSize bytes")
   }
 
   private def pow10(d: Int): Double = math.pow(10.0, d)

@@ -1,6 +1,6 @@
 package graft.metrics
 
-import graft.model.SeriesSpec
+import graft.model.{CfAttrs, SeriesSpec}
 import graft.functions.{StatsFns, TimeFns}
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
@@ -32,9 +32,26 @@ object Trends {
     val in = referencePeriod.fold(df) { case (s, e) =>
       df.where(col(spec.tsCol).between(lit(s).cast("timestamp"), lit(e).cast("timestamp")))
     }
-    in.groupBy(spec.keyCols.map(col): _*)
+    val out = in.groupBy(spec.keyCols.map(col): _*)
       .agg(regr_slope(col(spec.valueCol), TimeFns.fractionalYears(col(spec.tsCol)))
         .as("trend"))
+    // reference `metrics/trends.py:55-62`: units = "<input units> per year"
+    // (CF provenance in StructField.metadata, like Temporal/Percentiles)
+    CfAttrs.stamp(out, "trend") { b =>
+      b.putString("long_name", s"Linear trend of ${spec.valueCol}")
+      b.putString("units", s"${unitsOf(df, spec)} per year")
+      b.putString("trend_method", "ordinary least squares")
+      referencePeriod.foreach { case (s0, e0) =>
+        b.putString("trend_period", s"$s0 to $e0") }
+    }
+  }
+
+  /** The input value column's `units` attr, or the reference's literal
+    * fallback `"units"` (`trends.py:57` — `attrs.get('units', 'units')`).
+    */
+  private def unitsOf(df: DataFrame, spec: SeriesSpec): String = {
+    val m = CfAttrs.of(df, spec.valueCol)
+    if (m.contains("units")) m.getString("units") else "units"
   }
 
   /** A10 — OLS slope with Student-t confidence interval
@@ -51,7 +68,7 @@ object Trends {
     spec.validate(df)
     val x = TimeFns.fractionalYears(col(spec.tsCol))
     val y = col(spec.valueCol)
-    df.groupBy(spec.keyCols.map(col): _*)
+    val out = df.groupBy(spec.keyCols.map(col): _*)
       .agg(
         regr_slope(y, x).as("trend"),
         regr_count(y, x).as("n"),
@@ -66,6 +83,23 @@ object Trends {
       .withColumn("trend_lower", col("trend") - col("margin"))
       .withColumn("trend_upper", col("trend") + col("margin"))
       .drop("sxx", "syy", "margin")
+    // reference `metrics/trends.py:230-243`: per-year units on the slope,
+    // confidence-labelled bounds, confidence_level provenance
+    val pct = f"${confidence * 100}%.0f"
+    val u = s"${unitsOf(df, spec)} per year"
+    val s1 = CfAttrs.stamp(out, "trend") { b =>
+      b.putString("long_name", s"Linear trend of ${spec.valueCol}")
+      b.putString("units", u)
+      b.putDouble("confidence_level", confidence)
+    }
+    val s2 = CfAttrs.stamp(s1, "trend_lower") { b =>
+      b.putString("long_name", s"Trend lower bound ($pct%)")
+      b.putString("units", u)
+    }
+    CfAttrs.stamp(s2, "trend_upper") { b =>
+      b.putString("long_name", s"Trend upper bound ($pct%)")
+      b.putString("units", u)
+    }
   }
 
   /** Mann-Kendall + Sen's slope result (reference `metrics/trends.py:68-167`). */
@@ -177,9 +211,22 @@ object Trends {
     // aggregator — without this filter the typed MKInput(Double, Double)
     // encoder rejects a null value/timestamp with an opaque
     // "Null value appeared in non-nullable field" at runtime
-    df.where(col(spec.tsCol).isNotNull && col(spec.valueCol).isNotNull)
+    val out = df.where(col(spec.tsCol).isNotNull && col(spec.valueCol).isNotNull)
       .groupBy(spec.keyCols.map(col): _*)
       .agg(mk(TimeFns.epochSeconds(col(spec.tsCol)), col(spec.valueCol).cast("double")).as("mk"))
       .select(spec.keyCols.map(col) :+ col("mk.*"): _*)
+    // reference `metrics/trends.py:154-166`: long_name provenance on the
+    // slope/p/significance outputs plus the test+alpha attrs
+    val s1 = CfAttrs.stamp(out, "sen_slope") { b =>
+      // the reference stamps NO units here (`trends.py:155` — Sen's slope
+      // is per index step, not per year); long_name + test + alpha only
+      b.putString("long_name", s"Sen's slope of ${spec.valueCol}")
+      b.putString("test", "Mann-Kendall")
+      b.putDouble("alpha", alpha)
+    }
+    val s2 = CfAttrs.stamp(s1, "p_value")(
+      _.putString("long_name", "Mann-Kendall p-value"))
+    CfAttrs.stamp(s2, "significant")(
+      _.putString("long_name", s"Significant trend at alpha=$alpha"))
   }
 }

@@ -141,9 +141,17 @@ object Cache {
       }
       val body = new String(bytes, "UTF-8")
       val nl = body.indexOf('\n')
-      val expiresAt = body.substring(0, math.max(nl, 0)).toLong
-      if (expiresAt < clock()) { Files.deleteIfExists(p); None }
-      else Some(body.substring(nl + 1))
+      // a corrupt/foreign file (no newline, or a non-numeric first line)
+      // is as benign as a vanished one: treat it as a miss and remove it,
+      // never as a backend error that counts toward degraded bypass
+      val expiresAt =
+        if (nl <= 0) None
+        else body.substring(0, nl).toLongOption
+      expiresAt match {
+        case None => Files.deleteIfExists(p); None
+        case Some(exp) if exp < clock() => Files.deleteIfExists(p); None
+        case Some(_) => Some(body.substring(nl + 1))
+      }
     }
 
     def put(key: String, value: String, ttlSeconds: Long): Unit = {

@@ -47,6 +47,23 @@ class DedupIndexSpec extends SparkSpec {
     assert(withSelf == 3L)
   }
 
+  test("refit with different params never serves stale cached Params " +
+    "(write() invalidates the per-JVM cache directly — mtime-independent)") {
+    val path = tmpDir() + "/idx_refit"
+    DedupIndex.write(corpusDocs, "doc_id", "text", path)
+    assert(DedupIndex.params(spark, path) == DedupIndex.Params(3, 64, 32, 42L))
+    // immediate refit: on coarse-mtime or object-store-like filesystems the
+    // directory mtime may not change — invalidation must not depend on it
+    DedupIndex.write(corpusDocs, "doc_id", "text", path,
+      n = 4, numHashes = 32, bands = 16, seed = 7L)
+    assert(DedupIndex.params(spark, path) == DedupIndex.Params(4, 32, 16, 7L))
+    // and the query path computes signatures with the NEW params: hits
+    // still verify (bands written and probed under the same seed/geometry)
+    val hits = DedupIndex.query(batchDocs, "doc_id", "text", path, 0.4)
+      .select("query_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((11L, 1L), (12L, 2L)))
+  }
+
   test("store equality across partitionings: bands written at 1 partition " +
     "join bands computed at 7") {
     val path = tmpDir() + "/idx3"

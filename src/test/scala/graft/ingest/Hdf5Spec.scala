@@ -954,5 +954,14 @@ class Hdf5Spec extends SparkSpec {
     // the exact-length tripwire fires: a stream of the wrong size is a
     // foreign/corrupt layout, rejected before any bits are read
     assert(chainMsg(nbErr).contains("nbit stream"), s"got: ${chainMsg(nbErr)}")
+    // a 2-byte float (HDF5 cls 1, size 2) rejects at Params construction:
+    // toFixed/fromFixed only address 4/8-byte float strides, so anything
+    // else must be loud instead of corrupting strides at decode time
+    val halfFloat = intercept[Exception] {
+      ScaleOffset.Params(ScaleOffset.FloatDScale, 2, 2, signed = true,
+        isFloat = true)
+    }
+    assert(chainMsg(halfFloat).contains("4/8-byte floats"),
+      s"got: ${chainMsg(halfFloat)}")
   }
 }

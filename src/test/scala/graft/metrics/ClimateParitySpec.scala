@@ -229,6 +229,33 @@ class ClimateParitySpec extends SparkSpec {
       .getLongArray("percentile_bins").nonEmpty)
     assert(meta(Percentiles.returnPeriods(grid, spec), "level")
       .getString("long_name") == "Return period values")
+    // trends: "<units> per year" slope provenance (trends.py:55-62,230-243)
+    // — with the input's units attr when present, the literal "units" when
+    // absent (the reference's attrs.get('units', 'units') fallback)
+    val lt = Trends.linearTrend(attributed, spec)
+    assert(meta(lt, "trend").getString("units") == "K per year")
+    assert(meta(lt, "trend").getString("long_name") == "Linear trend of temperature")
+    assert(meta(lt, "trend").getString("trend_method") == "ordinary least squares")
+    assert(meta(Trends.linearTrend(grid, spec), "trend")
+      .getString("units") == "units per year")
+    val ltp = Trends.linearTrend(grid, spec,
+      referencePeriod = Some(("2020-01-01", "2020-12-31")))
+    assert(meta(ltp, "trend").getString("trend_period")
+      == "2020-01-01 to 2020-12-31")
+    val ci = Trends.trendWithConfidence(attributed, spec, confidence = 0.95)
+    assert(meta(ci, "trend").getString("units") == "K per year")
+    assert(meta(ci, "trend").getDouble("confidence_level") == 0.95)
+    assert(meta(ci, "trend_lower").getString("long_name") == "Trend lower bound (95%)")
+    assert(meta(ci, "trend_upper").getString("long_name") == "Trend upper bound (95%)")
+    assert(meta(ci, "trend_upper").getString("units") == "K per year")
+    val mkOut = Trends.mannKendall(grid, spec)
+    assert(meta(mkOut, "sen_slope").getString("long_name")
+      == "Sen's slope of temperature")
+    assert(meta(mkOut, "sen_slope").getString("test") == "Mann-Kendall")
+    assert(meta(mkOut, "sen_slope").getDouble("alpha") == 0.05)
+    assert(meta(mkOut, "p_value").getString("long_name") == "Mann-Kendall p-value")
+    assert(meta(mkOut, "significant").getString("long_name")
+      == "Significant trend at alpha=0.05")
     // attrs survive a parquet roundtrip (Spark persists field metadata
     // in the footer schema) — the provenance is durable, not session-local
     val out = graft.util.Tmp.root("graft_cfattrs").toString + "/m.parquet"

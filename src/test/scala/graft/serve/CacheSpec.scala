@@ -60,6 +60,34 @@ class CacheSpec extends AnyFunSuite {
     assert(b.get("we/ird:k?y=1").contains("z"))
   }
 
+  test("FileBackend: corrupt/foreign entries read as a miss and are " +
+    "removed, never as a backend error (no NumberFormatException)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cache-corrupt")
+    val a = new FileBackend(dir, clock = () => 1000L)
+    def plant(key: String, bytes: String): java.nio.file.Path =
+      java.nio.file.Files.write(
+        dir.resolve(java.net.URLEncoder.encode(key, "UTF-8") + ".cache"),
+        bytes.getBytes("UTF-8"))
+    plant("no-newline", "garbage-without-a-newline")
+    plant("empty", "")
+    plant("bad-expiry", "not-a-number\npayload")
+    plant("empty-first-line", "\npayload")
+    Seq("no-newline", "empty", "bad-expiry", "empty-first-line").foreach { k =>
+      assert(a.get(k).isEmpty, s"corrupt entry '$k' must read as a miss")
+    }
+    assert(a.entryCount == 0, "corrupt entries are removed on read")
+    // a corrupt file must not count toward ResilientCache's three-strike
+    // degraded bypass — the healthy path keeps caching afterwards
+    val rc = new ResilientCache(a)
+    plant("later", "also-bad")
+    assert(rc.getOrCompute("later")("fresh") == "fresh")
+    assert(rc.stats.errors == 0 && !rc.stats.degraded)
+    // an entry with an empty PAYLOAD (valid expiry, trailing newline) is
+    // still a hit — only the expiry line is validated
+    a.put("empty-value", "", ttlSeconds = 100)
+    assert(a.get("empty-value").contains(""))
+  }
+
   test("ResilientCache: hits/misses over a healthy backend") {
     val c = new ResilientCache(new LruBackend(ttlSeconds = 100))
     var calls = 0

@@ -22,9 +22,19 @@ object HtmlExtractProps extends Properties("html-extract-kernel") {
     .getOrCreate()
 
   private val words = Seq("alpha", "beta", "gamma", "delta words", "longer piece",
-    "sentence with several tokens inside", "x")
+    "sentence with several tokens inside", "x",
+    // supplementary-plane input (surrogate pairs in the JVM String): the
+    // r14 code-point fix made length accounting count code points, and
+    // this generator must be able to produce the class that caught it —
+    // emoji, CJK Ext-B, and math alphanumerics, alone and mid-sentence
+    "émoji 😀 mixed", "🤖🤖 robots",
+    "cjk ext 𣀀𣀁 text", "math 𝔸𝔹",
+    "日本語テキスト", "😀")
   private val entities = Seq("&amp;", "&lt;", "&gt;", "&quot;", "&#39;",
-    "&nbsp;", "&amp;lt;")
+    "&nbsp;", "&amp;lt;",
+    // entity directly adjacent to a surrogate pair — the boundary class
+    // where byte/char/code-point confusion shows up first
+    "&amp;😀", "😀&lt;")
   private val openTags = Seq("<p>", "<div class='x'>", "<li>", "<nav>",
     "<h2>", "<span>", "<b>", "<a href=\"/x\">", "<footer>", "<td >",
     "<script>", "<style>", "<!--", "<br/>")
