@@ -110,21 +110,25 @@ object Bench {
 
     /** One query's measurement under the OUTLIER PROTOCOL (visible by
       * design — both series are reported, nothing is silently dropped):
-      * `iters` timed runs; a gate-breaching run (≥ 2 s) is re-measured
-      * when EITHER stall evidence holds —
+      * `iters` timed runs; a run is re-measured when EITHER stall
+      * evidence holds —
       *
-      *  (a) relative: > 2× the running median (the r9 tails were 9-13×
-      *      their medians and correlate with host CPU-steal bursts, not
-      *      GC — a measured burst put 8.9 s of steal inside one
-      *      iteration; see SCALE.md "Bench tail diagnosis"), or
-      *  (b) absolute, steal-aware: the iteration's OWN /proc/stat
-      *      steal+iowait delta exceeds `stealThresh` CPU-seconds. This
-      *      is the r12 fix: under WHOLE-RUN contention the running
-      *      median inflates with the tail, so (a) chases a moving target
-      *      and never fires (r12's victim median rose 45% while its max
-      *      hit 3.45 s with 42 CPU-s of steal on the query) — the
-      *      iteration-local steal delta is immune to that because a
-      *      quiet box measures ~0 regardless of history.
+      *  (a) relative, gate-scale only (≥ 2 s): > 2× the running median
+      *      (the r9 tails were 9-13× their medians and correlate with
+      *      host CPU-steal bursts, not GC — a measured burst put 8.9 s
+      *      of steal inside one iteration; see SCALE.md "Bench tail
+      *      diagnosis"), or
+      *  (b) absolute, steal-aware, ANY duration: the iteration's OWN
+      *      /proc/stat steal+iowait delta exceeds `stealThresh`
+      *      CPU-seconds. This is the r12 fix (under WHOLE-RUN contention
+      *      the running median inflates with the tail, so (a) chases a
+      *      moving target and never fires), extended in r15 below the
+      *      former 2 s floor: r14's medians drifted ~1.25× box-wide on
+      *      sub-2s queries whose iterations carried RECORDED steal the
+      *      policy was not allowed to act on (q_zorder_bbox: 68.5 CPU-s
+      *      across its iterations, median 0.23 → 0.80). A quiet box
+      *      measures ~0 steal in any window, so the trigger is
+      *      duration-independent by nature.
       *
       * Re-measurement is bounded at `maxRetries` for the whole query.
       * The retried value is used WHATEVER it is: a genuinely slow query
@@ -132,14 +136,27 @@ object Bench {
       * unreproducible stall can be absorbed. `raw` keeps every
       * measurement including the stalls; the JSON reports raw_max and
       * retried per query plus raw_worst_max globally.
+      *
+      * Residual sub-threshold contamination (sustained mild contention
+      * that never trips a retry) is handled by REPORTING, not retrying:
+      * each accepted iteration keeps its own steal delta, and the
+      * published per-query median is the median of the STEAL-CLEAN
+      * iterations (delta ≤ `cleanThresh`) whenever at least
+      * max(3, iters/4) of them exist — else the plain median, with
+      * `clean_iters` saying which. The GATE is unchanged either way: max
+      * is always over every accepted iteration, clean or not.
       */
-    final case class Measured(steady: Stats, rawMax: Double, retried: Int,
+    final case class Measured(steady: Stats, medianClean: Double,
+                              cleanIters: Int, rawMax: Double, retried: Int,
                               stealSec: Double)
     val maxRetries = 5
     // a quiet box measures ≤ ~0.05 CPU-s of steal+iowait inside one
     // iteration (r12's clean queries: ≤ 0.5 over 20+ iterations); 1.0
     // CPU-s inside a single run is unambiguous host interference
     val stealThresh = sys.env.getOrElse("SPARK_GRAFT_STEAL_THRESH", "1.0").toDouble
+    // per-iteration steal at or below this is indistinguishable from a
+    // quiet box (observed clean-run deltas: 0.00-0.07 CPU-s)
+    val cleanThresh = sys.env.getOrElse("SPARK_GRAFT_CLEAN_THRESH", "0.15").toDouble
 
     /** Guest-visible host interference: cumulative steal+iowait seconds
       * from /proc/stat (steal = vCPU runnable but not scheduled by the
@@ -158,7 +175,9 @@ object Bench {
       System.gc() // cross-query hygiene: last query's garbage is not ours
       val warms = (1 to warmup).map(_ => runOnce(name)) // footer cache, codegen, JIT
       val raw = scala.collection.mutable.ArrayBuffer[Double]()
-      val steady = scala.collection.mutable.ArrayBuffer[Double]()
+      // accepted iterations carry their own steal delta — the clean-median
+      // report needs per-iteration attribution, not just the query total
+      val steady = scala.collection.mutable.ArrayBuffer[(Double, Double)]()
       var retried = 0
       val steal0 = stealIoSeconds()
       (1 to iters).foreach { _ =>
@@ -170,10 +189,12 @@ object Bench {
         // run as its own baseline so the retry predicate can't index an
         // empty vector (dev-loop WARMUP=0 setting)
         def baseline = {
-          val s = (steady ++ warms).sorted.toIndexedSeq
+          val s = (steady.map(_._1) ++ warms).sorted.toIndexedSeq
           if (s.isEmpty) t else pct(s, 0.5)
         }
-        while (t >= 2.0 && (t > 2 * baseline || stealD > stealThresh) &&
+        // (a) relative leg stays gated at >= 2 s (2x a fast query's median
+        // is ordinary variance); (b) steal leg fires at ANY duration
+        while (((t >= 2.0 && t > 2 * baseline) || stealD > stealThresh) &&
             retried < maxRetries) {
           retried += 1
           System.err.println(f"[bench] $name: $t%.3fs stall (median ~$baseline%.3fs, " +
@@ -184,9 +205,15 @@ object Bench {
           stealD = stealIoSeconds() - s0
           raw += t
         }
-        steady += t
+        steady += ((t, stealD))
       }
-      Measured(stats(steady.toSeq), raw.max, retried, stealIoSeconds() - steal0)
+      val all = steady.map(_._1).toSeq
+      val clean = steady.filter(_._2 <= cleanThresh).map(_._1).toSeq
+      val medianClean =
+        if (clean.size >= math.max(3, iters / 4)) stats(clean).median
+        else stats(all).median
+      Measured(stats(all), medianClean, clean.size, raw.max, retried,
+        stealIoSeconds() - steal0)
     }
 
     val results: Seq[(String, Option[Measured])] =
@@ -300,7 +327,7 @@ object Bench {
           ((System.nanoTime() - t0) / 1e9, stealIoSeconds() - s0)
         }
         val baseMedians = results.collect {
-          case (k, Some(m)) => k -> m.steady.median
+          case (k, Some(m)) => k -> m.medianClean // the published median
         }.toMap
         final case class UpMeasured(min: Double, raw: Seq[Double],
                                     steal: Seq[Double], retried: Int,
@@ -379,23 +406,27 @@ object Bench {
           s""","upscale":{"error":"$msg"}"""
       }
 
+    // published per-query value = the steal-clean median (falls back to
+    // the plain median when too few clean iterations exist — clean_iters
+    // in stats says which); the GATE stays on the all-iterations max
     val qs = results.map { case (k, st) =>
-      "\"" + k + "\":" + f3(st.map(_.steady.median).getOrElse(-1.0))
+      "\"" + k + "\":" + f3(st.map(_.medianClean).getOrElse(-1.0))
     }.mkString("{", ",", "}")
     val statsJson = results.collect { case (k, Some(m)) =>
       val s = m.steady
-      s""""$k":{"mean":${f3(s.mean)},"median":${f3(s.median)},"p95":${f3(s.p95)},""" +
-        s""""p99":${f3(s.p99)},"min":${f3(s.min)},"max":${f3(s.max)},""" +
+      s""""$k":{"mean":${f3(s.mean)},"median":${f3(s.median)},""" +
+        s""""median_clean":${f3(m.medianClean)},"clean_iters":${m.cleanIters},""" +
+        s""""p95":${f3(s.p95)},"p99":${f3(s.p99)},"min":${f3(s.min)},"max":${f3(s.max)},""" +
         s""""raw_max":${f3(m.rawMax)},"retried":${m.retried},"steal_sec":${f3(m.stealSec)}}"""
     }.mkString("{", ",", "}")
-    val total = results.flatMap(_._2).map(_.steady.median).sum
+    val total = results.flatMap(_._2).map(_.medianClean).sum
     val worstMax = results.flatMap(_._2).map(_.steady.max).maxOption.getOrElse(-1.0)
     val rawWorstMax = results.flatMap(_._2).map(_.rawMax).maxOption.getOrElse(-1.0)
     val totalRetried = results.flatMap(_._2).map(_.retried).sum
     val gate = results.forall(_._2.exists(_.steady.max < 2.0))
     val subset = if (only.isEmpty) "" else
       s""","subset":[${only.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]"""
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stats":$statsJson,"iters":$iters,"warmup":$warmup,"worst_max":${f3(worstMax)},"raw_worst_max":${f3(rawWorstMax)},"outliers_retried":$totalRetried,"outlier_policy":"gate-breaching runs (>=2s) re-measured when >2x running median OR own steal+iowait delta > ${stealThresh} cpu-s, max $maxRetries/query; raw series reported alongside","pass_max_lt_2s":$gate$subset$upJson,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stats":$statsJson,"iters":$iters,"warmup":$warmup,"worst_max":${f3(worstMax)},"raw_worst_max":${f3(rawWorstMax)},"outliers_retried":$totalRetried,"outlier_policy":"re-measure when own steal+iowait delta > ${stealThresh} cpu-s (any duration, r15) OR >=2s AND >2x running median; max $maxRetries/query; published median = steal-clean median (iteration delta <= ${cleanThresh} cpu-s) when >= max(3, iters/4) clean iterations exist, else plain median (see clean_iters); gate max always over all accepted iterations; raw series reported alongside","pass_max_lt_2s":$gate$subset$upJson,"sf":"$sfDir"}"""
     println(line)
     // the full distribution also lands in the repo so the round artifact
     // can't lose it to output truncation; a SPARK_GRAFT_ONLY dev-subset run
