@@ -550,6 +550,20 @@ object ScaleProbe {
         enc.unpersist()
         ()
       }
+      // r15: the same serve answered from the PERSISTED store (open once
+      // in a fresh session — per-batch cost is the cell-pruned parquet
+      // scan + integer ranking, no re-encode, no cached corpus)
+      if (wanted("sq_ivf_store_serve_100q")) {
+        val sqDir = java.nio.file.Files
+          .createTempDirectory("graft_scaleprobe_sqivf").toString
+        time("sq_ivf_index_write")(
+          graft.sim.Similarity.writeSqIvfIndex(emb, "vec_id", "embedding",
+            sqDir, dim = 64, nlist = 64))
+        val sqIdx = graft.sim.Similarity.openSqIvfIndex(spark.newSession(), sqDir)
+        run("sq_ivf_store_serve_100q",
+          graft.sim.Similarity.sqIvfServeIndex(sqIdx, qs, "vec_id", "embedding",
+            10, nprobe = 8))
+      }
       // PQ scan: encode full corpus + ADC-score 100 queries × n codes
       run("pq_topk_100q",
         graft.sim.Similarity.pqTopK(emb, "vec_id", "embedding", 10,

@@ -168,9 +168,13 @@ private[ingest] object GridCube {
   def schemaOf(axes: IndexedSeq[Axis], varNames: Seq[String]): StructType =
     StructType(
       axes.map {
-        case Axis(dn, _, _, Some(_)) => StructField(dn, TimestampType, nullable = false)
+        // TimestampType requires coord AND cfTime, matching rowsFor's
+        // arms exactly: an Axis with cfTime but no coord values emits a
+        // Long position there, so declaring Timestamp here would fail at
+        // createDataFrame with a type-mismatch (or corrupt the column)
+        case Axis(dn, _, Some(_), Some(_)) => StructField(dn, TimestampType, nullable = false)
         case Axis(dn, _, Some(_), None) => StructField(dn, DoubleType, nullable = false)
-        case Axis(dn, _, None, None) => StructField(dn, LongType, nullable = false)
+        case Axis(dn, _, None, _) => StructField(dn, LongType, nullable = false)
       } ++ varNames.map(v => StructField(v, DoubleType, nullable = true)))
 
   private final case class Plan(schema: StructType, selected: IndexedSeq[Int],

@@ -75,11 +75,24 @@ object GridSink {
               targetFileMB: Int = 128,
               sortCols: Seq[String] = Nil): StoreInfo = {
     // overwriting the store being read would destroy it mid-scan; compare
-    // fully-qualified paths so scheme/relative aliases can't slip past
+    // fully-qualified paths so scheme/relative aliases can't slip past —
+    // and reject NESTING either way: a dest that is a parent of src
+    // recursively deletes the source before the scan runs, and a dest
+    // inside src leaves the compacted copy polluting every later
+    // openStore(src) with duplicated rows
     val hconf = spark.sparkContext.hadoopConfiguration
     val srcQ = new Path(src).getFileSystem(hconf).makeQualified(new Path(src))
     val destQ = new Path(dest).getFileSystem(hconf).makeQualified(new Path(dest))
+    def contains(outer: Path, inner: Path): Boolean = {
+      var p: Path = inner
+      while (p != null) { if (p == outer) return true; p = p.getParent }
+      false
+    }
     require(srcQ != destQ, s"compact: dest must differ from src ($srcQ)")
+    require(!contains(destQ, srcQ),
+      s"compact: dest $destQ contains src $srcQ — the overwrite would delete the source store")
+    require(!contains(srcQ, destQ),
+      s"compact: dest $destQ is inside src $srcQ — later reads of src would double-count")
     val info = storeInfo(spark, src)
     val target = LayoutPlanner.clampTargetMB(targetFileMB) * 1024L * 1024L
     val nFiles = math.max(1L, (info.totalBytes + target - 1) / target).toInt

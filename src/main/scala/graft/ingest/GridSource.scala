@@ -50,6 +50,12 @@ object GridSource {
       df = df.select((coords ++ variables).distinct.map(col): _*)
     }
     timeRange.foreach { case (s, e) =>
+      // validate the bounds on the driver BEFORE the cast reaches the
+      // plan: under non-ANSI conf a malformed literal casts to NULL and
+      // between(NULL, …) silently drops every row — the loud-reject
+      // convention the grid reader (GridCube.parseInstantMicros) already
+      // follows for the same inputs
+      Seq(s, e).foreach(b => GridCube.parseInstantMicros(b))
       df = df.where(col(tsCol).between(lit(s).cast("timestamp"), lit(e).cast("timestamp")))
     }
     bbox.foreach(b => df = applyBBox(df, b, latCol, lonCol))

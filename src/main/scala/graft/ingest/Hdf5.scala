@@ -2115,15 +2115,23 @@ object Hdf5 {
     * when present (address → dim-scale dataset name), else positional
     * shape matching against the dimension-scale inventory.
     */
-  private def dimNamesOf(v: H5Dataset, f: H5File): IndexedSeq[String] = {
+  private[ingest] def dimNamesOf(v: H5Dataset, f: H5File): IndexedSeq[String] = {
     val byAddr = f.datasets.map(d => d.addr -> d.name).toMap
     v.dimRefs match {
       case Some(refs) if refs.forall(byAddr.contains) => refs.map(byAddr)
       case _ =>
+        // positional fallback: match each axis to an UNUSED scale of the
+        // same length — consuming a scale once keeps a square grid (two
+        // equal-length dims, e.g. 180×180 lat/lon) from binding BOTH axes
+        // to the first scale (duplicate column names + silently wrong
+        // coordinates on the second axis)
+        val used = scala.collection.mutable.Set.empty[String]
         val scales = f.datasets.filter(d => d.isDimScale && d.dims.length == 1)
         v.dims.zipWithIndex.map { case (len, i) =>
-          scales.find(_.dims.head == len).map(_.name)
-            .getOrElse(s"phony_dim_$i")
+          scales.find(s => s.dims.head == len && !used.contains(s.name)) match {
+            case Some(s) => used += s.name; s.name
+            case None => s"phony_dim_$i"
+          }
         }
     }
   }
@@ -2141,7 +2149,13 @@ object Hdf5 {
   }
 
   private def readAll(at: At, v: H5Dataset): Array[Double] = {
-    val n = v.dims.map(_.toLong).product.toInt
+    // loud 2 GiB bound like the slab path: .toInt on a >2^31 element
+    // count would silently wrap and decode a wrong, smaller dataset
+    val nL = v.dims.map(_.toLong).product
+    require(nL <= Int.MaxValue.toLong && nL * v.dtype.size <= Int.MaxValue.toLong,
+      s"${v.name}: full read of $nL × ${v.dtype.size}B elements exceeds " +
+        "2 GiB — use the distributed slab reader (GridCube.read)")
+    val n = nL.toInt
     v.layout match {
       case Compact(data) =>
         decodeValues(ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN), v.dtype, n)
@@ -2157,9 +2171,13 @@ object Hdf5 {
 
   /** Copy every chunk cell intersecting outer slices [sliceLo, sliceHi)
     * into `out`, which is row-major over (sliceHi-sliceLo) × inner dims.
+    * `decoded` lets a caller that issues MANY overlapping windows (the
+    * per-slice SlabReader) memoize chunk decodes — a chunk with outer
+    * extent 100 is otherwise fetched and inflated 100× (once per slice).
     */
   private def copyChunksInto(at: At, v: H5Dataset, ch: Chunked,
-                             out: Array[Double], sliceLo: Int, sliceHi: Int): Unit = {
+                             out: Array[Double], sliceLo: Int, sliceHi: Int,
+                             decoded: (H5Dataset, H5Chunk) => Array[Double] = null): Unit = {
     val dims = v.dims
     val rank = dims.length
     val cdims = ch.chunkDims
@@ -2183,7 +2201,8 @@ object Hdf5 {
       ci += 1
       val c0 = c.offsets.head.toInt
       if (c0 < sliceHi && c0 + cdims.head > sliceLo) {
-        val vals = chunkValues(at, v, c)
+        val vals =
+          if (decoded != null) decoded(v, c) else chunkValues(at, v, c)
         // odometer over the chunk's cells; copy those inside the dataset
         // bounds and the requested outer window
         val idx = new Array[Int](rank)
@@ -2308,6 +2327,33 @@ object Hdf5 {
     val mkReader = () => new GridCube.SlabReader {
       private val ch = NetCdf.openRead(path, props)
       private val at = new At(ch)
+      // memoized chunk decode: the slab loop reads slices IN ORDER, so a
+      // chunk with outer extent E is hit by E consecutive slab calls —
+      // without the cache each hit re-fetches and re-inflates the whole
+      // chunk (E× redundant I/O + decompression per chunk per task). A
+      // small LRU bounds memory: one outer chunk-row of a typical grid
+      // fits easily; eviction is by decoded-doubles budget.
+      private val chunkCache =
+        new java.util.LinkedHashMap[(String, Long), Array[Double]](16, 0.75f, true)
+      private var cachedDoubles = 0L
+      private val cacheBudget = 16L << 20 // 16M doubles = 128 MB
+      private def decodedCached(v: H5Dataset, c: H5Chunk): Array[Double] = {
+        val key = (v.name, c.addr)
+        val hit = chunkCache.get(key)
+        if (hit != null) hit
+        else {
+          val vals = chunkValues(at, v, c)
+          cachedDoubles += vals.length
+          chunkCache.put(key, vals)
+          val it = chunkCache.entrySet().iterator()
+          while (cachedDoubles > cacheBudget && chunkCache.size() > 1) {
+            val e = it.next()
+            cachedDoubles -= e.getValue.length
+            it.remove()
+          }
+          vals
+        }
+      }
       def slab(vi: Int, i0: Int): Array[Double] = {
         val v = varMeta(vi)
         val innerCount = v.dims.drop(1).map(_.toLong).product
@@ -2330,7 +2376,8 @@ object Hdf5 {
             }
           case ck: Chunked =>
             val out = Array.fill(innerCount.toInt)(v.fillRaw.getOrElse(Double.NaN))
-            copyChunksInto(at, v, ck, out, sliceLo = i0, sliceHi = i0 + 1)
+            copyChunksInto(at, v, ck, out, sliceLo = i0, sliceHi = i0 + 1,
+              decoded = decodedCached)
             out
         }
       }

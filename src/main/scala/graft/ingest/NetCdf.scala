@@ -187,7 +187,18 @@ object NetCdf {
       skipPad(n)
       new String(bytes, "UTF-8")
     }
-    def skipPad(n: Int): Unit = { val r = n % 4; if (r != 0) buf.position(buf.position() + (4 - r)) }
+    def skipPad(n: Int): Unit = {
+      val r = n % 4
+      if (r != 0) {
+        val np = buf.position() + (4 - r)
+        // past-the-limit padding reads as underflow (not the generic
+        // IllegalArgumentException position() throws), so the header
+        // reader's grow-on-underflow loop can tell truncation apart from
+        // a structurally bad file
+        if (np > buf.limit()) throw new java.nio.BufferUnderflowException
+        buf.position(np)
+      }
+    }
     def values(t: NcType, n: Int): IndexedSeq[Any] = {
       val out: IndexedSeq[Any] = t match {
         case NcChar =>
@@ -214,8 +225,33 @@ object NetCdf {
   private[ingest] def readHeader(path: String, props: Map[String, String]): Header = {
     val raf = openRead(path, props)
     try {
-      // headers are tiny; 1 MiB covers pathological attr lists
-      val headBytes = new Array[Byte](math.min(raf.length, 1L << 20).toInt)
+      // headers are usually tiny (1 MiB covers pathological attr lists),
+      // but a legitimate file with thousands of variables can exceed any
+      // fixed cap: on underflow the buffer doubles until the whole file
+      // is in — a loud reject is reserved for genuinely truncated files
+      // (underflow with the full file buffered), never for large headers
+      var cap = math.min(raf.length, 1L << 20)
+      var out: Header = null
+      while (out == null) {
+        try out = parseHeader(raf, path, cap)
+        catch {
+          case _: java.nio.BufferUnderflowException |
+               _: IndexOutOfBoundsException if cap < raf.length =>
+            cap = math.min(raf.length, cap * 8)
+          case _: java.nio.BufferUnderflowException |
+               _: IndexOutOfBoundsException =>
+            sys.error(s"$path: truncated NetCDF header (file ends mid-structure)")
+        }
+      }
+      out
+    } finally raf.close()
+  }
+
+  private def parseHeader(raf: PosRead, path: String, cap: Long): Header = {
+    {
+      require(cap <= Int.MaxValue.toLong,
+        s"$path: NetCDF header exceeds 2 GiB — not a parseable classic file")
+      val headBytes = new Array[Byte](cap.toInt)
       raf.readFully(0L, headBytes, 0, headBytes.length)
       require(headBytes.length >= 4 &&
         headBytes(0) == 'C' && headBytes(1) == 'D' && headBytes(2) == 'F',
@@ -258,7 +294,7 @@ object NetCdf {
         Variable(nm, dimIds, atts, t, vsize, begin)
       }
       Header(version, numRecs, dims, gatts, vars)
-    } finally raf.close()
+    }
   }
 
   // ---- raw slab decode (executor-side) ----

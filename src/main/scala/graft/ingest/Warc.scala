@@ -516,8 +516,13 @@ object Warc {
       .where(length(trim(col("value"))) > 0)
       .select(col("value"),
         substring_index(col("value"), " ", 1).as("urlkey"),
-        element_at(split(col("value"), " ", 3), 2).as("cdx_ts"),
-        element_at(split(col("value"), " ", 3), 3).as("json"))
+        // try_element_at, not element_at: under ANSI mode a line with
+        // fewer than 3 tokens would throw INVALID_ARRAY_INDEX before the
+        // malformed-line raise_error below can name the offending line;
+        // try_element_at yields the NULL the guard converts to the
+        // diagnostic (same rationale as the try_casts)
+        try_element_at(split(col("value"), " ", 3), lit(2)).as("cdx_ts"),
+        try_element_at(split(col("value"), " ", 3), lit(3)).as("json"))
     // a malformed line (missing JSON, non-numeric offset/length, absent
     // mandatory field) REJECTS LOUDLY with the offending line — nulled-out
     // fields would silently drop records from every index-driven fetch.

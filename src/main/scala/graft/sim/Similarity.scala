@@ -1189,6 +1189,92 @@ object Similarity {
     scoreAssignedCells(index.codes, index.cents, index.books, index.residual,
       queryDf, idCol, vecCol, k, nprobe, index.m, index.dim / index.m)
 
+  // ---------------------------------------------------------------- //
+  // Persisted SQ×IVF index — the int8 tier's fit-once/serve-many      //
+  // store (r14 shipped the in-memory split; without a store a server  //
+  // restart re-encoded the corpus). Same lifecycle shape as IVF-PQ:   //
+  // a driver-held model (centroids only — SQ needs no codebooks, its  //
+  // scale is the fixed constant 1/127) plus a cell-partitioned codes  //
+  // table, opened through a per-JVM model cache.                      //
+  // ---------------------------------------------------------------- //
+
+  /** An opened on-disk SQ×IVF index: the coarse centroids (nlist × dim
+    * doubles, driver-held like the literals the direct path inlines) and
+    * the lazy cell-partitioned `(id, c8)` codes table.
+    */
+  case class SqIvfIndex(cents: Seq[Seq[Double]], dim: Int, codes: DataFrame)
+
+  /** Fit an SQ×IVF index on `df` and persist it under `path`: `meta`
+    * (one row of params), `centroids` (nlist rows) and `codes` — one
+    * `(id, c8)` row per corpus vector, partitioned by `cell`. The fit
+    * and encode are exactly [[sqIvfTopK]]'s (same deterministic coarse
+    * Lloyd's, same [[sqIvfEncode]] expressions), so serving from the
+    * store is bit-identical to the direct composition — the integer
+    * scores make that testable value-for-value.
+    */
+  def writeSqIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+                      path: String, dim: Int, nlist: Int = 16,
+                      seed: Long = 42L, iters: Int = 10): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = pqCodebooks(df, vecCol, dim, m = 1, codebookSize = nlist,
+      seed = seed, iters = iters, normalizeInput = false).head
+    Seq((dim, nlist, seed, iters)).toDF("dim", "nlist", "seed", "iters")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "vec")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    sqIvfEncode(df, idCol, vecCol, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    invalidateSqIvfModel(path)
+  }
+
+  /** Append new vectors: encode with the STORED centroids (no refit —
+    * existing codes stay valid) into the same cell-partitioned layout.
+    * Caller owns id-uniqueness, like [[appendToIvfPqIndex]].
+    */
+  def appendToSqIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+                         path: String): Unit = {
+    val index = openSqIvfIndex(df.sparkSession, path)
+    sqIvfEncode(df, idCol, vecCol, index.cents)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Per-JVM cache of opened SQ×IVF models (centroids + codes schema) —
+    * same serve-many rationale as [[indexModelCache]]; invalidated by
+    * [[writeSqIvfIndex]], and by [[invalidateSqIvfModel]] after an
+    * out-of-process rewrite.
+    */
+  private val sqIvfModelCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[Seq[Double]], Int,
+      org.apache.spark.sql.types.StructType)]
+
+  def invalidateSqIvfModel(path: String): Unit = { sqIvfModelCache.remove(path); () }
+
+  /** Open a persisted SQ×IVF index: the centroid table collects to the
+    * driver (nlist rows) and is cached per JVM; the codes table stays a
+    * lazy partition-pruned DataFrame.
+    */
+  def openSqIvfIndex(spark: SparkSession, path: String): SqIvfIndex = {
+    val (cents, dim, codesSchema) = sqIvfModelCache.getOrElseUpdate(path, {
+      val meta = spark.read.parquet(s"$path/meta").head()
+      val cs = spark.read.parquet(s"$path/centroids")
+        .orderBy("cell").collect()
+        .map(r => r.getSeq[Double](r.fieldIndex("vec"))).toSeq
+      (cs, meta.getAs[Int]("dim"), spark.read.parquet(s"$path/codes").schema)
+    })
+    SqIvfIndex(cents, dim,
+      spark.read.schema(codesSchema).parquet(s"$path/codes"))
+  }
+
+  /** Answer a query batch from a persisted SQ×IVF index — no coarse
+    * fit, no corpus re-encode: probe-side kernel + cell equi-join
+    * against the stored codes + integer-dot ranking. Bit-identical to
+    * the direct [[sqIvfTopK]] with the same parameters.
+    */
+  def sqIvfServeIndex(index: SqIvfIndex, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int, nprobe: Int = 4): DataFrame =
+    sqIvfServe(index.codes, queries, idCol, vecCol, k, index.cents, nprobe)
+
   /** ANN top-k via LSH: bucket on signature bands, rank within buckets.
     * Recall < 1 by construction; `bands` trades recall vs. bucket size.
     */

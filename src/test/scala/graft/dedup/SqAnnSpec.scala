@@ -56,6 +56,54 @@ class SqAnnSpec extends SparkSpec {
     assert(composed == brute)
   }
 
+  test("persisted sq×ivf store: serve-from-store is bit-identical to the " +
+    "direct composition, a fresh session opens it, append grows it") {
+    val path = tmpDir() + "/sqivf"
+    val small = emb.where(col("vec_id") < 80)
+    val q = small.where(col("vec_id") % 13 === 0)
+    Similarity.writeSqIvfIndex(small, "vec_id", "embedding", path,
+      dim = 64, nlist = 4)
+    // a FRESH session sees only the store — no build-session state
+    val fresh = spark.newSession()
+    val idx = Similarity.openSqIvfIndex(fresh, path)
+    assert(idx.cents.length == 4 && idx.dim == 64)
+    val qf = graft.model.Tables.embeddings(fresh, sfDir)
+      .where(col("vec_id") < 80 && col("vec_id") % 13 === 0)
+    val served = Similarity.sqIvfServeIndex(idx, qf, "vec_id", "embedding",
+        k = 5, nprobe = 2)
+      .select("query_id", "id", "dot", "rank")
+      .as[(Long, Long, Long, Int)](fresh.implicits.newProductEncoder)
+      .collect().toSet
+    val direct = Similarity.sqIvfTopK(small, q, "vec_id", "embedding", 5,
+        dim = 64, nlist = 4, nprobe = 2)
+      .select("query_id", "id", "dot", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(served == direct, "store serve must equal direct composition")
+    // grow: append 81..99 encoded with the STORED centroids — serving the
+    // grown store equals serving codes re-encoded in memory with the same
+    // model (append changes WHERE codes live, never what they are)
+    val extra = emb.where(col("vec_id") >= 80 && col("vec_id") < 100)
+    Similarity.appendToSqIvfIndex(extra, "vec_id", "embedding", path)
+    val grownIdx = Similarity.openSqIvfIndex(fresh, path)
+    val grown = Similarity.sqIvfServeIndex(grownIdx, qf, "vec_id", "embedding",
+        k = 5, nprobe = 2)
+      .select("query_id", "id", "dot", "rank")
+      .as[(Long, Long, Long, Int)](fresh.implicits.newProductEncoder)
+      .collect().toSet
+    val rebuiltCodes = Similarity.sqIvfEncode(
+      emb.where(col("vec_id") < 100), "vec_id", "embedding", idx.cents)
+    val rebuilt = Similarity.sqIvfServe(rebuiltCodes, q, "vec_id", "embedding",
+        k = 5, centroids = idx.cents, nprobe = 2)
+      .select("query_id", "id", "dot", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(grown == rebuilt, "grown store must equal in-memory re-encode")
+    // a refit with different params through write() invalidates the
+    // per-JVM model cache (cache-coherence twin of DedupIndexSpec's)
+    Similarity.writeSqIvfIndex(small, "vec_id", "embedding", path,
+      dim = 64, nlist = 8)
+    assert(Similarity.openSqIvfIndex(fresh, path).cents.length == 8)
+  }
+
   test("sq×ivf prunes: candidates only from probed cells, scores still exact") {
     val small = emb.where(col("vec_id") < 200)
     val q = small.where(col("vec_id") % 29 === 0)

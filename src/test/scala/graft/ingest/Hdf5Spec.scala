@@ -849,6 +849,28 @@ class Hdf5Spec extends SparkSpec {
     assert(df.agg(sum("x")).head().getDouble(0) == 10.0)
   }
 
+  test("positional dim fallback binds equal-length axes to DISTINCT " +
+    "scales (square grid: lat/lon both len 2 must not both resolve 'lat')") {
+    import Hdf5.{H5Dataset, H5File, H5Type, Contiguous}
+    val dt = H5Type(cls = 1, size = 8, littleEndian = true, signed = true)
+    def scale(name: String, addr: Long) = H5Dataset(name, addr, dt,
+      IndexedSeq(2), Contiguous(0L, 16L), Map.empty, None,
+      isDimScale = true, dimRefs = None)
+    val lat = scale("lat", 1L)
+    val lon = scale("lon", 2L)
+    // no DIMENSION_LIST → positional fallback
+    val v = H5Dataset("temp", 3L, dt, IndexedSeq(2, 2),
+      Contiguous(0L, 32L), Map.empty, None,
+      isDimScale = false, dimRefs = None)
+    val names = Hdf5.dimNamesOf(v, H5File(IndexedSeq(lat, lon, v)))
+    assert(names == IndexedSeq("lat", "lon"),
+      s"square grid bound both axes to: $names")
+    // a third equal-length axis with no scale left falls back to phony
+    val v3 = v.copy(dims = IndexedSeq(2, 2, 2))
+    assert(Hdf5.dimNamesOf(v3, H5File(IndexedSeq(lat, lon, v3)))
+      == IndexedSeq("lat", "lon", "phony_dim_2"))
+  }
+
   test("nbit filter (id 5): int roundtrip with negatives, reduced-" +
     "precision datatype honored, out-of-precision write rejects") {
     val path = tmpDir() + "/nbit.h5"

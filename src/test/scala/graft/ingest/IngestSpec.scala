@@ -128,6 +128,37 @@ class IngestSpec extends SparkSpec {
     assert(math.abs(a - b) / math.abs(a) < 1e-12)
   }
 
+  test("compact rejects nested src/dest in BOTH directions (a parent dest " +
+    "would recursively delete the source store before the scan runs)") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity").limit(100)
+    val base = tmpDir()
+    val src = base + "/store"
+    li.write.parquet(src)
+    val up = intercept[IllegalArgumentException] {
+      GridSink.compact(spark, src, base)
+    }
+    assert(up.getMessage.contains("contains src"))
+    val down = intercept[IllegalArgumentException] {
+      GridSink.compact(spark, src, src + "/compacted")
+    }
+    assert(down.getMessage.contains("inside src"))
+    // the source store is intact after both rejects
+    assert(GridSink.openStore(spark, src).count() == 100)
+    // a sibling dest still works
+    assert(GridSink.compact(spark, src, base + "/ok").nRows == 100)
+  }
+
+  test("readGrid rejects an unparseable timeRange bound loudly instead of " +
+    "silently returning zero rows (non-ANSI cast-to-NULL)") {
+    val e = intercept[RuntimeException] {
+      GridSource.readGrid(spark, s"$sfDir/lineitem.parquet",
+        variables = Seq("l_quantity"),
+        timeRange = Some(("1996-13-45", "1996-12-31")), tsCol = "l_shipdate")
+    }
+    assert(e.getMessage.contains("unparseable timestamp bound"))
+  }
+
   test("codec choices roundtrip (S9: zstd, lz4, gzip)") {
     val li = Tables.lineitem(spark, sfDir).limit(500)
     Seq("zstd", "lz4", "gzip").foreach { codec =>

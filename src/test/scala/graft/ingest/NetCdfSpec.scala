@@ -76,6 +76,28 @@ class NetCdfSpec extends SparkSpec {
     assert(inf == Map("time" -> 2L, "lat" -> 3L, "t2m" -> 6L))
   }
 
+  test("headers past the 1 MiB probe parse (buffer grows on underflow); " +
+    "genuinely truncated files reject loudly") {
+    val path = tmpDir() + "/bigheader.nc"
+    // a ~3 MiB global attr pushes the header far past the 1 MiB probe —
+    // previously a bare BufferUnderflowException
+    write(path,
+      dims = Seq(Dim("x", 2)),
+      vars = Seq((VarDef("v", Seq("x"), NcDouble), Array(1.0, 2.0))),
+      gatts = Seq("history" -> ("h" * (3 << 20))))
+    val h = readHeader(path)
+    assert(h.gatts.find(_.name == "history").flatMap(_.str).exists(_.length == (3 << 20)))
+    assert(readVarDriver(path, h, "v").toSeq == Seq(1.0, 2.0))
+    // truncate the file mid-header: loud, named reject — not an opaque
+    // underflow and not an infinite grow loop
+    val all = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val tPath = tmpDir() + "/trunc.nc"
+    java.nio.file.Files.write(java.nio.file.Paths.get(tPath),
+      java.util.Arrays.copyOf(all, 1 << 20))
+    val e = intercept[Exception] { readHeader(tPath) }
+    assert(e.getMessage.contains("truncated NetCDF header"), e.getMessage)
+  }
+
   test("distributed read: CF time decode, unpacking, fill -> null") {
     val path = tmpDir() + "/grid.nc"
     val (nt, nlat, nlon) = (4, 3, 2)

@@ -153,6 +153,26 @@ class WarcSpec extends SparkSpec {
     assert(chainMsg(e2).contains("malformed CDXJ"))
   }
 
+  test("truncated CDXJ line (< 3 tokens) reports the offending line under " +
+    "ANSI mode instead of INVALID_ARRAY_INDEX") {
+    val p = tmpDir() + "/short.cdxj"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      "com,example)/ 20260815\n".getBytes(UTF_8))
+    // exercise BOTH conf states: the diagnostic must not depend on the
+    // session's ANSI setting (element_at would throw before the guard)
+    Seq("true", "false").foreach { ansi =>
+      val prev = spark.conf.get("spark.sql.ansi.enabled")
+      spark.conf.set("spark.sql.ansi.enabled", ansi)
+      try {
+        val e = intercept[Exception] {
+          Warc.readCdxj(spark, p).select("url", "offset").collect()
+        }
+        assert(chainMsg(e).contains("malformed CDXJ line: com,example)/ 20260815"),
+          s"ansi=$ansi got: ${chainMsg(e)}")
+      } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+    }
+  }
+
   test("writeDistributed: one verified .warc.gz per non-empty partition, " +
     "roundtrips through read") {
     import spark.implicits._
