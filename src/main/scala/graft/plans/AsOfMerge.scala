@@ -413,6 +413,14 @@ object AsOfMerge {
     require(clashes.isEmpty,
       s"Right value columns clash with left columns: ${clashes.mkString(", ")} — alias them first")
     require(rightVals.nonEmpty, "rightVals must name at least one column to carry")
+    // same reserved-name guard as the composition twin
+    // (operators/AsOfJoin): a left column named asof_ts would duplicate
+    // the output column, and _asof_* left names make the final select's
+    // col("_asof_rts") ambiguous
+    val reserved = leftCols.filter(c => c == "asof_ts" || c.startsWith("_asof_"))
+    require(reserved.isEmpty,
+      s"asofMergeJoin reserves 'asof_ts' and the '_asof_' prefix; left " +
+        s"columns ${reserved.mkString(", ")} would collide — alias them first")
     val spark = left.sparkSession
     install(spark)
 

@@ -20,8 +20,12 @@ import org.apache.spark.sql.types._
 object Expressions {
 
   /** Cosine similarity of two double arrays in one fused loop.
-    * Null (top-level) → null; zero-norm input → NaN (matches the division
-    * semantics of the composed form).
+    * Null (top-level) → null; a NULL ELEMENT → null (what the composed
+    * `aggregate(zip_with(...))` form yields — an UnsafeArrayData slot
+    * would otherwise silently read 0.0); zero-norm input → NaN (matches
+    * the division semantics of the composed form). Mixed dimensions
+    * reject loudly (repo-wide policy — see Int8Dot): a dot over min(len)
+    * quietly mis-scores vectors from different embedding models.
     */
   case class CosineSimilarity(left: Expression, right: Expression)
       extends BinaryExpression with ExpectsInputTypes {
@@ -30,14 +34,18 @@ object Expressions {
       Seq(ArrayType(DoubleType), ArrayType(DoubleType))
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_cosine"
+    override def nullable: Boolean = true
 
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) throw new IllegalArgumentException(
+        s"graft_cosine: vector dimension mismatch ($n vs ${y.numElements()})")
       var dot = 0.0; var nx = 0.0; var ny = 0.0
       var i = 0
       while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val xv = x.getDouble(i); val yv = y.getDouble(i)
         dot += xv * yv; nx += xv * xv; ny += yv * yv
         i += 1
@@ -53,14 +61,22 @@ object Expressions {
         val nx = ctx.freshName("nx")
         val ny = ctx.freshName("ny")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  throw new IllegalArgumentException(
+           |    "graft_cosine: vector dimension mismatch (" + $n + " vs " +
+           |      $b.numElements() + ")");
+           |}
            |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
+           |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
            |  double xv = $a.getDouble($i);
            |  double yv = $b.getDouble($i);
            |  $dot += xv * yv; $nx += xv * xv; $ny += yv * yv;
            |}
-           |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+           |if (!${ev.isNull}) {
+           |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+           |}
          """.stripMargin
       })
 
@@ -225,6 +241,12 @@ object Expressions {
       val thr = thrAny.asInstanceOf[ArrayData]
       val pct = pcAny.asInstanceOf[ArrayData]
       val n = thr.numElements()
+      // loud on a levels/thresholds length mismatch: pct.getDouble(n-1)
+      // on a shorter UnsafeArrayData has no bounds check and would return
+      // an arbitrary adjacent-memory double
+      if (pct.numElements() < n) throw new IllegalArgumentException(
+        s"graft_percentile_rank: ${pct.numElements()} percentile levels " +
+          s"for $n thresholds")
       if (value.isNaN || n == 0) null
       else if (value <= thr.getDouble(0)) pct.getDouble(0)
       else if (value >= thr.getDouble(n - 1)) pct.getDouble(n - 1)
@@ -243,6 +265,11 @@ object Expressions {
         val n = ctx.freshName("n")
         s"""
            |int $n = $thr.numElements();
+           |if ($pct.numElements() < $n) {
+           |  throw new IllegalArgumentException(
+           |    "graft_percentile_rank: " + $pct.numElements() +
+           |      " percentile levels for " + $n + " thresholds");
+           |}
            |if (Double.isNaN($v) || $n == 0) {
            |  ${ev.isNull} = true;
            |} else if ($v <= $thr.getDouble(0)) {
@@ -676,6 +703,12 @@ object Expressions {
     override def nullSafeEval(input: Any): Any = {
       val v = input.asInstanceOf[ArrayData]
       val dim = m * sub
+      // loud reject like PqLuts/NearestCentroid: UnsafeArrayData.getDouble
+      // has no bounds check, so a short vector would encode adjacent row
+      // bytes into plausible-looking garbage codes
+      if (v.numElements() != dim) throw new IllegalArgumentException(
+        s"graft_pq_encode: vector has ${v.numElements()} elements, " +
+          s"codebooks expect m×sub = $dim — malformed embedding")
       var ss = 0.0
       var i = 0
       while (i < dim) { val x = v.getDouble(i); ss += x * x; i += 1 }
@@ -719,6 +752,11 @@ object Expressions {
         val base = ctx.freshName("base")
         val vv = ctx.freshName("vv")
         s"""
+           |if ($v.numElements() != ${m * sub}) {
+           |  throw new IllegalArgumentException(
+           |    "graft_pq_encode: vector has " + $v.numElements() +
+           |      " elements, codebooks expect m×sub = ${m * sub} — malformed embedding");
+           |}
            |double $ss = 0.0;
            |for (int $i = 0; $i < ${m * sub}; $i++) {
            |  double $vv = $v.getDouble($i); $ss += $vv * $vv;
@@ -776,7 +814,16 @@ object Expressions {
       var s = 0.0
       var j = 0
       while (j < m) {
-        s += luts.getArray(j).getDouble(codes.getInt(j))
+        val lut = luts.getArray(j)
+        val code = codes.getInt(j)
+        // same stale-codebook class as the m check: codes written with a
+        // larger k than the LUTs were built with would read out of bounds
+        // (no UnsafeArrayData bounds check) — quietly wrong scores
+        if (code < 0 || code >= lut.numElements())
+          throw new IllegalArgumentException(
+            s"graft_pq_adc: code $code outside LUT of ${lut.numElements()} " +
+              "entries — stale codes for a retrained codebook")
+        s += lut.getDouble(code)
         j += 1
       }
       s
@@ -786,6 +833,7 @@ object Expressions {
       nullSafeCodeGen(ctx, ev, (l, c) => {
         val j = ctx.freshName("j"); val n = ctx.freshName("n")
         val s = ctx.freshName("s")
+        val lut = ctx.freshName("lut"); val code = ctx.freshName("code")
         s"""
            |if ($l.numElements() != $c.numElements()) {
            |  throw new IllegalArgumentException(
@@ -795,7 +843,14 @@ object Expressions {
            |int $n = $c.numElements();
            |double $s = 0.0;
            |for (int $j = 0; $j < $n; $j++) {
-           |  $s += $l.getArray($j).getDouble($c.getInt($j));
+           |  org.apache.spark.sql.catalyst.util.ArrayData $lut = $l.getArray($j);
+           |  int $code = $c.getInt($j);
+           |  if ($code < 0 || $code >= $lut.numElements()) {
+           |    throw new IllegalArgumentException(
+           |      "graft_pq_adc: code " + $code + " outside LUT of " +
+           |        $lut.numElements() + " entries — stale codes for a retrained codebook");
+           |  }
+           |  $s += $lut.getDouble($code);
            |}
            |${ev.value} = $s;
          """.stripMargin
@@ -969,12 +1024,17 @@ object Expressions {
     * had). Bit `i` is set iff `dot(vec, planes(i)) >= 0`, with the same
     * left-to-right accumulation from 0.0 as the composed form, so the
     * signatures — and the SQL-replayed LSH oracles — are bit-identical.
-    * Elements are read over min(|vec|, dim) like [[CosineSimilarity]].
     */
   case class HyperplaneSignature(child: Expression, planes: Seq[Seq[Double]])
       extends UnaryExpression with ExpectsInputTypes {
     require(planes.nonEmpty && planes.forall(_.size == planes.head.size),
       "HyperplaneSignature: planes must be non-empty and rectangular")
+    // the signature packs one bit per plane into a Long: 1L << b for
+    // b >= 64 silently aliases onto bits 0..63 — plane 64 would OR into
+    // bit 0 and LSH buckets would merge unrelated vectors with no error
+    require(planes.size <= 64,
+      s"HyperplaneSignature: ${planes.size} planes exceed the 64-bit " +
+        "signature word — split into multiple signatures")
 
     override def inputTypes: Seq[Bridge.AbstractType] =
       Seq(Bridge.typeCollection(ArrayType(DoubleType), ArrayType(FloatType)))
@@ -989,9 +1049,16 @@ object Expressions {
       case _ => false
     }
 
-    /** Row kernel — public so generated code can call it. */
+    /** Row kernel — public so generated code can call it. A dimension
+      * mismatch fails loudly like [[NearestCentroid]]: a prefix-dot sign
+      * on a malformed embedding yields a plausible-looking wrong bucket.
+      */
     def compute(v: ArrayData): Long = {
-      val n = math.min(v.numElements(), dim)
+      if (v.numElements() != dim)
+        throw new IllegalArgumentException(
+          s"graft_hyperplane_signature: vector has ${v.numElements()} " +
+            s"elements, planes have $dim — malformed embedding")
+      val n = dim
       var sig = 0L
       var b = 0
       while (b < bits) {
@@ -1261,17 +1328,22 @@ object Expressions {
 
     @transient private lazy val codec = new graft.text.Bpe.Codec(merges)
 
-    /** Row kernel — public so generated code can call it. */
+    /** Row kernel — public so generated code can call it. A null array
+      * ELEMENT contributes no tokens (the deliberate GramHashes guard —
+      * getUTF8String would return null and NPE on .toString).
+      */
     def compute(ws: ArrayData): ArrayData = {
       val n = ws.numElements()
       val out = new scala.collection.mutable.ArrayBuffer[Any](n * 2)
       var i = 0
       while (i < n) {
-        val toks = codec.encodeWord(ws.getUTF8String(i).toString)
-        var j = 0
-        while (j < toks.length) {
-          out += org.apache.spark.unsafe.types.UTF8String.fromString(toks(j))
-          j += 1
+        if (!ws.isNullAt(i)) {
+          val toks = codec.encodeWord(ws.getUTF8String(i).toString)
+          var j = 0
+          while (j < toks.length) {
+            out += org.apache.spark.unsafe.types.UTF8String.fromString(toks(j))
+            j += 1
+          }
         }
         i += 1
       }
@@ -1304,13 +1376,15 @@ object Expressions {
 
     @transient private lazy val codec = new graft.text.Bpe.Codec(merges)
 
-    /** Row kernel — public so generated code can call it. */
+    /** Row kernel — public so generated code can call it. Null array
+      * elements count zero tokens, mirroring [[BpeEncodeWords]].
+      */
     def compute(ws: ArrayData): Int = {
       val n = ws.numElements()
       var total = 0
       var i = 0
       while (i < n) {
-        total += codec.countWord(ws.getUTF8String(i).toString)
+        if (!ws.isNullAt(i)) total += codec.countWord(ws.getUTF8String(i).toString)
         i += 1
       }
       total

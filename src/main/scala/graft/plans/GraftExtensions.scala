@@ -24,8 +24,11 @@ object GraftExtensions {
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  // the 3-arg ExpressionInfo ctor is (className, db, NAME) — passing usage
+  // there garbles DESCRIBE FUNCTION output; use the 4-arg form where the
+  // last slot really is usage (db = null for a session-scoped function)
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[Expressions.type].getName, name, usage)
+    new ExpressionInfo(classOf[Expressions.type].getName, null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((

@@ -260,5 +260,16 @@ class AsOfMergeSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       AsOfMerge.asofMergeJoin(clicks, longRight, Seq("user_id"), "ts", "pts",
         Seq("purchase_value"))
     }
+    // reserved output/internal names on the LEFT reject like the
+    // composition twin: 'asof_ts' would silently duplicate the output
+    // column; '_asof_*' would make the final select ambiguous
+    intercept[IllegalArgumentException] {
+      AsOfMerge.asofMergeJoin(clicks.withColumn("asof_ts", col("ts")),
+        purchases, Seq("user_id"), "ts", "pts", Seq("purchase_value"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOfMerge.asofMergeJoin(clicks.withColumn("_asof_rts", col("ts")),
+        purchases, Seq("user_id"), "ts", "pts", Seq("purchase_value"))
+    }
   }
 }
