@@ -53,8 +53,11 @@ object Bench {
     // operator), HTML boilerplate removal, persisted-MinHash-index query,
     // int8-quantized ANN
     "q_warc_ingest", "q_html_extract", "q_dedup_index", "q_sq_ann",
-    // round-14: the SQ×IVF composition benched next to its brute twin
-    "q_sq_ivf_ann",
+    // round-14: the SQ×IVF composition benched next to its brute twin;
+    // round-15: its persisted-store serving path (fit-once/serve-many —
+    // the shape a deployment actually runs; store build amortized in
+    // warmup via the per-(app,dir) fixture memo)
+    "q_sq_ivf_ann", "q_sq_ivf_served",
     // the end-to-end composition: crawl bytes -> extraction -> scoring ->
     // near-dup removal -> rollup in one plan
     "q_web_pipeline")
