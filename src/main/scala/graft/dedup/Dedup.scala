@@ -657,9 +657,11 @@ object Dedup {
       // re-materialize the literal token windows of candidate
       // occurrences only (the candidate set is tiny next to the corpus)
       // and keep a removal iff its window EQUALS the keeper's window at
-      // that hash — a colliding gram verifies unequal and survives
+      // that hash — a colliding gram verifies unequal and survives.
+      // (normTokens for consistency with spanDedup; a blank doc has no
+      // grams and therefore no candidates, so behavior is identical.)
       val toks = df.select(col(idCol).as("id"),
-        TextMetrics.tokens(TextMetrics.normalize(col(textCol))).as("toks"))
+        TextMetrics.normTokens(col(textCol)).as("toks"))
       val withText = cand.join(toks, Seq("id"))
         .withColumn("wtext",
           concat_ws(" ", slice(col("toks"), col("pos") + 1, lit(width))))
@@ -697,8 +699,11 @@ object Dedup {
       maxDocFreq, exactVerify, cacheGrams)
     val starts = removals.groupBy(col("id"))
       .agg(collect_list(col("pos")).as("starts"))
+    // normTokens, NOT tokens∘normalize: a blank/punct-only document
+    // normalizes to "" and split("") yields [""] — a phantom token that
+    // made n_kept read 1 for empty documents (caught by SpanFuzzSpec)
     val toks = df.select(col(idCol).as("id"),
-      TextMetrics.tokens(TextMetrics.normalize(col(textCol))).as("toks"))
+      TextMetrics.normTokens(col(textCol)).as("toks"))
     toks.join(starts, Seq("id"), "left")
       .withColumn("starts", coalesce(col("starts"), array().cast("array<int>")))
       // token i survives iff no removed span [s, s+width) covers it; the

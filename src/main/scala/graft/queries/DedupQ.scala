@@ -389,8 +389,12 @@ object DedupQ extends QueryPack {
        |  SELECT gr.doc_id, gr.pos FROM grams gr JOIN stats st ON gr.g = st.g
        |  WHERE gr.doc_id <> st.keep_id),
        |tokpos AS (
+       |  -- w[i] <> '' drops the phantom token string_split('') yields for
+       |  -- a doc that normalizes to empty — mirrors the engine's
+       |  -- normTokens (blank doc => zero tokens, not one empty token)
        |  SELECT doc_id, i, w[i] AS tok
-       |  FROM toks, unnest(range(1, len(w) + 1)) AS t(i)),
+       |  FROM toks, unnest(range(1, len(w) + 1)) AS t(i)
+       |  WHERE w[i] <> ''),
        |kept AS (
        |  SELECT tp.doc_id, tp.i, tp.tok FROM tokpos tp
        |  WHERE NOT EXISTS (SELECT 1 FROM removals r

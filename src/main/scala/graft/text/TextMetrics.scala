@@ -106,6 +106,19 @@ object TextMetrics {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
+  /** [[tokens]] over [[normalize]]d text, blank-safe: `split("")` returns
+    * `[""]` — one PHANTOM token — so a document that normalizes to empty
+    * (blank or punctuation-only) must map to an empty array, not a
+    * one-element array whose element is the empty string. Use this
+    * wherever the token ARRAY itself is data (span dedup's kept-token
+    * counts); the scalar counters ([[tokenCount]] etc.) carry their own
+    * blank guards.
+    */
+  def normTokens(text: Column): Column = {
+    val n = normalize(text)
+    when(n === "", array().cast("array<string>")).otherwise(tokens(n))
+  }
+
   // ---- Repetition metrics (Gopher-style quality rules): the filters a
   // training-data pipeline applies before any dedup pass — documents that
   // repeat themselves are low-value regardless of near-duplicates
