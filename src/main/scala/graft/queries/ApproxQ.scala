@@ -79,7 +79,7 @@ object ApproxQ extends QueryPack {
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q_approx_topk" ->
       """SELECT token, count(*) AS n, TRUE AS within_tolerance
-        |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
         |      FROM documents)
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin
   )

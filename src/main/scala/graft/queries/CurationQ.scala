@@ -79,7 +79,7 @@ object CurationQ extends QueryPack {
     })
   )
 
-  private val toks = """string_split_regex(trim(text), '\s+')"""
+  private val toks = """regexp_extract_all(text, '\S+')"""
   private val stopList = TextMetrics.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
   private val norm =
     """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
@@ -88,8 +88,8 @@ object CurationQ extends QueryPack {
     "q_curation_pipeline" ->
       s"""WITH scored AS (
          |  SELECT doc_id, source,
-         |    CASE WHEN trim(text) = '' THEN 0 ELSE len($toks) END AS n_tokens,
-         |    CASE WHEN trim(text) = '' THEN 0.0 ELSE greatest(0.0, least(1.0,
+         |    len($toks) AS n_tokens,
+         |    CASE WHEN NOT regexp_matches(text, '\\S') THEN 0.0 ELSE greatest(0.0, least(1.0,
          |      least(log10(len($toks) + 1.0) / 3.0, 1.0) * 0.3
          |      + (1.0 - CASE WHEN len(text) = 0 THEN 0.0
          |          ELSE len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0

