@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.util.AtomicStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -48,23 +49,27 @@ object DedupIndex {
     */
   val DefaultPushdownMinStoreBytes: Long = 64L << 20
 
-  /** Fit the index over the existing corpus and persist it. */
+  /** Fit the index over the existing corpus and persist it — as a fresh
+    * committed generation (`graft.util.AtomicStore`): meta and the base
+    * rows land under `gen-N/` and the store only advances on the final
+    * marker commit, so a crash mid-fit (or a concurrent [[query]]) can
+    * never pair new-generation Params with old-generation postings. A
+    * fresh generation also has no earlier append subdirs — a (re)fit
+    * defines the whole store.
+    */
   def write(df: DataFrame, idCol: String, textCol: String, path: String,
             n: Int = 3, numHashes: Int = 64, bands: Int = 32,
             seed: Long = 42L): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    val (gen, gdir) = AtomicStore.begin(spark, path)
+    AtomicStore.failpoint("dedup:meta")
     Seq((n, numHashes, bands, seed))
       .toDF("n", "num_hashes", "bands", "seed")
-      .write.mode("overwrite").parquet(s"$path/meta")
-    // wipe earlier append subdirs: a (re)fit defines the whole store
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("bands", "grams").foreach { d =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true); ()
-    }
-    writeRows(df, idCol, textCol, path, Params(n, numHashes, bands, seed),
+      .write.mode("overwrite").parquet(s"$gdir/meta")
+    writeRows(df, idCol, textCol, gdir, Params(n, numHashes, bands, seed),
       tag = "base")
+    AtomicStore.commit(spark, path, gen)
     invalidateCaches(path)
   }
 
@@ -87,7 +92,11 @@ object DedupIndex {
     scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
 
   private def invalidateCaches(path: String): Unit = {
-    paramsCache.remove(path); storeSizeCache.remove(path); ()
+    // entries are keyed by the resolved generation directory under `path`
+    Seq(paramsCache, storeSizeCache).foreach { c =>
+      c.keys.filter(k => k == path || k.startsWith(path + "/"))
+        .foreach(c.remove)
+    }
   }
 
   private def cachedByMtime[V](
@@ -106,8 +115,16 @@ object DedupIndex {
   }
 
   def params(spark: SparkSession, path: String): Params =
-    cachedByMtime(paramsCache, path, dirMtime(spark, s"$path/meta")) {
-      val m = spark.read.parquet(s"$path/meta").head()
+    paramsIn(spark, AtomicStore.resolve(spark, path))
+
+  /** [[params]] inside an already-resolved generation directory. A
+    * committed generation's meta is immutable, but the resolved dir can
+    * still be the mutable LEGACY root (pre-protocol stores), so the mtime
+    * guard stays.
+    */
+  private def paramsIn(spark: SparkSession, dir: String): Params =
+    cachedByMtime(paramsCache, dir, dirMtime(spark, s"$dir/meta")) {
+      val m = spark.read.parquet(s"$dir/meta").head()
       Params(m.getAs[Int]("n"), m.getAs[Int]("num_hashes"),
         m.getAs[Int]("bands"), m.getAs[Long]("seed"))
     }
@@ -123,26 +140,36 @@ object DedupIndex {
              path: String, tag: String = ""): Unit = {
     val t = if (tag.nonEmpty) tag
       else s"a${java.util.UUID.randomUUID().toString.take(8)}"
-    writeRows(df, idCol, textCol, path, params(df.sparkSession, path), t)
+    val dir = AtomicStore.resolve(df.sparkSession, path)
+    writeRows(df, idCol, textCol, dir, paramsIn(df.sparkSession, dir), t)
     invalidateCaches(path)
   }
 
+  /** Write one tagged batch of rows into generation directory `dir`.
+    * Crash-safe WITHOUT a new generation by write ORDER: grams land
+    * before bands, and only a bands posting makes a document a candidate
+    * — so a crash between the two leaves the batch merely unindexed
+    * (orphan gram rows join nothing), never half-searchable, and the
+    * tag-overwrite re-run replaces both.
+    */
   private def writeRows(df: DataFrame, idCol: String, textCol: String,
-                        path: String, p: Params, tag: String): Unit = {
+                        dir: String, p: Params, tag: String): Unit = {
     val grams = Dedup.gramHashSets(df, idCol, textCol, p.n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      AtomicStore.failpoint("dedup:grams")
       grams.select(col(idCol).as("id"), col("gs"))
-        .write.mode("overwrite").parquet(s"$path/grams/$tag")
+        .write.mode("overwrite").parquet(s"$dir/grams/$tag")
       val sigs = Dedup.minhashSignatures(grams, idCol, p.numHashes, p.seed)
       // postings sorted by bucket within each file: parquet row-group
       // min/max stats on `bucket` then let [[query]]'s pushed IN-filter
       // skip row groups — the point-lookup shape a small batch needs
       // against a corpus-sized store
+      AtomicStore.failpoint("dedup:bands")
       Dedup.bandBucketsLocal(sigs, idCol, p.bands)
         .select(col(idCol).as("id"), col("band"), col("bucket"))
         .sortWithinPartitions(col("bucket"))
-        .write.mode("overwrite").parquet(s"$path/bands/$tag")
+        .write.mode("overwrite").parquet(s"$dir/bands/$tag")
     } finally { grams.unpersist(); () }
   }
 
@@ -173,7 +200,8 @@ object DedupIndex {
                              pushdownMinStoreBytes: Long =
                                DefaultPushdownMinStoreBytes): DataFrame = {
     val spark = batch.sparkSession
-    val p = params(spark, path)
+    val dir = AtomicStore.resolve(spark, path)
+    val p = paramsIn(spark, dir)
     val grams = Dedup.gramHashSets(batch, idCol, textCol, p.n)
       .select(col(idCol).as("query_id"), col("gs"))
     val sigs = Dedup.minhashSignatures(grams, "query_id", p.numHashes, p.seed)
@@ -200,12 +228,12 @@ object DedupIndex {
     //    filter has no selectivity; bulk re-dedup wants the scan anyway).
     val maxPushdownPostings = 8192
     val storeBytes = cachedByMtime(
-      storeSizeCache, path, dirMtime(spark, s"$path/bands")) {
-        val bp = new org.apache.hadoop.fs.Path(s"$path/bands")
+      storeSizeCache, dir, dirMtime(spark, s"$dir/bands")) {
+        val bp = new org.apache.hadoop.fs.Path(s"$dir/bands")
         val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         try fs.getContentSummary(bp).getLength catch { case _: Exception => 0L }
       }
-    val ixBands0 = readStore(spark, s"$path/bands")
+    val ixBands0 = readStore(spark, s"$dir/bands")
     val (qBands, ixBands) =
       if (storeBytes < pushdownMinStoreBytes) (qBandsLazy, ixBands0)
       else {
@@ -227,7 +255,7 @@ object DedupIndex {
     val cands = excludeIndexIds.fold(cands0)(ex =>
       cands0.join(broadcast(ex.select(col("index_id")).distinct()),
         Seq("index_id"), "left_anti"))
-    val ixGrams = readStore(spark, s"$path/grams")
+    val ixGrams = readStore(spark, s"$dir/grams")
       .select(col("id").as("index_id"), col("gs").as("gs2"))
     val verified = cands
       .join(broadcast(grams.select(col("query_id"), col("gs").as("gs1"))),

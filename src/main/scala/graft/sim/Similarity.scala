@@ -1,6 +1,7 @@
 package graft.sim
 
 import graft.dedup.Dedup
+import graft.util.AtomicStore
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -898,28 +899,36 @@ object Similarity {
     // ([[encodeWith]] — single-sourced, so fit and append can never
     // drift apart and break the pinned fit/append bit-equivalence)
     val assigned = encodeWith(df, idCol, vecCol, cents, books, residual)
+    // crash-atomic publish (graft.util.AtomicStore): every table lands in
+    // a fresh generation directory; the store only advances when the
+    // single marker-file commit lands AFTER the last table. A crash (or a
+    // concurrent reader) at any point between sub-table writes sees the
+    // previous committed generation, never new meta over old codes. A
+    // fresh generation also starts with no tombstones — a (re)fit defines
+    // the whole store, so earlier deletes cannot hide fresh vectors.
+    val (gen, gdir) = AtomicStore.begin(spark, path)
+    AtomicStore.failpoint("ivfpq:meta")
     Seq((dim, m, codebookSize, nlist, residual, seed))
       .toDF("dim", "m", "codebook_size", "nlist", "residual", "seed")
-      .write.mode("overwrite").parquet(s"$path/meta")
+      .write.mode("overwrite").parquet(s"$gdir/meta")
+    AtomicStore.failpoint("ivfpq:centroids")
     cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "vec")
-      .write.mode("overwrite").parquet(s"$path/centroids")
+      .write.mode("overwrite").parquet(s"$gdir/centroids")
+    AtomicStore.failpoint("ivfpq:codebooks")
     books.zipWithIndex.flatMap { case (bj, j) =>
       bj.zipWithIndex.map { case (cv, c) => (j, c, cv) }
     }.toDF("j", "c", "vec")
-      .write.mode("overwrite").parquet(s"$path/codebooks")
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
-    // a (re)fit DEFINES the whole store: stale tombstones from an earlier
-    // generation would anti-join against the fresh codes and silently hide
-    // vectors that are legitimately present in the new fit
-    new org.apache.hadoop.fs.Path(s"$path/tombstones")
-      .getFileSystem(spark.sessionState.newHadoopConf())
-      .delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+      .write.mode("overwrite").parquet(s"$gdir/codebooks")
+    AtomicStore.failpoint("ivfpq:codes")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$gdir/codes")
+    AtomicStore.failpoint("ivfpq:cellstats")
     // fit-time cell occupancy snapshot — the baseline the staleness
     // signal compares against ([[ivfPqCellDrift]]); derived from the
     // stored codes so it reflects exactly what the index holds
-    spark.read.parquet(s"$path/codes").groupBy(col("cell"))
+    spark.read.parquet(s"$gdir/codes").groupBy(col("cell"))
       .agg(count(lit(1)).as("n_fit"))
-      .write.mode("overwrite").parquet(s"$path/cellstats")
+      .write.mode("overwrite").parquet(s"$gdir/cellstats")
+    AtomicStore.commit(spark, path, gen)
     // the model under `path` just changed — drop any cached open
     invalidateIndexModel(path)
   }
@@ -979,14 +988,19 @@ object Similarity {
   def appendToIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
                          path: String): Unit = {
     val spark = df.sparkSession
+    // resolve the committed generation ONCE; every sub-step of the append
+    // works inside it (single-writer store — no refit can race this). A
+    // crashed append is invisible: parquet appends stage in `_temporary/`,
+    // which readers ignore.
+    val dir = AtomicStore.resolve(spark, path)
     val ids = df.select(col(idCol).as("cid")).distinct()
     // fast path: no tombstones, or none colliding — just a semi-join probe
-    if (tombstonesOpt(spark, path)
+    if (tombstonesOpt(spark, dir)
           .exists(t => !t.join(ids, Seq("cid"), "left_semi").isEmpty))
-      compactIvfPqIndex(spark, path)
-    val index = openIvfPqIndex(spark, path)
+      compactIn(spark, dir)
+    val index = openIvfPqIndexIn(spark, dir)
     encodeForIndex(index, df, idCol, vecCol)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }
 
   /** Delete vectors from a persisted index by id: appends the ids to a
@@ -1002,11 +1016,14 @@ object Similarity {
     */
   def deleteFromIvfPqIndex(ids: DataFrame, idCol: String, path: String): Unit =
     ids.select(col(idCol).as("cid")).distinct()
-      .write.mode("append").parquet(s"$path/tombstones")
+      .write.mode("append").parquet(
+        s"${AtomicStore.resolve(ids.sparkSession, path)}/tombstones")
 
-  /** Tombstones table if any delete has happened, else None. */
-  private def tombstonesOpt(spark: SparkSession, path: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+  /** Tombstones table of one generation directory if any delete has
+    * happened in it, else None.
+    */
+  private def tombstonesOpt(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) Some(spark.read.parquet(p.toString).distinct()) else None
   }
@@ -1016,11 +1033,11 @@ object Similarity {
     * normal regime — compaction keeps it from growing unboundedly) and
     * degrades to a shuffled anti-join, never a scan-per-id, beyond that.
     */
-  private def liveCodes(spark: SparkSession, path: String,
+  private def liveCodes(spark: SparkSession, dir: String,
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
-    val codes = reader.parquet(s"$path/codes")
-    tombstonesOpt(spark, path)
+    val codes = reader.parquet(s"$dir/codes")
+    tombstonesOpt(spark, dir)
       .map(t => codes.join(t, Seq("cid"), "left_anti")).getOrElse(codes)
   }
 
@@ -1035,16 +1052,25 @@ object Similarity {
     * same size class as the centroid table.
     */
   def compactIvfPqIndex(spark: SparkSession, path: String): Unit =
-    tombstonesOpt(spark, path).foreach { tomb =>
-      val fs = new org.apache.hadoop.fs.Path(path)
+    compactIn(spark, AtomicStore.resolve(spark, path))
+
+  /** [[compactIvfPqIndex]] inside an already-resolved generation
+    * directory. Crash-safe without a new generation: rewritten cells
+    * already exclude the dead rows, and the tombstones are only dropped
+    * LAST — a crash at any interior point leaves the anti-join still
+    * masking them, so reads before/during/after are identical.
+    */
+  private def compactIn(spark: SparkSession, dir: String): Unit =
+    tombstonesOpt(spark, dir).foreach { tomb =>
+      val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      val codes = spark.read.parquet(s"$path/codes")
+      val codes = spark.read.parquet(s"$dir/codes")
       val affected = codes.join(tomb, Seq("cid"), "left_semi")
         .select(col("cell")).distinct().collect().map(_.get(0))
       if (affected.nonEmpty) {
         // survivors of the affected cells only; staged through a temp dir
         // because Spark refuses to overwrite a path it is reading from
-        val tmp = s"$path/_compact_tmp"
+        val tmp = s"$dir/_compact_tmp"
         val survivors = codes.where(col("cell").isin(affected: _*))
           .join(tomb, Seq("cid"), "left_anti")
         survivors.write.mode("overwrite").partitionBy("cell").parquet(tmp)
@@ -1057,15 +1083,15 @@ object Similarity {
         if (stillThere.nonEmpty)
           staged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("cell").parquet(s"$path/codes")
+            .partitionBy("cell").parquet(s"$dir/codes")
         // a cell whose every vector was tombstoned has no row left, so
         // dynamic overwrite never visits it — drop its directory directly
         affected.filterNot(stillThere).foreach { c =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes/cell=$c"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codes/cell=$c"), true)
         }
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       }
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
     }
 
   /** Staleness signal: per-cell LIVE occupancy (appends minus tombstoned
@@ -1077,8 +1103,9 @@ object Similarity {
     * a cell that only gained vectors after fit shows `n_fit` 0.
     */
   def ivfPqCellDrift(spark: SparkSession, path: String): DataFrame = {
-    val fit = spark.read.parquet(s"$path/cellstats")
-    val now = liveCodes(spark, path)
+    val dir = AtomicStore.resolve(spark, path)
+    val fit = spark.read.parquet(s"$dir/cellstats")
+    val now = liveCodes(spark, dir)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_now"))
     fit.join(now, Seq("cell"), "full")
       .select(col("cell"),
@@ -1108,7 +1135,8 @@ object Similarity {
       .agg(max(abs(col("growth")))).head().getDouble(0)
     if (worst < threshold) false
     else {
-      val meta = spark.read.parquet(s"$path/meta").head()
+      val meta = spark.read
+        .parquet(s"${AtomicStore.resolve(spark, path)}/meta").head()
       writeIvfPqIndex(df, idCol, vecCol, path,
         dim = meta.getAs[Int]("dim"),
         nlist = meta.getAs[Int]("nlist"),
@@ -1116,8 +1144,8 @@ object Similarity {
         codebookSize = meta.getAs[Int]("codebook_size"),
         seed = meta.getAs[Long]("seed"),
         residual = meta.getAs[Boolean]("residual"))
-      // (writeIvfPqIndex wipes the now-obsolete tombstones itself — a
-      // refit defines the whole store)
+      // (the refit commits a FRESH generation, which starts with no
+      // tombstones — a refit defines the whole store)
       true
     }
   }
@@ -1125,21 +1153,26 @@ object Similarity {
   /** Per-JVM cache of opened index MODELS (centroids/codebooks/params):
     * a server loads the model once and serves many batches — re-collecting
     * three parquet tables per query benchmarks the open path, not serving.
-    * Invalidated by [[writeIvfPqIndex]] (the only operation that rewrites
-    * the model — refit goes through it); append/delete/compact touch only
-    * the codes/tombstones, which stay lazy per call. A DIFFERENT process
-    * rewriting the model under the same path must be followed by
-    * [[invalidateIndexModel]] (or a JVM restart) here, like any external
-    * cache.
+    * Keyed by the GENERATION directory, which is immutable once committed
+    * (a refit publishes a NEW generation — `AtomicStore`), so an entry can
+    * never go stale: an out-of-process refit changes what
+    * [[openIvfPqIndex]] resolves to, which is a different cache key.
+    * Append/delete/compact touch only the codes/tombstones, which stay
+    * lazy per call.
     */
   private val indexModelCache = scala.collection.concurrent.TrieMap
     .empty[String, (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], Int, Int, Boolean,
       org.apache.spark.sql.types.StructType)]
 
-  /** Drop the cached model for `path` — call after an out-of-process
-    * model rewrite.
+  /** Drop any cached model generations under `path` — belt-and-braces
+    * bound on the cache (generation keys expire naturally; this frees
+    * them eagerly after an in-process rewrite).
     */
-  def invalidateIndexModel(path: String): Unit = indexModelCache.remove(path)
+  def invalidateIndexModel(path: String): Unit = {
+    indexModelCache.keys
+      .filter(k => k == path || k.startsWith(path + "/"))
+      .foreach(indexModelCache.remove)
+  }
 
   /** Open a persisted index: the model tables collect to the driver
     * (nlist + m·k rows — a few KB, the same size class the direct path
@@ -1148,15 +1181,21 @@ object Similarity {
     * DataFrame — the LIVE view, i.e. tombstoned ids from
     * [[deleteFromIvfPqIndex]] are already excluded.
     */
-  def openIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex = {
+  def openIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex =
+    openIvfPqIndexIn(spark, AtomicStore.resolve(spark, path))
+
+  /** [[openIvfPqIndex]] with the generation directory already resolved —
+    * the mutation paths resolve once and reuse it.
+    */
+  private def openIvfPqIndexIn(spark: SparkSession, dir: String): IvfPqIndex = {
     val (cents, books, dim, m, residual, codesSchema) =
-      indexModelCache.getOrElseUpdate(path, {
-        val meta = spark.read.parquet(s"$path/meta").head()
+      indexModelCache.getOrElseUpdate(dir, {
+        val meta = spark.read.parquet(s"$dir/meta").head()
         val mm = meta.getAs[Int]("m")
-        val cs = spark.read.parquet(s"$path/centroids")
+        val cs = spark.read.parquet(s"$dir/centroids")
           .orderBy("cell").collect()
           .map(r => r.getSeq[Double](r.fieldIndex("vec"))).toSeq
-        val booksFlat = spark.read.parquet(s"$path/codebooks")
+        val booksFlat = spark.read.parquet(s"$dir/codebooks")
           .orderBy("j", "c").collect()
           .map(r => (r.getAs[Int]("j"), r.getSeq[Double](r.fieldIndex("vec"))))
         val bs = (0 until mm).map(j =>
@@ -1164,12 +1203,12 @@ object Similarity {
         // the codes schema rides in the model cache: append/delete/compact
         // preserve it (same encoder, same partition layout), so later
         // serves skip the per-open schema-inference job
-        val codesSchema = spark.read.parquet(s"$path/codes").schema
+        val codesSchema = spark.read.parquet(s"$dir/codes").schema
         (cs, bs, meta.getAs[Int]("dim"), mm,
           meta.getAs[Boolean]("residual"), codesSchema)
       })
     IvfPqIndex(cents, books, dim, m, residual,
-      liveCodes(spark, path, Some(codesSchema)))
+      liveCodes(spark, dir, Some(codesSchema)))
   }
 
   /** Answer a query batch from a persisted index — no codebook fit, no
@@ -1219,12 +1258,18 @@ object Similarity {
     import spark.implicits._
     val cents = pqCodebooks(df, vecCol, dim, m = 1, codebookSize = nlist,
       seed = seed, iters = iters, normalizeInput = false).head
+    // same crash-atomic generation publish as [[writeIvfPqIndex]]
+    val (gen, gdir) = AtomicStore.begin(spark, path)
+    AtomicStore.failpoint("sqivf:meta")
     Seq((dim, nlist, seed, iters)).toDF("dim", "nlist", "seed", "iters")
-      .write.mode("overwrite").parquet(s"$path/meta")
+      .write.mode("overwrite").parquet(s"$gdir/meta")
+    AtomicStore.failpoint("sqivf:centroids")
     cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "vec")
-      .write.mode("overwrite").parquet(s"$path/centroids")
+      .write.mode("overwrite").parquet(s"$gdir/centroids")
+    AtomicStore.failpoint("sqivf:codes")
     sqIvfEncode(df, idCol, vecCol, cents)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$gdir/codes")
+    AtomicStore.commit(spark, path, gen)
     invalidateSqIvfModel(path)
   }
 
@@ -1234,36 +1279,43 @@ object Similarity {
     */
   def appendToSqIvfIndex(df: DataFrame, idCol: String, vecCol: String,
                          path: String): Unit = {
-    val index = openSqIvfIndex(df.sparkSession, path)
+    val dir = AtomicStore.resolve(df.sparkSession, path)
+    val index = openSqIvfIndexIn(df.sparkSession, dir)
     sqIvfEncode(df, idCol, vecCol, index.cents)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }
 
   /** Per-JVM cache of opened SQ×IVF models (centroids + codes schema) —
-    * same serve-many rationale as [[indexModelCache]]; invalidated by
-    * [[writeSqIvfIndex]], and by [[invalidateSqIvfModel]] after an
-    * out-of-process rewrite.
+    * same serve-many rationale as [[indexModelCache]], and keyed by the
+    * immutable generation directory for the same staleness-proof reason.
     */
   private val sqIvfModelCache = scala.collection.concurrent.TrieMap
     .empty[String, (Seq[Seq[Double]], Int,
       org.apache.spark.sql.types.StructType)]
 
-  def invalidateSqIvfModel(path: String): Unit = { sqIvfModelCache.remove(path); () }
+  def invalidateSqIvfModel(path: String): Unit = {
+    sqIvfModelCache.keys
+      .filter(k => k == path || k.startsWith(path + "/"))
+      .foreach(sqIvfModelCache.remove)
+  }
 
   /** Open a persisted SQ×IVF index: the centroid table collects to the
     * driver (nlist rows) and is cached per JVM; the codes table stays a
     * lazy partition-pruned DataFrame.
     */
-  def openSqIvfIndex(spark: SparkSession, path: String): SqIvfIndex = {
-    val (cents, dim, codesSchema) = sqIvfModelCache.getOrElseUpdate(path, {
-      val meta = spark.read.parquet(s"$path/meta").head()
-      val cs = spark.read.parquet(s"$path/centroids")
+  def openSqIvfIndex(spark: SparkSession, path: String): SqIvfIndex =
+    openSqIvfIndexIn(spark, AtomicStore.resolve(spark, path))
+
+  private def openSqIvfIndexIn(spark: SparkSession, dir: String): SqIvfIndex = {
+    val (cents, dim, codesSchema) = sqIvfModelCache.getOrElseUpdate(dir, {
+      val meta = spark.read.parquet(s"$dir/meta").head()
+      val cs = spark.read.parquet(s"$dir/centroids")
         .orderBy("cell").collect()
         .map(r => r.getSeq[Double](r.fieldIndex("vec"))).toSeq
-      (cs, meta.getAs[Int]("dim"), spark.read.parquet(s"$path/codes").schema)
+      (cs, meta.getAs[Int]("dim"), spark.read.parquet(s"$dir/codes").schema)
     })
     SqIvfIndex(cents, dim,
-      spark.read.schema(codesSchema).parquet(s"$path/codes"))
+      spark.read.schema(codesSchema).parquet(s"$dir/codes"))
   }
 
   /** Answer a query batch from a persisted SQ×IVF index — no coarse

@@ -1,0 +1,134 @@
+package graft.util
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Crash-atomic publish protocol for the persisted index stores
+  * (`sim/Similarity` IVF-PQ + SQ×IVF, `dedup/DedupIndex`).
+  *
+  * A (re)fit rewrites SEVERAL parquet tables (meta, centroids, codebooks,
+  * codes, …). Writing them in place as sequential independent overwrites
+  * is torn by construction: a crash — or a concurrent reader — between
+  * table writes observes new-generation meta with old-generation codes
+  * and silently decodes garbage. The fix is the standard
+  * generation-directory + single-pointer-commit protocol:
+  *
+  *  - every fit writes ALL its tables under a fresh `gen-N/` subdirectory
+  *    of the store root — nothing under an existing generation is ever
+  *    overwritten by a fit;
+  *  - the commit point is the atomic CREATION of one empty marker file
+  *    `_commit_N` at the store root (file creation is atomic on every
+  *    filesystem Spark targets, unlike rename-over-existing, which HDFS
+  *    forbids and object stores fake);
+  *  - readers resolve the store to `gen-N/` for the LARGEST committed
+  *    marker — a half-written generation has no marker and is invisible;
+  *  - in-generation mutations (code/postings appends, tombstones) write
+  *    inside the resolved generation directory; they are either pure
+  *    parquet appends (crash leaves only an ignored `_temporary/`) or
+  *    ordered so the last-written table is the one that activates the
+  *    rows (see the callers' docs);
+  *  - on commit, generations older than the immediately-previous one are
+  *    pruned. The previous generation is RETAINED so a reader that
+  *    resolved just before the commit can still finish its scan — the
+  *    same one-generation grace object-store table formats give readers.
+  *
+  * Legacy stores (tables at the store root, written before this protocol)
+  * resolve to the root itself; the first committed generation supersedes
+  * them and the second prunes the root tables.
+  *
+  * Single-writer per store, like the table formats this mirrors: two
+  * concurrent fits race to the same generation id — the loser's marker
+  * creation fails loudly (createNewFile semantics), it never half-applies.
+  */
+object AtomicStore {
+
+  private val MarkerPrefix = "_commit_"
+  private val GenPrefix = "gen-"
+
+  /** Tables a legacy (pre-protocol) store may have at its root; pruned
+    * once two committed generations exist.
+    */
+  private val LegacyTables =
+    Seq("meta", "centroids", "codebooks", "codes", "cellstats", "tombstones",
+      "bands", "grams")
+
+  /** Test-only failure injection: called with a stage label (e.g.
+    * "ivfpq:codes") immediately BEFORE each sub-table write and before
+    * the commit marker. The kill-mid-write spec throws from here to
+    * simulate a crash at every stage; production never sets it.
+    */
+  @volatile private[graft] var failpoint: String => Unit = _ => ()
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** The largest committed generation id, if any commit marker exists. */
+  def currentGen(spark: SparkSession, path: String): Option[Long] = {
+    val f = fs(spark, path)
+    val root = new Path(path)
+    if (!f.exists(root)) None
+    else f.listStatus(root).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith(MarkerPrefix))
+      .flatMap(n => scala.util.Try(n.drop(MarkerPrefix.length).toLong).toOption)
+      .foldLeft(Option.empty[Long])((acc, g) => Some(acc.fold(g)(math.max(_, g))))
+  }
+
+  def genDir(path: String, gen: Long): String = s"$path/$GenPrefix$gen"
+
+  /** The directory holding the CURRENT committed generation's tables:
+    * `gen-N/` for the largest marker, the store root for a legacy store,
+    * or (for reads that will fail loudly anyway) the root when nothing
+    * exists yet.
+    */
+  def resolve(spark: SparkSession, path: String): String =
+    currentGen(spark, path).map(genDir(path, _)).getOrElse(path)
+
+  /** Start a new generation: returns its id and (not-yet-created)
+    * directory. The caller writes every table under the directory, then
+    * calls [[commit]]; on failure it simply abandons the directory —
+    * uncommitted generations are invisible and pruned by later commits.
+    */
+  def begin(spark: SparkSession, path: String): (Long, String) = {
+    val next = currentGen(spark, path).getOrElse(0L) + 1L
+    (next, genDir(path, next))
+  }
+
+  /** Atomically publish generation `gen` (marker-file creation), then
+    * prune: committed generations `< gen - 1`, any abandoned uncommitted
+    * generation `<= gen`, and — once a previous committed generation also
+    * exists — the legacy root tables. Pruning is best-effort; a crash
+    * mid-prune leaves garbage directories, never a torn reader.
+    */
+  def commit(spark: SparkSession, path: String, gen: Long): Unit = {
+    failpoint("commit")
+    val f = fs(spark, path)
+    val marker = new Path(s"$path/$MarkerPrefix$gen")
+    // overwrite=false: concurrent double-commit of the same id fails loudly
+    f.create(marker, false).close()
+    val keep = Set(gen, gen - 1L)
+    f.listStatus(new Path(path)).foreach { st =>
+      val n = st.getPath.getName
+      val genId =
+        if (n.startsWith(MarkerPrefix))
+          scala.util.Try(n.drop(MarkerPrefix.length).toLong).toOption
+        else if (n.startsWith(GenPrefix))
+          scala.util.Try(n.drop(GenPrefix.length).toLong).toOption
+        else None
+      genId match {
+        case Some(g) if g <= gen && !keep.contains(g) =>
+          f.delete(st.getPath, true); ()
+        case Some(g) if g < gen && n.startsWith(GenPrefix) &&
+            !f.exists(new Path(s"$path/$MarkerPrefix$g")) =>
+          // abandoned (never-committed) older generation
+          f.delete(st.getPath, true); ()
+        case _ => ()
+      }
+    }
+    if (gen >= 2L)
+      LegacyTables.foreach { t =>
+        val p = new Path(s"$path/$t")
+        if (f.exists(p)) { f.delete(p, true); () }
+      }
+  }
+}

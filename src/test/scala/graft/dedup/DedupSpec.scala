@@ -457,8 +457,10 @@ class DedupSpec extends SparkSpec {
       Similarity.writeIvfPqIndex(sample, "vec_id", "embedding", d, dim = 64,
         nlist = 8, m = 8, codebookSize = 16, residual = res)
       // the codes table is partitioned by cell — the serve-time partition-
-      // pruning contract is the directory layout itself
-      val cells = new java.io.File(s"$d/codes").list().count(_.startsWith("cell="))
+      // pruning contract is the directory layout itself (inside the
+      // committed generation directory — AtomicStore publish protocol)
+      val gd = graft.util.AtomicStore.resolve(spark, d)
+      val cells = new java.io.File(s"$gd/codes").list().count(_.startsWith("cell="))
       assert(cells > 1, s"codes must be cell-partitioned, found $cells cell dirs")
       // open in a FRESH session: everything must come back from the store
       val idx = Similarity.openIvfPqIndex(spark.newSession(), d)
@@ -576,23 +578,24 @@ class DedupSpec extends SparkSpec {
     assert(!served.exists(t => deadIds.contains(t._2)))
     // which cells hold a dead id (pre-compaction layout), and the file set
     // of one UNAFFECTED cell — compaction must leave those files alone
-    val deadCells = spark.read.parquet(s"$d/codes")
+    val gd = graft.util.AtomicStore.resolve(spark, d)
+    val deadCells = spark.read.parquet(s"$gd/codes")
       .where(col("cid").isin(deadIds: _*))
       .select("cell").distinct().collect().map(_.getInt(0)).toSet
-    val allCells = new java.io.File(s"$d/codes").list()
+    val allCells = new java.io.File(s"$gd/codes").list()
       .filter(_.startsWith("cell=")).map(_.stripPrefix("cell=").toInt).toSet
     assert(deadCells.nonEmpty && deadCells != allCells,
       "test needs at least one unaffected cell to check selective rewrite")
     val untouched = (allCells diff deadCells).head
-    def cellFiles(c: Int) = new java.io.File(s"$d/codes/cell=$c").list()
+    def cellFiles(c: Int) = new java.io.File(s"$gd/codes/cell=$c").list()
       .filter(_.endsWith(".parquet")).sorted.toSeq
     val before = cellFiles(untouched)
     Similarity.compactIvfPqIndex(spark, d)
     assert(cellFiles(untouched) == before,
       "compaction must not rewrite cells that hold no tombstoned id")
-    assert(!new java.io.File(s"$d/tombstones").exists(),
+    assert(!new java.io.File(s"$gd/tombstones").exists(),
       "compaction must drop the tombstones table")
-    assert(!new java.io.File(s"$d/_compact_tmp").exists())
+    assert(!new java.io.File(s"$gd/_compact_tmp").exists())
     // post-compaction store: same live content, bit-identical serve
     val idxC = Similarity.openIvfPqIndex(spark.newSession(), d)
     assert(idxC.codes.count() == 43)
@@ -602,7 +605,7 @@ class DedupSpec extends SparkSpec {
     Similarity.deleteFromIvfPqIndex(Seq(7L).toDF("vec_id"), "vec_id", d)
     assert(Similarity.openIvfPqIndex(spark.newSession(), d).codes.count() == 42)
     Similarity.compactIvfPqIndex(spark, d)
-    assert(spark.read.parquet(s"$d/codes").count() == 42)
+    assert(spark.read.parquet(s"$gd/codes").count() == 42)
   }
 
   test("index delete: compacting a fully-tombstoned cell drops its directory") {
@@ -612,17 +615,18 @@ class DedupSpec extends SparkSpec {
     Similarity.writeIvfPqIndex(sample, "vec_id", "embedding", d, dim = 64,
       nlist = 8, m = 8, codebookSize = 16)
     // tombstone EVERY member of one cell
-    val victim = spark.read.parquet(s"$d/codes")
+    val gd = graft.util.AtomicStore.resolve(spark, d)
+    val victim = spark.read.parquet(s"$gd/codes")
       .groupBy(col("cell")).agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
       .orderBy(col("n"), col("cell")).head().getInt(0)
-    val members = spark.read.parquet(s"$d/codes")
+    val members = spark.read.parquet(s"$gd/codes")
       .where(col("cell") === victim).select(col("cid"))
     val nDead = members.count()
     Similarity.deleteFromIvfPqIndex(members, "cid", d)
     Similarity.compactIvfPqIndex(spark, d)
-    assert(!new java.io.File(s"$d/codes/cell=$victim").exists(),
+    assert(!new java.io.File(s"$gd/codes/cell=$victim").exists(),
       "an emptied cell's directory must be removed, not left stale")
-    assert(spark.read.parquet(s"$d/codes").count() == 50 - nDead)
+    assert(spark.read.parquet(s"$gd/codes").count() == 50 - nDead)
   }
 
   test("index delete then re-add is an upsert: live immediately, no dup rows") {
@@ -648,7 +652,8 @@ class DedupSpec extends SparkSpec {
     Similarity.appendToIvfPqIndex(
       emb.where(col("vec_id") >= 50 && col("vec_id") < 52),
       "vec_id", "embedding", d)
-    assert(new java.io.File(s"$d/tombstones").exists(),
+    assert(new java.io.File(
+        s"${graft.util.AtomicStore.resolve(spark, d)}/tombstones").exists(),
       "a collision-free append must not trigger compaction")
     assert(Similarity.openIvfPqIndex(spark.newSession(), d).codes.count() == 50)
   }

@@ -1,0 +1,187 @@
+package graft.util
+
+import graft.SparkSpec
+import graft.dedup.DedupIndex
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+
+/** Kill-mid-write coverage for the generation-directory publish protocol
+  * ([[AtomicStore]]): a (re)fit interrupted before ANY of its sub-table
+  * writes — or before the final marker commit — must leave every reader
+  * on the previous committed generation, bit-identically. Plus the
+  * protocol mechanics themselves (legacy resolve, pruning, double-commit)
+  * and a concurrent open-during-refit interleaving.
+  */
+class AtomicStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  private def withFailpoint[A](stage: String)(body: => A): A = {
+    AtomicStore.failpoint =
+      l => if (l == stage) throw new RuntimeException(s"killed at $l")
+    try body finally AtomicStore.failpoint = _ => ()
+  }
+
+  private def serveRows(path: String) = {
+    val idx = Similarity.openIvfPqIndex(spark.newSession(), path)
+    Similarity.ivfPqServe(idx, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  test("IVF-PQ refit killed before every sub-table write leaves readers on the old generation") {
+    val d = tmpDir() + "/ivfpq"
+    val oldCorpus = emb.where(col("vec_id") < 40)
+    val newCorpus = emb.where(col("vec_id") < 80)
+    Similarity.writeIvfPqIndex(oldCorpus, "vec_id", "embedding", d,
+      dim = 64, nlist = 8, m = 8, codebookSize = 16)
+    val before = serveRows(d)
+    for (stage <- Seq("ivfpq:meta", "ivfpq:centroids", "ivfpq:codebooks",
+        "ivfpq:codes", "ivfpq:cellstats", "commit")) {
+      val ex = intercept[RuntimeException] {
+        withFailpoint(stage) {
+          Similarity.writeIvfPqIndex(newCorpus, "vec_id", "embedding", d,
+            dim = 64, nlist = 8, m = 8, codebookSize = 16)
+        }
+      }
+      assert(ex.getMessage.contains(stage))
+      assert(AtomicStore.currentGen(spark, d).contains(1L),
+        s"$stage: a torn write must not advance the committed generation")
+      assert(serveRows(d) == before,
+        s"$stage: a torn write must be invisible to readers")
+    }
+    // the abandoned half-generations don't block a later clean fit
+    Similarity.writeIvfPqIndex(newCorpus, "vec_id", "embedding", d,
+      dim = 64, nlist = 8, m = 8, codebookSize = 16)
+    assert(AtomicStore.currentGen(spark, d).contains(2L))
+    val after = serveRows(d)
+    assert(after != before && after.nonEmpty)
+    assert(Similarity.openIvfPqIndex(spark.newSession(), d).codes.count() == 80)
+  }
+
+  test("SQ×IVF refit killed at every stage leaves readers on the old generation") {
+    val d = tmpDir() + "/sqivf"
+    def serve() = {
+      val idx = Similarity.openSqIvfIndex(spark.newSession(), d)
+      Similarity.sqIvfServeIndex(idx, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    Similarity.writeSqIvfIndex(emb.where(col("vec_id") < 40),
+      "vec_id", "embedding", d, dim = 64, nlist = 8)
+    val before = serve()
+    for (stage <- Seq("sqivf:meta", "sqivf:centroids", "sqivf:codes", "commit")) {
+      intercept[RuntimeException] {
+        withFailpoint(stage) {
+          Similarity.writeSqIvfIndex(emb.where(col("vec_id") < 80),
+            "vec_id", "embedding", d, dim = 64, nlist = 8)
+        }
+      }
+      assert(AtomicStore.currentGen(spark, d).contains(1L))
+      assert(serve() == before, s"$stage: torn SQ×IVF write visible to readers")
+    }
+    Similarity.writeSqIvfIndex(emb.where(col("vec_id") < 80),
+      "vec_id", "embedding", d, dim = 64, nlist = 8)
+    assert(Similarity.openSqIvfIndex(spark.newSession(), d).codes.count() == 80)
+  }
+
+  test("DedupIndex refit killed at every stage leaves params AND postings on the old generation") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota NOPE")
+    ).toDF("doc_id", "text")
+    val d = tmpDir() + "/dedup"
+    DedupIndex.write(corpus, "doc_id", "text", d)
+    def hits() = DedupIndex.query(batch, "doc_id", "text", d, 0.4)
+      .select("query_id", "index_id").as[(Long, Long)].collect().toSet
+    val before = hits()
+    assert(before == Set((11L, 1L)))
+    for (stage <- Seq("dedup:meta", "dedup:grams", "dedup:bands", "commit")) {
+      intercept[RuntimeException] {
+        withFailpoint(stage) {
+          // a refit with DIFFERENT params — torn visibility would pair
+          // new Params with old postings and break the bucket equality
+          DedupIndex.write(corpus, "doc_id", "text", d,
+            n = 4, numHashes = 32, bands = 16, seed = 7L)
+        }
+      }
+      assert(DedupIndex.params(spark, d) == DedupIndex.Params(3, 64, 32, 42L),
+        s"$stage: torn write must not change the served Params")
+      assert(hits() == before, s"$stage: torn write visible to query()")
+    }
+    DedupIndex.write(corpus, "doc_id", "text", d,
+      n = 4, numHashes = 32, bands = 16, seed = 7L)
+    assert(DedupIndex.params(spark, d) == DedupIndex.Params(4, 32, 16, 7L))
+    assert(hits() == before) // same near-dup found under the new fit
+  }
+
+  test("concurrent reader during a refit: old generation until the commit lands, new after") {
+    val d = tmpDir() + "/conc"
+    Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 40),
+      "vec_id", "embedding", d, dim = 64, nlist = 8, m = 8, codebookSize = 16)
+    val before = serveRows(d)
+    val refitTablesDone = new java.util.concurrent.CountDownLatch(1)
+    val releaseCommit = new java.util.concurrent.CountDownLatch(1)
+    AtomicStore.failpoint = l =>
+      if (l == "commit") { refitTablesDone.countDown(); releaseCommit.await() }
+    val writer = new Thread(() =>
+      Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 80),
+        "vec_id", "embedding", d, dim = 64, nlist = 8, m = 8, codebookSize = 16))
+    try {
+      writer.start()
+      refitTablesDone.await()
+      // every new-generation table is fully written but uncommitted:
+      // a reader opening NOW must still get the old answers
+      assert(serveRows(d) == before,
+        "reader during refit saw an uncommitted generation")
+      releaseCommit.countDown()
+      writer.join()
+    } finally { AtomicStore.failpoint = _ => (); releaseCommit.countDown() }
+    assert(AtomicStore.currentGen(spark, d).contains(2L))
+    assert(Similarity.openIvfPqIndex(spark.newSession(), d).codes.count() == 80)
+  }
+
+  test("protocol mechanics: legacy resolve, generation retention, abandoned-dir pruning, double commit") {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    // legacy store (tables at root, no markers) resolves to the root
+    val legacy = tmpDir() + "/legacy"
+    Seq((1, 2)).toDF("a", "b").write.parquet(s"$legacy/meta")
+    assert(AtomicStore.resolve(spark, legacy) == legacy)
+    // commits retain exactly the current + previous generation
+    val p = tmpDir() + "/gens"
+    for (g <- 1L to 3L) {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, g)))
+      AtomicStore.commit(spark, p, g)
+    }
+    assert(AtomicStore.currentGen(spark, p).contains(3L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, 1L))),
+      "generations older than previous must be pruned")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, 2L))),
+      "the previous generation is retained as the reader grace window")
+    // an abandoned (never-committed) half-write is pruned by the next commit
+    fs.mkdirs(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, 4L)))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, 5L)))
+    AtomicStore.commit(spark, p, 5L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, 4L))))
+    // double-commit of the same generation fails loudly, never half-applies
+    intercept[Exception] { AtomicStore.commit(spark, p, 5L) }
+    // legacy root tables are superseded by gen 1 and pruned at gen 2
+    val mig = tmpDir() + "/mig"
+    Seq((1, 2)).toDF("a", "b").write.parquet(s"$mig/meta")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(AtomicStore.genDir(mig, 1L)))
+    AtomicStore.commit(spark, mig, 1L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$mig/meta")),
+      "gen 1 must leave the legacy tables as the reader grace window")
+    assert(AtomicStore.resolve(spark, mig) == AtomicStore.genDir(mig, 1L))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(AtomicStore.genDir(mig, 2L)))
+    AtomicStore.commit(spark, mig, 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$mig/meta")),
+      "the second committed generation prunes the legacy root tables")
+  }
+}
