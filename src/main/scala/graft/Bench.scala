@@ -215,11 +215,18 @@ object Bench {
         // variance); (a') r15: a HARSHER multiple fires from 1.2 s — the
         // r15 local run showed 4-6x steal-clean tails (q_linear_trend
         // 0.45 s median, one 1.95 s iteration with 0 steal) that sat just
-        // under the 2 s floor yet set worst_max 2.4% from the gate; >3x
-        // the running median is not variance at any duration this floor
-        // admits; (b) steal leg fires at ANY duration
+        // under the 2 s floor yet set worst_max 2.4% from the gate. r16
+        // (ADVICE): this sub-2s leg now needs CORROBORATING evidence —
+        // the iteration's own steal delta above the clean bar, or a GC
+        // delta accounting for the majority of the excess over baseline
+        // (JVM garbage pressure, usually prior queries'). Without either,
+        // a slow iteration is treated as the plan's own heavy tail and
+        // KEPT: it stays in the gate max and the published series rather
+        // than being scrubbed on timing alone; (b) steal leg fires at ANY
+        // duration
         while (((t >= 2.0 && t > 2 * baseline) ||
-            (t >= 1.2 && t > 3 * baseline) ||
+            (t >= 1.2 && t > 3 * baseline &&
+              (stealD > cleanThresh || gcD > 0.5 * (t - baseline))) ||
             stealD > stealThresh) && retried < maxRetries) {
           retried += 1
           System.err.println(f"[bench] $name: $t%.3fs stall (median ~$baseline%.3fs, " +
@@ -360,7 +367,28 @@ object Bench {
         final case class UpMeasured(min: Double, raw: Seq[Double],
                                     steal: Seq[Double], retried: Int,
                                     codeMb: Seq[Double], jit: Seq[Long])
-        val upMaxRetries = 2
+        // r16 CONTENTION PREFLIGHT: the r14 AND r15 driver runs both
+        // published steal-contaminated upscale raw series (up to 5 cpu-s
+        // of steal per iteration, retry budgets exhausted) that needed
+        // post-hoc adjudication. Sample the box's steal RATE before the
+        // probe; while it is visibly loaded, defer in bounded 30 s steps;
+        // if it stays loaded, run anyway with a DOUBLED retry budget and
+        // the preflight evidence in the JSON so the round artifact says
+        // which regime it measured under.
+        val contendedRate = 0.25 // cpu-s/s of steal+iowait across all CPUs
+        def stealRate(): Double = {
+          val s0 = stealIoSeconds(); Thread.sleep(2000)
+          (stealIoSeconds() - s0) / 2.0
+        }
+        var preSteal = stealRate()
+        var preDeferred = 0
+        while (preSteal > contendedRate && preDeferred < 3) {
+          System.err.println(f"[bench] upscale preflight: steal rate " +
+            f"$preSteal%.2f cpu-s/s > $contendedRate — deferring 30 s " +
+            f"(${preDeferred + 1}/3)")
+          Thread.sleep(30000); preDeferred += 1; preSteal = stealRate()
+        }
+        val upMaxRetries = if (preSteal > contendedRate) 4 else 2
         val measured = upscaleQueries.filter(SparkEntry.queries.contains).flatMap { q =>
           try {
             upOnce(q) // warmup: footer cache + codegen at the new scale
@@ -417,7 +445,7 @@ object Bench {
           s""""$k":{"raw":$raws,"steal_sec":$st,"retried":${m.retried},""" +
             s""""code_cache_mb":$cc,"jit_ms":$jt}"""
         }.mkString("{", ",", "}")
-        s""","upscale":{"factor":$upscaleFactor,"iters":2,"stat":"min_of_2","isolated_session":true,"queries_min":$upQs,"ratio_min_vs_base_median":$ratios,"attribution":$attribution}"""
+        s""","upscale":{"factor":$upscaleFactor,"iters":2,"stat":"min_of_2","isolated_session":true,"preflight":{"steal_rate_cpus_per_s":${f3(preSteal)},"deferred_30s_steps":$preDeferred,"retry_budget":$upMaxRetries},"queries_min":$upQs,"ratio_min_vs_base_median":$ratios,"attribution":$attribution}"""
         } finally {
           // 8× fact-table parquet is GBs at the gate scale — never leak it
           java.nio.file.Files.walk(upDirPath)
@@ -455,7 +483,7 @@ object Bench {
     val gate = results.forall(_._2.exists(_.steady.max < 2.0))
     val subset = if (only.isEmpty) "" else
       s""","subset":[${only.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]"""
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stats":$statsJson,"iters":$iters,"warmup":$warmup,"worst_max":${f3(worstMax)},"raw_worst_max":${f3(rawWorstMax)},"outliers_retried":$totalRetried,"outlier_policy":"re-measure when own steal+iowait delta > ${stealThresh} cpu-s (any duration, r15) OR >=2s AND >2x running median OR >=1.2s AND >3x running median (r15: steal-clean sub-2s tails); max $maxRetries/query; published median = steal-clean median (iteration delta <= ${cleanThresh} cpu-s) when >= max(3, iters/4) clean iterations exist, else plain median (see clean_iters); gate max always over all accepted iterations; raw series + per-query steal_sec/gc_sec reported alongside","pass_max_lt_2s":$gate$subset$upJson,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stats":$statsJson,"iters":$iters,"warmup":$warmup,"worst_max":${f3(worstMax)},"raw_worst_max":${f3(rawWorstMax)},"outliers_retried":$totalRetried,"outlier_policy":"re-measure when own steal+iowait delta > ${stealThresh} cpu-s (any duration, r15) OR >=2s AND >2x running median OR >=1.2s AND >3x running median WITH corroborating evidence (iteration steal > ${cleanThresh} cpu-s or gc > half the excess over baseline; r16 — an unevidenced sub-2s tail is kept as the plan's own); max $maxRetries/query; published median = steal-clean median (iteration delta <= ${cleanThresh} cpu-s) when >= max(3, iters/4) clean iterations exist, else plain median (see clean_iters); gate max always over all accepted iterations; raw series + per-query steal_sec/gc_sec reported alongside","pass_max_lt_2s":$gate$subset$upJson,"sf":"$sfDir"}"""
     println(line)
     // the full distribution also lands in the repo so the round artifact
     // can't lose it to output truncation; a SPARK_GRAFT_ONLY dev-subset run

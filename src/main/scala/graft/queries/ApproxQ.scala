@@ -79,7 +79,7 @@ object ApproxQ extends QueryPack {
         |FROM lineitem GROUP BY 1""".stripMargin,
     "q_approx_topk" ->
       """SELECT token, count(*) AS n, TRUE AS within_tolerance
-        |FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '[^ \t\n\x0b\f\r]+')) AS token
         |      FROM documents)
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin
   )

@@ -79,20 +79,20 @@ object CurationQ extends QueryPack {
     })
   )
 
-  private val toks = """regexp_extract_all(text, '\S+')"""
+  private val toks = """regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')"""
   private val stopList = TextMetrics.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
   private val norm =
-    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n\x0b\f\r]', ' ', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'))"""
 
   def oracles: Map[String, String] = Map(
     "q_curation_pipeline" ->
       s"""WITH scored AS (
          |  SELECT doc_id, source,
          |    len($toks) AS n_tokens,
-         |    CASE WHEN NOT regexp_matches(text, '\\S') THEN 0.0 ELSE greatest(0.0, least(1.0,
+         |    CASE WHEN NOT regexp_matches(text, '[^ \\t\\n\\x0b\\f\\r]') THEN 0.0 ELSE greatest(0.0, least(1.0,
          |      least(log10(len($toks) + 1.0) / 3.0, 1.0) * 0.3
          |      + (1.0 - CASE WHEN len(text) = 0 THEN 0.0
-         |          ELSE len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+         |          ELSE len(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0b\\f\\r]', '', 'g')) * 1.0
          |               / len(text) END) * 0.4
          |      + least((CASE WHEN len($toks) = 0 THEN 0.0
          |          ELSE len(list_filter($toks, x -> list_contains($stopList, x))) * 1.0

@@ -237,7 +237,7 @@ object DedupQ extends QueryPack {
         md5(col("clean_text")).as("clean_md5"))
 
   private val norm =
-    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n\x0b\f\r]', ' ', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'))"""
 
   /** DuckDB replay of Spark's `xxhash64` (XXH64, seed 42) for inputs
     * under 32 bytes, generated as chained per-row CTE stages — 64-bit

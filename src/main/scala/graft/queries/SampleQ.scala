@@ -90,7 +90,7 @@ object SampleQ extends QueryPack {
         |SELECT 'eval' AS split, count(*) AS n FROM b WHERE bucket < 20""".stripMargin,
     "q_top_tokens" ->
       """SELECT token, count(*) AS n
-        |FROM (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '[^ \t\n\x0b\f\r]+')) AS token
         |      FROM documents)
         |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin,
     // per-source salts ("graft:<name>") and thresholds mirror weightedMix
@@ -121,7 +121,7 @@ object SampleQ extends QueryPack {
         |      substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |      % 4 AS shard,
         |    md5('packo:' || CAST(doc_id AS VARCHAR)) AS okey,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |    CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
@@ -163,7 +163,7 @@ object SampleQ extends QueryPack {
         |      substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
         |      % 4 AS shard,
         |    md5('packo:' || CAST(doc_id AS VARCHAR)) AS okey,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |    CAST(len(regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |c AS (
         |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (

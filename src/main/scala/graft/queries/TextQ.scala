@@ -214,13 +214,13 @@ object TextQ extends QueryPack {
          |  UNION ALL
          |  SELECT doc_id + 100000,
          |    repeat(array_to_string(
-         |      (regexp_extract_all(lower(text), '\\S+'))[1:4], ' ') || ' ', 12),
+         |      (regexp_extract_all(lower(text), '[^ \\t\\n\\x0b\\f\\r]+'))[1:4], ' ') || ' ', 12),
          |    1
          |  FROM documents WHERE doc_id % 5 = 0),
          |qm_t AS (
-         |  SELECT doc_id, label, text, NOT regexp_matches(text, '\\S') AS blank,
-         |    regexp_extract_all(text, '\\S+') AS rt,
-         |    regexp_extract_all(lower(text), '\\S+') AS lt
+         |  SELECT doc_id, label, text, NOT regexp_matches(text, '[^ \\t\\n\\x0b\\f\\r]') AS blank,
+         |    regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+') AS rt,
+         |    regexp_extract_all(lower(text), '[^ \\t\\n\\x0b\\f\\r]+') AS lt
          |  FROM qm_base),
          |qm_tops AS (
          |  SELECT doc_id, max(c) AS top_n FROM (
@@ -233,7 +233,7 @@ object TextQ extends QueryPack {
          |    least(log10((CASE WHEN blank THEN 0 ELSE len(rt) END) + 1.0) / 3.0,
          |      1.0) AS f_len,
          |    CASE WHEN len(text) = 0 THEN 0.0
-         |         ELSE len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+         |         ELSE len(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0b\\f\\r]', '', 'g')) * 1.0
          |              / len(text) END AS f_punct,
          |    CASE WHEN blank THEN 0.0
          |         ELSE len(list_filter(rt, x -> list_contains($stopList, x))) * 1.0
@@ -254,9 +254,9 @@ object TextQ extends QueryPack {
          |FROM qm_feats f CROSS JOIN qm_w$QmIters w""".stripMargin
   }
 
-  private val toks = """regexp_extract_all(text, '\S+')"""
+  private val toks = """regexp_extract_all(text, '[^ \t\n\x0b\f\r]+')"""
   private val norm =
-    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
+    """trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 \t\n\x0b\f\r]', ' ', 'g'), '[ \t\n\x0b\f\r]+', ' ', 'g'))"""
   private val stopList = TextMetrics.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   private val emailRe = TextMetrics.EmailRe
@@ -288,7 +288,7 @@ object TextQ extends QueryPack {
     "q_unigram_logprob" ->
       """WITH toks AS (
         |  SELECT doc_id,
-        |         unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        |         unnest(regexp_extract_all(lower(text), '[^ \t\n\x0b\f\r]+')) AS token
         |  FROM documents),
         |v AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
         |tot AS (SELECT count(*) AS c FROM toks)
@@ -298,7 +298,7 @@ object TextQ extends QueryPack {
         |GROUP BY 1""".stripMargin,
     "q_bigram_logprob" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[^ \t\n\x0b\f\r]+') AS w
         |  FROM documents),
         |tok AS (
         |  SELECT doc_id, w[i] AS cur,
@@ -348,15 +348,15 @@ object TextQ extends QueryPack {
          |FROM planted""".stripMargin,
     "q_token_stats" ->
       s"""SELECT doc_id,
-         |  CAST(CASE WHEN NOT regexp_matches(text, '\\S') THEN 0 ELSE len($toks) END
+         |  CAST(CASE WHEN NOT regexp_matches(text, '[^ \\t\\n\\x0b\\f\\r]') THEN 0 ELSE len($toks) END
          |    AS INTEGER) AS n_tokens,
-         |  CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]'))
          |    AS INTEGER) AS n_subwords,
          |  round(CASE WHEN len(text) = 0 THEN 0.0
-         |        ELSE len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+         |        ELSE len(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0b\\f\\r]', '', 'g')) * 1.0
          |             / len(text) END, 6) AS punct_ratio,
-         |  round(CASE WHEN NOT regexp_matches(text, '\\S') THEN 0.0
-         |        ELSE len(regexp_replace(text, '\\s', '', 'g')) * 1.0
+         |  round(CASE WHEN NOT regexp_matches(text, '[^ \\t\\n\\x0b\\f\\r]') THEN 0.0
+         |        ELSE len(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]', '', 'g')) * 1.0
          |             / len($toks) END, 6) AS mean_tok_len
          |FROM documents""".stripMargin,
     "q_quality" ->
@@ -364,12 +364,12 @@ object TextQ extends QueryPack {
          |  SELECT doc_id,
          |    len($toks) AS n,
          |    CASE WHEN len(text) = 0 THEN 0.0
-         |         ELSE len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+         |         ELSE len(regexp_replace(text, '[a-zA-Z0-9 \\t\\n\\x0b\\f\\r]', '', 'g')) * 1.0
          |              / len(text) END AS punct,
-         |    CASE WHEN NOT regexp_matches(text, '\\S') THEN 0.0
+         |    CASE WHEN NOT regexp_matches(text, '[^ \\t\\n\\x0b\\f\\r]') THEN 0.0
          |         ELSE len(list_filter($toks, x -> list_contains($stopList, x))) * 1.0
          |              / len($toks) END AS stop_ratio,
-         |    (NOT regexp_matches(text, '\\S')) AS blank
+         |    (NOT regexp_matches(text, '[^ \\t\\n\\x0b\\f\\r]')) AS blank
          |  FROM documents)
          |SELECT doc_id, round(stop_ratio, 6) AS stop_ratio,
          |  round(CASE WHEN blank THEN 0.0 ELSE greatest(0.0, least(1.0,
@@ -400,12 +400,12 @@ object TextQ extends QueryPack {
     "q_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(
-        |    regexp_extract_all(lower(text), '\S+'))), ' ')) AS fingerprint
+        |    regexp_extract_all(lower(text), '[^ \t\n\x0b\f\r]+'))), ' ')) AS fingerprint
         |FROM documents""".stripMargin,
     "q_repetition" ->
       """WITH t AS (
-        |  SELECT doc_id, NOT regexp_matches(text, '\S') AS blank,
-        |         regexp_extract_all(lower(text), '\S+') AS toks
+        |  SELECT doc_id, NOT regexp_matches(text, '[^ \t\n\x0b\f\r]') AS blank,
+        |         regexp_extract_all(lower(text), '[^ \t\n\x0b\f\r]+') AS toks
         |  FROM documents),
         |base AS (
         |  SELECT doc_id, blank, toks, len(toks) AS n,
@@ -437,7 +437,7 @@ object TextQ extends QueryPack {
         |k AS (
         |  SELECT page, pt,
         |    list_filter(string_split(pt, chr(10)), l ->
-        |      len(regexp_extract_all(l, '\S+')) >= 40
+        |      len(regexp_extract_all(l, '[^ \t\n\x0b\f\r]+')) >= 40
         |      AND NOT contains(lower(trim(l)), 'javascript')) AS kept
         |  FROM pages)
         |SELECT page,

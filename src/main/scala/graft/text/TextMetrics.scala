@@ -23,6 +23,14 @@ object TextMetrics {
     * cheaper than the regexp_extract_all("\\S+") equivalent on the
     * token-heavy gate queries — split's matcher emits substrings
     * directly, extract_all walks a full find() loop.)
+    *
+    * The whitespace class is PINNED to Java's `\s` = `[ \t\n\x0B\f\r]`,
+    * including `\x0B` (vertical tab). The DuckDB oracles spell that class
+    * out explicitly (queries/), because RE2's `\s` EXCLUDES `\x0B` — a
+    * `\x0B`-bearing document would otherwise tokenize differently
+    * engine-vs-oracle (the phantom-class divergence the r15 fuzz program
+    * hunted). TextMetricsFuzzSpec carries `\x0B` inputs to keep the
+    * engine side of the contract honest.
     */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
@@ -119,8 +127,8 @@ object TextMetrics {
 
   /** [[tokens]] over [[normalize]]d text. (Historically this carried an
     * explicit empty-array guard against the `split("") == [""]` phantom;
-    * [[tokens]] is now extract-all-based and blank-safe by construction,
-    * so the composition is enough.)
+    * [[tokens]] is now blank-safe by construction — split + empty-filter
+    * — so the composition is enough.)
     */
   def normTokens(text: Column): Column = tokens(normalize(text))
 

@@ -69,14 +69,23 @@ class TextMetricsFuzzSpec extends SparkSpec {
     val words = Seq("the", "and", "of", "The", "AND", "cat", "dog", "µzz",
       "der", "die", "und", "el", "de", "le", "的", "是", "了",
       "a1b2", "42", "x", "😀🚀", "naïve", "!!,,..", "a_b")
+    // \u000B (vertical tab) is IN the pinned whitespace class
+    // [ \t\n\x0B\f\r] both engine-side (Java \s) and oracle-side (the
+    // explicit RE2 classes in queries/ — RE2's own \s EXCLUDES \x0B,
+    // which is why the class is spelled out there)
     val texts: Seq[String] = Seq("", " ", "\t\n ", "x", "😀", ",,,", "的 的 的",
-      "hello\n", "\tworld", "a b\r\n", "\n\nthe cat\t") ++
+      "hello\n", "\tworld", "a b\r\n", "\n\nthe cat\t",
+      "\u000B", "a\u000Bb", "the\u000Bcat\u000B", "\u000B\f x") ++
       (0 until 60).map { _ =>
         val n = rnd.nextInt(25)
         (0 until n).map { _ =>
           val w = words(rnd.nextInt(words.length))
           if (rnd.nextInt(6) == 0) w + w else w // repetition pressure
-        }.mkString(if (rnd.nextInt(5) == 0) "  " else " ")
+        }.mkString(rnd.nextInt(6) match {
+          case 0 => "  "
+          case 1 => "\u000B"
+          case _ => " "
+        })
       }
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "text")
