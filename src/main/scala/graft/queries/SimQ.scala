@@ -230,6 +230,45 @@ object SimQ extends QueryPack {
             .as("matches_direct"))
         .select(col("id1"), col("recall"), col("matches_direct"))
     }),
+    // STREAM-MAINTAINED index (the streaming face of the lifecycle):
+    // built by a REAL Streams.annIndexStream run — base fit on
+    // vec_id < 40, four streamed 10-vector micro-batches with a
+    // checkpoint restart ("crash") between batches 1 and 2,
+    // drift-triggered refits folding every batch, and an explicit
+    // at-least-once replay probe absorbed by the stream highwater (all
+    // require()d at fixture build). The final store is bit-identical to
+    // a fresh fit over the full 80-vector corpus, so the oracle is the
+    // same full-pipeline derivation over vec_id < 80; a FRESH session
+    // serves purely from the store, like q_ivfpq_served.
+    "q_stream_ann" -> ((s, dir) => {
+      val idxDir = streamAnnIndexDir(s, dir)
+      val fresh = s.newSession()
+      fresh.conf.set("spark.sql.shuffle.partitions", "8")
+      fresh.conf.set("spark.sql.adaptive.enabled", "false")
+      val emb = Tables.embeddings(fresh, dir).where(col("vec_id") < 80)
+      val idx = Similarity.openIvfPqIndex(fresh, idxDir)
+      val served = Similarity.ivfPqServe(idx, emb, "vec_id", "embedding",
+        k = 10, nprobe = 4)
+      val direct = fresh.read
+        .schema("id1 BIGINT, id2 BIGINT, score DOUBLE, rank INT")
+        .parquet(s"$idxDir/expected/direct")
+      val exact = fresh.read.schema("id1 BIGINT, id2 BIGINT")
+        .parquet(s"$idxDir/expected/exact")
+      served
+        .select(col("id1"), col("rank"),
+          col("id2").as("sid2"), col("score").as("sscore"))
+        .join(direct.select(col("id1"), col("rank"),
+          col("id2").as("did2"), col("score").as("dscore")),
+          Seq("id1", "rank"), "full")
+        .join(exact.select(col("id1"), col("id2").as("sid2"),
+          lit(1).as("hit")), Seq("id1", "sid2"), "left")
+        .groupBy(col("id1"))
+        .agg(
+          round(sum(coalesce(col("hit"), lit(0))) / 10.0, 6).as("recall"),
+          min(col("sid2") <=> col("did2") && col("sscore") <=> col("dscore"))
+            .as("matches_full_fit"))
+        .select(col("id1"), col("recall"), col("matches_full_fit"))
+    }),
     // Fit-once/GROW-many: the index is fit on vec_id < 40 only, then
     // vec_id 40..49 are APPENDED — encoded with the stored centroids/
     // codebooks (no refit) and written into the same cell-partitioned
@@ -392,6 +431,84 @@ object SimQ extends QueryPack {
       val emb = Tables.embeddings(s, dir).where(col("vec_id") < 50)
       Similarity.writeSqIvfIndex(emb, "vec_id", "embedding", d,
         dim = 64, nlist = 8)
+      d
+    })
+
+  /** Stream-MAINTAINED index for q_stream_ann: base fit on vec_id < 40,
+    * then vec_id 40..79 arrive as four 10-vector parquet files through a
+    * REAL Structured Streaming run of
+    * [[graft.streaming.Streams.annIndexStream]], with a checkpoint
+    * restart between batches 1 and 2 and driftThreshold = 0 so EVERY
+    * batch folds via refit — the final store must therefore be
+    * bit-identical to a fresh fit over the full corpus (the oracle's
+    * derivation). The corpus callback reads the CANONICAL embeddings
+    * table up to the highest arrived id — the index is derived state,
+    * the table is the source of truth. The at-least-once replay guard is
+    * probed explicitly: re-delivering the final batch must be absorbed
+    * by the generation's stream highwater.
+    */
+  private def streamAnnIndexDir(s: SparkSession, dir: String): String =
+    indexDirs.getOrElseUpdate(s"${s.sparkContext.applicationId}:$dir:stream", {
+      val d = graft.util.Tmp.root("graft_ivfpq_stream").toString
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 40),
+        "vec_id", "embedding", d, dim = 64, nlist = 8, m = 8, codebookSize = 16)
+      val src = graft.util.Tmp.root("graft_ann_src")
+      val ckpt = graft.util.Tmp.root("graft_ann_ckpt").toString
+      // one 10-vector single-file micro-batch per stage() call (the
+      // eventsSplitDir idiom: write via a scratch dir, hardlink the part
+      // file under a stable name)
+      def stage(i: Int): Unit = {
+        val lo = 40L + i * 10; val hi = lo + 10
+        val scratch = graft.util.Tmp.root("graft_ann_stage")
+        emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+        val part = scratch.toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        java.nio.file.Files.createLink(src.resolve(s"f$i.parquet"), part)
+      }
+      val schema = emb.schema
+      def launch() = graft.streaming.Streams.annIndexStream(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(src.toString),
+        "vec_id", "embedding", d, ckpt,
+        corpus = sess => {
+          val hi = sess.read.parquet(src.toString)
+            .agg(max(col("vec_id"))).head().getLong(0) + 1
+          Tables.embeddings(sess, dir).where(col("vec_id") < hi)
+        },
+        driftThreshold = 0.0)
+      val run1 = launch()
+      try {
+        stage(0); run1.processAllAvailable() // batch 0
+        stage(1); run1.processAllAvailable() // batch 1
+      } finally run1.stop() // the "crash"
+      stage(2) // arrives while the query is down
+      val run2 = launch() // restart from the same checkpoint
+      try {
+        run2.processAllAvailable()           // batch 2
+        stage(3); run2.processAllAvailable() // batch 3 — final refit
+      } finally run2.stop()
+      // at-least-once replay of the final batch: the highwater written
+      // atomically with the last refit's generation must absorb it
+      Similarity.appendStreamBatch(
+        emb.where(col("vec_id") >= 70 && col("vec_id") < 80),
+        "vec_id", "embedding", d, batchId = 3L)
+      val gdir = graft.util.AtomicStore.resolve(s, d)
+      require(!new java.io.File(s"$gdir/codes_stream").exists(),
+        "replayed batch must be skipped by the stream highwater")
+      require(s.read.parquet(s"$gdir/codes").count() == 80,
+        "final store must hold the full folded corpus")
+      // pin the full-fit twin + the exact hit set once, at build time
+      // (deterministic functions of the same seeded fit — the
+      // servedIndexDir idiom)
+      val all = emb.where(col("vec_id") < 80)
+      Similarity.ivfPqTopK(all, "vec_id", "embedding", k = 10,
+          dim = 64, nlist = 8, nprobe = 4, m = 8, codebookSize = 16)
+        .write.mode("overwrite").parquet(s"$d/expected/direct")
+      Similarity.knnJoin(all, "vec_id", "embedding", k = 10)
+        .select(col("id1"), col("id2"))
+        .write.mode("overwrite").parquet(s"$d/expected/exact")
       d
     })
 
@@ -563,6 +680,14 @@ object SimQ extends QueryPack {
     // derives from the same full-corpus replay
     "q_ivfpq_refit" -> IvfPqKmeansSql.sql(dim = 64, nlist = 8, nprobe = 4,
       m = 8, codebookSize = 16, k = 10, iters = 10,
+      extraCols = ", TRUE AS matches_full_fit"),
+    // the stream-maintained store's final state IS a fresh full-corpus
+    // fit (every micro-batch folded via drift refit, replay absorbed by
+    // the highwater), so its serve derives from the same replay over the
+    // 80-vector corpus
+    "q_stream_ann" -> IvfPqKmeansSql.sql(dim = 64, nlist = 8, nprobe = 4,
+      m = 8, codebookSize = 16, k = 10, iters = 10,
+      fitWhere = "vec_id < 80", corpusWhere = "vec_id < 80",
       extraCols = ", TRUE AS matches_full_fit"),
     // GROWN store: fit on vec_id < 40, serve all 50 encoded with the
     // stored model — the fit/corpus split is the derivation's parameter;

@@ -864,7 +864,8 @@ object Similarity {
       codebookSize: Int = 16,
       seed: Long = 42L,
       residual: Boolean = false,
-      coarseSampleFraction: Option[Double] = None
+      coarseSampleFraction: Option[Double] = None,
+      streamHighwater: Option[Long] = None
   ): Unit = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val spark = df.sparkSession
@@ -928,6 +929,15 @@ object Similarity {
     spark.read.parquet(s"$gdir/codes").groupBy(col("cell"))
       .agg(count(lit(1)).as("n_fit"))
       .write.mode("overwrite").parquet(s"$gdir/cellstats")
+    // stream-maintained indexes ([[appendStreamBatch]]) record the last
+    // FOLDED micro-batch id INSIDE the generation, before the commit —
+    // atomic with the fit, so an at-least-once replay of that batch can
+    // never double-apply it (the append guard reads this watermark)
+    streamHighwater.foreach { hw =>
+      val p = new org.apache.hadoop.fs.Path(s"$gdir/_stream_highwater")
+      val out = p.getFileSystem(spark.sessionState.newHadoopConf()).create(p, true)
+      try out.write(hw.toString.getBytes("UTF-8")) finally out.close()
+    }
     AtomicStore.commit(spark, path, gen)
     // the model under `path` just changed — drop any cached open
     invalidateIndexModel(path)
@@ -1036,9 +1046,65 @@ object Similarity {
   private def liveCodes(spark: SparkSession, dir: String,
       schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val reader = schema.map(spark.read.schema(_)).getOrElse(spark.read)
-    val codes = reader.parquet(s"$dir/codes")
+    val base = reader.parquet(s"$dir/codes")
+    // stream-grown extension ([[appendStreamBatch]]): same (cid, codes,
+    // cell) rows, additionally partitioned by batch_id for idempotent
+    // replay — union preserves cell partition pruning on both sides
+    val extP = new org.apache.hadoop.fs.Path(s"$dir/codes_stream")
+    val codes =
+      if (extP.getFileSystem(spark.sessionState.newHadoopConf()).exists(extP))
+        base.unionByName(
+          spark.read.parquet(extP.toString).select(base.columns.map(col): _*))
+      else base
     tombstonesOpt(spark, dir)
       .map(t => codes.join(t, Seq("cid"), "left_anti")).getOrElse(codes)
+  }
+
+  /** Last micro-batch id a generation's FIT already folded in — written
+    * by a stream-triggered refit ([[writeIvfPqIndex]]'s `streamHighwater`)
+    * atomically with the generation.
+    */
+  private def streamHighwaterOf(spark: SparkSession, dir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_stream_highwater")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try { in.readFully(0, buf); Some(new String(buf, "UTF-8").trim.toLong) }
+      finally in.close()
+    }
+  }
+
+  /** Streaming-grade append: encode `df` with the stored model (like
+    * [[appendToIvfPqIndex]]) into the `codes_stream` extension table,
+    * partitioned by `(batch_id, cell)` with dynamic partition overwrite —
+    * so an at-least-once REPLAY of the same micro-batch rewrites its own
+    * partitions instead of doubling rows (the `q_stream_incremental`
+    * idempotence pattern). A batch at or below the current generation's
+    * stream highwater is skipped entirely: a drift-triggered refit
+    * already folded it into the base fit (the watermark is written
+    * atomically with that generation), so replay-after-refit cannot
+    * duplicate either. Tombstone collisions compact first, like the
+    * batch append.
+    */
+  def appendStreamBatch(df: DataFrame, idCol: String, vecCol: String,
+                        path: String, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    val dir = AtomicStore.resolve(spark, path)
+    if (streamHighwaterOf(spark, dir).exists(_ >= batchId)) return
+    val ids = df.select(col(idCol).as("cid")).distinct()
+    if (tombstonesOpt(spark, dir)
+          .exists(t => !t.join(ids, Seq("cid"), "left_semi").isEmpty))
+      compactIn(spark, dir)
+    val index = openIvfPqIndexIn(spark, dir)
+    encodeForIndex(index, df, idCol, vecCol)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "cell")
+      .parquet(s"$dir/codes_stream")
   }
 
   /** Fold accumulated tombstones into the codes layout: rewrite ONLY the
@@ -1129,7 +1195,8 @@ object Similarity {
     * the store is untouched (the cheap steady-state probe).
     */
   def refitIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
-                      path: String, threshold: Double = 0.5): Boolean = {
+                      path: String, threshold: Double = 0.5,
+                      streamHighwater: Option[Long] = None): Boolean = {
     val spark = df.sparkSession
     val worst = ivfPqCellDrift(spark, path)
       .agg(max(abs(col("growth")))).head().getDouble(0)
@@ -1143,7 +1210,8 @@ object Similarity {
         m = meta.getAs[Int]("m"),
         codebookSize = meta.getAs[Int]("codebook_size"),
         seed = meta.getAs[Long]("seed"),
-        residual = meta.getAs[Boolean]("residual"))
+        residual = meta.getAs[Boolean]("residual"),
+        streamHighwater = streamHighwater)
       // (the refit commits a FRESH generation, which starts with no
       // tombstones — a refit defines the whole store)
       true

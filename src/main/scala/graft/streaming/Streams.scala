@@ -252,6 +252,53 @@ object Streams {
     graft.operators.Incremental.merge(
       Seq(spark.read.parquet(stateDir).drop("batch_id")), keys)
 
+  /** Stream-maintained ANN index — the streaming face of the persisted
+    * IVF-PQ lifecycle: each arriving micro-batch of embeddings is encoded
+    * with the STORED model and appended to the index's stream extension
+    * ([[graft.sim.Similarity.appendStreamBatch]]), then the cell-drift
+    * signal is probed and, past `driftThreshold`, the index is REFIT from
+    * the source-of-truth corpus (`corpus` — the embedding table including
+    * everything streamed so far; the index is derived state, never
+    * reconstructed from its own codes).
+    *
+    * Exactly-once under at-least-once replay, by construction:
+    *  - the append writes `(batch_id, cell)`-partitioned rows with
+    *    dynamic partition overwrite, so a replayed batch rewrites its own
+    *    partitions (the [[incrementalStats]] idempotence pattern);
+    *  - a refit commits a fresh store generation carrying the folded
+    *    batch id as a stream highwater, ATOMICALLY with the fit
+    *    (`AtomicStore` single-marker commit) — a replay that lands after
+    *    the refit is skipped by the watermark instead of re-appending
+    *    vectors the new fit already holds;
+    *  - a crash DURING the refit leaves an uncommitted generation that
+    *    readers never see; the replay re-appends idempotently and
+    *    re-triggers the refit.
+    * Serving ([[graft.sim.Similarity.openIvfPqIndex]]) reads base codes ∪
+    * stream extension at any point — fresh sessions and restarts included.
+    */
+  def annIndexStream(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      checkpointDir: String,
+      corpus: SparkSession => DataFrame,
+      driftThreshold: Double = 0.5
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        graft.sim.Similarity.appendStreamBatch(
+          batch.toDF(), idCol, vecCol, indexPath, batchId)
+        graft.sim.Similarity.refitIvfPqIndex(
+          corpus(s), idCol, vecCol, indexPath, driftThreshold,
+          streamHighwater = Some(batchId))
+        ()
+      }
+      .start()
+
   /** Open a parquet directory as a stream with an explicit schema — the
     * local test harness for the streaming paths.
     */

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sim.Similarity
+import graft.util.AtomicStore
+import org.apache.spark.sql.functions._
+
+/** The stream-maintained ANN index's EXTENSION leg — the no-refit regime
+  * q_stream_ann's fixture (every batch folds via refit) does not leave
+  * behind: batches accumulate in the `codes_stream` extension, serving
+  * reads base ∪ extension, replay rewrites its own partitions, and the
+  * drift signal sees the streamed growth. (The refit leg, restart, and
+  * the highwater replay guard are pinned by the q_stream_ann driver
+  * fixture and its oracle.)
+  */
+class AnnIndexStreamSpec extends SparkSpec {
+
+  private lazy val emb =
+    spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  private def stage(src: java.nio.file.Path, i: Int): Unit = {
+    val lo = 40L + i * 10; val hi = lo + 10
+    val scratch = graft.util.Tmp.root("ann_stage")
+    emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+      .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val part = scratch.toFile.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    java.nio.file.Files.createLink(src.resolve(s"f$i.parquet"), part)
+  }
+
+  test("extension growth: streamed batches serve identically to a stored-model re-encode") {
+    val d = tmpDir() + "/annstream"
+    Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 40),
+      "vec_id", "embedding", d, dim = 64, nlist = 8, m = 8, codebookSize = 16)
+    val src = graft.util.Tmp.root("ann_src")
+    val ckpt = graft.util.Tmp.root("ann_ckpt").toString
+    def launch() = Streams.annIndexStream(
+      spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", "1")
+        .parquet(src.toString),
+      "vec_id", "embedding", d, ckpt,
+      corpus = sess => emb, // never consulted: threshold is unreachable
+      driftThreshold = Double.MaxValue)
+    val run1 = launch()
+    try {
+      stage(src, 0); run1.processAllAvailable() // batch 0
+      stage(src, 1); run1.processAllAvailable() // batch 1
+    } finally run1.stop()
+    stage(src, 2) // arrives while the query is down
+    val run2 = launch() // restart from the same checkpoint
+    try {
+      run2.processAllAvailable()              // batch 2
+      stage(src, 3); run2.processAllAvailable() // batch 3
+    } finally run2.stop()
+    // no refit fired: still generation 1, extension holds the 4 batches
+    assert(AtomicStore.currentGen(spark, d).contains(1L))
+    val gdir = AtomicStore.resolve(spark, d)
+    assert(new java.io.File(s"$gdir/codes_stream").exists())
+    val fresh = spark.newSession()
+    val idx = Similarity.openIvfPqIndex(fresh, d)
+    assert(idx.codes.count() == 80, "base 40 + 4 streamed batches of 10")
+    // serve parity: base ∪ extension must equal the full corpus encoded
+    // with the SAME stored model (stream append changes where codes
+    // live, never what they are — the q_ivfpq_append property)
+    val all = emb.where(col("vec_id") < 80)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val served = rows(Similarity.ivfPqServe(idx, all, "vec_id", "embedding",
+      k = 5, nprobe = 4))
+    val rebuilt = idx.copy(codes =
+      Similarity.encodeForIndex(idx, all, "vec_id", "embedding"))
+    assert(served == rows(Similarity.ivfPqServe(rebuilt, all, "vec_id",
+      "embedding", k = 5, nprobe = 4)))
+    // drift sees the streamed growth: fit-time 40, live 80
+    val drift = Similarity.ivfPqCellDrift(spark, d).collect()
+    assert(drift.map(_.getLong(1)).sum == 40 && drift.map(_.getLong(2)).sum == 80)
+    // at-least-once replay of batch 2 (its exact rows, its exact id):
+    // dynamic partition overwrite rewrites that batch's partitions —
+    // counts AND contents unchanged
+    Similarity.appendStreamBatch(
+      emb.where(col("vec_id") >= 60 && col("vec_id") < 70),
+      "vec_id", "embedding", d, batchId = 2L)
+    val after = Similarity.openIvfPqIndex(spark.newSession(), d)
+    assert(after.codes.count() == 80, "replay must not double rows")
+    assert(rows(Similarity.ivfPqServe(after, all, "vec_id", "embedding",
+      k = 5, nprobe = 4)) == served, "replay must not change the served answer")
+  }
+}
