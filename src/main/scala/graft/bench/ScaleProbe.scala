@@ -371,6 +371,7 @@ object ScaleProbe {
         .select(col("id"), col("text")).collect()
       val wDir = graft.util.Tmp.root("graft_probe_warc").toString
       val parts = 8
+      val cdxIndexes = scala.collection.mutable.Map.empty[Int, Seq[(Long, Long)]]
       time("warc_write")(
         (0 until parts).foreach { k =>
           val recs = wDocs.filter(r => (r.getLong(0) / 10) % parts == k).toSeq.map { r =>
@@ -381,7 +382,7 @@ object ScaleProbe {
               targetUri = Some(s"https://h.example.com/p/${r.getLong(0)}"),
               contentType = Some("application/http;msgtype=response"))
           }
-          graft.ingest.Warc.write(s"$wDir/p$k.warc.gz", recs)
+          cdxIndexes(k) = graft.ingest.Warc.write(s"$wDir/p$k.warc.gz", recs)
         })
       run("warc_read", graft.ingest.Warc.read(spark, wDir, Seq("response"))
         .select(col("warc_target_uri"), length(col("payload")).as("n")))
@@ -403,6 +404,78 @@ object ScaleProbe {
             .repartition(32, col("warc_record_id")),
           wetDir)
       }
+      // O(k) indexed point-fetch (Warc.readIndexed's claim): a fixed
+      // 200-record byte-range batch against the grown archive, next to
+      // the full scan it short-circuits — the fetch must stay flat as
+      // the archive scales while warc_read grows with it
+      if (wanted("warc_fetch200")) {
+        import spark.implicits._
+        val slices = (0 until parts).flatMap { k =>
+          val f = s"$wDir/p$k.warc.gz"
+          cdxIndexes(k).map { case (off, len) => (f, off, len) }
+        }
+        val every = math.max(slices.size / 200, 1)
+        val batch = slices.zipWithIndex.collect {
+          case (s, i) if i % every == 0 => s
+        }.take(200).toDF("file", "offset", "length")
+        run("warc_fetch200", graft.ingest.Warc.readIndexed(spark, batch)
+          .select(col("warc_record_id"), length(col("payload")).as("n")))
+      }
+    }
+
+    if (what == "media" || what == "all") {
+      // Multimodal decode family at scale — measured evidence for the
+      // O-shapes the operators' docs claim: feature extraction / resize /
+      // dHash are LINEAR in blob count (real per-blob JDK decode, memory
+      // bounded by partition count); frame sampling costs the SAMPLED
+      // frames, not the track length (2-of-8 vs 8-of-8 on the same GIFs);
+      // audio metadata is a header parse, FLAT in payload size (same N at
+      // 1 KiB vs 64 KiB PCM); BMFF metadata/sample-table walks are
+      // header-sized. Fixtures are real containers built ON EXECUTORS.
+      val nMedia = size match {
+        case "small" => 2000L
+        case "medium" => 10000L
+        case "large" => 40000L
+        case other => throw new IllegalArgumentException(s"Unknown size: $other")
+      }
+      import spark.implicits._
+      import graft.multimodal.{Multimodal => mm}
+      val pngs = spark.range(nMedia).as[Long].mapPartitions(_.map { id =>
+        (id, mm.blockPng(3, (x, y) => ((id + x * 31 + y * 7) % 256).toInt))
+      }).toDF("media_id", "content").cache()
+      println(s"$size media_blobs=${pngs.count()}")
+      run("image_features", mm.extractFeatures(pngs, dim = 16).toDF())
+      run("image_resize", mm.resizeImages(pngs, maxDim = 8).toDF())
+      run("image_dhash", mm.imageDHashes(pngs))
+      // 96x96 frames: big enough that per-frame pixel decode dominates
+      // the unavoidable frame-count stream scan — the regime where
+      // decode-only-sampled-frames pays (at thumbnail sizes the count
+      // scan is the cost and 2-of-8 ~= 8-of-8)
+      val gifs = spark.range(nMedia / 4).as[Long].mapPartitions(_.map { id =>
+        val frames = (0 until 8).map(f => (((id + f * 37) % 256).toInt,
+          ((id * 3 + f) % 256).toInt, ((id + f * 11) % 256).toInt))
+        (id, mm.animatedGif(frames, 96, 96))
+      }).toDF("media_id", "content").cache()
+      gifs.count()
+      run("gif_sample_2of8", mm.sampleFrames(gifs, stride = 4, maxFrames = 2).toDF())
+      run("gif_sample_8of8", mm.sampleFrames(gifs, stride = 1, maxFrames = 8).toDF())
+      def wavs(bytesPerBlob: Int) = spark.range(nMedia).as[Long]
+        .mapPartitions(_.map { id =>
+          val pcm = Array.tabulate(bytesPerBlob)(i => ((id + i) % 251).toByte)
+          (id, mm.wavFromPcm(pcm, 8000, 1, 8))
+        }).toDF("media_id", "content")
+      val wavSmall = wavs(1 << 10).cache(); wavSmall.count()
+      val wavBig = wavs(1 << 16).cache(); wavBig.count()
+      run("audio_meta_1k", mm.audioMeta(wavSmall).toDF())
+      run("audio_meta_64k", mm.audioMeta(wavBig).toDF())
+      wavSmall.unpersist(); wavBig.unpersist()
+      val mp4s = spark.range(nMedia / 4).as[Long].mapPartitions(_.map { id =>
+        (id, mm.mjpegMp4(16, 16, 5, (0 until 4).map(f => ((id + f * 61) % 256).toInt)))
+      }).toDF("media_id", "content").cache()
+      mp4s.count()
+      run("video_meta", mm.videoMeta(mp4s).toDF())
+      run("mp4_sample_2of4", mm.sampleMp4Frames(mp4s, stride = 2, maxFrames = 2).toDF())
+      pngs.unpersist(); gifs.unpersist(); mp4s.unpersist(); ()
     }
 
     if (what == "cc" || what == "all") {

@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   * next batch sees them. The dedup twin of the IVF-PQ index lifecycle in
   * `sim/Similarity` (fit / serve / append), sharing its store shape.
   *
-  * Store layout under `path/`:
+  * Store layout: `path/` holds committed generation directories
+  * (`gen-N/` + `_commit_N` markers — the crash-atomic publish protocol of
+  * [[graft.util.AtomicStore]]; pre-protocol stores with tables at the
+  * root still resolve). Inside a generation:
   *  - `meta`   — one row: (n, num_hashes, bands, seed)
   *  - `bands`  — (id, band, bucket): the LSH postings, corpus × bands rows
   *  - `grams`  — (id, gs): per-doc n-gram xxhash64 sets, for exact-Jaccard

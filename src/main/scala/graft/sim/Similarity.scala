@@ -844,7 +844,8 @@ object Similarity {
       residual: Boolean,
       codes: DataFrame)
 
-  /** Fit an IVF-PQ index on `df` and persist it under `path`:
+  /** Fit an IVF-PQ index on `df` and persist it under `path`, as one
+    * crash-atomically committed generation ([[graft.util.AtomicStore]]):
     * `meta` (one row of params), `centroids` (nlist rows), `codebooks`
     * (m·k rows), and `codes` — one `(cid, codes)` row per corpus vector,
     * partitioned by `cell`. The fit is exactly [[ivfPqTopK]]'s (same

@@ -207,6 +207,58 @@ class MultimodalFuzzSpec extends SparkSpec {
     }
   }
 
+  test("frame samplers decode ONLY the sampled frames (unsampled corruption is invisible)") {
+    import spark.implicits._
+    // MJPEG-MP4: zero out the whole JPEG payload of frame 1, sample
+    // {0, 2} — if the sampler decoded unsampled frames the corrupt one
+    // would surface; only-sampled decode returns both rows intact
+    val grays = Seq(40, 120, 200, 240)
+    val mp4 = Multimodal.mjpegMp4(24, 24, 5, grays)
+    val (codec, samples) = Multimodal.bmffVideoSamples(mp4)
+      .getOrElse(fail("fixture must resolve a sample table"))
+    assert(codec == "jpeg" && samples.length == 4)
+    val corrupt = mp4.clone()
+    val (off1, len1) = samples(1)
+    java.util.Arrays.fill(corrupt, off1.toInt, off1.toInt + len1, 0.toByte)
+    val rows = Multimodal.sampleMp4Frames(
+        Seq((1L, corrupt)).toDF("media_id", "content"), stride = 2, maxFrames = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(rows.map(_.frame_idx).toSeq == Seq(0, 2),
+      "sampling {0,2} must survive a corrupt frame 1")
+    assert(rows(0).mean_r == 40.0 && rows(1).mean_r == 200.0)
+    // sanity: the corruption is real — sampling the corrupt frame itself
+    // yields no row for it
+    val hit = Multimodal.sampleMp4Frames(
+        Seq((2L, corrupt)).toDF("media_id", "content"), stride = 1, maxFrames = 4)
+      .collect().map(_.frame_idx).toSet
+    assert(!hit.contains(1) && hit.contains(0))
+    // GIF: corrupt frame 1's LZW data bytes (not the block structure) —
+    // the seeking reader must still decode frames 0 and 2
+    val gif = Multimodal.animatedGif(
+      Seq((10, 10, 10), (90, 90, 90), (170, 170, 170), (250, 250, 250)), 16, 16)
+    val g2 = {
+      // frame image data starts after each image descriptor (0x2C ...);
+      // find the SECOND descriptor and scribble inside its data blocks
+      val idx = (0 until gif.length - 10).filter(i =>
+        gif(i) == 0x2C.toByte &&
+          (gif(i + 5) & 0xFF) + ((gif(i + 6) & 0xFF) << 8) == 16 &&
+          (gif(i + 7) & 0xFF) + ((gif(i + 8) & 0xFF) << 8) == 16)
+      assume(idx.length >= 3, "fixture layout: need per-frame image descriptors")
+      val b = gif.clone()
+      // descriptor(10) + lzw-min-code(1) + first block length byte: the
+      // bytes after that are LZW data — flip a few
+      val dataAt = idx(1) + 12
+      (0 until 3).foreach(i => b(dataAt + i) = (b(dataAt + i) ^ 0x5A).toByte)
+      b
+    }
+    val grows = Multimodal.sampleFrames(
+        Seq((3L, g2)).toDF("media_id", "content"), stride = 2, maxFrames = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(grows.map(_.frame_idx).toSeq == Seq(0, 2),
+      "GIF sampling {0,2} must survive corrupt frame-1 LZW data")
+    assert(grows(0).mean_r == 10.0 && grows(1).mean_r == 170.0)
+  }
+
   test("adversarial mutations: every parser completes without throwing; survivors stay sane") {
     import spark.implicits._
     val seeds: Seq[Array[Byte]] = Seq(
