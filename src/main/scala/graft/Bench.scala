@@ -56,8 +56,11 @@ object Bench {
     // round-14: the SQ×IVF composition benched next to its brute twin;
     // round-15: its persisted-store serving path (fit-once/serve-many —
     // the shape a deployment actually runs; store build amortized in
-    // warmup via the per-(app,dir) fixture memo)
-    "q_sq_ivf_ann", "q_sq_ivf_served",
+    // warmup via the per-(app,dir) fixture memo); round-16: serving from
+    // the STREAM-maintained store (the annIndexStream lifecycle — the
+    // streaming build runs once in warmup via the same memo, the timed
+    // plan is the pure store serve)
+    "q_sq_ivf_ann", "q_sq_ivf_served", "q_stream_ann",
     // the end-to-end composition: crawl bytes -> extraction -> scoring ->
     // near-dup removal -> rollup in one plan
     "q_web_pipeline")

@@ -934,10 +934,17 @@ object Similarity {
     // FOLDED micro-batch id INSIDE the generation, before the commit —
     // atomic with the fit, so an at-least-once replay of that batch can
     // never double-apply it (the append guard reads this watermark)
-    streamHighwater.foreach { hw =>
-      val p = new org.apache.hadoop.fs.Path(s"$gdir/_stream_highwater")
-      val out = p.getFileSystem(spark.sessionState.newHadoopConf()).create(p, true)
-      try out.write(hw.toString.getBytes("UTF-8")) finally out.close()
+    val hwPath = new org.apache.hadoop.fs.Path(s"$gdir/_stream_highwater")
+    val hwFs = hwPath.getFileSystem(spark.sessionState.newHadoopConf())
+    streamHighwater match {
+      case Some(hw) =>
+        val out = hwFs.create(hwPath, true)
+        try out.write(hw.toString.getBytes("UTF-8")) finally out.close()
+      case None =>
+        // a crashed STREAM refit may have left its watermark in this
+        // (abandoned, now reused) generation directory — a non-stream fit
+        // must not inherit it, or future stream appends would be skipped
+        if (hwFs.exists(hwPath)) { hwFs.delete(hwPath, false); () }
     }
     AtomicStore.commit(spark, path, gen)
     // the model under `path` just changed — drop any cached open

@@ -84,4 +84,28 @@ class AnnIndexStreamSpec extends SparkSpec {
     assert(rows(Similarity.ivfPqServe(after, all, "vec_id", "embedding",
       k = 5, nprobe = 4)) == served, "replay must not change the served answer")
   }
+
+  test("a crashed stream refit's highwater is not inherited by a later non-stream fit") {
+    val d = tmpDir() + "/hwinherit"
+    Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 40),
+      "vec_id", "embedding", d, dim = 64, nlist = 8, m = 8, codebookSize = 16)
+    // stream refit that crashes at the commit point, AFTER its highwater
+    // file landed in the (now abandoned) generation directory
+    AtomicStore.failpoint =
+      l => if (l == "commit") throw new RuntimeException("killed at commit")
+    try intercept[RuntimeException] {
+      Similarity.refitIvfPqIndex(emb.where(col("vec_id") < 50),
+        "vec_id", "embedding", d, threshold = 0.0, streamHighwater = Some(9L))
+    } finally AtomicStore.failpoint = _ => ()
+    // a plain (non-stream) refit reuses the abandoned generation id — it
+    // must scrub the stale watermark, or every future stream append with
+    // batchId <= 9 would be silently skipped
+    Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 50),
+      "vec_id", "embedding", d, dim = 64, nlist = 8, m = 8, codebookSize = 16)
+    Similarity.appendStreamBatch(
+      emb.where(col("vec_id") >= 50 && col("vec_id") < 60),
+      "vec_id", "embedding", d, batchId = 0L)
+    assert(Similarity.openIvfPqIndex(spark.newSession(), d).codes.count() == 60,
+      "append after the clean fit must not be skipped by a stale highwater")
+  }
 }
