@@ -140,6 +140,35 @@ class PlanSpec extends SparkSpec {
       s"no centroid crossJoin may survive on the probe side:\n$p")
   }
 
+  test("served index scans are dynamically cell-pruned, base AND stream extension") {
+    val emb = Tables.embeddings(spark, sfDir).where(col("vec_id") < 50)
+    val d = tmpDir() + "/ivfpq_dpp"
+    graft.sim.Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", d,
+      dim = 64, nlist = 8, m = 8, codebookSize = 16)
+    graft.sim.Similarity.appendStreamBatch(
+      Tables.embeddings(spark, sfDir)
+        .where(col("vec_id") >= 50 && col("vec_id") < 60),
+      "vec_id", "embedding", d, batchId = 0L)
+    val idx = graft.sim.Similarity.openIvfPqIndex(spark, d)
+    val served = graft.sim.Similarity.ivfPqServe(idx,
+      emb.where(col("vec_id") < 3), "vec_id", "embedding", k = 3, nprobe = 2)
+    served.collect() // executed plan carries the runtime pruning subqueries
+    val p = plan(served)
+    // the probe side is tiny and broadcast, so Spark's dynamic partition
+    // pruning turns the cell equi-join into partition filters on the
+    // codes scans — serving reads ~nprobe/nlist of the store, and the
+    // union with the stream-grown extension must not defeat that on
+    // EITHER branch (each cell-partitioned scan keeps its own filter)
+    assert(p.contains("dynamicpruning"),
+      s"served codes scan must be dynamically cell-pruned:\n$p")
+    val prunedScans = p.linesIterator.filter(l =>
+      l.contains("/codes") && l.contains("PartitionFilters") &&
+        l.contains("dynamicpruning")).size
+    assert(prunedScans >= 2,
+      s"both the base codes and codes_stream scans must carry a dynamic " +
+        s"cell PartitionFilter, found $prunedScans:\n$p")
+  }
+
   test("bucketed tables join without a shuffle") {
     import graft.ingest.GridSink
     // clean both the metastore entries and any orphaned warehouse dirs

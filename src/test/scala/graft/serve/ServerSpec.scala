@@ -223,6 +223,88 @@ class ServerSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     } finally { s2.stop(); node.stop() }
   }
 
+  test("adversarial request barrage: bounded JSON error responses, server stays alive") {
+    val rnd = new scala.util.Random(20260816L)
+    // weird-but-parseable requests through the real client: hostile query
+    // encodings, absurd parameter values, deep/garbage paths, traversal
+    // attempts — every response must be a well-formed JSON error object
+    // with a FastAPI-contract status, never a hang or a connection drop
+    val hostile = Seq(
+      "/api/v1/data/datasets/era5_sample/point?lat=NaN&lon=Infinity",
+      "/api/v1/data/datasets/era5_sample/point?lat=1e308&lon=-1e308",
+      "/api/v1/data/datasets/era5_sample/point?lat=91&lon=0",
+      "/api/v1/data/datasets/era5_sample/point?lat=0&lon=0&start_date=%27--",
+      "/api/v1/data/datasets/era5_sample/region?min_lon=5&min_lat=5&max_lon=4&max_lat=90",
+      "/api/v1/data/datasets/era5_sample/stats?min_lon=&min_lat=&max_lon=&max_lat=",
+      "/api/v1/data/datasets/" + "x" * 4096,
+      "/api/v1/data/datasets/..%2f..%2fetc%2fpasswd/point?lat=0&lon=0",
+      "/api/v1/metrics/temporal/era5_sample?metric=" + "m" * 2048,
+      "/api/v1/metrics/temporal/era5_sample?metric=monthly_mean&ref_start=x",
+      "/api/v1/metrics/trend/era5_sample?significance=maybe",
+      "/" + Seq.fill(64)("a").mkString("/"),
+      "/api/v1/data/datasets/era5_sample/point?" +
+        (0 until 200).map(i => s"p$i=$i").mkString("&") + "&lat=0&lon=0")
+    hostile.foreach { p =>
+      val r = get(p)
+      assert(Set(200, 404, 405, 422, 500, 503).contains(r.statusCode()),
+        s"$p -> unexpected status ${r.statusCode()}")
+      assert(r.body().startsWith("{") && r.body().endsWith("}"),
+        s"$p -> non-JSON body '${r.body().take(60)}'")
+      if (r.statusCode() != 200)
+        assert(r.body().contains("\"detail\""), s"$p -> error without detail")
+    }
+    // encodings the strict client-side URI parser refuses to even send
+    // (bad escape pairs, NULs) go over a raw socket; the server must
+    // still answer a bounded JSON error, never hang or drop silently
+    def rawGet(path: String): (Int, String) = {
+      val s = new java.net.Socket("127.0.0.1", srv.port)
+      try {
+        s.setSoTimeout(10000)
+        s.getOutputStream.write(
+          s"GET $path HTTP/1.1\r\nHost: t\r\nConnection: close\r\n\r\n"
+            .getBytes("ISO-8859-1"))
+        s.getOutputStream.flush()
+        val all = new String(s.getInputStream.readAllBytes(), "UTF-8")
+        val status = all.split(" ", 3)(1).toInt
+        (status, all.substring(all.indexOf("\r\n\r\n") + 4))
+      } finally s.close()
+    }
+    Seq("/api/v1/data/datasets/era5_sample/point?lat=%zz&lon=0",
+        "/stac/collections/%00",
+        "/api/v1/data/datasets/era5_sample/point?lat=%&lon=%1").foreach { p =>
+      val (status, body) = rawGet(p)
+      assert(Set(400, 404, 422, 500).contains(status), s"$p -> $status")
+      // the JDK layer may reject the URI itself with its own 400 page;
+      // anything OUR handler answered must be the JSON error contract
+      if (status != 400)
+        assert(body.startsWith("{") && body.contains("\"detail\""),
+          s"$p -> non-contract body '${body.take(60)}'")
+    }
+    // raw-socket malformed HTTP: bad request lines, binary garbage,
+    // header floods, half-requests slammed shut — the JDK server layer
+    // owns these; the property is that none of it wedges the service
+    (0 until 40).foreach { i =>
+      val s = new java.net.Socket("127.0.0.1", srv.port)
+      try {
+        val out = s.getOutputStream
+        i % 5 match {
+          case 0 => out.write("GARBAGE /\r\n\r\n".getBytes("UTF-8"))
+          case 1 => out.write(Array.fill(256)(rnd.nextInt(256).toByte))
+          case 2 => out.write(("GET / HTTP/1.1\r\n" +
+            (0 until 200).map(j => s"X-H$j: v\r\n").mkString + "\r\n").getBytes("UTF-8"))
+          case 3 => out.write("GET /api".getBytes("UTF-8")) // half a request line
+          case _ => () // connect-and-slam
+        }
+        out.flush()
+      } catch { case _: java.io.IOException => () } // server may RST; fine
+      finally s.close()
+    }
+    // the service is intact afterwards: data route and health both answer
+    val ok = get("/api/v1/data/datasets/era5_sample/point?lat=10&lon=20")
+    assert(ok.statusCode() == 200 && ok.body().contains("\"data\""))
+    assert(get("/health").statusCode() == 200)
+  }
+
   test("unknown path 404s; non-GET is a 405") {
     assert(get("/api/v2/whatever").statusCode() == 404)
     val post = client.send(
