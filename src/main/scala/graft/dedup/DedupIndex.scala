@@ -118,7 +118,7 @@ object DedupIndex {
   }
 
   def params(spark: SparkSession, path: String): Params =
-    paramsIn(spark, AtomicStore.resolve(spark, path))
+    paramsIn(spark, AtomicStore.resolveCached(spark, path))
 
   /** [[params]] inside an already-resolved generation directory. A
     * committed generation's meta is immutable, but the resolved dir can
@@ -203,7 +203,10 @@ object DedupIndex {
                              pushdownMinStoreBytes: Long =
                                DefaultPushdownMinStoreBytes): DataFrame = {
     val spark = batch.sparkSession
-    val dir = AtomicStore.resolve(spark, path)
+    // hot serve path: TTL-cached generation resolution (one marker
+    // listing per query is a metadata round-trip on an object store;
+    // safe by AtomicStore's previous-generation retention)
+    val dir = AtomicStore.resolveCached(spark, path)
     val p = paramsIn(spark, dir)
     val grams = Dedup.gramHashSets(batch, idCol, textCol, p.n)
       .select(col(idCol).as("query_id"), col("gs"))

@@ -1258,7 +1258,9 @@ object Similarity {
     * [[deleteFromIvfPqIndex]] are already excluded.
     */
   def openIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex =
-    openIvfPqIndexIn(spark, AtomicStore.resolve(spark, path))
+    // hot serve path: TTL-cached resolution (safe by generation
+    // retention — see AtomicStore.resolveCached)
+    openIvfPqIndexIn(spark, AtomicStore.resolveCached(spark, path))
 
   /** [[openIvfPqIndex]] with the generation directory already resolved —
     * the mutation paths resolve once and reuse it.
@@ -1380,7 +1382,7 @@ object Similarity {
     * lazy partition-pruned DataFrame.
     */
   def openSqIvfIndex(spark: SparkSession, path: String): SqIvfIndex =
-    openSqIvfIndexIn(spark, AtomicStore.resolve(spark, path))
+    openSqIvfIndexIn(spark, AtomicStore.resolveCached(spark, path))
 
   private def openSqIvfIndexIn(spark: SparkSession, dir: String): SqIvfIndex = {
     val (cents, dim, codesSchema) = sqIvfModelCache.getOrElseUpdate(dir, {

@@ -84,6 +84,30 @@ object AtomicStore {
   def resolve(spark: SparkSession, path: String): String =
     currentGen(spark, path).map(genDir(path, _)).getOrElse(path)
 
+  /** [[resolve]] with a short per-JVM TTL cache — for HOT SERVE paths
+    * only (index opens/queries), where one marker listing per request
+    * becomes a metadata round-trip per query on an object store. Safe by
+    * the retention rule: [[commit]] keeps the previous generation on
+    * disk, so a reader whose cached resolution is up to one refit stale
+    * still scans a complete, consistent generation. In-process commits
+    * invalidate immediately; cross-process refits are picked up within
+    * `ttlMs`. Mutation paths must use the uncached [[resolve]].
+    */
+  def resolveCached(spark: SparkSession, path: String,
+                    ttlMs: Long = 5000L): String = {
+    val now = System.nanoTime()
+    resolveCache.get(path) match {
+      case Some((deadline, dir)) if now < deadline => dir
+      case _ =>
+        val dir = resolve(spark, path)
+        resolveCache.put(path, (now + ttlMs * 1000000L, dir))
+        dir
+    }
+  }
+
+  private val resolveCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
+
   /** Start a new generation: returns its id and (not-yet-created)
     * directory. The caller writes every table under the directory, then
     * calls [[commit]]; on failure it simply abandons the directory —
@@ -106,6 +130,7 @@ object AtomicStore {
     val marker = new Path(s"$path/$MarkerPrefix$gen")
     // overwrite=false: concurrent double-commit of the same id fails loudly
     f.create(marker, false).close()
+    resolveCache.remove(path)
     val keep = Set(gen, gen - 1L)
     f.listStatus(new Path(path)).foreach { st =>
       val n = st.getPath.getName
