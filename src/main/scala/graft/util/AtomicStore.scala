@@ -36,13 +36,17 @@ import org.apache.spark.sql.SparkSession
   * resolve to the root itself; the first committed generation supersedes
   * them and the second prunes the root tables.
   *
-  * Single-writer per store, like the table formats this mirrors: two
-  * concurrent fits race to the same generation id — the loser's marker
-  * creation fails loudly (createNewFile semantics), it never half-applies.
+  * Concurrent writers are safe via a CLAIM step: [[begin]] atomically
+  * creates `_claim_N` (create-no-overwrite) before returning generation
+  * N, so no two writers ever share a generation directory — racing fits
+  * land on DIFFERENT generations, each complete, and the last commit
+  * wins (the optimistic last-writer-wins of idempotent full refits).
+  * A crashed claim merely retires an id; later writers skip past it.
   */
 object AtomicStore {
 
   private val MarkerPrefix = "_commit_"
+  private val ClaimPrefix = "_claim_"
   private val GenPrefix = "gen-"
 
   /** Tables a legacy (pre-protocol) store may have at its root; pruned
@@ -108,14 +112,40 @@ object AtomicStore {
   private val resolveCache =
     scala.collection.concurrent.TrieMap.empty[String, (Long, String)]
 
-  /** Start a new generation: returns its id and (not-yet-created)
-    * directory. The caller writes every table under the directory, then
-    * calls [[commit]]; on failure it simply abandons the directory —
-    * uncommitted generations are invisible and pruned by later commits.
+  /** Start a new generation: atomically CLAIMS the next unused id
+    * (create-no-overwrite of `_claim_N`, retried past races and crashed
+    * claims) and returns it with its (not-yet-created) directory — so
+    * concurrent writers can never interleave table writes inside one
+    * generation directory. The caller writes every table under the
+    * directory, then calls [[commit]]; on failure it simply abandons the
+    * directory — uncommitted generations are invisible and pruned by
+    * later commits.
     */
   def begin(spark: SparkSession, path: String): (Long, String) = {
-    val next = currentGen(spark, path).getOrElse(0L) + 1L
-    (next, genDir(path, next))
+    val f = fs(spark, path)
+    val root = new Path(path)
+    f.mkdirs(root)
+    var attempt = 0
+    while (attempt < 64) {
+      val taken = f.listStatus(root).iterator.map(_.getPath.getName)
+        .flatMap { n =>
+          val prefix =
+            if (n.startsWith(MarkerPrefix)) MarkerPrefix
+            else if (n.startsWith(ClaimPrefix)) ClaimPrefix
+            else ""
+          if (prefix.isEmpty) None
+          else scala.util.Try(n.drop(prefix.length).toLong).toOption
+        }.foldLeft(0L)(math.max)
+      val next = taken + 1L
+      try {
+        f.create(new Path(s"$path/$ClaimPrefix$next"), false).close()
+        return (next, genDir(path, next))
+      } catch {
+        case _: java.io.IOException => attempt += 1 // raced a claim: re-list
+      }
+    }
+    sys.error(s"AtomicStore.begin: no claimable generation under $path " +
+      "after 64 attempts")
   }
 
   /** Atomically publish generation `gen` (marker-file creation), then
@@ -137,6 +167,8 @@ object AtomicStore {
       val genId =
         if (n.startsWith(MarkerPrefix))
           scala.util.Try(n.drop(MarkerPrefix.length).toLong).toOption
+        else if (n.startsWith(ClaimPrefix))
+          scala.util.Try(n.drop(ClaimPrefix.length).toLong).toOption
         else if (n.startsWith(GenPrefix))
           scala.util.Try(n.drop(GenPrefix.length).toLong).toOption
         else None

@@ -52,10 +52,12 @@ class AtomicStoreSpec extends SparkSpec {
       assert(serveRows(d) == before,
         s"$stage: a torn write must be invisible to readers")
     }
-    // the abandoned half-generations don't block a later clean fit
+    // the abandoned half-generations don't block a later clean fit (each
+    // torn attempt retires a CLAIMED id, so the committed id is just
+    // "past the base generation", not dense)
     Similarity.writeIvfPqIndex(newCorpus, "vec_id", "embedding", d,
       dim = 64, nlist = 8, m = 8, codebookSize = 16)
-    assert(AtomicStore.currentGen(spark, d).contains(2L))
+    assert(AtomicStore.currentGen(spark, d).exists(_ > 1L))
     val after = serveRows(d)
     assert(after != before && after.nonEmpty)
     assert(Similarity.openIvfPqIndex(spark.newSession(), d).codes.count() == 80)
@@ -144,6 +146,36 @@ class AtomicStoreSpec extends SparkSpec {
     } finally { AtomicStore.failpoint = _ => (); releaseCommit.countDown() }
     assert(AtomicStore.currentGen(spark, d).contains(2L))
     assert(Similarity.openIvfPqIndex(spark.newSession(), d).codes.count() == 80)
+  }
+
+  test("concurrent fits claim DISJOINT generations; the final store is one complete fit, never a mix") {
+    val d = tmpDir() + "/race"
+    val corpusA = emb.where(col("vec_id") < 40)
+    val corpusB = emb.where(col("vec_id") >= 20 && col("vec_id") < 80)
+    // expected pure results, from separate clean stores
+    def pureServe(corpus: org.apache.spark.sql.DataFrame, tag: String) = {
+      val p = tmpDir() + s"/pure$tag"
+      Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding", p,
+        dim = 64, nlist = 8, m = 8, codebookSize = 16)
+      serveRows(p)
+    }
+    val pureA = pureServe(corpusA, "A")
+    val pureB = pureServe(corpusB, "B")
+    assert(pureA != pureB, "fixture: the two corpora must serve differently")
+    // two racing writers on the SAME store — the claim step must land
+    // them on different generation directories, so whichever commit wins,
+    // readers see ONE writer's complete fit (interleaved table writes
+    // into a shared directory would serve a mix matching neither)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq(corpusA, corpusB).map(c => new Thread(() =>
+      try Similarity.writeIvfPqIndex(c, "vec_id", "embedding", d,
+        dim = 64, nlist = 8, m = 8, codebookSize = 16)
+      catch { case e: Throwable => errs.add(e) }))
+    ts.foreach(_.start()); ts.foreach(_.join(120000))
+    assert(errs.isEmpty, s"racing fits must both complete: ${errs.toArray.mkString}")
+    val got = serveRows(d)
+    assert(got == pureA || got == pureB,
+      "the committed store must be exactly one writer's fit, not a mix")
   }
 
   test("protocol mechanics: legacy resolve, generation retention, abandoned-dir pruning, double commit") {
