@@ -86,6 +86,44 @@ object Packing {
         sum(col("straddles").cast("int")).as("n_straddling"),
         min(col("id")).as("first_id"))
 
+  /** RAG/embedding-style document chunking: fixed-size token windows with
+    * overlap — one row per chunk with its index, document-relative token
+    * range `[tok_from, tok_to)` and the chunk text. Windows start every
+    * `chunkTokens − overlapTokens` tokens; the final window is the tail
+    * (possibly short — forward windows, not back-shifted), so every token
+    * is covered and consecutive chunks share exactly `overlapTokens`
+    * tokens of context. Blank documents produce no chunks.
+    *
+    * Scan-local by construction (tokenize → closed-form chunk count →
+    * explode → slice): no shuffle, no per-doc state, output
+    * O(corpus_tokens / stride) rows — the embedding-ingest front end at
+    * 100 TB is a pure map. All arithmetic is integer (the chunk count is
+    * an integer ceil via `div`), so an external oracle replays it
+    * exactly.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, overlapTokens: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"overlapTokens must be in [0, chunkTokens), got $overlapTokens — an " +
+        "overlap >= the chunk size never advances and would chunk forever")
+    val stride = chunkTokens - overlapTokens
+    df.select(col(idCol), TextMetrics.tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .where(col("n_tokens") > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        when(col("n_tokens") <= chunkTokens, lit(0L)).otherwise(
+          expr(s"(n_tokens - $chunkTokens + ${stride - 1}) div $stride")))))
+      .withColumn("tok_from", col("chunk_idx") * stride)
+      .withColumn("tok_to",
+        least(col("n_tokens"), col("tok_from") + chunkTokens))
+      .withColumn("chunk_text", concat_ws(" ",
+        slice(col("toks"), (col("tok_from") + 1).cast("int"),
+          (col("tok_to") - col("tok_from")).cast("int"))))
+      .select(col(idCol), col("chunk_idx"), col("n_tokens"),
+        col("tok_from"), col("tok_to"), col("chunk_text"))
+  }
+
   /** The MATERIALIZED piece list a training loader actually reads: each
     * document's token range cut into per-sequence spans — one row per
     * (sequence, document piece) with the document-relative range

@@ -60,6 +60,16 @@ object SampleQ extends QueryPack {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("doc_id")).cast("long").as("id_sum"))
     }),
+    // RAG/embedding-style chunking: 64-token windows, 16-token overlap
+    // (stride 48), forward windows with a short tail. One row per chunk
+    // with its integer token range and the chunk text's md5 — the oracle
+    // re-derives the chunk count (integer ceil via //), every boundary,
+    // and the text itself from the shared tokenizer.
+    "q_chunk_docs" -> ((s, dir) =>
+      graft.operators.Packing.chunkDocs(Tables.documents(s, dir),
+          "doc_id", "text", chunkTokens = 64, overlapTokens = 16)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          col("tok_from"), col("tok_to"), md5(col("chunk_text")).as("chunk_md5"))),
     // The materialized block manifest (one row per per-sequence document
     // piece), rolled up per block with its tiling invariants exposed:
     // min_seq_from must be 0 and seq_end must equal sum_span for every
@@ -112,6 +122,28 @@ object SampleQ extends QueryPack {
         |   OR (mix_source = 'de' AND bucket < 50)
         |   OR (mix_source = 'rest' AND bucket < 20)
         |GROUP BY 1""".stripMargin,
+    // chunk count = 1 + ceil((n - 64)/48) for n > 64 (integer ceil via
+    // //), boundaries and text re-derived from the same tokenizer;
+    // DuckDB list slices are 1-based end-inclusive = Spark's
+    // slice(toks, from+1, len)
+    "q_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[^ \t\n\x0b\f\r]+') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+        |      FROM t WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, n, toks,
+        |    unnest(range(0, CASE WHEN n <= 64 THEN 1
+        |                       ELSE 1 + (n - 64 + 47) // 48 END)) AS chunk_idx
+        |  FROM b)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, n AS n_tokens,
+        |  CAST(chunk_idx * 48 AS BIGINT) AS tok_from,
+        |  least(n, chunk_idx * 48 + 64) AS tok_to,
+        |  md5(array_to_string(
+        |    toks[CAST(chunk_idx * 48 + 1 AS BIGINT):least(n, chunk_idx * 48 + 64)],
+        |    ' ')) AS chunk_md5
+        |FROM c""".stripMargin,
     // same md5 shard/order arithmetic as Packing.packAssignments; `//`
     // is DuckDB integer division = Spark's DIV
     "q_pack_sequences" ->

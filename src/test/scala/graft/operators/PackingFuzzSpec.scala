@@ -20,6 +20,60 @@ class PackingFuzzSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("chunkDocs parity with a naive chunker; overlap and coverage invariants") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    (0 until 6).foreach { round =>
+      val size = 2 + rnd.nextInt(8)
+      val overlap = rnd.nextInt(size) // 0 .. size-1
+      val docs = (0L until 40L).map { id =>
+        val n = rnd.nextInt(4) match {
+          case 0 => 0
+          case 1 => 1 + rnd.nextInt(size)         // single chunk
+          case _ => size + rnd.nextInt(5 * size)  // several, short tail
+        }
+        // distinct tokens so chunk text pins the exact boundaries
+        (id, (0 until n).map(i => s"t${id}x$i").mkString(" "))
+      }
+      val got = Packing.chunkDocs(docs.toDF("doc_id", "text"), "doc_id",
+          "text", size, overlap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4),
+          r.getString(5))).toSet
+      val stride = size - overlap
+      val want = docs.flatMap { case (id, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        val n = toks.length
+        if (n == 0) Nil
+        else {
+          val nChunks = if (n <= size) 1 else 1 + (n - size + stride - 1) / stride
+          (0 until nChunks).map { k =>
+            val from = k.toLong * stride
+            val to = math.min(n.toLong, from + size)
+            (id, k.toLong, from, to,
+              toks.slice(from.toInt, to.toInt).mkString(" "))
+          }
+        }
+      }.toSet
+      assert(got == want, s"round $round (size=$size overlap=$overlap): " +
+        s"${(got diff want).size} extra, ${(want diff got).size} missing")
+      // invariants: consecutive chunks overlap by exactly `overlap`
+      // (except against a short tail), and the windows cover every token
+      want.groupBy(_._1).foreach { case (id, chunks) =>
+        val sorted = chunks.toSeq.sortBy(_._2)
+        sorted.sliding(2).foreach {
+          case Seq(a, b) =>
+            assert(b._3 == a._3 + stride, s"doc $id: stride broken")
+            assert(a._4 >= b._3, s"doc $id: coverage gap")
+          case _ => ()
+        }
+        val n = docs.find(_._1 == id).get._2.split(" ").count(_.nonEmpty)
+        assert(sorted.head._3 == 0 && sorted.last._4 == n,
+          s"doc $id: windows must span [0, $n)")
+      }
+    }
+  }
+
   test("blockSpans parity with a naive packer under adversarial doc/budget ratios") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260816L)
