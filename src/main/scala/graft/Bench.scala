@@ -61,6 +61,8 @@ object Bench {
     // streaming build runs once in warmup via the same memo, the timed
     // plan is the pure store serve)
     "q_sq_ivf_ann", "q_sq_ivf_served", "q_stream_ann",
+    // round-16: overlapping document chunking (the embedding-ingest map)
+    "q_chunk_docs",
     // the end-to-end composition: crawl bytes -> extraction -> scoring ->
     // near-dup removal -> rollup in one plan
     "q_web_pipeline")

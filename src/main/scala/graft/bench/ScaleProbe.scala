@@ -124,6 +124,10 @@ object ScaleProbe {
         graft.text.TextMetrics.tfIdfTopTerms(docs, "id", "text", k = 3))
       run("pack_sequences", graft.operators.Packing.packSummary(
         docs, "id", "text", budget = 2048, shards = 64))
+      // overlapping chunking (r16): scan-local explode+slice, output
+      // ~tokens/stride rows — must track the corpus linearly
+      run("chunk_docs", graft.operators.Packing.chunkDocs(
+        docs, "id", "text", chunkTokens = 64, overlapTokens = 16))
       // Passage-level span dedup — the heaviest text operator: the
       // positional posting list is ≈ one row per corpus token. Probe the
       // full pipeline (postings → df-band stats → removal → cleaned
