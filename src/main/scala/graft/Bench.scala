@@ -308,8 +308,9 @@ object Bench {
       "q_minhash_dedup", "q_ann_topk",
       // round-13 surfaces: persisted-index query (fixture refit once at
       // the new scale via the per-(app,dir) memo), HTML extraction
-      // (scan-local), int8 ANN (corpus x queries both grow)
-      "q_dedup_index", "q_html_extract", "q_sq_ann",
+      // (scan-local), int8 ANN (corpus x queries both grow); round-16:
+      // overlapping chunking (scan-local map — predicted linear)
+      "q_dedup_index", "q_html_extract", "q_sq_ann", "q_chunk_docs",
       // round-14: the end-to-end web pipeline (WARC parse → extraction →
       // scoring → near-dup removal → rollup) — the heaviest honest
       // composition; its 8× fixture rebuilds once in the warmup via the
