@@ -1101,7 +1101,25 @@ object Similarity {
                         path: String, batchId: Long): Unit = {
     val spark = df.sparkSession
     val dir = AtomicStore.resolve(spark, path)
-    if (streamHighwaterOf(spark, dir).exists(_ >= batchId)) return
+    val hwSkip = streamHighwaterOf(spark, dir).filter(_ >= batchId)
+    if (hwSkip.isDefined) {
+      // a skip is only legitimate replay absorption when the replayed id
+      // is AT or just under the folded watermark. A LARGE gap means the
+      // stream restarted with a NEW checkpoint (batch ids reset to 0)
+      // against a store whose fit recorded a high watermark — silently
+      // dropping every batch until ids catch up is data loss, so say so
+      // loudly (the caller chose at-least-once semantics; failing here
+      // would wedge a legitimate replay, hence warn-not-throw)
+      val hw = hwSkip.get
+      if (hw - batchId > 1L)
+        System.err.println(s"[graft] appendStreamBatch: batch $batchId " +
+          s"skipped by stream highwater $hw at $path — a gap this large " +
+          "usually means the stream restarted with a FRESH checkpoint " +
+          "(batch ids reset) against an existing index; those batches are " +
+          "NOT being appended. Point the new stream at a new index, refit, " +
+          "or keep the original checkpoint directory.")
+      return
+    }
     val ids = df.select(col(idCol).as("cid")).distinct()
     if (tombstonesOpt(spark, dir)
           .exists(t => !t.join(ids, Seq("cid"), "left_semi").isEmpty))
@@ -1133,40 +1151,72 @@ object Similarity {
     * already exclude the dead rows, and the tombstones are only dropped
     * LAST — a crash at any interior point leaves the anti-join still
     * masking them, so reads before/during/after are identical.
+    *
+    * BOTH physical tables the live view unions are rewritten: the base
+    * `codes` AND the stream extension `codes_stream` (when present). A
+    * tombstoned id whose rows arrived via [[appendStreamBatch]] lives
+    * only in the extension — rewriting the base alone and then dropping
+    * the tombstones would resurrect it (the anti-join mask disappears
+    * while its physical rows survive).
     */
   private def compactIn(spark: SparkSession, dir: String): Unit =
     tombstonesOpt(spark, dir).foreach { tomb =>
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      val codes = spark.read.parquet(s"$dir/codes")
-      val affected = codes.join(tomb, Seq("cid"), "left_semi")
-        .select(col("cell")).distinct().collect().map(_.get(0))
-      if (affected.nonEmpty) {
-        // survivors of the affected cells only; staged through a temp dir
-        // because Spark refuses to overwrite a path it is reading from
-        val tmp = s"$dir/_compact_tmp"
-        val survivors = codes.where(col("cell").isin(affected: _*))
-          .join(tomb, Seq("cid"), "left_anti")
-        survivors.write.mode("overwrite").partitionBy("cell").parquet(tmp)
-        // an empty partitioned write emits no data files, so the staged
-        // read needs the survivors' schema handed to it explicitly — and
-        // with zero survivors the dynamic overwrite is a no-op anyway
-        val staged = spark.read.schema(survivors.schema).parquet(tmp)
-        val stillThere = staged.select(col("cell")).distinct().collect()
-          .map(_.get(0)).toSet
-        if (stillThere.nonEmpty)
-          staged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("cell").parquet(s"$dir/codes")
-        // a cell whose every vector was tombstoned has no row left, so
-        // dynamic overwrite never visits it — drop its directory directly
-        affected.filterNot(stillThere).foreach { c =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/codes/cell=$c"), true)
-        }
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      }
+      compactTable(spark, fs, s"$dir/codes", Seq("cell"), tomb)
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes_stream")))
+        compactTable(spark, fs, s"$dir/codes_stream",
+          Seq("batch_id", "cell"), tomb)
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
     }
+
+  /** Rewrite ONLY the partitions of one codes table that contain a
+    * tombstoned id (dynamic partition overwrite — untouched partitions
+    * keep their original files); a partition whose every row was
+    * tombstoned is dropped directly (dynamic overwrite never visits it).
+    */
+  private def compactTable(spark: SparkSession,
+                           fs: org.apache.hadoop.fs.FileSystem,
+                           table: String, partCols: Seq[String],
+                           tomb: DataFrame): Unit = {
+    val codes = spark.read.parquet(table)
+    def partPath(vals: Seq[Any]): String =
+      partCols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
+    val affected = codes.join(tomb, Seq("cid"), "left_semi")
+      .select(partCols.map(col): _*).distinct().collect()
+      .map(r => partCols.indices.map(r.get))
+    if (affected.nonEmpty) {
+      // survivors of the affected partitions only; staged through a temp
+      // dir because Spark refuses to overwrite a path it is reading from
+      val tmp = s"$table${CompactTmpSuffix}"
+      val hit = affected.map(partPath).toSet
+      // OR-of-equalities over the partition columns: partition pruning
+      // handles equality disjunctions, so only the affected partition
+      // directories are read (bounded by nlist × touched batches)
+      val pred = affected.map { vals =>
+        partCols.zip(vals).map { case (c, v) => col(c) === lit(v) }
+          .reduce(_ && _)
+      }.reduce(_ || _)
+      val survivors = codes.where(pred).join(tomb, Seq("cid"), "left_anti")
+      survivors.write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp)
+      // an empty partitioned write emits no data files, so the staged
+      // read needs the survivors' schema handed to it explicitly — and
+      // with zero survivors the dynamic overwrite is a no-op anyway
+      val staged = spark.read.schema(survivors.schema).parquet(tmp)
+      val stillThere = staged.select(partCols.map(col): _*).distinct()
+        .collect().map(r => partPath(partCols.indices.map(r.get))).toSet
+      if (stillThere.nonEmpty)
+        staged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partCols: _*).parquet(table)
+      hit.filterNot(stillThere).foreach { p =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$table/$p"), true)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+  }
+
+  private val CompactTmpSuffix = "_compact_tmp"
 
   /** Staleness signal: per-cell LIVE occupancy (appends minus tombstoned
     * deletes) vs the fit-time snapshot, plus the growth ratio. A cell

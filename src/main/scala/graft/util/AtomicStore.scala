@@ -31,6 +31,14 @@ import org.apache.spark.sql.SparkSession
   *    pruned. The previous generation is RETAINED so a reader that
   *    resolved just before the commit can still finish its scan — the
   *    same one-generation grace object-store table formats give readers.
+  *    Pruning is additionally AGE-GATED: a committed generation is only
+  *    deleted once its marker is older than `committedGraceMs` (default
+  *    60 s ≥ the [[resolveCached]] TTL), so two rapid refits from ANOTHER
+  *    process can never delete a generation a TTL-stale cross-process
+  *    reader resolved moments earlier; and an UNCOMMITTED generation
+  *    whose claim is younger than `claimGraceMs` (default 1 h) is left
+  *    alone — it may be a slower concurrent fit still writing its tables,
+  *    not an abandoned crash.
   *
   * Legacy stores (tables at the store root, written before this protocol)
   * resolve to the root itself; the first committed generation supersedes
@@ -42,6 +50,18 @@ import org.apache.spark.sql.SparkSession
   * land on DIFFERENT generations, each complete, and the last commit
   * wins (the optimistic last-writer-wins of idempotent full refits).
   * A crashed claim merely retires an id; later writers skip past it.
+  *
+  * ATOMICITY ASSUMPTION (claim + commit): `fs.create(path, false)` must
+  * be an atomic create-no-overwrite. That holds on HDFS and local
+  * filesystems — the deployments this store targets. S3A and most object
+  * stores implement it as a non-atomic HEAD-then-PUT, so two racing
+  * writers there could both "win" a claim; [[begin]] therefore writes a
+  * per-writer token into the claim file and RE-VERIFIES ownership by
+  * reading it back before returning (best-effort detection of the
+  * non-atomic race — last-PUT-wins means at most one writer's read-back
+  * matches). On a true object store, front this protocol with a
+  * conditional-write primitive (S3 If-None-Match PUT) or an external
+  * lock; the verification here narrows the window, it does not close it.
   */
 object AtomicStore {
 
@@ -67,8 +87,14 @@ object AtomicStore {
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
   /** The largest committed generation id, if any commit marker exists. */
-  def currentGen(spark: SparkSession, path: String): Option[Long] = {
-    val f = fs(spark, path)
+  def currentGen(spark: SparkSession, path: String): Option[Long] =
+    currentGen(fs(spark, path), path)
+
+  /** [[currentGen]] against an explicit FileSystem — the protocol is pure
+    * filesystem arithmetic, so cross-process tools (and the race harness)
+    * can drive it without a SparkSession.
+    */
+  def currentGen(f: FileSystem, path: String): Option[Long] = {
     val root = new Path(path)
     if (!f.exists(root)) None
     else f.listStatus(root).iterator
@@ -121,8 +147,11 @@ object AtomicStore {
     * directory — uncommitted generations are invisible and pruned by
     * later commits.
     */
-  def begin(spark: SparkSession, path: String): (Long, String) = {
-    val f = fs(spark, path)
+  def begin(spark: SparkSession, path: String): (Long, String) =
+    begin(fs(spark, path), path)
+
+  /** [[begin]] against an explicit FileSystem (see [[currentGen]]). */
+  def begin(f: FileSystem, path: String): (Long, String) = {
     val root = new Path(path)
     f.mkdirs(root)
     var attempt = 0
@@ -137,9 +166,23 @@ object AtomicStore {
           else scala.util.Try(n.drop(prefix.length).toLong).toOption
         }.foldLeft(0L)(math.max)
       val next = taken + 1L
+      val claim = new Path(s"$path/$ClaimPrefix$next")
       try {
-        f.create(new Path(s"$path/$ClaimPrefix$next"), false).close()
-        return (next, genDir(path, next))
+        // per-writer token + read-back: on filesystems with atomic
+        // create-no-overwrite (HDFS/local) this always verifies; on an
+        // object store's HEAD-then-PUT emulation it detects the loser of
+        // a non-atomic double-create (last PUT wins — see class doc)
+        val token = java.util.UUID.randomUUID().toString
+        val out = f.create(claim, false)
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        val in = f.open(claim)
+        val got = try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          new String(buf, 0, math.max(n, 0), "UTF-8")
+        } finally in.close()
+        if (got == token) return (next, genDir(path, next))
+        attempt += 1 // another writer overwrote the claim: retire this id
       } catch {
         case _: java.io.IOException => attempt += 1 // raced a claim: re-list
       }
@@ -148,41 +191,83 @@ object AtomicStore {
       "after 64 attempts")
   }
 
-  /** Atomically publish generation `gen` (marker-file creation), then
-    * prune: committed generations `< gen - 1`, any abandoned uncommitted
-    * generation `<= gen`, and — once a previous committed generation also
-    * exists — the legacy root tables. Pruning is best-effort; a crash
-    * mid-prune leaves garbage directories, never a torn reader.
+  /** A committed generation below `gen - 1` is only pruned once its
+    * marker is at least this old — ≥ the [[resolveCached]] TTL, so two
+    * rapid refits can never delete a generation a TTL-stale CROSS-PROCESS
+    * reader resolved moments earlier (in-process commits invalidate the
+    * cache; other processes can't).
     */
-  def commit(spark: SparkSession, path: String, gen: Long): Unit = {
+  val DefaultCommittedGraceMs: Long = 60000L
+
+  /** An uncommitted generation is only treated as abandoned (and pruned)
+    * once its claim is at least this old: [[begin]] hands out strictly
+    * increasing ids, so an EARLIER-begun fit can still be writing its
+    * tables when a later, faster fit commits — deleting its directory
+    * mid-write would crash it or tear its eventual publish. An hour
+    * bounds garbage from genuinely crashed fits while outlasting any
+    * sane single fit; pass 0 to force-collect in tests/tools.
+    */
+  val DefaultClaimGraceMs: Long = 3600000L
+
+  /** Atomically publish generation `gen` (marker-file creation), then
+    * prune — with two age gates (see class doc):
+    *  - committed generations `< gen - 1` whose marker is older than
+    *    `committedGraceMs`;
+    *  - uncommitted generations `<= gen` whose claim is missing or older
+    *    than `claimGraceMs` (a younger claim is a concurrent fit still
+    *    writing — left alone; ITS commit, or a later one, collects it);
+    *  - the legacy root tables, once a previous committed generation also
+    *    exists and is itself older than `committedGraceMs`.
+    * Pruning is best-effort; a crash mid-prune leaves garbage
+    * directories, never a torn reader.
+    */
+  def commit(spark: SparkSession, path: String, gen: Long,
+             committedGraceMs: Long = DefaultCommittedGraceMs,
+             claimGraceMs: Long = DefaultClaimGraceMs): Unit =
+    commit(fs(spark, path), path, gen, committedGraceMs, claimGraceMs)
+
+  /** [[commit]] against an explicit FileSystem (see [[currentGen]]). */
+  def commit(f: FileSystem, path: String, gen: Long,
+             committedGraceMs: Long,
+             claimGraceMs: Long): Unit = {
     failpoint("commit")
-    val f = fs(spark, path)
     val marker = new Path(s"$path/$MarkerPrefix$gen")
     // overwrite=false: concurrent double-commit of the same id fails loudly
     f.create(marker, false).close()
+    // this fit is published — its claim no longer marks an in-flight write
+    f.delete(new Path(s"$path/$ClaimPrefix$gen"), false)
     resolveCache.remove(path)
-    val keep = Set(gen, gen - 1L)
-    f.listStatus(new Path(path)).foreach { st =>
+    val now = System.currentTimeMillis()
+    val entries = f.listStatus(new Path(path))
+    def idOf(prefix: String, n: String): Option[Long] =
+      if (n.startsWith(prefix))
+        scala.util.Try(n.drop(prefix.length).toLong).toOption
+      else None
+    val markers = entries.flatMap(st =>
+      idOf(MarkerPrefix, st.getPath.getName)
+        .map(g => g -> st.getModificationTime)).toMap
+    val claims = entries.flatMap(st =>
+      idOf(ClaimPrefix, st.getPath.getName)
+        .map(g => g -> st.getModificationTime)).toMap
+    def committedExpired(g: Long): Boolean =
+      markers.get(g).exists(now - _ >= committedGraceMs)
+    def claimLive(g: Long): Boolean =
+      claims.get(g).exists(now - _ < claimGraceMs)
+    entries.foreach { st =>
       val n = st.getPath.getName
-      val genId =
-        if (n.startsWith(MarkerPrefix))
-          scala.util.Try(n.drop(MarkerPrefix.length).toLong).toOption
-        else if (n.startsWith(ClaimPrefix))
-          scala.util.Try(n.drop(ClaimPrefix.length).toLong).toOption
-        else if (n.startsWith(GenPrefix))
-          scala.util.Try(n.drop(GenPrefix.length).toLong).toOption
-        else None
-      genId match {
-        case Some(g) if g <= gen && !keep.contains(g) =>
-          f.delete(st.getPath, true); ()
-        case Some(g) if g < gen && n.startsWith(GenPrefix) &&
-            !f.exists(new Path(s"$path/$MarkerPrefix$g")) =>
-          // abandoned (never-committed) older generation
-          f.delete(st.getPath, true); ()
-        case _ => ()
+      val genId = idOf(MarkerPrefix, n)
+        .orElse(idOf(ClaimPrefix, n)).orElse(idOf(GenPrefix, n))
+      val prune = genId.exists { g =>
+        if (g > gen || g == gen) false
+        else if (markers.contains(g)) // committed: retain previous + young
+          g != gen - 1L && committedExpired(g)
+        else // uncommitted: abandoned only once its claim has expired
+          !claimLive(g)
       }
+      if (prune) { f.delete(st.getPath, true); () }
     }
-    if (gen >= 2L)
+    if (gen >= 2L && markers.keys.exists(g => g < gen && committedExpired(g)
+          || committedGraceMs <= 0L))
       LegacyTables.foreach { t =>
         val p = new Path(s"$path/$t")
         if (f.exists(p)) { f.delete(p, true); () }

@@ -85,6 +85,53 @@ class AnnIndexStreamSpec extends SparkSpec {
       k = 5, nprobe = 4)) == served, "replay must not change the served answer")
   }
 
+  test("compaction must not resurrect a tombstoned id whose rows live in the stream extension") {
+    val d = tmpDir() + "/streamcompact"
+    Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 40),
+      "vec_id", "embedding", d, dim = 64, nlist = 8, m = 8, codebookSize = 16)
+    // ids 40..49 exist ONLY in codes_stream; ids < 40 only in base codes
+    Similarity.appendStreamBatch(
+      emb.where(col("vec_id") >= 40 && col("vec_id") < 50),
+      "vec_id", "embedding", d, batchId = 0L)
+    // tombstone one id from EACH physical table
+    Similarity.deleteFromIvfPqIndex(
+      emb.where(col("vec_id").isin(7L, 45L)).select(col("vec_id")),
+      "vec_id", d)
+    def liveIds() = Similarity.openIvfPqIndex(spark.newSession(), d)
+      .codes.select(col("cid")).collect().map(_.getLong(0)).toSet
+    val masked = liveIds()
+    assert(!masked.contains(7L) && !masked.contains(45L) && masked.size == 48)
+    val survivors = emb.where(col("vec_id") < 50 &&
+      !col("vec_id").isin(7L, 45L))
+    def rows(idx: Similarity.IvfPqIndex) =
+      Similarity.ivfPqServe(idx, survivors, "vec_id", "embedding",
+        k = 5, nprobe = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val before = rows(Similarity.openIvfPqIndex(spark.newSession(), d))
+    // compaction folds the tombstones into BOTH tables and drops them —
+    // the stream-extension rows must be rewritten too, or dropping the
+    // anti-join mask resurrects id 45 (the r16 ADVICE finding)
+    Similarity.compactIvfPqIndex(spark, d)
+    val gdir = AtomicStore.resolve(spark, d)
+    assert(!new java.io.File(s"$gdir/tombstones").exists())
+    val after = liveIds()
+    assert(!after.contains(45L),
+      "tombstoned stream-extension id resurrected by compaction")
+    assert(!after.contains(7L), "tombstoned base id resurrected by compaction")
+    assert(after == masked, "compaction changed the live id set")
+    assert(rows(Similarity.openIvfPqIndex(spark.newSession(), d)) == before,
+      "serving before and after compaction must be bit-identical")
+    // the AUTOMATIC path: a colliding stream batch (re-adding id 45)
+    // triggers the same compaction first, so delete→re-add is an upsert
+    Similarity.deleteFromIvfPqIndex(
+      emb.where(col("vec_id") === 45L).select(col("vec_id")), "vec_id", d)
+    Similarity.appendStreamBatch(emb.where(col("vec_id") === 45L),
+      "vec_id", "embedding", d, batchId = 1L)
+    val readded = Similarity.openIvfPqIndex(spark.newSession(), d)
+      .codes.where(col("cid") === 45L).count()
+    assert(readded == 1L, s"delete→re-add must serve exactly one row, got $readded")
+  }
+
   test("a crashed stream refit's highwater is not inherited by a later non-stream fit") {
     val d = tmpDir() + "/hwinherit"
     Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 40),

@@ -185,21 +185,23 @@ class AtomicStoreSpec extends SparkSpec {
     val legacy = tmpDir() + "/legacy"
     Seq((1, 2)).toDF("a", "b").write.parquet(s"$legacy/meta")
     assert(AtomicStore.resolve(spark, legacy) == legacy)
-    // commits retain exactly the current + previous generation
+    // commits retain exactly the current + previous generation (grace 0:
+    // the mechanics under test are the retention rules, not the age gate)
     val p = tmpDir() + "/gens"
     for (g <- 1L to 3L) {
       fs.mkdirs(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, g)))
-      AtomicStore.commit(spark, p, g)
+      AtomicStore.commit(spark, p, g, committedGraceMs = 0L, claimGraceMs = 0L)
     }
     assert(AtomicStore.currentGen(spark, p).contains(3L))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, 1L))),
       "generations older than previous must be pruned")
     assert(fs.exists(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, 2L))),
       "the previous generation is retained as the reader grace window")
-    // an abandoned (never-committed) half-write is pruned by the next commit
+    // an abandoned (never-committed, claim-expired) half-write is pruned
+    // by the next commit
     fs.mkdirs(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, 4L)))
     fs.mkdirs(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, 5L)))
-    AtomicStore.commit(spark, p, 5L)
+    AtomicStore.commit(spark, p, 5L, committedGraceMs = 0L, claimGraceMs = 0L)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, 4L))))
     // double-commit of the same generation fails loudly, never half-applies
     intercept[Exception] { AtomicStore.commit(spark, p, 5L) }
@@ -207,13 +209,82 @@ class AtomicStoreSpec extends SparkSpec {
     val mig = tmpDir() + "/mig"
     Seq((1, 2)).toDF("a", "b").write.parquet(s"$mig/meta")
     fs.mkdirs(new org.apache.hadoop.fs.Path(AtomicStore.genDir(mig, 1L)))
-    AtomicStore.commit(spark, mig, 1L)
+    AtomicStore.commit(spark, mig, 1L, committedGraceMs = 0L)
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$mig/meta")),
       "gen 1 must leave the legacy tables as the reader grace window")
     assert(AtomicStore.resolve(spark, mig) == AtomicStore.genDir(mig, 1L))
     fs.mkdirs(new org.apache.hadoop.fs.Path(AtomicStore.genDir(mig, 2L)))
-    AtomicStore.commit(spark, mig, 2L)
+    AtomicStore.commit(spark, mig, 2L, committedGraceMs = 0L)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$mig/meta")),
       "the second committed generation prunes the legacy root tables")
+  }
+
+  test("age-gated pruning: two commits inside one resolveCached TTL keep the generation a stale reader resolved") {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val p = tmpDir() + "/ttl"
+    // gen 1 with a real table a reader will be mid-scan on
+    fs.mkdirs(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, 1L)))
+    val payload = Seq((1L, "one"), (2L, "two")).toDF("id", "v")
+    payload.write.parquet(s"${AtomicStore.genDir(p, 1L)}/meta")
+    AtomicStore.commit(spark, p, 1L)
+    // a CROSS-PROCESS reader's cached resolution (its own process cannot
+    // be invalidated by our commits — modeled by pinning the resolved dir)
+    val pinned = AtomicStore.resolveCached(spark, p)
+    assert(pinned == AtomicStore.genDir(p, 1L))
+    // two rapid refits inside one TTL window (default grace = 60 s >> TTL)
+    for (g <- 2L to 3L) {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, g)))
+      payload.write.parquet(s"${AtomicStore.genDir(p, g)}/meta")
+      AtomicStore.commit(spark, p, g)
+    }
+    assert(AtomicStore.currentGen(spark, p).contains(3L))
+    // the gen the stale reader pinned is younger than the grace window —
+    // it must still be on disk, and its scan must complete bit-identically
+    assert(fs.exists(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, 1L))),
+      "a generation younger than committedGraceMs must survive rapid refits")
+    assert(spark.read.parquet(s"$pinned/meta").as[(Long, String)]
+      .collect().toSet == Set((1L, "one"), (2L, "two")),
+      "the pinned stale reader must finish its scan on the old generation")
+    // once the markers are old (grace 0 simulates age-out), the next
+    // commit collects them
+    fs.mkdirs(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, 4L)))
+    AtomicStore.commit(spark, p, 4L, committedGraceMs = 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, 1L))),
+      "aged-out generations below previous are pruned")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, 3L))),
+      "the previous generation is retained regardless of age")
+  }
+
+  test("a live claim protects a slower concurrent fit's directory from a faster commit") {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val p = tmpDir() + "/inflight"
+    // writer A begins FIRST (lower id) and is still writing its tables
+    val (gA, dA) = AtomicStore.begin(spark, p)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dA))
+    Seq((1, 2)).toDF("a", "b").write.parquet(s"$dA/meta") // mid-write state
+    // writer B begins later (higher id) and commits first
+    val (gB, dB) = AtomicStore.begin(spark, p)
+    assert(gB > gA, "begin must hand out strictly increasing generations")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dB))
+    AtomicStore.commit(spark, p, gB)
+    // A's uncommitted directory has a LIVE claim — B's commit must not
+    // delete the tables A is still writing
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dA/meta")),
+      "a faster commit deleted a slower in-flight fit's tables")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$p/_claim_$gA")))
+    // A finishes and commits — its generation is complete and committed
+    // (readers still resolve the HIGHEST marker, which is B's)
+    AtomicStore.commit(spark, p, gA)
+    assert(AtomicStore.currentGen(spark, p).contains(gB))
+    // an EXPIRED claim no longer protects: a later commit collects it
+    val (gC, dC) = AtomicStore.begin(spark, p)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dC))
+    val (gD, dD) = AtomicStore.begin(spark, p)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dD))
+    AtomicStore.commit(spark, p, gD, claimGraceMs = 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dC)),
+      "an expired claim must stop protecting its abandoned directory")
   }
 }
