@@ -70,6 +70,19 @@ object SampleQ extends QueryPack {
           "doc_id", "text", chunkTokens = 64, overlapTokens = 16)
         .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
           col("tok_from"), col("tok_to"), md5(col("chunk_text")).as("chunk_md5"))),
+    // Chunking at REAL RAG parameters (512-token windows, 128 overlap,
+    // stride 384) over LONG documents — each driver doc's text repeated
+    // 32× (a transform both engines express exactly), so the explode
+    // fan-out path (many chunks per doc, ~8+ at typical driver doc
+    // lengths) is oracle-pinned, not just fuzz-pinned. Same output shape
+    // as q_chunk_docs: integer ranges + the chunk text's md5.
+    "q_chunk_docs_long" -> ((s, dir) =>
+      graft.operators.Packing.chunkDocs(
+          Tables.documents(s, dir).select(col("doc_id"),
+            repeat(concat(col("text"), lit(" ")), 32).as("text")),
+          "doc_id", "text", chunkTokens = 512, overlapTokens = 128)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          col("tok_from"), col("tok_to"), md5(col("chunk_text")).as("chunk_md5"))),
     // The materialized block manifest (one row per per-sequence document
     // piece), rolled up per block with its tiling invariants exposed:
     // min_seq_from must be 0 and seq_end must equal sum_span for every
@@ -142,6 +155,27 @@ object SampleQ extends QueryPack {
         |  least(n, chunk_idx * 48 + 64) AS tok_to,
         |  md5(array_to_string(
         |    toks[CAST(chunk_idx * 48 + 1 AS BIGINT):least(n, chunk_idx * 48 + 64)],
+        |    ' ')) AS chunk_md5
+        |FROM c""".stripMargin,
+    // same derivation at 512/384 over the 32×-repeated text: chunk count
+    // = 1 + ceil((n - 512)/384) for n > 512
+    "q_chunk_docs_long" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(repeat(text || ' ', 32), '[^ \t\n\x0b\f\r]+') AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+        |      FROM t WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, n, toks,
+        |    unnest(range(0, CASE WHEN n <= 512 THEN 1
+        |                       ELSE 1 + (n - 512 + 383) // 384 END)) AS chunk_idx
+        |  FROM b)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, n AS n_tokens,
+        |  CAST(chunk_idx * 384 AS BIGINT) AS tok_from,
+        |  least(n, chunk_idx * 384 + 512) AS tok_to,
+        |  md5(array_to_string(
+        |    toks[CAST(chunk_idx * 384 + 1 AS BIGINT):least(n, chunk_idx * 384 + 512)],
         |    ' ')) AS chunk_md5
         |FROM c""".stripMargin,
     // same md5 shard/order arithmetic as Packing.packAssignments; `//`

@@ -69,6 +69,29 @@ object SimQ extends QueryPack {
           .withColumn("rank", col("rank").cast("long")),
         "approx_cos")
     }),
+    // STREAM-MAINTAINED SQ×IVF store (the int8 twin of q_stream_ann):
+    // built by a REAL Streams.sqIvfIndexStream run — base fit on
+    // vec_id < 40, four streamed 10-vector micro-batches with a
+    // checkpoint restart between batches 1 and 2, growthThreshold = 0 so
+    // EVERY batch folds via refit, and an explicit at-least-once replay
+    // probe absorbed by the generation's stream highwater (require()d at
+    // fixture build). The final store is therefore bit-identical to a
+    // fresh fit over the 80-vector corpus, so the oracle is the same
+    // full-pipeline sqSql derivation with `vec_id < 80`; a FRESH session
+    // serves purely from the store, like q_sq_ivf_served.
+    "q_stream_sq_ivf" -> ((s, dir) => {
+      val idxDir = streamSqIvfIndexDir(s, dir)
+      val fresh = s.newSession()
+      fresh.conf.set("spark.sql.shuffle.partitions", "8")
+      fresh.conf.set("spark.sql.adaptive.enabled", "false")
+      val emb = Tables.embeddings(fresh, dir).where(col("vec_id") < 80)
+      val idx = Similarity.openSqIvfIndex(fresh, idxDir)
+      round6(
+        Similarity.sqIvfServeIndex(idx, emb, "vec_id", "embedding",
+            k = 5, nprobe = 4)
+          .withColumn("rank", col("rank").cast("long")),
+        "approx_cos")
+    }),
     "q_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.where(col("vec_id") === 0)
@@ -512,6 +535,66 @@ object SimQ extends QueryPack {
       d
     })
 
+  /** Stream-MAINTAINED SQ×IVF store for q_stream_sq_ivf — the
+    * [[streamAnnIndexDir]] protocol on the int8 store: base fit on
+    * vec_id < 40, four streamed micro-batches through a REAL
+    * [[graft.streaming.Streams.sqIvfIndexStream]] run with a checkpoint
+    * restart between batches 1 and 2, growthThreshold = 0 so every batch
+    * folds via refit, then an explicit replay of the final batch that the
+    * stream highwater must absorb.
+    */
+  private def streamSqIvfIndexDir(s: SparkSession, dir: String): String =
+    indexDirs.getOrElseUpdate(s"${s.sparkContext.applicationId}:$dir:sqstream", {
+      val d = graft.util.Tmp.root("graft_sqivf_stream").toString
+      val emb = Tables.embeddings(s, dir)
+      Similarity.writeSqIvfIndex(emb.where(col("vec_id") < 40),
+        "vec_id", "embedding", d, dim = 64, nlist = 8)
+      val src = graft.util.Tmp.root("graft_sqs_src")
+      val ckpt = graft.util.Tmp.root("graft_sqs_ckpt").toString
+      def stage(i: Int): Unit = {
+        val lo = 40L + i * 10; val hi = lo + 10
+        val scratch = graft.util.Tmp.root("graft_sqs_stage")
+        emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+        val part = scratch.toFile.listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        java.nio.file.Files.createLink(src.resolve(s"f$i.parquet"), part)
+      }
+      val schema = emb.schema
+      def launch() = graft.streaming.Streams.sqIvfIndexStream(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(src.toString),
+        "vec_id", "embedding", d, ckpt,
+        corpus = sess => {
+          val hi = sess.read.parquet(src.toString)
+            .agg(max(col("vec_id"))).head().getLong(0) + 1
+          Tables.embeddings(sess, dir).where(col("vec_id") < hi)
+        },
+        growthThreshold = 0.0)
+      val run1 = launch()
+      try {
+        stage(0); run1.processAllAvailable() // batch 0
+        stage(1); run1.processAllAvailable() // batch 1
+      } finally run1.stop() // the "crash"
+      stage(2) // arrives while the query is down
+      val run2 = launch() // restart from the same checkpoint
+      try {
+        run2.processAllAvailable()           // batch 2
+        stage(3); run2.processAllAvailable() // batch 3 — final refit
+      } finally run2.stop()
+      // at-least-once replay of the final batch: the highwater written
+      // atomically with the last refit's generation must absorb it
+      Similarity.appendSqIvfStreamBatch(
+        emb.where(col("vec_id") >= 70 && col("vec_id") < 80),
+        "vec_id", "embedding", d, batchId = 3L)
+      val gdir = graft.util.AtomicStore.resolve(s, d)
+      require(!new java.io.File(s"$gdir/codes_stream").exists(),
+        "replayed batch must be skipped by the stream highwater")
+      require(s.read.parquet(s"$gdir/codes").count() == 80,
+        "final store must hold the full folded corpus")
+      d
+    })
+
   /** Grown index for q_ivfpq_append: fit on the first 40 vectors only,
     * then append the last 10 with the stored model — built once per
     * (application, sfDir) like [[servedIndexDir]].
@@ -656,6 +739,12 @@ object SimQ extends QueryPack {
     // same encode's codes, and integer scores leave no rounding slack)
     "q_sq_ivf_served" -> IvfKmeansSql.sqSql(dim = 64, nlist = 8, nprobe = 4,
       k = 5, iters = 10),
+    // the stream-maintained SQ×IVF store's final state IS a fresh
+    // full-corpus fit (every micro-batch folded via growth refit, replay
+    // absorbed by the highwater), so its serve derives from the same
+    // replay over the 80-vector corpus
+    "q_stream_sq_ivf" -> IvfKmeansSql.sqSql(dim = 64, nlist = 8, nprobe = 4,
+      k = 5, iters = 10, where = "vec_id < 80"),
     // FULL DERIVATION of the PQ recall — nothing pinned: DuckDB replays
     // the L2 normalization, the seeded init over the normalized arrays,
     // all 8 subspace Lloyd's fits, the PqEncode argmin, the per-query
@@ -977,7 +1066,8 @@ object SimQ extends QueryPack {
       * [[sql]] appends the cosine-recall tail (q_ivf_ann), [[sqSql]] the
       * int8-ranking tail (q_sq_ivf_ann).
       */
-    def pipelineCtes(dim: Int, nlist: Int, nprobe: Int, iters: Int): Seq[String] = {
+    def pipelineCtes(dim: Int, nlist: Int, nprobe: Int, iters: Int,
+                     where: String = "vec_id < 50"): Seq[String] = {
       def d2(u: String, c: String) =
         s"list_sum(list_transform(range(1, ${dim + 1}), j -> ($u[j] - $c[j]) * ($u[j] - $c[j])))"
       def dot(u: String, c: String) =
@@ -989,7 +1079,7 @@ object SimQ extends QueryPack {
       parts += s"""emb AS MATERIALIZED (
   SELECT CAST(vec_id AS BIGINT) AS id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS u
-  FROM embeddings WHERE vec_id < 50
+  FROM embeddings WHERE $where
 )"""
       parts ++= hashFoldCtes("emb", "u", dim)
       parts += s"""cents0 AS MATERIALIZED (
@@ -1082,9 +1172,10 @@ GROUP BY 1"""
       * and an integer dot. Value-for-value replay of
       * `Similarity.sqIvfTopK`, nothing pinned from the engine.
       */
-    def sqSql(dim: Int, nlist: Int, nprobe: Int, k: Int, iters: Int): String = {
+    def sqSql(dim: Int, nlist: Int, nprobe: Int, k: Int, iters: Int,
+              where: String = "vec_id < 50"): String = {
       val parts = Seq.newBuilder[String]
-      parts ++= pipelineCtes(dim, nlist, nprobe, iters)
+      parts ++= pipelineCtes(dim, nlist, nprobe, iters, where)
       parts += s"""codes AS MATERIALIZED (
   SELECT id, list_transform(u,
     x -> CAST(round(x / sqrt(list_dot_product(u, u)) * 127) AS DOUBLE)) AS q8

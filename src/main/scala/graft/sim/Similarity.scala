@@ -934,18 +934,7 @@ object Similarity {
     // FOLDED micro-batch id INSIDE the generation, before the commit —
     // atomic with the fit, so an at-least-once replay of that batch can
     // never double-apply it (the append guard reads this watermark)
-    val hwPath = new org.apache.hadoop.fs.Path(s"$gdir/_stream_highwater")
-    val hwFs = hwPath.getFileSystem(spark.sessionState.newHadoopConf())
-    streamHighwater match {
-      case Some(hw) =>
-        val out = hwFs.create(hwPath, true)
-        try out.write(hw.toString.getBytes("UTF-8")) finally out.close()
-      case None =>
-        // a crashed STREAM refit may have left its watermark in this
-        // (abandoned, now reused) generation directory — a non-stream fit
-        // must not inherit it, or future stream appends would be skipped
-        if (hwFs.exists(hwPath)) { hwFs.delete(hwPath, false); () }
-    }
+    writeStreamHighwater(spark, gdir, streamHighwater)
     AtomicStore.commit(spark, path, gen)
     // the model under `path` just changed — drop any cached open
     invalidateIndexModel(path)
@@ -1381,7 +1370,8 @@ object Similarity {
     */
   def writeSqIvfIndex(df: DataFrame, idCol: String, vecCol: String,
                       path: String, dim: Int, nlist: Int = 16,
-                      seed: Long = 42L, iters: Int = 10): Unit = {
+                      seed: Long = 42L, iters: Int = 10,
+                      streamHighwater: Option[Long] = None): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     val cents = pqCodebooks(df, vecCol, dim, m = 1, codebookSize = nlist,
@@ -1397,8 +1387,29 @@ object Similarity {
     AtomicStore.failpoint("sqivf:codes")
     sqIvfEncode(df, idCol, vecCol, cents)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$gdir/codes")
+    // same stream-watermark contract as [[writeIvfPqIndex]]: the last
+    // FOLDED micro-batch id lands inside the generation, atomic with the
+    // fit; a non-stream fit scrubs any stale one from a reused directory
+    writeStreamHighwater(spark, gdir, streamHighwater)
     AtomicStore.commit(spark, path, gen)
     invalidateSqIvfModel(path)
+  }
+
+  /** Write (or scrub) a generation directory's `_stream_highwater` —
+    * shared by the IVF-PQ and SQ×IVF fit paths; see [[writeIvfPqIndex]]'s
+    * inline doc for the atomicity argument.
+    */
+  private def writeStreamHighwater(spark: SparkSession, gdir: String,
+                                   streamHighwater: Option[Long]): Unit = {
+    val hwPath = new org.apache.hadoop.fs.Path(s"$gdir/_stream_highwater")
+    val hwFs = hwPath.getFileSystem(spark.sessionState.newHadoopConf())
+    streamHighwater match {
+      case Some(hw) =>
+        val out = hwFs.create(hwPath, true)
+        try out.write(hw.toString.getBytes("UTF-8")) finally out.close()
+      case None =>
+        if (hwFs.exists(hwPath)) { hwFs.delete(hwPath, false); () }
+    }
   }
 
   /** Append new vectors: encode with the STORED centroids (no refit —
@@ -1411,6 +1422,79 @@ object Similarity {
     val index = openSqIvfIndexIn(df.sparkSession, dir)
     sqIvfEncode(df, idCol, vecCol, index.cents)
       .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
+  /** Streaming-grade SQ×IVF append — [[appendStreamBatch]]'s exact
+    * contract on the int8 store: encode with the STORED centroids into
+    * the `codes_stream` extension, partitioned `(batch_id, cell)` with
+    * dynamic partition overwrite (an at-least-once replay rewrites its
+    * own partitions), and skip batches at or below the generation's
+    * stream highwater (a refit already folded them, atomically).
+    */
+  def appendSqIvfStreamBatch(df: DataFrame, idCol: String, vecCol: String,
+                             path: String, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    val dir = AtomicStore.resolve(spark, path)
+    val hwSkip = streamHighwaterOf(spark, dir).filter(_ >= batchId)
+    if (hwSkip.isDefined) {
+      if (hwSkip.get - batchId > 1L)
+        System.err.println(s"[graft] appendSqIvfStreamBatch: batch $batchId " +
+          s"skipped by stream highwater ${hwSkip.get} at $path — see " +
+          "appendStreamBatch's fresh-checkpoint warning; these batches are " +
+          "NOT being appended.")
+      return
+    }
+    val index = openSqIvfIndexIn(spark, dir)
+    sqIvfEncode(df, idCol, vecCol, index.cents)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "cell")
+      .parquet(s"$dir/codes_stream")
+  }
+
+  /** Staleness signal for the SQ×IVF store: the stream extension's share
+    * of the index (`streamed / fitted` row counts). The SQ fit has no
+    * per-cell codebooks to drift, but streamed vectors are still binned
+    * by centroids fit on the OLD distribution — past a deployment's
+    * tolerance the coarse balance degrades and a refit re-fits the cells
+    * over the full current corpus. Parquet row counts come from footer
+    * metadata; the probe is a metadata round-trip, not a scan.
+    */
+  def sqIvfStreamGrowth(spark: SparkSession, path: String): Double = {
+    val dir = AtomicStore.resolve(spark, path)
+    val extP = new org.apache.hadoop.fs.Path(s"$dir/codes_stream")
+    if (!extP.getFileSystem(spark.sessionState.newHadoopConf()).exists(extP)) 0.0
+    else {
+      val base = spark.read.parquet(s"$dir/codes").count()
+      val streamed = spark.read.parquet(extP.toString).count()
+      streamed.toDouble / math.max(base, 1L)
+    }
+  }
+
+  /** Growth-triggered SQ×IVF refit — the [[refitIvfPqIndex]] arc on the
+    * int8 store: when the stream extension's share reaches `threshold`,
+    * refit from the CURRENT corpus `df` with the persisted meta params
+    * (bit-identical to a fresh fit on today's corpus with the same seed,
+    * and the fresh generation starts with no extension). Returns whether
+    * a refit happened.
+    */
+  def refitSqIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+                      path: String, threshold: Double = 0.5,
+                      streamHighwater: Option[Long] = None): Boolean = {
+    val spark = df.sparkSession
+    if (sqIvfStreamGrowth(spark, path) < threshold) false
+    else {
+      val meta = spark.read
+        .parquet(s"${AtomicStore.resolve(spark, path)}/meta").head()
+      writeSqIvfIndex(df, idCol, vecCol, path,
+        dim = meta.getAs[Int]("dim"),
+        nlist = meta.getAs[Int]("nlist"),
+        seed = meta.getAs[Long]("seed"),
+        iters = meta.getAs[Int]("iters"),
+        streamHighwater = streamHighwater)
+      true
+    }
   }
 
   /** Per-JVM cache of opened SQ×IVF models (centroids + codes schema) —
@@ -1442,8 +1526,17 @@ object Similarity {
         .map(r => r.getSeq[Double](r.fieldIndex("vec"))).toSeq
       (cs, meta.getAs[Int]("dim"), spark.read.parquet(s"$dir/codes").schema)
     })
-    SqIvfIndex(cents, dim,
-      spark.read.schema(codesSchema).parquet(s"$dir/codes"))
+    val base = spark.read.schema(codesSchema).parquet(s"$dir/codes")
+    // stream-grown extension ([[appendSqIvfStreamBatch]]): same (id, c8,
+    // cell) rows, additionally partitioned by batch_id for idempotent
+    // replay — union preserves cell partition pruning on both sides
+    val extP = new org.apache.hadoop.fs.Path(s"$dir/codes_stream")
+    val codes =
+      if (extP.getFileSystem(spark.sessionState.newHadoopConf()).exists(extP))
+        base.unionByName(spark.read.parquet(extP.toString)
+          .select(base.columns.toIndexedSeq.map(col): _*))
+      else base
+    SqIvfIndex(cents, dim, codes)
   }
 
   /** Answer a query batch from a persisted SQ×IVF index — no coarse

@@ -299,6 +299,42 @@ object Streams {
       }
       .start()
 
+  /** Stream-maintained SQ×IVF index — [[annIndexStream]]'s exact
+    * lifecycle on the int8 store: append each micro-batch to the
+    * `codes_stream` extension with the stored centroids
+    * ([[graft.sim.Similarity.appendSqIvfStreamBatch]] — batch-id
+    * partition overwrite, replay-idempotent), then refit from the
+    * source-of-truth corpus when the extension's share of the index
+    * passes `growthThreshold` ([[graft.sim.Similarity.refitSqIvfIndex]] —
+    * the refit generation carries the folded batch id as its stream
+    * highwater, atomically, so a post-refit replay is absorbed). Same
+    * exactly-once construction as [[annIndexStream]]; serving
+    * ([[graft.sim.Similarity.openSqIvfIndex]]) reads base ∪ extension at
+    * any point.
+    */
+  def sqIvfIndexStream(
+      stream: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      checkpointDir: String,
+      corpus: SparkSession => DataFrame,
+      growthThreshold: Double = 0.5
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        graft.sim.Similarity.appendSqIvfStreamBatch(
+          batch.toDF(), idCol, vecCol, indexPath, batchId)
+        graft.sim.Similarity.refitSqIvfIndex(
+          corpus(s), idCol, vecCol, indexPath, growthThreshold,
+          streamHighwater = Some(batchId))
+        ()
+      }
+      .start()
+
   /** Open a parquet directory as a stream with an explicit schema — the
     * local test harness for the streaming paths.
     */
