@@ -1,0 +1,169 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+
+/** UPSCALE DRIFT PROBE, as its own main — run by [[graft.Bench]] in a
+  * FRESH CHILD JVM (r17): the r13 and r16 rounds both recorded in-suite
+  * upscale breaches (q_html_extract 23.8×, q_ann_topk 6.9×) that a fresh
+  * JVM could not reproduce (~1× wall) — same-JVM end-of-suite state
+  * (code-cache pressure, accumulated session state) distorts the probe
+  * even with an isolated newSession. A child JVM inherits nothing, so
+  * its numbers reproduce standalone by construction and match what
+  * [[UpscaleAdjudicate]] measures.
+  *
+  * Probe protocol (unchanged from the in-suite r16 version): the same
+  * plans at FACTOR× the gate rows ([[UpscaleTables]] — key-shifted fact
+  * copies, letter-substituted documents so dedup stays a bigger workload
+  * rather than a quadratic-clique one), 1 warmup + 2 timed iterations,
+  * steal-aware bounded retries, per-iteration steal/code-cache/JIT
+  * attribution in the JSON, and a contention preflight with bounded
+  * deferral.
+  *
+  * Usage: UpscaleProbe <baseMediansFile>
+  *   baseMediansFile: lines of `<query>=<gate-scale clean median sec>`
+  *   (ratios are reported against these; missing queries get no ratio).
+  * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_UPSCALE, SPARK_GRAFT_CPUS,
+  *      SPARK_GRAFT_STEAL_THRESH — the Bench contract.
+  * Prints ONE line `UPSCALE_JSON {...}` (the `upscale` JSON object) on
+  * stdout; exits nonzero only on a harness-level failure.
+  */
+object UpscaleProbe {
+
+  /** Queries the probe runs — one per scale-sensitive plan family; see
+    * the per-entry rationale in git history (moved verbatim from Bench).
+    */
+  val upscaleQueries: Seq[String] = Seq(
+    "q_monthly_mean", "q_anomaly", "q_percentile_rank", "q_linear_trend",
+    "q_region_revenue", "q_incremental_stats", "q_token_stats",
+    "q_minhash_dedup", "q_ann_topk",
+    "q_dedup_index", "q_html_extract", "q_sq_ann", "q_chunk_docs",
+    "q_web_pipeline")
+
+  private def f3(v: Double) = f"$v%.3f"
+
+  def main(args: Array[String]): Unit = {
+    val baseMedians: Map[String, Double] = args.headOption.map { p =>
+      scala.io.Source.fromFile(p).getLines().flatMap { l =>
+        l.split("=", 2) match {
+          case Array(k, v) => scala.util.Try(k.trim -> v.trim.toDouble).toOption
+          case _ => None
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val upscaleFactor = sys.env.getOrElse("SPARK_GRAFT_UPSCALE", "8").toInt
+    val stealThresh =
+      sys.env.getOrElse("SPARK_GRAFT_STEAL_THRESH", "1.0").toDouble
+    // copy k's letter substitution rotates by k % 26: k = 26 would repeat
+    // copy 0 verbatim and quadratically inflate the dedup candidate set
+    require(upscaleFactor <= 26,
+      s"SPARK_GRAFT_UPSCALE=$upscaleFactor > 26: copy 26 would repeat copy 0")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val upDirPath = java.nio.file.Files.createTempDirectory("graft-upscale")
+    val upDir = upDirPath.toString
+    try {
+      // single-source recipe, shared with the standalone adjudicator
+      // (UpscaleAdjudicate) so a re-measurement is evidence about the
+      // SAME workload
+      UpscaleTables.build(spark, sfDir, upDir, upscaleFactor)
+
+      def upOnce(name: String): (Double, Double) = {
+        val s0 = Meter.stealIoSeconds()
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, upDir)
+          .write.format("noop").mode("overwrite").save()
+        ((System.nanoTime() - t0) / 1e9, Meter.stealIoSeconds() - s0)
+      }
+
+      final case class UpMeasured(min: Double, raw: Seq[Double],
+                                  steal: Seq[Double], retried: Int,
+                                  codeMb: Seq[Double], jit: Seq[Long])
+      // CONTENTION PREFLIGHT (r16): sample the box's steal rate; while
+      // visibly loaded, defer in bounded 30 s steps; if it stays loaded,
+      // run anyway with a DOUBLED retry budget and the preflight evidence
+      // in the JSON.
+      val contendedRate = 0.25
+      val (preSteal, preDeferred) =
+        Meter.deferWhileContended("upscale preflight", contendedRate)
+      val upMaxRetries = if (preSteal > contendedRate) 4 else 2
+      val measured = upscaleQueries
+        .filter(graft.SparkEntry.queries.contains).flatMap { q =>
+        try {
+          upOnce(q) // warmup: footer cache + codegen at the new scale
+          val raw = scala.collection.mutable.ArrayBuffer[Double]()
+          val steals = scala.collection.mutable.ArrayBuffer[Double]()
+          val codeMbs = scala.collection.mutable.ArrayBuffer[Double]()
+          val jits = scala.collection.mutable.ArrayBuffer[Long]()
+          var retried = 0
+          (1 to 2).foreach { _ =>
+            val j0 = Meter.jitMs
+            var (t, sd) = upOnce(q)
+            raw += t; steals += sd; codeMbs += Meter.codeCacheMb
+            jits += (Meter.jitMs - j0)
+            // steal-aware re-measure: a contended iteration is evidence
+            // of the box, not the plan — bounded, every attempt stays in
+            // the raw series; the >2× leg mirrors the gate suite's
+            def stalled: Boolean =
+              sd > stealThresh || (raw.size > 1 && t > 2 * raw.min && t >= 2.0)
+            while (stalled && retried < upMaxRetries) {
+              retried += 1
+              System.err.println(f"[bench] upscale $q: $t%.3fs stall " +
+                f"(steal+iowait $sd%.1fs, min so far ${raw.min}%.3fs), " +
+                f"re-measuring ($retried/$upMaxRetries)")
+              val j1 = Meter.jitMs
+              val again = upOnce(q)
+              t = again._1; sd = again._2
+              raw += t; steals += sd; codeMbs += Meter.codeCacheMb
+              jits += (Meter.jitMs - j1)
+            }
+          }
+          // reported statistic: the MIN of the timed iterations (2
+          // samples have no median — the field names say so); raw +
+          // steal arrays carry the full evidence either way
+          Some(q -> UpMeasured(raw.min, raw.toSeq, steals.toSeq, retried,
+            codeMbs.toSeq, jits.toSeq))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] upscale $q failed: ${e.getMessage}")
+            None
+        }
+      }
+      val upQs = measured.map { case (k, m) => "\"" + k + "\":" + f3(m.min) }
+        .mkString("{", ",", "}")
+      val ratios = measured.flatMap { case (k, m) =>
+        baseMedians.get(k).map(b => "\"" + k + "\":" + f3(m.min / b))
+      }.mkString("{", ",", "}")
+      val attribution = measured.map { case (k, m) =>
+        val raws = m.raw.map(f3).mkString("[", ",", "]")
+        val st = m.steal.map(f3).mkString("[", ",", "]")
+        val cc = m.codeMb.map(v => f"$v%.1f").mkString("[", ",", "]")
+        val jt = m.jit.mkString("[", ",", "]")
+        s""""$k":{"raw":$raws,"steal_sec":$st,"retried":${m.retried},""" +
+          s""""code_cache_mb":$cc,"jit_ms":$jt}"""
+      }.mkString("{", ",", "}")
+      println(s"""UPSCALE_JSON {"factor":$upscaleFactor,"iters":2,""" +
+        s""""stat":"min_of_2","fresh_jvm":true,""" +
+        s""""preflight":{"steal_rate_cpus_per_s":${f3(preSteal)},""" +
+        s""""deferred_30s_steps":$preDeferred,"retry_budget":$upMaxRetries},""" +
+        s""""queries_min":$upQs,"ratio_min_vs_base_median":$ratios,""" +
+        s""""attribution":$attribution}""")
+    } finally {
+      // 8× fact-table parquet is GBs at the gate scale — never leak it
+      java.nio.file.Files.walk(upDirPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      spark.stop()
+    }
+  }
+}
