@@ -179,6 +179,42 @@ object DedupIndex {
   private def readStore(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(dir)
 
+  /** Fold the accumulated append subdirectories into a single `base`
+    * write in a FRESH generation — the small-file compaction a
+    * months-long [[ingestStream]] needs: one subdirectory per
+    * micro-batch means thousands of tiny parquet files, and at corpus
+    * scale the postings scan goes metadata-bound (file listing + footer
+    * reads dominating row work). Nothing is recomputed: the committed
+    * generation's rows are read once and rewritten (Spark's file
+    * packing coalesces the tiny files ~32:1 under the default
+    * maxPartitionBytes/openCost settings; bands re-sorted by bucket
+    * within each output file, preserving the row-group min/max pushdown
+    * shape [[query]] relies on), meta is copied verbatim, and the new
+    * generation publishes with the same crash-atomic marker commit — a
+    * crash mid-compaction leaves readers on the old generation, and
+    * re-running completes it. Query results are identical before and
+    * after by construction (same rows, same Params).
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val dir = AtomicStore.resolve(spark, path)
+    val p = paramsIn(spark, dir)
+    val grams = readStore(spark, s"$dir/grams")
+    val bands = readStore(spark, s"$dir/bands")
+    val (gen, gdir) = AtomicStore.begin(spark, path)
+    AtomicStore.failpoint("dedup:meta")
+    Seq((p.n, p.numHashes, p.bands, p.seed))
+      .toDF("n", "num_hashes", "bands", "seed")
+      .write.mode("overwrite").parquet(s"$gdir/meta")
+    AtomicStore.failpoint("dedup:grams")
+    grams.write.mode("overwrite").parquet(s"$gdir/grams/base")
+    AtomicStore.failpoint("dedup:bands")
+    bands.sortWithinPartitions(col("bucket"))
+      .write.mode("overwrite").parquet(s"$gdir/bands/base")
+    AtomicStore.commit(spark, path, gen)
+    invalidateCaches(path)
+  }
+
   /** Near-dup pairs between a new batch and the indexed corpus:
     * `(query_id, index_id, jaccard)` for every batch document whose exact
     * n-gram Jaccard against an indexed document reaches `threshold`,

@@ -47,6 +47,45 @@ class DedupIndexSpec extends SparkSpec {
     assert(withSelf == 3L)
   }
 
+  test("compact folds the append subdirectories into one base write; queries identical") {
+    val path = tmpDir() + "/idx_compact"
+    DedupIndex.write(corpusDocs, "doc_id", "text", path)
+    // three appends → three extra subdirs per table (the ingestStream
+    // small-file shape)
+    (0 until 3).foreach { i =>
+      DedupIndex.append(
+        Seq((100L + i, s"novel append batch number $i with its own words"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", path, tag = s"b$i")
+    }
+    val before = DedupIndex.query(batchDocs, "doc_id", "text", path, 0.4)
+      .select("query_id", "index_id").as[(Long, Long)].collect().toSet
+    val gBefore = graft.util.AtomicStore.resolve(spark, path)
+    assert(new java.io.File(s"$gBefore/bands").listFiles().count(_.isDirectory) == 4)
+    DedupIndex.compact(spark, path)
+    val gAfter = graft.util.AtomicStore.resolve(spark, path)
+    assert(gAfter != gBefore, "compaction publishes a fresh generation")
+    assert(new java.io.File(s"$gAfter/bands").listFiles()
+      .count(_.isDirectory) == 1, "one base subdir after compaction")
+    assert(new java.io.File(s"$gAfter/grams").listFiles()
+      .count(_.isDirectory) == 1)
+    // same rows, same Params → identical query results; row counts intact
+    assert(DedupIndex.params(spark, path) == DedupIndex.Params(3, 64, 32, 42L))
+    val after = DedupIndex.query(batchDocs, "doc_id", "text", path, 0.4)
+      .select("query_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(after == before, "compaction must not change query results")
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$gAfter/grams").count() == 6, "3 corpus + 3 appended docs")
+    // a killed compaction (any stage) leaves readers on the old generation
+    graft.util.AtomicStore.failpoint =
+      l => if (l == "dedup:bands") throw new RuntimeException("killed at dedup:bands")
+    try intercept[RuntimeException] { DedupIndex.compact(spark, path) }
+    finally graft.util.AtomicStore.failpoint = _ => ()
+    assert(graft.util.AtomicStore.resolve(spark, path) == gAfter)
+    assert(DedupIndex.query(batchDocs, "doc_id", "text", path, 0.4)
+      .select("query_id", "index_id").as[(Long, Long)].collect().toSet == before)
+  }
+
   test("refit with different params never serves stale cached Params " +
     "(write() invalidates the per-JVM cache directly — mtime-independent)") {
     val path = tmpDir() + "/idx_refit"
