@@ -1207,6 +1207,51 @@ object Similarity {
 
   private val CompactTmpSuffix = "_compact_tmp"
 
+  /** Fold the stream extension into the base codes table, in a FRESH
+    * generation — the small-file compaction a long-running
+    * [[appendStreamBatch]] ingestion needs: the extension keeps one
+    * `(batch_id, cell)` partition directory per micro-batch × cell (the
+    * price of idempotent replay), so months of micro-batches leave
+    * thousands of tiny files and the serve-time union goes
+    * metadata-bound. No model work is redone: meta, centroids, codebooks
+    * and the fit-time `cellstats` snapshot are copied verbatim (the
+    * drift baseline must stay the FIT's occupancy), tombstones are
+    * folded first ([[compactIn]]), the merged live rows are rewritten
+    * cell-partitioned, and the new generation's stream highwater is
+    * raised to the highest folded batch id — so an at-least-once replay
+    * of any folded batch is absorbed exactly as after a refit. Published
+    * with the same crash-atomic marker commit: a killed compaction
+    * leaves readers on the old generation.
+    *
+    * Serving, drift, and replay semantics are bit-identical before and
+    * after; only the file layout (and the absence of the union branch)
+    * changes. Returns false when there is no extension to fold.
+    */
+  def compactIvfPqStreamExtension(spark: SparkSession, path: String): Boolean = {
+    val dir = AtomicStore.resolve(spark, path)
+    val extP = new org.apache.hadoop.fs.Path(s"$dir/codes_stream")
+    if (!extP.getFileSystem(spark.sessionState.newHadoopConf()).exists(extP))
+      return false
+    compactIn(spark, dir) // fold tombstones into BOTH tables first
+    // batch_id comes back from the partition directory names, which the
+    // scan infers as int — cast before extracting
+    val maxBatch = spark.read.parquet(extP.toString)
+      .agg(max(col("batch_id").cast("long"))).head().getLong(0)
+    val hw = math.max(streamHighwaterOf(spark, dir).getOrElse(-1L), maxBatch)
+    val merged = liveCodes(spark, dir) // base ∪ extension, tombstones gone
+    val (gen, gdir) = AtomicStore.begin(spark, path)
+    AtomicStore.failpoint("ivfpq:meta")
+    Seq("meta", "centroids", "codebooks", "cellstats").foreach { t =>
+      spark.read.parquet(s"$dir/$t").write.mode("overwrite").parquet(s"$gdir/$t")
+    }
+    AtomicStore.failpoint("ivfpq:codes")
+    merged.write.mode("overwrite").partitionBy("cell").parquet(s"$gdir/codes")
+    writeStreamHighwater(spark, gdir, Some(hw))
+    AtomicStore.commit(spark, path, gen)
+    invalidateIndexModel(path)
+    true
+  }
+
   /** Staleness signal: per-cell LIVE occupancy (appends minus tombstoned
     * deletes) vs the fit-time snapshot, plus the growth ratio. A cell
     * whose `growth` is large holds many vectors the coarse quantizer

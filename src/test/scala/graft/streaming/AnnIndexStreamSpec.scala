@@ -132,6 +132,57 @@ class AnnIndexStreamSpec extends SparkSpec {
     assert(readded == 1L, s"delete→re-add must serve exactly one row, got $readded")
   }
 
+  test("stream-extension compaction: folded layout serves identically, raises the highwater, survives a kill") {
+    val d = tmpDir() + "/streamfold"
+    Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 40),
+      "vec_id", "embedding", d, dim = 64, nlist = 8, m = 8, codebookSize = 16)
+    Similarity.appendStreamBatch(
+      emb.where(col("vec_id") >= 40 && col("vec_id") < 50),
+      "vec_id", "embedding", d, batchId = 0L)
+    Similarity.appendStreamBatch(
+      emb.where(col("vec_id") >= 50 && col("vec_id") < 60),
+      "vec_id", "embedding", d, batchId = 1L)
+    Similarity.deleteFromIvfPqIndex(
+      emb.where(col("vec_id") === 55L).select(col("vec_id")), "vec_id", d)
+    val probe = emb.where(col("vec_id") < 60 && col("vec_id") =!= 55L)
+    def serve() = {
+      val idx = Similarity.openIvfPqIndex(spark.newSession(), d)
+      Similarity.ivfPqServe(idx, probe, "vec_id", "embedding", k = 5, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    }
+    val before = serve()
+    val drift0 = Similarity.ivfPqCellDrift(spark, d).collect()
+      .map(r => (String.valueOf(r.get(0)), r.getLong(1), r.getLong(2))).toSet
+    val gBefore = AtomicStore.resolve(spark, d)
+    // a killed compaction is invisible (readers stay on the old gen)
+    AtomicStore.failpoint =
+      l => if (l == "ivfpq:codes") throw new RuntimeException("killed at ivfpq:codes")
+    try intercept[RuntimeException] {
+      Similarity.compactIvfPqStreamExtension(spark, d)
+    } finally AtomicStore.failpoint = _ => ()
+    assert(AtomicStore.resolve(spark, d) == gBefore)
+    assert(serve() == before)
+    // the real fold: fresh generation, no extension, same answers
+    assert(Similarity.compactIvfPqStreamExtension(spark, d))
+    val gAfter = AtomicStore.resolve(spark, d)
+    assert(gAfter != gBefore)
+    assert(!new java.io.File(s"$gAfter/codes_stream").exists())
+    assert(spark.read.parquet(s"$gAfter/codes").count() == 59,
+      "40 base + 20 streamed - 1 tombstoned")
+    assert(serve() == before, "folding must not change the served answer")
+    // drift baseline preserved: cellstats is still the FIT's snapshot
+    assert(Similarity.ivfPqCellDrift(spark, d).collect()
+      .map(r => (String.valueOf(r.get(0)), r.getLong(1), r.getLong(2))).toSet == drift0)
+    // replay of a folded batch is absorbed by the raised highwater
+    Similarity.appendStreamBatch(
+      emb.where(col("vec_id") >= 50 && col("vec_id") < 60),
+      "vec_id", "embedding", d, batchId = 1L)
+    assert(!new java.io.File(s"$gAfter/codes_stream").exists(),
+      "replay below the folded highwater must be skipped")
+    // nothing to fold on a fold-free store
+    assert(!Similarity.compactIvfPqStreamExtension(spark, d))
+  }
+
   test("a crashed stream refit's highwater is not inherited by a later non-stream fit") {
     val d = tmpDir() + "/hwinherit"
     Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 40),
