@@ -355,6 +355,28 @@ object ScaleProbe {
       val batch = DataGen.corpus(spark, 2000, seed = 7L)
       run("dedup_index_query2k", graft.dedup.DedupIndex.query(
         batch, "id", "text", idxDir, threshold = 0.5))
+      // ingestStream fragmentation: 200 micro-appends leave 200 tiny
+      // subdirectories per table (the price of batch-tagged idempotent
+      // replay), so the postings scan goes metadata-bound; compact()
+      // folds them into one base write in a fresh generation and the
+      // query returns to fitted-store cost. Probe-only (PROBE_ONLY=
+      // dedup_index_compact): the 200 appends are the fixture, the two
+      // query timings + the fold cost are the evidence.
+      if (wanted("dedup_index_compact")) {
+        val inc = DataGen.corpus(spark, 2000, seed = 11L)
+        time("dedup_index_200appends")(
+          (0 until 200).foreach { i =>
+            graft.dedup.DedupIndex.append(
+              inc.where(col("id") % 200 === i), "id", "text", idxDir,
+              tag = s"p$i")
+          })
+        run("dedup_index_query2k_fragmented", graft.dedup.DedupIndex.query(
+          batch, "id", "text", idxDir, threshold = 0.5))
+        time("dedup_index_compact")(
+          graft.dedup.DedupIndex.compact(spark, idxDir))
+        run("dedup_index_query2k_compacted", graft.dedup.DedupIndex.query(
+          batch, "id", "text", idxDir, threshold = 0.5))
+      }
       // int8-quantized brute force: fixed 100 queries × N codes — linear
       // in N with an 8×-smaller scan than the double-vector exact form
       // (knn_exact_100q in the ann section is the counterfactual)

@@ -96,16 +96,29 @@ object UpscaleProbe {
       val contendedRate = 0.25
       val (preSteal, preDeferred) =
         Meter.deferWhileContended("upscale preflight", contendedRate)
-      val upMaxRetries = if (preSteal > contendedRate) 4 else 2
+      val baseRetries = if (preSteal > contendedRate) 4 else 2
+      val stormRetries = 6
+      val stormStealSec = 3.0
+      // a storm can also arrive MID-PROBE (the preflight saw a quiet box
+      // in the r17 first run, then three queries measured 7–24 s
+      // iterations under live steal): between queries the probe defers
+      // like the gate suite, and a query whose own iterations have
+      // OBSERVED >3 cpu-s of steal gets the storm budget
+      var lastSteal = 0.0
       val measured = upscaleQueries
         .filter(graft.SparkEntry.queries.contains).flatMap { q =>
         try {
+          if (lastSteal > 0.5)
+            Meter.deferWhileContended(s"upscale preflight before $q",
+              contendedRate)
           upOnce(q) // warmup: footer cache + codegen at the new scale
           val raw = scala.collection.mutable.ArrayBuffer[Double]()
           val steals = scala.collection.mutable.ArrayBuffer[Double]()
           val codeMbs = scala.collection.mutable.ArrayBuffer[Double]()
           val jits = scala.collection.mutable.ArrayBuffer[Long]()
           var retried = 0
+          def budget: Int =
+            if (steals.sum > stormStealSec) stormRetries else baseRetries
           (1 to 2).foreach { _ =>
             val j0 = Meter.jitMs
             var (t, sd) = upOnce(q)
@@ -116,11 +129,13 @@ object UpscaleProbe {
             // the raw series; the >2× leg mirrors the gate suite's
             def stalled: Boolean =
               sd > stealThresh || (raw.size > 1 && t > 2 * raw.min && t >= 2.0)
-            while (stalled && retried < upMaxRetries) {
+            while (stalled && retried < budget) {
               retried += 1
               System.err.println(f"[bench] upscale $q: $t%.3fs stall " +
                 f"(steal+iowait $sd%.1fs, min so far ${raw.min}%.3fs), " +
-                f"re-measuring ($retried/$upMaxRetries)")
+                f"re-measuring ($retried/$budget)")
+              if (sd > stealThresh)
+                Meter.deferWhileContended(s"upscale $q retry", maxSteps = 2)
               val j1 = Meter.jitMs
               val again = upOnce(q)
               t = again._1; sd = again._2
@@ -128,6 +143,7 @@ object UpscaleProbe {
               jits += (Meter.jitMs - j1)
             }
           }
+          lastSteal = steals.sum
           // reported statistic: the MIN of the timed iterations (2
           // samples have no median — the field names say so); raw +
           // steal arrays carry the full evidence either way
@@ -155,7 +171,8 @@ object UpscaleProbe {
       println(s"""UPSCALE_JSON {"factor":$upscaleFactor,"iters":2,""" +
         s""""stat":"min_of_2","fresh_jvm":true,""" +
         s""""preflight":{"steal_rate_cpus_per_s":${f3(preSteal)},""" +
-        s""""deferred_30s_steps":$preDeferred,"retry_budget":$upMaxRetries},""" +
+        s""""deferred_30s_steps":$preDeferred,"retry_budget":$baseRetries,""" +
+        s""""storm_retry_budget":$stormRetries},""" +
         s""""queries_min":$upQs,"ratio_min_vs_base_median":$ratios,""" +
         s""""attribution":$attribution}""")
     } finally {
