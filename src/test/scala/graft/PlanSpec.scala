@@ -169,6 +169,35 @@ class PlanSpec extends SparkSpec {
         s"cell PartitionFilter, found $prunedScans:\n$p")
   }
 
+  test("served SQ×IVF scans are dynamically cell-pruned, base AND stream extension") {
+    val emb = Tables.embeddings(spark, sfDir).where(col("vec_id") < 50)
+    val d = tmpDir() + "/sqivf_dpp"
+    graft.sim.Similarity.writeSqIvfIndex(emb, "vec_id", "embedding", d,
+      dim = 64, nlist = 8)
+    graft.sim.Similarity.appendSqIvfStreamBatch(
+      Tables.embeddings(spark, sfDir)
+        .where(col("vec_id") >= 50 && col("vec_id") < 60),
+      "vec_id", "embedding", d, batchId = 0L)
+    val idx = graft.sim.Similarity.openSqIvfIndex(spark, d)
+    val served = graft.sim.Similarity.sqIvfServeIndex(idx,
+      emb.where(col("vec_id") < 3), "vec_id", "embedding", k = 3, nprobe = 2)
+    served.collect() // executed plan carries the runtime pruning subqueries
+    val p = plan(served)
+    // same property as the IVF-PQ served store: the broadcast probe side
+    // turns the cell equi-join into dynamic partition filters, and the
+    // union with the stream extension must not defeat that on either
+    // branch — at corpus scale the int8 serve reads nprobe/nlist of the
+    // store, not all of it
+    assert(p.contains("dynamicpruning"),
+      s"served SQ×IVF codes scan must be dynamically cell-pruned:\n$p")
+    val prunedScans = p.linesIterator.filter(l =>
+      l.contains("/codes") && l.contains("PartitionFilters") &&
+        l.contains("dynamicpruning")).size
+    assert(prunedScans >= 2,
+      s"both the base codes and codes_stream scans must carry a dynamic " +
+        s"cell PartitionFilter, found $prunedScans:\n$p")
+  }
+
   test("bucketed tables join without a shuffle") {
     import graft.ingest.GridSink
     // clean both the metastore entries and any orphaned warehouse dirs
