@@ -54,6 +54,20 @@ object DedupQ extends QueryPack {
           threshold = 0.5),
         "jaccard")
     }),
+    // Compacted store: the SAME logical store as q_dedup_index_append,
+    // but grown through four micro-appends and then folded by
+    // DedupIndex.compact into a fresh single-base generation — the
+    // small-file maintenance op, oracle-pinned: answers must equal the
+    // independent cross-Jaccard derivation exactly, i.e. compaction
+    // changes the layout and never the results.
+    "q_dedup_index_compacted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      round6(
+        DedupIndex.query(docs.where(col("doc_id") % 5 === 0),
+          "doc_id", "text", mhCompactedDir(s, dir),
+          threshold = 0.5),
+        "jaccard")
+    }),
     // The live loop, driver-checked end to end: 4 single-file parquet
     // batches (doc_id % 4, ascending mtimes + maxFilesPerTrigger=1 →
     // DETERMINISTIC micro-batch order) stream through ingestStream over
@@ -445,6 +459,28 @@ object DedupQ extends QueryPack {
         d
       })
 
+  /** The [[mhIndexDir]] grown store, built from FOUR micro-appends (the
+    * ingestStream fragmentation shape) and then FOLDED by
+    * [[DedupIndex.compact]] — so q_dedup_index_compacted serves the same
+    * logical store as q_dedup_index_append through a compacted layout,
+    * against the same oracle.
+    */
+  private def mhCompactedDir(s: SparkSession, dir: String): String =
+    mhDirs.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}:$dir:compacted", {
+        val d = graft.util.Tmp.root("graft_mhidx_c").toString
+        val docs = Tables.documents(s, dir)
+        DedupIndex.write(docs.where(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", d)
+        (0 until 4).foreach { k =>
+          DedupIndex.append(
+            docs.where(col("doc_id") % 3 === 0 && col("doc_id") % 4 === k),
+            "doc_id", "text", d, tag = s"b$k")
+        }
+        DedupIndex.compact(s, d)
+        d
+      })
+
   /** Exact cross-set Jaccard ≥ threshold between a query side and an
     * index side (predicates over `a.doc_id` / `b.doc_id`) — the oracle of
     * the persisted-index queries, mirroring [[jaccardSql]]'s gram model.
@@ -528,6 +564,10 @@ object DedupQ extends QueryPack {
       crossJaccardSql("a.doc_id % 3 = 0 AND a.doc_id < 100000000",
         "b.doc_id % 3 <> 0", 0.5),
     "q_dedup_index_append" ->
+      crossJaccardSql("a.doc_id % 5 = 0", "TRUE", 0.5),
+    // compaction must not change answers: the compacted store's oracle
+    // is the append store's, verbatim
+    "q_dedup_index_compacted" ->
       crossJaccardSql("a.doc_id % 5 = 0", "TRUE", 0.5),
     "q_dedup_ingest" ->
       s"""WITH dups AS (
