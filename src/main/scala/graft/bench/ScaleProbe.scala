@@ -682,12 +682,47 @@ object ScaleProbe {
           idxDir, dim = 64, nlist = 64, m = 8, codebookSize = 16))
       if (wanted("ivfpq_serve_100q")) {
         // the index may not exist when the write cell was filtered out
-        if (!new java.io.File(s"$idxDir/meta").exists())
+        // (generational layout: existence = a committed marker, not a
+        // root-level meta table)
+        if (graft.util.AtomicStore.currentGen(spark, idxDir).isEmpty)
           graft.sim.Similarity.writeIvfPqIndex(emb, "vec_id", "embedding",
             idxDir, dim = 64, nlist = 64, m = 8, codebookSize = 16)
         val idx = graft.sim.Similarity.openIvfPqIndex(spark.newSession(), idxDir)
         run("ivfpq_serve_100q",
           graft.sim.Similarity.ivfPqServe(idx, qs, "vec_id", "embedding",
+            10, nprobe = 8))
+      }
+      // r17: stream-maintained extension fragmentation → fold. 100
+      // micro-batches leave up to 100 × nlist (batch_id, cell) partition
+      // directories in codes_stream (the price of idempotent replay);
+      // serving unions base + extension across all of them.
+      // compactIvfPqStreamExtension folds the rows into base in a fresh
+      // generation — the serve must return to fitted-store cost.
+      // Probe-only: the 100 appends are the fixture, the two serve
+      // timings + the fold cost are the evidence.
+      if (wanted("ivfpq_stream_fold")) {
+        val sDir = java.nio.file.Files
+          .createTempDirectory("graft_scaleprobe_fold").toString
+        time("ivfpq_stream_fold_fit")(
+          graft.sim.Similarity.writeIvfPqIndex(
+            emb.where(col("vec_id") % 8 =!= 0), "vec_id", "embedding",
+            sDir, dim = 64, nlist = 64, m = 8, codebookSize = 16))
+        val inc = emb.where(col("vec_id") % 8 === 0)
+        time("ivfpq_stream_100appends")(
+          (0 until 100).foreach { i =>
+            graft.sim.Similarity.appendStreamBatch(
+              inc.where((col("vec_id") / 8) % 100 === i),
+              "vec_id", "embedding", sDir, batchId = i.toLong)
+          })
+        val frag = graft.sim.Similarity.openIvfPqIndex(spark.newSession(), sDir)
+        run("ivfpq_stream_serve_100q_fragmented",
+          graft.sim.Similarity.ivfPqServe(frag, qs, "vec_id", "embedding",
+            10, nprobe = 8))
+        time("ivfpq_stream_fold")(
+          graft.sim.Similarity.compactIvfPqStreamExtension(spark, sDir))
+        val folded = graft.sim.Similarity.openIvfPqIndex(spark.newSession(), sDir)
+        run("ivfpq_stream_serve_100q_folded",
+          graft.sim.Similarity.ivfPqServe(folded, qs, "vec_id", "embedding",
             10, nprobe = 8))
       }
     }
