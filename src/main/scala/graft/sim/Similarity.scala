@@ -1584,6 +1584,37 @@ object Similarity {
     SqIvfIndex(cents, dim, codes)
   }
 
+  /** [[compactIvfPqStreamExtension]] on the SQ×IVF store — same fold,
+    * simpler tables (no tombstones, no codebooks, no cellstats): meta
+    * and centroids copied verbatim, base ∪ extension rewritten
+    * cell-partitioned in a fresh generation whose stream highwater rises
+    * to the highest folded batch id. Returns false when there is no
+    * extension to fold.
+    */
+  def compactSqIvfStreamExtension(spark: SparkSession, path: String): Boolean = {
+    val dir = AtomicStore.resolve(spark, path)
+    val extP = new org.apache.hadoop.fs.Path(s"$dir/codes_stream")
+    if (!extP.getFileSystem(spark.sessionState.newHadoopConf()).exists(extP))
+      return false
+    val maxBatch = spark.read.parquet(extP.toString)
+      .agg(max(col("batch_id").cast("long"))).head().getLong(0)
+    val hw = math.max(streamHighwaterOf(spark, dir).getOrElse(-1L), maxBatch)
+    val base = spark.read.parquet(s"$dir/codes")
+    val merged = base.unionByName(spark.read.parquet(extP.toString)
+      .select(base.columns.toIndexedSeq.map(col): _*))
+    val (gen, gdir) = AtomicStore.begin(spark, path)
+    AtomicStore.failpoint("sqivf:meta")
+    Seq("meta", "centroids").foreach { t =>
+      spark.read.parquet(s"$dir/$t").write.mode("overwrite").parquet(s"$gdir/$t")
+    }
+    AtomicStore.failpoint("sqivf:codes")
+    merged.write.mode("overwrite").partitionBy("cell").parquet(s"$gdir/codes")
+    writeStreamHighwater(spark, gdir, Some(hw))
+    AtomicStore.commit(spark, path, gen)
+    invalidateSqIvfModel(path)
+    true
+  }
+
   /** Answer a query batch from a persisted SQ×IVF index — no coarse
     * fit, no corpus re-encode: probe-side kernel + cell equi-join
     * against the stored codes + integer-dot ranking. Bit-identical to

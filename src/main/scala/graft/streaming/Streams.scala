@@ -283,7 +283,8 @@ object Streams {
       indexPath: String,
       checkpointDir: String,
       corpus: SparkSession => DataFrame,
-      driftThreshold: Double = 0.5
+      driftThreshold: Double = 0.5,
+      foldEveryBatches: Int = 0
   ): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
@@ -292,9 +293,18 @@ object Streams {
         val s = batch.sparkSession
         graft.sim.Similarity.appendStreamBatch(
           batch.toDF(), idCol, vecCol, indexPath, batchId)
-        graft.sim.Similarity.refitIvfPqIndex(
+        val refitted = graft.sim.Similarity.refitIvfPqIndex(
           corpus(s), idCol, vecCol, indexPath, driftThreshold,
           streamHighwater = Some(batchId))
+        // self-maintaining layout: every `foldEveryBatches` micro-batches
+        // (when drift did NOT refit — a refit already folds everything),
+        // fold the extension's per-batch partition fan-out into base
+        // (SCALE.md "ANN stream-extension fold": 100 batches cost the
+        // serve 1.8×; the fold is idempotent under replay because it
+        // raises the highwater atomically with its generation)
+        if (!refitted && foldEveryBatches > 0 &&
+            batchId % foldEveryBatches == foldEveryBatches - 1L)
+          graft.sim.Similarity.compactIvfPqStreamExtension(s, indexPath)
         ()
       }
       .start()
@@ -319,7 +329,8 @@ object Streams {
       indexPath: String,
       checkpointDir: String,
       corpus: SparkSession => DataFrame,
-      growthThreshold: Double = 0.5
+      growthThreshold: Double = 0.5,
+      foldEveryBatches: Int = 0
   ): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
@@ -328,9 +339,14 @@ object Streams {
         val s = batch.sparkSession
         graft.sim.Similarity.appendSqIvfStreamBatch(
           batch.toDF(), idCol, vecCol, indexPath, batchId)
-        graft.sim.Similarity.refitSqIvfIndex(
+        val refitted = graft.sim.Similarity.refitSqIvfIndex(
           corpus(s), idCol, vecCol, indexPath, growthThreshold,
           streamHighwater = Some(batchId))
+        // see annIndexStream: fold the per-batch partition fan-out when
+        // drift/growth did not already refit this batch
+        if (!refitted && foldEveryBatches > 0 &&
+            batchId % foldEveryBatches == foldEveryBatches - 1L)
+          graft.sim.Similarity.compactSqIvfStreamExtension(s, indexPath)
         ()
       }
       .start()

@@ -183,6 +183,46 @@ class AnnIndexStreamSpec extends SparkSpec {
     assert(!Similarity.compactIvfPqStreamExtension(spark, d))
   }
 
+  test("annIndexStream with foldEveryBatches self-maintains the layout") {
+    val d = tmpDir() + "/annselffold"
+    Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 40),
+      "vec_id", "embedding", d, dim = 64, nlist = 8, m = 8, codebookSize = 16)
+    val src = graft.util.Tmp.root("ann_fold_src")
+    val ckpt = graft.util.Tmp.root("ann_fold_ckpt").toString
+    val q = Streams.annIndexStream(
+      spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", "1")
+        .parquet(src.toString),
+      "vec_id", "embedding", d, ckpt,
+      corpus = _ => emb, driftThreshold = Double.MaxValue,
+      foldEveryBatches = 2)
+    try {
+      (0 until 4).foreach { i => stage(src, i); q.processAllAvailable() }
+    } finally q.stop()
+    val g = AtomicStore.resolve(spark, d)
+    assert(!new java.io.File(s"$g/codes_stream").exists(),
+      "fold-every-2 must leave no extension after batch 3")
+    assert(spark.read.parquet(s"$g/codes").count() == 80)
+    // serve parity vs the same stored model re-encoding the full corpus
+    val all = emb.where(col("vec_id") < 80)
+    val idx = Similarity.openIvfPqIndex(spark.newSession(), d)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val served = rows(Similarity.ivfPqServe(idx, all, "vec_id", "embedding",
+      k = 5, nprobe = 4))
+    val rebuilt = idx.copy(codes =
+      Similarity.encodeForIndex(idx, all, "vec_id", "embedding"))
+    assert(served == rows(Similarity.ivfPqServe(rebuilt, all, "vec_id",
+      "embedding", k = 5, nprobe = 4)))
+    // the fit-time drift baseline survived both folds: n_fit still 40
+    val drift = Similarity.ivfPqCellDrift(spark, d).collect()
+    assert(drift.map(_.getLong(1)).sum == 40 && drift.map(_.getLong(2)).sum == 80)
+    // replay of the last folded batch is absorbed by the fold highwater
+    Similarity.appendStreamBatch(
+      emb.where(col("vec_id") >= 70 && col("vec_id") < 80),
+      "vec_id", "embedding", d, batchId = 3L)
+    assert(!new java.io.File(s"$g/codes_stream").exists())
+  }
+
   test("a crashed stream refit's highwater is not inherited by a later non-stream fit") {
     val d = tmpDir() + "/hwinherit"
     Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 40),

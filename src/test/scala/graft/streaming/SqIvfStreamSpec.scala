@@ -74,4 +74,96 @@ class SqIvfStreamSpec extends SparkSpec {
     assert(!new java.io.File(s"$g2/codes_stream").exists(),
       "replay below the highwater must be skipped")
   }
+
+  test("stream-extension fold: folded layout serves identically and raises the highwater") {
+    val d = tmpDir() + "/sqfold"
+    Similarity.writeSqIvfIndex(emb.where(col("vec_id") < 40),
+      "vec_id", "embedding", d, dim = 64, nlist = 8)
+    Similarity.appendSqIvfStreamBatch(
+      emb.where(col("vec_id") >= 40 && col("vec_id") < 50),
+      "vec_id", "embedding", d, batchId = 0L)
+    Similarity.appendSqIvfStreamBatch(
+      emb.where(col("vec_id") >= 50 && col("vec_id") < 60),
+      "vec_id", "embedding", d, batchId = 1L)
+    val all = emb.where(col("vec_id") < 60)
+    def serve() = {
+      val idx = Similarity.openSqIvfIndex(spark.newSession(), d)
+      Similarity.sqIvfServeIndex(idx, all, "vec_id", "embedding",
+          k = 5, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val before = serve()
+    val gBefore = AtomicStore.resolve(spark, d)
+    // a killed fold is invisible
+    AtomicStore.failpoint =
+      l => if (l == "sqivf:codes") throw new RuntimeException("killed at sqivf:codes")
+    try intercept[RuntimeException] {
+      Similarity.compactSqIvfStreamExtension(spark, d)
+    } finally AtomicStore.failpoint = _ => ()
+    assert(AtomicStore.resolve(spark, d) == gBefore)
+    assert(serve() == before)
+    // the real fold
+    assert(Similarity.compactSqIvfStreamExtension(spark, d))
+    val gAfter = AtomicStore.resolve(spark, d)
+    assert(gAfter != gBefore)
+    assert(!new java.io.File(s"$gAfter/codes_stream").exists())
+    assert(spark.read.parquet(s"$gAfter/codes").count() == 60)
+    assert(serve() == before, "folding must not change the served answer")
+    // replay of a folded batch is absorbed by the raised highwater
+    Similarity.appendSqIvfStreamBatch(
+      emb.where(col("vec_id") >= 50 && col("vec_id") < 60),
+      "vec_id", "embedding", d, batchId = 1L)
+    assert(!new java.io.File(s"$gAfter/codes_stream").exists())
+    // nothing to fold on a fold-free store
+    assert(!Similarity.compactSqIvfStreamExtension(spark, d))
+  }
+
+  test("sqIvfIndexStream with foldEveryBatches self-maintains the layout") {
+    val d = tmpDir() + "/sqselffold"
+    Similarity.writeSqIvfIndex(emb.where(col("vec_id") < 40),
+      "vec_id", "embedding", d, dim = 64, nlist = 8)
+    val src = graft.util.Tmp.root("sqs_fold_src")
+    val ckpt = graft.util.Tmp.root("sqs_fold_ckpt").toString
+    def stage(i: Int): Unit = {
+      val lo = 40L + i * 10; val hi = lo + 10
+      val scratch = graft.util.Tmp.root("sqs_fold_stage")
+      emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val part = scratch.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.createLink(src.resolve(s"f$i.parquet"), part)
+    }
+    // growth threshold unreachable: every batch goes to the extension,
+    // and the fold trigger (every 2 batches) is the only maintenance
+    val q = Streams.sqIvfIndexStream(
+      spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", "1")
+        .parquet(src.toString),
+      "vec_id", "embedding", d, ckpt,
+      corpus = _ => emb, growthThreshold = Double.MaxValue,
+      foldEveryBatches = 2)
+    try {
+      (0 until 4).foreach { i => stage(i); q.processAllAvailable() }
+    } finally q.stop()
+    // batches 1 and 3 folded: no extension left, base holds everything,
+    // still generation-advanced (2 folds), no refit ever ran (the fit
+    // centroids are the original 40-vector model)
+    val g = AtomicStore.resolve(spark, d)
+    assert(!new java.io.File(s"$g/codes_stream").exists(),
+      "fold-every-2 must leave no extension after batch 3")
+    assert(spark.read.parquet(s"$g/codes").count() == 80)
+    // serve parity vs the same stored model re-encoding the full corpus
+    val all = emb.where(col("vec_id") < 80)
+    val idx = Similarity.openSqIvfIndex(spark.newSession(), d)
+    def rows(codes: org.apache.spark.sql.DataFrame) = Similarity
+      .sqIvfServe(codes, all, "vec_id", "embedding", k = 5, idx.cents,
+        nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows(idx.codes) ==
+      rows(Similarity.sqIvfEncode(all, "vec_id", "embedding", idx.cents)))
+    // replay of the last folded batch is absorbed
+    Similarity.appendSqIvfStreamBatch(
+      emb.where(col("vec_id") >= 70 && col("vec_id") < 80),
+      "vec_id", "embedding", d, batchId = 3L)
+    assert(!new java.io.File(s"$g/codes_stream").exists())
+  }
 }
