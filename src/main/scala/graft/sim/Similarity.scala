@@ -1020,6 +1020,16 @@ object Similarity {
     * Tombstones apply to the WHOLE store at open time: re-appending a
     * previously deleted id resurrects nothing until the store is
     * compacted (the standard tombstone caveat — compact before re-add).
+    *
+    * SINGLE-WRITER caveat (deletes vs streaming replay): a replayed
+    * micro-batch rewrites its own `codes_stream` partitions from the
+    * RAW batch — under the live anti-join mask that is invisible, but a
+    * delete + compaction racing the narrow window between a batch's
+    * write and its checkpoint commit would drop the mask an in-flight
+    * replay still needs. Deletes/compactions are store mutations: run
+    * them from the stream's owner (between batches), not concurrently
+    * with it — the same single-writer assumption every mutation path
+    * here documents.
     */
   def deleteFromIvfPqIndex(ids: DataFrame, idCol: String, path: String): Unit =
     ids.select(col(idCol).as("cid")).distinct()
