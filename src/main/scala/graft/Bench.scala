@@ -341,20 +341,30 @@ object Bench {
           "-cp", System.getProperty("java.class.path"),
           "graft.bench.UpscaleProbe", mediansFile.toString))
         val proc = new ProcessBuilder(cmd: _*).start()
-        // drain stderr concurrently (retry/preflight logs) so neither
-        // pipe can fill and deadlock the child
+        // drain BOTH pipes on threads so neither can fill and deadlock
+        // the child — and so waitFor's timeout is the actual bound (a
+        // blocking read-to-EOF on this thread would never time out on a
+        // wedged child that keeps stdout open)
         val errPump = new Thread(() => {
           val src = scala.io.Source.fromInputStream(proc.getErrorStream)
           try src.getLines().foreach(l => System.err.println(l))
           catch { case _: Throwable => () }
         })
         errPump.setDaemon(true); errPump.start()
-        val outLines = scala.io.Source.fromInputStream(proc.getInputStream)
-          .getLines().toList
+        val outLines =
+          java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+        val outPump = new Thread(() => {
+          val src = scala.io.Source.fromInputStream(proc.getInputStream)
+          try src.getLines().foreach(l => { outLines.add(l); () })
+          catch { case _: Throwable => () }
+        })
+        outPump.setDaemon(true); outPump.start()
         val done = proc.waitFor(45, java.util.concurrent.TimeUnit.MINUTES)
         if (!done) { proc.destroyForcibly(); sys.error("upscale child timed out") }
+        outPump.join(30000); errPump.join(30000)
         java.nio.file.Files.deleteIfExists(mediansFile)
-        outLines.find(_.startsWith("UPSCALE_JSON ")) match {
+        import scala.jdk.CollectionConverters._
+        outLines.asScala.find(_.startsWith("UPSCALE_JSON ")) match {
           case Some(l) => "," + "\"upscale\":" + l.drop("UPSCALE_JSON ".length)
           case None => sys.error(
             s"upscale child exit ${proc.exitValue()}, no UPSCALE_JSON line")

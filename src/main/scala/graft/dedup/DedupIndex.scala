@@ -144,8 +144,35 @@ object DedupIndex {
     val t = if (tag.nonEmpty) tag
       else s"a${java.util.UUID.randomUUID().toString.take(8)}"
     val dir = AtomicStore.resolve(df.sparkSession, path)
+    // replay absorption across compaction: a batch whose tagged subdir
+    // was FOLDED into base by [[compact]] no longer exists to be
+    // overwritten — re-appending it would duplicate its rows. The fold
+    // records the folded tags in its generation; an explicitly-tagged
+    // re-append of one is the at-least-once replay and is skipped (the
+    // dedup highwater — random tags never collide and pass through).
+    if (tag.nonEmpty && foldedTags(df.sparkSession, dir).contains(t)) {
+      System.err.println(s"[graft] DedupIndex.append: tag '$t' was already " +
+        s"folded into base by compact() at $path — skipping (replay).")
+      return
+    }
     writeRows(df, idCol, textCol, dir, paramsIn(df.sparkSession, dir), t)
     invalidateCaches(path)
+  }
+
+  /** Tags [[compact]] folded into this generation's base (empty when the
+    * store was never compacted).
+    */
+  private def foldedTags(spark: SparkSession, dir: String): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_folded_tags")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try { in.readFully(0, buf) } finally in.close()
+      new String(buf, "UTF-8").split("\n").map(_.trim).filter(_.nonEmpty).toSet
+    }
   }
 
   /** Write one tagged batch of rows into generation directory `dir`.
@@ -201,11 +228,30 @@ object DedupIndex {
     val p = paramsIn(spark, dir)
     val grams = readStore(spark, s"$dir/grams")
     val bands = readStore(spark, s"$dir/bands")
+    // the tags being folded (every subdirectory of this generation's
+    // tables) plus any folded earlier — recorded in the new generation
+    // so [[append]] can absorb an at-least-once REPLAY of a folded
+    // batch instead of duplicating its rows (the ingestStream
+    // idempotence contract, which tag-overwrite alone no longer covers
+    // once the tagged subdir is gone)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nowFolding = Seq("grams", "bands").flatMap { t =>
+      val tp = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      if (fs.exists(tp)) fs.listStatus(tp).filter(_.isDirectory)
+        .map(_.getPath.getName).toSeq
+      else Seq.empty
+    }.toSet
+    val allFolded = foldedTags(spark, dir) ++ nowFolding
     val (gen, gdir) = AtomicStore.begin(spark, path)
     AtomicStore.failpoint("dedup:meta")
     Seq((p.n, p.numHashes, p.bands, p.seed))
       .toDF("n", "num_hashes", "bands", "seed")
       .write.mode("overwrite").parquet(s"$gdir/meta")
+    val ftOut = fs.create(
+      new org.apache.hadoop.fs.Path(s"$gdir/_folded_tags"), true)
+    try ftOut.write(allFolded.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally ftOut.close()
     AtomicStore.failpoint("dedup:grams")
     grams.write.mode("overwrite").parquet(s"$gdir/grams/base")
     AtomicStore.failpoint("dedup:bands")

@@ -1045,6 +1045,20 @@ object Similarity {
     if (fs.exists(p)) Some(spark.read.parquet(p.toString).distinct()) else None
   }
 
+  /** Schema-robust read of a `codes_stream` extension table: an EXPLICIT
+    * schema (the base codes schema + the `batch_id` partition column),
+    * so a directory holding no committed parquet files — every row
+    * tombstone-compacted away, or a crashed FIRST append's lone
+    * `_temporary/` — reads as an empty frame instead of failing schema
+    * inference and bricking every open/serve on the store.
+    */
+  private def readStreamExt(spark: SparkSession, extPath: String,
+      baseSchema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(org.apache.spark.sql.types.StructType(
+        baseSchema.fields :+ org.apache.spark.sql.types.StructField(
+          "batch_id", org.apache.spark.sql.types.LongType)))
+      .parquet(extPath)
+
   /** The live view of the codes table: stored codes minus tombstoned ids.
     * The anti-join broadcasts while the tombstone set is small (the
     * normal regime — compaction keeps it from growing unboundedly) and
@@ -1060,8 +1074,8 @@ object Similarity {
     val extP = new org.apache.hadoop.fs.Path(s"$dir/codes_stream")
     val codes =
       if (extP.getFileSystem(spark.sessionState.newHadoopConf()).exists(extP))
-        base.unionByName(
-          spark.read.parquet(extP.toString).select(base.columns.map(col): _*))
+        base.unionByName(readStreamExt(spark, extP.toString, base.schema)
+          .select(base.columns.toIndexedSeq.map(col): _*))
       else base
     tombstonesOpt(spark, dir)
       .map(t => codes.join(t, Seq("cid"), "left_anti")).getOrElse(codes)
@@ -1191,12 +1205,29 @@ object Similarity {
       val hit = affected.map(partPath).toSet
       // OR-of-equalities over the partition columns: partition pruning
       // handles equality disjunctions, so only the affected partition
-      // directories are read (bounded by nlist × touched batches)
-      val pred = affected.map { vals =>
-        partCols.zip(vals).map { case (c, v) => col(c) === lit(v) }
-          .reduce(_ && _)
-      }.reduce(_ || _)
-      val survivors = codes.where(pred).join(tomb, Seq("cid"), "left_anti")
+      // directories are read. BOUNDED: past a few hundred terms the
+      // left-nested Or tree costs Catalyst more than the pruning saves
+      // (and codegen has a 64KB method limit) — and a tombstone set
+      // touching thousands of partitions is going to rewrite most of the
+      // table anyway, so fall back to a broadcast semi-join against the
+      // affected tuples (full scan, bounded plan).
+      val affectedHit =
+        if (affected.size <= CompactPredicateMaxTerms)
+          codes.where(affected.map { vals =>
+            partCols.zip(vals).map { case (c, v) => col(c) === lit(v) }
+              .reduce(_ && _)
+          }.reduce(_ || _))
+        else {
+          import spark.implicits._
+          val tuples = affected.map(vals =>
+            partCols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/"))
+            .toSeq.toDF("__part")
+          codes.withColumn("__part", concat_ws("/",
+              partCols.map(c => concat(lit(c + "="), col(c).cast("string"))): _*))
+            .join(broadcast(tuples), Seq("__part"), "left_semi")
+            .drop("__part")
+        }
+      val survivors = affectedHit.join(tomb, Seq("cid"), "left_anti")
       survivors.write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp)
       // an empty partitioned write emits no data files, so the staged
       // read needs the survivors' schema handed to it explicitly — and
@@ -1216,6 +1247,13 @@ object Similarity {
   }
 
   private val CompactTmpSuffix = "_compact_tmp"
+
+  /** Affected-partition count above which [[compactTable]] switches from
+    * the prunable OR-of-equalities filter to a broadcast semi-join (see
+    * inline note); test-visible so the join leg is exercised at small
+    * sizes.
+    */
+  private[graft] var CompactPredicateMaxTerms = 256
 
   /** Fold the stream extension into the base codes table, in a FRESH
     * generation — the small-file compaction a long-running
@@ -1240,12 +1278,16 @@ object Similarity {
   def compactIvfPqStreamExtension(spark: SparkSession, path: String): Boolean = {
     val dir = AtomicStore.resolve(spark, path)
     val extP = new org.apache.hadoop.fs.Path(s"$dir/codes_stream")
-    if (!extP.getFileSystem(spark.sessionState.newHadoopConf()).exists(extP))
-      return false
+    val extFs = extP.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!extFs.exists(extP)) return false
     compactIn(spark, dir) // fold tombstones into BOTH tables first
-    // batch_id comes back from the partition directory names, which the
-    // scan infers as int — cast before extracting
-    val maxBatch = spark.read.parquet(extP.toString)
+    // a data-free extension (every streamed row tombstone-compacted
+    // away) has nothing to fold — remove the empty directory so later
+    // opens skip the union branch entirely
+    val baseSchema = spark.read.parquet(s"$dir/codes").schema
+    val extRows = readStreamExt(spark, extP.toString, baseSchema)
+    if (extRows.isEmpty) { extFs.delete(extP, true); return false }
+    val maxBatch = extRows
       .agg(max(col("batch_id").cast("long"))).head().getLong(0)
     val hw = math.max(streamHighwaterOf(spark, dir).getOrElse(-1L), maxBatch)
     val merged = liveCodes(spark, dir) // base ∪ extension, tombstones gone
@@ -1521,9 +1563,9 @@ object Similarity {
     val extP = new org.apache.hadoop.fs.Path(s"$dir/codes_stream")
     if (!extP.getFileSystem(spark.sessionState.newHadoopConf()).exists(extP)) 0.0
     else {
-      val base = spark.read.parquet(s"$dir/codes").count()
-      val streamed = spark.read.parquet(extP.toString).count()
-      streamed.toDouble / math.max(base, 1L)
+      val base = spark.read.parquet(s"$dir/codes")
+      val streamed = readStreamExt(spark, extP.toString, base.schema).count()
+      streamed.toDouble / math.max(base.count(), 1L)
     }
   }
 
@@ -1588,7 +1630,7 @@ object Similarity {
     val extP = new org.apache.hadoop.fs.Path(s"$dir/codes_stream")
     val codes =
       if (extP.getFileSystem(spark.sessionState.newHadoopConf()).exists(extP))
-        base.unionByName(spark.read.parquet(extP.toString)
+        base.unionByName(readStreamExt(spark, extP.toString, base.schema)
           .select(base.columns.toIndexedSeq.map(col): _*))
       else base
     SqIvfIndex(cents, dim, codes)
@@ -1604,14 +1646,16 @@ object Similarity {
   def compactSqIvfStreamExtension(spark: SparkSession, path: String): Boolean = {
     val dir = AtomicStore.resolve(spark, path)
     val extP = new org.apache.hadoop.fs.Path(s"$dir/codes_stream")
-    if (!extP.getFileSystem(spark.sessionState.newHadoopConf()).exists(extP))
-      return false
-    val maxBatch = spark.read.parquet(extP.toString)
+    val extFs = extP.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!extFs.exists(extP)) return false
+    val base = spark.read.parquet(s"$dir/codes")
+    val extRows = readStreamExt(spark, extP.toString, base.schema)
+    if (extRows.isEmpty) { extFs.delete(extP, true); return false }
+    val maxBatch = extRows
       .agg(max(col("batch_id").cast("long"))).head().getLong(0)
     val hw = math.max(streamHighwaterOf(spark, dir).getOrElse(-1L), maxBatch)
-    val base = spark.read.parquet(s"$dir/codes")
-    val merged = base.unionByName(spark.read.parquet(extP.toString)
-      .select(base.columns.toIndexedSeq.map(col): _*))
+    val merged = base.unionByName(
+      extRows.select(base.columns.toIndexedSeq.map(col): _*))
     val (gen, gdir) = AtomicStore.begin(spark, path)
     AtomicStore.failpoint("sqivf:meta")
     Seq("meta", "centroids").foreach { t =>

@@ -173,13 +173,17 @@ object AtomicStore {
         // object store's HEAD-then-PUT emulation it detects the loser of
         // a non-atomic double-create (last PUT wins — see class doc)
         val token = java.util.UUID.randomUUID().toString
+        val tokenBytes = token.getBytes("UTF-8")
         val out = f.create(claim, false)
-        try out.write(token.getBytes("UTF-8")) finally out.close()
+        try out.write(tokenBytes) finally out.close()
         val in = f.open(claim)
+        // readFully, not read: a single read may legally return a short
+        // count (HDFS does) and a prefix must not miscompare as a lost
+        // race — an EOF means the file really is shorter (foreign token)
         val got = try {
-          val buf = new Array[Byte](64)
-          val n = in.read(buf)
-          new String(buf, 0, math.max(n, 0), "UTF-8")
+          val buf = new Array[Byte](tokenBytes.length)
+          try { in.readFully(0, buf); new String(buf, "UTF-8") }
+          catch { case _: java.io.EOFException => "" }
         } finally in.close()
         if (got == token) return (next, genDir(path, next))
         attempt += 1 // another writer overwrote the claim: retire this id
@@ -211,8 +215,10 @@ object AtomicStore {
 
   /** Atomically publish generation `gen` (marker-file creation), then
     * prune — with two age gates (see class doc):
-    *  - committed generations `< gen - 1` whose marker is older than
-    *    `committedGraceMs`;
+    *  - committed generations below the LARGEST committed predecessor
+    *    (the retained reader-grace generation — ids are not dense, so
+    *    "previous" is by commit order, not `gen - 1`) whose marker is
+    *    older than `committedGraceMs`;
     *  - uncommitted generations `<= gen` whose claim is missing or older
     *    than `claimGraceMs` (a younger claim is a concurrent fit still
     *    writing — left alone; ITS commit, or a later one, collects it);
@@ -253,6 +259,13 @@ object AtomicStore {
       markers.get(g).exists(now - _ >= committedGraceMs)
     def claimLive(g: Long): Boolean =
       claims.get(g).exists(now - _ < claimGraceMs)
+    // the retained "previous" generation is the largest COMMITTED one
+    // below gen — NOT the literal id gen-1, which (ids being non-dense)
+    // can belong to an abandoned or in-flight claim while the actual
+    // latest-committed predecessor is older and would otherwise be
+    // age-expired and pruned out from under TTL-stale readers
+    val prevCommitted = markers.keys.filter(_ < gen)
+      .foldLeft(Option.empty[Long])((a, g) => Some(a.fold(g)(math.max(_, g))))
     entries.foreach { st =>
       val n = st.getPath.getName
       val genId = idOf(MarkerPrefix, n)
@@ -260,7 +273,7 @@ object AtomicStore {
       val prune = genId.exists { g =>
         if (g > gen || g == gen) false
         else if (markers.contains(g)) // committed: retain previous + young
-          g != gen - 1L && committedExpired(g)
+          !prevCommitted.contains(g) && committedExpired(g)
         else // uncommitted: abandoned only once its claim has expired
           !claimLive(g)
       }

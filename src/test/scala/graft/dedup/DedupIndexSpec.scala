@@ -84,6 +84,25 @@ class DedupIndexSpec extends SparkSpec {
     assert(graft.util.AtomicStore.resolve(spark, path) == gAfter)
     assert(DedupIndex.query(batchDocs, "doc_id", "text", path, 0.4)
       .select("query_id", "index_id").as[(Long, Long)].collect().toSet == before)
+    // at-least-once REPLAY of a folded batch (ingestStream re-running a
+    // batch whose tagged subdir the fold absorbed): must be skipped via
+    // the folded-tags ledger, not duplicated into a fresh subdir
+    DedupIndex.append(
+      Seq((100L, "novel append batch number 0 with its own words"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", path, tag = "b0")
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$gAfter/grams").count() == 6,
+      "replayed folded batch must not double its rows")
+    assert(new java.io.File(s"$gAfter/bands").listFiles()
+      .count(_.isDirectory) == 1)
+    // a genuinely NEW tagged batch still appends normally
+    DedupIndex.append(
+      Seq((200L, "a brand new fifth batch of totally fresh words"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", path, tag = "b9")
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$gAfter/grams").count() == 7)
   }
 
   test("refit with different params never serves stale cached Params " +

@@ -132,6 +132,38 @@ class AnnIndexStreamSpec extends SparkSpec {
     assert(readded == 1L, s"delete→re-add must serve exactly one row, got $readded")
   }
 
+  test("compacting away an ENTIRE stream batch leaves a readable store (no schema-inference brick)") {
+    val d = tmpDir() + "/alldead"
+    Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 40),
+      "vec_id", "embedding", d, dim = 64, nlist = 8, m = 8, codebookSize = 16)
+    Similarity.appendStreamBatch(
+      emb.where(col("vec_id") >= 40 && col("vec_id") < 50),
+      "vec_id", "embedding", d, batchId = 0L)
+    // tombstone EVERY streamed id, compact via the semi-join fallback leg
+    // (threshold forced to 1 so the bounded-predicate path is exercised)
+    Similarity.deleteFromIvfPqIndex(
+      emb.where(col("vec_id") >= 40 && col("vec_id") < 50)
+        .select(col("vec_id")), "vec_id", d)
+    val saved = Similarity.CompactPredicateMaxTerms
+    Similarity.CompactPredicateMaxTerms = 1
+    try Similarity.compactIvfPqIndex(spark, d)
+    finally Similarity.CompactPredicateMaxTerms = saved
+    // every codes_stream partition died: the store must still OPEN and
+    // serve (explicit-schema extension read — a data-free directory is
+    // an empty frame, not an AnalysisException)
+    val idx = Similarity.openIvfPqIndex(spark.newSession(), d)
+    assert(idx.codes.count() == 40)
+    assert(Similarity.ivfPqServe(idx, emb.where(col("vec_id") < 5),
+      "vec_id", "embedding", k = 3, nprobe = 4).count() > 0)
+    // the growth/fold paths are equally unbricked: folding a data-free
+    // extension is a no-op that removes the empty directory
+    assert(!Similarity.compactIvfPqStreamExtension(spark, d))
+    val gdir = AtomicStore.resolve(spark, d)
+    assert(!new java.io.File(s"$gdir/codes_stream").exists(),
+      "the fold removes a data-free extension directory")
+    assert(Similarity.openIvfPqIndex(spark.newSession(), d).codes.count() == 40)
+  }
+
   test("stream-extension compaction: folded layout serves identically, raises the highwater, survives a kill") {
     val d = tmpDir() + "/streamfold"
     Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 40),

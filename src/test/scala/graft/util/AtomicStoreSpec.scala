@@ -256,6 +256,38 @@ class AtomicStoreSpec extends SparkSpec {
       "the previous generation is retained regardless of age")
   }
 
+  test("retention is by commit order, not literal gen-1: a claim gap must not let the true predecessor be pruned") {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    val p = tmpDir() + "/gap"
+    // committed gen 1 (the serving generation readers have pinned)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, 1L)))
+    AtomicStore.commit(spark, p, 1L)
+    // writer A claims gen 2 and is still writing (or crashed) — ids are
+    // now non-dense around the next commit
+    val (gA, dA) = AtomicStore.begin(spark, p)
+    assert(gA == 2L)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dA))
+    // writer B claims gen 3 and commits with the marker-age gate forced
+    // expired (grace 0) — under the old `g != gen-1` rule the retained
+    // slot would be the UNCOMMITTED gen 2 and the actual predecessor
+    // gen 1 would be deleted out from under TTL-stale readers
+    val (gB, dB) = AtomicStore.begin(spark, p)
+    assert(gB == 3L)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dB))
+    AtomicStore.commit(spark, p, gB, committedGraceMs = 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, 1L))),
+      "the largest COMMITTED predecessor is the reader-grace generation")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dA)),
+      "the in-flight claim's directory survives too")
+    // once gen 4 commits, gen 3 becomes the retained predecessor and the
+    // aged-out gen 1 goes
+    fs.mkdirs(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, 4L)))
+    AtomicStore.commit(spark, p, 4L, committedGraceMs = 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, 1L))))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, 3L))))
+  }
+
   test("a live claim protects a slower concurrent fit's directory from a faster commit") {
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sessionState.newHadoopConf())
