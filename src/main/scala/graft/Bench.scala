@@ -184,6 +184,14 @@ object Bench {
     // per-iteration steal at or below this is indistinguishable from a
     // quiet box (observed clean-run deltas: 0.00-0.07 CPU-s)
     val cleanThresh = sys.env.getOrElse("SPARK_GRAFT_CLEAN_THRESH", "0.15").toDouble
+    // the latency envelope (BASELINE.md: max < 2000 ms/query). Env-
+    // overridable so BenchGateSpec can drive REAL child Bench runs
+    // through the rc 1 (plan-slow) and rc 3 (contaminated) exits with a
+    // sub-millisecond envelope — the rc contract is exercised end to
+    // end, not just unit-tested. The stall-retry legs keep their own
+    // 2.0/1.2 s constants: they describe this box's noise floor, not
+    // the gate.
+    val gateSec = sys.env.getOrElse("SPARK_GRAFT_GATE_SECONDS", "2.0").toDouble
 
     def measure(name: String): Measured = {
       System.gc() // cross-query hygiene: last query's garbage is not ours
@@ -262,9 +270,9 @@ object Bench {
         if (clean.size >= math.max(3, iters / 4)) stats(clean).median
         else stats(all).median
       // gate-breach attribution for the rc classification: of the
-      // accepted iterations at or above the 2 s envelope, how many ran
+      // accepted iterations at or above the gate envelope, how many ran
       // steal-clean (the plan's own tail) vs contaminated
-      val breaches = steady.filter(_._1 >= 2.0)
+      val breaches = steady.filter(_._1 >= gateSec)
       Measured(stats(all), medianClean, clean.size, raw.max, retried,
         Meter.stealIoSeconds() - steal0, Meter.gcSeconds() - gc0,
         budgetRaised, retried >= budget,
@@ -399,7 +407,7 @@ object Bench {
     val worstMax = results.flatMap(_._2).map(_.steady.max).maxOption.getOrElse(-1.0)
     val rawWorstMax = results.flatMap(_._2).map(_.rawMax).maxOption.getOrElse(-1.0)
     val totalRetried = results.flatMap(_._2).map(_.retried).sum
-    val gate = results.forall(_._2.exists(_.steady.max < 2.0))
+    val gate = results.forall(_._2.exists(_.steady.max < gateSec))
     // rc classification (r17): a failing query whose EVERY gate-breaching
     // accepted iteration carried measured steal (and none ran clean) is
     // CONTAMINATED — the retry budget was exhausted under a storm, the
@@ -407,7 +415,7 @@ object Bench {
     // is contaminated, the round self-reports rc 3 instead of failing the
     // plan; one clean breach anywhere keeps the honest rc 1.
     val failing = results.collect {
-      case (k, Some(m)) if m.steady.max >= 2.0 => (k, m)
+      case (k, Some(m)) if m.steady.max >= gateSec => (k, m)
     }
     val contaminated = gate == false && failing.nonEmpty &&
       failing.forall { case (_, m) =>
@@ -434,7 +442,7 @@ object Bench {
     // but says the box, not the plan, broke the envelope.
     if (!gate && !sys.env.get("SPARK_GRAFT_STRICT_GATE").contains("0")) {
       System.err.println(s"[bench] FAIL max-latency gate ($gateClass): " +
-        s"worst_max=$worstMax >= 2.0s")
+        s"worst_max=$worstMax >= ${gateSec}s")
       sys.exit(if (contaminated) 3 else 1)
     }
   }

@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions._
   *  - `bands`  — (id, band, bucket): the LSH postings, corpus × bands rows
   *  - `grams`  — (id, gs): per-doc n-gram xxhash64 sets, for exact-Jaccard
   *               verification of candidates
+  *  - `tombstones` — (id): documents removed by [[delete]]; masked from
+  *               [[query]] immediately, physically reclaimed by [[compact]]
   * `bands`/`grams` rows live in one SUBDIRECTORY PER WRITE (`base`, then
   * one per append) and are read with `recursiveFileLookup`: a re-run
   * append that names the same tag OVERWRITES its own directory instead of
@@ -141,39 +143,113 @@ object DedupIndex {
     */
   def append(df: DataFrame, idCol: String, textCol: String,
              path: String, tag: String = ""): Unit = {
+    val spark = df.sparkSession
     val t = if (tag.nonEmpty) tag
       else s"a${java.util.UUID.randomUUID().toString.take(8)}"
-    val dir = AtomicStore.resolve(df.sparkSession, path)
-    // replay absorption across compaction: a batch whose tagged subdir
-    // was FOLDED into base by [[compact]] no longer exists to be
-    // overwritten — re-appending it would duplicate its rows. The fold
-    // records the folded tags in its generation; an explicitly-tagged
-    // re-append of one is the at-least-once replay and is skipped (the
-    // dedup highwater — random tags never collide and pass through).
-    if (tag.nonEmpty && foldedTags(df.sparkSession, dir).contains(t)) {
-      System.err.println(s"[graft] DedupIndex.append: tag '$t' was already " +
-        s"folded into base by compact() at $path — skipping (replay).")
-      return
+    // 'base' is RESERVED for the fitted rows: an append under it would
+    // overwrite the fit on an uncompacted store, and after a compaction
+    // the folded-tags ledger could silently absorb it forever
+    require(t != "base",
+      "DedupIndex.append: tag 'base' is reserved for the fitted rows — " +
+        "pass a different tag (or none for a fresh random one)")
+    AtomicStore.withMutationLease(spark, path,
+        owner = s"DedupIndex.append:$t") {
+      var dir = AtomicStore.resolve(spark, path)
+      // delete→re-add is an UPSERT, never a dead-row resurrection: a batch
+      // id colliding with a tombstoned id compacts the store first (the
+      // fold drops the dead rows AND the tombstones), so only the new
+      // rows serve — the [[graft.sim.Similarity.appendToIvfPqIndex]]
+      // contract on the dedup store
+      if (tombstonesOpt(spark, dir).exists(tb =>
+            !tb.join(df.select(col(idCol).as("id")).distinct(),
+              Seq("id"), "left_semi").isEmpty)) {
+        compact(spark, path)
+        dir = AtomicStore.resolve(spark, path) // compact published a new gen
+      }
+      // replay absorption across compaction: a batch whose tagged subdir
+      // was FOLDED into base by [[compact]] no longer exists to be
+      // overwritten — re-appending it would duplicate its rows. The fold
+      // records the folded tags in its generation; an explicitly-tagged
+      // re-append of one is the at-least-once replay and is skipped (the
+      // dedup highwater — random tags never collide and pass through).
+      if (tag.nonEmpty && isFolded(foldedState(spark, dir), t)) {
+        System.err.println(s"[graft] DedupIndex.append: tag '$t' was " +
+          s"already folded into base by compact() at $path — skipping " +
+          "(replay).")
+      } else {
+        writeRows(df, idCol, textCol, dir, paramsIn(spark, dir), t)
+        invalidateCaches(path)
+      }
     }
-    writeRows(df, idCol, textCol, dir, paramsIn(df.sparkSession, dir), t)
-    invalidateCaches(path)
   }
 
-  /** Tags [[compact]] folded into this generation's base (empty when the
-    * store was never compacted).
+  /** Remove documents from the searchable set by id: the ids land in a
+    * `tombstones` table (a small parquet append — no postings rewrite,
+    * regardless of corpus size) and [[query]] anti-joins candidates
+    * against them, so deleted documents stop matching immediately. The
+    * physical gram/band rows stay on disk until [[compact]] folds the
+    * store (the fold excludes tombstoned rows and drops the table) — the
+    * takedown/right-to-erasure path, mirroring
+    * [[graft.sim.Similarity.deleteFromIvfPqIndex]]. Re-[[append]]ing a
+    * deleted id compacts first (upsert semantics, see [[append]]).
+    *
+    * Same single-writer contract as every mutation here: run deletes
+    * from the store's owner, not concurrently with [[ingestStream]].
     */
-  private def foldedTags(spark: SparkSession, dir: String): Set[String] = {
+  def delete(ids: DataFrame, idCol: String, path: String): Unit =
+    AtomicStore.withMutationLease(ids.sparkSession, path,
+        owner = "DedupIndex.delete") {
+      val dir = AtomicStore.resolve(ids.sparkSession, path)
+      ids.select(col(idCol).as("id")).distinct()
+        .write.mode("append").parquet(s"$dir/tombstones")
+      invalidateCaches(path)
+    }
+
+  /** Tombstoned ids of one generation, if any [[delete]] happened in it. */
+  private def tombstonesOpt(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString).distinct()) else None
+  }
+
+  private val StreamTagRe = "^b([0-9]+)$".r
+
+  /** Folded-tags ledger of one generation: (explicit tags, numbered-tag
+    * highwater). Stream tags `b<N>` are summarized by ONE `b<=N` line so
+    * the ledger stays O(random tags) over years of micro-batches instead
+    * of growing one line per folded batch; legacy ledgers that still
+    * list numbered tags explicitly parse into the set (honored, and
+    * migrated into the highwater by the next [[compact]]).
+    */
+  private def foldedState(spark: SparkSession, dir: String): (Set[String], Long) = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_folded_tags")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Set.empty
+    if (!fs.exists(p)) (Set.empty, -1L)
     else {
       val len = fs.getFileStatus(p).getLen.toInt
       val buf = new Array[Byte](len)
       val in = fs.open(p)
       try { in.readFully(0, buf) } finally in.close()
-      new String(buf, "UTF-8").split("\n").map(_.trim).filter(_.nonEmpty).toSet
+      val lines = new String(buf, "UTF-8").split("\n")
+        .map(_.trim).filter(_.nonEmpty).toSet
+      val hw = lines.collect { case s if s.startsWith("b<=") =>
+        scala.util.Try(s.drop(3).toLong).getOrElse(-1L) }
+        .foldLeft(-1L)(math.max)
+      (lines.filterNot(_.startsWith("b<=")), hw)
     }
   }
+
+  /** Whether `tag` was already folded into base: explicitly listed, or a
+    * numbered stream tag at or under the highwater. The highwater is
+    * sound because stream batch tags commit IN ORDER under the
+    * single-writer contract — a complete `b7` implies every `b<7` was
+    * either complete (folded) or never written.
+    */
+  private def isFolded(state: (Set[String], Long), tag: String): Boolean =
+    state._1.contains(tag) || (tag match {
+      case StreamTagRe(n) => n.toLong <= state._2
+      case _ => false
+    })
 
   /** Write one tagged batch of rows into generation directory `dir`.
     * Crash-safe WITHOUT a new generation by write ORDER: grams land
@@ -222,27 +298,62 @@ object DedupIndex {
     * re-running completes it. Query results are identical before and
     * after by construction (same rows, same Params).
     */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String): Unit =
+    AtomicStore.withMutationLease(spark, path, owner = "DedupIndex.compact") {
+      compactIn(spark, path)
+    }
+
+  private def compactIn(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
     val dir = AtomicStore.resolve(spark, path)
     val p = paramsIn(spark, dir)
-    val grams = readStore(spark, s"$dir/grams")
-    val bands = readStore(spark, s"$dir/bands")
-    // the tags being folded (every subdirectory of this generation's
-    // tables) plus any folded earlier — recorded in the new generation
-    // so [[append]] can absorb an at-least-once REPLAY of a folded
-    // batch instead of duplicating its rows (the ingestStream
-    // idempotence contract, which tag-overwrite alone no longer covers
-    // once the tagged subdir is gone)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nowFolding = Seq("grams", "bands").flatMap { t =>
+    def subdirs(t: String): Set[String] = {
       val tp = new org.apache.hadoop.fs.Path(s"$dir/$t")
       if (fs.exists(tp)) fs.listStatus(tp).filter(_.isDirectory)
-        .map(_.getPath.getName).toSeq
-      else Seq.empty
-    }.toSet
-    val allFolded = foldedTags(spark, dir) ++ nowFolding
+        .map(_.getPath.getName).toSet
+      else Set.empty
+    }
+    val gramTags = subdirs("grams")
+    val bandTags = subdirs("bands")
+    // only COMPLETE appends fold: a crashed append's tag (grams written,
+    // bands not — the crash window writeRows documents) must be neither
+    // read (its orphan gram rows join nothing today and would become
+    // permanent dead weight in base) nor recorded as folded — recording
+    // it would make the at-least-once replay's folded-tags guard skip
+    // the re-append, silently losing the batch's documents forever
+    val complete = (gramTags intersect bandTags).toSeq.sorted
+    val orphans = (gramTags union bandTags) -- complete
+    if (orphans.nonEmpty)
+      System.err.println(s"[graft] DedupIndex.compact: skipping incomplete " +
+        s"append tag(s) ${orphans.toSeq.sorted.mkString(", ")} at $path — " +
+        "their rows are excluded from the fold and their tags stay " +
+        "unrecorded, so an at-least-once replay can cleanly rewrite both " +
+        "tables.")
+    if (complete.isEmpty) return
+    val tomb = tombstonesOpt(spark, dir)
+    def foldRows(table: String): DataFrame = {
+      val rows = spark.read.parquet(complete.map(t => s"$dir/$table/$t"): _*)
+      // the fold IS the delete's reclamation: tombstoned ids' rows are
+      // dropped here and the fresh generation carries no tombstones
+      tomb.fold(rows)(tb => rows.join(broadcast(tb), Seq("id"), "left_anti"))
+    }
+    val grams = foldRows("grams")
+    val bands = foldRows("bands")
+    // the folded-tags ledger of the new generation: explicit (random)
+    // tags stay listed; numbered stream tags `b<N>` collapse into one
+    // `b<=N` highwater line (bounded over years of batches — see
+    // [[foldedState]]), with legacy explicit `b<N>` entries migrated in
+    val (prevTags, prevHw) = foldedState(spark, dir)
+    val nowTags = complete.toSet - "base"
+    def hwOf(tags: Set[String]): Long = tags.collect {
+      case StreamTagRe(n) => n.toLong }.foldLeft(-1L)(math.max)
+    val newHw = math.max(prevHw, math.max(hwOf(prevTags), hwOf(nowTags)))
+    val explicitTags = ((prevTags ++ nowTags) - "base")
+      .filterNot(StreamTagRe.matches(_))
+    val ledger = (explicitTags.toSeq.sorted ++
+      (if (newHw >= 0L) Seq(s"b<=$newHw") else Nil)).mkString("\n")
     val (gen, gdir) = AtomicStore.begin(spark, path)
     AtomicStore.failpoint("dedup:meta")
     Seq((p.n, p.numHashes, p.bands, p.seed))
@@ -250,7 +361,7 @@ object DedupIndex {
       .write.mode("overwrite").parquet(s"$gdir/meta")
     val ftOut = fs.create(
       new org.apache.hadoop.fs.Path(s"$gdir/_folded_tags"), true)
-    try ftOut.write(allFolded.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    try ftOut.write(ledger.getBytes("UTF-8"))
     finally ftOut.close()
     AtomicStore.failpoint("dedup:grams")
     grams.write.mode("overwrite").parquet(s"$gdir/grams/base")
@@ -340,8 +451,15 @@ object DedupIndex {
       .join(broadcast(qBands), Seq("band", "bucket"))
       .select(col("query_id"), col("id").as("index_id"))
       .distinct()
-    val cands = excludeIndexIds.fold(cands0)(ex =>
+    val cands1 = excludeIndexIds.fold(cands0)(ex =>
       cands0.join(broadcast(ex.select(col("index_id")).distinct()),
+        Seq("index_id"), "left_anti"))
+    // deleted documents ([[delete]]) stop matching immediately: the
+    // candidate set is anti-joined against the tombstones (small —
+    // compaction keeps them bounded), their physical postings stay until
+    // the next [[compact]]
+    val cands = tombstonesOpt(spark, dir).fold(cands1)(tb =>
+      cands1.join(broadcast(tb.select(col("id").as("index_id"))),
         Seq("index_id"), "left_anti"))
     val ixGrams = readStore(spark, s"$dir/grams")
       .select(col("id").as("index_id"), col("gs").as("gs2"))
@@ -399,17 +517,23 @@ object DedupIndex {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     batches.writeStream.foreachBatch {
       (df: DataFrame, batchId: Long) =>
-        val own = df.select(col(idCol).as("index_id"))
-        val dupIds = queryExcluding(df, idCol, textCol, path, threshold,
-            excludeSelf = true, excludeIndexIds = Some(own))
-          .select(col("query_id").as(idCol)).distinct()
-        val surv = df.join(dupIds, Seq(idCol), "left_anti")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          surv.count() // materialize BEFORE the store mutates
-          append(surv, idCol, textCol, path, tag = s"b$batchId")
-          surv.select(col(idCol))
-            .write.mode("overwrite").parquet(s"$survivorsPath/b$batchId")
-        } finally { surv.unpersist(); () }
+        // the batch holds the store's mutation lease end to end (dedup
+        // read → append → survivor record): a concurrent delete/compact
+        // REJECTS instead of racing the batch's write/checkpoint window
+        AtomicStore.withMutationLease(df.sparkSession, path,
+            owner = s"DedupIndex.ingestStream:b$batchId") {
+          val own = df.select(col(idCol).as("index_id"))
+          val dupIds = queryExcluding(df, idCol, textCol, path, threshold,
+              excludeSelf = true, excludeIndexIds = Some(own))
+            .select(col("query_id").as(idCol)).distinct()
+          val surv = df.join(dupIds, Seq(idCol), "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            surv.count() // materialize BEFORE the store mutates
+            append(surv, idCol, textCol, path, tag = s"b$batchId")
+            surv.select(col(idCol))
+              .write.mode("overwrite").parquet(s"$survivorsPath/b$batchId")
+          } finally { surv.unpersist(); () }
+        }
     }
 }

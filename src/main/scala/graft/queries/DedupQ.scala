@@ -68,6 +68,31 @@ object DedupQ extends QueryPack {
           threshold = 0.5),
         "jaccard")
     }),
+    // Takedown path on the dedup store (the q_ivfpq_delete arc): the
+    // grown store minus every even doc_id via DedupIndex.delete —
+    // deleted documents stop matching IMMEDIATELY (tombstone mask), and
+    // the compacted twin (postings physically reclaimed) must return
+    // value-identical rows (matches_compacted). Oracle: exact cross-set
+    // Jaccard with the index side restricted to the odd survivors.
+    "q_dedup_index_delete" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batch = docs.where(col("doc_id") % 5 === 0)
+      val served = round6(
+        DedupIndex.query(batch, "doc_id", "text",
+          mhDeleteDir(s, dir, compacted = false), threshold = 0.5),
+        "jaccard")
+      val servedC = round6(
+        DedupIndex.query(batch, "doc_id", "text",
+          mhDeleteDir(s, dir, compacted = true), threshold = 0.5),
+        "jaccard")
+      served.join(
+          servedC.select(col("query_id"), col("index_id"),
+            col("jaccard").as("jc")),
+          Seq("query_id", "index_id"), "full")
+        .withColumn("matches_compacted", col("jaccard") <=> col("jc"))
+        .select(col("query_id"), col("index_id"), col("jaccard"),
+          col("matches_compacted"))
+    }),
     // The live loop, driver-checked end to end: 4 single-file parquet
     // batches (doc_id % 4, ascending mtimes + maxFilesPerTrigger=1 →
     // DETERMINISTIC micro-batch order) stream through ingestStream over
@@ -459,6 +484,40 @@ object DedupQ extends QueryPack {
         d
       })
 
+  /** The [[mhIndexDir]] grown store SHRUNK by [[DedupIndex.delete]] of
+    * every even doc_id; the `compacted` twin additionally folds the
+    * postings (reclaiming the deleted rows — the fresh generation carries
+    * no tombstones). The build REQUIRES the delete to bite: the
+    * tombstoned store must answer strictly fewer near-dup hits than the
+    * undeleted grown store, so the query can never go green with a
+    * mask that silently matches nothing.
+    */
+  private def mhDeleteDir(s: SparkSession, dir: String,
+                          compacted: Boolean): String =
+    mhDirs.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}:$dir:del:$compacted", {
+        val d = graft.util.Tmp.root("graft_mhidx_d").toString
+        val docs = Tables.documents(s, dir)
+        DedupIndex.write(docs.where(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", d)
+        DedupIndex.append(docs.where(col("doc_id") % 3 === 0),
+          "doc_id", "text", d)
+        DedupIndex.delete(
+          docs.where(col("doc_id") % 2 === 0).select(col("doc_id")),
+          "doc_id", d)
+        if (!compacted) {
+          val batch = docs.where(col("doc_id") % 5 === 0)
+          val hitsDel = DedupIndex.query(batch, "doc_id", "text", d,
+            threshold = 0.5).count()
+          val hitsAll = DedupIndex.query(batch, "doc_id", "text",
+            mhIndexDir(s, dir, appended = true), threshold = 0.5).count()
+          require(hitsDel < hitsAll,
+            s"q_dedup_index_delete fixture: the delete must bite " +
+              s"($hitsDel hits with tombstones vs $hitsAll without)")
+        } else DedupIndex.compact(s, d)
+        d
+      })
+
   /** The [[mhIndexDir]] grown store, built from FOUR micro-appends (the
     * ingestStream fragmentation shape) and then FOLDED by
     * [[DedupIndex.compact]] — so q_dedup_index_compacted serves the same
@@ -486,7 +545,8 @@ object DedupQ extends QueryPack {
     * the persisted-index queries, mirroring [[jaccardSql]]'s gram model.
     */
   private def crossJaccardSql(qPred: String, iPred: String,
-                              threshold: Double): String =
+                              threshold: Double,
+                              extraCols: String = ""): String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split(
        |    $norm, ' ') AS w
@@ -502,7 +562,7 @@ object DedupQ extends QueryPack {
        |  WHERE $qPred AND $iPred AND a.doc_id <> b.doc_id
        |  GROUP BY 1, 2)
        |SELECT query_id, index_id,
-       |  round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard
+       |  round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jaccard$extraCols
        |FROM inter
        |JOIN sizes s1 ON query_id = s1.doc_id
        |JOIN sizes s2 ON index_id = s2.doc_id
@@ -569,6 +629,11 @@ object DedupQ extends QueryPack {
     // is the append store's, verbatim
     "q_dedup_index_compacted" ->
       crossJaccardSql("a.doc_id % 5 = 0", "TRUE", 0.5),
+    // the deleted (even) ids are erased from the index side; the
+    // compacted twin must answer identically, derived TRUE
+    "q_dedup_index_delete" ->
+      crossJaccardSql("a.doc_id % 5 = 0", "b.doc_id % 2 <> 0", 0.5,
+        extraCols = ", TRUE AS matches_compacted"),
     "q_dedup_ingest" ->
       s"""WITH dups AS (
          |  SELECT DISTINCT query_id FROM (

@@ -92,6 +92,39 @@ object SimQ extends QueryPack {
           .withColumn("rank", col("rank").cast("long")),
         "approx_cos")
     }),
+    // SQ×IVF takedown path (the q_ivfpq_delete arc on the int8 store):
+    // fit on 50, tombstone the 7 ids with vec_id ≡ 3 (mod 7), serve the
+    // survivors from the LIVE view. The oracle re-derives the whole
+    // pipeline with the fit/corpus split (fit 50, corpus 43), so a
+    // single leaked dead row or a lost survivor hash-mismatches; the
+    // compacted twin must serve value-identical rows (matches_compacted
+    // — compaction reclaims space, never changes answers).
+    "q_sq_ivf_delete" -> ((s, dir) => {
+      val delDir = sqDeleteIndexDir(s, dir, compacted = false)
+      val cmpDir = sqDeleteIndexDir(s, dir, compacted = true)
+      val fresh = s.newSession()
+      fresh.conf.set("spark.sql.shuffle.partitions", "8")
+      fresh.conf.set("spark.sql.adaptive.enabled", "false")
+      val survivors = Tables.embeddings(fresh, dir)
+        .where(col("vec_id") < 50 && col("vec_id") % 7 =!= 3)
+      val idx = Similarity.openSqIvfIndex(fresh, delDir)
+      val served = Similarity.sqIvfServeIndex(idx, survivors,
+          "vec_id", "embedding", k = 5, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+      val idxC = Similarity.openSqIvfIndex(fresh, cmpDir)
+      val servedC = Similarity.sqIvfServeIndex(idxC, survivors,
+          "vec_id", "embedding", k = 5, nprobe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+      round6(
+        served.join(servedC.select(col("query_id"), col("rank"),
+            col("id").as("cid"), col("dot").as("cdot")),
+            Seq("query_id", "rank"), "full")
+          .withColumn("matches_compacted",
+            col("id") <=> col("cid") && col("dot") <=> col("cdot"))
+          .select(col("query_id"), col("id"), col("dot"), col("approx_cos"),
+            col("rank"), col("matches_compacted")),
+        "approx_cos")
+    }),
     "q_ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.where(col("vec_id") === 0)
@@ -457,6 +490,27 @@ object SimQ extends QueryPack {
       d
     })
 
+  /** Shrunk SQ×IVF store for q_sq_ivf_delete: fit on all 50, tombstone
+    * the 7 ids with vec_id ≡ 3 (mod 7); the `compacted` twin folds the
+    * tombstones into the cell layout ([[Similarity.compactSqIvfIndex]]).
+    * Identical seeded fits — the two stores differ only in whether the
+    * dead rows are physically on disk.
+    */
+  private def sqDeleteIndexDir(s: SparkSession, dir: String,
+                               compacted: Boolean): String =
+    indexDirs.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}:$dir:sqdel:$compacted", {
+        val d = graft.util.Tmp.root("graft_sqivf_del").toString
+        val emb = Tables.embeddings(s, dir).where(col("vec_id") < 50)
+        Similarity.writeSqIvfIndex(emb, "vec_id", "embedding", d,
+          dim = 64, nlist = 8)
+        Similarity.deleteFromSqIvfIndex(
+          emb.where(col("vec_id") % 7 === 3).select(col("vec_id")),
+          "vec_id", d)
+        if (compacted) Similarity.compactSqIvfIndex(s, d)
+        d
+      })
+
   /** Stream-MAINTAINED index for q_stream_ann: base fit on vec_id < 40,
     * then vec_id 40..79 arrive as four 10-vector parquet files through a
     * REAL Structured Streaming run of
@@ -744,7 +798,15 @@ object SimQ extends QueryPack {
     // absorbed by the highwater), so its serve derives from the same
     // replay over the 80-vector corpus
     "q_stream_sq_ivf" -> IvfKmeansSql.sqSql(dim = 64, nlist = 8, nprobe = 4,
-      k = 5, iters = 10, where = "vec_id < 80"),
+      k = 5, iters = 10, fitWhere = "vec_id < 80"),
+    // SHRUNK int8 store: fit on 50, tombstone the vec_id ≡ 3 (mod 7)
+    // seven, serve the 43 survivors — fit rows and live rows split
+    // exactly like q_ivfpq_delete's oracle; integer scores leave no
+    // rounding slack, and compaction must not change a single value
+    "q_sq_ivf_delete" -> IvfKmeansSql.sqSql(dim = 64, nlist = 8, nprobe = 4,
+      k = 5, iters = 10, fitWhere = "vec_id < 50",
+      corpusWhere = "vec_id < 50 AND vec_id % 7 <> 3",
+      extraCols = ", TRUE AS matches_compacted"),
     // FULL DERIVATION of the PQ recall — nothing pinned: DuckDB replays
     // the L2 normalization, the seeded init over the normalized arrays,
     // all 8 subspace Lloyd's fits, the PqEncode argmin, the per-query
@@ -1064,10 +1126,16 @@ object SimQ extends QueryPack {
       * (`asgF(id, u, cell)`) and the per-query probe cells
       * (`probes(qid, qu, cell)`) — the IVF pipeline both tails share:
       * [[sql]] appends the cosine-recall tail (q_ivf_ann), [[sqSql]] the
-      * int8-ranking tail (q_sq_ivf_ann).
+      * int8-ranking tail (q_sq_ivf_ann). `fitWhere` selects the FIT rows
+      * (`emb`); `corpusWhere` the ENCODED+QUERIED rows (`embC` — the
+      * live view after deletes): the delete oracle fits on 50 and serves
+      * the survivors, everything else keeps the two equal.
       */
     def pipelineCtes(dim: Int, nlist: Int, nprobe: Int, iters: Int,
-                     where: String = "vec_id < 50"): Seq[String] = {
+                     fitWhere: String = "vec_id < 50",
+                     corpusWhere: String = ""): Seq[String] = {
+      val where = fitWhere
+      val cWhere = if (corpusWhere.nonEmpty) corpusWhere else fitWhere
       def d2(u: String, c: String) =
         s"list_sum(list_transform(range(1, ${dim + 1}), j -> ($u[j] - $c[j]) * ($u[j] - $c[j])))"
       def dot(u: String, c: String) =
@@ -1080,6 +1148,11 @@ object SimQ extends QueryPack {
   SELECT CAST(vec_id AS BIGINT) AS id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS u
   FROM embeddings WHERE $where
+)"""
+      parts += s"""embC AS MATERIALIZED (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS u
+  FROM embeddings WHERE $cWhere
 )"""
       parts ++= hashFoldCtes("emb", "u", dim)
       parts += s"""cents0 AS MATERIALIZED (
@@ -1119,7 +1192,7 @@ object SimQ extends QueryPack {
            row_number() OVER (PARTITION BY d.id ORDER BY d.d2 ASC, d.cell ASC) AS rn
     FROM (
       SELECT a.id, a.u, c.cell, ${d2("a.u", "c.u")} AS d2
-      FROM emb a CROSS JOIN $prev c) d
+      FROM embC a CROSS JOIN $prev c) d
   ) WHERE rn = 1
 )"""
       parts += s"""probes AS MATERIALIZED (
@@ -1128,7 +1201,7 @@ object SimQ extends QueryPack {
            row_number() OVER (PARTITION BY d.id ORDER BY d.cos DESC, d.cell ASC) AS rn
     FROM (
       SELECT e.id, e.u, c.cell, ${cos("e.u", "c.u")} AS cos
-      FROM emb e CROSS JOIN $prev c) d
+      FROM embC e CROSS JOIN $prev c) d
   ) WHERE rn <= $nprobe
 )"""
       parts.result()
@@ -1156,7 +1229,7 @@ object SimQ extends QueryPack {
     SELECT x.id1, x.id2, row_number() OVER (PARTITION BY x.id1 ORDER BY x.cos DESC, x.id2 ASC) AS rn
     FROM (
       SELECT a.id AS id1, b.id AS id2, ${cos("a.u", "b.u")} AS cos
-      FROM emb a JOIN emb b ON a.id <> b.id) x
+      FROM embC a JOIN embC b ON a.id <> b.id) x
   ) WHERE rn <= $k
 )"""
       "WITH RECURSIVE\n" + parts.result().mkString(",\n") + s"""
@@ -1173,13 +1246,15 @@ GROUP BY 1"""
       * `Similarity.sqIvfTopK`, nothing pinned from the engine.
       */
     def sqSql(dim: Int, nlist: Int, nprobe: Int, k: Int, iters: Int,
-              where: String = "vec_id < 50"): String = {
+              fitWhere: String = "vec_id < 50",
+              corpusWhere: String = "",
+              extraCols: String = ""): String = {
       val parts = Seq.newBuilder[String]
-      parts ++= pipelineCtes(dim, nlist, nprobe, iters, where)
+      parts ++= pipelineCtes(dim, nlist, nprobe, iters, fitWhere, corpusWhere)
       parts += s"""codes AS MATERIALIZED (
   SELECT id, list_transform(u,
     x -> CAST(round(x / sqrt(list_dot_product(u, u)) * 127) AS DOUBLE)) AS q8
-  FROM emb
+  FROM embC
 )"""
       parts += s"""pairs AS MATERIALIZED (
   SELECT p.qid AS query_id, a.id AS id,
@@ -1190,7 +1265,7 @@ GROUP BY 1"""
   JOIN codes cc ON cc.id = a.id
 )"""
       "WITH RECURSIVE\n" + parts.result().mkString(",\n") + s"""
-SELECT query_id, id, dot, round(dot / 16129.0, 6) AS approx_cos, rank
+SELECT query_id, id, dot, round(dot / 16129.0, 6) AS approx_cos, rank$extraCols
 FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id
              ORDER BY dot DESC, id) AS rank

@@ -995,19 +995,21 @@ object Similarity {
   def appendToIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
                          path: String): Unit = {
     val spark = df.sparkSession
-    // resolve the committed generation ONCE; every sub-step of the append
-    // works inside it (single-writer store — no refit can race this). A
-    // crashed append is invisible: parquet appends stage in `_temporary/`,
-    // which readers ignore.
-    val dir = AtomicStore.resolve(spark, path)
-    val ids = df.select(col(idCol).as("cid")).distinct()
-    // fast path: no tombstones, or none colliding — just a semi-join probe
-    if (tombstonesOpt(spark, dir)
-          .exists(t => !t.join(ids, Seq("cid"), "left_semi").isEmpty))
-      compactIn(spark, dir)
-    val index = openIvfPqIndexIn(spark, dir)
-    encodeForIndex(index, df, idCol, vecCol)
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+    AtomicStore.withMutationLease(spark, path, owner = "appendToIvfPqIndex") {
+      // resolve the committed generation ONCE; every sub-step of the append
+      // works inside it (single-writer store, now lease-enforced). A
+      // crashed append is invisible: parquet appends stage in `_temporary/`,
+      // which readers ignore.
+      val dir = AtomicStore.resolve(spark, path)
+      val ids = df.select(col(idCol).as("cid")).distinct()
+      // fast path: no tombstones, or none colliding — just a semi-join probe
+      if (tombstonesOpt(spark, dir)
+            .exists(t => !t.join(ids, Seq("cid"), "left_semi").isEmpty))
+        compactIn(spark, dir)
+      val index = openIvfPqIndexIn(spark, dir)
+      encodeForIndex(index, df, idCol, vecCol)
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+    }
   }
 
   /** Delete vectors from a persisted index by id: appends the ids to a
@@ -1021,20 +1023,24 @@ object Similarity {
     * previously deleted id resurrects nothing until the store is
     * compacted (the standard tombstone caveat — compact before re-add).
     *
-    * SINGLE-WRITER caveat (deletes vs streaming replay): a replayed
-    * micro-batch rewrites its own `codes_stream` partitions from the
-    * RAW batch — under the live anti-join mask that is invisible, but a
-    * delete + compaction racing the narrow window between a batch's
-    * write and its checkpoint commit would drop the mask an in-flight
-    * replay still needs. Deletes/compactions are store mutations: run
-    * them from the stream's owner (between batches), not concurrently
-    * with it — the same single-writer assumption every mutation path
-    * here documents.
+    * SINGLE-WRITER contract, ENFORCED (deletes vs streaming replay): a
+    * replayed micro-batch rewrites its own `codes_stream` partitions
+    * from the RAW batch — under the live anti-join mask that is
+    * invisible, but a delete + compaction racing the narrow window
+    * between a batch's write and its checkpoint commit would drop the
+    * mask an in-flight replay still needs. Every mutation here therefore
+    * takes the store's MUTATION LEASE
+    * ([[graft.util.AtomicStore.withMutationLease]]); the stream driver
+    * holds it for each batch, so a concurrent delete REJECTS loudly
+    * instead of corrupting — retry between batches.
     */
   def deleteFromIvfPqIndex(ids: DataFrame, idCol: String, path: String): Unit =
-    ids.select(col(idCol).as("cid")).distinct()
-      .write.mode("append").parquet(
-        s"${AtomicStore.resolve(ids.sparkSession, path)}/tombstones")
+    AtomicStore.withMutationLease(ids.sparkSession, path,
+        owner = "deleteFromIvfPqIndex") {
+      ids.select(col(idCol).as("cid")).distinct()
+        .write.mode("append").parquet(
+          s"${AtomicStore.resolve(ids.sparkSession, path)}/tombstones")
+    }
 
   /** Tombstones table of one generation directory if any delete has
     * happened in it, else None.
@@ -1113,37 +1119,85 @@ object Similarity {
   def appendStreamBatch(df: DataFrame, idCol: String, vecCol: String,
                         path: String, batchId: Long): Unit = {
     val spark = df.sparkSession
-    val dir = AtomicStore.resolve(spark, path)
-    val hwSkip = streamHighwaterOf(spark, dir).filter(_ >= batchId)
-    if (hwSkip.isDefined) {
-      // a skip is only legitimate replay absorption when the replayed id
-      // is AT or just under the folded watermark. A LARGE gap means the
-      // stream restarted with a NEW checkpoint (batch ids reset to 0)
-      // against a store whose fit recorded a high watermark — silently
-      // dropping every batch until ids catch up is data loss, so say so
-      // loudly (the caller chose at-least-once semantics; failing here
-      // would wedge a legitimate replay, hence warn-not-throw)
-      val hw = hwSkip.get
-      if (hw - batchId > 1L)
-        System.err.println(s"[graft] appendStreamBatch: batch $batchId " +
-          s"skipped by stream highwater $hw at $path — a gap this large " +
-          "usually means the stream restarted with a FRESH checkpoint " +
-          "(batch ids reset) against an existing index; those batches are " +
-          "NOT being appended. Point the new stream at a new index, refit, " +
-          "or keep the original checkpoint directory.")
-      return
+    AtomicStore.withMutationLease(spark, path,
+        owner = s"appendStreamBatch:b$batchId") {
+      val dir = AtomicStore.resolve(spark, path)
+      val hwSkip = streamHighwaterOf(spark, dir).filter(_ >= batchId)
+      if (hwSkip.isDefined) {
+        // a skip is only legitimate replay absorption when the replayed id
+        // is AT or just under the folded watermark. A LARGE gap means the
+        // stream restarted with a NEW checkpoint (batch ids reset to 0)
+        // against a store whose fit recorded a high watermark — silently
+        // dropping every batch until ids catch up is data loss, so say so
+        // loudly (the caller chose at-least-once semantics; failing here
+        // would wedge a legitimate replay, hence warn-not-throw) AND
+        // leave a MACHINE-READABLE record the stream owner can assert on
+        // ([[skippedStreamBatches]]) — a stderr line is not a signal
+        val hw = hwSkip.get
+        if (hw - batchId > 1L) {
+          System.err.println(s"[graft] appendStreamBatch: batch $batchId " +
+            s"skipped by stream highwater $hw at $path — a gap this large " +
+            "usually means the stream restarted with a FRESH checkpoint " +
+            "(batch ids reset) against an existing index; those batches are " +
+            "NOT being appended. Point the new stream at a new index, refit, " +
+            "or keep the original checkpoint directory. Recorded in " +
+            "_skipped_batches (see Similarity.skippedStreamBatches).")
+          recordSkippedBatch(spark, path, batchId, hw)
+        }
+      } else {
+        val ids = df.select(col(idCol).as("cid")).distinct()
+        if (tombstonesOpt(spark, dir)
+              .exists(t => !t.join(ids, Seq("cid"), "left_semi").isEmpty))
+          compactIn(spark, dir)
+        val index = openIvfPqIndexIn(spark, dir)
+        encodeForIndex(index, df, idCol, vecCol)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "cell")
+          .parquet(s"$dir/codes_stream")
+      }
     }
-    val ids = df.select(col(idCol).as("cid")).distinct()
-    if (tombstonesOpt(spark, dir)
-          .exists(t => !t.join(ids, Seq("cid"), "left_semi").isEmpty))
-      compactIn(spark, dir)
-    val index = openIvfPqIndexIn(spark, dir)
-    encodeForIndex(index, df, idCol, vecCol)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id", "cell")
-      .parquet(s"$dir/codes_stream")
+  }
+
+  /** Write the per-store record of a dropped stream batch (the fresh-
+    * checkpoint highwater gap) — one empty marker file per skip at the
+    * STORE ROOT (`_skipped_batches/b<id>_hw<hw>`), outside the generation
+    * directories so the record survives refits and folds and is never
+    * pruned by commits. Creation is idempotent (a replay of the skipped
+    * batch re-skips onto the same file name).
+    */
+  private def recordSkippedBatch(spark: SparkSession, path: String,
+                                 batchId: Long, highwater: Long): Unit = {
+    val dirP = new org.apache.hadoop.fs.Path(s"$path/_skipped_batches")
+    val fs = dirP.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(dirP)
+    val f = new org.apache.hadoop.fs.Path(
+      s"$path/_skipped_batches/b${batchId}_hw$highwater")
+    try fs.create(f, false).close()
+    catch { case _: java.io.IOException => () } // replayed skip: same record
+  }
+
+  /** The DROPPED-batch ledger of a stream-maintained store — one row
+    * `(batch_id, highwater)` per micro-batch the highwater gap guard
+    * refused (see [[appendStreamBatch]]'s fresh-checkpoint warning). A
+    * stream owner asserts this is EMPTY as part of its health checks; a
+    * non-empty ledger means a restarted-with-fresh-checkpoint stream is
+    * silently dropping data and the index needs a refit or a new path.
+    * Pure metadata (one directory listing), no scan.
+    */
+  def skippedStreamBatches(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val dirP = new org.apache.hadoop.fs.Path(s"$path/_skipped_batches")
+    val fs = dirP.getFileSystem(spark.sessionState.newHadoopConf())
+    val rows: Seq[(Long, Long)] =
+      if (!fs.exists(dirP)) Seq.empty
+      else fs.listStatus(dirP).toSeq.map(_.getPath.getName).collect {
+        case s if s.startsWith("b") && s.contains("_hw") =>
+          val Array(b, hw) = s.drop(1).split("_hw", 2)
+          (b.toLong, hw.toLong)
+      }
+    rows.sorted.toDF("batch_id", "highwater")
   }
 
   /** Fold accumulated tombstones into the codes layout: rewrite ONLY the
@@ -1157,7 +1211,9 @@ object Similarity {
     * same size class as the centroid table.
     */
   def compactIvfPqIndex(spark: SparkSession, path: String): Unit =
-    compactIn(spark, AtomicStore.resolve(spark, path))
+    AtomicStore.withMutationLease(spark, path, owner = "compactIvfPqIndex") {
+      compactIn(spark, AtomicStore.resolve(spark, path))
+    }
 
   /** [[compactIvfPqIndex]] inside an already-resolved generation
     * directory. Crash-safe without a new generation: rewritten cells
@@ -1176,10 +1232,18 @@ object Similarity {
     tombstonesOpt(spark, dir).foreach { tomb =>
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      compactTable(spark, fs, s"$dir/codes", Seq("cell"), tomb)
+      val base = spark.read.parquet(s"$dir/codes")
+      compactTable(spark, fs, s"$dir/codes", Seq("cell"), tomb, base)
+      // the stream leg reads via readStreamExt (explicit schema), never
+      // inference: an extension directory with no committed data files —
+      // every partition deleted by an EARLIER tombstone compaction, or a
+      // crashed first append's lone `_temporary/` — must read as empty,
+      // not throw "Unable to infer schema" and brick every later
+      // delete/compact/auto-compacting append on the store
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes_stream")))
         compactTable(spark, fs, s"$dir/codes_stream",
-          Seq("batch_id", "cell"), tomb)
+          Seq("batch_id", "cell"), tomb,
+          readStreamExt(spark, s"$dir/codes_stream", base.schema))
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
     }
 
@@ -1191,11 +1255,11 @@ object Similarity {
   private def compactTable(spark: SparkSession,
                            fs: org.apache.hadoop.fs.FileSystem,
                            table: String, partCols: Seq[String],
-                           tomb: DataFrame): Unit = {
-    val codes = spark.read.parquet(table)
+                           tomb: DataFrame, codes: DataFrame,
+                           idJoin: String = "cid"): Unit = {
     def partPath(vals: Seq[Any]): String =
       partCols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
-    val affected = codes.join(tomb, Seq("cid"), "left_semi")
+    val affected = codes.join(tomb, Seq(idJoin), "left_semi")
       .select(partCols.map(col): _*).distinct().collect()
       .map(r => partCols.indices.map(r.get))
     if (affected.nonEmpty) {
@@ -1227,7 +1291,7 @@ object Similarity {
             .join(broadcast(tuples), Seq("__part"), "left_semi")
             .drop("__part")
         }
-      val survivors = affectedHit.join(tomb, Seq("cid"), "left_anti")
+      val survivors = affectedHit.join(tomb, Seq(idJoin), "left_anti")
       survivors.write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp)
       // an empty partitioned write emits no data files, so the staged
       // read needs the survivors' schema handed to it explicitly — and
@@ -1275,7 +1339,14 @@ object Similarity {
     * after; only the file layout (and the absence of the union branch)
     * changes. Returns false when there is no extension to fold.
     */
-  def compactIvfPqStreamExtension(spark: SparkSession, path: String): Boolean = {
+  def compactIvfPqStreamExtension(spark: SparkSession, path: String): Boolean =
+    AtomicStore.withMutationLease(spark, path,
+      owner = "compactIvfPqStreamExtension") {
+      compactIvfPqStreamExtensionIn(spark, path)
+    }
+
+  private def compactIvfPqStreamExtensionIn(spark: SparkSession,
+                                            path: String): Boolean = {
     val dir = AtomicStore.resolve(spark, path)
     val extP = new org.apache.hadoop.fs.Path(s"$dir/codes_stream")
     val extFs = extP.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1340,27 +1411,29 @@ object Similarity {
     */
   def refitIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
                       path: String, threshold: Double = 0.5,
-                      streamHighwater: Option[Long] = None): Boolean = {
-    val spark = df.sparkSession
-    val worst = ivfPqCellDrift(spark, path)
-      .agg(max(abs(col("growth")))).head().getDouble(0)
-    if (worst < threshold) false
-    else {
-      val meta = spark.read
-        .parquet(s"${AtomicStore.resolve(spark, path)}/meta").head()
-      writeIvfPqIndex(df, idCol, vecCol, path,
-        dim = meta.getAs[Int]("dim"),
-        nlist = meta.getAs[Int]("nlist"),
-        m = meta.getAs[Int]("m"),
-        codebookSize = meta.getAs[Int]("codebook_size"),
-        seed = meta.getAs[Long]("seed"),
-        residual = meta.getAs[Boolean]("residual"),
-        streamHighwater = streamHighwater)
-      // (the refit commits a FRESH generation, which starts with no
-      // tombstones — a refit defines the whole store)
-      true
+                      streamHighwater: Option[Long] = None): Boolean =
+    AtomicStore.withMutationLease(df.sparkSession, path,
+        owner = "refitIvfPqIndex") {
+      val spark = df.sparkSession
+      val worst = ivfPqCellDrift(spark, path)
+        .agg(max(abs(col("growth")))).head().getDouble(0)
+      if (worst < threshold) false
+      else {
+        val meta = spark.read
+          .parquet(s"${AtomicStore.resolve(spark, path)}/meta").head()
+        writeIvfPqIndex(df, idCol, vecCol, path,
+          dim = meta.getAs[Int]("dim"),
+          nlist = meta.getAs[Int]("nlist"),
+          m = meta.getAs[Int]("m"),
+          codebookSize = meta.getAs[Int]("codebook_size"),
+          seed = meta.getAs[Long]("seed"),
+          residual = meta.getAs[Boolean]("residual"),
+          streamHighwater = streamHighwater)
+        // (the refit commits a FRESH generation, which starts with no
+        // tombstones — a refit defines the whole store)
+        true
+      }
     }
-  }
 
   /** Per-JVM cache of opened index MODELS (centroids/codebooks/params):
     * a server loads the model once and serves many batches — re-collecting
@@ -1515,11 +1588,65 @@ object Similarity {
     */
   def appendToSqIvfIndex(df: DataFrame, idCol: String, vecCol: String,
                          path: String): Unit = {
-    val dir = AtomicStore.resolve(df.sparkSession, path)
-    val index = openSqIvfIndexIn(df.sparkSession, dir)
-    sqIvfEncode(df, idCol, vecCol, index.cents)
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+    val spark = df.sparkSession
+    AtomicStore.withMutationLease(spark, path, owner = "appendToSqIvfIndex") {
+      val dir = AtomicStore.resolve(spark, path)
+      // delete→re-add is an upsert, like [[appendToIvfPqIndex]]: an id
+      // colliding with a tombstone compacts first so only the new row serves
+      val ids = df.select(col(idCol).as("id")).distinct()
+      if (tombstonesOpt(spark, dir)
+            .exists(t => !t.join(ids, Seq("id"), "left_semi").isEmpty))
+        sqCompactIn(spark, dir)
+      val index = openSqIvfIndexIn(spark, dir)
+      sqIvfEncode(df, idCol, vecCol, index.cents)
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+    }
   }
+
+  /** Delete vectors from a persisted SQ×IVF index by id — the
+    * [[deleteFromIvfPqIndex]] contract on the int8 store: ids append to a
+    * `tombstones` table (cheap regardless of corpus size),
+    * [[openSqIvfIndex]] anti-joins the codes so serving sees only live
+    * vectors immediately, and the dead rows stay on disk until
+    * [[compactSqIvfIndex]] rewrites their cells. Same tombstone caveats
+    * (compact before re-add — [[appendToSqIvfIndex]] does it
+    * automatically on collision) and the same single-writer discipline
+    * for deletes vs a live [[appendSqIvfStreamBatch]] stream.
+    */
+  def deleteFromSqIvfIndex(ids: DataFrame, idCol: String, path: String): Unit =
+    AtomicStore.withMutationLease(ids.sparkSession, path,
+        owner = "deleteFromSqIvfIndex") {
+      ids.select(col(idCol).as("id")).distinct()
+        .write.mode("append").parquet(
+          s"${AtomicStore.resolve(ids.sparkSession, path)}/tombstones")
+    }
+
+  /** Fold accumulated SQ×IVF tombstones into the codes layout — the
+    * [[compactIvfPqIndex]] twin: rewrite only the cell partitions holding
+    * a tombstoned id (both the base `codes` AND the `codes_stream`
+    * extension — a streamed-in dead row must not resurrect when the mask
+    * drops), then drop the tombstones table. Serving before and after is
+    * bit-identical by construction.
+    */
+  def compactSqIvfIndex(spark: SparkSession, path: String): Unit =
+    AtomicStore.withMutationLease(spark, path, owner = "compactSqIvfIndex") {
+      sqCompactIn(spark, AtomicStore.resolve(spark, path))
+    }
+
+  private def sqCompactIn(spark: SparkSession, dir: String): Unit =
+    tombstonesOpt(spark, dir).foreach { tomb =>
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val base = spark.read.parquet(s"$dir/codes")
+      compactTable(spark, fs, s"$dir/codes", Seq("cell"), tomb, base,
+        idJoin = "id")
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes_stream")))
+        compactTable(spark, fs, s"$dir/codes_stream",
+          Seq("batch_id", "cell"), tomb,
+          readStreamExt(spark, s"$dir/codes_stream", base.schema),
+          idJoin = "id")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
+    }
 
   /** Streaming-grade SQ×IVF append — [[appendStreamBatch]]'s exact
     * contract on the int8 store: encode with the STORED centroids into
@@ -1531,23 +1658,33 @@ object Similarity {
   def appendSqIvfStreamBatch(df: DataFrame, idCol: String, vecCol: String,
                              path: String, batchId: Long): Unit = {
     val spark = df.sparkSession
-    val dir = AtomicStore.resolve(spark, path)
-    val hwSkip = streamHighwaterOf(spark, dir).filter(_ >= batchId)
-    if (hwSkip.isDefined) {
-      if (hwSkip.get - batchId > 1L)
-        System.err.println(s"[graft] appendSqIvfStreamBatch: batch $batchId " +
-          s"skipped by stream highwater ${hwSkip.get} at $path — see " +
-          "appendStreamBatch's fresh-checkpoint warning; these batches are " +
-          "NOT being appended.")
-      return
+    AtomicStore.withMutationLease(spark, path,
+        owner = s"appendSqIvfStreamBatch:b$batchId") {
+      val dir = AtomicStore.resolve(spark, path)
+      val hwSkip = streamHighwaterOf(spark, dir).filter(_ >= batchId)
+      if (hwSkip.isDefined) {
+        if (hwSkip.get - batchId > 1L) {
+          System.err.println(s"[graft] appendSqIvfStreamBatch: batch " +
+            s"$batchId skipped by stream highwater ${hwSkip.get} at $path " +
+            "— see appendStreamBatch's fresh-checkpoint warning; these " +
+            "batches are NOT being appended. Recorded in _skipped_batches.")
+          recordSkippedBatch(spark, path, batchId, hwSkip.get)
+        }
+      } else {
+        // tombstone collisions compact first, like the batch append
+        val ids = df.select(col(idCol).as("id")).distinct()
+        if (tombstonesOpt(spark, dir)
+              .exists(t => !t.join(ids, Seq("id"), "left_semi").isEmpty))
+          sqCompactIn(spark, dir)
+        val index = openSqIvfIndexIn(spark, dir)
+        sqIvfEncode(df, idCol, vecCol, index.cents)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "cell")
+          .parquet(s"$dir/codes_stream")
+      }
     }
-    val index = openSqIvfIndexIn(spark, dir)
-    sqIvfEncode(df, idCol, vecCol, index.cents)
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id", "cell")
-      .parquet(s"$dir/codes_stream")
   }
 
   /** Staleness signal for the SQ×IVF store: the stream extension's share
@@ -1558,6 +1695,23 @@ object Similarity {
     * over the full current corpus. Parquet row counts come from footer
     * metadata; the probe is a metadata round-trip, not a scan.
     */
+  /** Fragmentation signal of a stream-maintained store: the number of
+    * first-level `batch_id=…` partition directories in the `codes_stream`
+    * extension (one survives per un-folded micro-batch; the per-cell
+    * fan-out below them scales with it). The metadata-bound regime
+    * SCALE.md measures sets in as this grows, so the stream drivers'
+    * DEFAULT-ON fold triggers on it — unlike a batch counter, it
+    * self-corrects when a drift refit resets the layout invisibly. One
+    * `listStatus` of the extension root; works for both the IVF-PQ and
+    * SQ×IVF stores (same extension layout).
+    */
+  def streamExtensionDirCount(spark: SparkSession, path: String): Int = {
+    val dir = AtomicStore.resolve(spark, path)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/codes_stream")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) 0 else fs.listStatus(p).count(_.isDirectory)
+  }
+
   def sqIvfStreamGrowth(spark: SparkSession, path: String): Double = {
     val dir = AtomicStore.resolve(spark, path)
     val extP = new org.apache.hadoop.fs.Path(s"$dir/codes_stream")
@@ -1580,17 +1734,19 @@ object Similarity {
                       path: String, threshold: Double = 0.5,
                       streamHighwater: Option[Long] = None): Boolean = {
     val spark = df.sparkSession
-    if (sqIvfStreamGrowth(spark, path) < threshold) false
-    else {
-      val meta = spark.read
-        .parquet(s"${AtomicStore.resolve(spark, path)}/meta").head()
-      writeSqIvfIndex(df, idCol, vecCol, path,
-        dim = meta.getAs[Int]("dim"),
-        nlist = meta.getAs[Int]("nlist"),
-        seed = meta.getAs[Long]("seed"),
-        iters = meta.getAs[Int]("iters"),
-        streamHighwater = streamHighwater)
-      true
+    AtomicStore.withMutationLease(spark, path, owner = "refitSqIvfIndex") {
+      if (sqIvfStreamGrowth(spark, path) < threshold) false
+      else {
+        val meta = spark.read
+          .parquet(s"${AtomicStore.resolve(spark, path)}/meta").head()
+        writeSqIvfIndex(df, idCol, vecCol, path,
+          dim = meta.getAs[Int]("dim"),
+          nlist = meta.getAs[Int]("nlist"),
+          seed = meta.getAs[Long]("seed"),
+          iters = meta.getAs[Int]("iters"),
+          streamHighwater = streamHighwater)
+        true
+      }
     }
   }
 
@@ -1628,26 +1784,38 @@ object Similarity {
     // cell) rows, additionally partitioned by batch_id for idempotent
     // replay — union preserves cell partition pruning on both sides
     val extP = new org.apache.hadoop.fs.Path(s"$dir/codes_stream")
-    val codes =
+    val codes0 =
       if (extP.getFileSystem(spark.sessionState.newHadoopConf()).exists(extP))
         base.unionByName(readStreamExt(spark, extP.toString, base.schema)
           .select(base.columns.toIndexedSeq.map(col): _*))
       else base
+    // live view: tombstoned ids ([[deleteFromSqIvfIndex]]) excluded, the
+    // same anti-join mask as [[liveCodes]] on the IVF-PQ store
+    val codes = tombstonesOpt(spark, dir)
+      .map(t => codes0.join(t, Seq("id"), "left_anti")).getOrElse(codes0)
     SqIvfIndex(cents, dim, codes)
   }
 
   /** [[compactIvfPqStreamExtension]] on the SQ×IVF store — same fold,
-    * simpler tables (no tombstones, no codebooks, no cellstats): meta
-    * and centroids copied verbatim, base ∪ extension rewritten
-    * cell-partitioned in a fresh generation whose stream highwater rises
-    * to the highest folded batch id. Returns false when there is no
-    * extension to fold.
+    * simpler tables (no codebooks, no cellstats): tombstones fold first
+    * ([[sqCompactIn]]), meta and centroids copy verbatim, base ∪
+    * extension rewrites cell-partitioned in a fresh generation whose
+    * stream highwater rises to the highest folded batch id. Returns
+    * false when there is no extension to fold.
     */
-  def compactSqIvfStreamExtension(spark: SparkSession, path: String): Boolean = {
+  def compactSqIvfStreamExtension(spark: SparkSession, path: String): Boolean =
+    AtomicStore.withMutationLease(spark, path,
+      owner = "compactSqIvfStreamExtension") {
+      compactSqIvfStreamExtensionIn(spark, path)
+    }
+
+  private def compactSqIvfStreamExtensionIn(spark: SparkSession,
+                                            path: String): Boolean = {
     val dir = AtomicStore.resolve(spark, path)
     val extP = new org.apache.hadoop.fs.Path(s"$dir/codes_stream")
     val extFs = extP.getFileSystem(spark.sessionState.newHadoopConf())
     if (!extFs.exists(extP)) return false
+    sqCompactIn(spark, dir) // fold tombstones into BOTH tables first
     val base = spark.read.parquet(s"$dir/codes")
     val extRows = readStreamExt(spark, extP.toString, base.schema)
     if (extRows.isEmpty) { extFs.delete(extP, true); return false }

@@ -284,30 +284,57 @@ object Streams {
       checkpointDir: String,
       corpus: SparkSession => DataFrame,
       driftThreshold: Double = 0.5,
-      foldEveryBatches: Int = 0
+      foldEveryBatches: Int = 0,
+      foldMaxExtDirs: Int = DefaultFoldMaxExtDirs
   ): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
-        graft.sim.Similarity.appendStreamBatch(
-          batch.toDF(), idCol, vecCol, indexPath, batchId)
-        val refitted = graft.sim.Similarity.refitIvfPqIndex(
-          corpus(s), idCol, vecCol, indexPath, driftThreshold,
-          streamHighwater = Some(batchId))
-        // self-maintaining layout: every `foldEveryBatches` micro-batches
-        // (when drift did NOT refit — a refit already folds everything),
-        // fold the extension's per-batch partition fan-out into base
-        // (SCALE.md "ANN stream-extension fold": 100 batches cost the
-        // serve 1.8×; the fold is idempotent under replay because it
-        // raises the highwater atomically with its generation)
-        if (!refitted && foldEveryBatches > 0 &&
-            batchId % foldEveryBatches == foldEveryBatches - 1L)
-          graft.sim.Similarity.compactIvfPqStreamExtension(s, indexPath)
+        // the batch holds the store's MUTATION LEASE end to end
+        // (append → drift probe/refit → fold): a concurrent delete or
+        // compaction from another writer REJECTS instead of racing the
+        // write/checkpoint window (re-entrant — the inner mutation
+        // calls re-use this hold)
+        graft.util.AtomicStore.withMutationLease(s, indexPath,
+            owner = s"annIndexStream:b$batchId") {
+          graft.sim.Similarity.appendStreamBatch(
+            batch.toDF(), idCol, vecCol, indexPath, batchId)
+          val refitted = graft.sim.Similarity.refitIvfPqIndex(
+            corpus(s), idCol, vecCol, indexPath, driftThreshold,
+            streamHighwater = Some(batchId))
+          // self-maintaining layout, ON BY DEFAULT and keyed to OBSERVED
+          // fragmentation (the extension's partition-dir count — a
+          // metadata probe), not a blind batch counter: a drift refit
+          // resets the layout invisibly to a counter, while the probe
+          // self-corrects. Folding collapses the per-batch partition
+          // fan-out into base (SCALE.md "ANN stream-extension fold":
+          // 100 unfolded batches cost the serve 1.8×); idempotent under
+          // replay because the fold raises the highwater atomically
+          // with its generation. `foldEveryBatches` remains as an
+          // optional fixed-cadence override.
+          if (!refitted && shouldFold(s, indexPath, batchId,
+              foldEveryBatches, foldMaxExtDirs))
+            graft.sim.Similarity.compactIvfPqStreamExtension(s, indexPath)
+        }
         ()
       }
       .start()
+
+  /** Extension-dir budget past which the stream drivers fold by default
+    * (≈ the SCALE.md point where the fragmented union's metadata cost is
+    * measurable but the fold amortizes over many batches). 0 disables.
+    */
+  val DefaultFoldMaxExtDirs: Int = 64
+
+  private def shouldFold(s: SparkSession, indexPath: String, batchId: Long,
+                         foldEveryBatches: Int, foldMaxExtDirs: Int): Boolean =
+    (foldEveryBatches > 0 &&
+      batchId % foldEveryBatches == foldEveryBatches - 1L) ||
+    (foldMaxExtDirs > 0 &&
+      graft.sim.Similarity.streamExtensionDirCount(s, indexPath)
+        >= foldMaxExtDirs)
 
   /** Stream-maintained SQ×IVF index — [[annIndexStream]]'s exact
     * lifecycle on the int8 store: append each micro-batch to the
@@ -330,23 +357,28 @@ object Streams {
       checkpointDir: String,
       corpus: SparkSession => DataFrame,
       growthThreshold: Double = 0.5,
-      foldEveryBatches: Int = 0
+      foldEveryBatches: Int = 0,
+      foldMaxExtDirs: Int = DefaultFoldMaxExtDirs
   ): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
-        graft.sim.Similarity.appendSqIvfStreamBatch(
-          batch.toDF(), idCol, vecCol, indexPath, batchId)
-        val refitted = graft.sim.Similarity.refitSqIvfIndex(
-          corpus(s), idCol, vecCol, indexPath, growthThreshold,
-          streamHighwater = Some(batchId))
-        // see annIndexStream: fold the per-batch partition fan-out when
-        // drift/growth did not already refit this batch
-        if (!refitted && foldEveryBatches > 0 &&
-            batchId % foldEveryBatches == foldEveryBatches - 1L)
-          graft.sim.Similarity.compactSqIvfStreamExtension(s, indexPath)
+        // lease held for the whole batch — see annIndexStream
+        graft.util.AtomicStore.withMutationLease(s, indexPath,
+            owner = s"sqIvfIndexStream:b$batchId") {
+          graft.sim.Similarity.appendSqIvfStreamBatch(
+            batch.toDF(), idCol, vecCol, indexPath, batchId)
+          val refitted = graft.sim.Similarity.refitSqIvfIndex(
+            corpus(s), idCol, vecCol, indexPath, growthThreshold,
+            streamHighwater = Some(batchId))
+          // see annIndexStream: default-on fragmentation-keyed fold when
+          // growth did not already refit this batch
+          if (!refitted && shouldFold(s, indexPath, batchId,
+              foldEveryBatches, foldMaxExtDirs))
+            graft.sim.Similarity.compactSqIvfStreamExtension(s, indexPath)
+        }
         ()
       }
       .start()

@@ -63,11 +63,57 @@ import org.apache.spark.sql.SparkSession
   * conditional-write primitive (S3 If-None-Match PUT) or an external
   * lock; the verification here narrows the window, it does not close it.
   */
+/** The ONE primitive the claim/commit/lease protocol needs from the
+  * filesystem: an ATOMIC create-no-overwrite ("conditional write").
+  * Injectable so deployments on stores where `fs.create(path, false)` is
+  * not atomic can supply a real conditional write, and so tests can
+  * simulate the non-atomic emulation and prove the protocol's token
+  * read-back detects the loser.
+  *
+  * Implementation notes per store class:
+  *  - HDFS / local filesystems: [[AtomicStore.HadoopExclusiveCreate]]
+  *    (the default) is truly atomic — `create(overwrite = false)` is a
+  *    single namenode op.
+  *  - S3 (and S3-compatible stores with conditional writes): implement
+  *    `create` as a PUT with the `If-None-Match: *` header (SDK:
+  *    `putObject(req.withIfNoneMatch("*"))`); a 412 Precondition Failed
+  *    maps to the IOException contract below. S3A itself still emulates
+  *    with HEAD-then-PUT, which is why the token read-back exists.
+  *  - Anything else: an external lock service (e.g. DynamoDB lock table)
+  *    wrapping the create.
+  */
+trait ExclusiveCreate {
+  /** Atomically create `path` holding `bytes`; throw `java.io.IOException`
+    * if the path already exists. MUST NOT truncate or overwrite.
+    */
+  def create(f: FileSystem, path: Path, bytes: Array[Byte]): Unit
+}
+
 object AtomicStore {
 
   private val MarkerPrefix = "_commit_"
   private val ClaimPrefix = "_claim_"
   private val GenPrefix = "gen-"
+  private val LeaseName = "_mutation_lease"
+
+  /** Default [[ExclusiveCreate]]: Hadoop's `create(path, overwrite =
+    * false)` — atomic on HDFS and local filesystems, HEAD-then-PUT on
+    * S3A (see the trait doc for the real conditional-write sketch).
+    */
+  object HadoopExclusiveCreate extends ExclusiveCreate {
+    def create(f: FileSystem, path: Path, bytes: Array[Byte]): Unit = {
+      val out = f.create(path, false)
+      try { if (bytes.nonEmpty) out.write(bytes) } finally out.close()
+    }
+  }
+
+  /** The injectable conditional-write primitive every claim, commit
+    * marker, and mutation-lease acquisition goes through. Tests swap in
+    * a non-atomic double to exercise the read-back race detection;
+    * production deployments on object stores swap in a true conditional
+    * write (If-None-Match PUT).
+    */
+  @volatile var exclusiveCreate: ExclusiveCreate = HadoopExclusiveCreate
 
   /** Tables a legacy (pre-protocol) store may have at its root; pruned
     * once two committed generations exist.
@@ -174,8 +220,7 @@ object AtomicStore {
         // a non-atomic double-create (last PUT wins — see class doc)
         val token = java.util.UUID.randomUUID().toString
         val tokenBytes = token.getBytes("UTF-8")
-        val out = f.create(claim, false)
-        try out.write(tokenBytes) finally out.close()
+        exclusiveCreate.create(f, claim, tokenBytes)
         val in = f.open(claim)
         // readFully, not read: a single read may legally return a short
         // count (HDFS does) and a prefix must not miscompare as a lost
@@ -238,8 +283,8 @@ object AtomicStore {
              claimGraceMs: Long): Unit = {
     failpoint("commit")
     val marker = new Path(s"$path/$MarkerPrefix$gen")
-    // overwrite=false: concurrent double-commit of the same id fails loudly
-    f.create(marker, false).close()
+    // create-no-overwrite: concurrent double-commit of the same id fails loudly
+    exclusiveCreate.create(f, marker, Array.emptyByteArray)
     // this fit is published — its claim no longer marks an in-flight write
     f.delete(new Path(s"$path/$ClaimPrefix$gen"), false)
     resolveCache.remove(path)
@@ -279,11 +324,106 @@ object AtomicStore {
       }
       if (prune) { f.delete(st.getPath, true); () }
     }
-    if (gen >= 2L && markers.keys.exists(g => g < gen && committedExpired(g)
-          || committedGraceMs <= 0L))
+    // grace-zero escape parenthesized INSIDE the committed-predecessor
+    // requirement: the legacy root tables are only pruned once a previous
+    // committed generation actually exists (gen >= 2 alone does not imply
+    // one — gen 1's claim may have crashed, ids being non-dense)
+    if (gen >= 2L && markers.keys.exists(g =>
+          g < gen && (committedGraceMs <= 0L || committedExpired(g))))
       LegacyTables.foreach { t =>
         val p = new Path(s"$path/$t")
         if (f.exists(p)) { f.delete(p, true); () }
       }
+  }
+
+  /** A mutation lease is only broken (treated as crashed) once this old:
+    * long enough for any sane single store mutation (a stream batch, a
+    * delete, a fold), short enough that a crashed holder does not block
+    * the store for an hour.
+    */
+  val DefaultLeaseGraceMs: Long = 600000L
+
+  /** Store paths whose mutation lease THIS THREAD currently holds —
+    * [[withMutationLease]] is re-entrant per thread, so a stream batch
+    * that holds the lease can call mutation APIs (append → auto-compact
+    * → fold) that themselves take it.
+    */
+  private val heldLeases = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  def withMutationLease[T](spark: SparkSession, path: String,
+                           owner: String = "",
+                           leaseGraceMs: Long = DefaultLeaseGraceMs)
+                          (body: => T): T =
+    withMutationLease(fs(spark, path), path, owner, leaseGraceMs)(body)
+
+  /** Run `body` holding the store's MUTATION LEASE — the enforcement of
+    * the single-writer contract every in-generation mutation documents
+    * (deletes/compactions/folds vs a live stream batch's write/checkpoint
+    * window). Acquisition is the same conditional write as [[begin]]'s
+    * claims (create-no-overwrite of `_mutation_lease` + token read-back);
+    * a store whose lease another writer holds REJECTS loudly with
+    * `IllegalStateException` instead of trusting documentation — the
+    * caller chooses whether to retry once the holder (e.g. the stream's
+    * current batch) releases. Re-entrant per thread; a lease older than
+    * `leaseGraceMs` is broken as a crashed holder's garbage. NOT a fair
+    * lock and not for throughput: mutations are rare, coarse operations.
+    */
+  def withMutationLease[T](f: FileSystem, path: String, owner: String,
+                           leaseGraceMs: Long)(body: => T): T = {
+    if (heldLeases.get().contains(path)) return body // re-entrant
+    val lease = new Path(s"$path/$LeaseName")
+    f.mkdirs(new Path(path))
+    val token = (if (owner.nonEmpty) s"$owner:" else "") +
+      java.util.UUID.randomUUID().toString
+    val tokenBytes = token.getBytes("UTF-8")
+    def readBack(): String =
+      try {
+        val in = f.open(lease)
+        try {
+          val buf = new Array[Byte](tokenBytes.length)
+          try { in.readFully(0, buf); new String(buf, "UTF-8") }
+          catch { case _: java.io.EOFException => "" }
+        } finally in.close()
+      } catch { case _: java.io.IOException => "" }
+    def tryAcquire(): Boolean =
+      try {
+        exclusiveCreate.create(f, lease, tokenBytes)
+        // same read-back as begin(): on a HEAD-then-PUT emulation the
+        // loser of a non-atomic double create miscompares and backs off
+        readBack() == token
+      } catch { case _: java.io.IOException => false }
+    var acquired = tryAcquire()
+    if (!acquired) {
+      // a holder older than the grace is a crashed mutation's garbage —
+      // break it once and retry; a YOUNG holder is a live writer: reject
+      val stale =
+        try f.getFileStatus(lease).getModificationTime <
+          System.currentTimeMillis() - leaseGraceMs
+        catch { case _: java.io.IOException => true } // vanished: retry
+      if (stale) { f.delete(lease, false); acquired = tryAcquire() }
+    }
+    if (!acquired) {
+      val holder =
+        try {
+          val st = f.getFileStatus(lease)
+          val buf = new Array[Byte](math.min(st.getLen, 256L).toInt)
+          val in = f.open(lease)
+          try in.readFully(0, buf) finally in.close()
+          new String(buf, "UTF-8")
+        } catch { case _: java.io.IOException => "<unknown>" }
+      throw new IllegalStateException(
+        s"store mutation lease at $path is held by '$holder' — another " +
+          "writer (e.g. a live stream batch) is mutating this store; " +
+          "retry after it releases (single-writer contract, enforced)")
+    }
+    heldLeases.set(heldLeases.get() + path)
+    try body
+    finally {
+      heldLeases.set(heldLeases.get() - path)
+      f.delete(lease, false)
+      ()
+    }
   }
 }

@@ -194,6 +194,174 @@ class DedupIndexSpec extends SparkSpec {
     assert(surv == Set(21L, 32L))
   }
 
+  test("delete masks immediately, compact reclaims, delete→re-add upserts") {
+    val path = tmpDir() + "/idx_del"
+    DedupIndex.write(corpusDocs, "doc_id", "text", path)
+    def hits() = DedupIndex.query(batchDocs, "doc_id", "text", path, 0.4)
+      .select("query_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(hits() == Set((11L, 1L), (12L, 2L)))
+    // takedown of doc 1: the near-dup hit disappears IMMEDIATELY (mask),
+    // no postings rewrite yet
+    DedupIndex.delete(Seq(1L).toDF("doc_id"), "doc_id", path)
+    assert(hits() == Set((12L, 2L)))
+    val gBefore = graft.util.AtomicStore.resolve(spark, path)
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$gBefore/grams").count() == 3, "rows still on disk")
+    // compact: fresh generation, dead rows physically gone, tombstones
+    // dropped, answers unchanged
+    DedupIndex.compact(spark, path)
+    val gAfter = graft.util.AtomicStore.resolve(spark, path)
+    assert(gAfter != gBefore)
+    assert(!new java.io.File(s"$gAfter/tombstones").exists())
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$gAfter/grams").count() == 2, "deleted doc reclaimed")
+    assert(hits() == Set((12L, 2L)))
+    // re-add doc 1 (same id, same text): plain append — searchable again
+    DedupIndex.append(corpusDocs.where(col("doc_id") === 1L),
+      "doc_id", "text", path)
+    assert(hits() == Set((11L, 1L), (12L, 2L)))
+    // delete WITHOUT manual compact, then re-add: the id collision
+    // auto-compacts first (upsert), so the new rows serve
+    DedupIndex.delete(Seq(2L).toDF("doc_id"), "doc_id", path)
+    assert(hits() == Set((11L, 1L)))
+    DedupIndex.append(corpusDocs.where(col("doc_id") === 2L),
+      "doc_id", "text", path)
+    assert(hits() == Set((11L, 1L), (12L, 2L)))
+    assert(!new java.io.File(
+      s"${graft.util.AtomicStore.resolve(spark, path)}/tombstones").exists(),
+      "collision append must have folded the tombstones away")
+  }
+
+  test("compact never records a crashed append's tag as folded " +
+    "(orphan grams excluded; the at-least-once replay rewrites cleanly)") {
+    val path = tmpDir() + "/idx_orphan"
+    DedupIndex.write(corpusDocs, "doc_id", "text", path)
+    DedupIndex.append(
+      Seq((100L, "first complete append batch with plenty of words here"))
+        .toDF("doc_id", "text"), "doc_id", "text", path, tag = "b0")
+    // crash batch b1 between its grams and bands writes — the exact
+    // window writeRows documents
+    graft.util.AtomicStore.failpoint =
+      l => if (l == "dedup:bands") throw new RuntimeException("kill b1")
+    try intercept[RuntimeException] {
+      DedupIndex.append(
+        Seq((101L, "second batch that will crash before its bands land"))
+          .toDF("doc_id", "text"), "doc_id", "text", path, tag = "b1")
+    } finally graft.util.AtomicStore.failpoint = _ => ()
+    val g0 = graft.util.AtomicStore.resolve(spark, path)
+    assert(new java.io.File(s"$g0/grams/b1").exists())
+    assert(!new java.io.File(s"$g0/bands/b1").exists(), "orphan shape")
+    DedupIndex.compact(spark, path)
+    val g1 = graft.util.AtomicStore.resolve(spark, path)
+    // the orphan's rows are NOT in the fold, and its tag is NOT recorded
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$g1/grams").where(col("id") === 101L).count() == 0)
+    // … so the at-least-once replay of b1 is NOT absorbed: it rewrites
+    // both tables and the document becomes searchable (the data-loss
+    // regression this test pins)
+    DedupIndex.append(
+      Seq((101L, "second batch that will crash before its bands land"))
+        .toDF("doc_id", "text"), "doc_id", "text", path, tag = "b1")
+    val hits = DedupIndex.query(
+      Seq((201L, "second batch that will crash before its bands land NOPE"))
+        .toDF("doc_id", "text"), "doc_id", "text", path, 0.4)
+      .select("query_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((201L, 101L)), "replayed batch must be searchable")
+    // while the COMPLETE b0 was folded and its replay is absorbed
+    DedupIndex.append(
+      Seq((100L, "first complete append batch with plenty of words here"))
+        .toDF("doc_id", "text"), "doc_id", "text", path, tag = "b0")
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"${graft.util.AtomicStore.resolve(spark, path)}/grams")
+      .where(col("id") === 100L).count() == 1, "folded replay absorbed once")
+  }
+
+  test("'base' tag is rejected; numbered stream tags collapse into a " +
+    "bounded highwater ledger across repeated folds") {
+    val path = tmpDir() + "/idx_ledger"
+    DedupIndex.write(corpusDocs, "doc_id", "text", path)
+    intercept[IllegalArgumentException] {
+      DedupIndex.append(batchDocs, "doc_id", "text", path, tag = "base")
+    }
+    def ledger(): Seq[String] = {
+      val g = graft.util.AtomicStore.resolve(spark, path)
+      val f = java.nio.file.Paths.get(s"$g/_folded_tags")
+      if (!java.nio.file.Files.exists(f)) Seq.empty
+      else new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    }
+    // two fold cycles over six stream batches + one random tag
+    (0 to 2).foreach { i =>
+      DedupIndex.append(
+        Seq((100L + i, s"stream batch $i brings its own novel words indeed"))
+          .toDF("doc_id", "text"), "doc_id", "text", path, tag = s"b$i")
+    }
+    DedupIndex.append(
+      Seq((900L, "a randomly tagged adhoc append with distinct words"))
+        .toDF("doc_id", "text"), "doc_id", "text", path, tag = "radhoc")
+    DedupIndex.compact(spark, path)
+    assert(ledger().sorted == Seq("b<=2", "radhoc"),
+      s"after first fold: ${ledger()}")
+    (3 to 5).foreach { i =>
+      DedupIndex.append(
+        Seq((100L + i, s"stream batch $i brings its own novel words indeed"))
+          .toDF("doc_id", "text"), "doc_id", "text", path, tag = s"b$i")
+    }
+    DedupIndex.compact(spark, path)
+    // the ledger did NOT grow with the batch count: still two lines, the
+    // highwater just advanced; 'base' is never recorded
+    assert(ledger().sorted == Seq("b<=5", "radhoc"),
+      s"after second fold: ${ledger()}")
+    // replays below the highwater are absorbed; new numbered tags pass
+    val g = graft.util.AtomicStore.resolve(spark, path)
+    def gramCount() = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$g/grams").count()
+    val n0 = gramCount()
+    DedupIndex.append(
+      Seq((103L, "stream batch 3 brings its own novel words indeed"))
+        .toDF("doc_id", "text"), "doc_id", "text", path, tag = "b3")
+    assert(gramCount() == n0, "b3 replay absorbed by the highwater")
+    DedupIndex.append(
+      Seq((106L, "stream batch 6 brings its own novel words indeed"))
+        .toDF("doc_id", "text"), "doc_id", "text", path, tag = "b6")
+    assert(gramCount() == n0 + 1, "b6 is new and appends")
+    // the random tag is still absorbed explicitly
+    DedupIndex.append(
+      Seq((900L, "a randomly tagged adhoc append with distinct words"))
+        .toDF("doc_id", "text"), "doc_id", "text", path, tag = "radhoc")
+    assert(gramCount() == n0 + 1, "folded random tag replay absorbed")
+  }
+
+  test("a delete racing a live ingestStream batch REJECTS on the mutation " +
+    "lease; between batches it succeeds") {
+    val path = tmpDir() + "/idx_lease"
+    DedupIndex.write(corpusDocs, "doc_id", "text", path)
+    // the batch's hold (ingestStream wraps each foreachBatch in
+    // withMutationLease — same code path), paused mid-batch
+    val inBatch = new java.util.concurrent.CountDownLatch(1)
+    val finishBatch = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      graft.util.AtomicStore.withMutationLease(spark, path,
+          owner = "DedupIndex.ingestStream:b4") {
+        inBatch.countDown()
+        finishBatch.await()
+      })
+    holder.start()
+    inBatch.await()
+    try {
+      val e = intercept[IllegalStateException] {
+        DedupIndex.delete(Seq(1L).toDF("doc_id"), "doc_id", path)
+      }
+      assert(e.getMessage.contains("ingestStream:b4"))
+      intercept[IllegalStateException] { DedupIndex.compact(spark, path) }
+    } finally { finishBatch.countDown(); holder.join() }
+    DedupIndex.delete(Seq(1L).toDF("doc_id"), "doc_id", path) // released
+    val hits = DedupIndex.query(batchDocs, "doc_id", "text", path, 0.4)
+      .select("query_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((12L, 2L)))
+    assert(!new java.io.File(s"$path/_mutation_lease").exists())
+  }
+
   test("query plan broadcasts the batch side (corpus bands never shuffle)") {
     val path = tmpDir() + "/idx4"
     DedupIndex.write(corpusDocs, "doc_id", "text", path)

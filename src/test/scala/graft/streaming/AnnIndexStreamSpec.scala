@@ -255,6 +255,144 @@ class AnnIndexStreamSpec extends SparkSpec {
     assert(!new java.io.File(s"$g/codes_stream").exists())
   }
 
+  test("DEFAULT fold trigger keys on observed extension fan-out, with no " +
+    "configuration (fragmentation-keyed, not batch-counted)") {
+    val d = tmpDir() + "/annfragfold"
+    Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 40),
+      "vec_id", "embedding", d, dim = 64, nlist = 8, m = 8, codebookSize = 16)
+    val src = graft.util.Tmp.root("ann_frag_src")
+    val ckpt = graft.util.Tmp.root("ann_frag_ckpt").toString
+    // defaults everywhere except the dir budget (64 would need 64 tiny
+    // batches — the TRIGGER SHAPE is what's under test): no
+    // foldEveryBatches, drift unreachable, budget 3 → the probe sees
+    // 3 batch_id dirs after batch 2 and folds, again after batch 5 …
+    val q = Streams.annIndexStream(
+      spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", "1")
+        .parquet(src.toString),
+      "vec_id", "embedding", d, ckpt,
+      corpus = _ => emb, driftThreshold = Double.MaxValue,
+      foldMaxExtDirs = 3)
+    try {
+      (0 until 4).foreach { i => stage(src, i); q.processAllAvailable() }
+    } finally q.stop()
+    val g = AtomicStore.resolve(spark, d)
+    // batches 0..2 folded when the count hit 3; batch 3 sits alone in the
+    // extension — fan-out stays bounded by the budget without any cadence
+    // configuration
+    assert(Similarity.streamExtensionDirCount(spark, d) <= 1,
+      "extension fan-out must stay under the budget")
+    val idx = Similarity.openIvfPqIndex(spark.newSession(), d)
+    assert(idx.codes.count() == 80)
+    // and the default budget is ON (the default-off regression guard)
+    assert(Streams.DefaultFoldMaxExtDirs > 0)
+    // serve parity with the stored-model re-encode (layout-only change)
+    val all = emb.where(col("vec_id") < 80)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val rebuilt = idx.copy(codes =
+      Similarity.encodeForIndex(idx, all, "vec_id", "embedding"))
+    assert(rows(Similarity.ivfPqServe(idx, all, "vec_id", "embedding",
+      k = 5, nprobe = 4)) ==
+      rows(Similarity.ivfPqServe(rebuilt, all, "vec_id", "embedding",
+        k = 5, nprobe = 4)))
+    assert(!new java.io.File(s"$g/_mutation_lease").exists(),
+      "the stream must release the mutation lease between batches")
+  }
+
+  test("fresh-checkpoint highwater gap is DETECTED machine-readably, not " +
+    "just logged (skipped-batch ledger)") {
+    val d = tmpDir() + "/annskip"
+    Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 40),
+      "vec_id", "embedding", d, dim = 64, nlist = 8, m = 8, codebookSize = 16)
+    // stream refit folds batch 5 → highwater 5
+    assert(Similarity.refitIvfPqIndex(emb.where(col("vec_id") < 50),
+      "vec_id", "embedding", d, threshold = 0.0, streamHighwater = Some(5L)))
+    assert(Similarity.skippedStreamBatches(spark, d).isEmpty)
+    // a legitimate at-least-once replay of the folded batch (id at the
+    // highwater): absorbed silently, NOT a data-loss record
+    Similarity.appendStreamBatch(
+      emb.where(col("vec_id") >= 40 && col("vec_id") < 50),
+      "vec_id", "embedding", d, batchId = 5L)
+    assert(Similarity.skippedStreamBatches(spark, d).isEmpty,
+      "gap <= 1 is replay absorption, not data loss")
+    // the stream restarts with a FRESH checkpoint: ids reset to 0 — the
+    // batch is dropped AND the drop is queryable
+    Similarity.appendStreamBatch(
+      emb.where(col("vec_id") >= 50 && col("vec_id") < 60),
+      "vec_id", "embedding", d, batchId = 0L)
+    val skipped = Similarity.skippedStreamBatches(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(skipped == Set((0L, 5L)), s"got $skipped")
+    // the record is idempotent under the replay of the skip itself, and
+    // survives a refit (it lives at the store root, not the generation)
+    Similarity.appendStreamBatch(
+      emb.where(col("vec_id") >= 50 && col("vec_id") < 60),
+      "vec_id", "embedding", d, batchId = 0L)
+    assert(Similarity.refitIvfPqIndex(emb.where(col("vec_id") < 50),
+      "vec_id", "embedding", d, threshold = 0.0, streamHighwater = Some(6L)))
+    assert(Similarity.skippedStreamBatches(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((0L, 5L)))
+    // the SQ twin records through the same ledger
+    val d2 = tmpDir() + "/sqskip"
+    Similarity.writeSqIvfIndex(emb.where(col("vec_id") < 40),
+      "vec_id", "embedding", d2, dim = 64, nlist = 8,
+      streamHighwater = Some(7L))
+    Similarity.appendSqIvfStreamBatch(
+      emb.where(col("vec_id") >= 40 && col("vec_id") < 50),
+      "vec_id", "embedding", d2, batchId = 1L)
+    assert(Similarity.skippedStreamBatches(spark, d2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 7L)))
+  }
+
+  test("a delete racing a live stream batch REJECTS on the mutation lease; " +
+    "between batches it succeeds (single-writer contract, enforced)") {
+    val d = tmpDir() + "/annlease"
+    Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 40),
+      "vec_id", "embedding", d, dim = 64, nlist = 8, m = 8, codebookSize = 16)
+    // simulate the stream batch's hold: the drivers wrap each batch in
+    // withMutationLease (same code path), paused mid-batch here
+    val inBatch = new java.util.concurrent.CountDownLatch(1)
+    val finishBatch = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      graft.util.AtomicStore.withMutationLease(spark, d,
+          owner = "annIndexStream:b7") {
+        inBatch.countDown()
+        finishBatch.await()
+      })
+    holder.start()
+    inBatch.await()
+    try {
+      val e = intercept[IllegalStateException] {
+        Similarity.deleteFromIvfPqIndex(
+          emb.where(col("vec_id") === 3).select(col("vec_id")), "vec_id", d)
+      }
+      assert(e.getMessage.contains("annIndexStream:b7"),
+        s"rejection must name the holder, got: ${e.getMessage}")
+      // compactions and folds reject the same way
+      intercept[IllegalStateException] { Similarity.compactIvfPqIndex(spark, d) }
+      intercept[IllegalStateException] {
+        Similarity.compactIvfPqStreamExtension(spark, d)
+      }
+    } finally { finishBatch.countDown(); holder.join() }
+    // the batch released the lease: the takedown proceeds normally
+    Similarity.deleteFromIvfPqIndex(
+      emb.where(col("vec_id") === 3).select(col("vec_id")), "vec_id", d)
+    assert(Similarity.openIvfPqIndex(spark.newSession(), d)
+      .codes.where(col("cid") === 3L).count() == 0)
+    assert(!new java.io.File(s"$d/_mutation_lease").exists(),
+      "mutations release the lease on completion")
+    // a crashed holder's stale lease is broken after the grace
+    val leaseFile = new java.io.File(s"$d/_mutation_lease")
+    java.nio.file.Files.writeString(leaseFile.toPath, "crashed:deadbeef")
+    assert(leaseFile.setLastModified(
+      System.currentTimeMillis() - 2 * graft.util.AtomicStore.DefaultLeaseGraceMs))
+    Similarity.deleteFromIvfPqIndex(
+      emb.where(col("vec_id") === 4).select(col("vec_id")), "vec_id", d)
+    assert(!leaseFile.exists(), "stale lease broken and released")
+  }
+
   test("a crashed stream refit's highwater is not inherited by a later non-stream fit") {
     val d = tmpDir() + "/hwinherit"
     Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 40),

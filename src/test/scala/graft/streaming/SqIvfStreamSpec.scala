@@ -118,6 +118,96 @@ class SqIvfStreamSpec extends SparkSpec {
     assert(!Similarity.compactSqIvfStreamExtension(spark, d))
   }
 
+  test("delete masks immediately, compact reclaims, delete→re-add upserts " +
+    "(the IVF-PQ takedown arc on the int8 store)") {
+    val d = tmpDir() + "/sqdel"
+    val corpus = emb.where(col("vec_id") < 50)
+    Similarity.writeSqIvfIndex(corpus, "vec_id", "embedding", d,
+      dim = 64, nlist = 8)
+    val survivors = corpus.where(col("vec_id") % 7 =!= 3)
+    def serve() = {
+      val idx = Similarity.openSqIvfIndex(spark.newSession(), d)
+      Similarity.sqIvfServeIndex(idx, survivors, "vec_id", "embedding",
+          k = 5, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    Similarity.deleteFromSqIvfIndex(
+      corpus.where(col("vec_id") % 7 === 3).select(col("vec_id")),
+      "vec_id", d)
+    val masked = serve()
+    // live view == codes re-encoded from the survivors with the stored
+    // model (integer scores — value-for-value)
+    val idx = Similarity.openSqIvfIndex(spark.newSession(), d)
+    assert(idx.codes.count() == 43, "7 of 50 masked")
+    val direct = Similarity.sqIvfServe(
+        Similarity.sqIvfEncode(survivors, "vec_id", "embedding", idx.cents),
+        survivors, "vec_id", "embedding", k = 5, idx.cents, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(masked == direct, "mask must equal survivor re-encode")
+    // no deleted id can appear as a neighbor
+    assert(!masked.exists(_._2 % 7 == 3))
+    // compaction reclaims the rows and never changes answers
+    val gBefore = AtomicStore.resolve(spark, d)
+    Similarity.compactSqIvfIndex(spark, d)
+    assert(!new java.io.File(s"$gBefore/tombstones").exists())
+    assert(spark.read.parquet(s"$gBefore/codes").count() == 43)
+    assert(serve() == masked, "compaction must not change answers")
+    // delete→re-add: the colliding append auto-compacts, the new row
+    // serves (no resurrection ambiguity, no stale emptiness)
+    Similarity.deleteFromSqIvfIndex(
+      corpus.where(col("vec_id") === 0).select(col("vec_id")), "vec_id", d)
+    Similarity.appendToSqIvfIndex(corpus.where(col("vec_id") === 0),
+      "vec_id", "embedding", d)
+    val idx2 = Similarity.openSqIvfIndex(spark.newSession(), d)
+    assert(idx2.codes.where(col("id") === 0L).count() == 1,
+      "re-added id serves exactly once")
+    assert(!new java.io.File(s"$gBefore/tombstones").exists(),
+      "collision append folded the tombstones")
+  }
+
+  test("delete of a STREAMED row: mask, stream-extension fold (delete-" +
+    "then-fold), and a fully-deleted batch leaves a readable store") {
+    val d = tmpDir() + "/sqdelstream"
+    Similarity.writeSqIvfIndex(emb.where(col("vec_id") < 40),
+      "vec_id", "embedding", d, dim = 64, nlist = 8)
+    Similarity.appendSqIvfStreamBatch(
+      emb.where(col("vec_id") >= 40 && col("vec_id") < 50),
+      "vec_id", "embedding", d, batchId = 0L)
+    Similarity.appendSqIvfStreamBatch(
+      emb.where(col("vec_id") >= 50 && col("vec_id") < 60),
+      "vec_id", "embedding", d, batchId = 1L)
+    // delete ids living ONLY in the extension
+    Similarity.deleteFromSqIvfIndex(
+      emb.where(col("vec_id") >= 45 && col("vec_id") < 50)
+        .select(col("vec_id")), "vec_id", d)
+    def liveIds() = Similarity.openSqIvfIndex(spark.newSession(), d)
+      .codes.select("id").collect().map(_.getLong(0)).toSet
+    val expect = ((0L until 45L) ++ (50L until 60L)).toSet
+    assert(liveIds() == expect, "streamed rows masked immediately")
+    // delete-then-fold: the fold must NOT resurrect the masked rows —
+    // tombstones fold into BOTH tables before the merge
+    assert(Similarity.compactSqIvfStreamExtension(spark, d))
+    val g = AtomicStore.resolve(spark, d)
+    assert(!new java.io.File(s"$g/codes_stream").exists())
+    assert(!new java.io.File(s"$g/tombstones").exists())
+    assert(liveIds() == expect, "fold must not resurrect deleted rows")
+    assert(spark.read.parquet(s"$g/codes").count() == 55)
+    // now delete an ENTIRE streamed batch and compact twice: the second
+    // pass must read the data-free extension without schema inference
+    // (the readStreamExt hazard, pinned on the SQ store too)
+    Similarity.appendSqIvfStreamBatch(
+      emb.where(col("vec_id") >= 60 && col("vec_id") < 70),
+      "vec_id", "embedding", d, batchId = 2L)
+    Similarity.deleteFromSqIvfIndex(
+      emb.where(col("vec_id") >= 60 && col("vec_id") < 70)
+        .select(col("vec_id")), "vec_id", d)
+    Similarity.compactSqIvfIndex(spark, d)
+    Similarity.deleteFromSqIvfIndex(
+      emb.where(col("vec_id") === 0).select(col("vec_id")), "vec_id", d)
+    Similarity.compactSqIvfIndex(spark, d) // second pass: ext dir empty
+    assert(liveIds() == expect - 0L)
+  }
+
   test("sqIvfIndexStream with foldEveryBatches self-maintains the layout") {
     val d = tmpDir() + "/sqselffold"
     Similarity.writeSqIvfIndex(emb.where(col("vec_id") < 40),

@@ -288,6 +288,77 @@ class AtomicStoreSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(AtomicStore.genDir(p, 3L))))
   }
 
+  test("claim token read-back detects the loser of a NON-ATOMIC " +
+    "HEAD-then-PUT double create (the object-store emulation)") {
+    val d = tmpDir() + "/naclaim"
+    // a pluggable double emulating S3A-style create-no-overwrite: a
+    // separate exists-check then an OVERWRITING put — two racing writers
+    // can both pass the check and both "succeed", last put wins. The
+    // barrier pins the worst interleaving: HEAD, HEAD, PUT, PUT, then
+    // both read back. Only this store's first claim is intercepted;
+    // everything else stays truly atomic.
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val nonAtomic = new ExclusiveCreate {
+      def create(f: org.apache.hadoop.fs.FileSystem,
+                 p: org.apache.hadoop.fs.Path,
+                 bytes: Array[Byte]): Unit =
+        if (p.toString.startsWith(d) && p.getName == "_claim_1") {
+          if (f.exists(p)) throw new java.io.IOException("exists (HEAD)")
+          barrier.await(10, java.util.concurrent.TimeUnit.SECONDS)
+          val out = f.create(p, true) // the non-atomic PUT: last wins
+          try out.write(bytes) finally out.close()
+          barrier.await(10, java.util.concurrent.TimeUnit.SECONDS)
+        } else AtomicStore.HadoopExclusiveCreate.create(f, p, bytes)
+    }
+    AtomicStore.exclusiveCreate = nonAtomic
+    try {
+      val gens = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = (0 until 2).map(_ => new Thread(() =>
+        try { gens.add(AtomicStore.begin(spark, d)._1); () }
+        catch { case e: Throwable => errs.add(e); () }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(errs.isEmpty, s"begin() must not fail: ${errs.peek()}")
+      // WITHOUT the read-back both writers would return generation 1 and
+      // interleave table writes in one directory; the read-back makes the
+      // overwritten loser retire the id and claim the next one
+      val got = {
+        import scala.jdk.CollectionConverters._
+        gens.asScala.toSet
+      }
+      assert(got == Set(1L, 2L), s"writers must land on disjoint gens: $got")
+    } finally AtomicStore.exclusiveCreate = AtomicStore.HadoopExclusiveCreate
+  }
+
+  test("mutation lease: re-entrant per thread, independent across stores, " +
+    "exclusive across threads") {
+    val d1 = tmpDir() + "/lease1"
+    val d2 = tmpDir() + "/lease2"
+    val fs = new org.apache.hadoop.fs.Path(d1)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // re-entrant: the stream-batch shape (outer hold, inner mutations)
+    val r = AtomicStore.withMutationLease(spark, d1, "outer") {
+      AtomicStore.withMutationLease(spark, d1, "inner") {
+        // holding d1 does not serialize an unrelated store
+        AtomicStore.withMutationLease(spark, d2, "other") { 42 }
+      }
+    }
+    assert(r == 42)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$d1/_mutation_lease")),
+      "released after the outermost hold")
+    // exclusive: a second THREAD is rejected while held, admitted after
+    AtomicStore.withMutationLease(spark, d1, "holder") {
+      val rejected = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val t = new Thread(() =>
+        try AtomicStore.withMutationLease(spark, d1, "intruder") { () }
+        catch { case e: Throwable => rejected.set(e); () })
+      t.start(); t.join()
+      assert(rejected.get().isInstanceOf[IllegalStateException])
+      assert(rejected.get().getMessage.contains("holder"))
+    }
+    AtomicStore.withMutationLease(spark, d1, "later") { () } // admitted
+  }
+
   test("a live claim protects a slower concurrent fit's directory from a faster commit") {
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sessionState.newHadoopConf())
