@@ -152,6 +152,11 @@ object DedupIndex {
     require(t != "base",
       "DedupIndex.append: tag 'base' is reserved for the fitted rows — " +
         "pass a different tag (or none for a fresh random one)")
+    // tags are directory names AND folded-ledger lines: a separator would
+    // nest subdirectories and a 'b<=' prefix would parse as the ledger's
+    // numbered-tag highwater, silently absorbing unrelated replays
+    require(t.matches("[A-Za-z0-9._-]+"),
+      s"DedupIndex.append: tag '$t' must match [A-Za-z0-9._-]+")
     AtomicStore.withMutationLease(spark, path,
         owner = s"DedupIndex.append:$t") {
       var dir = AtomicStore.resolve(spark, path)

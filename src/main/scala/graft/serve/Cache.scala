@@ -472,14 +472,47 @@ object Cache {
       }
     }
 
+    /** In-flight computations, one future per key — SINGLE-FLIGHT
+      * (r18): without it, every concurrent request missing the same key
+      * computed it independently (measured: 16 clients over 28 distinct
+      * keys produced 170 computes and a 36 s p99 — the thundering herd;
+      * SCALE.md "serve_concurrent"). The winner computes; concurrent
+      * missers await its outcome. A failed compute propagates to its
+      * waiters (same error, no duplicate work) and clears the slot so a
+      * LATER request retries fresh.
+      */
+    private val inFlight = new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.CompletableFuture[String]]()
+
     def getOrCompute(key: String)(compute: => String): String =
       attempt(backend.get(key)).flatten match {
         case Some(v) => synchronized { hits += 1 }; v
         case None =>
-          synchronized { misses += 1 }
-          val v = compute
-          attempt(backend.put(key, v, ttlSeconds))
-          v
+          val mine = new java.util.concurrent.CompletableFuture[String]()
+          val existing = inFlight.putIfAbsent(key, mine)
+          if (existing == null) {
+            try {
+              synchronized { misses += 1 }
+              val v =
+                try compute
+                catch { case e: Throwable =>
+                  mine.completeExceptionally(e); throw e }
+              attempt(backend.put(key, v, ttlSeconds))
+              mine.complete(v)
+              v
+            } finally { inFlight.remove(key, mine); () }
+          } else {
+            // share the winner's outcome; a shared result is a hit on
+            // the in-flight computation (misses counts actual computes)
+            try {
+              val v = existing.join()
+              synchronized { hits += 1 }
+              v
+            } catch {
+              case e: java.util.concurrent.CompletionException =>
+                throw Option(e.getCause).getOrElse(e)
+            }
+          }
       }
 
     def stats: ResilientStats = synchronized {

@@ -422,7 +422,10 @@ object AtomicStore {
     try body
     finally {
       heldLeases.set(heldLeases.get() - path)
-      f.delete(lease, false)
+      // release only OUR lease: a mutation that outlived the grace may
+      // have been broken and superseded — blindly deleting would evict
+      // the successor's lease and let a third writer race it
+      if (readBack() == token) f.delete(lease, false)
       ()
     }
   }

@@ -78,9 +78,12 @@ class BenchGateSpec extends SparkSpec {
 
   test("rc contract end to end: plan-slow breach → rc 1, fully-" +
     "contaminated breach → rc 3, pass → rc 0") {
-    // rc 1: sub-µs envelope, quiet box — every breach runs steal-clean
+    // rc 1: sub-µs envelope; the clean bar is forced HIGH so every breach
+    // counts steal-clean even if a host storm lands mid-run — the leg
+    // pins "a clean breach exists → plan-slow", not the box's weather
     val (rcSlow, jsonSlow) = runBench(Map(
-      "SPARK_GRAFT_GATE_SECONDS" -> "0.000001"))
+      "SPARK_GRAFT_GATE_SECONDS" -> "0.000001",
+      "SPARK_GRAFT_CLEAN_THRESH" -> "1e9"))
     assert(rcSlow == 1, s"plan-slow must exit 1, got $rcSlow\n$jsonSlow")
     assert(jsonSlow.contains("\"gate_class\":\"slow\""), jsonSlow)
     assert(jsonSlow.contains("\"pass_max_lt_2s\":false"), jsonSlow)
@@ -94,8 +97,12 @@ class BenchGateSpec extends SparkSpec {
       "SPARK_GRAFT_STEAL_THRESH" -> "1e9"))
     assert(rcCont == 3, s"contaminated must exit 3, got $rcCont\n$jsonCont")
     assert(jsonCont.contains("\"gate_class\":\"contaminated\""), jsonCont)
-    // rc 0: the real envelope passes on the same query
-    val (rcPass, jsonPass) = runBench(Map.empty)
+    // rc 0: a passing envelope on the same query (generous — 30 s — so a
+    // host steal storm during the sf0.001 run cannot flake the PASS leg;
+    // the envelope VALUE is the two legs above's concern, this leg pins
+    // the exit-0 plumbing)
+    val (rcPass, jsonPass) = runBench(Map(
+      "SPARK_GRAFT_GATE_SECONDS" -> "30"))
     assert(rcPass == 0, s"pass must exit 0, got $rcPass\n$jsonPass")
     assert(jsonPass.contains("\"gate_class\":\"pass\""), jsonPass)
   }

@@ -283,6 +283,14 @@ class DedupIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DedupIndex.append(batchDocs, "doc_id", "text", path, tag = "base")
     }
+    // a tag that would nest directories or forge the ledger's highwater
+    // line is rejected up front
+    intercept[IllegalArgumentException] {
+      DedupIndex.append(batchDocs, "doc_id", "text", path, tag = "b<=9")
+    }
+    intercept[IllegalArgumentException] {
+      DedupIndex.append(batchDocs, "doc_id", "text", path, tag = "a/b")
+    }
     def ledger(): Seq[String] = {
       val g = graft.util.AtomicStore.resolve(spark, path)
       val f = java.nio.file.Paths.get(s"$g/_folded_tags")

@@ -247,4 +247,62 @@ class CacheSpec extends AnyFunSuite {
       net.close()
     } finally server2.stop()
   }
+
+  test("single-flight: concurrent misses on one key compute ONCE; a failed " +
+    "compute propagates to its waiters and a later request retries fresh") {
+    val cache = new ResilientCache(new LruBackend(maxEntries = 16,
+      ttlSeconds = 60), ttlSeconds = 60)
+    val computes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val inCompute = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val results = java.util.Collections
+      .synchronizedList(new java.util.ArrayList[String]())
+    def worker() = new Thread(() => {
+      val v = cache.getOrCompute("k") {
+        computes.incrementAndGet()
+        inCompute.countDown()
+        release.await()
+        "value"
+      }
+      results.add(v); ()
+    })
+    val winner = worker()
+    winner.start()
+    inCompute.await() // the flight is open; everyone below must join it
+    val waiters = (0 until 8).map(_ => worker())
+    waiters.foreach(_.start())
+    Thread.sleep(100) // waiters reach join()
+    release.countDown()
+    winner.join(); waiters.foreach(_.join())
+    assert(computes.get() == 1, "the herd must share one compute")
+    assert(results.size == 9 && {
+      import scala.jdk.CollectionConverters._
+      results.asScala.forall(_ == "value")
+    })
+    val s = cache.stats
+    assert(s.misses == 1 && s.hits == 8, s"stats: $s")
+    // failure propagation: waiters see the winner's error once, the NEXT
+    // request retries (the slot is cleared)
+    val boom = new java.util.concurrent.CountDownLatch(1)
+    val go = new java.util.concurrent.CountDownLatch(1)
+    val errs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failer = new Thread(() => {
+      try cache.getOrCompute("f") {
+        boom.countDown(); go.await()
+        throw new RuntimeException("compute failed")
+      } catch { case _: RuntimeException => errs.incrementAndGet(); () }
+    })
+    failer.start(); boom.await()
+    val failWaiter = new Thread(() => {
+      try { cache.getOrCompute("f")(fail("waiter must not compute")); () }
+      catch { case _: RuntimeException => errs.incrementAndGet(); () }
+    })
+    failWaiter.start()
+    Thread.sleep(100)
+    go.countDown()
+    failer.join(); failWaiter.join()
+    assert(errs.get() == 2, "both the winner and the waiter see the failure")
+    assert(cache.getOrCompute("f")("recovered") == "recovered",
+      "a later request retries fresh")
+  }
 }
