@@ -887,17 +887,27 @@ object ScaleProbe {
         Map("bench" -> ((served, spec))))
       try {
         val port = running.port
+        // never throws: a connection error or a body-less error response
+        // returns code -1/599 — a dead client thread would silently
+        // truncate the sample set and publish qps/p99 over a clean-looking
+        // subset (the "no silent caps" trap)
         def get(path: String): (Int, Long) = {
           val t0 = System.nanoTime()
-          val c = java.net.URI.create(s"http://127.0.0.1:$port$path")
-            .toURL.openConnection()
-            .asInstanceOf[java.net.HttpURLConnection]
-          c.setRequestMethod("GET")
-          val code = c.getResponseCode
-          val in = if (code >= 400) c.getErrorStream else c.getInputStream
-          val buf = new Array[Byte](1 << 16)
-          try { while (in.read(buf) != -1) () } finally in.close()
-          (code, System.nanoTime() - t0)
+          try {
+            val c = java.net.URI.create(s"http://127.0.0.1:$port$path")
+              .toURL.openConnection()
+              .asInstanceOf[java.net.HttpURLConnection]
+            c.setRequestMethod("GET")
+            val code = c.getResponseCode
+            val in = if (code >= 400) c.getErrorStream else c.getInputStream
+            if (in != null) {
+              val buf = new Array[Byte](1 << 16)
+              try { while (in.read(buf) != -1) () } finally in.close()
+            }
+            (code, System.nanoTime() - t0)
+          } catch {
+            case _: java.io.IOException => (599, System.nanoTime() - t0)
+          }
         }
         // the workload: 24 distinct point keys + 4 stats/region shapes,
         // cycled — repeats hit the response cache, fresh keys miss and

@@ -210,11 +210,18 @@ object DedupIndex {
       invalidateCaches(path)
     }
 
-  /** Tombstoned ids of one generation, if any [[delete]] happened in it. */
+  /** Tombstoned ids of one generation, if any [[delete]] happened in it.
+    * Probed for committed DATA FILES, not bare existence: a delete
+    * killed mid-write leaves a dir holding only `_temporary/`, which
+    * must read as "no tombstones", not brick every later query/append/
+    * compact on failed schema inference.
+    */
   private def tombstonesOpt(spark: SparkSession, dir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString).distinct()) else None
+    if (AtomicStore.hasDataFile(fs, p))
+      Some(spark.read.parquet(p.toString).distinct())
+    else None
   }
 
   private val StreamTagRe = "^b([0-9]+)$".r

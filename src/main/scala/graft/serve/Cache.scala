@@ -500,7 +500,18 @@ object Cache {
               attempt(backend.put(key, v, ttlSeconds))
               mine.complete(v)
               v
-            } finally { inFlight.remove(key, mine); () }
+            } finally {
+              // belt-and-braces: if anything escaped BETWEEN the compute
+              // and complete(v) — an interrupt thrown past attempt()'s
+              // NonFatal catch, an OOM — the waiters must not block
+              // forever on a future nobody will ever complete
+              if (!mine.isDone) {
+                mine.completeExceptionally(new IllegalStateException(
+                  s"single-flight winner for '$key' died before completing"))
+                ()
+              }
+              inFlight.remove(key, mine); ()
+            }
           } else {
             // share the winner's outcome; a shared result is a hit on
             // the in-flight computation (misses counts actual computes)

@@ -1048,7 +1048,12 @@ object Similarity {
   private def tombstonesOpt(spark: SparkSession, dir: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString).distinct()) else None
+    // data-file probe, not bare exists: a delete killed mid-write leaves
+    // a tombstones dir holding only _temporary/, which would fail schema
+    // inference and brick every later open/serve/compact on the store
+    if (AtomicStore.hasDataFile(fs, p))
+      Some(spark.read.parquet(p.toString).distinct())
+    else None
   }
 
   /** Schema-robust read of a `codes_stream` extension table: an EXPLICIT
@@ -1243,7 +1248,8 @@ object Similarity {
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes_stream")))
         compactTable(spark, fs, s"$dir/codes_stream",
           Seq("batch_id", "cell"), tomb,
-          readStreamExt(spark, s"$dir/codes_stream", base.schema))
+          readStreamExt(spark, s"$dir/codes_stream", base.schema),
+          allowEmpty = true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
     }
 
@@ -1256,7 +1262,8 @@ object Similarity {
                            fs: org.apache.hadoop.fs.FileSystem,
                            table: String, partCols: Seq[String],
                            tomb: DataFrame, codes: DataFrame,
-                           idJoin: String = "cid"): Unit = {
+                           idJoin: String = "cid",
+                           allowEmpty: Boolean = false): Unit = {
     def partPath(vals: Seq[Any]): String =
       partCols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
     val affected = codes.join(tomb, Seq(idJoin), "left_semi")
@@ -1299,6 +1306,25 @@ object Similarity {
       val staged = spark.read.schema(survivors.schema).parquet(tmp)
       val stillThere = staged.select(partCols.map(col): _*).distinct()
         .collect().map(r => partPath(partCols.indices.map(r.get))).toSet
+      // a BASE codes table must never end up data-free: its schema is
+      // only recoverable from its own files, so deleting the last data
+      // file bricks every later open/serve/compact on failed schema
+      // inference. A 100%-tombstoned corpus is a store drop, not a
+      // compaction — refuse loudly (the mask already serves zero rows,
+      // nothing is lost by leaving the dead files until the operator
+      // drops or refits the store). Stream extensions pass allowEmpty:
+      // they are read with an explicit schema and removed when empty.
+      if (!allowEmpty && stillThere.isEmpty) {
+        val total = codes.select(partCols.map(col): _*).distinct().count()
+        if (total == affected.length) {
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          throw new IllegalStateException(
+            s"compacting $table would delete its LAST data file (every " +
+              "remaining row is tombstoned). Serving already returns " +
+              "nothing under the tombstone mask; drop the store directory " +
+              "or refit it instead of compacting an all-deleted corpus.")
+        }
+      }
       if (stillThere.nonEmpty)
         staged.write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -1644,7 +1670,7 @@ object Similarity {
         compactTable(spark, fs, s"$dir/codes_stream",
           Seq("batch_id", "cell"), tomb,
           readStreamExt(spark, s"$dir/codes_stream", base.schema),
-          idJoin = "id")
+          idJoin = "id", allowEmpty = true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/tombstones"), true)
     }
 

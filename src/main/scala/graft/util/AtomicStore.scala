@@ -132,6 +132,22 @@ object AtomicStore {
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
 
+  /** Whether `dir` holds at least one COMMITTED data file (a plain file
+    * not named like Spark metadata). A directory that exists but holds
+    * only `_temporary/`/`_SUCCESS` — a crashed write's remnant, or a
+    * table whose every partition was compacted away — must read as
+    * ABSENT, not be handed to schema inference ("Unable to infer
+    * schema"), which would brick every later read/mutation of the store.
+    * Top-level probe only: the callers' tables write their part files
+    * directly under `dir`.
+    */
+  private[graft] def hasDataFile(f: FileSystem, dir: Path): Boolean =
+    f.exists(dir) && f.listStatus(dir).exists(st =>
+      st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+
   /** The largest committed generation id, if any commit marker exists. */
   def currentGen(spark: SparkSession, path: String): Option[Long] =
     currentGen(fs(spark, path), path)
@@ -336,10 +352,13 @@ object AtomicStore {
       }
   }
 
-  /** A mutation lease is only broken (treated as crashed) once this old:
-    * long enough for any sane single store mutation (a stream batch, a
-    * delete, a fold), short enough that a crashed holder does not block
-    * the store for an hour.
+  /** A mutation lease is only broken (treated as crashed) once this old
+    * WITHOUT a heartbeat: a live holder refreshes the lease's mtime
+    * every `leaseGraceMs / 4` (daemon heartbeat thread), so an
+    * arbitrarily long mutation — a full-corpus refit, a fold — never
+    * loses exclusion mid-run; only a holder whose PROCESS died stops
+    * heartbeating and expires. 10 min bounds how long a crashed holder
+    * blocks the store.
     */
   val DefaultLeaseGraceMs: Long = 600000L
 
@@ -396,13 +415,51 @@ object AtomicStore {
       } catch { case _: java.io.IOException => false }
     var acquired = tryAcquire()
     if (!acquired) {
-      // a holder older than the grace is a crashed mutation's garbage —
-      // break it once and retry; a YOUNG holder is a live writer: reject
-      val stale =
-        try f.getFileStatus(lease).getModificationTime <
-          System.currentTimeMillis() - leaseGraceMs
-        catch { case _: java.io.IOException => true } // vanished: retry
-      if (stale) { f.delete(lease, false); acquired = tryAcquire() }
+      // a holder that stopped heartbeating for a full grace is a crashed
+      // mutation's garbage — break it once and retry; a YOUNG (or
+      // actively heartbeating) holder is a live writer: reject. The
+      // break is GUARDED: re-verify the file still holds the same stale
+      // content before deleting, so (a) a transient non-FNF IO error is
+      // never misread as "vanished" (that used to delete a LIVE lease),
+      // and (b) two recoverers racing the same expired lease cannot
+      // leap-frog — the second sees the first winner's FRESH token, not
+      // the stale one it observed, and backs off to the reject path.
+      val staleToken: Option[String] =
+        try {
+          val st = f.getFileStatus(lease)
+          if (st.getModificationTime <
+              System.currentTimeMillis() - leaseGraceMs) {
+            val buf = new Array[Byte](math.min(st.getLen, 256L).toInt)
+            val in = f.open(lease)
+            try in.readFully(0, buf) finally in.close()
+            Some(new String(buf, "UTF-8"))
+          } else None // young: live writer
+        } catch {
+          case _: java.io.FileNotFoundException => Some("") // vanished: retry
+          case _: java.io.IOException => None // transient: NOT evidence
+        }
+      staleToken.foreach { expect =>
+        val still =
+          try {
+            if (expect.isEmpty) !f.exists(lease)
+            else {
+              val st = f.getFileStatus(lease)
+              val buf = new Array[Byte](math.min(st.getLen, 256L).toInt)
+              val in = f.open(lease)
+              try in.readFully(0, buf) finally in.close()
+              new String(buf, "UTF-8") == expect &&
+                st.getModificationTime <
+                  System.currentTimeMillis() - leaseGraceMs
+            }
+          } catch {
+            case _: java.io.FileNotFoundException => true // already gone
+            case _: java.io.IOException => false
+          }
+        if (still) {
+          if (expect.nonEmpty) { f.delete(lease, false); () }
+          acquired = tryAcquire()
+        }
+      }
     }
     if (!acquired) {
       val holder =
@@ -419,9 +476,26 @@ object AtomicStore {
           "retry after it releases (single-writer contract, enforced)")
     }
     heldLeases.set(heldLeases.get() + path)
+    // HEARTBEAT: refresh the lease mtime every grace/4 so an arbitrarily
+    // long mutation (a full-corpus refit, a large fold) never expires
+    // mid-run — only a holder whose process DIED stops renewing. Daemon
+    // thread; a filesystem that rejects setTimes just leaves the
+    // original grace semantics in place.
+    val stopBeat = new java.util.concurrent.CountDownLatch(1)
+    val beat = new Thread(() => {
+      while (!stopBeat.await(math.max(leaseGraceMs / 4, 1000L),
+          java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        try f.setTimes(lease, System.currentTimeMillis(), -1L)
+        catch { case _: Exception => () }
+      }
+    })
+    beat.setDaemon(true)
+    beat.setName(s"graft-lease-heartbeat:$path")
+    beat.start()
     try body
     finally {
       heldLeases.set(heldLeases.get() - path)
+      stopBeat.countDown()
       // release only OUR lease: a mutation that outlived the grace may
       // have been broken and superseded — blindly deleting would evict
       // the successor's lease and let a third writer race it

@@ -340,6 +340,23 @@ class DedupIndexSpec extends SparkSpec {
     assert(gramCount() == n0 + 1, "folded random tag replay absorbed")
   }
 
+  test("a crashed delete's _temporary-only tombstones dir reads as absent " +
+    "(no schema-inference brick on query/append/compact)") {
+    val path = tmpDir() + "/idx_crashdel"
+    DedupIndex.write(corpusDocs, "doc_id", "text", path)
+    val g = graft.util.AtomicStore.resolve(spark, path)
+    assert(new java.io.File(s"$g/tombstones/_temporary").mkdirs())
+    val hits = DedupIndex.query(batchDocs, "doc_id", "text", path, 0.4)
+      .select("query_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((11L, 1L), (12L, 2L)), "remnant must not mask or brick")
+    DedupIndex.append(batchDocs.where(col("doc_id") === 13L),
+      "doc_id", "text", path) // the collision probe must not brick either
+    DedupIndex.compact(spark, path)
+    assert(DedupIndex.query(batchDocs, "doc_id", "text", path, 0.4)
+      .select("query_id", "index_id").as[(Long, Long)].collect().toSet
+      == Set((11L, 1L), (12L, 2L)))
+  }
+
   test("a delete racing a live ingestStream batch REJECTS on the mutation " +
     "lease; between batches it succeeds") {
     val path = tmpDir() + "/idx_lease"

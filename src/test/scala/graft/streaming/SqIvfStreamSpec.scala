@@ -208,6 +208,46 @@ class SqIvfStreamSpec extends SparkSpec {
     assert(liveIds() == expect - 0L)
   }
 
+  test("crashed-delete remnants and a 100%-tombstoned compaction cannot " +
+    "brick the store") {
+    val d = tmpDir() + "/sqbrick"
+    val corpus = emb.where(col("vec_id") < 20)
+    Similarity.writeSqIvfIndex(corpus, "vec_id", "embedding", d,
+      dim = 64, nlist = 8)
+    val g = AtomicStore.resolve(spark, d)
+    // a delete killed mid-write leaves tombstones/ with only _temporary/:
+    // must read as "no tombstones", not fail schema inference
+    assert(new java.io.File(s"$g/tombstones/_temporary").mkdirs())
+    assert(Similarity.openSqIvfIndex(spark.newSession(), d)
+      .codes.count() == 20, "remnant dir must not mask or brick")
+    Similarity.appendToSqIvfIndex(
+      emb.where(col("vec_id") >= 20 && col("vec_id") < 25),
+      "vec_id", "embedding", d)
+    // now tombstone EVERYTHING: the mask serves zero rows immediately,
+    // but physically reclaiming the last data file would make the base
+    // codes unreadable (schema lives in its files) — compact REFUSES
+    // loudly and the store stays openable, mask intact
+    Similarity.deleteFromSqIvfIndex(
+      emb.where(col("vec_id") < 25).select(col("vec_id")), "vec_id", d)
+    assert(Similarity.openSqIvfIndex(spark.newSession(), d)
+      .codes.count() == 0, "fully-masked store serves nothing")
+    val e = intercept[IllegalStateException] {
+      Similarity.compactSqIvfIndex(spark, d)
+    }
+    assert(e.getMessage.contains("LAST data file"), e.getMessage)
+    assert(Similarity.openSqIvfIndex(spark.newSession(), d)
+      .codes.count() == 0, "refused compaction leaves the mask intact")
+    // a PARTIAL delete still compacts normally on the same store after a
+    // refit clears the full-corpus tombstones
+    Similarity.writeSqIvfIndex(corpus, "vec_id", "embedding", d,
+      dim = 64, nlist = 8)
+    Similarity.deleteFromSqIvfIndex(
+      emb.where(col("vec_id") === 1).select(col("vec_id")), "vec_id", d)
+    Similarity.compactSqIvfIndex(spark, d)
+    assert(Similarity.openSqIvfIndex(spark.newSession(), d)
+      .codes.count() == 19)
+  }
+
   test("sqIvfIndexStream with foldEveryBatches self-maintains the layout") {
     val d = tmpDir() + "/sqselffold"
     Similarity.writeSqIvfIndex(emb.where(col("vec_id") < 40),
