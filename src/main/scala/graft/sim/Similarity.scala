@@ -1122,7 +1122,7 @@ object Similarity {
     * batch append.
     */
   def appendStreamBatch(df: DataFrame, idCol: String, vecCol: String,
-                        path: String, batchId: Long): Unit = {
+                        path: String, batchId: Long): Boolean = {
     val spark = df.sparkSession
     AtomicStore.withMutationLease(spark, path,
         owner = s"appendStreamBatch:b$batchId") {
@@ -1148,7 +1148,8 @@ object Similarity {
             "or keep the original checkpoint directory. Recorded in " +
             "_skipped_batches (see Similarity.skippedStreamBatches).")
           recordSkippedBatch(spark, path, batchId, hw)
-        }
+          true // DROPPED — the caller may choose to fail fast
+        } else false // legitimate replay absorption, not data loss
       } else {
         val ids = df.select(col(idCol).as("cid")).distinct()
         if (tombstonesOpt(spark, dir)
@@ -1161,6 +1162,7 @@ object Similarity {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id", "cell")
           .parquet(s"$dir/codes_stream")
+        false
       }
     }
   }
@@ -1682,7 +1684,7 @@ object Similarity {
     * stream highwater (a refit already folded them, atomically).
     */
   def appendSqIvfStreamBatch(df: DataFrame, idCol: String, vecCol: String,
-                             path: String, batchId: Long): Unit = {
+                             path: String, batchId: Long): Boolean = {
     val spark = df.sparkSession
     AtomicStore.withMutationLease(spark, path,
         owner = s"appendSqIvfStreamBatch:b$batchId") {
@@ -1695,7 +1697,8 @@ object Similarity {
             "— see appendStreamBatch's fresh-checkpoint warning; these " +
             "batches are NOT being appended. Recorded in _skipped_batches.")
           recordSkippedBatch(spark, path, batchId, hwSkip.get)
-        }
+          true // DROPPED — the caller may choose to fail fast
+        } else false
       } else {
         // tombstone collisions compact first, like the batch append
         val ids = df.select(col(idCol).as("id")).distinct()
@@ -1709,6 +1712,7 @@ object Similarity {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id", "cell")
           .parquet(s"$dir/codes_stream")
+        false
       }
     }
   }

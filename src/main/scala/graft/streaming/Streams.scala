@@ -285,7 +285,8 @@ object Streams {
       corpus: SparkSession => DataFrame,
       driftThreshold: Double = 0.5,
       foldEveryBatches: Int = 0,
-      foldMaxExtDirs: Int = DefaultFoldMaxExtDirs
+      foldMaxExtDirs: Int = DefaultFoldMaxExtDirs,
+      failOnSkippedBatch: Boolean = false
   ): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
@@ -299,8 +300,16 @@ object Streams {
         // calls re-use this hold)
         graft.util.AtomicStore.withMutationLease(s, indexPath,
             owner = s"annIndexStream:b$batchId") {
-          graft.sim.Similarity.appendStreamBatch(
+          val dropped = graft.sim.Similarity.appendStreamBatch(
             batch.toDF(), idCol, vecCol, indexPath, batchId)
+          // opt-in fail-fast on the fresh-checkpoint highwater gap: the
+          // drop is always recorded machine-readably (_skipped_batches);
+          // with this flag the stream additionally TERMINATES instead of
+          // silently dropping every batch until ids catch up — for
+          // owners who prefer a dead stream to quiet data loss. Keyed to
+          // THIS call's outcome, not the persistent ledger, so an old
+          // incarnation's record can never kill a later healthy stream.
+          failFastOnSkip(indexPath, batchId, dropped && failOnSkippedBatch)
           val refitted = graft.sim.Similarity.refitIvfPqIndex(
             corpus(s), idCol, vecCol, indexPath, driftThreshold,
             streamHighwater = Some(batchId))
@@ -336,6 +345,17 @@ object Streams {
       graft.sim.Similarity.streamExtensionDirCount(s, indexPath)
         >= foldMaxExtDirs)
 
+  private def failFastOnSkip(indexPath: String,
+                             batchId: Long, fire: Boolean): Unit =
+    if (fire)
+      throw new IllegalStateException(
+        s"stream batch $batchId was DROPPED by the index's stream " +
+          s"highwater at $indexPath — the stream restarted with a fresh " +
+          "checkpoint against an existing index (see _skipped_batches). " +
+          "failOnSkippedBatch is set: terminating instead of silently " +
+          "losing data. Keep the original checkpoint, point at a new " +
+          "index, or refit.")
+
   /** Stream-maintained SQ×IVF index — [[annIndexStream]]'s exact
     * lifecycle on the int8 store: append each micro-batch to the
     * `codes_stream` extension with the stored centroids
@@ -358,7 +378,8 @@ object Streams {
       corpus: SparkSession => DataFrame,
       growthThreshold: Double = 0.5,
       foldEveryBatches: Int = 0,
-      foldMaxExtDirs: Int = DefaultFoldMaxExtDirs
+      foldMaxExtDirs: Int = DefaultFoldMaxExtDirs,
+      failOnSkippedBatch: Boolean = false
   ): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
@@ -368,8 +389,10 @@ object Streams {
         // lease held for the whole batch — see annIndexStream
         graft.util.AtomicStore.withMutationLease(s, indexPath,
             owner = s"sqIvfIndexStream:b$batchId") {
-          graft.sim.Similarity.appendSqIvfStreamBatch(
+          val dropped = graft.sim.Similarity.appendSqIvfStreamBatch(
             batch.toDF(), idCol, vecCol, indexPath, batchId)
+          // see annIndexStream's failFastOnSkip note
+          failFastOnSkip(indexPath, batchId, dropped && failOnSkippedBatch)
           val refitted = graft.sim.Similarity.refitSqIvfIndex(
             corpus(s), idCol, vecCol, indexPath, growthThreshold,
             streamHighwater = Some(batchId))

@@ -97,13 +97,28 @@ object AtomicStore {
   private val LeaseName = "_mutation_lease"
 
   /** Default [[ExclusiveCreate]]: Hadoop's `create(path, overwrite =
-    * false)` — atomic on HDFS and local filesystems, HEAD-then-PUT on
-    * S3A (see the trait doc for the real conditional-write sketch).
+    * false)` — atomic on HDFS (a single namenode op). On the LOCAL
+    * filesystem Hadoop's implementation is exists-then-truncate — NOT
+    * atomic (two processes can interleave past the check and the second
+    * truncates the first's file; the cross-process lease race caught
+    * exactly this) — so local paths go through POSIX O_EXCL
+    * (`File.createNewFile`), which IS atomic: exactly one creator wins,
+    * the loser gets the IOException contract. The content write follows
+    * the atomic create; a reader can observe a momentarily empty file,
+    * which the token read-backs already treat as "not mine".
     */
   object HadoopExclusiveCreate extends ExclusiveCreate {
-    def create(f: FileSystem, path: Path, bytes: Array[Byte]): Unit = {
-      val out = f.create(path, false)
-      try { if (bytes.nonEmpty) out.write(bytes) } finally out.close()
+    def create(f: FileSystem, path: Path, bytes: Array[Byte]): Unit = f match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val file = new java.io.File(path.toUri.getPath)
+        if (!file.createNewFile())
+          throw new java.io.IOException(s"$path already exists")
+        val out = new java.io.FileOutputStream(file)
+        try { if (bytes.nonEmpty) out.write(bytes) } finally out.close()
+      case _ =>
+        val out = f.create(path, false)
+        try { if (bytes.nonEmpty) out.write(bytes) } finally out.close()
     }
   }
 

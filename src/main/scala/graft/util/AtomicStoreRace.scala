@@ -35,3 +35,49 @@ object AtomicStoreRace {
     }
   }
 }
+
+/** Cross-process exercise for the MUTATION LEASE
+  * ([[AtomicStore.withMutationLease]]): one process looping `rounds`
+  * lease-held critical sections against a shared store path. Inside the
+  * lease it stamps a shared `critical` file with its id, holds for 20 ms,
+  * and reads it back — if another process ever held the lease
+  * concurrently, the stamp is foreign and the process exits 2 ("TORN").
+  * A rejection (`IllegalStateException` — the other process holds the
+  * lease) is the EXPECTED contention outcome: retry after a pause.
+  *
+  * Usage: MutationLeaseRace <storePath> <id> <rounds>
+  * Prints `done <id> rounds=<n> rejected=<m>`; exits 0, or 2 on a torn
+  * critical section. Driven by AtomicStoreCrossProcessSpec.
+  */
+object MutationLeaseRace {
+  def main(args: Array[String]): Unit = {
+    val Array(path, id, roundsS) = args
+    val rounds = roundsS.toInt
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val f = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val crit = new org.apache.hadoop.fs.Path(s"$path/critical")
+    var done = 0
+    var rejected = 0
+    while (done < rounds) {
+      try {
+        AtomicStore.withMutationLease(f, path, id, 60000L) {
+          val o = f.create(crit, true)
+          try o.write(id.getBytes("UTF-8")) finally o.close()
+          Thread.sleep(20)
+          val in = f.open(crit)
+          val buf = new Array[Byte](id.getBytes("UTF-8").length)
+          try in.readFully(0, buf) finally in.close()
+          if (new String(buf, "UTF-8") != id) {
+            println(s"TORN: $id saw a foreign holder inside its lease")
+            sys.exit(2)
+          }
+        }
+        done += 1
+      } catch {
+        case _: IllegalStateException =>
+          rejected += 1; Thread.sleep(10)
+      }
+    }
+    println(s"done $id rounds=$done rejected=$rejected")
+  }
+}

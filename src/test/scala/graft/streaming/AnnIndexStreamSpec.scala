@@ -346,6 +346,40 @@ class AnnIndexStreamSpec extends SparkSpec {
       == Set((1L, 7L)))
   }
 
+  test("failOnSkippedBatch: a fresh-checkpoint restart TERMINATES the " +
+    "stream instead of silently dropping batches (opt-in)") {
+    val d = tmpDir() + "/annfailskip"
+    // a store whose fit already folded batch 9 — a NEW stream against it
+    // restarts ids at 0, the exact silent-data-loss trap
+    Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 40),
+      "vec_id", "embedding", d, dim = 64, nlist = 8, m = 8,
+      codebookSize = 16, streamHighwater = Some(9L))
+    val src = graft.util.Tmp.root("ann_failskip_src")
+    val ckpt = graft.util.Tmp.root("ann_failskip_ckpt").toString
+    val q = Streams.annIndexStream(
+      spark.readStream.schema(emb.schema).option("maxFilesPerTrigger", "1")
+        .parquet(src.toString),
+      "vec_id", "embedding", d, ckpt,
+      corpus = _ => emb, driftThreshold = Double.MaxValue,
+      failOnSkippedBatch = true)
+    try {
+      stage(src, 0)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: chain(t.getCause)
+      assert(chain(e).exists(m => m != null && m.contains("DROPPED")),
+        s"must terminate on the drop, got: ${chain(e)}")
+    } finally q.stop()
+    // the drop is still in the machine-readable ledger
+    assert(Similarity.skippedStreamBatches(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((0L, 9L)))
+    // …and the lease was released despite the batch failing
+    assert(!new java.io.File(s"$d/_mutation_lease").exists())
+  }
+
   test("a delete racing a live stream batch REJECTS on the mutation lease; " +
     "between batches it succeeds (single-writer contract, enforced)") {
     val d = tmpDir() + "/annlease"

@@ -99,4 +99,33 @@ class AtomicStoreCrossProcessSpec extends SparkSpec {
     val g = AtomicStore.currentGen(spark, store).get
     assert(g == (gensA ++ gensB).max, "readers resolve the highest commit")
   }
+
+  test("two OS processes contending on the mutation lease: critical " +
+    "sections never overlap, both complete, rejections retry") {
+    val store = tmpDir() + "/xlease"
+    new java.io.File(store).mkdirs()
+    val rounds = 12
+    def launch(id: String): Process = {
+      val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+        "-cp", System.getProperty("java.class.path"),
+        "graft.util.MutationLeaseRace", store, id, rounds.toString))
+      new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    }
+    val pA = launch("A")
+    val pB = launch("B")
+    val okA = pA.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+    val okB = pB.waitFor(120, java.util.concurrent.TimeUnit.SECONDS)
+    assert(okA && okB, "a lease-contending process wedged")
+    def out(p: Process): String =
+      scala.io.Source.fromInputStream(p.getInputStream).mkString
+    val (oa, ob) = (out(pA), out(pB))
+    // exit 2 = a process observed a FOREIGN holder inside its own lease
+    // (mutual exclusion violated); exit 0 + "done" = all rounds ran
+    assert(pA.exitValue() == 0, s"A: $oa")
+    assert(pB.exitValue() == 0, s"B: $ob")
+    assert(oa.contains(s"rounds=$rounds") && ob.contains(s"rounds=$rounds"),
+      s"every round must complete: A=$oa B=$ob")
+    assert(!new java.io.File(s"$store/_mutation_lease").exists(),
+      "the last holder must release the lease")
+  }
 }
