@@ -334,8 +334,28 @@ object DedupIndex {
     // read (its orphan gram rows join nothing today and would become
     // permanent dead weight in base) nor recorded as folded — recording
     // it would make the at-least-once replay's folded-tags guard skip
-    // the re-append, silently losing the batch's documents forever
-    val complete = (gramTags intersect bandTags).toSeq.sorted
+    // the re-append, silently losing the batch's documents forever.
+    // Directory EXISTENCE is not completion evidence: Spark creates the
+    // output dir (holding only `_temporary/`) at job START, so a kill
+    // anywhere inside the bands write leaves `bands/t` present but
+    // uncommitted for the job's whole duration. Completion = the job
+    // committer's own `_SUCCESS` marker in BOTH tables' tag dirs
+    // (written as commitJob's final act — also excludes a kill inside
+    // the commit's file-move loop, which leaves partial data files but
+    // no marker). Self-calibrating: if this store's own `grams/base`
+    // carries no `_SUCCESS` (a deployment that disabled
+    // marksuccessfuljobs), fall back to committed-data-file presence.
+    val successOn = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/grams/base/_SUCCESS"))
+    def committed(table: String, t: String): Boolean = {
+      val tp = new org.apache.hadoop.fs.Path(s"$dir/$table/$t")
+      if (successOn)
+        fs.exists(new org.apache.hadoop.fs.Path(tp, "_SUCCESS"))
+      else AtomicStore.hasDataFile(fs, tp)
+    }
+    val complete = (gramTags intersect bandTags)
+      .filter(t => committed("grams", t) && committed("bands", t))
+      .toSeq.sorted
     val orphans = (gramTags union bandTags) -- complete
     if (orphans.nonEmpty)
       System.err.println(s"[graft] DedupIndex.compact: skipping incomplete " +

@@ -1092,6 +1092,53 @@ object Similarity {
       .map(t => codes.join(t, Seq("cid"), "left_anti")).getOrElse(codes)
   }
 
+  /** Mark a stream micro-batch's extension write as fully JOB-COMMITTED:
+    * an empty `_complete_b<N>` file at the extension root, created only
+    * AFTER the batch's parquet job commits (and re-created by an
+    * at-least-once replay's rewrite). The extension folds read these as
+    * the completion boundary: a kill inside the parquet job — including
+    * inside the committer's file-move loop, which leaves PARTIAL data
+    * files — leaves no sentinel, so a fold that runs before the stream
+    * restarts must neither merge that batch's partial rows into base nor
+    * raise the highwater over it (the replay would then be absorbed and
+    * the partial rows would serve forever). Underscore-prefixed, so
+    * Spark's file index and [[streamExtensionDirCount]] both ignore it;
+    * the files live and die with the extension directory.
+    */
+  private def writeBatchSentinel(spark: SparkSession, dir: String,
+                                 batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$dir/codes_stream/_complete_b$batchId")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(p, true).close()
+  }
+
+  /** Batch ids the extension holds completion sentinels for. `None` for
+    * a PRE-SENTINEL (legacy) extension — no `_complete_b*` and no
+    * `_sentinels_enabled` convention marker — which the folds treat as
+    * all-complete (the pre-sentinel behavior). `Some(empty)` is an
+    * extension that follows the convention but holds no complete batch:
+    * a fold that CARRIED a partial batch writes the convention marker
+    * alongside it, so a second fold before the replay arrives cannot
+    * mistake the carried rows for a legacy all-complete extension and
+    * fold them after all.
+    */
+  private def sentineledBatches(spark: SparkSession,
+      extP: org.apache.hadoop.fs.Path): Option[Set[Long]] = {
+    val fs = extP.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(extP)) None
+    else {
+      val names = fs.listStatus(extP).iterator
+        .filter(_.isFile).map(_.getPath.getName).toSeq
+      val ids = names.filter(_.startsWith("_complete_b"))
+        .flatMap(n => scala.util.Try(
+          n.drop("_complete_b".length).toLong).toOption)
+        .toSet
+      if (ids.isEmpty && !names.contains("_sentinels_enabled")) None
+      else Some(ids)
+    }
+  }
+
   /** Last micro-batch id a generation's FIT already folded in — written
     * by a stream-triggered refit ([[writeIvfPqIndex]]'s `streamHighwater`)
     * atomically with the generation.
@@ -1162,6 +1209,7 @@ object Similarity {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id", "cell")
           .parquet(s"$dir/codes_stream")
+        writeBatchSentinel(spark, dir, batchId)
         false
       }
     }
@@ -1383,13 +1431,29 @@ object Similarity {
     // a data-free extension (every streamed row tombstone-compacted
     // away) has nothing to fold — remove the empty directory so later
     // opens skip the union branch entirely
-    val baseSchema = spark.read.parquet(s"$dir/codes").schema
-    val extRows = readStreamExt(spark, extP.toString, baseSchema)
+    val base = spark.read.parquet(s"$dir/codes")
+    val extRows = readStreamExt(spark, extP.toString, base.schema)
     if (extRows.isEmpty) { extFs.delete(extP, true); return false }
     val maxBatch = extRows
       .agg(max(col("batch_id").cast("long"))).head().getLong(0)
-    val hw = math.max(streamHighwaterOf(spark, dir).getOrElse(-1L), maxBatch)
-    val merged = liveCodes(spark, dir) // base ∪ extension, tombstones gone
+    // completion boundary: only batches whose parquet job COMMITTED (the
+    // append's `_complete_b<N>` sentinel) fold and raise the highwater. A
+    // batch killed mid-write — even mid-commit, which leaves partial data
+    // files — has no sentinel: its rows are CARRIED into the fresh
+    // generation's extension untouched, so the at-least-once replay still
+    // finds batch_id partitions to rewrite instead of being absorbed by a
+    // highwater that covered half a batch. A pre-sentinel extension
+    // (no markers at all) folds whole, as before.
+    val maxComplete =
+      sentineledBatches(spark, extP).fold(maxBatch)(_.foldLeft(-1L)(math.max))
+    val hw = math.max(streamHighwaterOf(spark, dir).getOrElse(-1L), maxComplete)
+    val foldable =
+      extRows.where(col("batch_id").cast("long") <= lit(maxComplete))
+    val carry =
+      extRows.where(col("batch_id").cast("long") > lit(maxComplete))
+    // tombstones were folded by compactIn above, so live = base ∪ foldable
+    val merged = base.unionByName(
+      foldable.select(base.columns.toIndexedSeq.map(col): _*))
     val (gen, gdir) = AtomicStore.begin(spark, path)
     AtomicStore.failpoint("ivfpq:meta")
     Seq("meta", "centroids", "codebooks", "cellstats").foreach { t =>
@@ -1397,6 +1461,14 @@ object Similarity {
     }
     AtomicStore.failpoint("ivfpq:codes")
     merged.write.mode("overwrite").partitionBy("cell").parquet(s"$gdir/codes")
+    if (maxComplete < maxBatch) {
+      carry.write.mode("overwrite").partitionBy("batch_id", "cell")
+        .parquet(s"$gdir/codes_stream")
+      // convention marker: the carried extension has no sentinels of its
+      // own — without this a second fold would misread it as legacy
+      extFs.create(new org.apache.hadoop.fs.Path(
+        s"$gdir/codes_stream/_sentinels_enabled"), true).close()
+    }
     writeStreamHighwater(spark, gdir, Some(hw))
     AtomicStore.commit(spark, path, gen)
     invalidateIndexModel(path)
@@ -1712,6 +1784,7 @@ object Similarity {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id", "cell")
           .parquet(s"$dir/codes_stream")
+        writeBatchSentinel(spark, dir, batchId)
         false
       }
     }
@@ -1851,9 +1924,19 @@ object Similarity {
     if (extRows.isEmpty) { extFs.delete(extP, true); return false }
     val maxBatch = extRows
       .agg(max(col("batch_id").cast("long"))).head().getLong(0)
-    val hw = math.max(streamHighwaterOf(spark, dir).getOrElse(-1L), maxBatch)
+    // completion boundary — see [[compactIvfPqStreamExtensionIn]]: only
+    // sentineled (job-committed) batches fold and raise the highwater;
+    // a mid-write kill's partial rows are carried for the replay to
+    // rewrite, and a pre-sentinel extension folds whole
+    val maxComplete =
+      sentineledBatches(spark, extP).fold(maxBatch)(_.foldLeft(-1L)(math.max))
+    val hw = math.max(streamHighwaterOf(spark, dir).getOrElse(-1L), maxComplete)
+    val foldable =
+      extRows.where(col("batch_id").cast("long") <= lit(maxComplete))
+    val carry =
+      extRows.where(col("batch_id").cast("long") > lit(maxComplete))
     val merged = base.unionByName(
-      extRows.select(base.columns.toIndexedSeq.map(col): _*))
+      foldable.select(base.columns.toIndexedSeq.map(col): _*))
     val (gen, gdir) = AtomicStore.begin(spark, path)
     AtomicStore.failpoint("sqivf:meta")
     Seq("meta", "centroids").foreach { t =>
@@ -1861,6 +1944,12 @@ object Similarity {
     }
     AtomicStore.failpoint("sqivf:codes")
     merged.write.mode("overwrite").partitionBy("cell").parquet(s"$gdir/codes")
+    if (maxComplete < maxBatch) {
+      carry.write.mode("overwrite").partitionBy("batch_id", "cell")
+        .parquet(s"$gdir/codes_stream")
+      extFs.create(new org.apache.hadoop.fs.Path(
+        s"$gdir/codes_stream/_sentinels_enabled"), true).close()
+    }
     writeStreamHighwater(spark, gdir, Some(hw))
     AtomicStore.commit(spark, path, gen)
     invalidateSqIvfModel(path)

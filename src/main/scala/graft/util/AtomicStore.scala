@@ -433,12 +433,18 @@ object AtomicStore {
       // a holder that stopped heartbeating for a full grace is a crashed
       // mutation's garbage — break it once and retry; a YOUNG (or
       // actively heartbeating) holder is a live writer: reject. The
-      // break is GUARDED: re-verify the file still holds the same stale
-      // content before deleting, so (a) a transient non-FNF IO error is
-      // never misread as "vanished" (that used to delete a LIVE lease),
-      // and (b) two recoverers racing the same expired lease cannot
-      // leap-frog — the second sees the first winner's FRESH token, not
-      // the stale one it observed, and backs off to the reject path.
+      // break is ARBITRATED through the same atomic conditional write as
+      // the lease itself: a recoverer must first exclusively create a
+      // BREAK MARKER named by the stale token's digest, so exactly one
+      // recoverer per stale incarnation may delete — a bare
+      // verify-then-delete would let two recoverers leap-frog (B
+      // re-verifies the stale content, A breaks and acquires fresh, B's
+      // delete then evicts A's LIVE lease). Inside the marker the winner
+      // re-verifies the content one last time (nobody else may delete
+      // without winning a marker, so verify-then-delete is race-free
+      // there) — a transient non-FNF IO error is never misread as
+      // "vanished", and a lease the crashed holder's SUCCESSOR already
+      // replaced reads fresh and backs off.
       val staleToken: Option[String] =
         try {
           val st = f.getFileStatus(lease)
@@ -454,25 +460,55 @@ object AtomicStore {
           case _: java.io.IOException => None // transient: NOT evidence
         }
       staleToken.foreach { expect =>
-        val still =
-          try {
-            if (expect.isEmpty) !f.exists(lease)
-            else {
-              val st = f.getFileStatus(lease)
-              val buf = new Array[Byte](math.min(st.getLen, 256L).toInt)
-              val in = f.open(lease)
-              try in.readFully(0, buf) finally in.close()
-              new String(buf, "UTF-8") == expect &&
-                st.getModificationTime <
-                  System.currentTimeMillis() - leaseGraceMs
-            }
-          } catch {
-            case _: java.io.FileNotFoundException => true // already gone
-            case _: java.io.IOException => false
-          }
-        if (still) {
-          if (expect.nonEmpty) { f.delete(lease, false); () }
+        if (expect.isEmpty) {
+          // vanished between reject and probe: no delete needed, the
+          // re-acquisition is itself the atomic conditional write
           acquired = tryAcquire()
+        } else {
+          val digest = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(expect.getBytes("UTF-8"))
+            .take(8).map("%02x".format(_)).mkString
+          val marker = new Path(s"$path/${LeaseName}_break_$digest")
+          val wonBreak =
+            try { exclusiveCreate.create(f, marker, Array.emptyByteArray); true }
+            catch {
+              case _: java.io.IOException =>
+                // a marker for THIS incarnation already exists: either a
+                // concurrent recoverer is mid-break (back off — it will
+                // finish in ms) or a recoverer CRASHED between marker
+                // and delete. Only the second wedges the store, so age
+                // the marker on the lease grace before garbage-collecting
+                // it and retrying once.
+                val crashed =
+                  try f.getFileStatus(marker).getModificationTime <
+                    System.currentTimeMillis() - leaseGraceMs
+                  catch { case _: java.io.IOException => false }
+                crashed && {
+                  f.delete(marker, false)
+                  try { exclusiveCreate.create(f, marker,
+                    Array.emptyByteArray); true }
+                  catch { case _: java.io.IOException => false }
+                }
+            }
+          if (wonBreak) {
+            try {
+              val still =
+                try {
+                  val st = f.getFileStatus(lease)
+                  val buf = new Array[Byte](math.min(st.getLen, 256L).toInt)
+                  val in = f.open(lease)
+                  try in.readFully(0, buf) finally in.close()
+                  new String(buf, "UTF-8") == expect &&
+                    st.getModificationTime <
+                      System.currentTimeMillis() - leaseGraceMs
+                } catch {
+                  case _: java.io.FileNotFoundException => false // gone: just acquire
+                  case _: java.io.IOException => false
+                }
+              if (still) { f.delete(lease, false); () }
+              acquired = tryAcquire()
+            } finally { f.delete(marker, false); () }
+          }
         }
       }
     }

@@ -276,6 +276,63 @@ class DedupIndexSpec extends SparkSpec {
       .where(col("id") === 100L).count() == 1, "folded replay absorbed once")
   }
 
+  test("a bands dir that EXISTS but never job-committed (_temporary-only " +
+    "or partial files without _SUCCESS) is not folded as complete") {
+    val path = tmpDir() + "/idx_uncommitted"
+    DedupIndex.write(corpusDocs, "doc_id", "text", path)
+    DedupIndex.append(
+      Seq((100L, "a complete batch whose tag must fold and absorb replays"))
+        .toDF("doc_id", "text"), "doc_id", "text", path, tag = "b0")
+    // stage the WIDE crash window the dir-existence proxy misses: Spark
+    // creates the output dir (holding only _temporary/) at job START, so
+    // a kill anywhere inside the bands job leaves bands/t present but
+    // uncommitted. Run a complete append, then doctor it back to that
+    // on-disk shape: b1 = _temporary-only, b2 = partial data file with
+    // no _SUCCESS (a kill inside commitJob's file-move loop).
+    DedupIndex.append(
+      Seq((101L, "batch killed early its bands dir holds only temporary"))
+        .toDF("doc_id", "text"), "doc_id", "text", path, tag = "b1")
+    DedupIndex.append(
+      Seq((102L, "batch killed inside the commit loop partial bands files"))
+        .toDF("doc_id", "text"), "doc_id", "text", path, tag = "b2")
+    val g0 = graft.util.AtomicStore.resolve(spark, path)
+    def doctor(tag: String, keepOnePart: Boolean): Unit = {
+      val d = new java.io.File(s"$g0/bands/$tag")
+      val parts = d.listFiles().filter(f =>
+        f.getName.startsWith("part-") || f.getName == "_SUCCESS" ||
+          f.getName.endsWith(".crc"))
+      val keep = if (keepOnePart)
+        parts.find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).toSet
+      else Set.empty[java.io.File]
+      parts.filterNot(keep).foreach(_.delete())
+      new java.io.File(d, "_temporary/0").mkdirs()
+    }
+    doctor("b1", keepOnePart = false)
+    doctor("b2", keepOnePart = true)
+    DedupIndex.compact(spark, path)
+    val g1 = graft.util.AtomicStore.resolve(spark, path)
+    // neither uncommitted tag folded or was recorded; the complete one was
+    val folded = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$g1/grams")
+    assert(folded.where(col("id") === 100L).count() == 1, "complete folds")
+    assert(folded.where(col("id").isin(101L, 102L)).count() == 0,
+      "uncommitted tags' rows stay out of base")
+    // the at-least-once replays are NOT absorbed: both rewrite cleanly
+    // and their documents become searchable — the data loss this pins
+    Seq(("b1", 101L, "batch killed early its bands dir holds only temporary"),
+        ("b2", 102L, "batch killed inside the commit loop partial bands files"))
+      .foreach { case (tag, id, text) =>
+        DedupIndex.append(Seq((id, text)).toDF("doc_id", "text"),
+          "doc_id", "text", path, tag = tag)
+        val hits = DedupIndex.query(
+          Seq((900L + id, text + " NOPE")).toDF("doc_id", "text"),
+          "doc_id", "text", path, 0.4)
+          .select("index_id").as[Long].collect().toSet
+        assert(hits.contains(id), s"replayed $tag must be searchable")
+      }
+  }
+
   test("'base' tag is rejected; numbered stream tags collapse into a " +
     "bounded highwater ledger across repeated folds") {
     val path = tmpDir() + "/idx_ledger"

@@ -215,6 +215,67 @@ class AnnIndexStreamSpec extends SparkSpec {
     assert(!Similarity.compactIvfPqStreamExtension(spark, d))
   }
 
+  test("fold carries a non-job-committed (sentinel-less) last batch instead " +
+    "of folding its partial rows and absorbing the replay") {
+    val d = tmpDir() + "/streamcarry"
+    Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 40),
+      "vec_id", "embedding", d, dim = 64, nlist = 8, m = 8, codebookSize = 16)
+    Similarity.appendStreamBatch(
+      emb.where(col("vec_id") >= 40 && col("vec_id") < 50),
+      "vec_id", "embedding", d, batchId = 0L)
+    Similarity.appendStreamBatch(
+      emb.where(col("vec_id") >= 50 && col("vec_id") < 60),
+      "vec_id", "embedding", d, batchId = 1L)
+    // stage batch 2's crash shape: data files landed (a kill inside the
+    // committer's file-move loop leaves PARTIAL ones), sentinel never
+    // written — the append crashed before job completion
+    Similarity.appendStreamBatch(
+      emb.where(col("vec_id") >= 60 && col("vec_id") < 70),
+      "vec_id", "embedding", d, batchId = 2L)
+    val g0 = AtomicStore.resolve(spark, d)
+    val sentinel2 = new java.io.File(s"$g0/codes_stream/_complete_b2")
+    assert(sentinel2.exists(), "appends must write their sentinel")
+    sentinel2.delete()
+    // drop one of batch 2's cell partitions = the partial-commit shape
+    val b2cells = new java.io.File(s"$g0/codes_stream/batch_id=2")
+      .listFiles().filter(_.isDirectory)
+    assert(b2cells.length >= 2, "fixture needs >=2 cells to stage a partial")
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree); f.delete(); ()
+    }
+    rmTree(b2cells.head)
+    // the fold must not merge batch 2's partial rows into base, must not
+    // raise the highwater over it, and must CARRY its rows for the replay
+    assert(Similarity.compactIvfPqStreamExtension(spark, d))
+    val g1 = AtomicStore.resolve(spark, d)
+    assert(spark.read.parquet(s"$g1/codes").count() == 60,
+      "base 40 + the two complete batches only")
+    val carried = new java.io.File(s"$g1/codes_stream")
+    assert(carried.exists(), "partial batch carried into the new extension")
+    assert(new java.io.File(carried, "_sentinels_enabled").exists(),
+      "carried extension must keep the sentinel convention visible")
+    // the replay is NOT absorbed: it rewrites batch 2's partitions whole
+    val dropped = Similarity.appendStreamBatch(
+      emb.where(col("vec_id") >= 60 && col("vec_id") < 70),
+      "vec_id", "embedding", d, batchId = 2L)
+    assert(!dropped)
+    val fresh = spark.newSession()
+    assert(Similarity.openIvfPqIndex(fresh, d).codes.count() == 70,
+      "replayed batch fully visible after the carry")
+    // a second fold (replay now sentineled) folds everything
+    assert(Similarity.compactIvfPqStreamExtension(spark, d))
+    val g2 = AtomicStore.resolve(spark, d)
+    assert(!new java.io.File(s"$g2/codes_stream").exists())
+    assert(spark.read.parquet(s"$g2/codes").count() == 70)
+    // and the twice-folded store serves identically to a one-shot fit of
+    // the same corpus with the same stored model lineage
+    val probe = emb.where(col("vec_id") < 70)
+    val idx = Similarity.openIvfPqIndex(spark.newSession(), d)
+    val served = Similarity.ivfPqServe(idx, probe, "vec_id", "embedding",
+      k = 5, nprobe = 4).count()
+    assert(served > 0)
+  }
+
   test("annIndexStream with foldEveryBatches self-maintains the layout") {
     val d = tmpDir() + "/annselffold"
     Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 40),

@@ -248,6 +248,42 @@ class SqIvfStreamSpec extends SparkSpec {
       .codes.count() == 19)
   }
 
+  test("fold carries a non-job-committed (sentinel-less) last batch " +
+    "instead of folding partial rows — the IVF-PQ carry contract's twin") {
+    val d = tmpDir() + "/sqcarry"
+    Similarity.writeSqIvfIndex(emb.where(col("vec_id") < 40),
+      "vec_id", "embedding", d, dim = 64, nlist = 8)
+    Similarity.appendSqIvfStreamBatch(
+      emb.where(col("vec_id") >= 40 && col("vec_id") < 50),
+      "vec_id", "embedding", d, batchId = 0L)
+    Similarity.appendSqIvfStreamBatch(
+      emb.where(col("vec_id") >= 50 && col("vec_id") < 60),
+      "vec_id", "embedding", d, batchId = 1L)
+    val g0 = AtomicStore.resolve(spark, d)
+    // batch 1 "crashed": sentinel gone, one cell partition lost mid-commit
+    assert(new java.io.File(s"$g0/codes_stream/_complete_b1").delete())
+    val b1cells = new java.io.File(s"$g0/codes_stream/batch_id=1")
+      .listFiles().filter(_.isDirectory)
+    assert(b1cells.length >= 2)
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree); f.delete(); ()
+    }
+    rmTree(b1cells.head)
+    assert(Similarity.compactSqIvfStreamExtension(spark, d))
+    val g1 = AtomicStore.resolve(spark, d)
+    assert(spark.read.parquet(s"$g1/codes").count() == 50,
+      "base 40 + the complete batch 0 only")
+    assert(new java.io.File(s"$g1/codes_stream/_sentinels_enabled").exists())
+    // replay NOT absorbed; second fold then converges
+    assert(!Similarity.appendSqIvfStreamBatch(
+      emb.where(col("vec_id") >= 50 && col("vec_id") < 60),
+      "vec_id", "embedding", d, batchId = 1L))
+    assert(Similarity.compactSqIvfStreamExtension(spark, d))
+    val g2 = AtomicStore.resolve(spark, d)
+    assert(!new java.io.File(s"$g2/codes_stream").exists())
+    assert(spark.read.parquet(s"$g2/codes").count() == 60)
+  }
+
   test("sqIvfIndexStream with foldEveryBatches self-maintains the layout") {
     val d = tmpDir() + "/sqselffold"
     Similarity.writeSqIvfIndex(emb.where(col("vec_id") < 40),

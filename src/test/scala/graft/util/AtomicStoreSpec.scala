@@ -365,6 +365,83 @@ class AtomicStoreSpec extends SparkSpec {
     AtomicStore.withMutationLease(spark, d1, "later") { () } // admitted
   }
 
+  test("two recoverers contending one EXPIRED lease: the break is " +
+    "arbitrated, exactly one acquires, the loser cannot evict the " +
+    "winner's fresh lease") {
+    val d = tmpDir() + "/leasebreak"
+    new java.io.File(d).mkdirs()
+    val leaseFile = new java.io.File(s"$d/_mutation_lease")
+    java.nio.file.Files.writeString(leaseFile.toPath, "crashed:feedface")
+    assert(leaseFile.setLastModified(System.currentTimeMillis() - 60000L))
+    // pin the contended interleaving: both threads reach the BREAK-MARKER
+    // create together (the exact window where a bare verify-then-delete
+    // let the loser leap-frog and delete the winner's fresh lease)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    AtomicStore.exclusiveCreate = new ExclusiveCreate {
+      def create(f: org.apache.hadoop.fs.FileSystem,
+                 p: org.apache.hadoop.fs.Path,
+                 bytes: Array[Byte]): Unit = {
+        if (p.getName.startsWith("_mutation_lease_break_"))
+          barrier.await(10, java.util.concurrent.TimeUnit.SECONDS)
+        AtomicStore.HadoopExclusiveCreate.create(f, p, bytes)
+      }
+    }
+    try {
+      val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+      val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val rejects = new java.util.concurrent.atomic.AtomicInteger(0)
+      val ts = (0 until 2).map(i => new Thread(() =>
+        try {
+          AtomicStore.withMutationLease(spark, d, s"recoverer$i",
+              leaseGraceMs = 10000L) {
+            val n = inside.incrementAndGet()
+            maxInside.getAndUpdate(m => math.max(m, n))
+            Thread.sleep(50)
+            inside.decrementAndGet()
+            wins.incrementAndGet()
+          }
+          ()
+        } catch {
+          case _: IllegalStateException => rejects.incrementAndGet(); ()
+        }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      assert(maxInside.get() == 1, "critical sections must never overlap")
+      assert(wins.get() == 1 && rejects.get() == 1,
+        s"exactly one recoverer breaks and acquires: wins=${wins.get()} " +
+          s"rejects=${rejects.get()}")
+      assert(!leaseFile.exists(), "winner released its lease")
+      assert(!new java.io.File(d).listFiles()
+        .exists(_.getName.startsWith("_mutation_lease_break_")),
+        "break marker cleaned up")
+    } finally AtomicStore.exclusiveCreate = AtomicStore.HadoopExclusiveCreate
+  }
+
+  test("a crashed BREAKER's leftover break marker wedges nobody: young " +
+    "marker defers to the in-flight break, aged marker is collected") {
+    val d = tmpDir() + "/breakgc"
+    new java.io.File(d).mkdirs()
+    val stale = "crashed:cafebabe"
+    val leaseFile = new java.io.File(s"$d/_mutation_lease")
+    java.nio.file.Files.writeString(leaseFile.toPath, stale)
+    assert(leaseFile.setLastModified(System.currentTimeMillis() - 60000L))
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(stale.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val marker = new java.io.File(s"$d/_mutation_lease_break_$digest")
+    // a YOUNG marker = another recoverer is mid-break right now: reject
+    // rather than double-break
+    java.nio.file.Files.writeString(marker.toPath, "")
+    intercept[IllegalStateException] {
+      AtomicStore.withMutationLease(spark, d, "second", 10000L) { () }
+    }
+    // the breaker CRASHED between marker and delete: once the marker ages
+    // past the grace it is garbage-collected and the break completes
+    assert(marker.setLastModified(System.currentTimeMillis() - 60000L))
+    val r = AtomicStore.withMutationLease(spark, d, "recoverer", 10000L) { 7 }
+    assert(r == 7)
+    assert(!leaseFile.exists() && !marker.exists())
+  }
+
   test("a live claim protects a slower concurrent fit's directory from a faster commit") {
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sessionState.newHadoopConf())
