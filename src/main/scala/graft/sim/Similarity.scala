@@ -1227,11 +1227,30 @@ object Similarity {
     val dirP = new org.apache.hadoop.fs.Path(s"$path/_skipped_batches")
     val fs = dirP.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(dirP)
-    val f = new org.apache.hadoop.fs.Path(
-      s"$path/_skipped_batches/b${batchId}_hw$highwater")
-    try fs.create(f, false).close()
-    catch { case _: java.io.IOException => () } // replayed skip: same record
+    // BOUNDED ledger: a misconfigured fresh-checkpoint stream left
+    // running drops EVERY batch — per-batch markers for the first
+    // window keep the forensic detail, then a single overwritten
+    // `overflow` record tracks the latest drop (the signal is binary by
+    // then; an unbounded marker directory would itself become the
+    // metadata problem). The listing is one round-trip in a regime that
+    // is already an error path.
+    if (fs.listStatus(dirP).length < SkippedLedgerCap) {
+      val f = new org.apache.hadoop.fs.Path(
+        s"$path/_skipped_batches/b${batchId}_hw$highwater")
+      try fs.create(f, false).close()
+      catch { case _: java.io.IOException => () } // replayed skip: same record
+    } else {
+      val o = new org.apache.hadoop.fs.Path(s"$path/_skipped_batches/overflow")
+      val out = fs.create(o, true)
+      try out.write(s"$batchId:$highwater".getBytes("UTF-8"))
+      finally out.close()
+    }
   }
+
+  /** Per-batch skip markers beyond this collapse into one `overflow`
+    * record — see [[recordSkippedBatch]].
+    */
+  private val SkippedLedgerCap = 512
 
   /** The DROPPED-batch ledger of a stream-maintained store — one row
     * `(batch_id, highwater)` per micro-batch the highwater gap guard
@@ -1245,14 +1264,27 @@ object Similarity {
     import spark.implicits._
     val dirP = new org.apache.hadoop.fs.Path(s"$path/_skipped_batches")
     val fs = dirP.getFileSystem(spark.sessionState.newHadoopConf())
-    val rows: Seq[(Long, Long)] =
+    val names: Seq[String] =
       if (!fs.exists(dirP)) Seq.empty
-      else fs.listStatus(dirP).toSeq.map(_.getPath.getName).collect {
-        case s if s.startsWith("b") && s.contains("_hw") =>
-          val Array(b, hw) = s.drop(1).split("_hw", 2)
-          (b.toLong, hw.toLong)
+      else fs.listStatus(dirP).toSeq.map(_.getPath.getName)
+    val itemized = names.collect {
+      case s if s.startsWith("b") && s.contains("_hw") =>
+        val Array(b, hw) = s.drop(1).split("_hw", 2)
+        (b.toLong, hw.toLong)
+    }
+    // past the cap the latest drop lives in the single overflow record
+    val overflow = if (!names.contains("overflow")) Seq.empty else {
+      val p = new org.apache.hadoop.fs.Path(s"$path/_skipped_batches/overflow")
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      new String(buf, "UTF-8").trim.split(":", 2) match {
+        case Array(b, hw) => Seq((b.toLong, hw.toLong))
+        case _ => Seq.empty
       }
-    rows.sorted.toDF("batch_id", "highwater")
+    }
+    (itemized ++ overflow).distinct.sorted.toDF("batch_id", "highwater")
   }
 
   /** Fold accumulated tombstones into the codes layout: rewrite ONLY the

@@ -407,6 +407,40 @@ class AnnIndexStreamSpec extends SparkSpec {
       == Set((1L, 7L)))
   }
 
+  test("the skip ledger is BOUNDED: past the cap, drops collapse into " +
+    "one overwritten overflow record instead of unbounded marker files") {
+    val d = tmpDir() + "/skipcap"
+    Similarity.writeIvfPqIndex(emb.where(col("vec_id") < 40),
+      "vec_id", "embedding", d, dim = 64, nlist = 8, m = 8,
+      codebookSize = 16, streamHighwater = Some(1000L))
+    // pre-fill the ledger past the cap (a misconfigured fresh-checkpoint
+    // stream that dropped for hours)
+    val ledger = new java.io.File(s"$d/_skipped_batches")
+    ledger.mkdirs()
+    (100 to 700).foreach { i =>
+      new java.io.File(ledger, s"b${i}_hw1000").createNewFile()
+    }
+    Similarity.appendStreamBatch(
+      emb.where(col("vec_id") >= 40 && col("vec_id") < 50),
+      "vec_id", "embedding", d, batchId = 0L)
+    assert(!new java.io.File(ledger, "b0_hw1000").exists(),
+      "past the cap no new per-batch marker may be created")
+    assert(new java.io.File(ledger, "overflow").exists())
+    // a later drop OVERWRITES the overflow record (latest drop wins)
+    Similarity.appendStreamBatch(
+      emb.where(col("vec_id") >= 40 && col("vec_id") < 50),
+      "vec_id", "embedding", d, batchId = 3L)
+    val rows = Similarity.skippedStreamBatches(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.contains((3L, 1000L)), "overflow surfaces the latest drop")
+    assert(!rows.contains((0L, 1000L)), "superseded overflow is replaced")
+    assert(rows.size == 602, "601 itemized markers + the overflow row")
+    // raw java.io count, excluding the local ChecksumFileSystem's .crc
+    // sidecars that fs.listStatus hides
+    assert(ledger.listFiles().count(!_.getName.endsWith(".crc")) == 602,
+      "file count stays bounded while drops continue")
+  }
+
   test("failOnSkippedBatch: a fresh-checkpoint restart TERMINATES the " +
     "stream instead of silently dropping batches (opt-in)") {
     val d = tmpDir() + "/annfailskip"
