@@ -104,6 +104,13 @@ class AtomicStoreCrossProcessSpec extends SparkSpec {
     "sections never overlap, both complete, rejections retry") {
     val store = tmpDir() + "/xlease"
     new java.io.File(store).mkdirs()
+    // plant a crashed holder's EXPIRED lease so the first process to
+    // contend goes through the arbitrated break path (marker + verify +
+    // delete) cross-process, not just cross-thread — the TORN check
+    // below covers the break exactly like any other acquisition
+    val planted = new java.io.File(s"$store/_mutation_lease")
+    java.nio.file.Files.writeString(planted.toPath, "crashed:00000000")
+    assert(planted.setLastModified(System.currentTimeMillis() - 120000L))
     val rounds = 12
     def launch(id: String): Process = {
       val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
@@ -127,5 +134,8 @@ class AtomicStoreCrossProcessSpec extends SparkSpec {
       s"every round must complete: A=$oa B=$ob")
     assert(!new java.io.File(s"$store/_mutation_lease").exists(),
       "the last holder must release the lease")
+    assert(!new java.io.File(store).listFiles()
+      .exists(_.getName.startsWith("_mutation_lease_break_")),
+      "the planted lease's break marker must be cleaned up")
   }
 }
