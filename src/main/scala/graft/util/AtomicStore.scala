@@ -478,16 +478,28 @@ object AtomicStore {
                 // finish in ms) or a recoverer CRASHED between marker
                 // and delete. Only the second wedges the store, so age
                 // the marker on the lease grace before garbage-collecting
-                // it and retrying once.
+                // it and retrying once. The GC itself is arbitrated by
+                // an atomic RENAME to a unique name — a delete-then-
+                // recreate here would let two GC'ers interleave so the
+                // second's delete removed the first's FRESH marker (the
+                // leap-frog window one level down); rename fails for all
+                // but one mover, and a recoverer that then loses the
+                // re-create to a third arrival backs off normally.
                 val crashed =
                   try f.getFileStatus(marker).getModificationTime <
                     System.currentTimeMillis() - leaseGraceMs
                   catch { case _: java.io.IOException => false }
                 crashed && {
-                  f.delete(marker, false)
-                  try { exclusiveCreate.create(f, marker,
-                    Array.emptyByteArray); true }
-                  catch { case _: java.io.IOException => false }
+                  val gcP = new Path(s"$path/${LeaseName}_break_gc_" +
+                    java.util.UUID.randomUUID().toString.take(8))
+                  val moved =
+                    try f.rename(marker, gcP)
+                    catch { case _: java.io.IOException => false }
+                  if (moved) { f.delete(gcP, false); () }
+                  moved && (
+                    try { exclusiveCreate.create(f, marker,
+                      Array.emptyByteArray); true }
+                    catch { case _: java.io.IOException => false })
                 }
             }
           if (wonBreak) {
