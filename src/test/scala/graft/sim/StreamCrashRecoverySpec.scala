@@ -125,4 +125,85 @@ class StreamCrashRecoverySpec extends SparkSpec {
     assert(!new java.io.File(s"$gFinal/codes_stream").exists())
     assert(!new java.io.File(s"$d/_mutation_lease").exists())
   }
+
+  test("SIGKILL mid-tagged-append on the dedup index: store queries, " +
+    "compact folds only job-committed tags, full replay converges with " +
+    "every document searchable exactly once") {
+    val d = tmpDir() + "/dedupcrash"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.dedup.DedupIndex.write(docs.where(col("doc_id") < 100),
+      "doc_id", "text", d)
+    val endBatch = 7L
+    val cmd = Seq(javaBin, "-Xmx2g") ++ addOpens ++ Seq(
+      "-cp", System.getProperty("java.class.path"),
+      "graft.dedup.DedupCrashRun", d, s"$sfDir/documents.parquet",
+      "0", endBatch.toString)
+    val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = new java.io.BufferedReader(
+      new java.io.InputStreamReader(p.getInputStream))
+    val seen = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val pump = new Thread(() => {
+      var line = out.readLine()
+      while (line != null) {
+        if (line.startsWith("appended "))
+          seen.set(line.drop("appended ".length).trim.toLong)
+        line = try out.readLine() catch { case _: java.io.IOException => null }
+      }
+    })
+    pump.setDaemon(true); pump.start()
+    val deadline = System.currentTimeMillis() + 120000L
+    while (seen.get() < 1L && p.isAlive &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(seen.get() >= 1L, "child must land at least two batches")
+    Thread.sleep(scala.util.Random.nextInt(900).toLong)
+    p.destroyForcibly()
+    assert(p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+    pump.join(5000)
+    // 1) whatever the cut left — a tag dir holding only _temporary/,
+    // grams without bands, data files without _SUCCESS — the store
+    // queries without bricking
+    val probe = docs.where(col("doc_id") < 100)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    assert(graft.dedup.DedupIndex.query(probe, "doc_id", "text", d, 0.9,
+      excludeSelf = false).count() >= 0L)
+    // 2) the dead child's young lease rejects, then breaks after grace
+    val leaseFile = new java.io.File(s"$d/_mutation_lease")
+    if (leaseFile.exists()) {
+      intercept[IllegalStateException] {
+        graft.dedup.DedupIndex.compact(spark, d)
+      }
+      assert(leaseFile.setLastModified(System.currentTimeMillis()
+        - 2 * AtomicStore.DefaultLeaseGraceMs))
+    }
+    // 3) compact: only job-committed tags fold (the _SUCCESS evidence);
+    // an uncommitted tag stays unrecorded so its replay rewrites
+    graft.dedup.DedupIndex.compact(spark, d)
+    // 4) replay EVERY batch under its original tag: folded ones absorb,
+    // the crashed one rewrites cleanly
+    (0L to endBatch).foreach { b =>
+      graft.dedup.DedupIndex.append(
+        graft.dedup.DedupCrashRun.batch(docs, b),
+        "doc_id", "text", d, tag = s"b$b")
+    }
+    // every appended document indexed EXACTLY once (nothing lost to a
+    // recorded-but-uncommitted tag, nothing doubled by a replay)
+    val g = AtomicStore.resolve(spark, d)
+    val grams = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$g/grams")
+      .where(col("id") >= 100L && col("id") < 100L + 10L * (endBatch + 1L))
+      .groupBy(col("id")).count()
+    assert(grams.count() == 10L * (endBatch + 1L),
+      "every batch document present after replay")
+    assert(grams.where(col("count") =!= 1L).count() == 0L,
+      "no document indexed twice")
+    // and every one is SEARCHABLE (bands complete too): self-match at
+    // threshold ~1 for each batch doc
+    val all = docs.where(col("doc_id") >= 100L &&
+      col("doc_id") < 100L + 10L * (endBatch + 1L))
+    val self = graft.dedup.DedupIndex.query(all, "doc_id", "text", d, 0.9,
+        excludeSelf = false)
+      .where(col("query_id") === col("index_id"))
+    assert(self.count() == 10L * (endBatch + 1L),
+      "every replayed document must self-match against the store")
+  }
 }
