@@ -224,9 +224,19 @@ object Bench {
         }
         // first measurement with zero warmups: no baseline yet — treat the
         // run as its own baseline so the retry predicate can't index an
-        // empty vector (dev-loop WARMUP=0 setting)
+        // empty vector (dev-loop WARMUP=0 setting).
+        // r18 measurement fix (declared in OPTIMIZATION_r18.md): once >= 3
+        // steady iterations exist the warmups DROP OUT of the baseline —
+        // for fixture-building queries (q_web_pipeline's first warmup
+        // writes the WARC archive, ~30 s) the warmup-inflated median let
+        // a 3.0 s steal-clean stall in an early iteration pass the
+        // relative retry leg unexamined (observed in the r18 baseline
+        // run: accepted max 3.036 s, retried=0, median 0.91 s).
         def baseline = {
-          val s = (steady.map(_._1) ++ warms).sorted.toIndexedSeq
+          val steadyVals = steady.map(_._1)
+          val pool = if (steadyVals.size >= 3) steadyVals.toSeq
+                     else steadyVals.toSeq ++ warms
+          val s = pool.sorted.toIndexedSeq
           if (s.isEmpty) t else pct(s, 0.5)
         }
         // (a) relative leg at >= 2 s (2x a fast query's median is ordinary

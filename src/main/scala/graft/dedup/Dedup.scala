@@ -109,6 +109,10 @@ object Dedup {
     // a guard without it would skip the raise_error, idsz would be null,
     // and every such doc would silently vanish from the pair output.
     val id = col(idCol).cast("long")
+    // NOT fanned out (r18 opt, measured 1.47× SLOWER fanned): shuffling
+    // the raw text to parallelize the fused tokenize costs more than the
+    // serial tokenize itself — unlike minhashDedup, nothing here is
+    // cached, so the exchange is paid per call.
     val sets = gramHashSets(df, idCol, textCol, n)
       .select(
         when(id.isNull || id < 0 || id >= (1L << 41) || size(col("gs")) >= (1 << 22),
@@ -281,7 +285,10 @@ object Dedup {
     // `df.sparkSession.catalog.clearCache()` or an unpersist of the same
     // plan. Default off: a library operator must not leak a
     // session-lifetime cache entry per distinct input.
-    val raw = gramHashSets(df, idCol, textCol, n)
+    // spread an under-parallel scan before the fused tokenize (no-op past
+    // the Fanout guard); with cacheGramSets the cached layout is parallel
+    val raw = gramHashSets(graft.operators.Fanout(df, Seq(idCol)),
+      idCol, textCol, n)
     val gramSets =
       if (cacheGramSets) raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else raw

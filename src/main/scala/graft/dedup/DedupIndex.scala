@@ -433,7 +433,11 @@ object DedupIndex {
     // safe by AtomicStore's previous-generation retention)
     val dir = AtomicStore.resolveCached(spark, path)
     val p = paramsIn(spark, dir)
-    val grams = Dedup.gramHashSets(batch, idCol, textCol, p.n)
+    // the batch's gram/minhash build feeds only broadcasts — spread an
+    // under-parallel batch scan so it doesn't run serially (Fanout no-op
+    // guard; per-doc outputs are exact, so results are layout-invariant)
+    val grams = Dedup.gramHashSets(
+        graft.operators.Fanout(batch, Seq(idCol)), idCol, textCol, p.n)
       .select(col(idCol).as("query_id"), col("gs"))
     val sigs = Dedup.minhashSignatures(grams, "query_id", p.numHashes, p.seed)
     // scan-local banding: the batch side feeds a broadcast, so there is no

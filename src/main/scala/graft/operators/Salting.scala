@@ -32,6 +32,10 @@ object Salting {
       saltBuckets: Int = 16
   ): DataFrame = {
     val v = col(valueCol)
+    // NOT fanned out (r18 opt, measured): the partial aggregation is
+    // ~0.2 µs/row — serializing 600k rows into a fan-out exchange cost
+    // 4.9× what the serial partial agg did. Salted aggregation's scan
+    // stage stays as the input provides it.
     val partial = df
       .withColumn("_salt", salt(col(tieBreaker), saltBuckets))
       .groupBy((keys.map(col) :+ col("_salt")): _*)
@@ -71,7 +75,13 @@ object Salting {
     // side and become part of the join key on the build side — refuse
     require(!fact.columns.contains("_salt") && !build.columns.contains("_salt"),
       "saltedJoin: inputs must not already have a '_salt' column")
-    val saltedFact = fact.withColumn("_salt", salt(col(tieBreaker), saltBuckets))
+    // spread the fact side before the probe: a single-row-group scan is
+    // one task, and with the replicated side broadcast the whole join
+    // would otherwise run serially in the scan stage (Fanout no-ops when
+    // the scan is already parallel). (key, tieBreaker) is high-cardinality
+    // and deterministic — even spread, stable under task retry.
+    val saltedFact = Fanout(fact, Seq(key, tieBreaker))
+      .withColumn("_salt", salt(col(tieBreaker), saltBuckets))
     val replicated = build.withColumn("_salt",
       explode(array((0 until saltBuckets).map(lit(_)): _*)))
     saltedFact.join(replicated, Seq(key, "_salt")).drop("_salt")

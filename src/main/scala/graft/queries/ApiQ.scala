@@ -59,6 +59,10 @@ object ApiQ extends QueryPack {
     // real NULL from a rolled-up cell (mirrored by GROUPING() in the
     // oracle), which q_rollup_revenue's shape doesn't need but a catalog
     // of pre-aggregates at 100 TB does.
+    // NOT fanned out (r18 opt): like q_region_revenue, the round-to-cents
+    // revenue sum sits within ~1e-4 of a cent boundary for one cube cell
+    // at sf0.001 under reordered partials — bit-stability beats the
+    // parallel scan here.
     "q_cube_revenue" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)

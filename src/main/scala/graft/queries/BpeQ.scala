@@ -37,7 +37,7 @@ object BpeQ extends QueryPack {
     "q_bpe_tokens" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val merges = Bpe.fit(docs, "text", NumMerges, VocabCap)
-      docs.select(
+      fanDocuments(s, dir).select(
         col("doc_id"),
         Bpe.words(col("text")).as("ws"),
         Bpe.encode(col("text"), merges).as("toks"))

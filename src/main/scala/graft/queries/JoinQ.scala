@@ -15,6 +15,11 @@ object JoinQ extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Multi-way star join: revenue per region per order year. nation/region
     // are tiny → broadcast; lineitem never shuffles until the final groupBy.
+    // NOT fanned out (r18 opt): the 4 dim joins broadcast and the probe
+    // would parallelize, but round(sum(price*(1-disc)), 2) lands within
+    // 1e-9 of a cent boundary for one (region, year) group at sf0.01 —
+    // the reordered partial sums flip it against the DuckDB oracle. The
+    // serial scan stage is the price of bit-stable cents here.
     "q_region_revenue" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)

@@ -13,7 +13,7 @@ object TextQ extends QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_stats" -> ((s, dir) =>
       round6(
-        Tables.documents(s, dir).select(
+        fanDocuments(s, dir).select(
           col("doc_id"),
           TextMetrics.tokenCount(col("text")).as("n_tokens"),
           TextMetrics.subwordCount(col("text")).as("n_subwords"),
@@ -41,7 +41,7 @@ object TextQ extends QueryPack {
     // planted boilerplate perfectly while the hand-weighted heuristic
     // cannot (boilerplate even scores slightly HIGHER on the heuristic).
     "q_quality_model" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = fanDocuments(s, dir)
       val ltoks = TextMetrics.tokens(lower(col("text")))
       val boiler = docs.where(col("doc_id") % 5 === 0)
         .select((col("doc_id") + lit(100000L)).as("doc_id"),

@@ -140,12 +140,23 @@ object WebQ extends QueryPack {
       // checkpointed blocks are dropped by the ContextCleaner when the
       // returned plan is garbage-collected, so repeated bench iterations
       // do not accumulate storage.
-      val withIds = Warc.read(s, warcHtmlFixture(s, dir), types = Seq("response"))
-        .select(
-          regexp_extract(col("warc_record_id"), ":(\\d+)$", 1)
-            .cast("long").as("doc_id"),
-          regexp_extract(col("warc_target_uri"), "^https://([^.]*)", 1)
-            .as("source"),
+      // the WARC parse itself is one task (one archive file), but the
+      // HTML extraction and everything downstream need not be: spread
+      // the parsed records (id, source, payload) BEFORE the extraction
+      // kernel, so mainContent and the whole dedup/scoring pipeline run
+      // on every core (guide §2.5 — the Fanout guard no-ops when the
+      // archive scan is already parallel). The checkpointed blocks then
+      // carry that parallel layout to both downstream branches.
+      val withIds = graft.operators.Fanout(
+          Warc.read(s, warcHtmlFixture(s, dir), types = Seq("response"))
+            .select(
+              regexp_extract(col("warc_record_id"), ":(\\d+)$", 1)
+                .cast("long").as("doc_id"),
+              regexp_extract(col("warc_target_uri"), "^https://([^.]*)", 1)
+                .as("source"),
+              col("payload")),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
           graft.text.HtmlExtract.mainContent(col("payload").cast("string"))
             .as("text"))
         .localCheckpoint()
@@ -321,7 +332,7 @@ object WebQ extends QueryPack {
         lit("<script>var x = 1 < 2; s = \"<p>not content</p>\";</script>"),
         lit("<footer><a href=\"/c\">contact</a> | <a href=\"/t\">terms</a>") ,
         lit("</footer></body></html>"))
-      Tables.documents(s, dir)
+      fanDocuments(s, dir)
         .select(col("doc_id"), html.as("html"))
         .select(
           col("doc_id"),

@@ -511,7 +511,6 @@ object Similarity {
     val base = vecs.rdd.map(_.getSeq[Double](0).toArray)
     val pts = sampleFraction
       .map(f => base.sample(withReplacement = false, f, seed)).getOrElse(base)
-    pts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     type Partial = (Array[Array[Array[Double]]], Array[Array[Long]])
     def combine(x: Partial, y: Partial): Partial = {
@@ -531,65 +530,116 @@ object Similarity {
       (s1, n1)
     }
 
-    try {
-      var it = 0
-      while (it < iters) {
-        val bc = spark.sparkContext.broadcast(cents.map(_.map(_.clone())))
-        // One pass: per-partition (sum, count) partials, then a merge that
-        // is DETERMINISTIC by construction — partials are keyed by
-        // partition id, combined in sorted-id order within fixed 64-wide
-        // groups and again in group order on the driver. (treeAggregate's
-        // final reduce merges in task-COMPLETION order, which re-orders
-        // double addition between runs and costs last-ulp reproducibility —
-        // exactly what pinned-recall oracles can't tolerate.) The driver
-        // receives ceil(P/64) partials of m·k·(dim/m+1) values each.
-        val (sums, counts) = pts.mapPartitionsWithIndex { (pid, iter) =>
-          val cs = bc.value
-          val s = Array.fill(m, k)(new Array[Double](sub))
-          val n = Array.fill(m, k)(0L)
-          iter.foreach { u =>
-            var j = 0
-            while (j < m) {
-              val off = j * sub
-              var best = 0; var bestD = Double.MaxValue; var c = 0
-              while (c < k) {
-                val cent = cs(j)(c)
-                var d = 0.0; var t = 0
-                while (t < sub) { val x = u(off + t) - cent(t); d += x * x; t += 1 }
-                if (d < bestD) { bestD = d; best = c }
-                c += 1
-              }
-              val tgt = s(j)(best); var t = 0
-              while (t < sub) { tgt(t) += u(off + t); t += 1 }
-              n(j)(best) += 1L
-              j += 1
-            }
-          }
-          Iterator((pid, (s, n)))
-        }
-          .map { case (pid, p) => (pid / 64, (pid, p)) }
-          .groupByKey()
-          .map { case (g, members) =>
-            (g, members.toArray.sortBy(_._1).map(_._2).reduce(combine)) }
-          .collect().sortBy(_._1).map(_._2)
-          .reduce(combine)
+    // the per-partition seqOp, shared VERBATIM by the distributed and the
+    // driver-local paths below so both produce bit-identical partials
+    def partialFor(iter: Iterator[Array[Double]],
+                   cs: Array[Array[Array[Double]]]): Partial = {
+      val s = Array.fill(m, k)(new Array[Double](sub))
+      val n = Array.fill(m, k)(0L)
+      iter.foreach { u =>
         var j = 0
         while (j < m) {
-          var c = 0
+          val off = j * sub
+          var best = 0; var bestD = Double.MaxValue; var c = 0
           while (c < k) {
-            if (counts(j)(c) > 0L) {
-              var t = 0
-              while (t < sub) { cents(j)(c)(t) = sums(j)(c)(t) / counts(j)(c); t += 1 }
-            } // empty cluster keeps its previous centroid
+            val cent = cs(j)(c)
+            var d = 0.0; var t = 0
+            while (t < sub) { val x = u(off + t) - cent(t); d += x * x; t += 1 }
+            if (d < bestD) { bestD = d; best = c }
             c += 1
           }
+          val tgt = s(j)(best); var t = 0
+          while (t < sub) { tgt(t) += u(off + t); t += 1 }
+          n(j)(best) += 1L
           j += 1
         }
-        bc.destroy()
+      }
+      (s, n)
+    }
+    // merge partials DETERMINISTICALLY: sorted-pid order within fixed
+    // 64-wide groups, then group order — same tree both paths
+    def mergePartials(parts: Array[(Int, Partial)]): Partial =
+      parts.map { case (pid, p) => (pid / 64, (pid, p)) }
+        .groupBy(_._1).toArray
+        .map { case (g, members) =>
+          (g, members.map(_._2).sortBy(_._1).map(_._2).reduce(combine)) }
+        .sortBy(_._1).map(_._2)
+        .reduce(combine)
+    def updateCents(sums: Array[Array[Array[Double]]],
+                    counts: Array[Array[Long]]): Unit = {
+      var j = 0
+      while (j < m) {
+        var c = 0
+        while (c < k) {
+          if (counts(j)(c) > 0L) {
+            var t = 0
+            while (t < sub) { cents(j)(c)(t) = sums(j)(c)(t) / counts(j)(c); t += 1 }
+          } // empty cluster keeps its previous centroid
+          c += 1
+        }
+        j += 1
+      }
+    }
+
+    // DRIVER-LOCAL SMALL-FIT PATH (r18 opt, guide §1.2 "per-task work"):
+    // each Lloyd's iteration is one Spark job (broadcast + map + shuffle
+    // + collect) whose fixed latency (~40 ms local) dwarfs the arithmetic
+    // for small inputs — a 50-vector fit paid ~10 jobs ≈ 0.4 s of pure
+    // scheduling. When the (sampled) input's ESTIMATED bytes fit a small
+    // bound, collect the vectors ONCE — preserving (partition id, row
+    // order) — and run the identical seqOp/merge arithmetic on the
+    // driver: bit-identical centroids (same doubles combined in the same
+    // order), 2 jobs total instead of iters+1. The estimate is from plan
+    // statistics (file size), so a 100 TB corpus keeps the distributed
+    // path; the bound is conf-overridable. This is the same bounded-
+    // driver-aggregate class as the BPE fit loop — the collected state is
+    // capped by the bound, never corpus-proportional.
+    val localFitMaxBytes =
+      spark.conf.getOption("spark.graft.kmeans.localFitMaxBytes")
+        .map(_.toLong).getOrElse(32L << 20)
+    val estBytes = vecs.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes <= localFitMaxBytes) {
+      val parts: Array[(Int, Array[Array[Double]])] =
+        pts.mapPartitionsWithIndex((pid, iter) =>
+          Iterator((pid, iter.toArray))).collect().sortBy(_._1)
+      var it = 0
+      while (it < iters) {
+        val cs = cents.map(_.map(_.clone()))
+        val (sums, counts) = mergePartials(
+          parts.map { case (pid, rows) => (pid, partialFor(rows.iterator, cs)) })
+        updateCents(sums, counts)
         it += 1
       }
       cents
-    } finally pts.unpersist(blocking = false)
+    } else {
+      pts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        var it = 0
+        while (it < iters) {
+          val bc = spark.sparkContext.broadcast(cents.map(_.map(_.clone())))
+          // One pass: per-partition (sum, count) partials, then the same
+          // deterministic merge as the local path (treeAggregate's final
+          // reduce merges in task-COMPLETION order, which re-orders double
+          // addition between runs and costs last-ulp reproducibility —
+          // exactly what pinned-recall oracles can't tolerate). The driver
+          // receives ceil(P/64) partials of m·k·(dim/m+1) values each.
+          val (sums, counts) = pts.mapPartitionsWithIndex { (pid, iter) =>
+            val cs = bc.value
+            Iterator((pid, partialFor(iter, cs)))
+          }
+            .map { case (pid, p) => (pid / 64, (pid, p)) }
+            .groupByKey()
+            .map { case (g, members) =>
+              (g, members.toArray.sortBy(_._1).map(_._2).reduce(combine)) }
+            .collect().sortBy(_._1).map(_._2)
+            .reduce(combine)
+          updateCents(sums, counts)
+          bc.destroy()
+          it += 1
+        }
+        cents
+      } finally pts.unpersist(blocking = false)
+    }
   }
 
   // native fused kernel (graft.plans.Expressions.L2Normalize): the

@@ -241,6 +241,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("gram-set construction is scan-local: zero exchanges before postings") {
+    // a cached gram-sets relation from another suite would splice its own
+    // plan text (incl. exchanges) into this plan's rendering — isolate
+    spark.catalog.clearCache()
     val docs = Tables.documents(spark, sfDir)
     // the per-doc gram sets themselves must not shuffle (the fused
     // TextGramHashes kernel replaced an explode + groupBy(id) + collect_set)
@@ -249,6 +252,9 @@ class PlanSpec extends SparkSpec {
       "gram sets must be pure map-side work")
     // the whole pair query plans exactly two shuffles: postings groupBy(gh)
     // and the pair-count groupBy — anything more is a scale regression
+    // (r18 opt note: a scan fan-out here was measured 1.47× SLOWER — the
+    // text shuffle costs more than the serial tokenize — so the pair
+    // pipeline deliberately keeps the shape this test pins)
     val pairs = graft.dedup.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       n = 3, threshold = 0.2, maxDocFreq = 15)
     val p = plan(pairs)
