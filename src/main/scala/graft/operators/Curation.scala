@@ -42,11 +42,18 @@ object Curation {
     * dropped by a WHERE, not crash the scan.
     */
   def normalizeUrl(url: Column): Column = {
-    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
-    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
-      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
-      .otherwise(hostport)
+    // r18 opt: the whole scheme+host[:port] head is ONE capture and the
+    // default-port strip ONE alternation replace keyed on the scheme
+    // INSIDE the captured string — the input column is referenced 3×
+    // total (head twice via the garbage passthrough, rest once), down
+    // from ~7×. Reference count is the cost that matters here: Catalyst
+    // inlines projections, so every reference re-expands whatever
+    // expression produced `url`, and a downstream domain filter squared
+    // that again — q_url_curation spent 430 ms/run in the blow-up (see
+    // hostOf's codegen note; measured in OPTIMIZATION_r18.md).
+    val head0 = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    val head = regexp_replace(head0,
+      "^(http://[^/?#]*):80$|^(https://[^/?#]*):443$", "$1$2")
     // path+query with the fragment already excluded by the capture
     val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
     // anchored at a separator via lookbehind: an unanchored name would
@@ -58,7 +65,9 @@ object Curation {
       "(?i)(?<=[?&])(?:utm_[a-z0-9_]+|fbclid|gclid|msclkid|ref)=[^&#]*&?", "")
     val tidied = regexp_replace(regexp_replace(noTrack, "\\?&", "?"), "[?&]+$", "")
     val noSlash = regexp_replace(tidied, "/+(\\?|$)", "$1")
-    concat(scheme, lit("://"), host, noSlash)
+    // non-URL input (no scheme://) has no head and keeps normalizing to
+    // the historical "://" form — garbage is the caller's WHERE concern
+    concat(when(head === "", lit("://")).otherwise(head), noSlash)
   }
 
   /** Host (without port) of an already-lowercased URL or host:port.
@@ -101,8 +110,13 @@ object Curation {
     */
   def registeredDomain(host: Column): Column = {
     val suffixAlt = MultiLabelSuffixes.map(_.replace(".", "\\.")).mkString("|")
-    val ext = regexp_extract(host, s"([^.]+\\.(?:$suffixAlt|[^.]+))$$", 1)
-    when(ext === "", host).otherwise(ext)
+    // r18 opt: the bare-host passthrough moved INTO the alternation
+    // (label.multisuffix, then label.label, then bare label — leftmost
+    // match picks the same value the former when(ext === "", host) did),
+    // so the input is referenced ONCE. The passthrough's second host
+    // reference doubled the whole upstream url expression wherever this
+    // composes over an inlined normalizeUrl (see the codegen note above).
+    regexp_extract(host, s"([^.]+\\.(?:$suffixAlt)|[^.]+\\.[^.]+|[^.]+)$$", 1)
   }
 
   /** Keep at most `cap` rows per registered domain, deterministically:

@@ -267,6 +267,10 @@ object DedupQ extends QueryPack {
     })
   )
 
+  // cacheGrams stays OFF (r18 opt, measured 1.11× SLOWER cached): unlike
+  // minhash's compact per-doc gram SETS, the span posting frame is the
+  // full positional explosion — the InMemoryTableScan of that wide frame
+  // costs more than re-running the fused window-hash scan kernel.
   private def spanQuery(s: SparkSession, dir: String, maxDocFreq: Int,
                         exactVerify: Boolean = false): DataFrame =
     Dedup.spanDedup(Tables.documents(s, dir), "doc_id", "text",
